@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship fit at sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md section 2 (plus the beyond-reference ops); the driver compares each
+Spark result against its DuckDB oracle at sf0.01 (row-count + schema +
+order-insensitive value-hash).  Float columns are rounded identically on
+both sides so the hash compares semantics, not summation order.
 """
 
 from __future__ import annotations
@@ -15,24 +16,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: batch WOE fit of four lineitem features at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark import fit_bins
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").withColumn(
+        "target", (F.col("l_returnflag") == "R").cast("int")
+    )
+    return fit_bins(
+        li,
+        "target",
+        ["l_extendedprice", "l_quantity", "l_discount", "l_tax"],
+        n_threshold=100,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from queries_catalog import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from queries_catalog import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

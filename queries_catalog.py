@@ -1,0 +1,647 @@
+"""Catalog of (Spark query, DuckDB oracle) pairs for the driver contract.
+
+Each key is an op_id from SURVEY.md section 2 (reference ops) or the
+beyond-reference list.  Spark callables take (spark, sf_dir) and read the
+driver parquet tables; oracle strings are ANSI SQL DuckDB runs over the same
+tables (pre-registered views).  Column names and float rounding match on
+both sides so the order-insensitive value-hash compares cleanly.
+
+Ops that are genuinely iterative (PAVA, z-merge, WOE-merge, sep-stitch,
+batch fan-out) have no oracle entry: the driver records a rows-only check
+and the golden tests in tests/test_fit_parity.py carry their correctness.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _li_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _li(spark, sf_dir).withColumn(
+        "target", (F.col("l_returnflag") == "R").cast("double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference relational ops (SURVEY section 2, ops 1-13, 17-19, 21-24, 26)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_project",
+    # op 1 (binning.py:35,43,90,96): narrow to [column, target]
+    """
+    SELECT l_extendedprice AS value,
+           CAST(l_returnflag = 'R' AS DOUBLE) AS target
+    FROM lineitem
+    """,
+)
+def q_project(spark, sf_dir):
+    return _li(spark, sf_dir).select(
+        F.col("l_extendedprice").alias("value"),
+        (F.col("l_returnflag") == "R").cast("double").alias("target"),
+    )
+
+
+@_q(
+    "q_filter_eq",
+    # op 2 (binning.py:35,43): equality / inequality partition split
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity = 25.0
+    """,
+)
+def q_filter_eq(spark, sf_dir):
+    return _li(spark, sf_dir).filter(F.col("l_quantity") == 25.0).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@_q(
+    "q_filter_isnan",
+    # op 3 (binning.py:233,235): NaN predicate on a derived NaN-able column
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM (SELECT l_orderkey, l_linenumber,
+                 CASE WHEN l_discount = 0.0 THEN 'NaN'::DOUBLE
+                      ELSE l_discount END AS d
+          FROM lineitem)
+    WHERE isnan(d)
+    """,
+)
+def q_filter_isnan(spark, sf_dir):
+    df = _li(spark, sf_dir).withColumn(
+        "d",
+        F.when(F.col("l_discount") == 0.0, F.lit(float("nan"))).otherwise(F.col("l_discount")),
+    )
+    return df.filter(F.isnan("d")).select("l_orderkey", "l_linenumber")
+
+
+@_q(
+    "q_dropna",
+    # op 4 (binning.py:121): drop any-null rows before the summary
+    """
+    SELECT count(*) AS n_rows,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM (SELECT NULLIF(l_discount, 0.0) AS d, l_quantity FROM lineitem)
+    WHERE d IS NOT NULL
+    """,
+)
+def q_dropna(spark, sf_dir):
+    df = _li(spark, sf_dir).withColumn("d", F.expr("nullif(l_discount, 0.0)"))
+    return (
+        df.select("d", "l_quantity")
+        .na.drop()
+        .agg(F.count("*").alias("n_rows"), F.sum("l_quantity").cast("double").alias("sum_qty"))
+    )
+
+
+@_q(
+    "q_filter_flag",
+    # op 5 (binning.py:136): keep del_flag == 0 survivors
+    """
+    SELECT CAST(sum(l_extendedprice) AS DOUBLE) AS surviving_price, count(*) AS n
+    FROM (SELECT l_extendedprice,
+                 CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END AS del_flag
+          FROM lineitem)
+    WHERE del_flag = 0
+    """,
+)
+def q_filter_flag(spark, sf_dir):
+    df = _li(spark, sf_dir).withColumn(
+        "del_flag", F.when(F.col("l_quantity") < 10, 1).otherwise(0)
+    )
+    return df.filter(F.col("del_flag") == 0).agg(
+        F.sum("l_extendedprice").cast("double").alias("surviving_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "q_anti_drop",
+    # op 6 (binning.py:214,27): drop a row by position in a sorted frame
+    """
+    SELECT l_quantity, n FROM (
+      SELECT l_quantity, n,
+             row_number() OVER (ORDER BY n DESC, l_quantity) AS rn
+      FROM (SELECT l_quantity, count(*) AS n FROM lineitem GROUP BY l_quantity)
+    ) WHERE rn <> 1
+    """,
+)
+def q_anti_drop(spark, sf_dir):
+    counts = _li(spark, sf_dir).groupBy("l_quantity").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("l_quantity"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") != 1)
+        .select("l_quantity", "n")
+    )
+
+
+@_q(
+    "q_sort",
+    # op 7 (binning.py:111,131,29): order by value (deterministic tiebreak)
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q_sort(spark, sf_dir):
+    return (
+        _li(spark, sf_dir)
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)
+    )
+
+
+@_q(
+    "q_quartile_slice",
+    # op 8 (binning.py:112-119): quartile target sums for the direction
+    # heuristic, via ntile(4) with a fully deterministic ordering
+    """
+    SELECT quartile, CAST(sum(target) AS DOUBLE) AS bads, count(*) AS n
+    FROM (
+      SELECT CAST(l_returnflag = 'R' AS DOUBLE) AS target,
+             ntile(4) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS quartile
+      FROM lineitem
+    )
+    GROUP BY quartile
+    """,
+)
+def q_quartile_slice(spark, sf_dir):
+    df = _li_t(spark, sf_dir)
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        df.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(F.sum("target").cast("double").alias("bads"), F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "q_groupby_summary",
+    # op 9 (binning.py:121-131) — THE workhorse: per-value target moments;
+    # Catalyst runs it as partial+final hash aggregation (one shuffle)
+    """
+    SELECT l_quantity AS value,
+           count(*) AS size,
+           ROUND(avg(CAST(l_returnflag = 'R' AS DOUBLE)), 9) AS mean,
+           ROUND(COALESCE(stddev_samp(CAST(l_returnflag = 'R' AS DOUBLE)), 0.0), 9) AS std
+    FROM lineitem
+    GROUP BY l_quantity
+    """,
+)
+def q_groupby_summary(spark, sf_dir):
+    df = _li_t(spark, sf_dir)
+    return df.groupBy(F.col("l_quantity").alias("value")).agg(
+        F.count("*").alias("size"),
+        F.round(F.avg("target"), 9).alias("mean"),
+        F.round(F.coalesce(F.stddev_samp("target"), F.lit(0.0)), 9).alias("std"),
+    )
+
+
+@_q(
+    "q_groupby_nan",
+    # op 10 (binning.py:235-236): aggregate over the missing-value group
+    """
+    SELECT count(*) AS size,
+           ROUND(avg(CAST(l_returnflag = 'R' AS DOUBLE)), 9) AS mean
+    FROM lineitem WHERE NULLIF(l_tax, 0.0) IS NULL
+    """,
+)
+def q_groupby_nan(spark, sf_dir):
+    df = _li_t(spark, sf_dir).withColumn("t", F.expr("nullif(l_tax, 0.0)"))
+    return df.filter(F.col("t").isNull()).agg(
+        F.count("*").alias("size"), F.round(F.avg("target"), 9).alias("mean")
+    )
+
+
+@_q(
+    "q_global_sums",
+    # op 11 (binning.py:243-244,37-38): global totals
+    """
+    SELECT CAST(sum(CAST(l_returnflag = 'R' AS DOUBLE)) AS DOUBLE) AS total_bads,
+           CAST(count(*) AS DOUBLE) - sum(CAST(l_returnflag = 'R' AS DOUBLE)) AS total_goods,
+           count(*) AS n
+    FROM lineitem
+    """,
+)
+def q_global_sums(spark, sf_dir):
+    df = _li_t(spark, sf_dir)
+    return df.agg(
+        F.sum("target").cast("double").alias("total_bads"),
+        (F.count("*").cast("double") - F.sum("target")).alias("total_goods"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "q_argmax",
+    # op 12 (binning.py:209-210): argmax row (orderBy desc limit 1)
+    """
+    SELECT l_quantity, bads FROM (
+      SELECT l_quantity, CAST(sum(CAST(l_returnflag = 'R' AS DOUBLE)) AS DOUBLE) AS bads
+      FROM lineitem GROUP BY l_quantity
+    ) ORDER BY bads DESC, l_quantity LIMIT 1
+    """,
+)
+def q_argmax(spark, sf_dir):
+    df = _li_t(spark, sf_dir)
+    return (
+        df.groupBy("l_quantity")
+        .agg(F.sum("target").cast("double").alias("bads"))
+        .orderBy(F.col("bads").desc(), "l_quantity")
+        .limit(1)
+    )
+
+
+@_q(
+    "q_lead",
+    # op 13 (binning.py:181-183,228): lead() for neighbour stats / interval ends
+    """
+    SELECT value, next_value, next_size FROM (
+      SELECT l_quantity AS value, count(*) AS size,
+             lead(l_quantity) OVER (ORDER BY l_quantity) AS next_value,
+             lead(count(*)) OVER (ORDER BY l_quantity) AS next_size
+      FROM lineitem GROUP BY l_quantity
+    )
+    """,
+)
+def q_lead(spark, sf_dir):
+    counts = _li(spark, sf_dir).groupBy(F.col("l_quantity").alias("value")).agg(
+        F.count("*").alias("size")
+    )
+    w = Window.orderBy("value")
+    return counts.select(
+        "value",
+        F.lead("value").over(w).alias("next_value"),
+        F.lead("size").over(w).alias("next_size"),
+    )
+
+
+@_q(
+    "q_intervals",
+    # op 17 (binning.py:226-231): interval construction from sorted values
+    """
+    SELECT CASE WHEN rn = 1 THEN '-Infinity'::DOUBLE ELSE value END AS interval_start_include,
+           COALESCE(next_value, 'Infinity'::DOUBLE) AS interval_end_exclude,
+           size
+    FROM (
+      SELECT value, size,
+             lead(value) OVER (ORDER BY value) AS next_value,
+             row_number() OVER (ORDER BY value) AS rn
+      FROM (SELECT l_quantity AS value, count(*) AS size FROM lineitem GROUP BY l_quantity)
+    )
+    """,
+)
+def q_intervals(spark, sf_dir):
+    counts = _li(spark, sf_dir).groupBy(F.col("l_quantity").alias("value")).agg(
+        F.count("*").alias("size")
+    )
+    w = Window.orderBy("value")
+    return counts.select(
+        F.when(F.row_number().over(w) == 1, F.lit(float("-inf")))
+        .otherwise(F.col("value"))
+        .alias("interval_start_include"),
+        F.coalesce(F.lead("value").over(w), F.lit(float("inf"))).alias(
+            "interval_end_exclude"
+        ),
+        "size",
+    )
+
+
+@_q(
+    "q_woe_iv",
+    # op 18 (binning.py:240-251): WOE/IV over value-level bins, window totals
+    """
+    SELECT value, size,
+           ROUND(woe, 9) AS woe,
+           ROUND((dist_bad - dist_good) * woe, 9) AS iv_components
+    FROM (
+      SELECT value, size,
+             ln(dist_bad / dist_good) AS woe, dist_bad, dist_good
+      FROM (
+        SELECT value, size,
+               bads / (sum(bads) OVER ()) AS dist_bad,
+               (size - bads) / (sum(size - bads) OVER ()) AS dist_good
+        FROM (
+          SELECT l_quantity AS value, CAST(count(*) AS DOUBLE) AS size,
+                 CAST(sum(CAST(l_returnflag = 'R' AS DOUBLE)) AS DOUBLE) AS bads
+          FROM lineitem GROUP BY l_quantity
+        )
+      )
+    )
+    """,
+)
+def q_woe_iv(spark, sf_dir):
+    df = _li_t(spark, sf_dir)
+    grouped = df.groupBy(F.col("l_quantity").alias("value")).agg(
+        F.count("*").cast("double").alias("size"),
+        F.sum("target").cast("double").alias("bads"),
+    )
+    w = Window.partitionBy()
+    dist = grouped.select(
+        "value",
+        "size",
+        (F.col("bads") / F.sum("bads").over(w)).alias("dist_bad"),
+        ((F.col("size") - F.col("bads")) / F.sum(F.col("size") - F.col("bads")).over(w)).alias(
+            "dist_good"
+        ),
+    )
+    woe = dist.withColumn("woe", F.log(F.col("dist_bad") / F.col("dist_good")))
+    return woe.select(
+        "value",
+        "size",
+        F.round("woe", 9).alias("woe"),
+        F.round((F.col("dist_bad") - F.col("dist_good")) * F.col("woe"), 9).alias(
+            "iv_components"
+        ),
+    )
+
+
+@_q(
+    "q_union",
+    # op 19 (binning.py:54,74,238): union-all stitching
+    """
+    SELECT * FROM (
+      SELECT 'low' AS part, l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem WHERE l_extendedprice < 20000
+      UNION ALL
+      SELECT 'high' AS part, l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem WHERE l_extendedprice >= 90000
+    )
+    """,
+)
+def q_union(spark, sf_dir):
+    li = _li(spark, sf_dir)
+    low = li.filter(F.col("l_extendedprice") < 20000).select(
+        F.lit("low").alias("part"), "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    high = li.filter(F.col("l_extendedprice") >= 90000).select(
+        F.lit("high").alias("part"), "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return low.unionByName(high)
+
+
+def _per_variable_iv_sql() -> str:
+    """Shared oracle scaffold: per-variable total IV over value-level bins
+    for the four lineitem features (melt + group + window totals)."""
+    return """
+    WITH long AS (
+      SELECT 'l_quantity' AS variable, l_quantity AS value,
+             CAST(l_returnflag = 'R' AS DOUBLE) AS target FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount, CAST(l_returnflag = 'R' AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax, CAST(l_returnflag = 'R' AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_linenumber', CAST(l_linenumber AS DOUBLE),
+             CAST(l_returnflag = 'R' AS DOUBLE) FROM lineitem
+    ), grouped AS (
+      SELECT variable, value, CAST(count(*) AS DOUBLE) AS size,
+             CAST(sum(target) AS DOUBLE) AS bads
+      FROM long GROUP BY variable, value
+    ), dist AS (
+      SELECT variable, value, size,
+             bads / (sum(bads) OVER (PARTITION BY variable)) AS dist_bad,
+             (size - bads) / (sum(size - bads) OVER (PARTITION BY variable)) AS dist_good
+      FROM grouped
+    ), iv AS (
+      SELECT variable,
+             sum((dist_bad - dist_good) * ln(dist_bad / dist_good)) AS iv_total
+      FROM dist GROUP BY variable
+    )
+    """
+
+
+def _per_variable_iv_spark(spark, sf_dir):
+    df = _li_t(spark, sf_dir)
+    long = df.select(
+        "target",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_discount").cast("double").alias("l_discount"),
+        F.col("l_tax").cast("double").alias("l_tax"),
+        F.col("l_linenumber").cast("double").alias("l_linenumber"),
+    ).unpivot("target", ["l_quantity", "l_discount", "l_tax", "l_linenumber"], "variable", "value")
+    grouped = long.groupBy("variable", "value").agg(
+        F.count("*").cast("double").alias("size"),
+        F.sum("target").cast("double").alias("bads"),
+    )
+    w = Window.partitionBy("variable")
+    dist = grouped.select(
+        "variable",
+        (F.col("bads") / F.sum("bads").over(w)).alias("dist_bad"),
+        ((F.col("size") - F.col("bads")) / F.sum(F.col("size") - F.col("bads")).over(w)).alias(
+            "dist_good"
+        ),
+    )
+    return dist.groupBy("variable").agg(
+        F.sum(
+            (F.col("dist_bad") - F.col("dist_good"))
+            * F.log(F.col("dist_bad") / F.col("dist_good"))
+        ).alias("iv_total")
+    )
+
+
+@_q(
+    "q_iv_gate",
+    # op 21 (binning.py:278-280): keep variables with iv_total >= threshold
+    _per_variable_iv_sql()
+    + """
+    SELECT variable, ROUND(iv_total, 9) AS iv_total
+    FROM iv WHERE iv_total >= 0.02 AND isfinite(iv_total)
+    """,
+)
+def q_iv_gate(spark, sf_dir):
+    iv = _per_variable_iv_spark(spark, sf_dir)
+    return iv.filter(
+        (F.col("iv_total") >= 0.02) & ~F.isnan("iv_total") & (F.col("iv_total") != float("inf"))
+    ).select("variable", F.round("iv_total", 9).alias("iv_total"))
+
+
+@_q(
+    "q_corr_dedup",
+    # op 22 (binning.py:294-299): drop variables whose exact IV repeats
+    _per_variable_iv_sql()
+    + """
+    SELECT variable, ROUND(iv_total, 9) AS iv_total FROM (
+      SELECT variable, iv_total,
+             row_number() OVER (PARTITION BY ROUND(iv_total, 12) ORDER BY variable) AS rn
+      FROM iv
+    ) WHERE rn = 1
+    """,
+)
+def q_corr_dedup(spark, sf_dir):
+    iv = _per_variable_iv_spark(spark, sf_dir)
+    w = Window.partitionBy(F.round("iv_total", 12)).orderBy("variable")
+    return (
+        iv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("variable", F.round("iv_total", 9).alias("iv_total"))
+    )
+
+
+_ENCODE_CUTS = [0.0, 20000.0, 40000.0, 60000.0, 80000.0]
+_ENCODE_WOES = [-0.35, -0.1, 0.05, 0.2, 0.4]
+
+
+@_q(
+    "q_apply_encode",
+    # op 23 (binning.py:283-303): bucketize + WOE label map as a CASE chain
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_extendedprice >= 0.0 AND l_extendedprice < 20000.0 THEN -0.35
+                WHEN l_extendedprice >= 20000.0 AND l_extendedprice < 40000.0 THEN -0.1
+                WHEN l_extendedprice >= 40000.0 AND l_extendedprice < 60000.0 THEN 0.05
+                WHEN l_extendedprice >= 60000.0 AND l_extendedprice < 80000.0 THEN 0.2
+                WHEN l_extendedprice >= 80000.0 THEN 0.4
+           END AS price_bin
+    FROM lineitem
+    """,
+)
+def q_apply_encode(spark, sf_dir):
+    cuts = _ENCODE_CUTS + [float("inf")]
+    expr = None
+    col = F.col("l_extendedprice")
+    for i, wv in enumerate(_ENCODE_WOES):
+        cond = (col >= cuts[i]) & (col < cuts[i + 1])
+        expr = F.when(cond, wv) if expr is None else expr.when(cond, wv)
+    return _li(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", expr.alias("price_bin")
+    )
+
+
+@_q(
+    "q_median_impute",
+    # op 24 (binning.py:297,302): exact-median fill of missing values
+    """
+    SELECT ROUND(CAST(sum(filled) AS DOUBLE), 6) AS total_filled, count(*) AS n
+    FROM (
+      SELECT COALESCE(NULLIF(l_discount, 0.0),
+                      (SELECT median(CAST(NULLIF(l_discount, 0.0) AS DOUBLE)) FROM lineitem)
+             ) AS filled
+      FROM lineitem
+    )
+    """,
+)
+def q_median_impute(spark, sf_dir):
+    df = _li(spark, sf_dir).withColumn("d", F.expr("nullif(l_discount, 0.0)"))
+    med = df.select(F.expr("percentile(d, 0.5D)").alias("m")).first()["m"]
+    return df.select(F.coalesce("d", F.lit(med)).alias("filled")).agg(
+        F.round(F.sum("filled").cast("double"), 6).alias("total_filled"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "q_degenerate",
+    # op 26 (binning.py:106-109): degenerate guard output shape
+    """
+    SELECT 'target' AS variable, 0.0 AS interval_start_include,
+           0.0 AS interval_end_exclude, 0.0 AS size, 0.0 AS mean,
+           0.0 AS bads, 0.0 AS goods, 0.0 AS dist_good, 0.0 AS dist_bad,
+           0.0 AS woe, 0.0 AS iv_components
+    """,
+)
+def q_degenerate(spark, sf_dir):
+    from woe_monotonic_binning_spark import woe_binning
+
+    df = _li_t(spark, sf_dir)
+    return woe_binning(df, "target", "target", n_threshold=100)
+
+
+# ---------------------------------------------------------------------------
+# iterative ops — rows-only checks (golden parity lives in tests/)
+# ---------------------------------------------------------------------------
+
+
+@_q("q_pava")
+def q_pava(spark, sf_dir):
+    """Ops 14+15+17+18 end-to-end on one variable (binning.py:133-251)."""
+    from woe_monotonic_binning_spark import fit_bins
+
+    return fit_bins(_li_t(spark, sf_dir), "target", ["l_quantity"], n_threshold=100)
+
+
+@_q("q_ztest_merge")
+def q_ztest_merge(spark, sf_dir):
+    """Op 15 with a stricter p-threshold to force more z-merges."""
+    from woe_monotonic_binning_spark import fit_bins
+
+    return fit_bins(
+        _li_t(spark, sf_dir), "target", ["l_extendedprice"], n_threshold=100,
+        p_threshold=0.01, max_distinct=2000,
+    )
+
+
+@_q("q_woe_merge")
+def q_woe_merge(spark, sf_dir):
+    """Op 16 (binning.py:253-263): WOE-similarity merge loop."""
+    from woe_monotonic_binning_spark import fit_bins
+
+    return fit_bins(
+        _li_t(spark, sf_dir), "target", ["l_quantity"], n_threshold=100,
+        merge_threshold=0.5,
+    )
+
+
+@_q("q_sep_stitch")
+def q_sep_stitch(spark, sf_dir):
+    """Op 20 (binning.py:32-75): special-value bin stitching."""
+    from woe_monotonic_binning_spark import woe_binning_sep
+
+    df = _li_t(spark, sf_dir).withColumn(
+        "qty_sep",
+        F.when(F.col("l_quantity") <= 2.0, F.lit(-999.0)).otherwise(F.col("l_quantity")),
+    )
+    return woe_binning_sep(df, "target", "qty_sep", sep_value=-999.0, n_threshold=100)
+
+
+@_q("q_batch_fanout")
+def q_batch_fanout(spark, sf_dir):
+    """Op 25 (binning.py:78-100): all-variable fit in one distributed job."""
+    from woe_monotonic_binning_spark import fit_bins
+
+    return fit_bins(
+        _li_t(spark, sf_dir),
+        "target",
+        ["l_extendedprice", "l_quantity", "l_discount", "l_tax"],
+        n_threshold=100,
+        max_distinct=2000,
+    )
+
+
+@_q("q_transform_full")
+def q_transform_full(spark, sf_dir):
+    """Ops 21-24 composed: fit then WOE-encode (binning.py:268-304)."""
+    from woe_monotonic_binning_spark import apply_bins, fit_bins
+
+    df = _li_t(spark, sf_dir)
+    bins = fit_bins(
+        df, "target", ["l_extendedprice", "l_quantity", "l_discount", "l_tax"],
+        n_threshold=100, max_distinct=2000,
+    )
+    return apply_bins(df, bins, keep_columns=["l_orderkey", "l_linenumber"])

@@ -1,0 +1,111 @@
+"""Golden parity: the Spark fit must match the reference cell-for-cell.
+
+Strategy 2 of SURVEY.md section 5 — run the reference (pandas, erf-shimmed
+norm.cdf) on the A1 fixture and compare the full 11-column bins tables to
+1e-9 relative, covering the iterative ops (PAVA, z-merge, WOE-merge,
+sep-stitch) and quirks Q1-Q12 end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from woe_monotonic_binning_spark import batch_woe_binning, fit_bins, woe_binning, woe_binning_sep
+from woe_monotonic_binning_spark._algo import BINS_COLUMNS
+
+FEATURES = [
+    "x_mono_up",
+    "x_mono_down",
+    "x_noise",
+    "x_const",
+    "x_with_nan",
+    "x_sep",
+    "x_few",
+    "x_tiny_bins",
+]
+
+
+def assert_bins_equal(got: pd.DataFrame, exp: pd.DataFrame, ctx: str, tol: float = 1e-9):
+    got = got.reset_index(drop=True)
+    exp = exp.reset_index(drop=True)
+    assert len(got) == len(exp), f"{ctx}: {len(got)} rows vs {len(exp)}"
+    for col in BINS_COLUMNS:
+        g, e = got[col].to_numpy(), exp[col].to_numpy()
+        if col == "variable":
+            assert (g == e).all(), f"{ctx}.{col}"
+            continue
+        g = g.astype(float)
+        e = e.astype(float)
+        same = (np.isnan(g) & np.isnan(e)) | (g == e) | (
+            np.abs(g - e) <= tol * np.maximum(1.0, np.abs(e))
+        )
+        assert same.all(), f"{ctx}.{col}: {g} != {e}"
+
+
+@pytest.mark.parametrize("n_threshold", [100, 500])
+def test_batch_fit_matches_reference(spark, reference, binning_pdf, binning_df, n_threshold):
+    bins = batch_woe_binning(
+        binning_df.drop("row_id"), "target", n_threshold=n_threshold
+    ).toPandas()
+    for col in FEATURES:
+        exp = reference.woe_binning("target", binning_pdf[[col, "target"]], n_threshold=n_threshold)
+        assert_bins_equal(
+            bins[bins.variable == col], exp, f"{col}@n_threshold={n_threshold}"
+        )
+
+
+def test_merge_threshold_matches_reference(spark, reference, binning_pdf, binning_df):
+    bins = fit_bins(
+        binning_df, "target", FEATURES, n_threshold=100, merge_threshold=0.5
+    ).toPandas()
+    for col in FEATURES:
+        exp = reference.woe_binning(
+            "target", binning_pdf[[col, "target"]], n_threshold=100, merge_threshold=0.5
+        )
+        assert_bins_equal(bins[bins.variable == col], exp, f"{col}@merge_threshold")
+
+
+def test_sep_value_matches_reference(spark, reference, binning_pdf, binning_df):
+    got = woe_binning_sep(
+        binning_df, "target", "x_sep", sep_value=-999.0, n_threshold=100
+    ).toPandas()
+    exp = reference.woe_binning_sep(
+        "target", "x_sep", binning_pdf[["x_sep", "target"]], sep_value=-999.0, n_threshold=100
+    )
+    assert_bins_equal(got, exp, "x_sep@sep_value")
+
+
+def test_default_n_threshold_is_ceil_n_over_20(spark, reference, binning_pdf, binning_df):
+    import math
+
+    bins = batch_woe_binning(binning_df.drop("row_id"), "target").toPandas()
+    thr = math.ceil(len(binning_pdf) / 20)
+    exp = reference.woe_binning("target", binning_pdf[["x_mono_up", "target"]], n_threshold=thr)
+    assert_bins_equal(bins[bins.variable == "x_mono_up"], exp, "default threshold")
+
+
+def test_degenerate_guard(spark, binning_df):
+    got = woe_binning(binning_df, "target", "target", n_threshold=100).toPandas()
+    assert len(got) == 1
+    assert got.loc[0, "variable"] == "target"
+    assert (got.drop(columns="variable").iloc[0] == 0).all()
+
+
+def test_tpch_lineitem_fit_smoke(spark, sf0001_dir):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf0001_dir}/lineitem.parquet").withColumn(
+        "target", (F.col("l_returnflag") == "R").cast("int")
+    )
+    bins = fit_bins(
+        li,
+        "target",
+        ["l_extendedprice", "l_quantity", "l_discount", "l_tax"],
+        n_threshold=100,
+    ).toPandas()
+    assert set(bins.variable) == {"l_extendedprice", "l_quantity", "l_discount", "l_tax"}
+    for v, part in bins.groupby("variable"):
+        means = part["mean"].to_numpy()
+        assert (np.diff(means[~np.isnan(part.interval_start_include)]) < 0).all(), v

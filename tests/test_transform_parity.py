@@ -1,0 +1,55 @@
+"""Golden parity for the transform path (apply_bins, binning.py:268-304)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from woe_monotonic_binning_spark import apply_bins, batch_woe_binning
+
+
+@pytest.fixture(scope="module")
+def fitted(reference, binning_pdf):
+    cols = [c for c in binning_pdf.columns if c not in ("target", "row_id")]
+    return {
+        c: reference.woe_binning("target", binning_pdf[[c, "target"]], n_threshold=100)
+        for c in cols
+    }
+
+
+def test_transform_matches_reference(spark, reference, binning_pdf, binning_df, fitted):
+    bins = batch_woe_binning(binning_df.drop("row_id"), "target", n_threshold=100).toPandas()
+    got = (
+        apply_bins(binning_df, bins, keep_columns=["row_id"])
+        .toPandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    exp = reference.apply_bins(binning_pdf, fitted).reset_index(drop=True)
+    assert sorted(c for c in got.columns if c != "row_id") == sorted(exp.columns)
+    for col in exp.columns:
+        g = got[col].to_numpy(dtype=float)
+        e = exp[col].to_numpy(dtype=float)
+        same = (np.isnan(g) & np.isnan(e)) | (g == e) | (np.abs(g - e) <= 1e-9)
+        assert same.all(), f"{col}: {np.sum(~same)} mismatching rows"
+
+
+def test_transform_gates(spark, binning_df):
+    bins = batch_woe_binning(binning_df.drop("row_id"), "target", n_threshold=100).toPandas()
+    out_cols = apply_bins(binning_df, bins, keep_columns=["row_id"]).columns
+    # x_noise fails the IV gate, x_const the bin-count gate, and exactly one
+    # of the duplicated-IV pair survives corr dedup
+    assert "x_noise_bin" not in out_cols
+    assert "x_const_bin" not in out_cols
+    no_dedup = apply_bins(binning_df, bins, remove_100_corr=False).columns
+    assert len(no_dedup) >= len(out_cols) - 1
+
+
+def test_transform_woe_values_subset_of_fit(spark, binning_df):
+    bins = batch_woe_binning(binning_df.drop("row_id"), "target", n_threshold=100).toPandas()
+    scored = apply_bins(binning_df, bins).toPandas()
+    for col in scored.columns:
+        var = col[: -len("_bin")]
+        fitted_woes = set(np.round(bins[bins.variable == var]["woe"].dropna(), 12))
+        got = set(np.round(scored[col].dropna().unique(), 12))
+        assert got <= fitted_woes, f"{col}: {got - fitted_woes}"

@@ -1,0 +1,34 @@
+"""PySpark-native Monotone Optimal Binning engine.
+
+Re-expresses the full capability surface of PedroHBM/woe-monotonic-binning
+(a single-node pandas fit/transform library) as an idiomatic Spark engine —
+relational stages in Spark SQL, the iterative merge loops in a grouped-map
+pandas UDF over pre-aggregated summaries — plus the large-scale
+training-data-pipeline operators (dedup, similarity search, text analysis,
+event windows, multimodal plumbing) under ``operators``/``streaming``.
+"""
+
+from .fit import (
+    BINS_SCHEMA_DDL,
+    batch_woe_binning,
+    fit_bins,
+    woe_binning,
+    woe_binning_sep,
+)
+from .transform import apply_bins
+from .session import get_spark
+from ._algo import BINS_COLUMNS, FitParams
+
+__all__ = [
+    "BINS_COLUMNS",
+    "BINS_SCHEMA_DDL",
+    "FitParams",
+    "apply_bins",
+    "batch_woe_binning",
+    "fit_bins",
+    "get_spark",
+    "woe_binning",
+    "woe_binning_sep",
+]
+
+__version__ = "0.1.0"

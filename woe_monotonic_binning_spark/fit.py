@@ -1,0 +1,273 @@
+"""Spark-side fit path: raw rows -> per-variable group summary -> bins table.
+
+Architecture (SURVEY.md sections 1.2, 3.4, 7): the reference fans out one OS
+process per feature column over raw pandas frames (binning.py:78-100); here
+a single Spark job handles every column at once:
+
+    parquet scan
+      -> select/cast (column pruning reaches the scan)
+      -> unpivot to long (variable, value, target)        [no shuffle]
+      -> groupBy(variable, value).agg(count,sum,sumsq)    [ONE shuffle,
+             partial aggregation map-side via Catalyst]
+      -> optional quantile cap on distinct values          [scale guard]
+      -> groupBy(variable).applyInPandas(fit)             [shuffle on
+             variable only moves the tiny summary; Arrow-batched]
+      -> bins DataFrame (is_df shape, binning.py:271-277)
+
+The iterative PAVA / z-test / WOE-merge loops run in ``_algo`` on at most
+``k`` rows per variable (k = distinct values), never on raw rows — the
+reference's own key perf idea (binning.py:121), preserved distributedly.
+
+At 100 TB the only full-data pass is the single hash aggregation; its output
+is bounded by sum-of-distinct-values, and the ``max_distinct`` guard keeps
+that bounded too (documented deviation, SURVEY section 4d).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from . import _algo
+from ._algo import BINS_COLUMNS, FitParams
+
+BINS_SCHEMA_DDL = (
+    "variable string, interval_start_include double, interval_end_exclude double, "
+    "size double, mean double, bads double, goods double, "
+    "dist_good double, dist_bad double, woe double, iv_components double"
+)
+
+
+def melt_features(df: DataFrame, target: str, columns: Sequence[str]) -> DataFrame:
+    """Wide -> long ``(__target, variable, value)`` with NaN normalised to NULL.
+
+    Replaces the reference's per-column 2-column projections
+    (binning.py:90,96) with one unpivot; Catalyst prunes the parquet scan to
+    exactly ``columns + [target]``.
+    """
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a single malformed
+    # value would fail the whole job; malformed/non-numeric values become the
+    # missing group instead (pandas-style coercion).
+    casted = df.select(
+        F.col(target).cast("double").alias("__target"),
+        *[F.expr(f"try_cast(`{c}` as double)").alias(c) for c in columns],
+    )
+    long = casted.unpivot("__target", list(columns), "variable", "value")
+    return long.withColumn(
+        "value", F.when(F.isnan("value"), F.lit(None).cast("double")).otherwise(F.col("value"))
+    )
+
+
+def summarize(long: DataFrame) -> DataFrame:
+    """The one raw-data pass: per (variable, value) target moments.
+
+    pandas ``groupby(col).agg(mean,size,std)`` (binning.py:121-129) carried
+    as (count, sum, sum-of-squares) so that groups re-aggregate exactly under
+    the quantile cap; mean and ddof=1 std are derived in the UDF
+    (``_algo._std_from_moments``).  NULL value = the missing group (feeds the
+    NaN bin, binning.py:233-238).
+    """
+    return long.groupBy("variable", "value").agg(
+        F.count("*").cast("double").alias("size"),
+        F.sum("__target").alias("bads"),
+        F.sum(F.col("__target") * F.col("__target")).alias("sumsq"),
+    )
+
+
+def quantize_summary(long: DataFrame, summary: DataFrame, max_distinct: int) -> DataFrame:
+    """Scale guard: cap distinct values per variable via quantile pre-binning.
+
+    Documented deviation from the reference (SURVEY section 4d): variables
+    whose distinct-value count exceeds ``max_distinct`` have their values
+    snapped down to ~``max_distinct`` approximate quantile boundaries before
+    the iterative fit, bounding the pandas-UDF input.  Bin *edges* then fall
+    on boundary values rather than raw values; WOE/IV are computed on the
+    re-aggregated (exact) moments.
+
+    Works on the already-aggregated summary, not raw rows: boundaries come
+    from a size-weighted quantile over (value, size), and the snap+re-agg is
+    one more small shuffle on the summary only.
+    """
+    counts = summary.groupBy("variable").agg(F.count("*").alias("k"))
+    over = [r["variable"] for r in counts.filter(F.col("k") > max_distinct).collect()]
+    if not over:
+        return summary
+    probs = [i / max_distinct for i in range(1, max_distinct)]
+    bounds = (
+        long.filter(F.col("variable").isin(over) & F.col("value").isNotNull())
+        .groupBy("variable")
+        .agg(
+            F.percentile_approx("value", F.lit(probs), F.lit(10_000)).alias("bs"),
+            F.min("value").alias("vmin"),
+        )
+        .withColumn("bs", F.array_distinct(F.concat(F.array("vmin"), F.col("bs"))))
+        .select("variable", "bs")
+    )
+    snapped = (
+        summary.join(F.broadcast(bounds), "variable", "left")
+        .withColumn(
+            "value",
+            F.when(
+                F.col("bs").isNotNull() & F.col("value").isNotNull(),
+                # largest boundary <= value (boundaries are sorted ascending)
+                F.expr(
+                    "element_at(bs, greatest(1, aggregate(bs, 0, "
+                    "(acc, b) -> acc + IF(value >= b, 1, 0))))"
+                ),
+            ).otherwise(F.col("value")),
+        )
+        .drop("bs")
+    )
+    return snapped.groupBy("variable", "value").agg(
+        F.sum("size").alias("size"),
+        F.sum("bads").alias("bads"),
+        F.sum("sumsq").alias("sumsq"),
+    )
+
+
+def _fit_udf(params: FitParams):
+    def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        summary = _algo.summary_from_pandas(pdf)
+        if params.sep_value is not None and (summary.values == float(params.sep_value)).any():
+            return _algo.fit_variable_sep(summary, params)
+        return _algo.fit_variable(summary, params)
+
+    return fit_one
+
+
+def fit_bins(
+    df: DataFrame,
+    target: str,
+    columns: Iterable[str] | None = None,
+    n_threshold: float | None = None,
+    n_occurences: float = 1.0,
+    p_threshold: float = 0.1,
+    sep_value: float | None = None,
+    merge_threshold: float | None = None,
+    sort_overload: bool | None = None,
+    max_distinct: int | None = None,
+) -> DataFrame:
+    """Fit WOE bins for every feature column in one distributed job.
+
+    Spark equivalent of ``batch_woe_binning`` (binning.py:78-100) returning
+    the concatenated ``is_df=True`` bins shape (binning.py:271-277):
+    11 columns, one row per bin, keyed by ``variable``.
+
+    ``n_threshold=None`` resolves to ``ceil(n/20)`` inside the UDF
+    (binning.py:84-87) — per-variable row totals equal the dataset row count,
+    so no extra driver-side ``count()`` is needed.
+    """
+    if columns is None:
+        columns = [
+            c for c, t in df.dtypes
+            if c != target and t in ("double", "float", "int", "bigint", "smallint", "tinyint", "decimal")
+        ]
+    columns = list(columns)
+    degenerate = [c for c in columns if c == target]
+    columns = [c for c in columns if c != target]
+
+    params = FitParams(
+        n_threshold=n_threshold,
+        n_occurences=n_occurences,
+        p_threshold=p_threshold,
+        sort_overload=sort_overload,
+        merge_threshold=merge_threshold,
+        sep_value=sep_value,
+    )
+    long = melt_features(df, target, columns)
+    summary = summarize(long)
+    if max_distinct is not None:
+        summary = quantize_summary(long, summary, max_distinct)
+    bins = summary.groupBy("variable").applyInPandas(_fit_udf(params), schema=BINS_SCHEMA_DDL)
+    if degenerate:
+        spark = df.sparkSession
+        deg = spark.createDataFrame(
+            pd.concat([_algo.degenerate_bins(c) for c in degenerate]), schema=BINS_SCHEMA_DDL
+        )
+        bins = bins.unionByName(deg)
+    return bins
+
+
+def woe_binning(
+    df: DataFrame,
+    target: str,
+    column: str,
+    n_threshold: float,
+    n_occurences: float = 1.0,
+    p_threshold: float = 0.1,
+    sort_overload: bool | None = None,
+    merge_threshold: float | None = None,
+    max_distinct: int | None = None,
+) -> DataFrame:
+    """Single-variable fit — API parity with ``woe_binning`` (binning.py:103)."""
+    if column == target:
+        return df.sparkSession.createDataFrame(
+            _algo.degenerate_bins(target), schema=BINS_SCHEMA_DDL
+        )
+    return fit_bins(
+        df,
+        target,
+        [column],
+        n_threshold=n_threshold,
+        n_occurences=n_occurences,
+        p_threshold=p_threshold,
+        sort_overload=sort_overload,
+        merge_threshold=merge_threshold,
+        max_distinct=max_distinct,
+    )
+
+
+def woe_binning_sep(
+    df: DataFrame,
+    target: str,
+    column: str,
+    sep_value: float,
+    n_threshold: float,
+    n_occurences: float = 1.0,
+    p_threshold: float = 0.1,
+    merge_threshold: float | None = None,
+    max_distinct: int | None = None,
+) -> DataFrame:
+    """Special-value fit — API parity with ``woe_binning_sep`` (binning.py:32)."""
+    return fit_bins(
+        df,
+        target,
+        [column],
+        n_threshold=n_threshold,
+        n_occurences=n_occurences,
+        p_threshold=p_threshold,
+        sep_value=sep_value,
+        merge_threshold=merge_threshold,
+        max_distinct=max_distinct,
+    )
+
+
+def batch_woe_binning(
+    df: DataFrame,
+    target: str,
+    n_threshold: float | None = None,
+    n_occurences: float = 1.0,
+    p_threshold: float = 0.1,
+    sep_value: float | None = None,
+    merge_threshold: float | None = None,
+    max_distinct: int | None = None,
+) -> DataFrame:
+    """All-columns fit — API parity with ``batch_woe_binning`` (binning.py:78).
+
+    Returns one bins DataFrame rather than a dict; ``transform.apply_bins``
+    accepts it directly (the reference's ``is_df=True`` shape).
+    """
+    return fit_bins(
+        df,
+        target,
+        None,
+        n_threshold=n_threshold,
+        n_occurences=n_occurences,
+        p_threshold=p_threshold,
+        sep_value=sep_value,
+        merge_threshold=merge_threshold,
+        max_distinct=max_distinct,
+    )

@@ -1,0 +1,132 @@
+"""Transform path: WOE-encode a dataset using a fitted bins table.
+
+Spark equivalent of ``apply_bins`` (binning.py:268-304).  The bins table is
+tiny (variables x bins rows), so it is collected to the driver and compiled
+into CASE-WHEN column expressions — pure whole-stage-codegen projection,
+zero shuffle, zero Python on the scoring path.  The only extra data pass is
+one aggregation computing the exact medians used for NULL/NaN imputation
+(binning.py:297,302 — quirk Q3: scoring-time median, NOT the fit-time NaN
+bin, replicated deliberately; set ``impute_median=False`` to leave missing
+rows NULL instead).
+
+Deviation D-Q6: ``pd.cut`` raises when two bins share a WOE value
+(binning.py:296-298, quirk Q6); a CASE chain has no such constraint, so we
+encode fine — pass ``strict_duplicate_woe=True`` to replicate the error.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _bins_to_pandas(bins) -> pd.DataFrame:
+    if isinstance(bins, DataFrame):
+        return bins.toPandas()
+    if isinstance(bins, dict):  # reference dict-of-frames model (binning.py:100)
+        return pd.concat(list(bins.values()), ignore_index=True)
+    return bins.copy()
+
+
+def _encode_column(value: Column, cuts: Sequence[float], woes: Sequence[float]) -> Column:
+    """CASE chain equivalent of ``pd.cut(..., labels=woes)`` (binning.py:296-303).
+
+    Ascending cuts encode ``[c_i, c_{i+1})`` (include_lowest, right=False);
+    a descending bins table is flipped to ``(c_i, c_{i+1}]`` exactly as the
+    reference flips ``include_left/right`` (binning.py:286-293).  Values
+    outside the cut range map to NULL (pandas: NaN).
+    """
+    ascending = not (cuts[0] > cuts[-1])
+    if not ascending:
+        cuts = list(reversed(cuts))
+        woes = list(reversed(woes))
+    expr = None
+    for i, w in enumerate(woes):
+        hi = float(cuts[i + 1])
+        lit_hi = F.lit(hi)
+        cond = (value < lit_hi) if ascending else (value <= lit_hi)
+        w_lit = F.lit(float(w))
+        expr = F.when(cond, w_lit) if expr is None else expr.when(cond, w_lit)
+    lo = float(cuts[0])
+    guard = (value >= F.lit(lo)) if ascending else (value > F.lit(lo))
+    return F.when(guard, expr).otherwise(F.lit(None).cast("double"))
+
+
+def compile_bin_exprs(
+    bins_pdf: pd.DataFrame,
+    iv_threshold: float = 0.02,
+    bin_threshold: int = 2,
+    remove_100_corr: bool = True,
+    strict_duplicate_woe: bool = False,
+) -> list[tuple[str, list[float], list[float]]]:
+    """Select surviving variables and their (cuts, woes) specs.
+
+    Replicates the gates of binning.py:278-299: total IV (NaN bin excluded)
+    at least ``iv_threshold``, at least ``bin_threshold`` rows, finite IV,
+    and the exact-float duplicate-IV dedup (quirk Q7).
+    """
+    specs: list[tuple[str, list[float], list[float]]] = []
+    seen_ivs: list[float] = []
+    for variable in pd.unique(bins_pdf["variable"]):
+        part = bins_pdf[bins_pdf["variable"] == variable].reset_index(drop=True)
+        clean = part.dropna()
+        iv_total = clean["iv_components"].sum()
+        if iv_total < iv_threshold or part.shape[0] < bin_threshold or iv_total == np.inf:
+            continue
+        cuts = list(clean["interval_start_include"].to_numpy(dtype=float)) + [
+            float(clean["interval_end_exclude"].to_numpy(dtype=float)[-1])
+        ]
+        woes = list(clean["woe"].to_numpy(dtype=float))
+        if strict_duplicate_woe and len(set(woes)) != len(woes):
+            raise ValueError(
+                f"duplicate WOE labels for {variable!r} (reference pd.cut raises, quirk Q6)"
+            )
+        if remove_100_corr:
+            if iv_total in seen_ivs:
+                continue
+            seen_ivs.append(iv_total)
+        specs.append((str(variable), cuts, woes))
+    return specs
+
+
+def apply_bins(
+    df: DataFrame,
+    bins,
+    iv_threshold: float = 0.02,
+    bin_threshold: int = 2,
+    remove_100_corr: bool = True,
+    keep_columns: Sequence[str] | None = None,
+    impute_median: bool = True,
+    strict_duplicate_woe: bool = False,
+) -> DataFrame:
+    """WOE-encode ``df``: one ``<col>_bin`` double column per surviving variable.
+
+    ``keep_columns`` pass through unchanged (the reference returns only the
+    ``_bin`` columns, binning.py:269; keep an id column for joins/tests).
+    """
+    bins_pdf = _bins_to_pandas(bins)
+    specs = compile_bin_exprs(
+        bins_pdf, iv_threshold, bin_threshold, remove_100_corr, strict_duplicate_woe
+    )
+    medians: dict[str, float] = {}
+    if impute_median and specs:
+        agg = df.select(
+            *[
+                F.expr(f"percentile(nanvl(`{v}`, cast(NULL as double)), 0.5D)").alias(v)
+                for v, _, _ in specs
+            ]
+        ).first()
+        medians = {v: agg[v] for v, _, _ in specs}
+
+    out_cols: list[Column] = [F.col(c) for c in (keep_columns or [])]
+    for v, cuts, woes in specs:
+        col = F.col(v).cast("double")
+        if impute_median and medians.get(v) is not None:
+            filled = F.when(col.isNull() | F.isnan(col), F.lit(float(medians[v]))).otherwise(col)
+        else:
+            filled = F.when(F.isnan(col), F.lit(None).cast("double")).otherwise(col)
+        out_cols.append(_encode_column(filled, cuts, woes).alias(f"{v}_bin"))
+    return df.select(*out_cols)
