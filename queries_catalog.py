@@ -645,3 +645,427 @@ def q_transform_full(spark, sf_dir):
         n_threshold=100, max_distinct=2000,
     )
     return apply_bins(df, bins, keep_columns=["l_orderkey", "l_linenumber"])
+
+
+# ---------------------------------------------------------------------------
+# beyond-reference operators (BASELINE.json north_star; SURVEY section 2)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.parquet uses TIMESTAMP(NANOS); load_table handles the fallback
+    from woe_monotonic_binning_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@_q(
+    "q_dedup_exact",
+    # exact dedup: representative id + duplicate count per distinct text
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_dups, lang
+    FROM documents GROUP BY text, lang
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(_docs(spark, sf_dir), ["text", "lang"], "doc_id")
+    return out.select("doc_id", "n_dups", "lang")
+
+
+@_q(
+    "q_dedup_exact_digest",
+    # digest-based exact dedup: the shuffle carries 32-byte digests, not text
+    """
+    SELECT sha256(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_dups
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def q_dedup_exact_digest(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.dedup import exact_dedup_by_digest
+
+    return exact_dedup_by_digest(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@_q(
+    "q_dedup_ngram",
+    # exact word-set Jaccard within language blocks (oracle-checkable twin
+    # of the MinHash pipeline)
+    """
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.words, b.words))), 6) AS jaccard
+    FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
+    """,
+)
+def q_dedup_ngram(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", ["lang"], 0.5)
+
+
+@_q(
+    "q_text_stats",
+    # corpus statistics per language — single-pass regex feature extraction
+    """
+    SELECT lang, count(*) AS n_docs,
+           ROUND(avg(length(text)), 6) AS avg_chars,
+           ROUND(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+'))), 6) AS avg_words,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+             AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.text import text_stats
+
+    st = text_stats(_docs(spark, sf_dir))
+    return st.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("stat_chars"), 6).alias("avg_chars"),
+        F.round(F.avg("stat_words"), 6).alias("avg_words"),
+        F.sum("stat_tokens").alias("total_tokens"),
+    )
+
+
+@_q(
+    "q_lang_id",
+    # rule-based language ID: marker-word scores -> argmax (ties by code)
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS score_en,
+             len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b')) AS score_es,
+             len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS score_de,
+             len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) AS score_fr
+      FROM documents
+    )
+    SELECT lang_pred, count(*) AS n_docs FROM (
+      SELECT CASE
+        WHEN greatest(score_en, score_es, score_de, score_fr) <= 0 THEN 'und'
+        WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+        WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+        WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+        ELSE 'fr' END AS lang_pred
+      FROM scored
+    ) GROUP BY lang_pred
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.text import detect_language
+
+    return detect_language(_docs(spark, sf_dir)).groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@_q(
+    "q_token_count",
+    # per-document token counts: whitespace words + BPE-ish pre-tokens
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.text import token_count_bpe, word_count
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        word_count(t).alias("n_words"),
+        token_count_bpe(t).alias("n_tokens"),
+    )
+
+
+@_q(
+    "q_fingerprint",
+    # deterministic md5 document fingerprint (normalised text)
+    """
+    SELECT doc_id,
+           substring(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16)
+             AS stat_fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.text import fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("stat_fingerprint")
+    )
+
+
+@_q(
+    "q_sim_search",
+    # brute-force cosine top-5 for the first 10 vectors (rank on the rounded
+    # cosine so both engines tie-break identically)
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_sim_search(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@_q(
+    "q_events_tumbling",
+    # tumbling 1h windows (epoch-aligned == date_trunc for whole hours)
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events",
+                "total_value", "n_users")
+    )
+
+
+@_q(
+    "q_events_sliding",
+    # sliding 1h/30m windows: every event lands in exactly 2 windows
+    """
+    WITH e AS (
+      SELECT *, CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS b FROM events
+    ), windows AS (
+      SELECT event_type, value, make_timestamp(s * 1000000) AS window_start
+      FROM e, unnest([b, b - 1800]) AS t(s)
+    )
+    SELECT window_start, event_type, count(*) AS n_events,
+           ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value
+    FROM windows GROUP BY 1, 2
+    """,
+)
+def q_events_sliding(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.windows import sliding_agg
+
+    return sliding_agg(_events(spark, sf_dir))
+
+
+@_q(
+    "q_events_session",
+    # per-user session windows, 30 min gap (gaps-and-islands oracle)
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, count(*) AS n_events,
+           ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_events_session(spark, sf_dir):
+    # session bounds are emitted as second-precision strings: the parquet
+    # carries nanosecond timestamps, Spark works in microseconds, so raw
+    # bound values can never hash-match the ns-native oracle
+    from woe_monotonic_binning_spark.operators.windows import session_agg
+
+    out = session_agg(_events(spark, sf_dir))
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "user_id",
+        "n_events",
+        "total_value",
+    )
+
+
+@_q(
+    "q_events_topk_users",
+    # top-5 users per day by event count (pre-agg before ranking)
+    """
+    SELECT window_start, user_id, n_events, total_value, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                 ORDER BY n_events DESC, user_id) AS rank
+      FROM (
+        SELECT date_trunc('day', ts) AS window_start, user_id,
+               count(*) AS n_events,
+               ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rank <= 5
+    """,
+)
+def q_events_topk_users(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.windows import top_users_per_window
+
+    return top_users_per_window(_events(spark, sf_dir))
+
+
+@_q(
+    "q_events_rollup",
+    # ROLLUP (event_type, day) — grouping-set coverage beyond the reference
+    """
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n_events, ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value
+    FROM events GROUP BY ROLLUP (event_type, day)
+    """,
+)
+def q_events_rollup(spark, sf_dir):
+    # day as an ISO string: DuckDB DATE round-trips to pandas as datetime,
+    # which would never equal Spark's date objects in the value hash
+    from woe_monotonic_binning_spark.operators.windows import event_rollup
+
+    out = event_rollup(_events(spark, sf_dir))
+    return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+@_q(
+    "q_multimodal_stats",
+    # binary-column plumbing: byte length + md5 checksum + boundary bytes of
+    # the payloads, decoded via Arrow-batched mapInPandas
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           md5(text) AS checksum,
+           ascii(substring(text, 1, 1)) AS first_byte,
+           ascii(substring(text, length(text), 1)) AS last_byte
+    FROM documents
+    """,
+)
+def q_multimodal_stats(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        fake_decode_stats,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    return fake_decode_stats(media)
+
+
+@_q(
+    "q_frame_sample",
+    # frame-sampling plumbing: one row per sampled frame from the metadata
+    """
+    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+           CAST(f * 1000 AS BIGINT) AS ts_ms
+    FROM documents,
+         unnest(generate_series(0, greatest(CAST(floor(n_chars * 10 / 1000) AS INT) - 1, 0)))
+           AS t(f)
+    """,
+)
+def q_frame_sample(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    return sample_frames(media).select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("ts_ms").cast("bigint").alias("ts_ms"),
+    )
+
+
+# rows-only beyond-reference ops (hash-based internals differ from any
+# portable SQL; accuracy asserted in tests/test_operators.py instead)
+
+
+@_q("q_dedup_minhash")
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (shingle -> sign -> band -> verify)."""
+    from woe_monotonic_binning_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(spark, sf_dir), "text", "doc_id", threshold=0.5)
+
+
+@_q("q_dedup_simhash")
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs at hamming distance <= 3."""
+    from woe_monotonic_binning_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@_q("q_dedup_embedding")
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs blocked by label."""
+    from woe_monotonic_binning_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return embedding_neardup_pairs(emb, "embedding", "vec_id", "label", threshold=0.8)
+
+
+@_q("q_sim_search_ivf")
+def q_sim_search_ivf(spark, sf_dir):
+    """IVF approximate top-k (recall vs brute force asserted in tests)."""
+    from woe_monotonic_binning_spark.operators.similarity import ivf_topk, train_centroids
+
+    emb = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cents = train_centroids(emb, n_cells=8)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5, n_probe=3)
+
+
+@_q("q_quality_score")
+def q_quality_score(spark, sf_dir):
+    """Heuristic document quality scoring (fused single-pass expression)."""
+    from woe_monotonic_binning_spark.operators.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+
+
+@_q("q_events_stream")
+def q_events_stream(spark, sf_dir):
+    """Structured Streaming twin of q_events_tumbling (availableNow)."""
+    from woe_monotonic_binning_spark.sources.tables import microsecond_parquet_copy
+    from woe_monotonic_binning_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        streaming_tumbling_agg,
+    )
+
+    stream = read_events_stream(spark, microsecond_parquet_copy(sf_dir, "events"))
+    return run_available_now(streaming_tumbling_agg(stream), "q_events_stream_sink")

@@ -1,0 +1,151 @@
+"""Behavioural tests for the beyond-reference operators: planted
+near-duplicates must be found, approximate search must hit recall targets,
+and the streaming twin must reproduce the batch aggregation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """Documents plus planted exact and near duplicates of doc 0-2."""
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    originals = base.filter(F.col("doc_id") < 3).collect()
+    planted = []
+    for r in originals:
+        planted.append((r.doc_id + 100000, r.text, r.lang, r.source, r.n_chars))  # exact
+        words = r.text.split(" ")
+        words[len(words) // 2] = "zzzmutant"
+        planted.append((r.doc_id + 200000, " ".join(words), r.lang, r.source, r.n_chars))
+    extra = spark.createDataFrame(planted, base.schema)
+    return base.unionByName(extra).cache()
+
+
+def test_minhash_finds_planted_near_dups(spark, docs_with_dups):
+    from woe_monotonic_binning_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(docs_with_dups, "text", "doc_id", threshold=0.5).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    for d in range(3):
+        assert (d, d + 100000) in found, f"exact dup of {d} missed"
+        assert (d, d + 200000) in found, f"near dup of {d} missed"
+    # jaccard of the exact pair must be 1.0
+    exact = [p for p in pairs if p.id_a < 3 and p.id_b == p.id_a + 100000]
+    assert all(abs(p.jaccard - 1.0) < 1e-9 for p in exact)
+
+
+def test_simhash_finds_planted_dups(spark, docs_with_dups):
+    from woe_monotonic_binning_spark.operators.dedup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(docs_with_dups, "text", "doc_id", max_hamming=3).collect()
+    found = {(p.id_a, p.id_b): p.hamming for p in pairs}
+    for d in range(3):
+        assert found.get((d, d + 100000)) == 0, f"exact dup of {d}: hamming != 0"
+
+
+def test_minhash_jaccard_estimates_match_exact(spark, docs_with_dups):
+    """MinHash candidates verified by exact Jaccard >= LSH design range."""
+    from woe_monotonic_binning_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    mh = {
+        (p.id_a, p.id_b): p.jaccard
+        for p in minhash_dedup_pairs(
+            docs_with_dups, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    # verification step outputs exact jaccard, so every reported pair >= 0.8
+    assert mh
+    assert all(j >= 0.8 for j in mh.values())
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from woe_monotonic_binning_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .cache()
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = brute_force_topk(emb, queries, k=5).collect()
+    cents = train_centroids(emb, n_cells=8)
+    approx = ivf_topk(emb, queries, cents, k=5, n_probe=4).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in brute}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below target"
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    from woe_monotonic_binning_spark.sources.tables import (
+        load_table,
+        microsecond_parquet_copy,
+    )
+    from woe_monotonic_binning_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        streaming_tumbling_agg,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    stream = read_events_stream(spark, microsecond_parquet_copy(sf, "events"))
+    streamed = run_available_now(streaming_tumbling_agg(stream), "t_stream_sink").toPandas()
+
+    ev = load_table(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    streamed = streamed.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert len(streamed) == len(batch)
+    assert (streamed["n_events"].to_numpy() == batch["n_events"].to_numpy()).all()
+    assert np.allclose(streamed["total_value"], batch["total_value"])
+
+
+def test_multimodal_decode_roundtrip(spark):
+    import hashlib
+
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        fake_decode_stats,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = fake_decode_stats(media_from_documents(docs)).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(stats) == len(texts)
+    for r in stats[:20]:
+        raw = texts[r.media_id].encode("utf-8")
+        assert r.n_bytes == len(raw)
+        assert r.checksum == hashlib.md5(raw).hexdigest()
+        assert r.first_byte == raw[0]
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from woe_monotonic_binning_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(None)
+
+
+def test_lang_id_deterministic(spark):
+    from woe_monotonic_binning_spark.operators.text import detect_language
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = detect_language(docs).groupBy("lang_pred").count().collect()
+    b = detect_language(docs).groupBy("lang_pred").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

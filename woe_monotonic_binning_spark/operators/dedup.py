@@ -1,0 +1,282 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB corpus, 1000 executors):
+- Exact dedup is one hash aggregation on a digest — never shuffles raw text.
+- MinHash-LSH shuffles only (band_id, band_hash, doc_id) tuples; candidate
+  verification joins back to shingle sets by doc_id.  Bucket skew (a band
+  hash shared by millions of docs) is the classic failure mode — buckets are
+  capped via a count filter before the self-join, and AQE skew-join handles
+  the rest.
+- SimHash stores one 64-bit fingerprint per doc; near-dup at hamming
+  distance <= 3 probes 4 16-bit band tables (pigeonhole), again joining only
+  on small keys.
+- All-pairs operators (n-gram Jaccard, embedding cosine) are quadratic and
+  must be blocked; the block key is a parameter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+MERSENNE_31 = 2_147_483_647  # 2^31 - 1, prime; keeps a*h+b inside int64
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """One row per distinct key: the minimal id and the duplicate count.
+
+    The aggregation runs partial map-side; for wide text keys, group on
+    ``sha2(text, 256)`` instead so the shuffle carries 32-byte digests.
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_dups")
+    )
+
+
+def exact_dedup_by_digest(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    digest = F.sha2(F.col(text_col).cast("binary"), 256).alias("digest")
+    return (
+        df.select(digest, id_col)
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )
+
+
+def _shingle_expr(normal_col: str, n: int) -> str:
+    return (
+        f"array_distinct(transform(sequence(1, greatest(length({normal_col}), {n}) - {n} + 1), "
+        f"i -> substring({normal_col}, i, {n})))"
+    )
+
+
+def shingled(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """(id, shingles array) with text normalised like ``fingerprint``."""
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ").alias("__normal"),
+    ).select(F.col(id_col), F.expr(_shingle_expr("__normal", n)).alias("shingles"))
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per document, computed with one nested HOF.
+
+    Each of the ``num_hashes`` permutations is ``(a_i * h + b_i) mod p`` over
+    a 31-bit base hash of the shingle (xxhash64 folded into [0, p)), so the
+    arithmetic stays inside int64 under ANSI mode.  No Python, no shuffle.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    a = [rnd.randrange(1, MERSENNE_31) for _ in range(num_hashes)]
+    b = [rnd.randrange(0, MERSENNE_31) for _ in range(num_hashes)]
+    a_lit = "array(" + ",".join(f"{x}L" for x in a) + ")"
+    b_lit = "array(" + ",".join(f"{x}L" for x in b) + ")"
+    sig = (
+        "transform(sequence(0, {k}), i -> "
+        "array_min(transform(hashes, h -> pmod(element_at({a}, i + 1) * h "
+        "+ element_at({b}, i + 1), {p}))))"
+    ).format(k=num_hashes - 1, a=a_lit, b=b_lit, p=MERSENNE_31)
+    return shingle_df.select(
+        F.col(id_col),
+        F.expr(f"transform(shingles, s -> pmod(xxhash64(s), {MERSENNE_31}))").alias("hashes"),
+    ).select(F.col(id_col), F.expr(sig).alias("signature"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Banded LSH: equal band-slices -> candidate id pairs (id_a < id_b).
+
+    Shuffles only (band, band_hash, id); buckets larger than ``max_bucket``
+    are dropped with a count filter (degenerate content — a 10^6-doc bucket
+    would create 10^12 pairs).
+    """
+    rows_per_band = num_hashes // bands
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"named_struct('band', b, 'bh', xxhash64(cast(slice(signature, "
+                f"b * {rows_per_band} + 1, {rows_per_band}) as string))))"
+            )
+        ).alias("e"),
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    counts = banded.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    banded = banded.join(
+        counts.filter(F.col("n") <= max_bucket).select("band", "bh"), ["band", "bh"]
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = left.join(
+        right,
+        (F.col(f"l.band") == F.col("r.band"))
+        & (F.col("l.bh") == F.col("r.bh"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    )
+    return pairs.distinct()
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingle_df: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via shingle-set intersection."""
+    a = shingle_df.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = shingle_df.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return joined.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    bucket-join -> exact-Jaccard verify."""
+    sh = shingled(df, text_col, id_col, shingle_n).cache()
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return jaccard_verify(cands, sh, id_col, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard over all pairs within a block.
+
+    Quadratic within blocks by construction — ``block_cols`` must bound the
+    block size (e.g. language + length bucket).  SQL-expressible end to end,
+    so it doubles as the oracle-checkable twin of the MinHash pipeline.
+    """
+    words = F.array_distinct(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    )
+    base = df.select(F.col(id_col), *[F.col(c) for c in block_cols], words.alias("words"))
+    a = base.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col("words").alias("w_a"),
+    )
+    b = base.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col("words").alias("w_b"),
+    )
+    joined = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("w_a", "w_b")).cast("double")
+    union = F.size(F.array_union("w_a", "w_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document as an array of 4 16-bit band values.
+
+    Bit j of the fingerprint is the sign of sum over tokens of
+    (2*bit_j(xxhash64(token)) - 1).  Emitting the 4 bands directly (rather
+    than one packed long) feeds the hamming-probe join without bit surgery.
+    """
+    tokens = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    bit_sum = (
+        "transform(sequence(0, 63), j -> "
+        "aggregate(tok_hashes, 0L, (acc, h) -> acc + IF(((h >> j) & 1) = 1, 1L, -1L)))"
+    )
+    bands = (
+        "transform(sequence(0, 3), b -> "
+        "aggregate(sequence(0, 15), 0L, (acc, j) -> acc + "
+        "IF(element_at(bits, b * 16 + j + 1) > 0, shiftleft(1L, j), 0L)))"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.expr("transform(" + f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)" + ", t -> xxhash64(t))").alias("tok_hashes"),
+        )
+        .select(F.col(id_col), F.expr(bit_sum).alias("bits"))
+        .select(F.col(id_col), F.expr(bands).alias("sim_bands"))
+    )
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs at hamming distance <= max_hamming (pigeonhole on 4
+    bands: any pair within distance 3 shares at least one exact band)."""
+    fp = simhash_fingerprints(df, text_col, id_col).cache()
+    banded = fp.select(
+        F.col(id_col),
+        F.col("sim_bands"),
+        F.posexplode("sim_bands").alias("band", "bh"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sim_bands").alias("ba"),
+            F.col("r.sim_bands").alias("bb"),
+        )
+        .distinct()
+    )
+    # hamming distance via popcount of per-band xor
+    hamming = F.expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"
+    )
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup within blocks (e.g. a cluster/label key).
+
+    The blocked self-join keeps the pair count tractable; at scale the block
+    key comes from an LSH or IVF assignment (see similarity.py).
+    """
+    from ..functions.vector import cosine_similarity
+
+    a = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    joined = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    return joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

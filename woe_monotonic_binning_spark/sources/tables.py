@@ -1,0 +1,93 @@
+"""Parquet table loaders for the driver test data.
+
+``spark.read.parquet`` is the default path (full pushdown/pruning).  One
+wrinkle: the driver's ``events`` table stores ``TIMESTAMP(NANOS)``, which
+Spark's parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]) while
+DuckDB reads it natively.  ``load_table`` detects nanosecond timestamp
+columns from the parquet footer and falls back to an Arrow load with a
+lossless ns -> us downcast (the generator writes microsecond-precision
+values into the ns type).
+
+The fallback materialises through the driver, which is fine at bench scale;
+on a real cluster you would set ``spark.sql.legacy.parquet.nanosAsLong`` at
+session creation or rewrite the file once — both noted here so the scale
+path is explicit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _nanos_fields(path: str) -> list[str]:
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    if _nanos_fields(path):
+        table = pq.read_table(path)
+        fields = [
+            pa.field(f.name, pa.timestamp("us"))
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+            else f
+            for f in table.schema
+        ]
+        # safe=False: the ns -> us downcast drops sub-microsecond digits
+        # (Spark timestamps are microsecond-precision, so any Spark-side
+        # path loses them; documented deviation vs the ns-native oracle)
+        return spark.createDataFrame(table.cast(pa.schema(fields), safe=False))
+    return spark.read.parquet(path)
+
+
+def microsecond_parquet_copy(sf_dir: str, name: str, out_root: str = "/tmp/wmb_us_tables") -> str:
+    """One-time normalised (us-timestamp) parquet copy for sources that
+    cannot take the Arrow fallback (e.g. Structured Streaming file sources).
+    Returns the directory path, creating it only if absent."""
+    out_dir = os.path.join(
+        out_root, sf_dir.strip("/").replace("/", "_"), name
+    )
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        table = pq.read_table(f"{sf_dir}/{name}.parquet")
+        fields = [
+            pa.field(f.name, pa.timestamp("us"))
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+            else f
+            for f in table.schema
+        ]
+        pq.write_table(
+            table.cast(pa.schema(fields), safe=False),
+            os.path.join(out_dir, "part-0.parquet"),
+        )
+        open(marker, "w").close()
+    return out_dir
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all driver tables as temp views (SQL entry surface)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
