@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each headline exercises a different engine pillar:
+- fit_batch       distributed WOE fit, 4 features, quantile scale guard
+- transform       CASE-chain WOE encoding of the fitted bins
+- dedup_digest    exact dedup via sha256 aggregation
+- dedup_minhash   MinHash-LSH near-dup pipeline end to end
+- sim_search      brute-force cosine top-k (10 queries x corpus)
+- text_stats      single-pass corpus statistics + fingerprints
+- events_windows  tumbling + session window aggregations
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from woe_monotonic_binning_spark import apply_bins, fit_bins, get_spark
+    from woe_monotonic_binning_spark.operators.dedup import (
+        exact_dedup_by_digest,
+        minhash_dedup_pairs,
+    )
+    from woe_monotonic_binning_spark.operators.similarity import brute_force_topk
+    from woe_monotonic_binning_spark.operators.text import text_stats
+    from woe_monotonic_binning_spark.operators.windows import session_agg, tumbling_agg
+    from woe_monotonic_binning_spark.sources.tables import load_table
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus), app_name="wmb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "target", (F.col("l_returnflag") == "R").cast("double")
+    )
+    li.count()  # warm the file listing + JVM
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    events = load_table(spark, sf_dir, "events")
+
+    features = ["l_extendedprice", "l_quantity", "l_discount", "l_tax"]
+    timings: dict[str, float] = {}
+    bins_df = None
+
+    def timed(name, fn):
+        nonlocal timings
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    def run_fit():
+        b = fit_bins(li, "target", features, n_threshold=100, max_distinct=1024)
+        b.cache().count()
+        return b
+
+    bins_df = timed("fit_batch", run_fit)
+    timed(
+        "transform",
+        lambda: apply_bins(li, bins_df, keep_columns=["l_orderkey"], iv_threshold=0.0)
+        .agg(F.count("*"))
+        .collect(),
+    )
+    timed("dedup_digest", lambda: exact_dedup_by_digest(docs, "text", "doc_id").count())
+    timed(
+        "dedup_minhash",
+        lambda: minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5).count(),
+    )
+    timed(
+        "sim_search",
+        lambda: brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=10).count(),
+    )
+    timed(
+        "text_stats",
+        lambda: text_stats(docs)
+        .groupBy("lang")
+        .agg(F.count("*"), F.avg("stat_words"), F.avg("stat_punct_ratio"))
+        .collect(),
+    )
+    timed(
+        "events_windows",
+        lambda: (
+            tumbling_agg(events).count(),
+            session_agg(events).count(),
+        ),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "wmb_spark_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

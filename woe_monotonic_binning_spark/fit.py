@@ -77,49 +77,49 @@ def summarize(long: DataFrame) -> DataFrame:
     )
 
 
-def quantize_summary(long: DataFrame, summary: DataFrame, max_distinct: int) -> DataFrame:
-    """Scale guard: cap distinct values per variable via quantile pre-binning.
+def quantize_summary(summary: DataFrame, max_distinct: int) -> DataFrame:
+    """Scale guard: cap distinct values per variable by exact equal-frequency
+    pre-binning.
 
     Documented deviation from the reference (SURVEY section 4d): variables
     whose distinct-value count exceeds ``max_distinct`` have their values
-    snapped down to ~``max_distinct`` approximate quantile boundaries before
-    the iterative fit, bounding the pandas-UDF input.  Bin *edges* then fall
-    on boundary values rather than raw values; WOE/IV are computed on the
-    re-aggregated (exact) moments.
+    snapped to at most ``max_distinct`` weighted-quantile buckets before the
+    iterative fit, bounding the pandas-UDF input.  Bin *edges* then fall on
+    bucket-minimum values; WOE/IV are computed on the re-aggregated (exact)
+    moments.
 
-    Works on the already-aggregated summary, not raw rows: boundaries come
-    from a size-weighted quantile over (value, size), and the snap+re-agg is
-    one more small shuffle on the summary only.
+    Implementation works entirely on the already-aggregated summary — no
+    second raw-data pass, no percentile sketch: the bucket of a value is
+    ``floor(cumulative_row_fraction_before_it * B)``, i.e. exact weighted
+    quantiles via one window sort per variable, then a re-aggregation.
+    Both shuffles move only summary rows (sum of distinct counts).
     """
-    counts = summary.groupBy("variable").agg(F.count("*").alias("k"))
-    over = [r["variable"] for r in counts.filter(F.col("k") > max_distinct).collect()]
-    if not over:
-        return summary
-    probs = [i / max_distinct for i in range(1, max_distinct)]
-    bounds = (
-        long.filter(F.col("variable").isin(over) & F.col("value").isNotNull())
-        .groupBy("variable")
-        .agg(
-            F.percentile_approx("value", F.lit(probs), F.lit(10_000)).alias("bs"),
-            F.min("value").alias("vmin"),
-        )
-        .withColumn("bs", F.array_distinct(F.concat(F.array("vmin"), F.col("bs"))))
-        .select("variable", "bs")
-    )
-    snapped = (
-        summary.join(F.broadcast(bounds), "variable", "left")
+    from pyspark.sql.window import Window
+
+    counts = summary.groupBy("variable").agg(F.count("*").alias("__k"))
+    w = Window.partitionBy("variable").orderBy("value")
+    wp = Window.partitionBy("variable")
+    bucketed = (
+        summary.join(F.broadcast(counts), "variable")
+        .withColumn("__cum_before", F.sum("size").over(w) - F.col("size"))
+        .withColumn("__total", F.sum("size").over(wp))
         .withColumn(
-            "value",
+            "__bucket",
             F.when(
-                F.col("bs").isNotNull() & F.col("value").isNotNull(),
-                # largest boundary <= value (boundaries are sorted ascending)
-                F.expr(
-                    "element_at(bs, greatest(1, aggregate(bs, 0, "
-                    "(acc, b) -> acc + IF(value >= b, 1, 0))))"
+                (F.col("__k") > max_distinct) & F.col("value").isNotNull(),
+                F.least(
+                    F.floor(F.col("__cum_before") / F.col("__total") * max_distinct),
+                    F.lit(max_distinct - 1),
                 ),
-            ).otherwise(F.col("value")),
+            ).otherwise(None),
         )
-        .drop("bs")
+    )
+    snapped = bucketed.withColumn(
+        "value",
+        F.when(
+            F.col("__bucket").isNotNull(),
+            F.min("value").over(Window.partitionBy("variable", "__bucket")),
+        ).otherwise(F.col("value")),
     )
     return snapped.groupBy("variable", "value").agg(
         F.sum("size").alias("size"),
@@ -180,7 +180,7 @@ def fit_bins(
     long = melt_features(df, target, columns)
     summary = summarize(long)
     if max_distinct is not None:
-        summary = quantize_summary(long, summary, max_distinct)
+        summary = quantize_summary(summary, max_distinct)
     bins = summary.groupBy("variable").applyInPandas(_fit_udf(params), schema=BINS_SCHEMA_DDL)
     if degenerate:
         spark = df.sparkSession

@@ -43,19 +43,35 @@ def exact_dedup_by_digest(df: DataFrame, text_col: str, id_col: str) -> DataFram
     )
 
 
-def _shingle_expr(normal_col: str, n: int) -> str:
-    return (
-        f"array_distinct(transform(sequence(1, greatest(length({normal_col}), {n}) - {n} + 1), "
-        f"i -> substring({normal_col}, i, {n})))"
+def shingled(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, unit: str = "word"
+) -> DataFrame:
+    """(id, distinct shingle array) with text normalised like ``fingerprint``.
+
+    ``unit='word'`` (default) emits word n-grams — the standard choice for
+    text dedup: unrelated documents share almost no exact n-word sequences,
+    so LSH buckets stay sparse and candidate counts near-linear, while an
+    edited copy still shares most shingles.  ``unit='char'`` emits character
+    n-grams (higher recall on short strings, but on topically-similar
+    corpora every pair looks alike and the candidate join goes quadratic —
+    exactly what the sf0.1 bench showed before the switch).
+    """
+    normal = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    if unit == "char":
+        expr = (
+            f"array_distinct(transform(sequence(1, greatest(length(__normal), {n}) - {n} + 1), "
+            f"i -> substring(__normal, i, {n})))"
+        )
+        return df.select(F.col(id_col), normal.alias("__normal")).select(
+            F.col(id_col), F.expr(expr).alias("shingles")
+        )
+    expr = (
+        f"array_distinct(transform(sequence(1, greatest(size(__words), {n}) - {n} + 1), "
+        f"i -> array_join(slice(__words, i, {n}), ' ')))"
     )
-
-
-def shingled(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
-    """(id, shingles array) with text normalised like ``fingerprint``."""
-    return df.select(
-        F.col(id_col),
-        F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ").alias("__normal"),
-    ).select(F.col(id_col), F.expr(_shingle_expr("__normal", n)).alias("shingles"))
+    return df.select(F.col(id_col), F.split(normal, " ").alias("__words")).select(
+        F.col(id_col), F.expr(expr).alias("shingles")
+    )
 
 
 def minhash_signatures(
@@ -148,11 +164,12 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     num_hashes: int = 64,
     bands: int = 16,
-    shingle_n: int = 5,
+    shingle_n: int = 3,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
     bucket-join -> exact-Jaccard verify."""
-    sh = shingled(df, text_col, id_col, shingle_n).cache()
+    sh = shingled(df, text_col, id_col, shingle_n, shingle_unit).cache()
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return jaccard_verify(cands, sh, id_col, threshold)
