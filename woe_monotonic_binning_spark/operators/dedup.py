@@ -115,7 +115,7 @@ def lsh_candidate_pairs(
     would create 10^12 pairs).
     """
     rows_per_band = num_hashes // bands
-    banded = sig_df.select(
+    banded_src = sig_df.select(
         F.col(id_col),
         F.explode(
             F.expr(
@@ -125,15 +125,20 @@ def lsh_candidate_pairs(
             )
         ).alias("e"),
     ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    # Persist the (band, bh, id) tuples: they feed three consumers (the
+    # bucket-size counts and both sides of the self-join) and each re-read
+    # would otherwise recompute the full MinHash signature lineage.  The
+    # persisted footprint is ~24 bytes x docs x bands — tiny next to the text.
+    banded = banded_src.persist()
     counts = banded.groupBy("band", "bh").agg(F.count("*").alias("n"))
-    banded = banded.join(
+    banded_ok = banded.join(
         counts.filter(F.col("n") <= max_bucket).select("band", "bh"), ["band", "bh"]
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    left = banded_ok.alias("l")
+    right = banded_ok.alias("r")
     pairs = left.join(
         right,
-        (F.col(f"l.band") == F.col("r.band"))
+        (F.col("l.band") == F.col("r.band"))
         & (F.col("l.bh") == F.col("r.bh"))
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
     ).select(
@@ -168,8 +173,18 @@ def minhash_dedup_pairs(
     shingle_unit: str = "word",
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
-    bucket-join -> exact-Jaccard verify."""
-    sh = shingled(df, text_col, id_col, shingle_n, shingle_unit).cache()
+    bucket-join -> exact-Jaccard verify.
+
+    The input is repartitioned to the session default parallelism before the
+    shingle/signature HOFs: document corpora often arrive as a few large
+    parquet files, and without the repartition the CPU-bound signature stage
+    runs on as few cores as there are input splits.
+    """
+    sc = df.sparkSession.sparkContext
+    narrow = df.select(id_col, text_col)
+    if narrow.rdd.getNumPartitions() < sc.defaultParallelism:
+        narrow = narrow.repartition(sc.defaultParallelism)
+    sh = shingled(narrow, text_col, id_col, shingle_n, shingle_unit).cache()
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return jaccard_verify(cands, sh, id_col, threshold)
@@ -241,7 +256,11 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs at hamming distance <= max_hamming (pigeonhole on 4
     bands: any pair within distance 3 shares at least one exact band)."""
-    fp = simhash_fingerprints(df, text_col, id_col).cache()
+    sc = df.sparkSession.sparkContext
+    narrow = df.select(id_col, text_col)
+    if narrow.rdd.getNumPartitions() < sc.defaultParallelism:
+        narrow = narrow.repartition(sc.defaultParallelism)
+    fp = simhash_fingerprints(narrow, text_col, id_col).cache()
     banded = fp.select(
         F.col(id_col),
         F.col("sim_bands"),
