@@ -647,6 +647,26 @@ def q_transform_full(spark, sf_dir):
     return apply_bins(df, bins, keep_columns=["l_orderkey", "l_linenumber"])
 
 
+@_q("q_mllib_pipeline")
+def q_mllib_pipeline(spark, sf_dir):
+    """MLlib packaging (SURVEY section 7 P4): WOEBinner Estimator ->
+    WOEBinnerModel.transform, the pipeline-composable fitted-model surface.
+    Iterative fit inside => rows-only check; value parity with the functional
+    API is covered by tests/test_ml.py."""
+    from woe_monotonic_binning_spark import WOEBinner
+
+    df = _li_t(spark, sf_dir)
+    model = WOEBinner(
+        targetCol="target",
+        inputCols=["l_extendedprice", "l_quantity", "l_discount", "l_tax"],
+        nThreshold=100.0,
+        maxDistinct=2000,
+        ivThreshold=0.0,
+        keepCols=["l_orderkey", "l_linenumber"],
+    ).fit(df)
+    return model.transform(df)
+
+
 # ---------------------------------------------------------------------------
 # beyond-reference operators (BASELINE.json north_star; SURVEY section 2)
 # ---------------------------------------------------------------------------

@@ -18,11 +18,14 @@ from .fit import (
 from .transform import apply_bins
 from .session import get_spark
 from ._algo import BINS_COLUMNS, FitParams
+from .ml import WOEBinner, WOEBinnerModel
 
 __all__ = [
     "BINS_COLUMNS",
     "BINS_SCHEMA_DDL",
     "FitParams",
+    "WOEBinner",
+    "WOEBinnerModel",
     "apply_bins",
     "batch_woe_binning",
     "fit_bins",
