@@ -1,0 +1,117 @@
+"""Physical-plan regression tests: pin the properties that matter at 100 TB.
+
+These are the scale contract of SURVEY.md sections 3.4 / 7 P6, enforced:
+one raw-data shuffle in the fit, pruned scans, pushed filters, no
+row-at-a-time Python anywhere, shuffle-free codegen'd transform.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from woe_monotonic_binning_spark import apply_bins, fit_bins
+from woe_monotonic_binning_spark.fit import melt_features, summarize
+from woe_monotonic_binning_spark.plans import (
+    exchange_count,
+    formatted_plan,
+    pushed_filters,
+    python_eval_count,
+    scan_read_columns,
+)
+
+SF = "/root/testdata/sf0.001"
+FEATURES = ["l_extendedprice", "l_quantity"]
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
+        "target", (F.col("l_returnflag") == "R").cast("double")
+    )
+
+
+def test_melt_prunes_scan_to_used_columns(li):
+    long = melt_features(li, "target", FEATURES)
+    (cols,) = scan_read_columns(long)
+    assert set(cols) == {"l_returnflag", *FEATURES}
+
+
+def test_melt_is_shuffle_free(li):
+    assert exchange_count(melt_features(li, "target", FEATURES)) == 0
+
+
+def test_summary_is_single_shuffle(li):
+    summary = summarize(melt_features(li, "target", FEATURES))
+    assert exchange_count(summary) == 1
+
+
+def test_summary_has_partial_aggregation(li):
+    import re
+
+    plan = formatted_plan(summarize(melt_features(li, "target", FEATURES)))
+    # partial agg before the exchange + final after => two HashAggregate ops
+    assert len(re.findall(r"\(\d+\)\s+HashAggregate", plan)) == 2
+    assert "partial_count" in plan  # map-side combine confirmed
+
+
+def test_fit_python_boundary_is_arrow_only(li):
+    bins = fit_bins(li, "target", FEATURES, n_threshold=100)
+    assert python_eval_count(bins, "row") == 0
+    assert python_eval_count(bins, "arrow") == 1  # the grouped-map fit UDF
+
+
+def test_fit_shuffles_raw_data_once(li):
+    bins = fit_bins(li, "target", FEATURES, n_threshold=100)
+    # shuffle 1: raw rows -> (variable, value) hash agg;
+    # shuffle 2: tiny summary -> groupBy(variable) for the fit UDF
+    assert exchange_count(bins) <= 2
+
+
+def test_transform_is_shuffle_and_python_free(li):
+    bins = fit_bins(li, "target", FEATURES, n_threshold=100)
+    out = apply_bins(li, bins, iv_threshold=0.0, keep_columns=["l_orderkey"])
+    assert exchange_count(out) == 0
+    assert python_eval_count(out) == 0
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") == 5.0)
+        .select("l_orderkey")
+    )
+    pushed = pushed_filters(df)
+    assert any("l_quantity" in p and "EqualTo" in p for p in pushed), pushed
+    (cols,) = scan_read_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    from woe_monotonic_binning_spark.operators.dedup import exact_dedup_by_digest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = exact_dedup_by_digest(docs, "text", "doc_id")
+    assert exchange_count(out) == 1
+    assert python_eval_count(out) == 0
+
+
+def test_minhash_pipeline_stays_jvm_side(spark):
+    from woe_monotonic_binning_spark.operators.dedup import (
+        minhash_signatures,
+        shingled,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures(shingled(docs, "text", "doc_id"), "doc_id")
+    assert python_eval_count(sigs) == 0
+
+
+def test_quantize_guard_broadcasts_counts(li):
+    from woe_monotonic_binning_spark.fit import quantize_summary
+    from woe_monotonic_binning_spark.plans import broadcast_join_count
+
+    summary = summarize(melt_features(li, "target", FEATURES))
+    capped = quantize_summary(summary, 64)
+    assert broadcast_join_count(capped) >= 1
+    assert python_eval_count(capped) == 0

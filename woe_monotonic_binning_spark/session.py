@@ -36,6 +36,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if master.startswith("local"):
+        # The harness reads single small parquet files; at the default 128 MiB
+        # split size a ~20 MiB table scans as ONE task and the whole map side
+        # (scan -> unpivot -> partial agg) runs on one core.  Shrink the split
+        # so local scans parallelise.  Cluster deployments (non-local master)
+        # keep Spark's defaults — with many multi-hundred-MiB files the
+        # default split is right and this override would over-schedule.
+        builder = builder.config("spark.sql.files.maxPartitionBytes", "16m").config(
+            "spark.sql.files.openCostInBytes", "2m"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
