@@ -1089,3 +1089,111 @@ def q_events_stream(spark, sf_dir):
 
     stream = read_events_stream(spark, microsecond_parquet_copy(sf_dir, "events"))
     return run_available_now(streaming_tumbling_agg(stream), "q_events_stream_sink")
+
+
+# ---------------------------------------------------------------------------
+# join operators (operators/joins.py — beyond the reference, which has none)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_asof_join",
+    # point-in-time join: each event gets the user's latest order-day spend
+    # at or before the event (DuckDB native ASOF JOIN as the oracle)
+    """
+    WITH ord AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
+             ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS day_spend,
+             COUNT(*) AS day_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           o.day_spend, o.day_orders
+    FROM events e ASOF LEFT JOIN ord o
+      ON e.user_id = o.user_id AND e.ts >= o.ots
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    ord_day = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ots"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("day_spend"),
+            F.count("*").alias("day_orders"),
+        )
+    )
+    out = asof_join(
+        ev, ord_day, on="user_id", left_ts="ts", right_ts="ots",
+        right_cols=["day_spend", "day_orders"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "day_spend",
+        "day_orders",
+    )
+
+
+@_q(
+    "q_range_join",
+    # broadcast range join: bucket lineitem by static price band
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 10000.0), ('mid', 10000.0, 50000.0),
+             ('high', 50000.0, 1e18)
+    )
+    SELECT band, COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS total_qty
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+)
+def q_range_join(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.joins import range_join
+
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10000.0), ("mid", 10000.0, 50000.0), ("high", 50000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    out = range_join(_li(spark, sf_dir), bands, "l_extendedprice")
+    return out.groupBy("band").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+@_q(
+    "q_star_join",
+    # star-schema enrichment: revenue per nation x market segment
+    """
+    SELECT n_name, c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, c_mktsegment
+    """,
+)
+def q_star_join(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.joins import star_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    enriched = star_join(
+        star_join(orders, {"o_custkey": (cust, "c_custkey")}),
+        {"c_nationkey": (nation, "n_nationkey")},
+    )
+    return enriched.groupBy("n_name", "c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

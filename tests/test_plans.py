@@ -115,3 +115,44 @@ def test_quantize_guard_broadcasts_counts(li):
     capped = quantize_summary(summary, 64)
     assert broadcast_join_count(capped) >= 1
     assert python_eval_count(capped) == 0
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    from woe_monotonic_binning_spark.operators.joins import star_join
+    from woe_monotonic_binning_spark.plans import (
+        broadcast_join_count,
+        sort_merge_join_count,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    out = star_join(orders, {"o_custkey": (cust, "c_custkey")})
+    assert broadcast_join_count(out) == 1
+    assert sort_merge_join_count(out) == 0
+
+
+def test_range_join_does_not_shuffle_facts(spark):
+    from woe_monotonic_binning_spark.operators.joins import range_join
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 30000.0), ("high", 30000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    assert exchange_count(range_join(li, bands, "l_extendedprice")) == 0
+
+
+def test_asof_join_is_single_shuffle_no_python(spark):
+    from woe_monotonic_binning_spark.operators.joins import asof_join
+    from woe_monotonic_binning_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+        "o_totalprice",
+    )
+    out = asof_join(ev, orders, on="user_id", left_ts="ts", right_ts="ots")
+    # union-side scans feed ONE window sort shuffle; no join explosion
+    assert exchange_count(out) == 1
+    assert python_eval_count(out) == 0

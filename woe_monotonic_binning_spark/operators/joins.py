@@ -1,0 +1,122 @@
+"""Join operators Spark lacks as builtins: as-of join, range join, star join.
+
+The reference has no joins at all (SURVEY.md section 2 preamble — its closest
+analog is ``pd.cut``, the range-bucketize of binning.py:296-303); these are
+the joins a large-scale training-data / feature pipeline needs around the
+binning core.
+
+Scale design:
+- **as-of join** avoids the naive "join all earlier rows then pick max"
+  (which explodes to |left| x |matching right| intermediates).  Instead both
+  sides are unioned and a single ``last(..., ignorenulls=True)`` window pass
+  per key carries the most recent right-side payload forward — ONE shuffle
+  on the key, linear intermediate size, no Python.  This is the standard
+  distributed point-in-time-correctness pattern for feature stores.
+- **range join** broadcasts the (small) band table; the fact side never
+  shuffles.  Catalyst turns it into BroadcastNestedLoopJoin — fine when the
+  band table is tens-to-thousands of rows.
+- **star join** broadcasts every dimension; the fact scan is the only
+  full-data pass, with dimension filters applied before the broadcast so
+  pushdown happens on the small side.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` within the same key (backward as-of, inclusive).
+
+    Right-side payload columns come back NULL when no earlier right row
+    exists (left join semantics).  Ties on ``right_ts`` within a key are
+    resolved by the last row in (key, ts) order — pre-aggregate the right
+    side to one row per (key, ts) for fully deterministic output.
+
+    Equivalent to DuckDB/pandas ``ASOF JOIN`` / ``merge_asof`` — Spark has no
+    builtin; implemented as union + window carry-forward (one shuffle).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols]
+    ).alias("__payload")
+
+    l_side = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+        F.lit(None).cast(
+            "struct<__ts:timestamp," + ",".join(
+                f"{c}:{dict(right.dtypes)[c]}" for c in right_cols
+            ) + ">"
+        ).alias("__payload"),
+    )
+    r_side = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_side.schema["__row"].dataType.simpleString()).alias("__row"),
+        payload,
+    )
+    # right rows sort before left rows at equal __t => inclusive (<=) match
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_side.unionByName(r_side).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out_left = [F.col(f"__row.{c}").alias(c) for c in left.columns]
+    out_right = [
+        F.col(f"__match.{c}").alias(c if c not in left.columns else f"{c}{suffix}")
+        for c in right_cols
+    ]
+    return carried.filter(F.col("__side") == 1).select(*out_left, *out_right)
+
+
+def range_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Attach the band whose ``[lo, hi)`` interval contains ``value_col``.
+
+    The band table is broadcast — the fact side neither shuffles nor sorts.
+    Bands are assumed disjoint (inner join; a value matching no band drops).
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(bands), cond, "inner")
+
+
+def star_join(
+    fact: DataFrame,
+    dims: dict[str, tuple[DataFrame, str]],
+) -> DataFrame:
+    """Enrich a fact table with several small dimensions in one pass.
+
+    ``dims`` maps fact foreign-key column -> (dimension df, dimension key).
+    Every dimension is broadcast explicitly: at 100 TB the fact table must
+    never shuffle for dimensions that fit in executor memory.
+    """
+    out = fact
+    for fk, (dim, dk) in dims.items():
+        out = out.join(F.broadcast(dim), out[fk] == dim[dk], "left")
+    return out
