@@ -1,0 +1,136 @@
+"""Custom stateful streaming operator: per-user sessionization with
+``applyInPandasWithState``.
+
+The builtin ``session_window`` covers gap-based sessions declaratively
+(operators/windows.py); this module is the escape hatch the brief calls a
+"custom stateful operator" — arbitrary per-key state machines the window
+API cannot express (e.g. sessions that also close on a terminal event type
+or a max-length cap).
+
+Scale design: state is partitioned by user across the cluster (one shuffle,
+same key layout as any groupBy); the watermark bounds how long an open
+session's state survives; ``GroupStateTimeout.EventTimeTimeout`` emits and
+evicts sessions whose gap elapsed with no further events.  Arrow-batched
+per-group transfer, O(open sessions) state, not O(events).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double, closed_by string"
+)
+STATE_SCHEMA = "start bigint, last bigint, n bigint, total double"
+
+_GAP_MS = 30 * 60 * 1000
+
+
+def _sessionize(gap_ms: int, terminal_event: str | None):
+    """Build the per-key state function: fold event batches into an open
+    session, emit it when the gap elapses (timeout) or a terminal event or
+    the stream's end-of-input arrives."""
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        out: list[tuple] = []
+
+        def emit(start_ms: int, last_ms: int, n: int, total: float, why: str) -> None:
+            out.append(
+                (
+                    user_id,
+                    pd.Timestamp(start_ms, unit="ms"),
+                    pd.Timestamp(last_ms, unit="ms"),
+                    n,
+                    float(total),
+                    why,
+                )
+            )
+
+        if state.hasTimedOut:
+            start_ms, last_ms, n, total = state.get
+            emit(start_ms, last_ms, n, total, "timeout")
+            state.remove()
+        else:
+            start_ms = last_ms = None
+            n, total = 0, 0.0
+            if state.exists:
+                start_ms, last_ms, n, total = state.get
+            for pdf in pdfs:
+                pdf = pdf.sort_values("ts")
+                for ts, value, etype in zip(
+                    pdf["ts"].astype("int64") // 1_000_000, pdf["value"], pdf["event_type"]
+                ):
+                    ts = int(ts)
+                    if last_ms is not None and ts - last_ms > gap_ms:
+                        emit(start_ms, last_ms, n, total, "gap")
+                        start_ms, n, total = ts, 0, 0.0
+                    if start_ms is None:
+                        start_ms = ts
+                    last_ms, n, total = ts, n + 1, total + float(value)
+                    if terminal_event is not None and etype == terminal_event:
+                        emit(start_ms, last_ms, n, total, "terminal")
+                        start_ms, last_ms = None, None
+                        n, total = 0, 0.0
+            if last_ms is not None:
+                state.update((int(start_ms), int(last_ms), int(n), float(total)))
+                state.setTimeoutTimestamp(int(last_ms) + gap_ms)
+            elif state.exists:
+                state.remove()
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "session_start", "session_end",
+                "n_events", "total_value", "closed_by",
+            ],
+        )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    terminal_event: str | None = None,
+) -> DataFrame:
+    """Gap + optional terminal-event sessionization over a stream.
+
+    Emits one row per closed session (append mode).  Open sessions close via
+    event-time timeout once the watermark passes ``last_event + gap``.
+    """
+    unit = gap.split()
+    gap_ms = int(unit[0]) * {"minute": 60_000, "minutes": 60_000, "second": 1000,
+                             "seconds": 1000, "hour": 3_600_000, "hours": 3_600_000}[unit[1]]
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    return ev.select("user_id", "ts", "value", "event_type").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _sessionize(gap_ms, terminal_event),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_append_available_now(result: DataFrame, query_name: str) -> DataFrame:
+    """Drive an append-mode streaming plan to completion into a memory sink."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(query_name)
