@@ -1,0 +1,113 @@
+"""Generic sources and sinks: parquet / ORC / CSV / JSON, partitioned and
+bucketed layouts.
+
+The reference has no file I/O at all (SURVEY.md section 2: "file
+sources/sinks — none"); this module is the engine's ingestion/egress
+surface, designed around what survives 100 TB:
+
+- **parquet/ORC** are the scale formats: columnar, splittable, predicate
+  pushdown and column pruning reach the scan (asserted in
+  tests/test_plans.py).  CSV/JSON are interchange formats — schema must be
+  supplied (inference is a full extra pass) and nothing pushes down; both
+  facts are encoded here, not left to callers to discover.
+- **Partitioned writes** give hive-style partition pruning: a reader
+  filtering on the partition column touches only matching directories.
+  Choose low-cardinality columns; a high-cardinality partition key means
+  millions of tiny files (the classic small-files failure).
+- **Bucketed writes** (saveAsTable) pre-shuffle by key at write time so
+  later joins/aggregations on that key skip their Exchange entirely —
+  the write-once-join-many trade.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """Read ``path`` in any supported format.
+
+    For CSV/JSON a ``schema`` should be passed: without it Spark runs a
+    whole-file inference pass before the real job (twice the IO at scale).
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {_FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        return reader.option("header", header).option(
+            "inferSchema", schema is None
+        ).csv(path)
+    if fmt == "json":
+        return reader.json(path)
+    return getattr(reader, fmt)(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    compression: str | None = None,
+    header: bool = True,
+) -> None:
+    """Write ``df`` to ``path``; ``partition_by`` produces a hive-style
+    directory layout that later scans prune on."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {_FORMATS}")
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    if fmt == "csv":
+        writer = writer.option("header", header)
+    getattr(writer, fmt)(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed managed table: rows are hash-partitioned into
+    ``num_buckets`` files by ``bucket_cols`` at write time, so a later join
+    or aggregation on those columns needs NO shuffle — Catalyst sees the
+    bucketing spec and drops the Exchange.  Requires ``saveAsTable`` (plain
+    path writes cannot carry bucket metadata)."""
+    writer = df.write.mode(mode).format(fmt).bucketBy(int(num_buckets), *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def save_bins(bins: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist a fitted bins table (the model artifact) as parquet,
+    partitioned by variable so per-variable loads prune to one directory."""
+    bins.write.mode(mode).partitionBy("variable").parquet(path)
+
+
+def load_bins(spark: SparkSession, path: str) -> DataFrame:
+    """Reload a bins table saved by :func:`save_bins` with the canonical
+    column order (partition columns come back last otherwise)."""
+    from ..fit import BINS_SCHEMA_DDL
+
+    cols = [c.split()[0] for c in BINS_SCHEMA_DDL.split(", ")]
+    return spark.read.parquet(path).select(*cols)
