@@ -24,6 +24,13 @@ SF = "/root/testdata/sf0.001"
 FEATURES = ["l_extendedprice", "l_quantity"]
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _uncached(spark):
+    # other test modules cache these tables; a cached fragment swaps the
+    # parquet scan for InMemoryTableScan and invalidates every plan assertion
+    spark.catalog.clearCache()
+
+
 @pytest.fixture(scope="module")
 def li(spark):
     return spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
