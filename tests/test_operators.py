@@ -149,3 +149,57 @@ def test_lang_id_deterministic(spark):
     a = detect_language(docs).groupBy("lang_pred").count().collect()
     b = detect_language(docs).groupBy("lang_pred").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_quantize_summary_caps_distincts_and_preserves_moments(spark):
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.fit import melt_features, quantize_summary, summarize
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").withColumn(
+        "target", (F.col("l_returnflag") == "R").cast("double")
+    )
+    # l_extendedprice: thousands of distincts; l_discount: 11 (under the cap)
+    summary = summarize(melt_features(li, "target", ["l_extendedprice", "l_discount"]))
+    capped = quantize_summary(summary, 64).cache()
+
+    per_var = {
+        r["variable"]: r
+        for r in capped.groupBy("variable")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum("size").alias("size"),
+            F.sum("bads").alias("bads"),
+            F.sum("sumsq").alias("sumsq"),
+        )
+        .collect()
+    }
+    orig = {
+        r["variable"]: r
+        for r in summary.groupBy("variable")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum("size").alias("size"),
+            F.sum("bads").alias("bads"),
+            F.sum("sumsq").alias("sumsq"),
+        )
+        .collect()
+    }
+    # distinct counts capped; under-cap variables untouched
+    assert per_var["l_extendedprice"]["k"] <= 64
+    assert per_var["l_discount"]["k"] == orig["l_discount"]["k"]
+    # moments are EXACTLY preserved (re-aggregated, not approximated)
+    for v in per_var:
+        for m in ("size", "bads", "sumsq"):
+            assert per_var[v][m] == pytest.approx(orig[v][m], abs=1e-9), (v, m)
+    # bucket representative = min value of the bucket: all values exist in the input
+    vals = {r["value"] for r in capped.filter(F.col("variable") == "l_extendedprice").collect()}
+    src = {r["value"] for r in summary.filter(F.col("variable") == "l_extendedprice").collect()}
+    assert vals <= src
+    # equal-frequency: largest bucket bounded by ~2x the ideal share + max group
+    sizes = [r["size"] for r in capped.filter(F.col("variable") == "l_extendedprice").collect()]
+    total = sum(sizes)
+    max_group = max(
+        r["size"] for r in summary.filter(F.col("variable") == "l_extendedprice").collect()
+    )
+    assert max(sizes) <= 2 * total / 64 + max_group

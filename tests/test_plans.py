@@ -114,14 +114,17 @@ def test_minhash_pipeline_stays_jvm_side(spark):
     assert python_eval_count(sigs) == 0
 
 
-def test_quantize_guard_broadcasts_counts(li):
+def test_quantize_guard_single_lineage(li):
     from woe_monotonic_binning_spark.fit import quantize_summary
-    from woe_monotonic_binning_spark.plans import broadcast_join_count
+    from woe_monotonic_binning_spark.plans import formatted_plan
 
     summary = summarize(melt_features(li, "target", FEATURES))
     capped = quantize_summary(summary, 64)
-    assert broadcast_join_count(capped) >= 1
+    # windows + conditional re-agg, no join, and exactly ONE raw-data scan:
+    # a forked lineage would repeat the expensive first aggregation
+    assert formatted_plan(capped).count("Scan parquet") // 2 <= 1
     assert python_eval_count(capped) == 0
+    assert exchange_count(capped) <= 3  # agg + window + re-agg, summary rows only
 
 
 def test_star_join_broadcasts_dimensions(spark):

@@ -91,40 +91,54 @@ def quantize_summary(summary: DataFrame, max_distinct: int) -> DataFrame:
     Implementation works entirely on the already-aggregated summary — no
     second raw-data pass, no percentile sketch: the bucket of a value is
     ``floor(cumulative_row_fraction_before_it * B)``, i.e. exact weighted
-    quantiles via one window sort per variable, then a re-aggregation.
-    Both shuffles move only summary rows (sum of distinct counts).
+    quantiles.  Per-variable distinct counts, non-null totals and the
+    running sum come from window functions sharing one partitioning on
+    ``variable``; a single hash aggregation then folds capped rows into
+    their buckets while under-cap variables and the missing group
+    re-aggregate to themselves.  No join, no lineage fork: the input (the
+    first aggregation's output) is consumed exactly once, and every shuffle
+    moves summary rows (sum of distinct counts), never raw data.
+
+    Scale note: the window sort serialises per variable (one task per
+    variable holds its distinct values).  That is the deliberate bound —
+    this function exists precisely because distinct counts can be huge, and
+    its own input is the first aggregation's output, already a tiny
+    fraction of the raw data.
     """
     from pyspark.sql.window import Window
 
-    counts = summary.groupBy("variable").agg(F.count("*").alias("__k"))
     w = Window.partitionBy("variable").orderBy("value")
     wp = Window.partitionBy("variable")
-    bucketed = (
-        summary.join(F.broadcast(counts), "variable")
-        .withColumn("__cum_before", F.sum("size").over(w) - F.col("size"))
-        .withColumn("__total", F.sum("size").over(wp))
-        .withColumn(
-            "__bucket",
-            F.when(
-                (F.col("__k") > max_distinct) & F.col("value").isNotNull(),
-                F.least(
-                    F.floor(F.col("__cum_before") / F.col("__total") * max_distinct),
-                    F.lit(max_distinct - 1),
-                ),
-            ).otherwise(None),
+    nn_size = F.when(F.col("value").isNotNull(), F.col("size")).otherwise(F.lit(0.0))
+    annotated = (
+        summary.withColumn("__k", F.count("*").over(wp))
+        .withColumn("__total", F.sum(nn_size).over(wp))
+        .withColumn("__cum_before", F.sum(nn_size).over(w) - nn_size)
+    )
+    bucket = F.when(
+        (F.col("__k") > max_distinct) & F.col("value").isNotNull(),
+        F.least(
+            F.floor(F.col("__cum_before") / F.col("__total") * max_distinct),
+            F.lit(max_distinct - 1),
+        ),
+    )
+    # group key: the bucket for capped rows, the value itself otherwise —
+    # under-cap variables and the missing group re-aggregate to themselves,
+    # so one hash agg handles both branches without forking the lineage
+    # (summary is consumed exactly once; it is the first aggregation's
+    # output and recomputing it would repeat the raw-data pass).
+    key = F.struct(
+        bucket.alias("b"), F.when(bucket.isNull(), F.col("value")).alias("v")
+    )
+    return (
+        annotated.groupBy("variable", key.alias("__g"))
+        .agg(
+            F.min("value").alias("value"),
+            F.sum("size").alias("size"),
+            F.sum("bads").alias("bads"),
+            F.sum("sumsq").alias("sumsq"),
         )
-    )
-    snapped = bucketed.withColumn(
-        "value",
-        F.when(
-            F.col("__bucket").isNotNull(),
-            F.min("value").over(Window.partitionBy("variable", "__bucket")),
-        ).otherwise(F.col("value")),
-    )
-    return snapped.groupBy("variable", "value").agg(
-        F.sum("size").alias("size"),
-        F.sum("bads").alias("bads"),
-        F.sum("sumsq").alias("sumsq"),
+        .select("variable", "value", "size", "bads", "sumsq")
     )
 
 
