@@ -1215,3 +1215,44 @@ def q_events_sessionize_stateful(spark, sf_dir):
     return run_append_available_now(
         sessionize_stream(stream), "q_events_sessionize_stateful_sink"
     )
+
+
+@_q(
+    "q_events_cube",
+    # CUBE (event_type, day): all four grouping sets in one pass
+    """
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n_events, ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value
+    FROM events GROUP BY CUBE (event_type, day)
+    """,
+)
+def q_events_cube(spark, sf_dir):
+    """Grouping sets beyond rollup: full CUBE over (event_type, day)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    return ev.cube("event_type", "day").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@_q(
+    "q_set_ops",
+    # INTERSECT / EXCEPT — absent from the reference (SURVEY section 2
+    # preamble), present in the engine: customers that ordered in both
+    # priority classes minus one exclusion set
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    big = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return urgent.intersect(high).exceptAll(big).distinct()

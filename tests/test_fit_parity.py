@@ -109,3 +109,29 @@ def test_tpch_lineitem_fit_smoke(spark, sf0001_dir):
     for v, part in bins.groupby("variable"):
         means = part["mean"].to_numpy()
         assert (np.diff(means[~np.isnan(part.interval_start_include)]) < 0).all(), v
+
+
+def test_merge_bins_matches_reference(spark, reference, binning_pdf, binning_df):
+    """Public merge_bins parity with the reference (binning.py:14-29)."""
+    from woe_monotonic_binning_spark import merge_bins, woe_binning
+
+    got_bins = woe_binning(binning_df, "target", "x_mono_up", n_threshold=100)
+    exp_bins = reference.woe_binning(
+        "target", binning_pdf[["x_mono_up", "target"]], 100
+    )
+    assert got_bins.count() >= 3
+    got = merge_bins(got_bins, [0, 1]).toPandas()
+    exp = reference.merge_bins(exp_bins, [0, 1])
+    assert_bins_equal(got, exp, "merge_bins[0,1]")
+    # pandas frames work directly too
+    got2 = merge_bins(got_bins.toPandas(), [1, 2])
+    exp2 = reference.merge_bins(exp_bins, [1, 2])
+    assert_bins_equal(got2, exp2, "merge_bins[1,2]")
+
+
+def test_unpack_woe_forwards(spark, binning_df):
+    from woe_monotonic_binning_spark import unpack_woe, woe_binning
+
+    a = unpack_woe((binning_df, "target", "x_mono_up", 100)).toPandas()
+    b = woe_binning(binning_df, "target", "x_mono_up", 100).toPandas()
+    assert a.equals(b)

@@ -12,6 +12,8 @@ from .fit import (
     BINS_SCHEMA_DDL,
     batch_woe_binning,
     fit_bins,
+    merge_bins,
+    unpack_woe,
     woe_binning,
     woe_binning_sep,
 )
@@ -29,7 +31,9 @@ __all__ = [
     "apply_bins",
     "batch_woe_binning",
     "fit_bins",
+    "merge_bins",
     "get_spark",
+    "unpack_woe",
     "woe_binning",
     "woe_binning_sep",
 ]

@@ -285,3 +285,35 @@ def batch_woe_binning(
         merge_threshold=merge_threshold,
         max_distinct=max_distinct,
     )
+
+
+def merge_bins(bins, bins_index: list[int]):
+    """Manually merge a contiguous run of fitted bins — API parity with
+    ``merge_bins`` (binning.py:14-29).
+
+    ``bins`` may be a Spark bins DataFrame (single variable) or a pandas
+    frame; ``bins_index`` is the positional range to merge (sorted, treated
+    as [min..max] like the reference's slice).  Returns the same kind that
+    was passed in.  WOE/IV of the merged bin are recomputed against the
+    whole-table good/bad totals, exactly as the reference does.
+    """
+    idx = sorted(int(i) for i in bins_index)
+    lo, hi = idx[0], idx[-1]
+
+    def _merge_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _algo.merge_bins_rows(pdf.reset_index(drop=True), lo, hi)
+
+    if isinstance(bins, pd.DataFrame):
+        return _merge_pdf(bins)
+    spark = bins.sparkSession
+    merged = _merge_pdf(bins.toPandas())
+    return spark.createDataFrame(merged, schema=BINS_SCHEMA_DDL)
+
+
+def unpack_woe(args):
+    """Tuple-splat helper — API parity with ``unpack_woe`` (binning.py:10-11).
+
+    The reference needs it to feed ``multiprocessing.map``; the Spark engine
+    has no process fan-out, so this simply forwards to ``woe_binning``.
+    """
+    return woe_binning(*args)
