@@ -17,10 +17,22 @@ import types
 import numpy as np
 
 
+def _shim_module(name: str) -> types.ModuleType:
+    """A stub module with a real ModuleSpec: ``importlib.util.find_spec``
+    (called by pyspark.testing.utils at import) raises ValueError on
+    sys.modules entries whose ``__spec__`` is None."""
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    mod.__version__ = "0.0.0-shim"
+    return mod
+
+
 def _install_shims() -> None:
     if "scipy" not in sys.modules:
-        scipy = types.ModuleType("scipy")
-        stats = types.ModuleType("scipy.stats")
+        scipy = _shim_module("scipy")
+        stats = _shim_module("scipy.stats")
 
         class _Norm:
             @staticmethod
@@ -44,7 +56,7 @@ def _install_shims() -> None:
         sys.modules["scipy.stats"] = stats
 
     if "joblib" not in sys.modules:
-        joblib = types.ModuleType("joblib")
+        joblib = _shim_module("joblib")
 
         class _Parallel:
             def __init__(self, *args, **kwargs):

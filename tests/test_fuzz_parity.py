@@ -17,7 +17,7 @@ import warnings
 import numpy as np
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, assume, given, settings, strategies as st
 
 from woe_monotonic_binning_spark._algo import FitParams, fit_variable
 
@@ -58,20 +58,73 @@ def binning_case(draw):
     return pdf, params
 
 
+def _direction_unambiguous(pdf: pd.DataFrame) -> bool:
+    """True iff the reference's quartile direction heuristic gives the same
+    answer for EVERY possible ordering of tied feature values.
+
+    The reference slices the first/last n/4 raw ROWS after a quicksort by
+    value (binning.py:111-119): when a quartile boundary falls inside a tied
+    value group with mixed targets, its answer depends on quicksort's tie
+    permutation — information an aggregated engine cannot see (deviation D1
+    in SURVEY/_algo.detect_direction).  Bound each quartile's bad-sum over
+    all tie allocations; the case is unambiguous when the comparison sign is
+    invariant."""
+    sub = pdf[["x", "target"]]
+    grouped = sub.dropna().groupby("x")["target"].agg(["size", "sum"]).sort_index()
+    sizes = grouped["size"].to_numpy(dtype=float)
+    bads = grouped["sum"].to_numpy(dtype=float)
+    nan_mask = sub["x"].isna()
+    if nan_mask.any():  # NaNs sort last (quirk Q5)
+        sizes = np.append(sizes, float(nan_mask.sum()))
+        bads = np.append(bads, float(sub.loc[nan_mask, "target"].sum()))
+    n = sizes.sum()
+    cum_hi = np.cumsum(sizes)
+    cum_lo = cum_hi - sizes
+
+    def bounds(lo: float, hi: float) -> tuple[float, float]:
+        overlap = np.clip(np.minimum(cum_hi, hi) - np.maximum(cum_lo, lo), 0.0, None)
+        smax = float(np.sum(np.minimum(bads, overlap)))
+        smin = float(np.sum(np.maximum(0.0, bads - (sizes - overlap))))
+        return smin, smax
+
+    q1_min, q1_max = bounds(0.0, float(int(n / 4)))
+    q4_min, q4_max = bounds(float(int(n * 3 / 4)), float(n))
+    return q1_min > q4_max or q1_max <= q4_min
+
+
 @settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(binning_case())
 def test_fit_variable_matches_reference(case):
     pdf, params = case
+    assume(_direction_unambiguous(pdf))
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")  # reference idxmax FutureWarning (Q9)
-        expected = ref.woe_binning(
-            "target",
-            pdf[["x", "target"]],
-            params["n_threshold"],
-            n_occurences=params["n_occurences"],
-            p_threshold=params["p_threshold"],
-            merge_threshold=params["merge_threshold"],
-        )
+        try:
+            expected = ref.woe_binning(
+                "target",
+                pdf[["x", "target"]],
+                params["n_threshold"],
+                n_occurences=params["n_occurences"],
+                p_threshold=params["p_threshold"],
+                merge_threshold=params["merge_threshold"],
+            )
+        except IndexError:
+            # quirk Q13 (found by this fuzz): reference merge_bins crashes
+            # merging a 2-bin NaN-free table (binning.py:27-28 empties the
+            # frame then indexes it); the engine returns the 1-bin table
+            # instead — deviation documented in _algo.merge_threshold_loop
+            assume(params["merge_threshold"] is not None)
+            got = fit_variable(
+                summary_of(pdf, "x"),
+                FitParams(
+                    n_threshold=params["n_threshold"],
+                    n_occurences=params["n_occurences"],
+                    p_threshold=params["p_threshold"],
+                    merge_threshold=params["merge_threshold"],
+                ),
+            )
+            assert len(got.dropna(subset=["interval_start_include"])) == 1
+            return
     got = fit_variable(
         summary_of(pdf, "x"),
         FitParams(

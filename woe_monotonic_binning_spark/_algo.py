@@ -177,6 +177,14 @@ def detect_direction(s: GroupSummary) -> bool:
     compares sum(target) over the first ``floor(n/4)`` rows against the last
     ``n - floor(3n/4)`` rows (binning.py:111-119).  We reconstruct those sums
     from the group summary, apportioning a straddled group pro-rata (D1).
+
+    Deviation D1, precisely: when a quartile boundary falls inside a tied
+    value group whose rows have MIXED targets, the reference's answer
+    depends on quicksort's tie permutation of physically identical rows —
+    unrecoverable from aggregates, and not meaningful at scale.  Pro-rata
+    equals the reference exactly whenever straddled groups are target-pure
+    or no group straddles a boundary (the common case; fuzz-verified in
+    tests/test_fuzz_parity.py, which bounds the ambiguity set exactly).
     """
     srt = s.sorted_asc()
     sizes = np.append(srt.sizes, srt.nan_size)  # NaN group sorts last
@@ -421,6 +429,11 @@ def merge_threshold_loop(df: pd.DataFrame, merge_threshold: float) -> pd.DataFra
     compares the last scanned pair index against the *post-merge* bin count
     (binning.py:262).  Division by a zero |woe| follows numpy float
     semantics (inf / NaN -> condition False), as in pandas.
+
+    Deviation (quirk Q13, found by tests/test_fuzz_parity.py): merging the
+    final pair of a 2-bin NaN-free table crashes the reference with
+    IndexError (binning.py:27-28 drops both rows, leaving nothing to index);
+    here the merge succeeds and returns the single combined bin.
     """
     while True:
         k = _dropna_count(df)
