@@ -1256,3 +1256,59 @@ def q_set_ops(spark, sf_dir):
     high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
     big = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
     return urgent.intersect(high).exceptAll(big).distinct()
+
+
+@_q(
+    "q_json_extract",
+    # JSON functions over the events props column (absent from the
+    # reference: no string/json functions at all)
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_max
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+@_q(
+    "q_date_string_funcs",
+    # date + string function family over orders
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mth,
+           upper(substring(o_orderpriority, 1, 1)) AS pri,
+           count(*) AS n,
+           ROUND(CAST(avg(length(o_orderpriority)) AS DOUBLE), 6) AS avg_len
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_date_string_funcs(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("pri"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.length("o_orderpriority")), 6).alias("avg_len"),
+    )
