@@ -1312,3 +1312,16 @@ def q_date_string_funcs(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.avg(F.length("o_orderpriority")), 6).alias("avg_len"),
     )
+
+
+@_q("q_media_features")
+def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction (mapInPandas batch shape) feeding the
+    similarity stack; deterministic fake embedding => rows-only check, with
+    determinism and composition asserted in tests/test_operators.py."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    return extract_features(media_from_documents(_docs(spark, sf_dir)), dim=16)

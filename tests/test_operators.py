@@ -203,3 +203,35 @@ def test_quantize_summary_caps_distincts_and_preserves_moments(spark):
         r["size"] for r in summary.filter(F.col("variable") == "l_extendedprice").collect()
     )
     assert max(sizes) <= 2 * total / 64 + max_group
+
+
+def test_media_feature_extraction_composes_with_similarity(spark):
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+        resize_media,
+    )
+    from woe_monotonic_binning_spark.operators.similarity import brute_force_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    media = media_from_documents(docs)
+    feats = extract_features(media, dim=8).cache()
+    assert feats.count() == docs.count()
+    # deterministic: two runs produce identical vectors
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, dim=8).collect()}
+    for r in feats.collect():
+        assert again[r["media_id"]] == r["feature"]
+        norm = sum(x * x for x in r["feature"]) ** 0.5
+        assert norm == pytest.approx(1.0, abs=1e-9) or norm == 0.0
+    # composes with the similarity operators unchanged
+    emb = feats.select(F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding"))
+    top = brute_force_topk(emb, emb.limit(3), k=5)
+    assert top.groupBy("query_id").count().filter("count != 5").count() == 0
+
+    resized = resize_media(media, 224, 224)
+    row = resized.select("meta.width", "meta.height", "meta.mime").first()
+    assert (row["width"], row["height"]) == (224, 224)
+    assert row["mime"] == "application/x-fake-resized"
+    assert resized.count() == docs.count()

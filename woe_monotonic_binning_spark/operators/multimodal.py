@@ -97,3 +97,58 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     ).select(
         "media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("ts_ms")
     )
+
+
+FEATURES_SCHEMA = "media_id bigint, feature array<double>"
+
+
+def extract_features(media: DataFrame, dim: int = 16, batch_size: int = 256) -> DataFrame:
+    """Deterministic feature extraction over ``mapInPandas``: an L2-normalised
+    byte histogram folded to ``dim`` buckets.
+
+    Stands in for a real embedding model (CLIP/wav2vec/...) with the exact
+    production shape — columnar batches in, fixed-width ``array<double>``
+    out — so the output composes directly with ``operators.similarity``
+    (top-k / IVF) and ``operators.dedup.embedding_neardup_pairs``.
+    """
+    import numpy as np
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["content"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype(float) if arr.size else np.zeros(dim)
+                n = np.linalg.norm(hist)
+                feats.append(list(hist / n) if n > 0 else list(hist))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.mapInPandas(embed, schema=FEATURES_SCHEMA)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing with the codec stubbed: metadata is rewritten to the
+    target dimensions and payloads pass through untouched (a real resizer
+    replaces the per-batch body; the batch iteration, schema and partition
+    shape are what it would use).  Marked fake via ``meta.mime``."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pd.DataFrame(
+                {
+                    "mime": "application/x-fake-resized",
+                    "width": width,
+                    "height": height,
+                    "duration_ms": [m["duration_ms"] for m in pdf["meta"]],
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": pdf["content"],
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return media.mapInPandas(resize, schema=MEDIA_SCHEMA)
