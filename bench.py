@@ -56,12 +56,23 @@ def main() -> None:
 
     # Warm-up: file listings, whole-stage codegen compilation and the Arrow
     # UDF worker pool are one-time session costs, not engine throughput —
-    # run the fit shape once on a small slice so the timed section measures
-    # steady state (what a long-lived cluster session sees).
-    fit_bins(li.limit(2000), "target", features, n_threshold=50).count()
-    docs.limit(100).count()
-    emb.limit(100).count()
-    events.limit(100).count()
+    # run every headline SHAPE once on a tiny slice (compiles the same
+    # generated code) so the timed section measures steady state, i.e. what
+    # a long-lived cluster session sees per query.
+    warm_li = li.limit(2000).cache()
+    warm_docs = docs.limit(64).cache()
+    warm_b = fit_bins(warm_li, "target", features, n_threshold=50)
+    apply_bins(warm_li, warm_b, iv_threshold=0.0).count()
+    exact_dedup_by_digest(warm_docs, "text", "doc_id").count()
+    minhash_dedup_pairs(warm_docs, "text", "doc_id", threshold=0.5).count()
+    brute_force_topk(
+        emb.limit(64), emb.filter(F.col("vec_id") < 2), k=2
+    ).count()
+    text_stats(warm_docs).agg(F.count("*")).collect()
+    ev_warm = events.limit(256).cache()
+    tumbling_agg(ev_warm).count()
+    session_agg(ev_warm).count()
+    warm_li.unpersist(), warm_docs.unpersist(), ev_warm.unpersist()
     timings: dict[str, float] = {}
     bins_df = None
 

@@ -1325,3 +1325,15 @@ def q_media_features(spark, sf_dir):
     )
 
     return extract_features(media_from_documents(_docs(spark, sf_dir)), dim=16)
+
+
+@_q("q_winnow_fingerprint")
+def q_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (MOSS scheme); xxhash64 internals
+    have no DuckDB twin => rows-only, with locality properties asserted in
+    tests/test_operators.py."""
+    from woe_monotonic_binning_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", F.size("fingerprints").alias("n_fingerprints")
+    )

@@ -235,3 +235,34 @@ def test_media_feature_extraction_composes_with_similarity(spark):
     assert (row["width"], row["height"]) == (224, 224)
     assert row["mime"] == "application/x-fake-resized"
     assert resized.count() == docs.count()
+
+
+def test_winnowing_fingerprints_detect_local_overlap(spark):
+    from woe_monotonic_binning_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " with a small tail appended"),          # near-dup of 1
+            (3, "completely different text about spark plans and shuffles"),
+            (4, "unrelated words entirely zebra quantum flux capacitor"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fp = {r["doc_id"]: set(r["fingerprints"]) for r in winnow_fingerprints(docs).collect()}
+    # deterministic across runs
+    fp2 = {r["doc_id"]: set(r["fingerprints"]) for r in winnow_fingerprints(docs).collect()}
+    assert fp == fp2
+    # a shared prefix shares most fingerprints; unrelated docs share ~none
+    assert len(fp[1] & fp[2]) >= 0.7 * len(fp[1])
+    assert len(fp[1] & fp[3]) <= 2
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_match_pairs(docs, min_shared=3).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (3, 4) not in pairs

@@ -108,3 +108,75 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     score = 0.35 * len_score + 0.25 * punct_pen + 0.2 * space_score + 0.2 * stop_score
     return df.withColumn("quality", F.round(score, 6))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken, MOSS): hash every k-gram of the normalised
+    text, then keep the minimum hash of each sliding window of ``window``
+    consecutive k-gram hashes (deduplicated).
+
+    A document pair sharing any fingerprint shares a k-gram run — the
+    classic local plagiarism/near-dup signal that whole-document hashing
+    (``fingerprint``) cannot give.  Pure JVM higher-order functions: one
+    map-side pass, output ~|text|/window hashes per doc, no Python.
+    """
+    normal = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    grams = (
+        f"transform(sequence(1, greatest(length(__n), {k}) - {k} + 1), "
+        f"i -> xxhash64(substring(__n, i, {k})))"
+    )
+    mins = (
+        f"array_distinct(transform(sequence(1, greatest(size(__h), {window}) - {window} + 1), "
+        f"i -> array_min(slice(__h, i, {window}))))"
+    )
+    return (
+        df.select(F.col(id_col), normal.alias("__n"))
+        .select(F.col(id_col), F.expr(grams).alias("__h"))
+        .select(F.col(id_col), F.expr(mins).alias("fingerprints"))
+    )
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+    max_df_frac: float = 0.1,
+) -> DataFrame:
+    """Doc pairs sharing at least ``min_shared`` winnowing fingerprints.
+
+    Explodes fingerprints and self-joins on the hash — the shuffle carries
+    (hash, id) longs only, never text.  Hashes present in more than
+    ``max_df_frac`` of the corpus are dropped before the join: a
+    boilerplate k-gram shared by most documents would alone create a
+    quadratic blow-up of join rows (the same failure mode as an LSH
+    mega-bucket) while carrying no similarity signal — document frequency
+    IS the inverse of specificity here, exactly as in tf-idf.  The
+    exploded table is persisted — it feeds the frequency count and both
+    join sides.
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, k, window)
+    ex = fp.select(F.col(id_col), F.explode("fingerprints").alias("h")).persist()
+    max_df = max(2.0, float(df.count()) * max_df_frac)
+    rare = ex.groupBy("h").agg(F.count("*").alias("__df")).filter(
+        F.col("__df") <= max_df
+    )
+    exr = ex.join(rare.select("h"), "h")
+    a = exr.select(F.col(id_col).alias("id_a"), "h")
+    b = exr.select(F.col(id_col).alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
