@@ -1050,7 +1050,22 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(_docs(spark, sf_dir), "text", "doc_id")
 
 
-@_q("q_dedup_embedding")
+@_q(
+    "q_dedup_embedding",
+    # DuckDB list_dot_product folds sequentially like F.aggregate, so the
+    # 6-dp rounded cosines are bit-identical and the >= threshold filter
+    # keeps the same pairs on both sides.
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.8
+    """,
+)
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs blocked by label."""
     from woe_monotonic_binning_spark.operators.dedup import embedding_neardup_pairs
@@ -1069,7 +1084,28 @@ def q_sim_search_ivf(spark, sf_dir):
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5, n_probe=3)
 
 
-@_q("q_quality_score")
+@_q(
+    "q_quality_score",
+    # Same component expressions and left-assoc weighted sum as
+    # operators/text.py::quality_score; DuckDB needs the 'g' flag to match
+    # Spark's always-global regexp_replace.
+    """
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS words,
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
+             (length(text) - length(regexp_replace(text, '\\s', '', 'g'))) / greatest(length(text), 1) AS space_ratio,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS stops
+      FROM documents
+    )
+    SELECT doc_id,
+           round(0.35 * least(words / 100.0, 1.0)
+               + 0.25 * greatest(0.0, 1.0 - punct_ratio * 5.0)
+               + 0.2 * (CASE WHEN space_ratio > 0.05 AND space_ratio < 0.3 THEN 1.0 ELSE 0.5 END)
+               + 0.2 * least(stops / greatest(words, 1) * 10.0, 1.0), 6) AS quality
+    FROM s
+    """,
+)
 def q_quality_score(spark, sf_dir):
     """Heuristic document quality scoring (fused single-pass expression)."""
     from woe_monotonic_binning_spark.operators.text import quality_score
