@@ -13,6 +13,19 @@ Each headline exercises a different engine pillar:
 - sim_search      brute-force cosine top-k (10 queries x corpus)
 - text_stats      single-pass corpus statistics + fingerprints
 - events_windows  tumbling + session window aggregations
+
+Methodology: each query is timed $SPARK_GRAFT_BENCH_REPS times (default 2)
+and the MINIMUM is reported — the bench host is shared and a transient
+spike on another tenant otherwise lands in the recorded number; min-of-N
+is the standard steady-state throughput estimator.  Two reuse channels
+would make repeat timings fake-fast, and both are closed:
+- cached-plan reuse: Spark's cache manager matches CANONICALIZED plans, so
+  a persisted intermediate from rep 1 (MinHash bands, winnow posting list)
+  silently serves an identical rep-2 plan → `clearCache()` before every
+  rep;
+- shuffle-stage skip: re-running an action on the SAME DataFrame object
+  reuses its shuffle map outputs ("skipped stages") → every rep rebuilds
+  its input lineage from a fresh `spark.read`.
 """
 
 from __future__ import annotations
@@ -28,6 +41,7 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from woe_monotonic_binning_spark import apply_bins, fit_bins, get_spark
@@ -43,14 +57,23 @@ def main() -> None:
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus), app_name="wmb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
-        "target", (F.col("l_returnflag") == "R").cast("double")
-    )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
-    events = load_table(spark, sf_dir, "events")
+    # Fresh-lineage constructors: new RDD graph per call, so repeat reps
+    # cannot skip shuffle stages computed by an earlier rep.
+    def read_li():
+        return spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+            "target", (F.col("l_returnflag") == "R").cast("double")
+        )
+
+    def read_docs():
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def read_emb():
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+
+    def read_events():
+        return load_table(spark, sf_dir, "events")
 
     features = ["l_extendedprice", "l_quantity", "l_discount", "l_tax"]
 
@@ -59,6 +82,7 @@ def main() -> None:
     # run every headline SHAPE once on a tiny slice (compiles the same
     # generated code) so the timed section measures steady state, i.e. what
     # a long-lived cluster session sees per query.
+    li, docs, emb, events = read_li(), read_docs(), read_emb(), read_events()
     warm_li = li.limit(2000).cache()
     warm_docs = docs.limit(64).cache()
     warm_b = fit_bins(warm_li, "target", features, n_threshold=50)
@@ -74,48 +98,58 @@ def main() -> None:
     session_agg(ev_warm).count()
     warm_li.unpersist(), warm_docs.unpersist(), ev_warm.unpersist()
     timings: dict[str, float] = {}
-    bins_df = None
 
     def timed(name, fn):
-        nonlocal timings
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        out = None
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            out = fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         return out
 
     def run_fit():
-        b = fit_bins(li, "target", features, n_threshold=100, max_distinct=1024)
+        b = fit_bins(read_li(), "target", features, n_threshold=100, max_distinct=1024)
         b.cache().count()
         return b
 
     bins_df = timed("fit_batch", run_fit)
+    # Local-relation copy of the (tiny) bins table: immune to the per-rep
+    # clearCache, so the transform timing measures encoding, not a refit.
+    bins_local = spark.createDataFrame(bins_df.collect(), schema=bins_df.schema)
     timed(
         "transform",
-        lambda: apply_bins(li, bins_df, keep_columns=["l_orderkey"], iv_threshold=0.0)
+        lambda: apply_bins(read_li(), bins_local, keep_columns=["l_orderkey"], iv_threshold=0.0)
         .agg(F.count("*"))
         .collect(),
     )
-    timed("dedup_digest", lambda: exact_dedup_by_digest(docs, "text", "doc_id").count())
+    timed(
+        "dedup_digest",
+        lambda: exact_dedup_by_digest(read_docs(), "text", "doc_id").count(),
+    )
     timed(
         "dedup_minhash",
-        lambda: minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5).count(),
+        lambda: minhash_dedup_pairs(read_docs(), "text", "doc_id", threshold=0.5).count(),
     )
     timed(
         "sim_search",
-        lambda: brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=10).count(),
+        lambda: (lambda e: brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=10).count())(
+            read_emb()
+        ),
     )
     timed(
         "text_stats",
-        lambda: text_stats(docs)
+        lambda: text_stats(read_docs())
         .groupBy("lang")
         .agg(F.count("*"), F.avg("stat_words"), F.avg("stat_punct_ratio"))
         .collect(),
     )
     timed(
         "events_windows",
-        lambda: (
-            tumbling_agg(events).count(),
-            session_agg(events).count(),
+        lambda: (lambda ev: (tumbling_agg(ev).count(), session_agg(ev).count()))(
+            read_events()
         ),
     )
 
