@@ -1084,6 +1084,16 @@ def q_sim_search_ivf(spark, sf_dir):
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5, n_probe=3)
 
 
+@_q("q_sim_search_lsh")
+def q_sim_search_lsh(spark, sf_dir):
+    """SRP-LSH bucketed approximate top-k (Charikar cosine LSH); recall and
+    exact-re-rank properties asserted in tests/test_operators.py."""
+    from woe_monotonic_binning_spark.operators.similarity import srp_topk
+
+    emb = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return srp_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_bits=64, n_bands=16)
+
+
 @_q(
     "q_quality_score",
     # Same component expressions and left-assoc weighted sum as

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns.
 
-Two tiers (SURVEY.md beyond-reference ops):
+Three tiers (SURVEY.md beyond-reference ops):
 - ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query set
   against the full corpus, one map-side pass + a per-query top-k.  The
   per-query heap is a window row_number over (query, cosine): at scale
@@ -10,6 +10,13 @@ Two tiers (SURVEY.md beyond-reference ops):
   its nearest centroid (broadcast centroids), probe the ``n_probe`` closest
   centroids per query, exact-rank only inside probed cells.  Cuts the
   scanned fraction to ~n_probe/n_cells of the corpus.
+- ``srp_topk`` — LSH-bucketed approximate search via signed random
+  projections (Charikar's cosine LSH): ``n_bits`` fixed hyperplanes give
+  each vector a bit signature, the bits are split into ``n_bands`` band
+  keys, and only corpus vectors sharing at least one band key with a query
+  are exact-ranked.  A pair at cosine angle θ collides on a band with
+  probability (1 − θ/π)^(bits/band); banding ORs these, so recall is high
+  for near neighbors and the scanned fraction stays sub-linear.
 
 Centroids here come from a deterministic sample + one Lloyd refinement
 (``train_centroids``) — at 100 TB you would train on a sample anyway.
@@ -157,6 +164,102 @@ def ivf_topk(
             F.col(id_col).alias("neighbor_id"),
             F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def srp_hyperplanes(dim: int, n_bits: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for signed-random-projection LSH.
+
+    Driver-side and tiny (n_bits x dim floats); shipped to executors as
+    column literals, never as a join side.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_bits, dim))]
+
+
+def _srp_bands(
+    df: DataFrame,
+    planes: list[list[float]],
+    n_bands: int,
+    vec_col: str,
+    id_col: str,
+    out_id: str,
+    keep_vec: str,
+) -> DataFrame:
+    """Explode a vector table to one row per (id, band_idx, band_val).
+
+    The signature is one map-side pass: n_bits broadcast-literal dot
+    products folded into sign bits, packed r-bits-per-band into ints.  No
+    shuffle happens here — the only shuffle in the SRP pipeline is the
+    candidate-pair dedup downstream.
+    """
+    n_bits = len(planes)
+    r = n_bits // n_bands
+    bits = [
+        (dot(F.col(vec_col), F.array(*[F.lit(x) for x in h])) >= 0).cast("int")
+        for h in planes
+    ]
+    bands = [
+        sum(F.shiftleft(bits[j * r + t], t) for t in range(r)).alias(f"b{j}")
+        for j in range(n_bands)
+    ]
+    return df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias(keep_vec), F.array(*bands).alias("__bands")
+    ).select(
+        out_id, keep_vec, F.posexplode("__bands").alias("band_idx", "band_val")
+    )
+
+
+def srp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 32,
+    n_bands: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k; same output schema as
+    ``brute_force_topk`` (query_id, neighbor_id, cosine, rank).
+
+    Plan shape at scale: the corpus-side band table is map-only (signature
+    literals, posexplode), the band join broadcasts the exploded query
+    bands, and only the surviving candidate pairs — ~(n_bands / 2^r)·|C|·|Q|
+    in the random-data worst case, far fewer on clustered data — reach the
+    dedup shuffle and the per-query ranking window.  The full corpus is
+    never shuffled, mirroring ``minhash_dedup_pairs``'s band trick for the
+    Jaccard case (Charikar SRP is its cosine twin).
+
+    Defaults (32 bits / 8 bands, i.e. 4 bits per band) are tuned for
+    loosely-correlated corpora; on the near-random driver embeddings they
+    scan ~40% of pairs at recall@5 ≈ 0.7, and on clustered real embeddings
+    both numbers improve together (collision probability is monotone in
+    cosine).  Raise n_bands for recall, raise bits-per-band for pruning.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = srp_hyperplanes(dim, n_bits, seed)
+    c_bands = _srp_bands(corpus, planes, n_bands, vec_col, id_col, "neighbor_id", "c_vec")
+    q_bands = _srp_bands(queries, planes, n_bands, vec_col, id_col, "query_id", "q_vec")
+    cand = (
+        c_bands.join(F.broadcast(q_bands), ["band_idx", "band_val"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
