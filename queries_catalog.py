@@ -1084,6 +1084,38 @@ def q_sim_search_ivf(spark, sf_dir):
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5, n_probe=3)
 
 
+@_q(
+    "q_salted_join",
+    # Salting is an execution-layer rewrite only: the oracle is the PLAIN
+    # join — any divergence means the salt leaked into the semantics.
+    # Integer aggregates keep the value-hash float-order-proof.
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Skew-salted equi-join (operators/joins.py::salted_join), aggregated
+    per market segment so the checked output is compact."""
+    from woe_monotonic_binning_spark.operators.joins import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        salted_join(orders, cust.select("c_custkey", "c_mktsegment"), "c_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
 @_q("q_sim_search_lsh")
 def q_sim_search_lsh(spark, sf_dir):
     """SRP-LSH bucketed approximate top-k (Charikar cosine LSH); recall and

@@ -298,3 +298,33 @@ def test_srp_lsh_recall_and_plan_shape(spark):
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     emb.unpersist()
+
+
+def test_salted_join_matches_plain_join_under_skew(spark):
+    from woe_monotonic_binning_spark.operators.joins import salted_join
+
+    # 90%-hot-key fact against a 3-row dim
+    fact = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id") % 3).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, name string")
+
+    plain = fact.join(dim, "k").groupBy("k", "name").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s")
+    )
+    salted = salted_join(fact, dim, "k", n_salts=8).groupBy("k", "name").agg(
+        F.count("*").alias("n"), F.sum("payload").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    # left join keeps unmatched fact rows exactly once
+    dim_missing = dim.filter(F.col("k") != 1)  # hot key now unmatched
+    left = salted_join(fact, dim_missing, "k", n_salts=8, how="left")
+    assert left.count() == fact.count()
+    assert left.filter(F.col("k") == 1).filter(F.col("name").isNotNull()).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", how="full")

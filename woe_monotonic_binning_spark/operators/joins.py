@@ -120,3 +120,42 @@ def star_join(
     for fk, (dim, dk) in dims.items():
         out = out.join(F.broadcast(dim), out[fk] == dim[dk], "left")
     return out
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot key over ``n_salts``
+    reducers.
+
+    A shuffled equi-join sends every row of a key to ONE reducer, so a
+    single hot key (a null-ish default id, a celebrity user, an empty-text
+    digest) caps the join at 1-task speed no matter the cluster size.
+    Salting breaks the tie: the fact side gets a uniform salt in
+    [0, n_salts), the dim side is replicated once per salt value, and the
+    join key becomes (key, salt) — the hot key now lands on n_salts tasks.
+    Cost: the dim shuffle grows n_salts-fold, so use this when the dim is
+    too big to broadcast but far smaller than the fact (else prefer
+    ``F.broadcast`` which has no skew problem at all).  AQE's skew-join
+    split handles moderate skew automatically; explicit salting is for the
+    pathological single-key case AQE cannot split further (one key, one
+    map output block).
+
+    Only ``inner`` and ``left`` joins are supported: replicating the dim
+    breaks right/full-outer multiplicity.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_fact = fact.withColumn(
+        "__salt", (F.rand(seed) * n_salts).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_fact.join(salted_dim, keys + ["__salt"], how).drop("__salt")
