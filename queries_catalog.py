@@ -1116,6 +1116,17 @@ def q_salted_join(spark, sf_dir):
     )
 
 
+@_q("q_dedup_embedding_lsh")
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """SRP-LSH blocked all-pairs cosine threshold join — the blockless
+    scale path for embedding near-dup (approxSimilarityJoin shape).
+    Recall and zero-false-positive properties asserted in tests."""
+    from woe_monotonic_binning_spark.operators.similarity import srp_threshold_pairs
+
+    emb = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return srp_threshold_pairs(emb, threshold=0.35)
+
+
 @_q("q_sim_search_lsh")
 def q_sim_search_lsh(spark, sf_dir):
     """SRP-LSH bucketed approximate top-k (Charikar cosine LSH); recall and

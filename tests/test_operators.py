@@ -328,3 +328,36 @@ def test_salted_join_matches_plain_join_under_skew(spark):
 
     with pytest.raises(ValueError):
         salted_join(fact, dim, "k", how="full")
+
+
+def test_srp_threshold_pairs_recall_and_exact_refilter(spark):
+    from woe_monotonic_binning_spark.functions.vector import cosine_similarity
+    from woe_monotonic_binning_spark.operators.similarity import srp_threshold_pairs
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .cache()
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+        .collect()
+    }
+    got = {(r.id_a, r.id_b) for r in srp_threshold_pairs(emb, threshold=0.35).collect()}
+    assert exact, "ground truth should be non-empty at this threshold"
+    # exact re-filter => no false positives; banding => high recall
+    assert got <= exact
+    assert len(got & exact) / len(exact) >= 0.85
+    # a pathological bucket cap must degrade, never error
+    capped = srp_threshold_pairs(emb, threshold=0.35, max_bucket=2)
+    assert capped.count() <= len(got)
+    emb.unpersist()

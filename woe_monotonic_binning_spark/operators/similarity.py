@@ -267,3 +267,51 @@ def srp_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def srp_threshold_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+    n_bits: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 10_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """All corpus pairs with cosine >= ``threshold`` via SRP-LSH blocking —
+    the ``approxSimilarityJoin`` shape, and the 100 TB path for embedding
+    near-dup: unlike ``embedding_neardup_pairs`` it needs no pre-existing
+    block column, the hyperplane bands ARE the blocking.
+
+    Candidates come from a band-key self-join (shuffle carries
+    (band, id, vec) — never a cross product), are deduped, then exact
+    cosine re-filtered: precision is exactly 1.0, recall is the banding
+    OR-curve 1-(1-(1-θ/π)^r)^b.  Band buckets larger than ``max_bucket``
+    are dropped before the join — a degenerate bucket (zero vectors, a
+    constant-embedding spam cluster) would otherwise contribute
+    O(bucket²) join rows on one reducer; at the default 4 bits/band a
+    healthy bucket holds ~|corpus|/16 of loosely-similar vectors, so the
+    cap only fires on pathological mass duplication, exactly where the
+    exact-dedup operator should run first anyway.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = srp_hyperplanes(dim, n_bits, seed)
+    a = _srp_bands(df, planes, n_bands, vec_col, id_col, "id_a", "v_a")
+    b = _srp_bands(df, planes, n_bands, vec_col, id_col, "id_b", "v_b")
+    sizes = a.groupBy("band_idx", "band_val").agg(F.count("*").alias("__bn"))
+    ok = sizes.filter(F.col("__bn") <= max_bucket).select("band_idx", "band_val")
+    a_ok = a.join(ok, ["band_idx", "band_val"])
+    b_ok = b.join(ok, ["band_idx", "band_val"])
+    cand = (
+        a_ok.join(b_ok, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
