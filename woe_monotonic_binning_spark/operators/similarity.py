@@ -299,8 +299,15 @@ def srp_threshold_pairs(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = srp_hyperplanes(dim, n_bits, seed)
-    a = _srp_bands(df, planes, n_bands, vec_col, id_col, "id_a", "v_a")
-    b = _srp_bands(df, planes, n_bands, vec_col, id_col, "id_b", "v_b")
+    # Compute the n_bits dot products once: the band table feeds THREE
+    # consumers (bucket-size count, both join sides), so it is persisted —
+    # same lifecycle contract as minhash_dedup_pairs' banded table (the
+    # caller's action consumes it; clearCache to reclaim).
+    bands = _srp_bands(df, planes, n_bands, vec_col, id_col, "id_a", "v_a").persist()
+    a = bands
+    b = bands.select(
+        F.col("id_a").alias("id_b"), F.col("v_a").alias("v_b"), "band_idx", "band_val"
+    )
     sizes = a.groupBy("band_idx", "band_val").agg(F.count("*").alias("__bn"))
     ok = sizes.filter(F.col("__bn") <= max_bucket).select("band_idx", "band_val")
     a_ok = a.join(ok, ["band_idx", "band_val"])
