@@ -28,6 +28,16 @@ D3  Q2 tie patch (binning.py:219-224): the reference patches pooled stats
     into every row whose p-value ties the max; we patch the merged row by
     position (identical except in pathological float ties).
 D4  Q8: the leftover debug ``print(1)`` (binning.py:56) is not replicated.
+D5  ``sep_value=0.0`` is ACTIVE here.  The reference gates the sep path with
+    a truthiness test (``if sep_value:`` at binning.py:88), so a special
+    value of 0.0 — a perfectly common sentinel — silently falls through to
+    the plain fit.  This engine treats ``sep_value is not None`` as enabled
+    (fit.py ``_fit_udf``); pass ``sep_value=None`` to disable.
+D6  Variables that never take the sep value fall back to the plain fit.
+    The reference unconditionally partitions on ``== sep_value`` and then
+    indexes the (empty) sep partition's bins (binning.py:35-42 ->
+    IndexError); this engine only takes the sep path when the value is
+    actually present, so ``batch`` fits over mixed columns succeed.
 """
 
 from __future__ import annotations

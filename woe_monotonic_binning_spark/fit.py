@@ -143,6 +143,12 @@ def quantize_summary(summary: DataFrame, max_distinct: int) -> DataFrame:
 
 
 def _fit_udf(params: FitParams):
+    # sep_value gating (deviations D5/D6, _algo.py module docstring):
+    # `is not None` — not truthiness — so sep_value=0.0 is active (the
+    # reference's `if sep_value:` at binning.py:88 silently disables it),
+    # and the sep path is taken only when the variable actually contains
+    # the value (the reference IndexErrors on the empty sep partition,
+    # binning.py:35-42).
     def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
         summary = _algo.summary_from_pandas(pdf)
         if params.sep_value is not None and (summary.values == float(params.sep_value)).any():
@@ -175,9 +181,15 @@ def fit_bins(
     so no extra driver-side ``count()`` is needed.
     """
     if columns is None:
+        # dtype strings carry precision for decimals ("decimal(12,2)"), so
+        # prefix-match; a bare `== "decimal"` would never hit.
         columns = [
             c for c, t in df.dtypes
-            if c != target and t in ("double", "float", "int", "bigint", "smallint", "tinyint", "decimal")
+            if c != target
+            and (
+                t in ("double", "float", "int", "bigint", "smallint", "tinyint")
+                or t.startswith("decimal")
+            )
         ]
     columns = list(columns)
     degenerate = [c for c in columns if c == target]

@@ -179,6 +179,12 @@ class WOEBinner(_WOEParams, Estimator, MLReadable, MLWritable):
             merge_threshold=_nan_none(self.getOrDefault(self.mergeThreshold)),
             max_distinct=max_distinct if max_distinct > 0 else None,
         )
+        # Materialise: the bins table is tiny (variables x bins rows) but its
+        # lineage is the full distributed fit — without this, every
+        # model.transform() / model.save() would re-run the fit over the
+        # training data.  A local-relation copy pays the fit exactly once and
+        # is immune to catalog.clearCache().
+        bins = dataset.sparkSession.createDataFrame(bins.collect(), schema=bins.schema)
         model = WOEBinnerModel(bins)
         model._resetUid(self.uid)
         self._copyValues(model)

@@ -4,14 +4,19 @@
 wrinkle: the driver's ``events`` table stores ``TIMESTAMP(NANOS)``, which
 Spark's parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]) while
 DuckDB reads it natively.  ``load_table`` detects nanosecond timestamp
-columns from the parquet footer and falls back to an Arrow load with a
-lossless ns -> us downcast (the generator writes microsecond-precision
-values into the ns type).
+columns from the parquet footer and reads them via
+``spark.sql.legacy.parquet.nanosAsLong`` (ns stored as LongType), then
+rebuilds the timestamp JVM-side with ``timestamp_micros(col div 1000)`` —
+a fully distributed scan that keeps predicate pushdown and column pruning
+on every other column, and never routes data through the driver.  The
+``div 1000`` truncation matches the Arrow ``safe=False`` ns->us downcast
+for post-epoch values (the generator writes microsecond-precision values
+into the ns type, so it is lossless here; documented deviation vs the
+ns-native DuckDB oracle).
 
-The fallback materialises through the driver, which is fine at bench scale;
-on a real cluster you would set ``spark.sql.legacy.parquet.nanosAsLong`` at
-session creation or rewrite the file once — both noted here so the scale
-path is explicit.
+If the conf turns out to be static in some deployment (it is runtime-
+settable on Spark 3.4-4.x), the Arrow driver-side load remains as a
+fallback.
 """
 
 from __future__ import annotations
@@ -47,18 +52,28 @@ def _nanos_fields(path: str) -> list[str]:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
-    if _nanos_fields(path):
-        table = pq.read_table(path)
-        fields = [
-            pa.field(f.name, pa.timestamp("us"))
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-            else f
-            for f in table.schema
-        ]
-        # safe=False: the ns -> us downcast drops sub-microsecond digits
-        # (Spark timestamps are microsecond-precision, so any Spark-side
-        # path loses them; documented deviation vs the ns-native oracle)
-        return spark.createDataFrame(table.cast(pa.schema(fields), safe=False))
+    nanos = _nanos_fields(path)
+    if nanos:
+        from pyspark.sql import functions as F
+
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            for col in nanos:
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+            return df
+        except Exception:
+            # conf static / unavailable: driver-side Arrow load fallback
+            table = pq.read_table(path)
+            fields = [
+                pa.field(f.name, pa.timestamp("us"))
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+                else f
+                for f in table.schema
+            ]
+            # safe=False: ns -> us drops sub-microsecond digits, same
+            # truncation as the `div 1000` fast path
+            return spark.createDataFrame(table.cast(pa.schema(fields), safe=False))
     return spark.read.parquet(path)
 
 

@@ -28,7 +28,31 @@ SESSION_SCHEMA = (
 )
 STATE_SCHEMA = "start bigint, last bigint, n bigint, total double"
 
-_GAP_MS = 30 * 60 * 1000
+def _interval_ms(spark, text: str) -> int:
+    """Parse a duration with Spark's own interval parser.
+
+    Accepts anything Spark accepts — '45 seconds', '1 day', compound
+    '1 hour 30 minutes' — instead of a hand-rolled unit table that silently
+    mishandled units beyond minute/second/hour.  Raises ``ValueError`` with
+    the Spark parse error for unsupported text, and rejects non-positive or
+    calendar (year/month) intervals, whose millisecond length is undefined.
+    """
+    try:
+        row = (
+            spark.range(1)
+            .select(
+                F.unix_millis(
+                    F.timestamp_millis(F.lit(0)) + F.expr(f"INTERVAL '{text}'")
+                ).alias("ms")
+            )
+            .head()
+        )
+    except Exception as exc:
+        raise ValueError(f"unparseable interval {text!r}: {exc}") from None
+    ms = row["ms"]
+    if ms is None or ms <= 0:
+        raise ValueError(f"interval {text!r} must be a positive day-time duration")
+    return int(ms)
 
 
 def _sessionize(gap_ms: int, terminal_event: str | None):
@@ -106,9 +130,7 @@ def sessionize_stream(
     Emits one row per closed session (append mode).  Open sessions close via
     event-time timeout once the watermark passes ``last_event + gap``.
     """
-    unit = gap.split()
-    gap_ms = int(unit[0]) * {"minute": 60_000, "minutes": 60_000, "second": 1000,
-                             "seconds": 1000, "hour": 3_600_000, "hours": 3_600_000}[unit[1]]
+    gap_ms = _interval_ms(events.sparkSession, gap)
     ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
         "ts", watermark
     )
