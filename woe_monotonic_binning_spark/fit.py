@@ -77,7 +77,9 @@ def summarize(long: DataFrame) -> DataFrame:
     )
 
 
-def quantize_summary(summary: DataFrame, max_distinct: int) -> DataFrame:
+def quantize_summary(
+    summary: DataFrame, max_distinct: int, parallelism: int | None = None
+) -> DataFrame:
     """Scale guard: cap distinct values per variable by exact equal-frequency
     pre-binning.
 
@@ -91,29 +93,52 @@ def quantize_summary(summary: DataFrame, max_distinct: int) -> DataFrame:
     Implementation works entirely on the already-aggregated summary — no
     second raw-data pass, no percentile sketch: the bucket of a value is
     ``floor(cumulative_row_fraction_before_it * B)``, i.e. exact weighted
-    quantiles.  Per-variable distinct counts, non-null totals and the
-    running sum come from window functions sharing one partitioning on
-    ``variable``; a single hash aggregation then folds capped rows into
-    their buckets while under-cap variables and the missing group
-    re-aggregate to themselves.  No join, no lineage fork: the input (the
-    first aggregation's output) is consumed exactly once, and every shuffle
-    moves summary rows (sum of distinct counts), never raw data.
+    quantiles.  The cumulative sums are a DISTRIBUTED prefix sum, so no
+    single task ever sorts a whole variable (a per-``variable`` window
+    would — the exact scale cliff this guard exists to avoid):
 
-    Scale note: the window sort serialises per variable (one task per
-    variable holds its distinct values).  That is the deliberate bound —
-    this function exists precisely because distinct counts can be huge, and
-    its own input is the first aggregation's output, already a tiny
-    fraction of the raw data.
+    1. range-repartition on ``(variable, value)`` — contiguous, ordered
+       value ranges per partition — and pin ``spark_partition_id``;
+    2. per-(variable, partition) running sums via a window keyed by BOTH,
+       so each sort handles ~1/parallelism of a variable;
+    3. per-(variable, partition) subtotals (a tiny aggregation: at most
+       ``parallelism x #variables`` rows) cumulate across partitions into
+       offsets — range partitioning guarantees partition order == value
+       order — and broadcast-join back.
+
+    The repartitioned summary is persisted: the subtotal branch and the
+    main path both consume it, and partition ids must be identical on both
+    sides (recomputation could resample range boundaries).  Footprint is
+    the summary itself — sum of distinct counts, already a tiny fraction of
+    the raw data (same documented pattern as the MinHash posting list).
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("variable").orderBy("value")
-    wp = Window.partitionBy("variable")
+    spark = summary.sparkSession
+    if parallelism is None:
+        parallelism = spark.sparkContext.defaultParallelism
     nn_size = F.when(F.col("value").isNotNull(), F.col("size")).otherwise(F.lit(0.0))
-    annotated = (
-        summary.withColumn("__k", F.count("*").over(wp))
-        .withColumn("__total", F.sum(nn_size).over(wp))
-        .withColumn("__cum_before", F.sum(nn_size).over(w) - nn_size)
+
+    rp = (
+        summary.repartitionByRange(parallelism, "variable", "value")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sub = rp.groupBy("variable", "__pid").agg(
+        F.sum(nn_size).alias("__ptot"), F.count("*").alias("__pk")
+    )
+    w_off = Window.partitionBy("variable").orderBy("__pid")
+    wp = Window.partitionBy("variable")
+    offsets = sub.select(
+        "variable",
+        "__pid",
+        (F.sum("__ptot").over(w_off) - F.col("__ptot")).alias("__offset"),
+        F.sum("__ptot").over(wp).alias("__total"),
+        F.sum("__pk").over(wp).alias("__k"),
+    )
+    w_local = Window.partitionBy("variable", "__pid").orderBy("value")
+    annotated = rp.join(F.broadcast(offsets), ["variable", "__pid"]).withColumn(
+        "__cum_before", F.col("__offset") + F.sum(nn_size).over(w_local) - nn_size
     )
     bucket = F.when(
         (F.col("__k") > max_distinct) & F.col("value").isNotNull(),
@@ -124,9 +149,7 @@ def quantize_summary(summary: DataFrame, max_distinct: int) -> DataFrame:
     )
     # group key: the bucket for capped rows, the value itself otherwise —
     # under-cap variables and the missing group re-aggregate to themselves,
-    # so one hash agg handles both branches without forking the lineage
-    # (summary is consumed exactly once; it is the first aggregation's
-    # output and recomputing it would repeat the raw-data pass).
+    # so one hash agg handles both branches.
     key = F.struct(
         bucket.alias("b"), F.when(bucket.isNull(), F.col("value")).alias("v")
     )
