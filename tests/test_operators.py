@@ -46,6 +46,27 @@ def test_simhash_finds_planted_dups(spark, docs_with_dups):
         assert found.get((d, d + 100000)) == 0, f"exact dup of {d}: hamming != 0"
 
 
+def test_simhash_bucket_cap_bounds_degenerate_buckets(spark, docs_with_dups):
+    """k identical/empty texts share every band value; without the cap the
+    band self-join goes O(k^2) on one reducer.  With max_bucket below k the
+    degenerate bucket is dropped entirely; real dup pairs are unaffected."""
+    from woe_monotonic_binning_spark.operators.dedup import simhash_near_pairs
+
+    k = 40
+    junk = spark.createDataFrame(
+        [(900000 + i, "", "en", "junk", 0) for i in range(k)],
+        docs_with_dups.schema,
+    )
+    poisoned = docs_with_dups.unionByName(junk)
+    capped = simhash_near_pairs(poisoned, "text", "doc_id", max_hamming=3, max_bucket=k - 1)
+    capped_pairs = {(p.id_a, p.id_b) for p in capped.collect()}
+    # no pair among the degenerate docs survives (their buckets exceeded the cap)
+    assert not any(a >= 900000 and b >= 900000 for a, b in capped_pairs)
+    # true planted dups still found
+    for d in range(3):
+        assert (d, d + 100000) in capped_pairs
+
+
 def test_minhash_jaccard_estimates_match_exact(spark, docs_with_dups):
     """MinHash candidates verified by exact Jaccard >= LSH design range."""
     from woe_monotonic_binning_spark.operators.dedup import (
@@ -203,6 +224,32 @@ def test_quantize_summary_caps_distincts_and_preserves_moments(spark):
         r["size"] for r in summary.filter(F.col("variable") == "l_extendedprice").collect()
     )
     assert max(sizes) <= 2 * total / 64 + max_group
+
+
+def test_quantized_fit_invariant_to_input_partitioning(spark):
+    """A ``max_distinct`` fit must produce the SAME bins table no matter how
+    the input happens to be partitioned — pins the determinism bug class
+    where summation order inside the distributed prefix sum flips a value
+    across a bucket edge (observed as a 2->1 bin drift between rounds)."""
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark import fit_bins
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").withColumn(
+        "target", (F.col("l_returnflag") == "R").cast("double")
+    )
+    cols = ["l_extendedprice", "l_quantity"]
+
+    def bins_rows(df):
+        out = fit_bins(df, "target", cols, n_threshold=100, max_distinct=200)
+        return sorted(
+            (tuple(None if v is None else round(v, 9) if isinstance(v, float) else v for v in r))
+            for r in out.collect()
+        )
+
+    baseline = bins_rows(li.repartition(1))
+    for n in (8, 32):
+        assert bins_rows(li.repartition(n)) == baseline, f"drift at repartition({n})"
 
 
 def test_media_feature_extraction_composes_with_similarity(spark):

@@ -116,15 +116,23 @@ def test_minhash_pipeline_stays_jvm_side(spark):
 
 def test_quantize_guard_single_lineage(li):
     from woe_monotonic_binning_spark.fit import quantize_summary
-    from woe_monotonic_binning_spark.plans import formatted_plan
+    from woe_monotonic_binning_spark.plans import broadcast_join_count, formatted_plan
 
     summary = summarize(melt_features(li, "target", FEATURES))
     capped = quantize_summary(summary, 64)
-    # windows + conditional re-agg, no join, and exactly ONE raw-data scan:
-    # a forked lineage would repeat the expensive first aggregation
-    assert formatted_plan(capped).count("Scan parquet") // 2 <= 1
+    plan = formatted_plan(capped)
+    # Contract: the one raw-data pass runs ONCE, eagerly, when the
+    # range-partitioned summary is localCheckpoint-ed inside
+    # quantize_summary.  Downstream (this plan) both the offsets branch and
+    # the main branch read the materialized checkpoint — so NO parquet scan
+    # may appear here (a parquet scan would mean a forked lineage repeating
+    # the expensive first aggregation), the offsets side is consumed via one
+    # broadcast join, and everything stays JVM-side.
+    assert plan.count("Scan parquet") == 0, plan
+    assert broadcast_join_count(capped) == 1
     assert python_eval_count(capped) == 0
-    assert exchange_count(capped) <= 3  # agg + window + re-agg, summary rows only
+    # offsets agg + its window + local window + re-agg over summary rows only
+    assert exchange_count(capped) <= 4
 
 
 def test_star_join_broadcasts_dimensions(spark):

@@ -106,11 +106,17 @@ def quantize_summary(
        offsets — range partitioning guarantees partition order == value
        order — and broadcast-join back.
 
-    The repartitioned summary is persisted: the subtotal branch and the
-    main path both consume it, and partition ids must be identical on both
-    sides (recomputation could resample range boundaries).  Footprint is
-    the summary itself — sum of distinct counts, already a tiny fraction of
-    the raw data (same documented pattern as the MinHash posting list).
+    The repartitioned summary is eagerly ``localCheckpoint``-ed, not merely
+    persisted: the subtotal branch and the main path both consume it, and
+    partition ids must be identical on both sides.  ``persist()`` alone
+    cannot guarantee that — the broadcast branch may race the probe side
+    before the cache is populated, and cache *eviction* would recompute the
+    lineage with resampled range boundaries, changing ``__pid`` mid-query.
+    Checkpointing materializes the partitions once and truncates the
+    lineage, so recomputation (and therefore re-sampling) is impossible by
+    construction.  Footprint is the summary itself — sum of distinct
+    counts, already a tiny fraction of the raw data (same documented
+    pattern as the MinHash posting list).
     """
     from pyspark.sql.window import Window
 
@@ -122,7 +128,7 @@ def quantize_summary(
     rp = (
         summary.repartitionByRange(parallelism, "variable", "value")
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sub = rp.groupBy("variable", "__pid").agg(
         F.sum(nn_size).alias("__ptot"), F.count("*").alias("__pk")
@@ -140,10 +146,13 @@ def quantize_summary(
     annotated = rp.join(F.broadcast(offsets), ["variable", "__pid"]).withColumn(
         "__cum_before", F.col("__offset") + F.sum(nn_size).over(w_local) - nn_size
     )
+    # round the fraction to 9 dp before flooring: 1-ulp summation noise in
+    # __cum_before must not flip a value across an exact bucket edge (the
+    # bucket id would then depend on partition count — a determinism bug).
     bucket = F.when(
         (F.col("__k") > max_distinct) & F.col("value").isNotNull(),
         F.least(
-            F.floor(F.col("__cum_before") / F.col("__total") * max_distinct),
+            F.floor(F.round(F.col("__cum_before") / F.col("__total") * max_distinct, 9)),
             F.lit(max_distinct - 1),
         ),
     )

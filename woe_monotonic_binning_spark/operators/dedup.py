@@ -253,18 +253,37 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     )
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
     """Near-dup pairs at hamming distance <= max_hamming (pigeonhole on 4
-    bands: any pair within distance 3 shares at least one exact band)."""
+    bands: any pair within distance 3 shares at least one exact band).
+
+    Band buckets larger than ``max_bucket`` are dropped with a count filter
+    before the self-join — same guard as the MinHash (lsh_candidate_pairs)
+    and SRP (similarity.srp_threshold_pairs) siblings: one degenerate 16-bit
+    band value shared by k docs (e.g. every empty/near-empty text hashes its
+    bands to 0) would otherwise create k^2 join rows on a single reducer.
+    """
     sc = df.sparkSession.sparkContext
     narrow = df.select(id_col, text_col)
     if narrow.rdd.getNumPartitions() < sc.defaultParallelism:
         narrow = narrow.repartition(sc.defaultParallelism)
     fp = simhash_fingerprints(narrow, text_col, id_col).cache()
-    banded = fp.select(
+    banded_src = fp.select(
         F.col(id_col),
         F.col("sim_bands"),
         F.posexplode("sim_bands").alias("band", "bh"),
+    )
+    # persisted: feeds the bucket-size counts and both sides of the self-join
+    banded_all = banded_src.persist()
+    counts = banded_all.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    banded = banded_all.join(
+        counts.filter(F.col("n") <= max_bucket).select("band", "bh"), ["band", "bh"]
     )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (

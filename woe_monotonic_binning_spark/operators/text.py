@@ -151,6 +151,7 @@ def winnow_match_pairs(
     window: int = 4,
     min_shared: int = 3,
     max_df_frac: float = 0.1,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Doc pairs sharing at least ``min_shared`` winnowing fingerprints.
 
@@ -163,10 +164,17 @@ def winnow_match_pairs(
     IS the inverse of specificity here, exactly as in tf-idf.  The
     exploded table is persisted — it feeds the frequency count and both
     join sides.
+
+    ``n_docs`` (if known by the caller) avoids the corpus-size count
+    entirely; otherwise it is derived from the already-persisted exploded
+    table, so the raw corpus is scanned exactly once (the fingerprint
+    pass), never re-scanned for a ``count()``.
     """
     fp = winnow_fingerprints(df, text_col, id_col, k, window)
     ex = fp.select(F.col(id_col), F.explode("fingerprints").alias("h")).persist()
-    max_df = max(2.0, float(df.count()) * max_df_frac)
+    if n_docs is None:
+        n_docs = ex.select(id_col).distinct().count()
+    max_df = max(2.0, float(n_docs) * max_df_frac)
     rare = ex.groupBy("h").agg(F.count("*").alias("__df")).filter(
         F.col("__df") <= max_df
     )
