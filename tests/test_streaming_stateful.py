@@ -49,6 +49,106 @@ def test_stream_sessions_match_batch(spark, events_path):
     assert n_stream > 0.9 * n_batch
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for driving the state fn in-process."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.timeout = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+
+def _reference_fold(rows, gap_ms, terminal, carry):
+    """Per-event Python loop (the pre-vectorization semantics): the oracle
+    the numpy fold in stateful.py must reproduce exactly."""
+    out = []
+    start, last, n, total = carry if carry else (None, None, 0, 0.0)
+    for ts, value, etype in sorted(rows):
+        if last is not None and ts - last > gap_ms:
+            out.append((start, last, n, total, "gap"))
+            start, n, total = ts, 0, 0.0
+        if start is None:
+            start = ts
+        last, n, total = ts, n + 1, total + float(value)
+        if terminal is not None and etype == terminal:
+            out.append((start, last, n, total, "terminal"))
+            start, last, n, total = None, None, 0, 0.0
+    new_state = (start, last, n, total) if last is not None else None
+    return out, new_state
+
+
+@pytest.mark.parametrize("terminal", [None, "click"])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_vectorized_fold_matches_per_event_loop(terminal, seed):
+    """The numpy session fold must emit the same sessions and leave the same
+    open-session state as a per-event loop, across random gap/terminal mixes
+    and with/without carried-over state."""
+    import random
+
+    import pandas as pd
+
+    from woe_monotonic_binning_spark.streaming.stateful import _sessionize
+
+    rng = random.Random(seed)
+    gap_ms = 5_000
+    ts, t = [], 1_000_000
+    for _ in range(200):
+        t += rng.choice([100, 1_000, 4_999, 5_000, 5_001, 20_000])
+        ts.append(t)
+    rows = [
+        (x, rng.uniform(0, 10), rng.choice(["click", "view", "buy"])) for x in ts
+    ]
+    for carry in (None, (900_000, 998_000, 3, 7.5)):
+        exp_out, exp_state = _reference_fold(rows, gap_ms, terminal, carry)
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows], unit="ms"),
+                "value": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+            }
+        )
+        state = _FakeState(carry)
+        # split the batch across two Arrow-style chunks to exercise concat
+        got = list(_sessionize(gap_ms, terminal)((7,), [pdf.iloc[:90], pdf.iloc[90:]], state))
+        got_rows = [
+            (
+                round(r.session_start.timestamp() * 1000),
+                round(r.session_end.timestamp() * 1000),
+                r.n_events,
+                round(r.total_value, 9),
+                r.closed_by,
+            )
+            for r in pd.concat(got).itertuples()
+        ]
+        exp_rows = [(s, l, n, round(tot, 9), why) for s, l, n, tot, why in exp_out]
+        assert got_rows == exp_rows
+        if exp_state is None:
+            assert not state.exists
+        else:
+            s, l, n, tot = state.get
+            assert (s, l, n, round(tot, 9)) == (
+                exp_state[0], exp_state[1], exp_state[2], round(exp_state[3], 9)
+            )
+            assert state.timeout == exp_state[1] + gap_ms
+
+
 def test_terminal_event_splits_sessions(spark, events_path):
     ev = load_table(spark, SF, "events")
     etype = ev.groupBy("event_type").count().orderBy(F.desc("count")).first()[0]

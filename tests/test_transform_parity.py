@@ -45,6 +45,36 @@ def test_transform_gates(spark, binning_df):
     assert len(no_dedup) >= len(out_cols) - 1
 
 
+def test_transform_impute_approx(spark, binning_df):
+    """``impute="approx"`` (deviation D7): the median pre-pass plan swaps the
+    exact percentile (distinct-count-bound memory) for percentile_approx
+    (bounded sketch), and the resulting encodings are unchanged — any
+    realistic approx-median lands in the same WOE bin as the exact one."""
+    from woe_monotonic_binning_spark.plans import formatted_plan
+    from woe_monotonic_binning_spark.transform import median_prepass
+
+    variables = ["x_mono_up", "x_with_nan"]
+    approx_plan = formatted_plan(median_prepass(binning_df, variables, "approx"))
+    assert "percentile_approx" in approx_plan
+    assert "percentile(" not in approx_plan.replace("percentile_approx(", "")
+    exact_plan = formatted_plan(median_prepass(binning_df, variables, "exact"))
+    assert "percentile_approx" not in exact_plan
+
+    bins = batch_woe_binning(binning_df.drop("row_id"), "target", n_threshold=100).toPandas()
+    exact = (
+        apply_bins(binning_df, bins, keep_columns=["row_id"])
+        .toPandas().sort_values("row_id").reset_index(drop=True)
+    )
+    approx = (
+        apply_bins(binning_df, bins, keep_columns=["row_id"], impute="approx")
+        .toPandas().sort_values("row_id").reset_index(drop=True)
+    )
+    assert exact.equals(approx)
+
+    with pytest.raises(ValueError, match="impute"):
+        apply_bins(binning_df, bins, impute="bogus")
+
+
 def test_transform_woe_values_subset_of_fit(spark, binning_df):
     bins = batch_woe_binning(binning_df.drop("row_id"), "target", n_threshold=100).toPandas()
     scored = apply_bins(binning_df, bins).toPandas()

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -87,22 +88,55 @@ def _sessionize(gap_ms: int, terminal_event: str | None):
             n, total = 0, 0.0
             if state.exists:
                 start_ms, last_ms, n, total = state.get
-            for pdf in pdfs:
+            # Vectorized fold: session boundaries are computed for the whole
+            # batch with numpy (gap between consecutive events > gap_ms, or
+            # a terminal event), segment sums via one cumsum — no per-event
+            # Python iteration.  Chunks are concatenated and sorted once so
+            # ordering holds across Arrow batch boundaries too.
+            chunks = [p for p in pdfs if len(p)]
+            if chunks:
+                pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
                 pdf = pdf.sort_values("ts")
-                for ts, value, etype in zip(
-                    pdf["ts"].astype("int64") // 1_000_000, pdf["value"], pdf["event_type"]
-                ):
-                    ts = int(ts)
-                    if last_ms is not None and ts - last_ms > gap_ms:
-                        emit(start_ms, last_ms, n, total, "gap")
-                        start_ms, n, total = ts, 0, 0.0
-                    if start_ms is None:
-                        start_ms = ts
-                    last_ms, n, total = ts, n + 1, total + float(value)
-                    if terminal_event is not None and etype == terminal_event:
-                        emit(start_ms, last_ms, n, total, "terminal")
-                        start_ms, last_ms = None, None
-                        n, total = 0, 0.0
+                ts = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+                val = pdf["value"].to_numpy(dtype=float)
+                m = len(ts)
+                if terminal_event is not None:
+                    term = pdf["event_type"].to_numpy() == terminal_event
+                else:
+                    term = np.zeros(m, dtype=bool)
+                # the carried-over open session closes on a gap before the
+                # first event of this batch
+                if last_ms is not None and int(ts[0]) - last_ms > gap_ms:
+                    emit(start_ms, last_ms, n, total, "gap")
+                    start_ms, last_ms = None, None
+                    n, total = 0, 0.0
+                carry_open = last_ms is not None
+                close = term.copy()
+                close[:-1] |= (ts[1:] - ts[:-1]) > gap_ms
+                why = np.where(term, "terminal", "gap")
+                cs = np.concatenate(([0.0], np.cumsum(val)))
+                seg_start = 0
+                for e in np.flatnonzero(close):
+                    e = int(e)
+                    seg_n = e - seg_start + 1
+                    seg_total = cs[e + 1] - cs[seg_start]
+                    if seg_start == 0 and carry_open:
+                        s_ms, seg_n, seg_total = start_ms, seg_n + n, seg_total + total
+                    else:
+                        s_ms = int(ts[seg_start])
+                    emit(int(s_ms), int(ts[e]), int(seg_n), float(seg_total), str(why[e]))
+                    seg_start = e + 1
+                if seg_start < m:  # trailing open segment -> new state
+                    t_n = m - seg_start
+                    t_total = cs[m] - cs[seg_start]
+                    if seg_start == 0 and carry_open:
+                        t_n, t_total = t_n + n, t_total + total
+                    else:
+                        start_ms = int(ts[seg_start])
+                    last_ms, n, total = int(ts[-1]), int(t_n), float(t_total)
+                else:
+                    start_ms, last_ms = None, None
+                    n, total = 0, 0.0
             if last_ms is not None:
                 state.update((int(start_ms), int(last_ms), int(n), float(total)))
                 state.setTimeoutTimestamp(int(last_ms) + gap_ms)

@@ -4,10 +4,11 @@ Spark equivalent of ``apply_bins`` (binning.py:268-304).  The bins table is
 tiny (variables x bins rows), so it is collected to the driver and compiled
 into CASE-WHEN column expressions — pure whole-stage-codegen projection,
 zero shuffle, zero Python on the scoring path.  The only extra data pass is
-one aggregation computing the exact medians used for NULL/NaN imputation
+one aggregation computing the medians used for NULL/NaN imputation
 (binning.py:297,302 — quirk Q3: scoring-time median, NOT the fit-time NaN
 bin, replicated deliberately; set ``impute_median=False`` to leave missing
-rows NULL instead).
+rows NULL instead, or ``impute="approx"`` for the bounded-memory
+``percentile_approx`` variant at scale — deviation D7, see ``apply_bins``).
 
 Deviation D-Q6: ``pd.cut`` raises when two bins share a WOE value
 (binning.py:296-298, quirk Q6); a CASE chain has no such constraint, so we
@@ -92,6 +93,21 @@ def compile_bin_exprs(
     return specs
 
 
+def median_prepass(df: DataFrame, variables: Sequence[str], impute: str = "exact") -> DataFrame:
+    """One-row aggregation of the NULL/NaN-fill medians (binning.py:297,302).
+
+    ``impute="exact"`` uses exact ``percentile`` (oracle-identical,
+    distinct-count-bound memory); ``"approx"`` uses ``percentile_approx``
+    (bounded GK sketch, the at-scale path — deviation D7)."""
+    fn = "percentile" if impute == "exact" else "percentile_approx"
+    return df.select(
+        *[
+            F.expr(f"{fn}(nanvl(`{v}`, cast(NULL as double)), 0.5D)").alias(v)
+            for v in variables
+        ]
+    )
+
+
 def apply_bins(
     df: DataFrame,
     bins,
@@ -101,24 +117,36 @@ def apply_bins(
     keep_columns: Sequence[str] | None = None,
     impute_median: bool = True,
     strict_duplicate_woe: bool = False,
+    impute: str = "exact",
 ) -> DataFrame:
     """WOE-encode ``df``: one ``<col>_bin`` double column per surviving variable.
 
     ``keep_columns`` pass through unchanged (the reference returns only the
     ``_bin`` columns, binning.py:269; keep an id column for joins/tests).
+
+    ``impute`` selects the median pre-pass strategy (deviation D7):
+
+    - ``"exact"`` (default) — exact ``percentile``, bit-identical to the
+      reference's ``np.nanmedian`` (binning.py:297,302) and to the DuckDB
+      oracle.  Exact percentile buffers a per-partition value map whose
+      size is the column's *distinct count*: fine up to millions of
+      distincts, executor-memory-bound on a high-cardinality double column
+      at 100 TB.
+    - ``"approx"`` — ``percentile_approx`` (accuracy 10⁵ ⇒ rank error
+      ≤ 0.001 %), bounded memory regardless of cardinality: the at-scale
+      option.  For any realistic score distribution the filled value lands
+      in the same WOE bin, so encodings are unchanged; the median itself
+      may differ in trailing digits.
     """
+    if impute not in ("exact", "approx"):
+        raise ValueError(f"impute must be 'exact' or 'approx', got {impute!r}")
     bins_pdf = _bins_to_pandas(bins)
     specs = compile_bin_exprs(
         bins_pdf, iv_threshold, bin_threshold, remove_100_corr, strict_duplicate_woe
     )
     medians: dict[str, float] = {}
     if impute_median and specs:
-        agg = df.select(
-            *[
-                F.expr(f"percentile(nanvl(`{v}`, cast(NULL as double)), 0.5D)").alias(v)
-                for v, _, _ in specs
-            ]
-        ).first()
+        agg = median_prepass(df, [v for v, _, _ in specs], impute).first()
         medians = {v: agg[v] for v, _, _ in specs}
 
     out_cols: list[Column] = [F.col(c) for c in (keep_columns or [])]
