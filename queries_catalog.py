@@ -744,6 +744,45 @@ def q_dedup_ngram(spark, sf_dir):
 
 
 @_q(
+    "q_dedup_cluster",
+    # transitive closure of the near-dup pair graph: A~B, B~C => one cluster
+    # even though (A, C) was never emitted.  Spark side is iterative
+    # min-label propagation (connected_components); the oracle is a
+    # recursive CTE computing min reachable id — reachability equals
+    # component membership on the symmetrised edge list.
+    """
+    WITH RECURSIVE w AS (
+      SELECT doc_id, lang,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), cc(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, cc.label FROM edges e JOIN cc ON cc.id = e.src
+    )
+    SELECT id, min(label) AS component FROM cc GROUP BY id
+    """,
+)
+def q_dedup_cluster(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", ["lang"], 0.5)
+    return connected_components(pairs)
+
+
+@_q(
     "q_text_stats",
     # corpus statistics per language — single-pass regex feature extraction
     """

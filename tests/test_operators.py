@@ -67,6 +67,46 @@ def test_simhash_bucket_cap_bounds_degenerate_buckets(spark, docs_with_dups):
         assert (d, d + 100000) in capped_pairs
 
 
+def test_connected_components_transitive_closure(spark):
+    """A~B~C~D~E chains collapse to one cluster labelled by the min id;
+    disjoint clusters stay disjoint; pointer jumping converges well inside
+    max_iter on a chain (the worst shape for naive propagation)."""
+    from woe_monotonic_binning_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 40)]  # 1-2-...-40, diameter 39
+    pairs = spark.createDataFrame(
+        chain + [(100, 101), (101, 102), (100, 102), (200, 201)],
+        "id_a long, id_b long",
+    )
+    cc = {r.id: r.component for r in connected_components(pairs, max_iter=10).collect()}
+    assert all(cc[i] == 1 for i in range(1, 41))
+    assert all(cc[i] == 100 for i in (100, 101, 102))
+    assert cc[200] == cc[201] == 200
+
+
+def test_dedup_keep_canonical_collapses_planted_dups(spark, docs_with_dups):
+    """End-to-end dedup: pair generation -> transitive clustering -> keep
+    exactly one doc per cluster (the min id) plus all unpaired docs."""
+    from woe_monotonic_binning_spark.operators.dedup import (
+        dedup_keep_canonical,
+        minhash_dedup_pairs,
+    )
+
+    pairs = minhash_dedup_pairs(docs_with_dups, "text", "doc_id", threshold=0.5)
+    kept = dedup_keep_canonical(docs_with_dups, pairs, "doc_id")
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    paired = {x for p in pairs.collect() for x in (p.id_a, p.id_b)}
+    n_docs = docs_with_dups.count()
+    # the planted copies of docs 0-2 are gone, their originals kept
+    for d in range(3):
+        assert d in kept_ids
+        assert d + 100000 not in kept_ids and d + 200000 not in kept_ids
+    # every unpaired doc survives; total = unpaired + one per cluster
+    unpaired = {r.doc_id for r in docs_with_dups.select("doc_id").collect()} - paired
+    assert unpaired <= kept_ids
+    assert len(kept_ids) == n_docs - len(paired) + len(kept_ids & paired)
+
+
 def test_minhash_jaccard_estimates_match_exact(spark, docs_with_dups):
     """MinHash candidates verified by exact Jaccard >= LSH design range."""
     from woe_monotonic_binning_spark.operators.dedup import (

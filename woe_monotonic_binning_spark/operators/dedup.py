@@ -310,6 +310,104 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster assignment ``(id, component)`` over a near-dup pair graph.
+
+    Pair generators (MinHash/SimHash/embedding) emit *edges*; actually
+    deduplicating a corpus needs the transitive closure — A~B and B~C must
+    collapse to one cluster even though (A, C) was never emitted.  The
+    component label is the minimum doc id in the cluster (deterministic).
+
+    Algorithm: min-label propagation with pointer jumping, the DataFrame
+    rendering of the alternating-star methods published for MapReduce CC
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    each round every node adopts the min label in its neighborhood, then
+    labels are flattened one level (``label <- label(label)``), giving
+    O(log n) rounds on chain-shaped components instead of O(diameter).
+
+    Scale design: state is only ``(long id, long label)`` for nodes that
+    appear in some pair — a tiny fraction of the corpus — and each round is
+    two key joins plus an aggregation on that narrow table.  Every round is
+    eagerly ``localCheckpoint``-ed: iterative lineage MUST be truncated or
+    the physical plan doubles per round and the job dies on plan size long
+    before it dies on data.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+        )
+        .union(
+            pairs.select(F.col(id_b).cast("long").alias("src"), F.col(id_a).cast("long").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("dst", "id")
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id", F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("label")
+        )
+        # pointer jumping: follow one level of indirection.  Labels are
+        # always node ids, so the lookup side is `stepped` itself.
+        jumped = (
+            stepped.join(
+                stepped.select(
+                    F.col("id").alias("label"), F.col("label").alias("gl")
+                ),
+                "label",
+                "left",
+            )
+            .select("id", F.coalesce("gl", F.col("label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_assign_components(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Attach a ``component`` column: cluster id for paired docs, own id for
+    singletons (left join against the — small — component table)."""
+    cc = connected_components(pairs).withColumnRenamed("id", id_col)
+    return df.join(F.broadcast(cc), id_col, "left").withColumn(
+        "component", F.coalesce("component", F.col(id_col).cast("long"))
+    )
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Drop near-duplicates: keep exactly the min-id doc of every cluster
+    (the component label) plus every unpaired doc.  One broadcast join and a
+    filter over the corpus — no shuffle of document content."""
+    return dedup_assign_components(df, pairs, id_col).filter(
+        F.col(id_col).cast("long") == F.col("component")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,
