@@ -60,6 +60,65 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS orders_b")
 
 
+def test_range_clustered_write_disjoint_file_ranges(spark, tmp_path):
+    """Range layout: each output file carries a disjoint value range, so
+    parquet footer min/max stats prune selective scans to ~one file."""
+    from woe_monotonic_binning_spark.sources.io import write_clustered_table
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "li_range")
+    write_clustered_table(li, path, ["l_extendedprice"], layout="range", num_files=8)
+    import glob
+
+    spans = sorted(
+        tuple(
+            spark.read.parquet(f)
+            .agg(F.min("l_extendedprice"), F.max("l_extendedprice"))
+            .first()
+        )
+        for f in glob.glob(f"{path}/*.parquet")
+    )
+    assert len(spans) >= 4
+    assert all(b[0] >= a[1] for a, b in zip(spans, spans[1:])), spans
+    assert spark.read.parquet(path).count() == li.count()
+
+
+def test_zorder_clustered_write_bounds_both_dims(spark, tmp_path):
+    """Z-order layout: EVERY clustered column gets a bounded per-file span
+    (range layout would give the second column full-span files)."""
+    from woe_monotonic_binning_spark.sources.io import write_clustered_table
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "li_z")
+    write_clustered_table(
+        li, path, ["l_extendedprice", "l_partkey"], layout="zorder", num_files=16
+    )
+    import glob
+
+    g = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).first()
+    span_ep, span_pk = g[1] - g[0], g[3] - g[2]
+    fracs_ep, fracs_pk = [], []
+    for f in glob.glob(f"{path}/*.parquet"):
+        s = spark.read.parquet(f).agg(
+            F.min("l_extendedprice"), F.max("l_extendedprice"),
+            F.min("l_partkey"), F.max("l_partkey"),
+        ).first()
+        fracs_ep.append((s[1] - s[0]) / span_ep)
+        fracs_pk.append((s[3] - s[2]) / span_pk)
+    n = len(fracs_ep)
+    assert n >= 8
+    # both dimensions skip: mean per-file span well under the full range
+    assert sum(fracs_ep) / n < 0.6, fracs_ep
+    assert sum(fracs_pk) / n < 0.6, fracs_pk
+    assert spark.read.parquet(path).count() == li.count()
+
+    with pytest.raises(ValueError, match="layout"):
+        write_clustered_table(li, path, ["l_partkey"], layout="hilbert")
+
+
 def test_bins_model_roundtrip(spark, tmp_path):
     li = spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
         "target", (F.col("l_returnflag") == "R").cast("double")
