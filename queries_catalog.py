@@ -1158,6 +1158,34 @@ def q_salted_join(spark, sf_dir):
     )
 
 
+@_q(
+    "q_semi_pruned_join",
+    # semi-join reduction is semantics-preserving: the oracle is the plain
+    # join.  The plan test pins that the broadcast LeftSemi actually sits
+    # below the main join on the fact side.
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def q_semi_pruned_join(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.joins import semi_pruned_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_extendedprice"
+    )
+    hot = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 400000
+    ).select("o_orderkey", "o_totalprice")
+    return semi_pruned_join(li, hot, "o_orderkey").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "l_linenumber",
+        "l_extendedprice",
+        "o_totalprice",
+    )
+
+
 @_q("q_dedup_embedding_lsh")
 def q_dedup_embedding_lsh(spark, sf_dir):
     """SRP-LSH blocked all-pairs cosine threshold join — the blockless

@@ -149,6 +149,27 @@ def test_star_join_broadcasts_dimensions(spark):
     assert sort_merge_join_count(out) == 0
 
 
+def test_semi_pruned_join_filters_fact_before_shuffle(spark):
+    """The broadcast LeftSemi must sit on the fact side BELOW the main join,
+    and the result must equal the plain join exactly."""
+    from woe_monotonic_binning_spark.operators.joins import semi_pruned_join
+    from woe_monotonic_binning_spark.plans import formatted_plan
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    hot = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_totalprice") > 400000
+    )
+    out = semi_pruned_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), hot, "o_orderkey"
+    )
+    plan = formatted_plan(out)
+    assert "LeftSemi" in plan, plan
+    assert python_eval_count(out) == 0
+    plain = li.withColumnRenamed("l_orderkey", "o_orderkey").join(hot, "o_orderkey")
+    assert out.count() == plain.count()
+    assert out.exceptAll(plain.select(*out.columns)).count() == 0
+
+
 def test_range_join_does_not_shuffle_facts(spark):
     from woe_monotonic_binning_spark.operators.joins import range_join
 

@@ -122,6 +122,36 @@ def star_join(
     return out
 
 
+def semi_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Semi-join reduction: shrink the fact side BEFORE its shuffle when the
+    dim side is selective (filtered) but its *rows* are too wide or too many
+    to broadcast-join directly.
+
+    The dim's distinct join keys — typically a few MB of longs even when the
+    dim's payload is GBs — are broadcast as a ``left_semi`` filter on the
+    fact, so the expensive fact shuffle moves only rows that will actually
+    find a partner; the real join then runs on the reduced side.  This is
+    the exact-filter rendering of what Spark's runtime bloom-filter
+    injection (``spark.sql.optimizer.runtime.bloomFilter.enabled``) does
+    probabilistically, for the cases the optimizer declines (thresholds,
+    non-selective-looking dims it cannot cost) or where exactness lets AQE
+    skip the join side entirely.
+
+    Use when |dim keys| fits a broadcast (tens of millions of longs).  If
+    the dim is outright small, a plain ``F.broadcast`` join needs no prune;
+    if the dim is huge AND unselective, nothing prunes — shuffle both.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    key_set = dim.select(*keys).distinct()
+    pruned = fact.join(F.broadcast(key_set), keys, "left_semi")
+    return pruned.join(dim, keys, how)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
