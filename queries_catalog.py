@@ -1473,6 +1473,39 @@ def q_date_string_funcs(spark, sf_dir):
     )
 
 
+@_q("q_score_stream")
+def q_score_stream(spark, sf_dir):
+    """Streaming WOE scoring: fit batch-side, score a stream with pinned
+    medians (streaming/score.py).  Stream==batch parity asserted in
+    tests/test_streaming_score.py; rows-only here (the driver harness is
+    batch)."""
+    import tempfile
+
+    from woe_monotonic_binning_spark import batch_woe_binning
+    from woe_monotonic_binning_spark.streaming.score import score_stream
+    from woe_monotonic_binning_spark.transform import median_prepass
+
+    df = _li_t(spark, sf_dir)
+    bins = batch_woe_binning(df, "target", n_threshold=100).toPandas()
+    variables = sorted(bins["variable"].unique())
+    med_row = median_prepass(df, variables).first()
+    medians = {v: med_row[v] for v in variables if med_row[v] is not None}
+    staged = tempfile.mkdtemp(prefix="wmb_scorestream_") + "/li"
+    df.drop("target").write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(df.drop("target").schema).parquet(staged)
+    scored = score_stream(
+        stream, bins, medians=medians, iv_threshold=0.0,
+        keep_columns=["l_orderkey", "l_linenumber"],
+    )
+    name = "q_score_stream_sink"
+    q = (
+        scored.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @_q("q_media_features")
 def q_media_features(spark, sf_dir):
     """Multimodal feature extraction (mapInPandas batch shape) feeding the

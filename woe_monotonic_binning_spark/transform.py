@@ -118,6 +118,7 @@ def apply_bins(
     impute_median: bool = True,
     strict_duplicate_woe: bool = False,
     impute: str = "exact",
+    medians: dict[str, float] | None = None,
 ) -> DataFrame:
     """WOE-encode ``df``: one ``<col>_bin`` double column per surviving variable.
 
@@ -137,6 +138,11 @@ def apply_bins(
       option.  For any realistic score distribution the filled value lands
       in the same WOE bin, so encodings are unchanged; the median itself
       may differ in trailing digits.
+
+    ``medians`` (variable -> fill value) skips the pre-pass aggregation
+    entirely — required on streaming inputs (no batch aggregation can run
+    mid-plan; precompute via :func:`median_prepass` on historical data) and
+    useful to pin train-time fill values at scoring time.
     """
     if impute not in ("exact", "approx"):
         raise ValueError(f"impute must be 'exact' or 'approx', got {impute!r}")
@@ -144,10 +150,11 @@ def apply_bins(
     specs = compile_bin_exprs(
         bins_pdf, iv_threshold, bin_threshold, remove_100_corr, strict_duplicate_woe
     )
-    medians: dict[str, float] = {}
-    if impute_median and specs:
-        agg = median_prepass(df, [v for v, _, _ in specs], impute).first()
-        medians = {v: agg[v] for v, _, _ in specs}
+    if medians is None:
+        medians = {}
+        if impute_median and specs:
+            agg = median_prepass(df, [v for v, _, _ in specs], impute).first()
+            medians = {v: agg[v] for v, _, _ in specs}
 
     out_cols: list[Column] = [F.col(c) for c in (keep_columns or [])]
     for v, cuts, woes in specs:
