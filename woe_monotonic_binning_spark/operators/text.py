@@ -110,6 +110,76 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality", F.round(score, 6))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    min_len: int = 3,
+) -> DataFrame:
+    """Per-document top-``top_k`` TF-IDF terms (keyword extraction).
+
+    Plan shape at scale: tokenize is one map-side pass (lower + regex split
+    + explode); TF is a hash agg on (doc, term); DF re-aggregates the TF
+    table (already term-local after the first shuffle's hash partitioning on
+    (doc, term) — the term-only re-shuffle moves one row per (doc, term),
+    never raw text); N arrives as a broadcast one-row count.  Ranking uses
+    the rounded score so the order is reproducible across engines.
+
+    idf = ln(N / df) with df counted over documents containing the term —
+    plain Robertson idf, no smoothing, so the DuckDB oracle is exact.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") >= min_len)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    n = df.select(F.count("*").cast("double").alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/shape quality signals (Rae et al. 2021 §A1.1):
+    symbol-to-word ratio, mean word length, fraction of duplicate lines, and
+    fraction of lines starting with a bullet.  All pure column expressions —
+    one map-side pass, the line-level work stays inside higher-order
+    functions on the split array (no explode, no shuffle)."""
+    t = F.col(text_col)
+    words = word_count(t)
+    symbols = F.length(t) - F.length(F.regexp_replace(t, "[#\\.]", ""))
+    word_chars = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike("^[-*•]"))
+    )
+    return df.select(
+        "*",
+        F.round(symbols / F.greatest(words, F.lit(1)), 6).alias("sig_symbol_word_ratio"),
+        F.round(word_chars / F.greatest(words, F.lit(1)), 6).alias("sig_mean_word_len"),
+        F.round(dup_lines / F.greatest(n_lines, F.lit(1)), 6).alias("sig_dup_line_frac"),
+        F.round(bullet_lines / F.greatest(n_lines, F.lit(1)), 6).alias("sig_bullet_line_frac"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
