@@ -1662,6 +1662,60 @@ def q_gopher_signals(spark, sf_dir):
     )
 
 
+@_q("q_sim_search_ivf_index")
+def q_sim_search_ivf_index(spark, sf_dir):
+    """IVF search served from a persisted cell-partitioned index (partition
+    pruning does the candidate cut); equality with the inline IVF path is
+    pinned in tests/test_operators.py — rows-only here (tmp index dir)."""
+    import tempfile
+
+    from woe_monotonic_binning_spark.operators.similarity import (
+        ivf_topk_index,
+        save_ivf_index,
+        train_centroids,
+    )
+
+    emb = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cents = train_centroids(emb, n_cells=8)
+    path = tempfile.mkdtemp(prefix="wmb_ivf_") + "/index"
+    save_ivf_index(emb, cents, path)
+    return ivf_topk_index(spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=3)
+
+
+@_q("q_kafka_replay")
+def q_kafka_replay(spark, sf_dir):
+    """Kafka-wire-schema replay: encode events as (key, value-JSON, topic,
+    partition, offset, ts) records, stream them back through the file-backed
+    twin of the kafka source, decode with from_json, window-aggregate.
+    Batch parity pinned in tests/test_streaming_kafka.py; rows-only here
+    (streaming sink)."""
+    import tempfile
+
+    from woe_monotonic_binning_spark.sources.tables import load_table
+    from woe_monotonic_binning_spark.streaming.events import run_available_now
+    from woe_monotonic_binning_spark.streaming.kafka import (
+        events_to_kafka_records,
+        kafka_shaped_file_stream,
+        parse_json_value,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    topic_dir = tempfile.mkdtemp(prefix="wmb_kafka_") + "/topic"
+    events_to_kafka_records(ev.repartition(4)).write.parquet(topic_dir)
+    parsed = parse_json_value(
+        kafka_shaped_file_stream(spark, topic_dir, max_files_per_trigger=2),
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    agg = (
+        parsed.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    return run_available_now(agg, "q_kafka_replay_sink")
+
+
 # ---------------------------------------------------------------------------
 # registration order: the driver certifies the FIRST 50 registrations, so
 # every oracle-backed query (rows+schema+hash check) must land inside that

@@ -147,6 +147,41 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"IVF recall {recall:.2f} below target"
 
 
+def test_ivf_index_roundtrip_matches_inline(spark, tmp_path):
+    """A saved cell-partitioned index serves identical results to the inline
+    IVF path, and the probe scan actually partition-prunes."""
+    from woe_monotonic_binning_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_index,
+        save_ivf_index,
+        train_centroids,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .cache()
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = train_centroids(emb, n_cells=8)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(emb, cents, path)
+
+    inline = sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in ivf_topk(emb, queries, cents, k=5, n_probe=3).collect()
+    )
+    served = ivf_topk_index(spark, path, queries, k=5, n_probe=3)
+    assert inline == sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in served.collect()
+    )
+    # pruning is visible in the scan: the cell IN-list lands in
+    # PartitionFilters, not PushedFilters — only probed dirs are read.
+    assigned = spark.read.parquet(f"{path}/assigned").filter(F.col("cell").isin([0, 1]))
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:80]
+
+
 def test_streaming_tumbling_matches_batch(spark):
     from woe_monotonic_binning_spark.sources.tables import (
         load_table,

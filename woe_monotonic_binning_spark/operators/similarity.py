@@ -173,6 +173,90 @@ def ivf_topk(
     )
 
 
+def save_ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF index: ``{path}/centroids`` (tiny) plus
+    ``{path}/assigned`` written ``partitionBy("cell")``.
+
+    The cell-partitioned layout is the scale point: a probe filters on
+    ``cell IN (...)``, which Spark turns into *partition pruning* — only the
+    ``n_probe`` probed cells' files are listed and read, so serving a query
+    batch scans ~n_probe/n_cells of the corpus bytes.  Building the index
+    costs one assignment pass + one shuffle-free write; it amortizes across
+    every subsequent query batch (the assign-per-query cost of ``ivf_topk``
+    disappears).
+    """
+    spark = corpus.sparkSession
+    _centroid_df(spark, centroids).write.mode(mode).parquet(f"{path}/centroids")
+    assigned = assign_cells(corpus, centroids, vec_col, id_col)
+    assigned.write.mode(mode).partitionBy("cell").parquet(f"{path}/assigned")
+
+
+def load_ivf_centroids(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return [[float(x) for x in r["c_vec"]] for r in rows]
+
+
+def ivf_topk_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``ivf_topk`` served from a saved index — same output schema and, for
+    identical centroids, identical results (tests/test_operators.py pins
+    both).  The ``cell`` filter prunes at the *partition* level: the scan
+    reads only the probed cells' directories."""
+    centroids = load_ivf_centroids(spark, path)
+    cdf = _centroid_df(spark, centroids)
+    assigned = spark.read.parquet(f"{path}/assigned")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_cells = q.crossJoin(F.broadcast(cdf)).select(
+        "query_id",
+        "q_vec",
+        "cell",
+        cosine_similarity(F.col("q_vec").cast("array<double>"), F.col("c_vec")).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    probes = (
+        q_cells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    probe_rows = probes.collect()
+    probed_cells = sorted({r["cell"] for r in probe_rows})
+    # The IN-list makes the pruning static (visible as PartitionFilters in
+    # the scan); the broadcast join then narrows to per-query cells.  The
+    # collect is bounded: |queries| x n_probe rows.
+    probes_df = spark.createDataFrame(probe_rows, probes.schema)
+    scored = (
+        assigned.filter(F.col("cell").isin(probed_cells))
+        .join(F.broadcast(probes_df), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def srp_hyperplanes(dim: int, n_bits: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for signed-random-projection LSH.
 
