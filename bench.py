@@ -13,6 +13,8 @@ Each headline exercises a different engine pillar:
 - sim_search      brute-force cosine top-k (10 queries x corpus)
 - text_stats      single-pass corpus statistics + fingerprints
 - events_windows  tumbling + session window aggregations
+- dedup_cc        near-dup pairs -> connected components -> canonical keep
+- tfidf           per-doc top-k TF-IDF keywords (two-level agg + broadcast N)
 
 Methodology: each query is timed $SPARK_GRAFT_BENCH_REPS times (default 2)
 and the MINIMUM is reported — the bench host is shared and a transient
@@ -46,9 +48,11 @@ def main() -> None:
 
     from woe_monotonic_binning_spark import apply_bins, fit_bins, get_spark
     from woe_monotonic_binning_spark.operators.dedup import (
+        dedup_keep_canonical,
         exact_dedup_by_digest,
         minhash_dedup_pairs,
     )
+    from woe_monotonic_binning_spark.operators.text import tfidf_top_terms
     from woe_monotonic_binning_spark.operators.similarity import brute_force_topk
     from woe_monotonic_binning_spark.operators.text import text_stats
     from woe_monotonic_binning_spark.operators.windows import session_agg, tumbling_agg
@@ -88,7 +92,9 @@ def main() -> None:
     warm_b = fit_bins(warm_li, "target", features, n_threshold=50)
     apply_bins(warm_li, warm_b, iv_threshold=0.0).count()
     exact_dedup_by_digest(warm_docs, "text", "doc_id").count()
-    minhash_dedup_pairs(warm_docs, "text", "doc_id", threshold=0.5).count()
+    warm_pairs = minhash_dedup_pairs(warm_docs, "text", "doc_id", threshold=0.5)
+    dedup_keep_canonical(warm_docs, warm_pairs, "doc_id").count()
+    tfidf_top_terms(warm_docs).count()
     brute_force_topk(
         emb.limit(64), emb.filter(F.col("vec_id") < 2), k=2
     ).count()
@@ -152,6 +158,14 @@ def main() -> None:
             read_events()
         ),
     )
+
+    def run_dedup_cc():
+        docs = read_docs()
+        pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+        return dedup_keep_canonical(docs, pairs, "doc_id").count()
+
+    timed("dedup_cc", run_dedup_cc)
+    timed("tfidf", lambda: tfidf_top_terms(read_docs()).count())
 
     total = round(sum(timings.values()), 3)
     print(

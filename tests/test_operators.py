@@ -327,6 +327,32 @@ def test_quantized_fit_invariant_to_input_partitioning(spark):
         assert bins_rows(li.repartition(n)) == baseline, f"drift at repartition({n})"
 
 
+def test_max_distinct_auto_resolves_to_constant(spark):
+    """``max_distinct="auto"`` is exactly the AUTO_MAX_DISTINCT explicit fit
+    (per-variable guard: under-cap variables are untouched, so on narrow
+    data "auto" is also bin-identical to the uncapped fit)."""
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark import fit_bins
+    from woe_monotonic_binning_spark.fit import AUTO_MAX_DISTINCT
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").withColumn(
+        "target", (F.col("l_returnflag") == "R").cast("double")
+    )
+    cols = ["l_extendedprice", "l_discount"]
+
+    def rows(md):
+        out = fit_bins(li, "target", cols, n_threshold=100, max_distinct=md)
+        return sorted(
+            tuple(None if v is None else round(v, 9) if isinstance(v, float) else v for v in r)
+            for r in out.collect()
+        )
+
+    auto = rows("auto")
+    assert auto == rows(AUTO_MAX_DISTINCT)
+    assert auto == rows(None)  # sf0.001 distincts < cap -> guard is a no-op
+
+
 def test_media_feature_extraction_composes_with_similarity(spark):
     from pyspark.sql import functions as F
 

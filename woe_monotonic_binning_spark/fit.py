@@ -34,6 +34,11 @@ from pyspark.sql import DataFrame, functions as F
 from . import _algo
 from ._algo import BINS_COLUMNS, FitParams
 
+# max_distinct="auto" resolution: 8192 buckets keeps any per-variable
+# applyInPandas input under ~1 MB while leaving quantile resolution far
+# above any realistic bin count (the reference fits <100 bins).
+AUTO_MAX_DISTINCT = 8192
+
 BINS_SCHEMA_DDL = (
     "variable string, interval_start_include double, interval_end_exclude double, "
     "size double, mean double, bads double, goods double, "
@@ -200,7 +205,7 @@ def fit_bins(
     sep_value: float | None = None,
     merge_threshold: float | None = None,
     sort_overload: bool | None = None,
-    max_distinct: int | None = None,
+    max_distinct: int | str | None = None,
 ) -> DataFrame:
     """Fit WOE bins for every feature column in one distributed job.
 
@@ -211,6 +216,14 @@ def fit_bins(
     ``n_threshold=None`` resolves to ``ceil(n/20)`` inside the UDF
     (binning.py:84-87) — per-variable row totals equal the dataset row count,
     so no extra driver-side ``count()`` is needed.
+
+    ``max_distinct="auto"`` resolves to ``AUTO_MAX_DISTINCT`` (8192): the
+    cap every fit should carry at scale — an unguarded high-cardinality
+    double column otherwise feeds its whole distinct-value set to one
+    ``applyInPandas`` group.  The guard is per-variable (under-cap
+    variables re-aggregate to themselves bit-identically), so "auto"
+    changes nothing on low-cardinality data; the explicit ``None`` default
+    keeps exact reference parity for corpora known to be narrow.
     """
     if columns is None:
         # dtype strings carry precision for decimals ("decimal(12,2)"), so
@@ -237,8 +250,10 @@ def fit_bins(
     )
     long = melt_features(df, target, columns)
     summary = summarize(long)
+    if max_distinct == "auto":
+        max_distinct = AUTO_MAX_DISTINCT
     if max_distinct is not None:
-        summary = quantize_summary(summary, max_distinct)
+        summary = quantize_summary(summary, int(max_distinct))
     bins = summary.groupBy("variable").applyInPandas(_fit_udf(params), schema=BINS_SCHEMA_DDL)
     if degenerate:
         spark = df.sparkSession
@@ -258,7 +273,7 @@ def woe_binning(
     p_threshold: float = 0.1,
     sort_overload: bool | None = None,
     merge_threshold: float | None = None,
-    max_distinct: int | None = None,
+    max_distinct: int | str | None = None,
 ) -> DataFrame:
     """Single-variable fit — API parity with ``woe_binning`` (binning.py:103)."""
     if column == target:
@@ -287,7 +302,7 @@ def woe_binning_sep(
     n_occurences: float = 1.0,
     p_threshold: float = 0.1,
     merge_threshold: float | None = None,
-    max_distinct: int | None = None,
+    max_distinct: int | str | None = None,
 ) -> DataFrame:
     """Special-value fit — API parity with ``woe_binning_sep`` (binning.py:32)."""
     return fit_bins(
@@ -311,7 +326,7 @@ def batch_woe_binning(
     p_threshold: float = 0.1,
     sep_value: float | None = None,
     merge_threshold: float | None = None,
-    max_distinct: int | None = None,
+    max_distinct: int | str | None = None,
 ) -> DataFrame:
     """All-columns fit — API parity with ``batch_woe_binning`` (binning.py:78).
 

@@ -353,6 +353,10 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    def _label_sum(df: DataFrame) -> int:
+        return df.agg(F.coalesce(F.sum("label"), F.lit(0)).alias("s")).first()["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
@@ -376,15 +380,16 @@ def connected_components(
             .select("id", F.coalesce("gl", F.col("label")).alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        # convergence check without a join: labels only ever DECREASE (the
+        # min-label step takes least(), the jump follows label -> label(label)
+        # <= label), so sum(label) is monotone non-increasing and stationary
+        # exactly at the fixed point.  One narrow agg on the fresh
+        # checkpoint replaces a jumped-vs-labels join+count.
+        checksum = _label_sum(jumped)
         labels = jumped
-        if changed == 0:
+        if checksum == prev_sum:
             break
+        prev_sum = checksum
     return labels.select("id", F.col("label").alias("component"))
 
 
