@@ -1662,6 +1662,51 @@ def q_gopher_signals(spark, sf_dir):
     )
 
 
+@_q(
+    "q_sample_hash",
+    # deterministic md5-based sampling (operators/sampling.py): stable under
+    # partitioning, bit-identical in DuckDB.  52nd oracle registration —
+    # outside the driver window, hash-checked by tests/test_oracle_local.py.
+    """
+    SELECT doc_id, source FROM documents
+    WHERE CAST(CONCAT('0x',
+            substr(md5(CAST(doc_id AS VARCHAR) || '_7'), 1, 8)) AS BIGINT)
+          / 4294967296.0 < 0.25
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic hash sampling: keep ~25% of documents by id hash."""
+    from woe_monotonic_binning_spark.operators.sampling import sample_by_hash
+
+    return sample_by_hash(_docs(spark, sf_dir), "doc_id", 0.25, seed=7).select(
+        "doc_id", "source"
+    )
+
+
+@_q(
+    "q_mix_sources",
+    # pretraining-style source mixture: per-source keep fraction via the
+    # same md5 draw; literal CASE on both sides.
+    """
+    SELECT doc_id, source FROM documents
+    WHERE CAST(CONCAT('0x',
+            substr(md5(CAST(doc_id AS VARCHAR) || '_0'), 1, 8)) AS BIGINT)
+          / 4294967296.0
+          < CASE WHEN source = 'src0' THEN 1.0
+                 WHEN source = 'src1' THEN 0.5
+                 WHEN source = 'src2' THEN 0.2
+                 ELSE 0.0 END
+    """,
+)
+def q_mix_sources(spark, sf_dir):
+    """Dataset mixing: down-sample each source to its recipe weight."""
+    from woe_monotonic_binning_spark.operators.sampling import mix_sources
+
+    return mix_sources(
+        _docs(spark, sf_dir), {"src0": 1.0, "src1": 0.5, "src2": 0.2}
+    ).select("doc_id", "source")
+
+
 @_q("q_sim_search_ivf_index")
 def q_sim_search_ivf_index(spark, sf_dir):
     """IVF search served from a persisted cell-partitioned index (partition
