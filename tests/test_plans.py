@@ -195,3 +195,37 @@ def test_asof_join_is_single_shuffle_no_python(spark):
     # union-side scans feed ONE window sort shuffle; no join explosion
     assert exchange_count(out) == 1
     assert python_eval_count(out) == 0
+
+
+def test_tfidf_plan_is_jvm_only_with_pruned_scan(spark):
+    from woe_monotonic_binning_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF}/../sf0.01/documents.parquet")
+    out = tfidf_top_terms(docs)
+    assert python_eval_count(out) == 0
+    # scans read only (doc_id, text) — never lang/source/n_chars
+    for cols in scan_read_columns(out):
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_hash_sampling_is_map_side_only(spark):
+    from woe_monotonic_binning_spark.operators.sampling import mix_sources, sample_by_hash
+
+    docs = spark.read.parquet(f"{SF}/../sf0.01/documents.parquet")
+    s = sample_by_hash(docs, "doc_id", 0.25).select("doc_id", "source")
+    m = mix_sources(docs, {"src0": 1.0, "src1": 0.5}).select("doc_id", "source")
+    for out in (s, m):
+        assert exchange_count(out) == 0
+        assert python_eval_count(out) == 0
+        (cols,) = scan_read_columns(out)
+        assert set(cols) == {"doc_id", "source"}
+
+
+def test_gopher_signals_single_pass_no_explode(spark):
+    from woe_monotonic_binning_spark.operators.text import gopher_signals
+
+    docs = spark.read.parquet(f"{SF}/../sf0.01/documents.parquet")
+    out = gopher_signals(docs)
+    assert exchange_count(out) == 0
+    assert python_eval_count(out) == 0
+    assert "Generate" not in formatted_plan(out)  # no explode in the line path
