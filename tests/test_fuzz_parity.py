@@ -92,11 +92,74 @@ def _direction_unambiguous(pdf: pd.DataFrame) -> bool:
     return q1_min > q4_max or q1_max <= q4_min
 
 
+def _ztest_ties_unambiguous(pdf: pd.DataFrame, params: dict) -> bool:
+    """True iff no z-test merge iteration has a max-p tie among surviving
+    pairs (deviation D8 / quirk Q14, `_algo.py` module docstring).
+
+    When two pairs tie at exactly max_p — typical once the small-bin
+    penalties saturate — the reference's value-equality patch
+    (binning.py:219-224) writes pooled stats into a row that was never
+    merged, double-counting its neighbour (bin sizes sum past n).  The
+    engine patches by position and keeps sum(size) == n; parity on those
+    draws is undefined, so the fuzz bounds them exactly — same policy as
+    D1 for direction ties.  test_d8_maxp_tie_double_count pins a concrete
+    divergent draw."""
+    diag: dict = {}
+    fit_variable(
+        summary_of(pdf, "x"),
+        FitParams(
+            n_threshold=params["n_threshold"],
+            n_occurences=params["n_occurences"],
+            p_threshold=params["p_threshold"],
+            merge_threshold=params["merge_threshold"],
+        ),
+        diag=diag,
+    )
+    return not diag.get("maxp_tie", False)
+
+
+def _d8_counterexample() -> pd.DataFrame:
+    """40-row, no-NaN draw reaching the D8 max-p tie (found by this fuzz in
+    round 3; reconstructed deterministically from the generator's space)."""
+    rng = np.random.default_rng(67)
+    x = rng.integers(0, 35, 40).astype(float)
+    p = np.clip(0.1 + 0.35 * (x - 35 / 2) / 35, 0.02, 0.98)
+    target = (np.random.default_rng(67 + 99991).random(40) < p).astype(int)
+    return pd.DataFrame({"x": x, "target": target})
+
+
+def test_d8_maxp_tie_double_count():
+    """Deviation D8 / quirk Q14: on a max-p tie the reference double-counts.
+
+    On this draw the reference (binning.py:219-224) returns bins of size
+    [6, 62] — sum 68 from 40 rows — because rows tying at max_p absorb
+    neighbours that were never deleted.  The engine returns [6, 34], the
+    arithmetically exact partition; sum(size) == n is load-bearing for the
+    WOE totals and the property suite, so the double count is intentionally
+    NOT replicated."""
+    pdf = _d8_counterexample()
+    diag: dict = {}
+    got = fit_variable(
+        summary_of(pdf, "x"),
+        FitParams(n_threshold=5, n_occurences=1, p_threshold=0.05),
+        diag=diag,
+    )
+    assert diag.get("maxp_tie") is True, "draw no longer reaches the D8 tie"
+    bins = got.dropna(subset=["interval_start_include"])
+    assert float(bins["size"].sum()) == 40.0  # engine stays exact
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        expected = ref.woe_binning("target", pdf[["x", "target"]], 5,
+                                   n_occurences=1, p_threshold=0.05)
+    assert float(expected["size"].sum()) > 40.0  # reference double-counts
+
+
 @settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(binning_case())
 def test_fit_variable_matches_reference(case):
     pdf, params = case
     assume(_direction_unambiguous(pdf))
+    assume(_ztest_ties_unambiguous(pdf, params))
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")  # reference idxmax FutureWarning (Q9)
         try:

@@ -38,6 +38,20 @@ D6  Variables that never take the sep value fall back to the plain fit.
     indexes the (empty) sep partition's bins (binning.py:35-42 ->
     IndexError); this engine only takes the sep path when the value is
     actually present, so ``batch`` fits over mixed columns succeed.
+D8  Max-p tie double-count (sharpens D3/Q2; found live by
+    tests/test_fuzz_parity.py in round 3).  The reference's post-merge
+    patch (binning.py:219-224) writes ``updated_size``/``updated_mean``
+    into EVERY surviving row whose ``p_value == max_p``.  When two or more
+    pairs tie at exactly max_p — common once the +1/+1 small-bin penalties
+    saturate several pairs at the same value — a row that was NEVER merged
+    absorbs its right neighbour's counts while that neighbour stays in the
+    table, so the reference's bin sizes sum to MORE than the row count
+    (e.g. a 40-row draw yielding bins [34, 7]).  This engine patches only
+    the argmax pair by position, keeping ``sum(size) == n`` — an invariant
+    its own property tests and WOE totals depend on — so it intentionally
+    does NOT replicate the double count.  ``ztest_merge(diag=...)`` reports
+    when a draw hits the tie so the fuzz harness can bound the ambiguous
+    set exactly, as D1 does for direction ties.
 """
 
 from __future__ import annotations
@@ -287,7 +301,7 @@ def pava_pool(values, means, sizes, stds):
 # ---------------------------------------------------------------------------
 
 
-def ztest_merge(values, means, sizes, stds, n_threshold, n_occurences, p_threshold):
+def ztest_merge(values, means, sizes, stds, n_threshold, n_occurences, p_threshold, diag=None):
     """Merge adjacent bins while the largest pairwise p-value exceeds the cap.
 
     Per pass (binning.py:181-195): pooled variance with an ``n-2``
@@ -297,6 +311,11 @@ def ztest_merge(values, means, sizes, stds, n_threshold, n_occurences, p_thresho
     right row is dropped, the left takes the pooled stats (D3 for quirk Q2).
     The last row's p is NaN (no next bin) and is skipped by the argmax, like
     pandas ``idxmax`` (quirk Q9).
+
+    ``diag``: optional dict.  When provided, ``diag["maxp_tie"]`` is set to
+    True if any executed merge iteration has a SECOND surviving row whose p
+    ties the max — the draws where the reference's value-equality patch
+    double-counts (deviation D8/quirk Q14) and exact parity is undefined.
     """
     v = np.asarray(values, dtype=np.float64)
     m = np.asarray(means, dtype=np.float64)
@@ -326,6 +345,15 @@ def ztest_merge(values, means, sizes, stds, n_threshold, n_occurences, p_thresho
         if not (max_p > p_threshold):
             break
         idx = int(np.nanargmax(p))  # first occurrence, NaN-skipping, like idxmax
+        if diag is not None:
+            # D8: the reference patches every SURVIVING row with p == max_p
+            # (binning.py:219-224 run after dropping row idx+1).  More than
+            # one such row => a never-merged row absorbs its neighbour.
+            surv = np.delete(p, idx + 1)
+            with np.errstate(invalid="ignore"):
+                ties = np.abs(surv - max_p) <= 1e-12 * max(1.0, abs(max_p))
+            if int(ties.sum()) > 1:
+                diag["maxp_tie"] = True
         v = np.delete(v, idx + 1)
         m = np.delete(m, idx + 1)
         sz = np.delete(sz, idx + 1)
@@ -483,11 +511,13 @@ class FitParams:
         return float(self.n_threshold)
 
 
-def fit_variable(s: GroupSummary, params: FitParams) -> pd.DataFrame:
+def fit_variable(s: GroupSummary, params: FitParams, diag=None) -> pd.DataFrame:
     """Fit the bins table for one variable from its group summary.
 
     Mirrors ``woe_binning`` (binning.py:103-265) minus the degenerate guard,
     which the Spark layer handles (it knows the column names).
+
+    ``diag`` is forwarded to :func:`ztest_merge` (D8 tie detection).
     """
     if len(s.values) == 0 and s.nan_size == 0:
         return pd.DataFrame(columns=BINS_COLUMNS)
@@ -512,7 +542,9 @@ def fit_variable(s: GroupSummary, params: FitParams) -> pd.DataFrame:
 
     if len(srt.values) > 0:
         v, m, sz, st = pava_pool(srt.values, means, srt.sizes, stds)
-        v, m, sz, st = ztest_merge(v, m, sz, st, n_thr, params.n_occurences, params.p_threshold)
+        v, m, sz, st = ztest_merge(
+            v, m, sz, st, n_thr, params.n_occurences, params.p_threshold, diag=diag
+        )
     else:
         v = np.array([], dtype=np.float64)
         m = np.array([], dtype=np.float64)

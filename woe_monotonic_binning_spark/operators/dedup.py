@@ -233,10 +233,15 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     (2*bit_j(xxhash64(token)) - 1).  Emitting the 4 bands directly (rather
     than one packed long) feeds the hamming-probe join without bit surgery.
     """
-    tokens = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    # Single fold over the token hashes accumulating all 64 bit-counts at
+    # once (zip_with on a 64-long accumulator) — one pass over the array,
+    # versus the naive per-bit form (transform(sequence(0,63), j ->
+    # aggregate(tok_hashes, ...))) that re-folds the token array 64 times.
+    # tests/test_operators.py pins bit-for-bit equality with the naive form.
     bit_sum = (
-        "transform(sequence(0, 63), j -> "
-        "aggregate(tok_hashes, 0L, (acc, h) -> acc + IF(((h >> j) & 1) = 1, 1L, -1L)))"
+        "aggregate(tok_hashes, transform(sequence(0, 63), j -> 0L), "
+        "(acc, h) -> zip_with(acc, sequence(0, 63), "
+        "(a, j) -> a + IF(((h >> j) & 1) = 1, 1L, -1L)))"
     )
     bands = (
         "transform(sequence(0, 3), b -> "
@@ -357,6 +362,7 @@ def connected_components(
         return df.agg(F.coalesce(F.sum("label"), F.lit(0)).alias("s")).first()["s"]
 
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
@@ -388,8 +394,21 @@ def connected_components(
         checksum = _label_sum(jumped)
         labels = jumped
         if checksum == prev_sum:
+            converged = True
             break
         prev_sum = checksum
+    if not converged:
+        # Pointer jumping converges in O(log n) rounds, so hitting max_iter
+        # means the caller's bound is too low for the graph at hand.
+        # Returning the partially-merged labels silently would make the
+        # downstream canonical-keep DROP THE WRONG DOCS with no signal —
+        # at 100 TB that is an unrecoverable, invisible data-loss bug, so
+        # fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (label checksum still decreasing); raise max_iter — "
+            "pointer jumping needs ~log2(longest chain) rounds"
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 
@@ -397,17 +416,26 @@ def dedup_assign_components(
     df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:
     """Attach a ``component`` column: cluster id for paired docs, own id for
-    singletons (left join against the — small — component table)."""
+    singletons (left join against the component table).
+
+    The component table has one row per doc that appears in ANY near-dup
+    pair — on a high-duplication crawl corpus that is a large fraction of
+    all documents (billions of rows at 100 TB), far past Spark's broadcast
+    limits.  So this is a plain equi-join on the id: AQE promotes it to a
+    broadcast join at runtime when the table actually is small, and falls
+    back to a shuffle join when it isn't.  No user-forced ``F.broadcast``
+    (plan-pinned in tests/test_plans.py)."""
     cc = connected_components(pairs).withColumnRenamed("id", id_col)
-    return df.join(F.broadcast(cc), id_col, "left").withColumn(
+    return df.join(cc, id_col, "left").withColumn(
         "component", F.coalesce("component", F.col(id_col).cast("long"))
     )
 
 
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Drop near-duplicates: keep exactly the min-id doc of every cluster
-    (the component label) plus every unpaired doc.  One broadcast join and a
-    filter over the corpus — no shuffle of document content."""
+    (the component label) plus every unpaired doc.  One id-equi-join
+    (AQE-sized, see dedup_assign_components) and a filter over the corpus —
+    no shuffle of document content."""
     return dedup_assign_components(df, pairs, id_col).filter(
         F.col(id_col).cast("long") == F.col("component")
     )

@@ -4,6 +4,7 @@ from .inspect import (
     broadcast_join_count,
     codegen_span_count,
     exchange_count,
+    forced_broadcast_hint_count,
     formatted_plan,
     plan_report,
     python_eval_count,
@@ -16,6 +17,7 @@ __all__ = [
     "broadcast_join_count",
     "codegen_span_count",
     "exchange_count",
+    "forced_broadcast_hint_count",
     "formatted_plan",
     "plan_report",
     "python_eval_count",

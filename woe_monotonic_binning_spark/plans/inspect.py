@@ -72,6 +72,20 @@ def python_eval_count(df: DataFrame, kind: str | None = None) -> int:
     return row + arrow
 
 
+def forced_broadcast_hint_count(df: DataFrame) -> int:
+    """User-forced ``F.broadcast(...)`` hints in the ANALYZED logical plan.
+
+    A BroadcastHashJoin the optimizer/AQE picks for a genuinely small side
+    is good; a user-forced hint on an UNBOUNDED input is a scale bug — it
+    overrides Spark's size checks, so at 100 TB it OOMs the driver and
+    every executor instead of degrading to a shuffle join.  Hints exist
+    only in the logical plan (the physical plan shows the same
+    BroadcastHashJoin either way), so this inspects the analyzed plan.
+    """
+    logical = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast", logical))
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters entries of every file scan in the plan."""
     plan = formatted_plan(df)
