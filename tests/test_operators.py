@@ -67,6 +67,41 @@ def test_simhash_bucket_cap_bounds_degenerate_buckets(spark, docs_with_dups):
         assert (d, d + 100000) in capped_pairs
 
 
+def test_simhash_single_fold_matches_naive_per_bit(spark, docs_with_dups):
+    """The round-4 rewrite folds the token-hash array ONCE into a 64-long
+    bit-count accumulator (zip_with); the original form re-folded the array
+    64 times (one aggregate per bit).  Same fingerprints, 64x less array
+    traversal — this pins bit-for-bit equality on a real corpus."""
+    from woe_monotonic_binning_spark.operators.dedup import simhash_fingerprints
+
+    # the naive per-bit form, reconstructed from the pre-rewrite revision
+    naive_bit_sum = (
+        "transform(sequence(0, 63), j -> "
+        "aggregate(tok_hashes, 0L, (acc, h) -> acc + IF(((h >> j) & 1) = 1, 1L, -1L)))"
+    )
+    bands = (
+        "transform(sequence(0, 3), b -> "
+        "aggregate(sequence(0, 15), 0L, (acc, j) -> acc + "
+        "IF(element_at(bits, b * 16 + j + 1) > 0, shiftleft(1L, j), 0L)))"
+    )
+    naive = (
+        docs_with_dups.select(
+            F.col("doc_id"),
+            F.expr(
+                "transform(regexp_extract_all(lower(text), '[a-z0-9]+', 0), "
+                "t -> xxhash64(t))"
+            ).alias("tok_hashes"),
+        )
+        .select("doc_id", F.expr(naive_bit_sum).alias("bits"))
+        .select("doc_id", F.expr(bands).alias("naive_bands"))
+    )
+    fast = simhash_fingerprints(docs_with_dups, "text", "doc_id")
+    joined = fast.join(naive, "doc_id")
+    assert joined.count() == docs_with_dups.count()
+    mismatched = joined.filter(F.expr("sim_bands != naive_bands")).count()
+    assert mismatched == 0
+
+
 def test_connected_components_transitive_closure(spark):
     """A~B~C~D~E chains collapse to one cluster labelled by the min id;
     disjoint clusters stay disjoint; pointer jumping converges well inside
@@ -82,6 +117,33 @@ def test_connected_components_transitive_closure(spark):
     assert all(cc[i] == 1 for i in range(1, 41))
     assert all(cc[i] == 100 for i in (100, 101, 102))
     assert cc[200] == cc[201] == 200
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """An undersized max_iter must fail LOUDLY: returning partially-merged
+    labels would make the canonical-keep filter silently drop the wrong docs.
+    The 40-node chain needs ~log2(39) pointer-jumping rounds, so max_iter=1
+    (plus the one confirming round) cannot reach the fixed point."""
+    from woe_monotonic_binning_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 40)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="max_iter"):
+        connected_components(pairs, max_iter=1)
+
+
+def test_connected_components_converges_exactly_at_max_iter(spark):
+    """A graph whose fixed point lands exactly on the max_iter-th productive
+    round must RETURN, not raise: the budget bounds productive rounds, with
+    one extra stationary-confirmation round allowed (ADVICE r4).  A triangle
+    converges in exactly one productive round."""
+    from woe_monotonic_binning_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(100, 101), (101, 102), (100, 102)], "id_a long, id_b long"
+    )
+    cc = {r.id: r.component for r in connected_components(pairs, max_iter=1).collect()}
+    assert cc == {100: 100, 101: 100, 102: 100}
 
 
 def test_dedup_keep_canonical_collapses_planted_dups(spark, docs_with_dups):

@@ -103,6 +103,28 @@ def test_exact_dedup_is_single_shuffle(spark):
     assert python_eval_count(out) == 0
 
 
+def test_dedup_keep_canonical_no_forced_broadcast(spark):
+    """The component table is unbounded (one row per doc in any near-dup
+    pair — billions at 100 TB), so the assignment join must NOT carry a
+    user-forced F.broadcast hint: AQE may still pick a broadcast join when
+    the table is genuinely small, but a forced hint would override Spark's
+    size checks and OOM at scale.  Self-check: a deliberately hinted join
+    registers exactly one hint, proving the counter sees what it claims to."""
+    from woe_monotonic_binning_spark.operators.dedup import dedup_keep_canonical
+    from woe_monotonic_binning_spark.plans import forced_broadcast_hint_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    kept = dedup_keep_canonical(docs, pairs, "doc_id")
+    assert forced_broadcast_hint_count(kept) == 0
+    hinted = docs.join(
+        F.broadcast(spark.range(5).withColumnRenamed("id", "doc_id")), "doc_id"
+    )
+    assert forced_broadcast_hint_count(hinted) == 1
+
+
 def test_minhash_pipeline_stays_jvm_side(spark):
     from woe_monotonic_binning_spark.operators.dedup import (
         minhash_signatures,

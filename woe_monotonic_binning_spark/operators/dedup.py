@@ -237,7 +237,8 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     # once (zip_with on a 64-long accumulator) — one pass over the array,
     # versus the naive per-bit form (transform(sequence(0,63), j ->
     # aggregate(tok_hashes, ...))) that re-folds the token array 64 times.
-    # tests/test_operators.py pins bit-for-bit equality with the naive form.
+    # Bit-for-bit equality with the naive form is pinned by
+    # tests/test_operators.py::test_simhash_single_fold_matches_naive_per_bit.
     bit_sum = (
         "aggregate(tok_hashes, transform(sequence(0, 63), j -> 0L), "
         "(acc, h) -> zip_with(acc, sequence(0, 63), "
@@ -363,7 +364,11 @@ def connected_components(
 
     prev_sum = _label_sum(labels)
     converged = False
-    for _ in range(max_iter):
+    # max_iter bounds the PRODUCTIVE (checksum-decreasing) rounds; one extra
+    # round is allowed so a graph that reaches its fixed point exactly on the
+    # max_iter-th productive round can still observe the stationary checksum
+    # and return instead of spuriously raising.
+    for _ in range(max_iter + 1):
         nbr_min = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
@@ -398,16 +403,17 @@ def connected_components(
             break
         prev_sum = checksum
     if not converged:
-        # Pointer jumping converges in O(log n) rounds, so hitting max_iter
-        # means the caller's bound is too low for the graph at hand.
+        # Pointer jumping converges in O(log n) rounds, so exhausting the
+        # budget means the caller's bound is too low for the graph at hand.
         # Returning the partially-merged labels silently would make the
         # downstream canonical-keep DROP THE WRONG DOCS with no signal —
         # at 100 TB that is an unrecoverable, invisible data-loss bug, so
-        # fail loudly instead.
+        # fail loudly instead.  Pinned by
+        # tests/test_operators.py::test_connected_components_nonconvergence_raises.
         raise RuntimeError(
-            f"connected_components did not converge within max_iter={max_iter} "
-            "rounds (label checksum still decreasing); raise max_iter — "
-            "pointer jumping needs ~log2(longest chain) rounds"
+            f"connected_components: label checksum had not gone stationary "
+            f"within max_iter={max_iter} (+1 confirming) rounds; raise "
+            "max_iter — pointer jumping needs ~log2(longest chain) rounds"
         )
     return labels.select("id", F.col("label").alias("component"))
 
@@ -424,7 +430,8 @@ def dedup_assign_components(
     limits.  So this is a plain equi-join on the id: AQE promotes it to a
     broadcast join at runtime when the table actually is small, and falls
     back to a shuffle join when it isn't.  No user-forced ``F.broadcast``
-    (plan-pinned in tests/test_plans.py)."""
+    (plan-pinned in
+    tests/test_plans.py::test_dedup_keep_canonical_no_forced_broadcast)."""
     cc = connected_components(pairs).withColumnRenamed("id", id_col)
     return df.join(cc, id_col, "left").withColumn(
         "component", F.coalesce("component", F.col(id_col).cast("long"))
