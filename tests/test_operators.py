@@ -244,6 +244,50 @@ def test_ivf_index_roundtrip_matches_inline(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:80]
 
 
+def test_train_centroids_element_wise_means_dim256(spark):
+    """The posexplode mean computation must produce the exact per-cell
+    element-wise means (the semantics of the former per-dimension
+    avg(element_at) form) and must work at real embedding widths — the old
+    form generated one aggregate expression per dimension."""
+    import numpy as np
+
+    from woe_monotonic_binning_spark.operators.similarity import (
+        assign_cells,
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(0)
+    data = [(i, [float(x) for x in rng.standard_normal(256)]) for i in range(80)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    seeds = [row[1] for row in data[:4]]  # train_centroids seeds: lowest ids
+    by_cell: dict[int, list] = {}
+    for r in assign_cells(df, seeds).collect():
+        by_cell.setdefault(r.cell, []).append(np.array(r.embedding))
+    expected = [
+        np.mean(by_cell[c], axis=0) if c in by_cell else np.array(seeds[c])
+        for c in range(4)
+    ]
+    got = train_centroids(df, n_cells=4, lloyd_iters=1)
+    assert len(got) == 4 and all(len(c) == 256 for c in got)
+    for e, g in zip(expected, got):
+        assert np.allclose(e, np.array(g), atol=1e-9)
+
+
+def test_winnow_match_pairs_driver_corpus(spark):
+    """winnow_match_pairs must run on the REAL driver documents table, not
+    just the tiny synthetic test corpus: before round 5 the un-persisted
+    fingerprint lineage collapsed into the explode's generator child and was
+    re-evaluated per emitted element — minutes of spin on 500 ~300-char
+    docs.  With the fingerprints persisted this completes in seconds; the
+    pair set must be symmetric-free and thresholded."""
+    from woe_monotonic_binning_spark.operators.text import winnow_match_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = winnow_match_pairs(docs, min_shared=3).collect()
+    assert len(pairs) > 0
+    assert all(p.id_a < p.id_b and p.n_shared >= 3 for p in pairs)
+
+
 def test_streaming_tumbling_matches_batch(spark):
     from woe_monotonic_binning_spark.sources.tables import (
         load_table,

@@ -119,6 +119,42 @@ def test_zorder_clustered_write_bounds_both_dims(spark, tmp_path):
         write_clustered_table(li, path, ["l_partkey"], layout="hilbert")
 
 
+def test_zorder_four_columns_key_nonnegative(spark, tmp_path):
+    """4+ columns at the old fixed 16 bits/dim put a bit in position 63 —
+    the BIGINT sign bit — so high 4th-column values produced NEGATIVE keys
+    that repartitionByRange sorted FIRST, silently destroying the clustered
+    layout (and 5+ columns wrapped shifts mod 64).  bits now auto-reduces to
+    63 // len(cols); the key must stay non-negative and every dimension must
+    still get a bounded per-file span."""
+    import glob
+
+    from woe_monotonic_binning_spark.sources.io import write_clustered_table, zorder_key
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    cols = ["l_extendedprice", "l_partkey", "l_suppkey", "l_orderkey"]
+    # requesting 16 bits with 4 columns auto-reduces to 15 bits/dim (60 used)
+    keyed = li.withColumn("__zkey", zorder_key(li, cols, bits=16))
+    assert keyed.filter(F.col("__zkey") < 0).count() == 0
+    path = str(tmp_path / "li_z4")
+    write_clustered_table(li, path, cols, layout="zorder", num_files=16)
+    g = li.agg(*[f for c in cols for f in (F.min(c), F.max(c))]).first()
+    spans = [g[2 * i + 1] - g[2 * i] for i in range(len(cols))]
+    fracs = [[] for _ in cols]
+    for f in glob.glob(f"{path}/*.parquet"):
+        s = spark.read.parquet(f).agg(
+            *[fn for c in cols for fn in (F.min(c), F.max(c))]
+        ).first()
+        for i in range(len(cols)):
+            fracs[i].append((s[2 * i + 1] - s[2 * i]) / spans[i])
+    assert len(fracs[0]) >= 8
+    for i, c in enumerate(cols):
+        assert sum(fracs[i]) / len(fracs[i]) < 0.85, (c, fracs[i])
+    assert spark.read.parquet(path).count() == li.count()
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(li, ["l_orderkey"] * 64, bits=16)
+
+
 def test_bins_model_roundtrip(spark, tmp_path):
     li = spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
         "target", (F.col("l_returnflag") == "R").cast("double")

@@ -46,7 +46,10 @@ D8  Max-p tie double-count (sharpens D3/Q2; found live by
     saturate several pairs at the same value — a row that was NEVER merged
     absorbs its right neighbour's counts while that neighbour stays in the
     table, so the reference's bin sizes sum to MORE than the row count
-    (e.g. a 40-row draw yielding bins [34, 7]).  This engine patches only
+    (the pinned 40-row counterexample in
+    tests/test_fuzz_parity.py::test_d8_maxp_tie_double_count: the
+    reference yields bins [6, 62], sum 68 > 40, where this engine yields
+    [6, 34]).  This engine patches only
     the argmax pair by position, keeping ``sum(size) == n`` — an invariant
     its own property tests and WOE totals depend on — so it intentionally
     does NOT replicate the double count.  ``ztest_merge(diag=...)`` reports
@@ -349,6 +352,15 @@ def ztest_merge(values, means, sizes, stds, n_threshold, n_occurences, p_thresho
             # D8: the reference patches every SURVIVING row with p == max_p
             # (binning.py:219-224 run after dropping row idx+1).  More than
             # one such row => a never-merged row absorbs its neighbour.
+            # The reference's patch predicate is EXACT float equality; the
+            # 1e-12 relative tolerance here is deliberately WIDER: the
+            # reference computes p through a different pipeline (pandas
+            # vectorized + row-apply), so a tie in reference-space need not
+            # be bit-exact in this one.  Over-flagging is safe for the one
+            # consumer of this diag — the fuzz harness skips flagged draws,
+            # so a false positive only costs an extra draw, while a missed
+            # tie would assert exact parity on a draw where the reference
+            # double-counts.
             surv = np.delete(p, idx + 1)
             with np.errstate(invalid="ignore"):
                 ties = np.abs(surv - max_p) <= 1e-12 * max(1.0, abs(max_p))

@@ -82,18 +82,25 @@ def train_centroids(
     centroids = seeds
     for _ in range(lloyd_iters):
         assigned = assign_cells(corpus, centroids, vec_col, id_col)
-        dim = len(centroids[0])
+        # Element-wise cell means without one agg expression per dimension
+        # (the former dim x avg(element_at) form planned fine at dim 8 but
+        # generated a 256-expression aggregate at real embedding widths):
+        # posexplode to (cell, pos, x), one hash agg — partial aggregation
+        # shrinks the shuffle to ~partitions x cells x dim rows — then
+        # reassemble each mean vector in position order.
         means = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"d{i}")
-                    for i in range(dim)
-                ]
+            assigned.select(
+                "cell",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
             )
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.expr("transform(pm, p -> p.m)").alias("mean_vec"))
             .collect()
         )
-        new = {r["cell"]: [float(r[f"d{i}"]) for i in range(dim)] for r in means}
+        new = {r["cell"]: [float(x) for x in r["mean_vec"]] for r in means}
         centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
     return centroids
 
@@ -233,15 +240,18 @@ def ivf_topk_index(
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "q_vec", "cell")
     )
-    probe_rows = probes.collect()
-    probed_cells = sorted({r["cell"] for r in probe_rows})
-    # The IN-list makes the pruning static (visible as PartitionFilters in
-    # the scan); the broadcast join then narrows to per-query cells.  The
-    # collect is bounded: |queries| x n_probe rows.
-    probes_df = spark.createDataFrame(probe_rows, probes.schema)
+    # Only the DISTINCT probed cell ids come to the driver (bounded by
+    # n_cells, never by |queries|): the IN-list makes the pruning static
+    # (visible as PartitionFilters in the scan).  The probe rows themselves —
+    # |queries| x n_probe rows INCLUDING the query vectors — stay in a
+    # DataFrame and reach the join executor-side, so batch serving never
+    # round-trips embeddings through the driver.
+    probed_cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
     scored = (
         assigned.filter(F.col("cell").isin(probed_cells))
-        .join(F.broadcast(probes_df), "cell")
+        .join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",

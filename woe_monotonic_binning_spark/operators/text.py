@@ -238,9 +238,25 @@ def winnow_match_pairs(
     ``n_docs`` (if known by the caller) avoids the corpus-size count
     entirely; otherwise it is derived from the already-persisted exploded
     table, so the raw corpus is scanned exactly once (the fingerprint
-    pass), never re-scanned for a ``count()``.
+    pass), never re-scanned for a ``count()``.  The derived count is the
+    number of docs with AT LEAST ONE fingerprint — documents shorter than
+    one k-gram window contribute no rows to the exploded table and are
+    excluded.  That is the right denominator for the ``max_df_frac`` cut
+    (a hash's document frequency is measured against docs that CAN carry
+    hashes), but it means the derived value can be smaller than
+    ``df.count()``; pass ``n_docs`` explicitly if you want the full-corpus
+    denominator.
     """
-    fp = winnow_fingerprints(df, text_col, id_col, k, window)
+    # The fingerprint array MUST be materialized before the explode:
+    # CollapseProject folds winnow_fingerprints' staged selects into one
+    # expression (the k-gram transform nested inside every array_min slice of
+    # the window transform), and the generator re-evaluates its child per
+    # emitted element — per-doc cost goes len^2-ish x fingerprint-count and a
+    # 500-doc corpus of ~300-char texts runs for minutes (found live in
+    # round 5; tests/test_operators.py::test_winnow_match_pairs_driver_corpus
+    # pins the fix).  Persisting the (id, fingerprints) rows computes the
+    # HOF chain exactly once per doc; the explode then reads cached arrays.
+    fp = winnow_fingerprints(df, text_col, id_col, k, window).persist()
     ex = fp.select(F.col(id_col), F.explode("fingerprints").alias("h")).persist()
     if n_docs is None:
         n_docs = ex.select(id_col).distinct().count()

@@ -105,9 +105,26 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
     One small stats aggregation runs eagerly to get the scaling ranges (a
     write-time cost, amortised over every pruned read).  NULLs map to the
     column minimum so they cluster together at the low end.
+
+    ``bits`` is auto-reduced so the interleaved key fits in the 63
+    non-sign bits of a BIGINT: with the old fixed 16 bits, 4 columns put a
+    bit in position 63 (the sign bit — high 4th-column values produced
+    NEGATIVE keys that ``repartitionByRange`` sorted FIRST, silently
+    destroying the clustered layout) and 5+ columns wrapped shifts mod 64.
+    ``bits_used = min(bits, 63 // len(cols))``; precision per dimension
+    drops as dimensions are added — the standard Z-order trade.  Pinned by
+    tests/test_sources.py::test_zorder_four_columns_key_nonnegative.
     """
     from pyspark.sql import functions as F
 
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    bits = min(int(bits), 63 // len(cols))
+    if bits < 1:
+        raise ValueError(
+            f"zorder_key: {len(cols)} columns cannot share the 63 value bits "
+            "of a BIGINT key (max 63 columns)"
+        )
     hi = (1 << bits) - 1
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],

@@ -109,7 +109,15 @@ def events_to_kafka_records(events: DataFrame) -> DataFrame:
     """Encode an events table into Kafka wire records (the test producer):
     key = user id bytes, value = JSON bytes, offset = per-partition
     monotonic id.  Used to stage replay directories for
-    ``kafka_shaped_file_stream``."""
+    ``kafka_shaped_file_stream``.
+
+    Contract caveat: ``partition`` / ``offset`` derive from
+    ``spark_partition_id()``, so they depend on the INPUT's physical layout —
+    a different file split or upstream ``repartition`` relabels them.  That
+    is fine for what they model (Kafka offsets are broker-assigned bookkeeping
+    with no cross-run meaning), but do NOT key business logic on them: any
+    semantically-meaningful ordering must come from the payload (``ts``,
+    event ids), which is layout-invariant."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(F.spark_partition_id()).orderBy("ts")
