@@ -104,16 +104,25 @@ def main() -> None:
     session_agg(ev_warm).count()
     warm_li.unpersist(), warm_docs.unpersist(), ev_warm.unpersist()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
 
     def timed(name, fn):
-        best = float("inf")
+        times: list[float] = []
         out = None
         for _ in range(reps):
             spark.catalog.clearCache()
             t0 = time.time()
             out = fn()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            times.append(time.time() - t0)
+        times.sort()
+        timings[name] = round(times[0], 3)
+        medians[name] = round(times[len(times) // 2], 3)
+        # worst/best ratio: the per-query noise band on this host.  Two
+        # rounds of 26-57% swings on untouched code made single-run numbers
+        # unattributable (VERDICT r4); recording the spread in the artifact
+        # lets a reader separate host noise from real regressions.
+        spreads[name] = round(times[-1] / times[0], 3)
         return out
 
     def run_fit():
@@ -175,6 +184,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "rep_spread": spreads,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
