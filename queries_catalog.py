@@ -1713,6 +1713,36 @@ def q_sim_search_ivf_index(spark, sf_dir):
     return ivf_topk_index(spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=3)
 
 
+@_q("q_dedup_stream")
+def q_dedup_stream(spark, sf_dir):
+    """Streaming exact dedup at ingest (streaming/dedup.py): first arrival
+    of each event_id flows through, planted later copies are dropped;
+    watermark-bounded state.  Horizon semantics + batch parity pinned in
+    tests/test_streaming_dedup.py; rows-only here (streaming sink)."""
+    import tempfile
+
+    from woe_monotonic_binning_spark.sources.tables import load_table
+    from woe_monotonic_binning_spark.streaming.dedup import streaming_exact_dedup
+    from woe_monotonic_binning_spark.streaming.events import run_available_now
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dups = ev.filter(F.col("event_id") < 500).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")
+    )
+    path = tempfile.mkdtemp(prefix="wmb_sdedup_") + "/events"
+    ev.unionByName(dups).repartition(4).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    deduped = streaming_exact_dedup(
+        stream, ["event_id"], watermark="365 days"
+    ).select("event_id", "user_id", "event_type")
+    return run_available_now(deduped, "q_dedup_stream_sink", output_mode="append")
+
+
 @_q("q_kafka_replay")
 def q_kafka_replay(spark, sf_dir):
     """Kafka-wire-schema replay: encode events as (key, value-JSON, topic,

@@ -1,0 +1,129 @@
+"""Streaming exact dedup vs its batch twin (first-arrival-wins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from woe_monotonic_binning_spark.streaming.dedup import (
+    streaming_exact_dedup,
+    streaming_exact_dedup_unbounded,
+)
+from woe_monotonic_binning_spark.streaming.events import run_available_now
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dup_stream_path(spark, tmp_path_factory):
+    """Events with planted duplicates: every event_id < 200 appears twice
+    (the copy arrives one minute later), staged as a parquet stream dir."""
+    from woe_monotonic_binning_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dups = ev.filter(F.col("event_id") < 200).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")
+    )
+    path = str(tmp_path_factory.mktemp("dedup_stream") / "events")
+    ev.unionByName(dups).repartition(4).write.parquet(path)
+    return path
+
+
+def _stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+
+
+def test_streaming_dedup_within_watermark_drops_planted_dups(spark, dup_stream_path):
+    """Every planted copy arrives 1 minute after its original — inside the
+    watermark horizon — so the deduped stream must contain each event_id
+    exactly once, and exactly the batch-distinct id set.  The horizon is
+    set beyond the table's full time span because the staged files are NOT
+    time-ordered: with a short horizon the first micro-batch advances the
+    watermark near the global max and later files' rows would be dropped as
+    LATE (an ingest-ordering concern, not a dedup one — the horizon
+    semantics themselves are pinned by test_streaming_dedup_reemits_after_horizon)."""
+    out = run_available_now(
+        streaming_exact_dedup(
+            _stream(spark, dup_stream_path), ["event_id"], watermark="365 days"
+        ),
+        "t_dedup_wm",
+        output_mode="append",
+    ).cache()
+    batch_ids = spark.read.parquet(dup_stream_path).select("event_id").distinct()
+    assert out.count() == batch_ids.count()
+    assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+    assert out.select("event_id").subtract(batch_ids).count() == 0
+    assert batch_ids.subtract(out.select("event_id")).count() == 0
+
+
+def test_streaming_dedup_unbounded_matches_batch(spark, dup_stream_path):
+    out = run_available_now(
+        streaming_exact_dedup_unbounded(_stream(spark, dup_stream_path), ["event_id"]),
+        "t_dedup_unb",
+        output_mode="append",
+    )
+    batch = spark.read.parquet(dup_stream_path).dropDuplicates(["event_id"])
+    assert out.count() == batch.count()
+    assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_streaming_dedup_reemits_after_horizon(spark, tmp_path):
+    """The bounded-state contract: a duplicate arriving AFTER the watermark
+    horizon is re-emitted (its key's state was evicted).  File A holds the
+    original, file B (written later, so processed in a later micro-batch by
+    the mtime-ordered file source) holds a copy 2 hours later — beyond the
+    1-hour horizon — plus an in-horizon copy that must still be dropped."""
+    import time as _time
+
+    path = str(tmp_path / "horizon")
+    batches = [
+        # batch 0: originals (keys 1, 2 at 00:00; state expiry 01:00)
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:00")],
+        # batch 1: in-horizon copy of 2 (dropped against live state) + a
+        # fresh 03:00 event that advances the watermark to 02:00 for the
+        # NEXT batch
+        [(2, "2024-01-01 00:30:00"), (9, "2024-01-01 03:00:00")],
+        # batch 2: filler — runs WITH watermark 02:00, whose end-of-batch
+        # state cleanup evicts keys 1 and 2 (expiry 01:00 < 02:00); eviction
+        # only takes effect for batches after the one that carried the
+        # watermark, hence this intermediate batch
+        [(8, "2024-01-01 03:10:00")],
+        # batch 3: copy of 1 at 02:30 — not late (>= 02:10 watermark) and
+        # its key state is gone => re-emitted
+        [(1, "2024-01-01 02:30:00")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "event_id long, ts string").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+        _time.sleep(2)  # distinct mtime => deterministic micro-batch order
+
+    out = run_available_now(
+        streaming_exact_dedup(
+            _stream(spark, path), ["event_id"], watermark="1 hour"
+        ),
+        "t_dedup_horizon",
+        output_mode="append",
+    )
+    counts = {r.event_id: r.n for r in out.groupBy("event_id").agg(F.count("*").alias("n")).collect()}
+    assert counts[1] == 2, counts  # beyond-horizon copy re-emitted
+    assert counts[2] == 1, counts  # in-horizon copy dropped
+    assert counts[9] == 1 and counts[8] == 1, counts
+
+
+def test_streaming_dedup_stays_jvm_side(spark, dup_stream_path):
+    """The dedup stream must add NO Python boundary — state handling is the
+    built-in watermark store, the plan is pure JVM."""
+    from woe_monotonic_binning_spark.plans import python_eval_count
+
+    schema = spark.read.parquet(dup_stream_path).schema
+    # batch-plan probe of the same expression shape (streaming plans cannot
+    # be explained pre-start): cast + watermark column exprs only
+    probe = spark.read.parquet(dup_stream_path).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).dropDuplicates(["event_id"])
+    assert python_eval_count(probe) == 0
+    assert len(schema) > 0

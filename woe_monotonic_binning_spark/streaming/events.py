@@ -41,14 +41,18 @@ def streaming_tumbling_agg(
     )
 
 
-def run_available_now(result: DataFrame, query_name: str | None = None) -> DataFrame:
+def run_available_now(
+    result: DataFrame, query_name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming DataFrame to completion against a memory sink and
-    return the materialised result as a batch DataFrame."""
+    return the materialised result as a batch DataFrame.  ``output_mode``
+    "complete" fits windowed aggregations; stateful row-emitting operators
+    (dropDuplicates*, flatMapGroupsWithState) require "append"."""
     name = query_name or f"stream_{uuid.uuid4().hex[:8]}"
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
