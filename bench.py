@@ -16,7 +16,7 @@ Each headline exercises a different engine pillar:
 - dedup_cc        near-dup pairs -> connected components -> canonical keep
 - tfidf           per-doc top-k TF-IDF keywords (two-level agg + broadcast N)
 
-Methodology: each query is timed $SPARK_GRAFT_BENCH_REPS times (default 2)
+Methodology: each query is timed $SPARK_GRAFT_BENCH_REPS times (default 3)
 and the MINIMUM is reported — the bench host is shared and a transient
 spike on another tenant otherwise lands in the recorded number; min-of-N
 is the standard steady-state throughput estimator.  Two reuse channels
@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from woe_monotonic_binning_spark import apply_bins, fit_bins, get_spark
