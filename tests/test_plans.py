@@ -94,6 +94,22 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
     assert set(cols) == {"l_orderkey", "l_quantity"}
 
 
+def test_filter_suite_prunes_and_pushes_down(spark):
+    """The round-5 merged certification slot (SURVEY §2 ops 4/5/6) must keep
+    the plan those three separate queries had: the parquet scan reads ONLY
+    the two referenced columns, the derived-column filters stay above the
+    scan but the whole pre-window pipeline is one codegen'd pass, and the
+    positional anti-drop costs exactly the one window exchange."""
+    import queries_catalog as qc
+
+    df = qc.SPARK_QUERIES["q_filter_suite"](spark, SF)
+    (cols,) = scan_read_columns(df)
+    assert set(cols) == {"l_quantity", "l_discount"}, cols
+    assert python_eval_count(df) == 0
+    # groupBy(l_quantity) + the global row_number window (+AQE reads)
+    assert exchange_count(df) <= 3
+
+
 def test_exact_dedup_is_single_shuffle(spark):
     from woe_monotonic_binning_spark.operators.dedup import exact_dedup_by_digest
 
