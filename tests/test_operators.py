@@ -102,6 +102,30 @@ def test_simhash_single_fold_matches_naive_per_bit(spark, docs_with_dups):
     assert mismatched == 0
 
 
+def test_exact_dedup_shapes_agree(spark):
+    """The merged q_dedup_exact certification slot (round 5) rests on
+    exact_dedup and exact_dedup_by_digest sharing semantics: grouped on the
+    same digest key they must emit identical (digest, keeper id, dup count)
+    rows.  This pins the interchangeability the merged oracle row asserts."""
+    from woe_monotonic_binning_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_by_digest,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    generic = exact_dedup(
+        docs.withColumn("digest", F.sha2(F.col("text").cast("binary"), 256)),
+        ["digest"],
+        "doc_id",
+    ).select("digest", "doc_id", "n_dups")
+    digest = exact_dedup_by_digest(docs, "text", "doc_id").select(
+        "digest", "doc_id", "n_dups"
+    )
+    assert generic.count() == digest.count()
+    assert generic.exceptAll(digest).count() == 0
+    assert digest.exceptAll(generic).count() == 0
+
+
 def test_connected_components_transitive_closure(spark):
     """A~B~C~D~E chains collapse to one cluster labelled by the min id;
     disjoint clusters stay disjoint; pointer jumping converges well inside
