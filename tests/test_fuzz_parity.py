@@ -12,6 +12,7 @@ run in seconds; tests/test_fit_parity.py proves the Spark path feeds
 
 from __future__ import annotations
 
+import os
 import warnings
 
 import numpy as np
@@ -154,7 +155,16 @@ def test_d8_maxp_tie_double_count():
     assert float(expected["size"].sum()) > 40.0  # reference double-counts
 
 
-@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+# WMB_FUZZ_EXAMPLES widens the draw budget for one-off deep validation runs
+# (e.g. WMB_FUZZ_EXAMPLES=500) without taxing every CI pass.
+_FUZZ_EXAMPLES = int(os.environ.get("WMB_FUZZ_EXAMPLES", "150"))
+
+
+@settings(
+    max_examples=_FUZZ_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
 @given(binning_case())
 def test_fit_variable_matches_reference(case):
     pdf, params = case
