@@ -1787,8 +1787,9 @@ def q_kafka_replay(spark, sf_dir):
 # carries EXACTLY 50 oracle-backed entries — the window IS the hash-checked
 # set, now including q_gopher_signals / q_sample_hash / q_mix_sources.  The
 # iterative fit ops (q_pava, q_ztest_merge, ...) sit at the tail — their
-# correctness is carried by golden parity (test_fit_parity), the 150-example
-# fuzz (test_fuzz_parity) and the partitioning-invariance determinism pin.
+# correctness is carried by golden parity (test_fit_parity), the hypothesis
+# fuzz (test_fuzz_parity; 150 examples per CI pass, 2000-example deep run
+# green in round 5) and the partitioning-invariance determinism pin.
 _n_oracle = sum(1 for k in SPARK_QUERIES if k in ORACLE_SQL)
 assert _n_oracle == 50, (
     f"{_n_oracle} oracle-backed registrations; the driver window holds 50 — "
