@@ -193,6 +193,32 @@ def test_dedup_keep_canonical_collapses_planted_dups(spark, docs_with_dups):
     assert len(kept_ids) == n_docs - len(paired) + len(kept_ids & paired)
 
 
+def test_dedup_keep_best_policy(spark, docs_with_dups):
+    """keep-best by a quality column keeps exactly one doc per cluster (the
+    max of the order column, ties to min id); with ascending doc_id as the
+    order it degenerates to exactly dedup_keep_canonical."""
+    from woe_monotonic_binning_spark.operators.dedup import (
+        dedup_keep_best,
+        dedup_keep_canonical,
+        minhash_dedup_pairs,
+    )
+
+    pairs = minhash_dedup_pairs(docs_with_dups, "text", "doc_id", threshold=0.5)
+    kept = dedup_keep_best(docs_with_dups, pairs, "doc_id", "doc_id", descending=True)
+    # clusters of {d, d+100000, d+200000}: descending doc_id keeps the copy
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    for d in range(3):
+        assert d not in kept_ids and (d + 200000) in kept_ids
+    # one survivor per component
+    assert kept.groupBy("component").count().filter(F.col("count") > 1).count() == 0
+    # ascending-id policy == canonical min-id keep
+    asc = dedup_keep_best(docs_with_dups, pairs, "doc_id", "doc_id", descending=False)
+    canon = dedup_keep_canonical(docs_with_dups, pairs, "doc_id")
+    assert {r.doc_id for r in asc.select("doc_id").collect()} == {
+        r.doc_id for r in canon.select("doc_id").collect()
+    }
+
+
 def test_minhash_jaccard_estimates_match_exact(spark, docs_with_dups):
     """MinHash candidates verified by exact Jaccard >= LSH design range."""
     from woe_monotonic_binning_spark.operators.dedup import (

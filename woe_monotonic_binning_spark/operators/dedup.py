@@ -448,6 +448,34 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFr
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Drop near-duplicates keeping the BEST doc of every cluster by
+    ``order_col`` (e.g. longest text, newest crawl date, highest quality
+    score) instead of the min id — the policy production dedup usually
+    wants.  Ties break on the min id, so the result is deterministic.
+
+    Plan shape: the component assignment is the same AQE-sized equi-join as
+    ``dedup_keep_canonical``; picking the winner adds one window over
+    ``component`` — a shuffle of (component, id, order) triples only, never
+    document content (the winning ids semi-join back to the corpus)."""
+    assigned = dedup_assign_components(df, pairs, id_col)
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy("component").orderBy(order, F.col(id_col).asc())
+    winners = (
+        assigned.select(id_col, "component", order_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col)
+    )
+    return assigned.join(winners, id_col, "left_semi")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,
