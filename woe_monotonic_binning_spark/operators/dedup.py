@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from .._cache import materialize_and_release
+
 MERSENNE_31 = 2_147_483_647  # 2^31 - 1, prime; keeps a*h+b inside int64
 
 
@@ -107,12 +109,17 @@ def lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket: int = 10_000,
+    cleanup: bool = True,
 ) -> DataFrame:
     """Banded LSH: equal band-slices -> candidate id pairs (id_a < id_b).
 
     Shuffles only (band, band_hash, id); buckets larger than ``max_bucket``
     are dropped with a count filter (degenerate content — a 10^6-doc bucket
     would create 10^12 pairs).
+
+    ``cleanup=True`` (default) eagerly materializes the pair table and
+    unpersists the internal band table (see _cache.py); pass False for a
+    lazy plan whose cached bands the caller must release.
     """
     rows_per_band = num_hashes // bands
     banded_src = sig_df.select(
@@ -144,6 +151,8 @@ def lsh_candidate_pairs(
     ).select(
         F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
     )
+    if cleanup:
+        return materialize_and_release(pairs.distinct(), banded)
     return pairs.distinct()
 
 
@@ -171,6 +180,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     shingle_unit: str = "word",
+    cleanup: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
     bucket-join -> exact-Jaccard verify.
@@ -179,6 +189,12 @@ def minhash_dedup_pairs(
     shingle/signature HOFs: document corpora often arrive as a few large
     parquet files, and without the repartition the CPU-bound signature stage
     runs on as few cores as there are input splits.
+
+    ``cleanup=True`` (default) eagerly materializes the verified pair table
+    and unpersists the shingle/band caches before returning, so repeated
+    calls in a long-lived session accumulate no SQL-cache storage (see
+    _cache.py); ``cleanup=False`` returns the lazy plan and the caller owns
+    the caches.
     """
     sc = df.sparkSession.sparkContext
     narrow = df.select(id_col, text_col)
@@ -186,8 +202,11 @@ def minhash_dedup_pairs(
         narrow = narrow.repartition(sc.defaultParallelism)
     sh = shingled(narrow, text_col, id_col, shingle_n, shingle_unit).cache()
     sigs = minhash_signatures(sh, id_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    return jaccard_verify(cands, sh, id_col, threshold)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, cleanup=cleanup)
+    verified = jaccard_verify(cands, sh, id_col, threshold)
+    if cleanup:
+        return materialize_and_release(verified, sh)
+    return verified
 
 
 def ngram_jaccard_pairs(
@@ -265,9 +284,13 @@ def simhash_near_pairs(
     id_col: str,
     max_hamming: int = 3,
     max_bucket: int = 10_000,
+    cleanup: bool = True,
 ) -> DataFrame:
     """Near-dup pairs at hamming distance <= max_hamming (pigeonhole on 4
     bands: any pair within distance 3 shares at least one exact band).
+
+    ``cleanup=True`` (default) eagerly materializes the pair table and
+    unpersists the fingerprint/band caches before returning (_cache.py).
 
     Band buckets larger than ``max_bucket`` are dropped with a count filter
     before the self-join — same guard as the MinHash (lsh_candidate_pairs)
@@ -311,9 +334,12 @@ def simhash_near_pairs(
     hamming = F.expr(
         "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"
     )
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+    out = cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    if cleanup:
+        return materialize_and_release(out, fp, banded_all)
+    return out
 
 
 def connected_components(
@@ -459,13 +485,20 @@ def dedup_keep_best(
     ``order_col`` (e.g. longest text, newest crawl date, highest quality
     score) instead of the min id — the policy production dedup usually
     wants.  Ties break on the min id, so the result is deterministic.
+    Docs with a NULL ``order_col`` (e.g. a missing quality score) sort
+    LAST in both directions — a missing score must never beat a real one,
+    and Spark's bare ``asc()`` would otherwise put NULLs first.
 
     Plan shape: the component assignment is the same AQE-sized equi-join as
     ``dedup_keep_canonical``; picking the winner adds one window over
     ``component`` — a shuffle of (component, id, order) triples only, never
     document content (the winning ids semi-join back to the corpus)."""
     assigned = dedup_assign_components(df, pairs, id_col)
-    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    order = (
+        F.col(order_col).desc_nulls_last()
+        if descending
+        else F.col(order_col).asc_nulls_last()
+    )
     w = Window.partitionBy("component").orderBy(order, F.col(id_col).asc())
     winners = (
         assigned.select(id_col, "component", order_col)

@@ -182,8 +182,19 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
+    # The salt is a pure function of row content + seed — NOT F.rand(),
+    # whose draw depends on partition layout and can differ under task
+    # retry (a retried task would re-salt its rows differently from the
+    # map output a reducer already fetched).  Hashing only the join key
+    # would defeat the purpose (one hot key -> one salt), so ALL columns
+    # enter the hash: a hot key's rows spread because their payloads
+    # differ.  Fully identical duplicate rows share a salt — harmless
+    # unless the skew IS mass-identical rows, where exact dedup should
+    # run first anyway.  Same partitioning-invariance stance as
+    # operators/sampling.py's hash_uniform.
     salted_fact = fact.withColumn(
-        "__salt", (F.rand(seed) * n_salts).cast("int")
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns], F.lit(seed)), F.lit(n_salts)).cast("int"),
     )
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

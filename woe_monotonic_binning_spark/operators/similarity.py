@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from .._cache import materialize_and_release
 from ..functions.vector import cosine_similarity, dot, norm
 
 
@@ -373,6 +374,7 @@ def srp_threshold_pairs(
     seed: int = 42,
     max_bucket: int = 10_000,
     dim: int | None = None,
+    cleanup: bool = True,
 ) -> DataFrame:
     """All corpus pairs with cosine >= ``threshold`` via SRP-LSH blocking —
     the ``approxSimilarityJoin`` shape, and the 100 TB path for embedding
@@ -394,9 +396,10 @@ def srp_threshold_pairs(
         dim = len(df.select(vec_col).first()[0])
     planes = srp_hyperplanes(dim, n_bits, seed)
     # Compute the n_bits dot products once: the band table feeds THREE
-    # consumers (bucket-size count, both join sides), so it is persisted —
-    # same lifecycle contract as minhash_dedup_pairs' banded table (the
-    # caller's action consumes it; clearCache to reclaim).
+    # consumers (bucket-size count, both join sides), so it is persisted.
+    # With cleanup=True (default) the pair table is eagerly materialized
+    # and the band cache released before returning (_cache.py) — same
+    # lifecycle as minhash_dedup_pairs.
     bands = _srp_bands(df, planes, n_bands, vec_col, id_col, "id_a", "v_a").persist()
     a = bands
     b = bands.select(
@@ -411,8 +414,11 @@ def srp_threshold_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
+    out = cand.select(
         "id_a",
         "id_b",
         F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+    if cleanup:
+        return materialize_and_release(out, bands)
+    return out

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .._cache import materialize_and_release
+
 # Marker stopwords per language for the rule-based language detector.
 # Deliberately tiny and deterministic — the point is the Spark plumbing
 # (vectorised regex count + argmax), not linguistic accuracy.
@@ -222,6 +224,7 @@ def winnow_match_pairs(
     min_shared: int = 3,
     max_df_frac: float = 0.1,
     n_docs: int | None = None,
+    cleanup: bool = True,
 ) -> DataFrame:
     """Doc pairs sharing at least ``min_shared`` winnowing fingerprints.
 
@@ -246,6 +249,12 @@ def winnow_match_pairs(
     hashes), but it means the derived value can be smaller than
     ``df.count()``; pass ``n_docs`` explicitly if you want the full-corpus
     denominator.
+
+    ``cleanup=True`` (default) eagerly materializes the match table and
+    unpersists the fingerprint + posting-list caches before returning
+    (round-5 ADVICE: each call previously leaked both for the session
+    lifetime; see _cache.py).  ``cleanup=False`` returns the lazy plan and
+    the caller owns the caches.
     """
     # The fingerprint array MUST be materialized before the explode:
     # CollapseProject folds winnow_fingerprints' staged selects into one
@@ -267,10 +276,13 @@ def winnow_match_pairs(
     exr = ex.join(rare.select("h"), "h")
     a = exr.select(F.col(id_col).alias("id_a"), "h")
     b = exr.select(F.col(id_col).alias("id_b"), "h")
-    return (
+    out = (
         a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    if cleanup:
+        return materialize_and_release(out, fp, ex)
+    return out
