@@ -1626,8 +1626,18 @@ def q_tfidf(spark, sf_dir):
              length(text) - length(regexp_replace(text, '[#\\.]', '', 'g'))
                                                                      AS symbols,
              length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))   AS word_chars,
-             string_split(text, chr(10))                             AS lines
+             string_split(text, chr(10))                             AS lines,
+             regexp_extract_all(lower(text), '[a-z0-9]+')            AS gw
       FROM documents
+    ), s AS (
+      SELECT *,
+             list_sort(list_transform(range(1, GREATEST(len(gw), 2) - 2 + 2),
+                                      i -> array_to_string(gw[i:i+1], ' '))) AS sg2,
+             list_sort(list_transform(range(1, GREATEST(len(gw), 3) - 3 + 2),
+                                      i -> array_to_string(gw[i:i+2], ' '))) AS sg3,
+             list_sort(list_transform(range(1, GREATEST(len(gw), 4) - 4 + 2),
+                                      i -> array_to_string(gw[i:i+3], ' '))) AS sg4
+      FROM g
     )
     SELECT doc_id,
            ROUND(symbols / GREATEST(words, 1), 6)    AS sig_symbol_word_ratio,
@@ -1636,13 +1646,39 @@ def q_tfidf(spark, sf_dir):
                  / GREATEST(len(lines), 1), 6)       AS sig_dup_line_frac,
            ROUND(len(list_filter(lines,
                    ln -> regexp_matches(trim(ln), '^[-*•]')))
-                 / GREATEST(len(lines), 1), 6)       AS sig_bullet_line_frac
-    FROM g
+                 / GREATEST(len(lines), 1), 6)       AS sig_bullet_line_frac,
+           ROUND(list_sum(list_transform(range(1, len(sg2) + 1),
+                   i -> CASE WHEN (i > 1 AND sg2[i] = sg2[i-1])
+                               OR (i < len(sg2) AND sg2[i] = sg2[i+1])
+                             THEN length(sg2[i]) ELSE 0 END))
+                 / GREATEST(list_sum(list_transform(sg2, x -> length(x))), 1), 6)
+                                                     AS sig_dup_2gram_char_frac,
+           ROUND(list_sum(list_transform(range(1, len(sg3) + 1),
+                   i -> CASE WHEN (i > 1 AND sg3[i] = sg3[i-1])
+                               OR (i < len(sg3) AND sg3[i] = sg3[i+1])
+                             THEN length(sg3[i]) ELSE 0 END))
+                 / GREATEST(list_sum(list_transform(sg3, x -> length(x))), 1), 6)
+                                                     AS sig_dup_3gram_char_frac,
+           ROUND(list_sum(list_transform(range(1, len(sg4) + 1),
+                   i -> CASE WHEN (i > 1 AND sg4[i] = sg4[i-1])
+                               OR (i < len(sg4) AND sg4[i] = sg4[i+1])
+                             THEN length(sg4[i]) ELSE 0 END))
+                 / GREATEST(list_sum(list_transform(sg4, x -> length(x))), 1), 6)
+                                                     AS sig_dup_4gram_char_frac,
+           ROUND(len(list_filter(lines,
+                   ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))
+                 / GREATEST(len(lines), 1), 6)       AS sig_ellipsis_line_frac,
+           ROUND(len(list_filter(lines,
+                   ln -> regexp_matches(lower(ln), '\\b(the|and|of|to|is)\\b')))
+                 / GREATEST(len(lines), 1), 6)       AS sig_stopword_line_frac
+    FROM s
     """,
 )
 def q_gopher_signals(spark, sf_dir):
     """Gopher-style repetition/shape quality signals (operators/text.py
-    gopher_signals); driver-certified since round 5."""
+    gopher_signals); driver-certified since round 5, extended round 6 with
+    duplicate 2/3/4-gram character fractions (sorted-neighbor O(g log g)
+    form on both engines) and ellipsis/stopword line fractions."""
     from woe_monotonic_binning_spark.operators.text import gopher_signals
 
     return gopher_signals(_docs(spark, sf_dir)).select(
@@ -1651,6 +1687,11 @@ def q_gopher_signals(spark, sf_dir):
         "sig_mean_word_len",
         "sig_dup_line_frac",
         "sig_bullet_line_frac",
+        "sig_dup_2gram_char_frac",
+        "sig_dup_3gram_char_frac",
+        "sig_dup_4gram_char_frac",
+        "sig_ellipsis_line_frac",
+        "sig_stopword_line_frac",
     )
 
 

@@ -75,6 +75,47 @@ def test_transform_impute_approx(spark, binning_df):
         apply_bins(binning_df, bins, impute="bogus")
 
 
+def test_transform_impute_auto_switch_point(spark, binning_df):
+    """``impute="auto"`` probes approx_count_distinct per variable and picks
+    exact percentile at/below ``auto_distinct_limit``, percentile_approx
+    above — pinned at both sides of the switch, and encodings on the driver
+    data are identical either way."""
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.plans import formatted_plan
+    from woe_monotonic_binning_spark.transform import median_prepass
+
+    variables = ["x_mono_up", "x_with_nan"]
+    # limit above every cardinality -> all-exact plan
+    hi = formatted_plan(median_prepass(binning_df, variables, "auto", 10**9))
+    assert "percentile_approx" not in hi
+    # limit below every cardinality -> all-approx plan
+    lo = formatted_plan(median_prepass(binning_df, variables, "auto", 1))
+    assert "percentile_approx" in lo
+    assert "percentile(" not in lo.replace("percentile_approx(", "")
+    # mixed: a 2-distinct column stays exact while a high-cardinality
+    # sibling switches to approx in the SAME pre-pass
+    two_level = binning_df.withColumn(
+        "x_two", (F.col("x_mono_up") > 0.5).cast("double")
+    )
+    mixed = formatted_plan(median_prepass(two_level, ["x_two", "x_mono_up"], "auto", 10))
+    assert "percentile_approx" in mixed and "percentile(" in mixed.replace(
+        "percentile_approx(", ""
+    )
+
+    bins = batch_woe_binning(binning_df.drop("row_id"), "target", n_threshold=100).toPandas()
+    exact = (
+        apply_bins(binning_df, bins, keep_columns=["row_id"])
+        .toPandas().sort_values("row_id").reset_index(drop=True)
+    )
+    auto = (
+        apply_bins(binning_df, bins, keep_columns=["row_id"], impute="auto",
+                   auto_distinct_limit=1)
+        .toPandas().sort_values("row_id").reset_index(drop=True)
+    )
+    assert exact.equals(auto)
+
+
 def test_transform_woe_values_subset_of_fit(spark, binning_df):
     bins = batch_woe_binning(binning_df.drop("row_id"), "target", n_threshold=100).toPandas()
     scored = apply_bins(binning_df, bins).toPandas()

@@ -157,12 +157,37 @@ def tfidf_top_terms(
     )
 
 
+def _dup_ngram_char_frac(n: int) -> Column:
+    """Duplicate word-``n``-gram character fraction (Rae et al. 2021 §A1.1):
+    characters (of the space-joined gram) belonging to occurrences of any
+    n-gram that appears more than once, over total n-gram characters.
+
+    O(g log g) per document: the gram array is sorted once and duplicates
+    detected by neighbor equality — NOT the naive per-gram count scan
+    (O(g²) re-folds the array per element).  Pure JVM HOFs, map-side."""
+    grams = (
+        f"transform(sequence(1, greatest(size(__gw), {n}) - {n} + 1), "
+        f"i -> array_join(slice(__gw, i, {n}), ' '))"
+    )
+    sg = f"array_sort({grams})"
+    dup = (
+        f"aggregate(sequence(1, size({sg})), 0L, (acc, i) -> acc + "
+        f"IF((i > 1 AND element_at({sg}, i) = element_at({sg}, i - 1)) "
+        f"OR (i < size({sg}) AND element_at({sg}, i) = element_at({sg}, i + 1)), "
+        f"cast(length(element_at({sg}, i)) as bigint), 0L))"
+    )
+    tot = f"aggregate({sg}, 0L, (acc, g) -> acc + cast(length(g) as bigint))"
+    return F.round(F.expr(dup) / F.greatest(F.expr(tot), F.lit(1)), 6)
+
+
 def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition/shape quality signals (Rae et al. 2021 §A1.1):
-    symbol-to-word ratio, mean word length, fraction of duplicate lines, and
-    fraction of lines starting with a bullet.  All pure column expressions —
-    one map-side pass, the line-level work stays inside higher-order
-    functions on the split array (no explode, no shuffle)."""
+    symbol-to-word ratio, mean word length, fraction of duplicate lines,
+    fraction of lines starting with a bullet, duplicate 2/3/4-gram character
+    fractions, and fractions of lines ending in an ellipsis / containing a
+    stopword.  All pure column expressions — one map-side pass, the line-
+    and gram-level work stays inside higher-order functions on split arrays
+    (no explode, no shuffle)."""
     t = F.col(text_col)
     words = word_count(t)
     symbols = F.length(t) - F.length(F.regexp_replace(t, "[#\\.]", ""))
@@ -173,12 +198,30 @@ def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     bullet_lines = F.size(
         F.filter(lines, lambda ln: F.trim(ln).rlike("^[-*•]"))
     )
-    return df.select(
-        "*",
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike("(\\.\\.\\.|…)$"))
+    )
+    stopword_lines = F.size(
+        F.filter(lines, lambda ln: F.lower(ln).rlike("\\b(the|and|of|to|is)\\b"))
+    )
+    # Stage the lowercase word array once; the per-n gram expressions below
+    # reference it by name (Catalyst inlines it per expression — linear
+    # per-doc work, no explode, so the winnow-style generator blowup cannot
+    # occur here).
+    staged = df.withColumn(
+        "__gw", F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    )
+    return staged.select(
+        *df.columns,
         F.round(symbols / F.greatest(words, F.lit(1)), 6).alias("sig_symbol_word_ratio"),
         F.round(word_chars / F.greatest(words, F.lit(1)), 6).alias("sig_mean_word_len"),
         F.round(dup_lines / F.greatest(n_lines, F.lit(1)), 6).alias("sig_dup_line_frac"),
         F.round(bullet_lines / F.greatest(n_lines, F.lit(1)), 6).alias("sig_bullet_line_frac"),
+        _dup_ngram_char_frac(2).alias("sig_dup_2gram_char_frac"),
+        _dup_ngram_char_frac(3).alias("sig_dup_3gram_char_frac"),
+        _dup_ngram_char_frac(4).alias("sig_dup_4gram_char_frac"),
+        F.round(ellipsis_lines / F.greatest(n_lines, F.lit(1)), 6).alias("sig_ellipsis_line_frac"),
+        F.round(stopword_lines / F.greatest(n_lines, F.lit(1)), 6).alias("sig_stopword_line_frac"),
     )
 
 

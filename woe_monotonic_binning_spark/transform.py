@@ -93,16 +93,35 @@ def compile_bin_exprs(
     return specs
 
 
-def median_prepass(df: DataFrame, variables: Sequence[str], impute: str = "exact") -> DataFrame:
+def median_prepass(
+    df: DataFrame,
+    variables: Sequence[str],
+    impute: str = "exact",
+    auto_distinct_limit: int = 1_000_000,
+) -> DataFrame:
     """One-row aggregation of the NULL/NaN-fill medians (binning.py:297,302).
 
     ``impute="exact"`` uses exact ``percentile`` (oracle-identical,
     distinct-count-bound memory); ``"approx"`` uses ``percentile_approx``
-    (bounded GK sketch, the at-scale path — deviation D7)."""
-    fn = "percentile" if impute == "exact" else "percentile_approx"
+    (bounded GK sketch, the at-scale path — deviation D7).  ``"auto"``
+    probes ``approx_count_distinct`` per variable in one pass and picks
+    exact below ``auto_distinct_limit`` distincts, approx above — exact
+    where it is safe, bounded memory where it is not, per variable (a
+    score table routinely mixes low-cardinality ints with raw doubles)."""
+    if impute == "auto":
+        counts = df.select(
+            *[F.approx_count_distinct(v).alias(v) for v in variables]
+        ).first()
+        fns = {
+            v: "percentile" if counts[v] <= auto_distinct_limit else "percentile_approx"
+            for v in variables
+        }
+    else:
+        fn = "percentile" if impute == "exact" else "percentile_approx"
+        fns = {v: fn for v in variables}
     return df.select(
         *[
-            F.expr(f"{fn}(nanvl(`{v}`, cast(NULL as double)), 0.5D)").alias(v)
+            F.expr(f"{fns[v]}(nanvl(`{v}`, cast(NULL as double)), 0.5D)").alias(v)
             for v in variables
         ]
     )
@@ -119,6 +138,7 @@ def apply_bins(
     strict_duplicate_woe: bool = False,
     impute: str = "exact",
     medians: dict[str, float] | None = None,
+    auto_distinct_limit: int = 1_000_000,
 ) -> DataFrame:
     """WOE-encode ``df``: one ``<col>_bin`` double column per surviving variable.
 
@@ -138,14 +158,21 @@ def apply_bins(
       option.  For any realistic score distribution the filled value lands
       in the same WOE bin, so encodings are unchanged; the median itself
       may differ in trailing digits.
+    - ``"auto"`` — one ``approx_count_distinct`` probe per variable, then
+      exact ``percentile`` for variables at or below
+      ``auto_distinct_limit`` distincts and ``percentile_approx`` above:
+      the operational default for mixed-cardinality tables at scale —
+      nothing to configure, no executor-memory cliff, exact wherever exact
+      is affordable.  The probe itself is one map-side HLL pass (~per-
+      variable KB of state), not a distinct shuffle.
 
     ``medians`` (variable -> fill value) skips the pre-pass aggregation
     entirely — required on streaming inputs (no batch aggregation can run
     mid-plan; precompute via :func:`median_prepass` on historical data) and
     useful to pin train-time fill values at scoring time.
     """
-    if impute not in ("exact", "approx"):
-        raise ValueError(f"impute must be 'exact' or 'approx', got {impute!r}")
+    if impute not in ("exact", "approx", "auto"):
+        raise ValueError(f"impute must be 'exact', 'approx' or 'auto', got {impute!r}")
     bins_pdf = _bins_to_pandas(bins)
     specs = compile_bin_exprs(
         bins_pdf, iv_threshold, bin_threshold, remove_100_corr, strict_duplicate_woe
@@ -153,7 +180,9 @@ def apply_bins(
     if medians is None:
         medians = {}
         if impute_median and specs:
-            agg = median_prepass(df, [v for v, _, _ in specs], impute).first()
+            agg = median_prepass(
+                df, [v for v, _, _ in specs], impute, auto_distinct_limit
+            ).first()
             medians = {v: agg[v] for v, _, _ in specs}
 
     out_cols: list[Column] = [F.col(c) for c in (keep_columns or [])]
