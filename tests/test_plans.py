@@ -267,3 +267,18 @@ def test_gopher_signals_single_pass_no_explode(spark):
     assert exchange_count(out) == 0
     assert python_eval_count(out) == 0
     assert "Generate" not in formatted_plan(out)  # no explode in the line path
+
+
+def test_curation_pipeline_plan_no_python(spark):
+    """The flagship composed pipeline (q_curation_pipeline) must stay
+    entirely JVM-side: quality scoring, digest dedup, Jaccard pairs,
+    component join, keep-best window, mix/split filters — zero Python
+    eval nodes in the final plan (components themselves materialize
+    eagerly through checkpointed JVM jobs during construction)."""
+    import queries_catalog as qc
+
+    out = qc.SPARK_QUERIES["q_curation_pipeline"](spark, SF)
+    assert python_eval_count(out) == 0
+    # no forced broadcast of the (potentially corpus-sized) component
+    # table — AQE owns the join-strategy decision
+    assert "broadcast(" not in formatted_plan(out)
