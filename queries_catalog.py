@@ -1470,6 +1470,7 @@ def q_score_stream(spark, sf_dir):
     medians (streaming/score.py).  Stream==batch parity asserted in
     tests/test_streaming_score.py; rows-only here (the driver harness is
     batch)."""
+    import os
     import tempfile
 
     from woe_monotonic_binning_spark import batch_woe_binning
@@ -1481,7 +1482,10 @@ def q_score_stream(spark, sf_dir):
     variables = sorted(bins["variable"].unique())
     med_row = median_prepass(df, variables).first()
     medians = {v: med_row[v] for v in variables if med_row[v] is not None}
-    staged = tempfile.mkdtemp(prefix="wmb_scorestream_") + "/li"
+    # deterministic staging path + overwrite — each invocation previously
+    # left a fresh wmb_scorestream_* mkdtemp behind (same ADVICE class as
+    # q_dedup_stream, fixed round 6)
+    staged = os.path.join(tempfile.gettempdir(), "wmb_scorestream_stage", "li")
     df.drop("target").write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(df.drop("target").schema).parquet(staged)
     scored = score_stream(
@@ -1950,6 +1954,91 @@ def q_kafka_replay(spark, sf_dir):
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
     return run_available_now(agg, "q_kafka_replay_sink")
+
+
+@_q("q_scrub_pii")
+def q_scrub_pii(spark, sf_dir):
+    """PII scrub over the corpus with planted synthetic PII (the raw table
+    carries none): every 5th doc gets an email + ip + phone appended, then
+    the one-pass regexp mask runs.  Engine-parity with DuckDB regexps is
+    pinned value-level in tests/test_curation_ops.py; rows-only here."""
+    from woe_monotonic_binning_spark.operators.text import scrub_pii
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                "text",
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 or 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return scrub_pii(docs).select("doc_id", "text", "n_email", "n_ip", "n_phone")
+
+
+@_q("q_repeated_chunks")
+def q_repeated_chunks(spark, sf_dir):
+    """Corpus-level boilerplate removal: the planted exact-dup texts in
+    documents share every 5-word chunk, so both copies empty out while
+    unique docs pass through.  Distinct-doc frequency semantics + oracle
+    parity pinned in tests/test_curation_ops.py; rows-only here (the
+    reconstruction groupBy is the one inherent full-text shuffle)."""
+    from woe_monotonic_binning_spark.operators.text import remove_repeated_chunks
+
+    out = remove_repeated_chunks(_docs(spark, sf_dir), chunk_words=5, min_df=2)
+    return out.select("doc_id", "n_chunks_removed", F.length("text").alias("new_len"))
+
+
+@_q("q_dedup_lines")
+def q_dedup_lines(spark, sf_dir):
+    """C4-style intra-document line dedup: docs reshaped to three lines of
+    which two are identical — one map-side array_distinct pass removes the
+    repeat, preserving first-occurrence order (order contract pinned vs
+    DuckDB in tests/test_curation_ops.py); rows-only here."""
+    from woe_monotonic_binning_spark.operators.text import remove_repeated_lines
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat("text", F.lit("\n"), "text", F.lit("\ntail"))
+    )
+    return remove_repeated_lines(docs).select(
+        "doc_id", "n_lines_removed", F.length("text").alias("new_len")
+    )
+
+
+@_q("q_decontam")
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination: every 25th doc plays the eval set; corpus
+    docs sharing any 8-gram with it (the planted exact dups, plus the
+    benchmark members themselves) are dropped via one broadcast-gram scan +
+    id anti-join.  Value parity vs a DuckDB list_intersect oracle and the
+    broadcast plan shape are pinned in tests/test_curation_ops.py;
+    rows-only here."""
+    from woe_monotonic_binning_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    return decontaminate(docs, bench, n=8).select("doc_id", "lang", "source")
+
+
+@_q("q_pack_sequences")
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (best-fit-decreasing per hash shard)
+    over the corpus token counts, plus the packing-efficiency telemetry
+    row.  Budget/coverage/determinism properties pinned in
+    tests/test_curation_ops.py; rows-only here (iterative bin packing is
+    not SQL-expressible)."""
+    from woe_monotonic_binning_spark.operators.packing import pack_sequences, pack_stats
+    from woe_monotonic_binning_spark.operators.text import text_stats
+
+    toks = text_stats(_docs(spark, sf_dir)).select("doc_id", "stat_tokens")
+    packed = pack_sequences(toks, budget=512, n_shards=16)
+    return pack_stats(packed, budget=512)
 
 
 # ---------------------------------------------------------------------------

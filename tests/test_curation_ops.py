@@ -1,0 +1,402 @@
+"""Round-6 curation operators: intra-doc line dedup, corpus-level repeated
+chunk removal, PII scrubbing (with a DuckDB regex-parity cross-check),
+benchmark decontamination, and token-budget sequence packing."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# remove_repeated_lines
+
+
+def test_remove_repeated_lines_keeps_first_occurrence_order(spark):
+    from woe_monotonic_binning_spark.operators.text import remove_repeated_lines
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha\nbeta\nalpha\ngamma\nbeta"),
+            (1, "solo"),
+            (2, "x\nx\nx\nx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_repeated_lines(df).collect()}
+    assert out[0].text == "alpha\nbeta\ngamma"
+    assert out[0].n_lines_removed == 2
+    assert out[1].text == "solo" and out[1].n_lines_removed == 0
+    assert out[2].text == "x" and out[2].n_lines_removed == 3
+
+
+def test_remove_repeated_lines_matches_duckdb_ordered_distinct(spark):
+    """DuckDB's list_distinct does not guarantee order, so the oracle uses an
+    index-aware list_filter; Spark's array_distinct documents first-occurrence
+    order — this pins that the two agree on a real corpus reshaped to have
+    lines (and therefore that array_distinct's order contract holds)."""
+    from woe_monotonic_binning_spark.operators.text import remove_repeated_lines
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 50)
+        .withColumn("text", F.concat("text", F.lit("\n"), "text", F.lit("\ntail")))
+    )
+    got = (
+        remove_repeated_lines(docs)
+        .select("doc_id", "text", "n_lines_removed")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW d AS SELECT doc_id, "
+        "concat(text, chr(10), text, chr(10), 'tail') AS text "
+        "FROM '/root/testdata/sf0.001/documents.parquet' WHERE doc_id < 50"
+    )
+    exp = con.execute(
+        """
+        SELECT doc_id,
+               array_to_string(
+                 list_filter(str_split(text, chr(10)),
+                             (x, i) -> list_position(str_split(text, chr(10)), x) = i),
+                 chr(10)) AS text,
+               len(str_split(text, chr(10)))
+                 - len(list_filter(str_split(text, chr(10)),
+                       (x, i) -> list_position(str_split(text, chr(10)), x) = i))
+                 AS n_lines_removed
+        FROM d ORDER BY doc_id
+        """
+    ).fetchdf()
+    assert got["text"].tolist() == exp["text"].tolist()
+    assert got["n_lines_removed"].tolist() == exp["n_lines_removed"].astype(int).tolist()
+
+
+# ---------------------------------------------------------------------------
+# remove_repeated_chunks
+
+
+def test_remove_repeated_chunks_cuts_corpus_boilerplate(spark):
+    from woe_monotonic_binning_spark.operators.text import remove_repeated_chunks
+
+    boiler = "cookie notice please accept"  # 4 words = 1 chunk at chunk_words=4
+    df = spark.createDataFrame(
+        [
+            (0, f"{boiler} unique words here aaa"),
+            (1, f"{boiler} other words here bbb"),
+            (2, "totally unrelated text ccc"),
+            (3, boiler),  # entirely boilerplate -> empty text
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_chunks(df, chunk_words=4, min_df=2).collect()
+    }
+    assert out[0].text == "unique words here aaa"
+    assert out[0].n_chunks_removed == 1
+    assert out[1].text == "other words here bbb"
+    assert out[2].text == "totally unrelated text ccc"
+    assert out[2].n_chunks_removed == 0
+    assert out[3].text == "" and out[3].n_chunks_removed == 1
+
+
+def test_remove_repeated_chunks_min_df_counts_distinct_docs(spark):
+    """A chunk repeated WITHIN one doc but absent elsewhere must survive a
+    min_df=2 cut — document frequency is distinct-doc count, not occurrence
+    count."""
+    from woe_monotonic_binning_spark.operators.text import remove_repeated_chunks
+
+    df = spark.createDataFrame(
+        [(0, "rep rep rep rep rep rep rep rep"), (1, "other text entirely four")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_chunks(df, chunk_words=4, min_df=2).collect()
+    }
+    assert out[0].n_chunks_removed == 0
+    assert out[0].text == "rep rep rep rep rep rep rep rep"
+
+
+def test_remove_repeated_chunks_exact_dups_lose_everything(spark):
+    """Planted exact duplicate docs share every chunk, so with min_df=2 both
+    copies empty out while unrelated docs are untouched (the operator is a
+    passage filter, not a dedup — both copies are rewritten)."""
+    from woe_monotonic_binning_spark.operators.text import remove_repeated_chunks
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    clone = base.filter(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.col("doc_id") + 777000
+    )
+    out = remove_repeated_chunks(
+        base.unionByName(clone), chunk_words=5, min_df=2
+    )
+    row0 = out.filter(F.col("doc_id").isin(0, 777000)).collect()
+    assert all(r.text == "" for r in row0)
+    # at least one unrelated doc keeps all its chunks
+    untouched = out.filter(
+        (F.col("doc_id") > 0) & (F.col("doc_id") < 777000) & (F.col("n_chunks_removed") == 0)
+    )
+    assert untouched.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# scrub_pii
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from woe_monotonic_binning_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@example.co.uk or bob@test.org thanks"),
+            (1, "server 10.0.255.1 and 192.168.1.77 up"),
+            (2, "call 555-867-5309 or 555.123.4567 now"),
+            (3, "clean text no pii"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[0].text == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out[0].n_email == 2 and out[0].n_ip == 0 and out[0].n_phone == 0
+    assert out[1].text == "server <IP> and <IP> up"
+    assert out[1].n_ip == 2
+    assert out[2].text == "call <PHONE> or <PHONE> now"
+    assert out[2].n_phone == 2
+    assert out[3].text == "clean text no pii"
+    assert out[3].n_email == out[3].n_ip == out[3].n_phone == 0
+
+
+def test_scrub_pii_patterns_parse_identically_in_duckdb(spark):
+    """The docstring claims Java-regex/RE2 parity for every PII pattern;
+    this runs both engines over the same adversarial rows and compares
+    match counts and the fully-scrubbed text byte-for-byte."""
+    from woe_monotonic_binning_spark.operators.text import PII_PATTERNS, scrub_pii
+
+    rows = [
+        (0, "a@b.co 1.2.3.4 999-999-9999 edge@sub.domain.example.com"),
+        (1, "not.an.email@ 1.2.3 12-34-5678 999.999.9999"),
+        (2, "x@y.zz.ww 255.255.255.255 000-000-0000 trailing"),
+        (3, "dots..everywhere..@..dots 1...2...3...4"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = (
+        scrub_pii(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    scrub_sql = "text"
+    count_cols = []
+    for kind, pat in PII_PATTERNS.items():
+        count_cols.append(
+            f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        )
+        scrub_sql = f"regexp_replace({scrub_sql}, '{pat}', '<{kind.upper()}>', 'g')"
+    exp = con.execute(
+        f"SELECT doc_id, {', '.join(count_cols)}, {scrub_sql} AS text "
+        "FROM t ORDER BY doc_id"
+    ).fetchdf()
+    for kind in PII_PATTERNS:
+        assert got[f"n_{kind}"].tolist() == exp[f"n_{kind}"].astype(int).tolist(), kind
+    assert got["text"].tolist() == exp["text"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+
+def test_contamination_overlap_flags_planted_overlap(spark):
+    from woe_monotonic_binning_spark.operators.dedup import (
+        contamination_overlap,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark's first 8-gram verbatim
+            (10, "intro words the quick brown fox jumps over the lazy tail words"),
+            (11, "completely clean document with none of those grams"),
+            # shares 7 consecutive words only -> no 8-gram overlap
+            (12, "quick brown fox jumps over the lazy cat sneaks"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {r.doc_id: r.n_shared for r in contamination_overlap(corpus, bench, n=8).collect()}
+    assert 10 in flagged and flagged[10] >= 1
+    assert 11 not in flagged and 12 not in flagged
+    clean = decontaminate(corpus, bench, n=8)
+    assert {r.doc_id for r in clean.select("doc_id").collect()} == {11, 12}
+    # corpus columns survive untouched
+    assert clean.columns == corpus.columns
+
+
+def test_contamination_overlap_counts_distinct_shared_grams(spark):
+    from woe_monotonic_binning_spark.operators.dedup import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(0, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    # shares the two 4-grams "a b c d" and "b c d e" (others differ)
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e zz yy xx")], "doc_id long, text string"
+    )
+    out = contamination_overlap(corpus, bench, n=4).collect()
+    assert len(out) == 1 and out[0].n_shared == 2
+
+
+def test_contamination_overlap_benchmark_side_broadcasts(spark):
+    """The benchmark gram table must reach the join as a broadcast — a
+    shuffled corpus-side join is the 100 TB failure mode."""
+    from woe_monotonic_binning_spark.operators.dedup import contamination_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    plan = contamination_overlap(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_decontaminate_matches_duckdb_oracle(spark):
+    """Value-level parity on real corpus data: DuckDB computes the same
+    distinct-shared-gram counts via list_intersect on per-doc gram lists."""
+    from woe_monotonic_binning_spark.operators.dedup import contamination_overlap
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    got = (
+        contamination_overlap(docs, bench, n=6, min_shared=1)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    exp = con.execute(
+        """
+        WITH g AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(w), 6) - 6 + 2),
+                   i -> array_to_string(w[i:i+5], ' '))) AS grams
+          FROM (SELECT doc_id,
+                       str_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+                FROM documents)
+        ), bg AS (
+          SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 25 = 0
+        ), ex AS (
+          SELECT doc_id, unnest(grams) AS gram FROM g
+        ), shared AS (
+          SELECT doc_id, count(*) AS n_shared
+          FROM ex WHERE gram IN (SELECT gram FROM bg)
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_shared FROM shared ORDER BY doc_id
+        """
+    ).fetchdf()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_shared"].tolist() == exp["n_shared"].astype(int).tolist()
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+@pytest.fixture(scope="module")
+def token_df(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(800),
+            "stat_tokens": rng.integers(1, 300, size=800).astype("int64"),
+        }
+    )
+    # a few oversize docs
+    pdf.loc[[5, 17, 23], "stat_tokens"] = [700, 901, 5000]
+    return spark.createDataFrame(pdf)
+
+
+def test_pack_sequences_respects_budget_and_covers_all_docs(spark, token_df):
+    from woe_monotonic_binning_spark.operators.packing import pack_sequences
+
+    budget = 512
+    packed = pack_sequences(token_df, budget=budget, n_shards=8).toPandas()
+    assert len(packed) == 800
+    assert packed["doc_id"].is_unique
+    sums = packed[~packed["oversize"]].groupby("pack_id")["tokens"].sum()
+    assert (sums <= budget).all()
+    over = packed[packed["oversize"]]
+    assert set(over["doc_id"]) == {5, 17, 23}
+    # oversize packs are singletons
+    assert packed.groupby("pack_id")["doc_id"].count()[over["pack_id"]].max() == 1
+
+
+def test_pack_sequences_deterministic_under_repartitioning(spark, token_df):
+    from woe_monotonic_binning_spark.operators.packing import pack_sequences
+
+    a = (
+        pack_sequences(token_df, budget=512, n_shards=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        pack_sequences(token_df.repartition(13), budget=512, n_shards=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_sequences_utilization_beats_floor(spark, token_df):
+    """BFD must land well above the trivial 50% next-fit floor; with these
+    sizes the realised utilisation is ~95%+.  Also sanity-checks pack_stats
+    arithmetic against a direct pandas recomputation."""
+    from woe_monotonic_binning_spark.operators.packing import pack_sequences, pack_stats
+
+    budget = 512
+    packed_df = pack_sequences(token_df, budget=budget, n_shards=8)
+    packed = packed_df.toPandas()
+    normal = packed[~packed["oversize"]]
+    n_packs_normal = normal["pack_id"].nunique()
+    util = normal["tokens"].sum() / (n_packs_normal * budget)
+    assert util > 0.8, f"utilization {util:.3f}"
+    stats = pack_stats(packed_df, budget).collect()[0]
+    assert stats.n_docs == 800
+    assert stats.n_oversize == 3
+    assert stats.n_packs == packed["pack_id"].nunique()
+    assert abs(stats.utilization - round(util, 6)) < 1e-9
+
+
+def test_pack_sequences_single_shard_is_global_bfd(spark):
+    """n_shards=1 reduces to textbook best-fit-decreasing; a hand-checkable
+    instance pins the placement policy (tightest sufficient room, ties to
+    the lowest pack id)."""
+    from woe_monotonic_binning_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 300), (1, 300), (2, 200), (3, 200), (4, 12)],
+        "doc_id long, stat_tokens long",
+    )
+    packed = {
+        r.doc_id: r.pack_id for r in pack_sequences(df, budget=512, n_shards=1).collect()
+    }
+    # BFD order: 300(id0)->p0, 300(id1)->p1, 200(id2)->p0 (room 212 vs 212, tie->p0),
+    # 200(id3)->p1, 12(id4)->p0 (room 12 exactly)
+    assert packed[0] == packed[2] == packed[4]
+    assert packed[1] == packed[3]
+    assert packed[0] != packed[1]

@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, text, windows
+from . import dedup, multimodal, packing, similarity, text, windows
 
-__all__ = ["dedup", "multimodal", "similarity", "text", "windows"]
+__all__ = ["dedup", "multimodal", "packing", "similarity", "text", "windows"]

@@ -534,3 +534,60 @@ def embedding_neardup_pairs(
     return joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination scan: (id, n_shared) for every corpus doc
+    sharing at least ``min_shared`` distinct word ``n``-grams with ANY
+    benchmark document (the GPT-3 appendix-C / PaLM n-gram overlap rule —
+    13-grams at production scale; the default is lower because the test
+    corpora are short).
+
+    Plan shape at 100 TB: the benchmark side is by construction tiny (eval
+    sets are thousands of rows), so its distinct-gram table BROADCASTS; the
+    corpus side is one map-side shingle pass (reusing ``shingled``'s
+    normalisation) joined against the broadcast set — no corpus shuffle at
+    all until the (id, gram)-matched rows (a vanishingly small fraction)
+    aggregate into per-doc counts.  Grams are compared as strings, not
+    hashes: the broadcast join is equality on the gram text, so there are
+    no collision false-positives and the operator is oracle-exact.
+    """
+    bench_grams = (
+        shingled(benchmark, text_col, id_col, n=n)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    corpus_grams = shingled(corpus, text_col, id_col, n=n).select(
+        F.col(id_col), F.explode("shingles").alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Drop every corpus document flagged by ``contamination_overlap`` —
+    the standard pre-training hygiene step that keeps eval sets out of the
+    training mix.  One broadcast-driven scan plus an id anti-join; the
+    corpus text itself is never shuffled."""
+    flagged = contamination_overlap(
+        corpus, benchmark, text_col, id_col, n=n, min_shared=min_shared
+    ).select(id_col)
+    return corpus.join(flagged, id_col, "left_anti")

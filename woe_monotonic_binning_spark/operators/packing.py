@@ -1,0 +1,127 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences (the "example packing" step between curation and tokenised
+shards — T5 / GPT pipelines concatenate short documents so a 2k/8k-token
+context window trains at ~full utilisation instead of mostly padding).
+
+Bin packing is inherently sequential, so the scale design shards first:
+
+- Each doc maps to one of ``n_shards`` shards by a CONTENT hash of its id
+  (xxhash64) — deterministic under any partitioning, any executor count,
+  any retry; the same corpus always packs identically.
+- Within a shard, best-fit-decreasing runs in one Arrow-batched
+  ``applyInPandas`` group: docs sorted by (tokens desc, id), each placed
+  into the open pack with the LEAST sufficient room, found by bisecting a
+  sorted (room, pack) list — O(n log n) per shard, not the O(n²) linear
+  first-fit scan, which matters because a shard holds millions of docs at
+  100 TB.  BFD carries the same 11/9·OPT + 1 guarantee as FFD.  A shard's
+  doc list must fit in one task's memory, which is what ``n_shards``
+  controls (at 100 TB: n_shards ~ corpus_rows / 10M keeps a shard's
+  (id, tokens) pairs in tens of MB — the TEXT never enters the packing
+  job, only ids and counts).
+- Pack ids are globally unique by construction: ``shard * 2^40 + local``.
+
+Oversized docs (tokens > budget) get a singleton pack and
+``oversize = true`` — the caller decides whether to truncate or drop;
+silently splitting a document is a tokeniser-level decision this operator
+must not make.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+_SHARD_STRIDE = 1 << 40  # local pack counter headroom per shard
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "stat_tokens",
+    budget: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """(id, tokens, pack_id, oversize) — every doc assigned to exactly one
+    pack; every pack's token sum <= ``budget`` except singleton oversize
+    packs.  Deterministic: pack assignment is a pure function of the
+    (id, tokens) multiset, ``budget`` and ``n_shards``.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    slim = df.select(
+        F.col(id_col).alias("id"),
+        F.col(token_col).cast("long").alias("tokens"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+
+    def _bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        pdf = pdf.sort_values(
+            ["tokens", "id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        base = shard * _SHARD_STRIDE
+        pack_ids: list[int] = []
+        oversize: list[bool] = []
+        n_packs = 0
+        # sorted (room, pack_local) — bisect finds the tightest open pack;
+        # ties on room go to the lowest pack id, so placement is fully
+        # deterministic given the sorted doc order
+        rooms: list[tuple[int, int]] = []
+        for tokens in pdf["tokens"]:
+            t = int(tokens)
+            if t > budget:
+                pack_ids.append(base + n_packs)  # singleton, never reopened
+                n_packs += 1
+                oversize.append(True)
+                continue
+            i = bisect.bisect_left(rooms, (t, -1))
+            if i < len(rooms):
+                room, pack = rooms.pop(i)
+                if room > t:
+                    bisect.insort(rooms, (room - t, pack))
+                pack_ids.append(base + pack)
+            else:
+                if budget > t:
+                    bisect.insort(rooms, (budget - t, n_packs))
+                pack_ids.append(base + n_packs)
+                n_packs += 1
+            oversize.append(False)
+        out = pdf[["id", "tokens"]].copy()
+        out["pack_id"] = pd.array(pack_ids, dtype="int64")
+        out["oversize"] = pd.array(oversize, dtype="bool")
+        return out
+
+    packed = slim.groupBy("shard").applyInPandas(
+        _bfd, schema="id long, tokens long, pack_id long, oversize boolean"
+    )
+    return packed.withColumnRenamed("id", id_col)
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """One row of packing-efficiency telemetry: pack count, docs/pack, and
+    token utilisation over non-oversize packs (padding waste is
+    ``1 - utilization`` — the number a training-throughput dashboard
+    watches)."""
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("tokens").alias("pack_tokens"),
+        F.count("*").alias("n_docs"),
+        F.max(F.col("oversize").cast("int")).alias("oversize"),
+    )
+    return per_pack.agg(
+        F.count("*").alias("n_packs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(F.when(F.col("oversize") == 1, 1).otherwise(0)).alias("n_oversize"),
+        F.round(
+            F.sum(F.when(F.col("oversize") == 0, F.col("pack_tokens")).otherwise(0))
+            / F.greatest(
+                F.sum(F.when(F.col("oversize") == 0, F.lit(budget)).otherwise(0)),
+                F.lit(1),
+            ),
+            6,
+        ).alias("utilization"),
+    )

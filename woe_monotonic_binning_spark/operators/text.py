@@ -225,6 +225,120 @@ def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def remove_repeated_lines(
+    df: DataFrame, text_col: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """C4-style intra-document repetition removal: drop every repeated
+    occurrence of a line, keeping first occurrences in order (Raffel et al.
+    2020 §2.2 drop duplicated three-sentence spans; the unit here is the
+    ``sep``-delimited line).
+
+    ``array_distinct`` preserves first-occurrence order in Spark, so the
+    whole operator is one map-side HOF projection — no explode, no shuffle,
+    no Python.  Adds ``n_lines_removed``; the text column is rewritten in
+    place."""
+    lines = F.split(F.col(text_col), sep)
+    kept = F.array_distinct(lines)
+    return df.withColumn("n_lines_removed", F.size(lines) - F.size(kept)).withColumn(
+        text_col, F.array_join(kept, sep)
+    )
+
+
+def remove_repeated_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the MassiveText / RefinedWeb
+    "repeated passage" filter): split each document into non-overlapping
+    ``chunk_words``-word segments; any segment whose normalised form occurs
+    in at least ``min_df`` DISTINCT documents is cut from every document.
+
+    Plan shape at scale: chunking is a map-side HOF; the frequency count
+    shuffles (chunk_hash, doc_id) longs only — never chunk text; the
+    frequent set (boilerplate is by definition a small fraction of distinct
+    chunks) broadcasts into an anti-join against the exploded chunks; the
+    reconstruction groupBy shuffles the surviving chunk text once — a full
+    corpus rewrite is inherent to the operator's semantics, and this is the
+    single unavoidable text shuffle.  Documents losing every chunk survive
+    with empty text (left join back to the input keyset)."""
+    words = F.split(
+        F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "), " "
+    )
+    n_chunks_expr = f"cast(ceil(size(__w) / {chunk_words}.0) as int)"
+    chunks = (
+        f"transform(sequence(0, greatest({n_chunks_expr}, 1) - 1), "
+        f"i -> array_join(slice(__w, i * {chunk_words} + 1, {chunk_words}), ' '))"
+    )
+    ex = (
+        df.select(F.col(id_col), words.alias("__w"))
+        .select(F.col(id_col), F.posexplode(F.expr(chunks)).alias("pos", "chunk"))
+        .withColumn("h", F.xxhash64(F.lower(F.col("chunk"))))
+    )
+    frequent = (
+        ex.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("h")
+    )
+    kept = ex.join(F.broadcast(frequent), "h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("__new_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    totals = ex.groupBy(id_col).agg(F.count("*").alias("__n_chunks"))
+    other_cols = [c for c in df.columns if c != text_col]
+    return (
+        df.join(rebuilt, id_col, "left")
+        .join(totals, id_col, "left")
+        .select(
+            *other_cols,
+            F.coalesce("__new_text", F.lit("")).alias(text_col),
+            (F.coalesce("__n_chunks", F.lit(0)) - F.coalesce("__n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_chunks_removed"),
+        )
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB) so the scrub is oracle-checkable: no backreferences, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone": "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask common PII shapes (emails, IPv4 addresses, phone numbers) with
+    typed placeholder tokens, counting matches per kind before replacement.
+
+    One map-side codegen'd pass — a chain of regexp count + replace column
+    expressions, no Python, no shuffle; the standard pre-training scrub
+    step that must run over every byte of a 100 TB corpus exactly once.
+    Replacement order is fixed (email, ip, phone) so the phone pattern
+    cannot re-match digits inside an already-masked ip."""
+    out = df
+    t = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        )
+    scrubbed = t
+    for kind, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn(text_col, scrubbed)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
