@@ -20,6 +20,10 @@ Each headline exercises a different engine pillar:
                   -> source mixing -> train/test split (added round 6; the
                   total is therefore not comparable to BENCH_r5 and earlier
                   — compare per-query)
+- decontam        benchmark n-gram decontamination (broadcast gram set +
+                  anti-join; added round 6)
+- pack            token-budget sequence packing (BFD per hash shard over
+                  text_stats token counts; added round 6)
 
 Methodology: each query is timed $SPARK_GRAFT_BENCH_REPS times (default 3)
 and the MINIMUM is reported — the bench host is shared and a transient
@@ -110,11 +114,13 @@ def main() -> None:
 
     from woe_monotonic_binning_spark import apply_bins, fit_bins, get_spark
     from woe_monotonic_binning_spark.operators.dedup import (
+        decontaminate,
         dedup_keep_best,
         dedup_keep_canonical,
         exact_dedup_by_digest,
         minhash_dedup_pairs,
     )
+    from woe_monotonic_binning_spark.operators.packing import pack_sequences
     from woe_monotonic_binning_spark.operators.sampling import (
         mix_sources,
         train_test_split,
@@ -172,6 +178,10 @@ def main() -> None:
         emb.limit(64), emb.filter(F.col("vec_id") < 2), k=2
     ).count()
     text_stats(warm_docs).agg(F.count("*")).collect()
+    decontaminate(warm_docs, warm_docs.limit(8), n=8).count()
+    pack_sequences(
+        text_stats(warm_docs).select("doc_id", "stat_tokens"), budget=512, n_shards=4
+    ).count()
     ev_warm = events.limit(256).cache()
     tumbling_agg(ev_warm).count()
     session_agg(ev_warm).count()
@@ -286,6 +296,21 @@ def main() -> None:
 
     if wanted("curation"):
         timed("curation", run_curation)
+
+    def run_decontam():
+        docs = read_docs()
+        bench_docs = docs.filter(F.col("doc_id") % 25 == 0)
+        return decontaminate(docs, bench_docs, n=8).count()
+
+    if wanted("decontam"):
+        timed("decontam", run_decontam)
+
+    def run_pack():
+        toks = text_stats(read_docs()).select("doc_id", "stat_tokens")
+        return pack_sequences(toks, budget=512, n_shards=32).count()
+
+    if wanted("pack"):
+        timed("pack", run_pack)
 
     rerun: dict[str, dict[str, float]] = {}
     if only is None:

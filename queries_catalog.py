@@ -2041,6 +2041,41 @@ def q_pack_sequences(spark, sf_dir):
     return pack_stats(packed, budget=512)
 
 
+@_q("q_gopher_filter")
+def q_gopher_filter(spark, sf_dir):
+    """Composed Gopher quality gate over the corpus: the hash-certified
+    signal columns (q_gopher_signals) tested against the published Rae et
+    al. acceptance bands, emitting keep + fail_reasons.  keep == band
+    conjunction is pinned by recomputation in tests/test_curation_ops.py;
+    rows-only here (fail_reasons is an array column)."""
+    from woe_monotonic_binning_spark.operators.text import gopher_filter
+
+    out = gopher_filter(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "keep", F.array_join("fail_reasons", ",").alias("reasons")
+    )
+
+
+@_q("q_sample_exact")
+def q_sample_exact(spark, sf_dir):
+    """Deterministic exact-count sampling: exactly min(20, group size) docs
+    per source by hash-draw rank, plus the top-30%-by-quality percentile
+    gate.  Nestedness/determinism/exactness pinned in
+    tests/test_curation_ops.py; rows-only here (approxQuantile threshold
+    is sketch-dependent)."""
+    from woe_monotonic_binning_spark.operators.sampling import (
+        filter_top_fraction,
+        sample_exact_n,
+    )
+    from woe_monotonic_binning_spark.operators.text import quality_score
+
+    docs = quality_score(_docs(spark, sf_dir))
+    sampled = sample_exact_n(docs, "doc_id", 20, group_col="source")
+    return filter_top_fraction(sampled, "quality", 0.3).select(
+        "doc_id", "source", "quality"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order: the driver certifies the FIRST 50 registrations, so
 # every oracle-backed query (rows+schema+hash check) must land inside that

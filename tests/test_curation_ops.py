@@ -400,3 +400,111 @@ def test_pack_sequences_single_shard_is_global_bfd(spark):
     assert packed[0] == packed[2] == packed[4]
     assert packed[1] == packed[3]
     assert packed[0] != packed[1]
+
+
+# ---------------------------------------------------------------------------
+# gopher_filter / sample_exact_n / filter_top_fraction
+
+
+def test_gopher_filter_flags_violations_with_reasons(spark):
+    from woe_monotonic_binning_spark.operators.text import gopher_filter
+
+    good = " ".join(f"token{i} value{i} sample{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (0, good),                              # passes every gate
+            (1, "short text only"),                 # < 50 words
+            (2, "the " + "### " * 80),              # symbol ratio + mean word len
+            (3, " ".join(["dup dup"] * 60)),        # duplicate n-gram fractions
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_filter(df).collect()}
+    assert out[0].keep and out[0].fail_reasons == []
+    assert not out[1].keep and "stat_words" in out[1].fail_reasons
+    assert not out[2].keep and "sig_symbol_word_ratio" in out[2].fail_reasons
+    assert not out[3].keep and any(
+        "dup" in r for r in out[3].fail_reasons
+    )
+
+
+def test_gopher_filter_matches_signal_recomputation(spark):
+    """keep must equal the conjunction of the per-signal bands recomputed
+    from gopher_signals' own (already hash-certified) columns."""
+    from woe_monotonic_binning_spark.operators.text import (
+        GOPHER_THRESHOLDS,
+        gopher_filter,
+        gopher_signals,
+        word_count,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = gopher_filter(docs).select("doc_id", "keep").toPandas().set_index("doc_id")
+    sig = (
+        gopher_signals(docs)
+        .withColumn("stat_words", word_count(F.col("text")))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for doc_id, row in sig.iterrows():
+        expect = all(lo <= row[c] <= hi for c, (lo, hi) in GOPHER_THRESHOLDS.items())
+        assert got.loc[doc_id, "keep"] == expect, doc_id
+
+
+def test_sample_exact_n_grouped_and_nested(spark):
+    from woe_monotonic_binning_spark.operators.sampling import sample_exact_n
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s10 = sample_exact_n(docs, "doc_id", 10, group_col="source")
+    counts = {r.source: r.n for r in s10.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    group_sizes = {
+        r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, size in group_sizes.items():
+        assert counts.get(src, 0) == min(10, size), src
+    # nested: n=5 sample is a subset of n=10
+    s5 = {r.doc_id for r in sample_exact_n(docs, "doc_id", 5, group_col="source").collect()}
+    assert s5 <= {r.doc_id for r in s10.collect()}
+
+
+def test_sample_exact_n_global_deterministic_and_exact(spark):
+    from woe_monotonic_binning_spark.operators.sampling import sample_exact_n
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(r.doc_id for r in sample_exact_n(docs, "doc_id", 37).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in sample_exact_n(docs.repartition(11), "doc_id", 37).select("doc_id").collect()
+    )
+    assert len(a) == 37 and a == b
+    # n >= corpus returns everything
+    assert sample_exact_n(docs, "doc_id", 10_000).count() == docs.count()
+
+
+def test_sample_exact_n_survives_pathological_prefilter(spark):
+    """oversample margin too small -> falls back to the full window instead
+    of returning fewer than n rows."""
+    from woe_monotonic_binning_spark.operators.sampling import sample_exact_n
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sample_exact_n(docs, "doc_id", 50, oversample=0.001)
+    assert out.count() == 50
+
+
+def test_filter_top_fraction_keeps_best_scores(spark):
+    from woe_monotonic_binning_spark.operators.sampling import filter_top_fraction
+    from woe_monotonic_binning_spark.operators.text import quality_score
+
+    docs = quality_score(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    kept = filter_top_fraction(docs, "quality", 0.3)
+    n, total = kept.count(), docs.count()
+    # ties may push the kept fraction above the request, never far below
+    assert 0.25 * total <= n
+    # every kept score >= every dropped score
+    min_kept = kept.agg(F.min("quality")).first()[0]
+    dropped = docs.join(kept.select("doc_id"), "doc_id", "left_anti")
+    if dropped.count():
+        max_dropped = dropped.agg(F.max("quality")).first()[0]
+        assert min_kept >= max_dropped

@@ -54,6 +54,77 @@ def train_test_split(
     return df.filter(u >= test_fraction), df.filter(u < test_fraction)
 
 
+def sample_exact_n(
+    df: DataFrame,
+    id_col: str,
+    n: int,
+    group_col: str | None = None,
+    seed: int = 0,
+    oversample: float = 3.0,
+) -> DataFrame:
+    """Exactly ``min(n, group size)`` rows per group (or globally), chosen
+    deterministically: rank rows by their hash draw and keep the first
+    ``n``.  The selection is a pure function of (ids, seed) — stable under
+    repartitioning like everything in this module — and NESTED: re-running
+    with a larger ``n`` extends the same draw order, so the n=100 sample is
+    always a subset of the n=200 sample.
+
+    Scale shape: grouped, the window shuffles one (group, id, draw) triple
+    per row — fine.  UNGROUPED, a single global window would funnel the
+    corpus through one reducer, so the global path pre-filters to the
+    ~``oversample * n`` smallest draws via an un-grouped threshold (one
+    narrow count + filter) before the window ranks the survivors; the
+    window then sorts thousands of rows, not billions.  If the pre-filter
+    undershoots (pathological hash clustering), it falls back to the full
+    window rather than returning short — correctness over speed, loudly
+    documented here instead of silently sampling fewer rows."""
+    from pyspark.sql.window import Window
+
+    u = hash_uniform(F.col(id_col), seed).alias("__u")
+    if group_col is not None:
+        w = Window.partitionBy(group_col).orderBy("__u", id_col)
+        return (
+            df.withColumn("__u", u)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__u", "__rn")
+        )
+    total = df.count()
+    if total == 0 or n >= total:
+        return df
+    cut = min(1.0, oversample * n / total)
+    pre = df.withColumn("__u", u).filter(F.col("__u") < cut)
+    if pre.count() < n:  # hash clustering worse than the oversample margin
+        pre = df.withColumn("__u", u)
+    w = Window.orderBy("__u", id_col)
+    return (
+        pre.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__u", "__rn")
+    )
+
+
+def filter_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    fraction: float,
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Keep the best ~``fraction`` of rows by ``score_col`` — the
+    percentile-gate form of quality filtering ("top 30% by quality score"),
+    where the cut point must come from the data, not a constant.
+
+    The threshold is one distributed ``approxQuantile`` pass (Greenwald-
+    Khanna sketch, driver receives a single double) and the filter is then
+    map-side; nothing shuffles.  Ties at the threshold are kept, so the
+    realised fraction can exceed the request on heavily-tied scores —
+    that is the right bias for a KEEP gate."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    thr = df.stat.approxQuantile(score_col, [1.0 - fraction], relative_error)[0]
+    return df.filter(F.col(score_col) >= thr)
+
+
 def mix_sources(
     df: DataFrame,
     weights: dict[str, float],

@@ -339,6 +339,55 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(text_col, scrubbed)
 
 
+# Rae et al. 2021 §A1.1 acceptance thresholds (the published Gopher rule
+# set).  Keys match gopher_signals' output columns plus the word-count gate.
+GOPHER_THRESHOLDS: dict[str, tuple[float, float]] = {
+    "stat_words": (50.0, 100_000.0),
+    "sig_mean_word_len": (3.0, 10.0),
+    "sig_symbol_word_ratio": (0.0, 0.1),
+    "sig_bullet_line_frac": (0.0, 0.9),
+    "sig_ellipsis_line_frac": (0.0, 0.3),
+    "sig_dup_line_frac": (0.0, 0.3),
+    "sig_dup_2gram_char_frac": (0.0, 0.2),
+    "sig_dup_3gram_char_frac": (0.0, 0.18),
+    "sig_dup_4gram_char_frac": (0.0, 0.16),
+}
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """The composed Gopher quality gate: compute ``gopher_signals`` (plus the
+    word count), test every signal against its [lo, hi] acceptance band, and
+    emit ``keep`` plus ``fail_reasons`` (the names of violated rules, in
+    threshold-dict order — empty array == clean).
+
+    Still one map-side pass: the signal expressions fuse with the rule
+    checks inside whole-stage codegen; filtering on ``keep`` afterwards
+    costs nothing extra.  Pass a custom ``thresholds`` dict (same keys) to
+    retune; a key absent from the dict is not checked."""
+    thresholds = GOPHER_THRESHOLDS if thresholds is None else thresholds
+    sig = gopher_signals(df, text_col)
+    if "stat_words" in thresholds and "stat_words" not in sig.columns:
+        sig = sig.withColumn("stat_words", word_count(F.col(text_col)))
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(
+                    (F.col(c) < lo) | (F.col(c) > hi), F.lit(c)
+                ).otherwise(F.lit(None).cast("string"))
+                for c, (lo, hi) in thresholds.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return sig.withColumn("fail_reasons", reasons).withColumn(
+        "keep", F.size("fail_reasons") == 0
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
