@@ -262,8 +262,12 @@ def test_contamination_overlap_benchmark_side_broadcasts(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
-    plan = contamination_overlap(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    # cleanup=False keeps the lazy plan (the default eagerly checkpoints the
+    # result, truncating lineage past the join); caller owns the caches here
+    lazy = contamination_overlap(docs, bench, n=8, cleanup=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    spark.catalog.clearCache()
 
 
 def test_decontaminate_matches_duckdb_oracle(spark):

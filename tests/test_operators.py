@@ -733,6 +733,7 @@ def test_pipelines_leave_no_sql_cache_entries(spark):
     _cache.materialize_and_release after the eager materialization, so a
     long-lived session looping over corpora accumulates no storage."""
     from woe_monotonic_binning_spark.operators.dedup import (
+        decontaminate,
         dedup_keep_best,
         minhash_dedup_pairs,
         simhash_near_pairs,
@@ -758,6 +759,7 @@ def test_pipelines_leave_no_sql_cache_entries(spark):
         "embedding", F.col("embedding").cast("array<double>")
     )
     assert srp_threshold_pairs(emb, threshold=0.35).count() >= 0
+    assert decontaminate(docs, docs.filter(F.col("doc_id") % 50 == 0), n=8).count() >= 0
     assert cm.isEmpty(), "a pipeline left cached entries behind"
 
     # opt-out: cleanup=False returns the lazy plan and the caller owns the

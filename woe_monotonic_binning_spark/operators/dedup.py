@@ -543,6 +543,7 @@ def contamination_overlap(
     id_col: str = "doc_id",
     n: int = 8,
     min_shared: int = 1,
+    cleanup: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination scan: (id, n_shared) for every corpus doc
     sharing at least ``min_shared`` distinct word ``n``-grams with ANY
@@ -559,20 +560,32 @@ def contamination_overlap(
     hashes: the broadcast join is equality on the gram text, so there are
     no collision false-positives and the operator is oracle-exact.
     """
-    bench_grams = (
-        shingled(benchmark, text_col, id_col, n=n)
-        .select(F.explode("shingles").alias("gram"))
-        .distinct()
-    )
-    corpus_grams = shingled(corpus, text_col, id_col, n=n).select(
+    # Both shingle tables MUST be materialized before their explode: the
+    # gram-building HOF chain otherwise collapses into the generator, which
+    # re-evaluates it per emitted row — per-doc cost goes O(grams²) (the
+    # round-5 winnowing blow-up, winnow_match_pairs; measured again live
+    # here: the sf0.1 corpus gram pass runs 3.6s exploded-inline vs 0.6s
+    # array-build-only, and the full decontaminate drops 3.9s -> 0.9s with
+    # the persist).  The corpus-side cache is corpus-sized but TRANSIENT —
+    # MEMORY_AND_DISK for the duration of one pass, released before return
+    # (same storage class and lifetime as a shuffle spill of the exploded
+    # grams, which is what the inline plan would pay anyway), exactly the
+    # winnow_match_pairs posting-list pattern.
+    bench_sh = shingled(benchmark, text_col, id_col, n=n).persist()
+    bench_grams = bench_sh.select(F.explode("shingles").alias("gram")).distinct()
+    corpus_sh = shingled(corpus, text_col, id_col, n=n).persist()
+    corpus_grams = corpus_sh.select(
         F.col(id_col), F.explode("shingles").alias("gram")
     )
-    return (
+    out = (
         corpus_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    if cleanup:
+        return materialize_and_release(out, bench_sh, corpus_sh)
+    return out
 
 
 def decontaminate(
