@@ -123,7 +123,7 @@ def main() -> None:
     from woe_monotonic_binning_spark.operators.packing import pack_sequences
     from woe_monotonic_binning_spark.operators.sampling import (
         mix_sources,
-        train_test_split,
+        split_column,
     )
     from woe_monotonic_binning_spark.operators.text import (
         quality_score,
@@ -291,8 +291,11 @@ def main() -> None:
         weights.update({f"src{i}": 0.5 for i in range(5, 10)})
         weights.update({f"src{i}": 0.25 for i in range(10, 15)})
         mixed = mix_sources(best, weights)
-        train, test = train_test_split(mixed, "doc_id", test_fraction=0.25, seed=11)
-        return train.count() + test.count()
+        labeled = split_column(mixed, "doc_id", test_fraction=0.25, seed=11)
+        # one pass over the pipeline producing both split labels (the
+        # write-once partitionBy(split) shape); the previous
+        # train.count() + test.count() evaluated the lineage twice
+        return labeled.groupBy("split").count().count()
 
     if wanted("curation"):
         timed("curation", run_curation)

@@ -1848,7 +1848,7 @@ def q_curation_pipeline(spark, sf_dir):
     )
     from woe_monotonic_binning_spark.operators.sampling import (
         mix_sources,
-        train_test_split,
+        split_column,
     )
     from woe_monotonic_binning_spark.operators.text import quality_score
 
@@ -1858,10 +1858,10 @@ def q_curation_pipeline(spark, sf_dir):
     pairs = ngram_jaccard_pairs(uniq, "text", "doc_id", ["lang"], 0.7)
     best = dedup_keep_best(uniq, pairs, "doc_id", "quality", descending=True)
     mixed = mix_sources(best, _CURATION_WEIGHTS)
-    train, test = train_test_split(mixed, "doc_id", test_fraction=0.25, seed=11)
-    out = train.withColumn("split", F.lit("train")).unionByName(
-        test.withColumn("split", F.lit("test"))
-    )
+    # single-pass split labeling (split_column == the train_test_split draw,
+    # pinned by test): the union-of-two-branches form evaluated the whole
+    # upstream pipeline twice per action
+    out = split_column(mixed, "doc_id", test_fraction=0.25, seed=11)
     return out.select("doc_id", "lang", "source", "quality", "component", "split")
 
 

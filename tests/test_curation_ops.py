@@ -512,3 +512,19 @@ def test_filter_top_fraction_keeps_best_scores(spark):
     if dropped.count():
         max_dropped = dropped.agg(F.max("quality")).first()[0]
         assert min_kept >= max_dropped
+
+
+def test_split_column_matches_train_test_split_membership(spark):
+    from woe_monotonic_binning_spark.operators.sampling import (
+        split_column,
+        train_test_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    labeled = split_column(docs, "doc_id", test_fraction=0.25, seed=11)
+    train, test = train_test_split(docs, "doc_id", test_fraction=0.25, seed=11)
+    got_test = {r.doc_id for r in labeled.filter(F.col("split") == "test").collect()}
+    got_train = {r.doc_id for r in labeled.filter(F.col("split") == "train").collect()}
+    assert got_test == {r.doc_id for r in test.collect()}
+    assert got_train == {r.doc_id for r in train.collect()}
+    assert len(got_test) + len(got_train) == docs.count()

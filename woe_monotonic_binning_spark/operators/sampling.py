@@ -54,6 +54,28 @@ def train_test_split(
     return df.filter(u >= test_fraction), df.filter(u < test_fraction)
 
 
+def split_column(
+    df: DataFrame,
+    id_col: str,
+    test_fraction: float = 0.1,
+    seed: int = 0,
+    col: str = "split",
+) -> DataFrame:
+    """The SAME draw as ``train_test_split`` rendered as a label column
+    ('train' / 'test') instead of two filtered branches.
+
+    ``train_test_split``'s two DataFrames each re-evaluate their upstream
+    plan — fine for interactive use, but a pipeline that consumes BOTH
+    splits (count both, or write both) pays the whole lineage twice.  The
+    single-pass form feeds one scan into ``write.partitionBy(col)`` — the
+    write-once shape a 100 TB curation job wants.  Membership is identical
+    by construction (same ``hash_uniform`` predicate), pinned by test."""
+    u = hash_uniform(F.col(id_col), seed)
+    return df.withColumn(
+        col, F.when(u < test_fraction, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
 def sample_exact_n(
     df: DataFrame,
     id_col: str,
