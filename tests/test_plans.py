@@ -282,3 +282,62 @@ def test_curation_pipeline_plan_no_python(spark):
     # no forced broadcast of the (potentially corpus-sized) component
     # table — AQE owns the join-strategy decision
     assert "broadcast(" not in formatted_plan(out)
+
+
+def test_round6_text_ops_are_single_map_side_passes(spark):
+    """scrub_pii, remove_repeated_lines and gopher_filter must compile to
+    pure map-side projections: zero exchanges, zero Python eval nodes, no
+    generators — at 100 TB each is one codegen'd scan feeding the writer."""
+    from woe_monotonic_binning_spark.operators.text import (
+        gopher_filter,
+        remove_repeated_lines,
+        scrub_pii,
+    )
+
+    docs = spark.read.parquet(f"{SF}/../sf0.01/documents.parquet")
+    for name, out in [
+        ("scrub_pii", scrub_pii(docs)),
+        ("remove_repeated_lines", remove_repeated_lines(docs)),
+        ("gopher_filter", gopher_filter(docs)),
+    ]:
+        assert exchange_count(out) == 0, name
+        assert python_eval_count(out) == 0, name
+        assert "Generate" not in formatted_plan(out), name
+
+
+def test_pack_sequences_one_shuffle_one_arrow_stage(spark):
+    """Packing shuffles exactly once (hash-shard grouping) and crosses the
+    Python boundary exactly once (the per-shard BFD applyInPandas); the
+    corpus text never enters the plan — only (id, tokens, shard)."""
+    from woe_monotonic_binning_spark.operators.packing import pack_sequences
+    from woe_monotonic_binning_spark.operators.text import text_stats
+
+    docs = spark.read.parquet(f"{SF}/../sf0.01/documents.parquet")
+    toks = text_stats(docs).select("doc_id", "stat_tokens")
+    out = pack_sequences(toks, budget=512, n_shards=8)
+    assert exchange_count(out) == 1
+    assert python_eval_count(out) == 1
+    # the scan must read text (tokens derive from it) but the text column
+    # must be projected away BEFORE the exchange: only (id, tokens, shard)
+    # cross the wire
+    plan = formatted_plan(out)
+    import re
+
+    ex_outputs = re.findall(
+        r"\(\d+\) (?:Exchange|Sort|FlatMapGroupsInPandas)[^\n]*\n(?:Output|Input)[^\n]*",
+        plan,
+    )
+    assert ex_outputs, "expected node Output details in formatted plan"
+    assert all("text#" not in o for o in ex_outputs), ex_outputs
+
+
+def test_remove_repeated_chunks_broadcasts_frequent_set(spark):
+    """The frequent-chunk cut must reach the exploded side as a broadcast
+    anti-join; a shuffled join there re-partitions the full chunk table."""
+    from woe_monotonic_binning_spark.operators.text import remove_repeated_chunks
+
+    docs = spark.read.parquet(f"{SF}/../sf0.01/documents.parquet")
+    out = remove_repeated_chunks(docs, chunk_words=5, min_df=2)
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert python_eval_count(out) == 0
