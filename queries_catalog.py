@@ -2041,6 +2041,32 @@ def q_pack_sequences(spark, sf_dir):
     return pack_stats(packed, budget=512)
 
 
+@_q("q_dedup_incremental")
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental snapshot dedup: the first half of the corpus plays the
+    already-curated reference (as a digest table), the second half the new
+    crawl batch; cross-snapshot and within-batch exact dups drop in one
+    digest anti-join + group pass.  Semantics pinned in
+    tests/test_curation_ops.py; rows-only here (the certified exact-dedup
+    slot is q_dedup_exact)."""
+    from woe_monotonic_binning_spark.operators.dedup import (
+        dedup_against_reference,
+        exact_dedup_by_digest,
+    )
+
+    docs = _docs(spark, sf_dir)
+    half = docs.agg((F.max("doc_id") / 2).cast("long")).first()[0]
+    old = docs.filter(F.col("doc_id") <= half)
+    ref = exact_dedup_by_digest(old, "text", "doc_id").select("digest")
+    # the new crawl re-collects every 10th old doc (fresh ids) — those must
+    # drop against the reference digests; genuinely-new docs survive
+    recrawled = old.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    batch = docs.filter(F.col("doc_id") > half).unionByName(recrawled)
+    return dedup_against_reference(batch, ref).select("doc_id", "lang", "source")
+
+
 @_q("q_gopher_filter")
 def q_gopher_filter(spark, sf_dir):
     """Composed Gopher quality gate over the corpus: the hash-certified

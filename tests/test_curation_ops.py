@@ -528,3 +528,29 @@ def test_split_column_matches_train_test_split_membership(spark):
     assert got_test == {r.doc_id for r in test.collect()}
     assert got_train == {r.doc_id for r in train.collect()}
     assert len(got_test) + len(got_train) == docs.count()
+
+
+def test_dedup_against_reference_drops_known_and_within_batch_dups(spark):
+    from woe_monotonic_binning_spark.operators.dedup import (
+        dedup_against_reference,
+        exact_dedup_by_digest,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "existing doc alpha"), (1, "existing doc beta")],
+        "doc_id long, text string",
+    )
+    ref = exact_dedup_by_digest(corpus, "text", "doc_id").select("digest")
+    batch = spark.createDataFrame(
+        [
+            (10, "existing doc alpha"),   # known -> dropped
+            (11, "brand new doc"),        # kept
+            (12, "brand new doc"),        # within-batch dup -> dropped
+            (13, "another new doc"),      # kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_against_reference(batch, ref).collect()}
+    assert kept == {11, 13}
+    # schema passes through unchanged (no helper columns leak)
+    assert dedup_against_reference(batch, ref).columns == batch.columns

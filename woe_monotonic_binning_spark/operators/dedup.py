@@ -45,6 +45,36 @@ def exact_dedup_by_digest(df: DataFrame, text_col: str, id_col: str) -> DataFram
     )
 
 
+def dedup_against_reference(
+    new_df: DataFrame,
+    reference_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: drop every new document whose content
+    digest already exists in a previously-curated corpus, then drop
+    duplicates WITHIN the new batch (keeping the min id) — the batch twin
+    of ``streaming_exact_dedup`` for snapshot-over-snapshot crawls.
+
+    ``reference_digests`` is a (digest) table, typically the persisted
+    output of ``exact_dedup_by_digest`` over the existing corpus — at
+    100 TB you store the 32-byte digest column partitioned/bucketed by
+    digest prefix and feed it here; the anti-join shuffles digests only
+    (never text), AQE picks broadcast when a small reference allows it.
+    Column contract: any extra columns on ``reference_digests`` are
+    ignored; only ``digest`` is read."""
+    new_d = new_df.withColumn(
+        "__digest", F.sha2(F.col(text_col).cast("binary"), 256)
+    )
+    fresh = new_d.join(
+        reference_digests.select(F.col("digest").alias("__digest")),
+        "__digest",
+        "left_anti",
+    )
+    first = fresh.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return fresh.join(first, [id_col, "__digest"], "left_semi").drop("__digest")
+
+
 def shingled(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, unit: str = "word"
 ) -> DataFrame:
