@@ -554,3 +554,53 @@ def test_dedup_against_reference_drops_known_and_within_batch_dups(spark):
     assert kept == {11, 13}
     # schema passes through unchanged (no helper columns leak)
     assert dedup_against_reference(batch, ref).columns == batch.columns
+
+
+def test_curate_corpus_matches_flagship_composition(spark, tmp_path):
+    """The one-call pipeline (jaccard path, flagship params) must reproduce
+    q_curation_pipeline's hash-certified output row-for-row, and the
+    single-pass partitionBy(split) write must land both split dirs."""
+    import queries_catalog as qc
+    from woe_monotonic_binning_spark import curate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out_path = str(tmp_path / "curated")
+    got = curate_corpus(
+        docs,
+        quality_threshold=0.5,
+        near_dup="jaccard",
+        near_dup_threshold=0.7,
+        block_cols=["lang"],
+        weights=qc._CURATION_WEIGHTS,
+        test_fraction=0.25,
+        seed=0,
+        split_seed=11,
+        output_path=out_path,
+    ).select("doc_id", "lang", "source", "quality", "component", "split")
+    exp = qc.SPARK_QUERIES["q_curation_pipeline"](spark, sf)
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, exp.collect()))
+    assert g == e and len(g) > 0
+    written = spark.read.parquet(out_path)
+    assert sorted(map(tuple, written.select(*got.columns).collect())) == g
+    import os
+    assert {d for d in os.listdir(out_path) if d.startswith("split=")} == {
+        "split=train",
+        "split=test",
+    }
+
+
+def test_curate_corpus_minhash_and_skip_paths(spark):
+    from woe_monotonic_binning_spark import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mh = curate_corpus(docs, near_dup="minhash", near_dup_threshold=0.7)
+    assert {"quality", "component", "split"} <= set(mh.columns)
+    assert mh.count() > 0
+    skip = curate_corpus(docs, near_dup=None)
+    # no near-dup: every survivor is its own component
+    assert skip.filter(F.col("component") != F.col("doc_id")).count() == 0
+    import pytest
+    with pytest.raises(ValueError):
+        curate_corpus(docs, near_dup="bogus")

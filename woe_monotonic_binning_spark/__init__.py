@@ -21,6 +21,7 @@ from .transform import apply_bins
 from .session import get_spark
 from ._algo import BINS_COLUMNS, FitParams
 from .ml import WOEBinner, WOEBinnerModel
+from .pipeline import curate_corpus
 
 __all__ = [
     "BINS_COLUMNS",
@@ -30,6 +31,7 @@ __all__ = [
     "WOEBinnerModel",
     "apply_bins",
     "batch_woe_binning",
+    "curate_corpus",
     "fit_bins",
     "merge_bins",
     "get_spark",
