@@ -2067,6 +2067,16 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_against_reference(batch, ref).select("doc_id", "lang", "source")
 
 
+@_q("q_corpus_profile")
+def q_corpus_profile(spark, sf_dir):
+    """Per-source corpus telemetry (docs, token mass, exact duplication
+    ratio via distinct fingerprints) — one aggregation pass.  Value parity
+    vs DuckDB pinned in tests/test_curation_ops.py; rows-only here."""
+    from woe_monotonic_binning_spark.operators.text import corpus_profile
+
+    return corpus_profile(_docs(spark, sf_dir))
+
+
 @_q("q_gopher_filter")
 def q_gopher_filter(spark, sf_dir):
     """Composed Gopher quality gate over the corpus: the hash-certified

@@ -604,3 +604,49 @@ def test_curate_corpus_minhash_and_skip_paths(spark):
     import pytest
     with pytest.raises(ValueError):
         curate_corpus(docs, near_dup="bogus")
+
+
+def test_corpus_profile_matches_duckdb(spark):
+    from woe_monotonic_binning_spark.operators.text import corpus_profile
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        corpus_profile(spark.read.parquet(f"{sf}/documents.parquet"))
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    exp = con.execute(
+        """
+        WITH d AS (
+          SELECT source,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS toks,
+                 length(text) AS chars,
+                 substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
+          FROM documents
+        )
+        SELECT source, count(*) AS n_docs, sum(toks) AS total_tokens,
+               round(avg(toks), 6) AS avg_tokens, round(avg(chars), 6) AS avg_chars,
+               count(DISTINCT fp) AS n_distinct,
+               round(count(*) / CAST(count(DISTINCT fp) AS DOUBLE), 6) AS dup_ratio
+        FROM d GROUP BY source ORDER BY source
+        """
+    ).fetchdf()
+    for c in ["n_docs", "total_tokens", "n_distinct"]:
+        assert got[c].astype(int).tolist() == exp[c].astype(int).tolist(), c
+    for c in ["avg_tokens", "avg_chars", "dup_ratio"]:
+        assert got[c].astype(float).round(5).tolist() == exp[c].astype(float).round(5).tolist(), c
+
+
+def test_corpus_profile_counts_planted_dups(spark):
+    from woe_monotonic_binning_spark.operators.text import corpus_profile
+
+    df = spark.createDataFrame(
+        [(0, "same text here", "a"), (1, "same text here", "a"), (2, "other", "a")],
+        "doc_id long, text string, source string",
+    )
+    row = corpus_profile(df).collect()[0]
+    assert row.n_docs == 3 and row.n_distinct == 2
+    assert abs(row.dup_ratio - 1.5) < 1e-9

