@@ -890,16 +890,163 @@ def q_sim_search(spark, sf_dir):
 
 
 @_q(
-    "q_events_tumbling",
-    # tumbling 1h windows (epoch-aligned == date_trunc for whole hours)
+    "q_events_window_suite",
+    # MERGED certification slot (round 6) for the time-window aggregation
+    # family — tumbling (1h, epoch-aligned == date_trunc for whole hours),
+    # sliding (1h/30m: every event lands in exactly 2 windows) and ROLLUP
+    # grouping sets folded into one labelled union, freeing two driver
+    # slots for the round-6 curation ops (q_corpus_profile, q_decontam).
+    # Window bounds are second-precision strings on both sides; n_users is
+    # NULL outside the tumbling arm, which forces float64 on BOTH pandas
+    # sides so the value hash stays aligned.
     """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n_events, ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value,
+    WITH sl AS (
+      SELECT event_type, value, make_timestamp(s * 1000000) AS window_start
+      FROM (SELECT *, CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS b
+            FROM events) e,
+           unnest([b, b - 1800]) AS t(s)
+    )
+    SELECT 'tumbling' AS kind,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wlabel,
+           event_type, count(*) AS n_events,
+           ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value,
            count(DISTINCT user_id) AS n_users
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind,
+           strftime(window_start, '%Y-%m-%d %H:%M:%S') AS wlabel,
+           event_type, count(*) AS n_events,
+           ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value,
+           CAST(NULL AS BIGINT) AS n_users
+    FROM sl GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'rollup' AS kind,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS wlabel,
+           event_type, count(*) AS n_events,
+           ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value,
+           CAST(NULL AS BIGINT) AS n_users
+    FROM events GROUP BY ROLLUP (event_type, wlabel)
     """,
 )
+def q_events_window_suite(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.windows import (
+        event_rollup,
+        sliding_agg,
+    )
+
+    ev = _events(spark, sf_dir)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    tumbling = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.lit("tumbling").alias("kind"),
+            F.date_format(F.col("w.start"), fmt).alias("wlabel"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+    sliding = sliding_agg(ev).select(
+        F.lit("sliding").alias("kind"),
+        F.date_format("window_start", fmt).alias("wlabel"),
+        "event_type",
+        "n_events",
+        "total_value",
+        F.lit(None).cast("long").alias("n_users"),
+    )
+    rollup = event_rollup(ev).select(
+        F.lit("rollup").alias("kind"),
+        F.date_format("day", "yyyy-MM-dd").alias("wlabel"),
+        "event_type",
+        "n_events",
+        "total_value",
+        F.lit(None).cast("long").alias("n_users"),
+    )
+    return tumbling.unionByName(sliding).unionByName(rollup)
+
+
+@_q(
+    "q_events_user_suite",
+    # MERGED certification slot (round 6) for the per-user event family —
+    # session windows (30 min gap, gaps-and-islands oracle) and top-5 users
+    # per day (pre-agg before ranking) folded into one labelled union,
+    # freeing one driver slot for q_scrub_pii.  rank is NULL on the
+    # session arm (float64 on both pandas sides, hash-aligned).
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ), daily AS (
+      SELECT date_trunc('day', ts) AS window_start, user_id,
+             count(*) AS n_events,
+             ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                 ORDER BY n_events DESC, user_id) AS rank
+      FROM daily
+    )
+    SELECT 'session' AS kind,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS wlabel,
+           user_id, count(*) AS n_events,
+           ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value,
+           CAST(NULL AS BIGINT) AS rank
+    FROM sessions GROUP BY user_id, session_id
+    UNION ALL
+    SELECT 'topk' AS kind,
+           strftime(window_start, '%Y-%m-%d %H:%M:%S') AS wlabel,
+           user_id, n_events, total_value, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_events_user_suite(spark, sf_dir):
+    # window bounds emitted as second-precision strings: the parquet
+    # carries nanosecond timestamps, Spark works in microseconds, so raw
+    # bound values can never hash-match the ns-native oracle
+    from woe_monotonic_binning_spark.operators.windows import (
+        session_agg,
+        top_users_per_window,
+    )
+
+    ev = _events(spark, sf_dir)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    session = session_agg(ev).select(
+        F.lit("session").alias("kind"),
+        F.date_format("session_start", fmt).alias("wlabel"),
+        "user_id",
+        "n_events",
+        "total_value",
+        F.lit(None).cast("long").alias("rank"),
+    )
+    topk = top_users_per_window(ev).select(
+        F.lit("topk").alias("kind"),
+        F.date_format("window_start", fmt).alias("wlabel"),
+        "user_id",
+        "n_events",
+        "total_value",
+        F.col("rank").cast("long"),
+    )
+    return session.unionByName(topk)
+
+
+@_q("q_events_tumbling")
 def q_events_tumbling(spark, sf_dir):
+    """Tumbling 1h windows; hash-certified through q_events_window_suite
+    (round 6 merge), rows-only here."""
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -913,53 +1060,19 @@ def q_events_tumbling(spark, sf_dir):
     )
 
 
-@_q(
-    "q_events_sliding",
-    # sliding 1h/30m windows: every event lands in exactly 2 windows
-    """
-    WITH e AS (
-      SELECT *, CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS b FROM events
-    ), windows AS (
-      SELECT event_type, value, make_timestamp(s * 1000000) AS window_start
-      FROM e, unnest([b, b - 1800]) AS t(s)
-    )
-    SELECT window_start, event_type, count(*) AS n_events,
-           ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value
-    FROM windows GROUP BY 1, 2
-    """,
-)
+@_q("q_events_sliding")
 def q_events_sliding(spark, sf_dir):
+    """Sliding 1h/30m windows; hash-certified through q_events_window_suite
+    (round 6 merge), rows-only here."""
     from woe_monotonic_binning_spark.operators.windows import sliding_agg
 
     return sliding_agg(_events(spark, sf_dir))
 
 
-@_q(
-    "q_events_session",
-    # per-user session windows, 30 min gap (gaps-and-islands oracle)
-    """
-    WITH marked AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 30 MINUTE
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ), sessions AS (
-      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM marked
-    )
-    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           user_id, count(*) AS n_events,
-           ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value
-    FROM sessions GROUP BY user_id, session_id
-    """,
-)
+@_q("q_events_session")
 def q_events_session(spark, sf_dir):
-    # session bounds are emitted as second-precision strings: the parquet
-    # carries nanosecond timestamps, Spark works in microseconds, so raw
-    # bound values can never hash-match the ns-native oracle
+    """Per-user 30-min-gap session windows; hash-certified through
+    q_events_user_suite (round 6 merge), rows-only here."""
     from woe_monotonic_binning_spark.operators.windows import session_agg
 
     out = session_agg(_events(spark, sf_dir))
@@ -971,40 +1084,19 @@ def q_events_session(spark, sf_dir):
     )
 
 
-@_q(
-    "q_events_topk_users",
-    # top-5 users per day by event count (pre-agg before ranking)
-    """
-    SELECT window_start, user_id, n_events, total_value, rank FROM (
-      SELECT *, row_number() OVER (PARTITION BY window_start
-                 ORDER BY n_events DESC, user_id) AS rank
-      FROM (
-        SELECT date_trunc('day', ts) AS window_start, user_id,
-               count(*) AS n_events,
-               ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value
-        FROM events GROUP BY 1, 2
-      )
-    ) WHERE rank <= 5
-    """,
-)
+@_q("q_events_topk_users")
 def q_events_topk_users(spark, sf_dir):
+    """Top-5 users per day; hash-certified through q_events_user_suite
+    (round 6 merge), rows-only here."""
     from woe_monotonic_binning_spark.operators.windows import top_users_per_window
 
     return top_users_per_window(_events(spark, sf_dir))
 
 
-@_q(
-    "q_events_rollup",
-    # ROLLUP (event_type, day) — grouping-set coverage beyond the reference
-    """
-    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           count(*) AS n_events, ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value
-    FROM events GROUP BY ROLLUP (event_type, day)
-    """,
-)
+@_q("q_events_rollup")
 def q_events_rollup(spark, sf_dir):
-    # day as an ISO string: DuckDB DATE round-trips to pandas as datetime,
-    # which would never equal Spark's date objects in the value hash
+    """ROLLUP (event_type, day) grouping sets; hash-certified through
+    q_events_window_suite (round 6 merge), rows-only here."""
     from woe_monotonic_binning_spark.operators.windows import event_rollup
 
     out = event_rollup(_events(spark, sf_dir))
@@ -1956,12 +2048,45 @@ def q_kafka_replay(spark, sf_dir):
     return run_available_now(agg, "q_kafka_replay_sink")
 
 
-@_q("q_scrub_pii")
+@_q(
+    "q_scrub_pii",
+    # PII patterns duplicated verbatim from operators/text.py PII_PATTERNS
+    # (chosen to parse identically under Java regex and RE2 — no
+    # backreferences, no lookaround); match counts run on the ORIGINAL
+    # text, replacements chain email -> ip -> phone, same as scrub_pii.
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.1 or 555-867-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g') AS text,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ip,
+           len(regexp_extract_all(text,
+             '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS n_phone
+    FROM d
+    """,
+)
 def q_scrub_pii(spark, sf_dir):
     """PII scrub over the corpus with planted synthetic PII (the raw table
     carries none): every 5th doc gets an email + ip + phone appended, then
-    the one-pass regexp mask runs.  Engine-parity with DuckDB regexps is
-    pinned value-level in tests/test_curation_ops.py; rows-only here."""
+    the one-pass regexp mask runs.  Hash-certified against the DuckDB
+    regexp twin since round 6 (a freed q_events_user_suite slot); the
+    adversarial-row parity suite stays in tests/test_curation_ops.py."""
     from woe_monotonic_binning_spark.operators.text import scrub_pii
 
     docs = _docs(spark, sf_dir).withColumn(
@@ -2011,14 +2136,37 @@ def q_dedup_lines(spark, sf_dir):
     )
 
 
-@_q("q_decontam")
+@_q(
+    "q_decontam",
+    # word-8-gram survival oracle: same whitespace normalisation as
+    # shingled() (trim/lower/collapse), grams as space-joined word runs;
+    # survivors are docs sharing NO gram with the doc_id%25==0 benchmark
+    """
+    WITH g AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(w), 8) - 8 + 2),
+               i -> array_to_string(w[i:i+7], ' '))) AS grams
+      FROM (SELECT doc_id,
+                   str_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents)
+    ), bg AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 25 = 0
+    ), flagged AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+      WHERE gram IN (SELECT gram FROM bg)
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+)
 def q_decontam(spark, sf_dir):
     """Benchmark decontamination: every 25th doc plays the eval set; corpus
     docs sharing any 8-gram with it (the planted exact dups, plus the
     benchmark members themselves) are dropped via one broadcast-gram scan +
-    id anti-join.  Value parity vs a DuckDB list_intersect oracle and the
-    broadcast plan shape are pinned in tests/test_curation_ops.py;
-    rows-only here."""
+    id anti-join.  Hash-certified against the DuckDB gram oracle since
+    round 6 (a freed q_events_window_suite slot); the broadcast plan shape
+    stays pinned in tests/test_curation_ops.py."""
     from woe_monotonic_binning_spark.operators.dedup import decontaminate
 
     docs = _docs(spark, sf_dir)
@@ -2067,11 +2215,32 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_against_reference(batch, ref).select("doc_id", "lang", "source")
 
 
-@_q("q_corpus_profile")
+@_q(
+    "q_corpus_profile",
+    # token_count_bpe == regexp_extract_all over the BPE-ish regex;
+    # fingerprint == substr(md5(normalised), 1, 16) — md5 is bit-identical
+    """
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS toks,
+             length(text) AS chars,
+             substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           ROUND(avg(toks), 6) AS avg_tokens, ROUND(avg(chars), 6) AS avg_chars,
+           count(DISTINCT fp) AS n_distinct,
+           ROUND(count(*) / CAST(count(DISTINCT fp) AS DOUBLE), 6) AS dup_ratio
+    FROM d GROUP BY source
+    """,
+)
 def q_corpus_profile(spark, sf_dir):
     """Per-source corpus telemetry (docs, token mass, exact duplication
-    ratio via distinct fingerprints) — one aggregation pass.  Value parity
-    vs DuckDB pinned in tests/test_curation_ops.py; rows-only here."""
+    ratio via distinct fingerprints) — one aggregation pass.  Hash-certified
+    against the DuckDB twin since round 6 (a freed q_events_window_suite
+    slot); the planted-dup property test stays in
+    tests/test_curation_ops.py."""
     from woe_monotonic_binning_spark.operators.text import corpus_profile
 
     return corpus_profile(_docs(spark, sf_dir))
@@ -2090,6 +2259,23 @@ def q_gopher_filter(spark, sf_dir):
     return out.select(
         "doc_id", "keep", F.array_join("fail_reasons", ",").alias("reasons")
     )
+
+
+@_q("q_token_budget")
+def q_token_budget(spark, sf_dir):
+    """Data-recipe token-budget fill: admit docs per source in hash-draw
+    order until each named source's token budget is reached (bucketed
+    prefix-sum cut — no whole-group window).  Naive-window equivalence,
+    nestedness, partitioning invariance and a bit-identical DuckDB twin
+    are pinned in tests/test_sampling.py; rows-only here (driver window
+    holds exactly the 50 certified slots)."""
+    from woe_monotonic_binning_spark.operators.sampling import select_to_token_budget
+    from woe_monotonic_binning_spark.operators.text import token_count_bpe
+
+    docs = _docs(spark, sf_dir).withColumn("toks", token_count_bpe(F.col("text")))
+    budgets = {"src0": 500.0, "src1": 1200.0, "src2": 120.0}
+    out = select_to_token_budget(docs, budgets, token_col="toks")
+    return out.select("doc_id", "source", "toks")
 
 
 @_q("q_sample_exact")
@@ -2121,8 +2307,12 @@ def q_sample_exact(spark, sf_dir):
 # q_dedup_exact; §2 ops 4/5/6 folded into q_filter_suite); round 6 demoted
 # q_token_count to rows-only (its columns are hash-certified through
 # q_text_stats' aggregates) to admit the composed q_curation_pipeline
-# flagship, so the catalog carries EXACTLY 50 oracle-backed entries — the
-# window IS the hash-checked set.  The
+# flagship, then folded the five events-window slots into two labelled
+# union suites (q_events_window_suite = tumbling+sliding+rollup,
+# q_events_user_suite = session+topk — same tables, same aggregate shapes)
+# to hash-certify the curation ops q_corpus_profile, q_decontam and
+# q_scrub_pii, so the catalog carries EXACTLY 50 oracle-backed entries —
+# the window IS the hash-checked set.  The
 # iterative fit ops (q_pava, q_ztest_merge, ...) sit at the tail — their
 # correctness is carried by golden parity (test_fit_parity), the hypothesis
 # fuzz (test_fuzz_parity; 150 examples per CI pass, 2000-example deep run

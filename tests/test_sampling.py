@@ -61,3 +61,149 @@ def test_mix_drops_unlisted_sources_and_respects_weights(spark, docs):
     assert got == {"src0"}
     # weight 1.0 keeps every src0 row
     assert out.count() == docs.filter(F.col("source") == "src0").count()
+
+
+# ---------------------------------------------------------------------------
+# select_to_token_budget
+
+
+def _naive_budget_selection(spark, df, budgets, seed=0):
+    """Reference semantics: one window over each entire group."""
+    from pyspark.sql.window import Window
+
+    from woe_monotonic_binning_spark.operators.sampling import hash_uniform
+
+    u = hash_uniform(F.col("doc_id"), seed)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.lit(None).cast("double")
+    for g, b in budgets.items():
+        budget = F.when(F.col("source") == g, F.lit(float(b))).otherwise(budget)
+    out = (
+        df.withColumn("__u", u)
+        .withColumn("__prev", F.coalesce(F.sum("toks").over(w), F.lit(0.0)))
+        .withColumn("__budget", budget)
+        .filter(F.col("__budget").isNull() | (F.col("__prev") < F.col("__budget")))
+    )
+    return {r.doc_id for r in out.collect()}
+
+
+@pytest.fixture(scope="module")
+def tok_docs(spark, docs):
+    from woe_monotonic_binning_spark.operators.text import token_count_bpe
+
+    return docs.withColumn("toks", token_count_bpe(F.col("text"))).cache()
+
+
+def test_token_budget_matches_naive_window_rule(spark, tok_docs):
+    from woe_monotonic_binning_spark.operators.sampling import select_to_token_budget
+
+    budgets = {"src0": 500, "src1": 1_200, "src2": 1}
+    got = select_to_token_budget(
+        tok_docs, budgets, token_col="toks", n_buckets=32
+    )
+    ids = {r.doc_id for r in got.collect()}
+    assert ids == _naive_budget_selection(spark, tok_docs, budgets)
+    # unlisted sources pass through whole
+    sources = {r.source for r in tok_docs.select("source").distinct().collect()}
+    for s in sources - set(budgets):
+        n_all = tok_docs.filter(F.col("source") == s).count()
+        n_got = got.filter(F.col("source") == s).count()
+        assert n_got == n_all
+
+
+def test_token_budget_lands_on_the_line(spark, tok_docs):
+    from woe_monotonic_binning_spark.operators.sampling import select_to_token_budget
+
+    group_total = (
+        tok_docs.filter(F.col("source") == "src0").agg(F.sum("toks")).first()[0]
+    )
+    budget = group_total // 3  # strictly inside the group's token mass
+    got = select_to_token_budget(tok_docs, {"src0": budget}, token_col="toks")
+    s0 = got.filter(F.col("source") == "src0")
+    total = s0.agg(F.sum("toks")).first()[0]
+    max_doc = s0.agg(F.max("toks")).first()[0]
+    # crossing doc included: total in [budget, budget + largest admitted doc)
+    assert budget <= total < budget + max_doc
+
+
+def test_token_budget_nested_and_partitioning_invariant(spark, tok_docs):
+    from woe_monotonic_binning_spark.operators.sampling import select_to_token_budget
+
+    small = {
+        r.doc_id
+        for r in select_to_token_budget(
+            tok_docs, {"src0": 300}, token_col="toks"
+        ).filter(F.col("source") == "src0").collect()
+    }
+    large = {
+        r.doc_id
+        for r in select_to_token_budget(
+            tok_docs, {"src0": 900}, token_col="toks"
+        ).filter(F.col("source") == "src0").collect()
+    }
+    assert small and small < large
+    again = {
+        r.doc_id
+        for r in select_to_token_budget(
+            tok_docs.repartition(17), {"src0": 300}, token_col="toks"
+        ).filter(F.col("source") == "src0").collect()
+    }
+    assert again == small
+
+
+def test_token_budget_zero_and_oversize_budgets(spark, tok_docs):
+    from woe_monotonic_binning_spark.operators.sampling import select_to_token_budget
+
+    out = select_to_token_budget(
+        tok_docs, {"src0": 0, "src1": 10**12}, token_col="toks"
+    )
+    assert out.filter(F.col("source") == "src0").count() == 0
+    n1 = tok_docs.filter(F.col("source") == "src1").count()
+    assert out.filter(F.col("source") == "src1").count() == n1
+
+
+def test_token_budget_matches_duckdb_twin(spark, tok_docs):
+    """Cross-engine value parity: the md5 draw is bit-identical in DuckDB,
+    so the whole selection (draw order + running-sum cut) is replayable as
+    one DuckDB window query."""
+    import duckdb
+
+    from woe_monotonic_binning_spark.operators.sampling import select_to_token_budget
+
+    budgets = {"src0": 500, "src1": 1_200}
+    got = sorted(
+        r.doc_id
+        for r in select_to_token_budget(
+            tok_docs, budgets, token_col="toks"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    exp = con.execute(
+        r"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS toks,
+                 CAST(CONCAT('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR) || '_0'), 1, 8)) AS BIGINT)
+                 / 4294967296.0 AS u
+          FROM documents
+        ), p AS (
+          SELECT *, coalesce(sum(toks) OVER (PARTITION BY source ORDER BY u, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+          FROM t
+        )
+        SELECT doc_id FROM p
+        WHERE CASE source WHEN 'src0' THEN prev < 500
+                          WHEN 'src1' THEN prev < 1200
+                          ELSE true END
+        ORDER BY doc_id
+        """
+    ).fetchdf()
+    assert got == exp["doc_id"].tolist()

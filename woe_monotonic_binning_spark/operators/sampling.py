@@ -167,3 +167,90 @@ def mix_sources(
     for s, w in sorted(weights.items()):
         frac = F.when(F.col(source_col) == s, F.lit(min(float(w), 1.0))).otherwise(frac)
     return df.filter(u < frac)
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    budgets: dict[str, float],
+    token_col: str = "stat_tokens",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    seed: int = 0,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Fill each source's token budget deterministically — the "data
+    recipe" step of assembling a pretraining mix ("100 B tokens of crawl,
+    30 B of code, all of wiki"): admit documents of group g in hash-draw
+    order until g's cumulative token mass reaches ``budgets[g]``.
+
+    Semantics (exactly the naive per-group running-sum rule, pinned by
+    test): order g's docs by (hash_uniform(id, seed), id); a doc is kept
+    iff the token sum of all docs BEFORE it is still < budget — so the doc
+    that crosses the budget line is the last one in.  The selection is a
+    pure function of (ids, seed, budgets): partitioning-invariant,
+    re-runnable, and NESTED — a larger budget strictly extends the smaller
+    budget's selection, so recipe iterations reuse cached shards.  Groups
+    absent from ``budgets`` pass through untouched (only named sources are
+    capped).
+
+    Scale shape: the naive rule is one window over each ENTIRE group — a
+    single-reducer funnel per source at 100 TB.  Instead the draw is
+    bucketed (``floor(u * n_buckets)``) and a per-(group, bucket) token
+    sum — groups x n_buckets rows, a bounded driver materialization like
+    fit.py's quantile prefix-sum — locates each group's cut bucket.
+    Buckets before the cut admit wholesale (map-side filter, no shuffle);
+    only the ~1/n_buckets slice holding the budget line pays a window, and
+    the two branches are separate scan->filter passes precisely so the
+    corpus-wide shuffle a single fine-partitioned window would cost never
+    happens."""
+    from pyspark.sql.window import Window
+
+    u = hash_uniform(F.col(id_col), seed)
+    base = df.withColumn("__u", u).withColumn(
+        "__b", F.floor(F.col("__u") * n_buckets).cast("int")
+    )
+    sums = base.groupBy(group_col, "__b").agg(F.sum(token_col).alias("__t")).collect()
+    per_group: dict = {}
+    for r in sums:
+        per_group.setdefault(r[group_col], []).append((r["__b"], float(r["__t"] or 0)))
+
+    full_cond = ~F.col(group_col).isin(list(budgets))  # pass-through groups
+    partial: dict[str, tuple[int, float]] = {}
+    for g, pairs in per_group.items():
+        if g not in budgets:
+            continue
+        budget = float(budgets[g])
+        cum = 0.0
+        cut_bucket = None
+        for b, t in sorted(pairs):
+            if cum + t >= budget:
+                cut_bucket = b
+                break
+            cum += t
+        if cut_bucket is None:  # budget >= group total: everything fits
+            full_cond = full_cond | (F.col(group_col) == g)
+        else:
+            full_cond = full_cond | (
+                (F.col(group_col) == g) & (F.col("__b") < cut_bucket)
+            )
+            if budget - cum > 0:
+                partial[g] = (cut_bucket, budget - cum)
+
+    kept = base.filter(full_cond)
+    if partial:
+        cond = F.lit(False)
+        offset = F.lit(0.0)
+        for g, (cb, off) in sorted(partial.items()):
+            m = (F.col(group_col) == g) & (F.col("__b") == cb)
+            cond = cond | m
+            offset = F.when(m, F.lit(off)).otherwise(offset)
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy("__u", id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        part = base.filter(cond).withColumn(
+            "__prev", F.coalesce(F.sum(token_col).over(w), F.lit(0.0))
+        )
+        kept = kept.unionByName(part.filter(F.col("__prev") < offset).drop("__prev"))
+    return kept.drop("__u", "__b")
