@@ -2013,6 +2013,41 @@ def q_dedup_stream(spark, sf_dir):
     return run_available_now(deduped, "q_dedup_stream_sink", output_mode="append")
 
 
+@_q("q_dedup_store_stream")
+def q_dedup_store_stream(spark, sf_dir):
+    """foreachBatch ingest dedup against a PERSISTENT digest store
+    (streaming/dedup.py streaming_dedup_against_store): unlike the
+    watermark twin, the digest table survives query restarts and is shared
+    with the batch path.  Cross-batch + cross-query semantics pinned in
+    tests/test_streaming_dedup.py; rows-only here (streaming sink with
+    filesystem state)."""
+    import os
+    import shutil
+    import tempfile
+
+    from woe_monotonic_binning_spark.streaming.dedup import (
+        streaming_dedup_against_store,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), "wmb_sdedup_store")
+    shutil.rmtree(root, ignore_errors=True)  # deterministic fresh state per run
+    src, store, out = (os.path.join(root, d) for d in ("src", "store", "out"))
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    docs.unionByName(dups).repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    q = streaming_dedup_against_store(
+        stream, store, out, checkpoint_dir=os.path.join(root, "ckpt")
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("doc_id")
+
+
 @_q("q_kafka_replay")
 def q_kafka_replay(spark, sf_dir):
     """Kafka-wire-schema replay: encode events as (key, value-JSON, topic,

@@ -650,3 +650,35 @@ def test_corpus_profile_counts_planted_dups(spark):
     row = corpus_profile(df).collect()[0]
     assert row.n_docs == 3 and row.n_distinct == 2
     assert abs(row.dup_ratio - 1.5) < 1e-9
+
+
+def test_curate_corpus_token_budget_stage(spark):
+    """token_budgets caps named sources' token mass after mixing; unnamed
+    sources and all other columns pass through; __toks never leaks."""
+    from woe_monotonic_binning_spark import curate_corpus
+    from woe_monotonic_binning_spark.operators.text import token_count_bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = curate_corpus(docs, near_dup=None, quality_threshold=0.0)
+    src = base.select("source").distinct().limit(1).first()[0]
+    total = (
+        base.filter(F.col("source") == src)
+        .withColumn("t", token_count_bpe(F.col("text")))
+        .agg(F.sum("t"))
+        .first()[0]
+    )
+    budget = max(1, total // 2)
+    capped = curate_corpus(
+        docs, near_dup=None, quality_threshold=0.0, token_budgets={src: budget}
+    )
+    assert "__toks" not in capped.columns
+    got = (
+        capped.filter(F.col("source") == src)
+        .withColumn("t", token_count_bpe(F.col("text")))
+        .agg(F.sum("t"))
+        .first()[0]
+    )
+    assert budget <= got < total
+    # unnamed sources untouched
+    other = base.filter(F.col("source") != src).count()
+    assert capped.filter(F.col("source") != src).count() == other

@@ -127,3 +127,63 @@ def test_streaming_dedup_stays_jvm_side(spark, dup_stream_path):
     ).dropDuplicates(["event_id"])
     assert python_eval_count(probe) == 0
     assert len(schema) > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming_dedup_against_store (persistent digest-store dedup)
+
+
+def test_streaming_dedup_against_store_cross_batch_and_restart(spark, tmp_path):
+    """Cross-batch dups drop via the store (maxFilesPerTrigger=1 forces the
+    copies into separate micro-batches), and — the property in-memory state
+    cannot give — a brand-new QUERY over a later crawl still dedups against
+    everything the first query ingested."""
+    import time as _time
+
+    from woe_monotonic_binning_spark.streaming.dedup import (
+        streaming_dedup_against_store,
+    )
+
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+
+    spark.createDataFrame(
+        [(0, "alpha text"), (1, "beta text")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.1)  # distinct mtimes -> deterministic file->batch order
+    spark.createDataFrame(
+        [(2, "beta text"), (3, "gamma text")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = streaming_dedup_against_store(
+        stream, store, out, checkpoint_dir=str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination()
+
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {0, 1, 3}  # doc 2 is a cross-batch copy of doc 1
+    assert spark.read.parquet(store).distinct().count() == 3
+
+    # second, independent query over a later crawl: the store remembers
+    src2 = tmp_path / "src2"
+    spark.createDataFrame(
+        [(10, "alpha text"), (11, "delta text"), (12, "delta text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(str(src2))
+    stream2 = spark.readStream.schema(schema).parquet(str(src2))
+    q2 = streaming_dedup_against_store(
+        stream2, store, out, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+
+    kept2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # 10 dups the stored 'alpha text'; 12 dups 11 within the batch (min id kept)
+    assert kept2 == {0, 1, 3, 11}
+    assert spark.read.parquet(store).distinct().count() == 4

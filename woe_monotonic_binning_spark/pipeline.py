@@ -48,6 +48,8 @@ def curate_corpus(
     test_fraction: float = 0.1,
     seed: int = 0,
     split_seed: int = 1,
+    token_budgets: dict[str, float] | None = None,
+    budget_seed: int = 2,
     output_path: str | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the labeled survivor table
@@ -55,15 +57,19 @@ def curate_corpus(
 
     ``near_dup``: ``'minhash'`` (default, at-scale), ``'jaccard'`` (exact
     blocked all-pairs over ``block_cols``), or ``None`` to skip near-dup
-    entirely.  ``weights=None`` skips source mixing.  ``output_path`` also
-    writes the result as parquet partitioned by ``split`` (one pass).
+    entirely.  ``weights=None`` skips source mixing.  ``token_budgets``
+    (optional) caps each named source's token mass AFTER mixing — the
+    "fill the recipe to N tokens" step (``select_to_token_budget`` over a
+    transient BPE-ish token count); unnamed sources pass through.
+    ``output_path`` also writes the result as parquet partitioned by
+    ``split`` (one pass).
 
     ``seed`` drives the source-mixing draw, ``split_seed`` the train/test
-    draw — they MUST differ (the defaults do): reusing one seed makes the
-    mixing filter and the split label functions of the SAME uniform draw,
-    so the test split would systematically over-sample whatever the
-    mixing draw correlates with (e.g. every doc with u just below a low
-    source weight is both kept AND labeled test).
+    draw, ``budget_seed`` the budget admission order — all three MUST
+    differ (the defaults do): reusing one seed makes two stages functions
+    of the SAME uniform draw, so e.g. the test split would systematically
+    over-sample whatever the mixing draw correlates with (every doc with u
+    just below a low source weight is both kept AND labeled test).
     """
     scored = quality_score(docs, text_col).filter(
         F.col("quality") >= quality_threshold
@@ -85,6 +91,18 @@ def curate_corpus(
     else:
         raise ValueError(f"near_dup must be 'minhash', 'jaccard' or None, got {near_dup!r}")
     mixed = mix_sources(best, weights, source_col, id_col, seed) if weights else best
+    if token_budgets:
+        from .operators.sampling import select_to_token_budget
+        from .operators.text import token_count_bpe
+
+        mixed = select_to_token_budget(
+            mixed.withColumn("__toks", token_count_bpe(F.col(text_col))),
+            token_budgets,
+            token_col="__toks",
+            id_col=id_col,
+            group_col=source_col,
+            seed=budget_seed,
+        ).drop("__toks")
     labeled = split_column(mixed, id_col, test_fraction, split_seed, col="split")
     if output_path is not None:
         labeled.write.mode("overwrite").partitionBy("split").parquet(output_path)

@@ -52,3 +52,55 @@ def streaming_exact_dedup_unbounded(
     """Exact global streaming dedup; state is the full distinct-key set —
     bounded backfills only (see module docstring)."""
     return stream.dropDuplicates(list(key_cols))
+
+
+def streaming_dedup_against_store(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+):
+    """Ingest-time exact dedup against a PERSISTENT digest store — the
+    streaming face of ``operators/dedup.dedup_against_reference``: each
+    micro-batch drops documents whose content digest already exists in the
+    parquet store at ``store_path`` (or earlier in the same batch), appends
+    the survivors to ``out_path`` and their digests back to the store.
+
+    Unlike ``streaming_exact_dedup`` the state here survives query
+    restarts and watermark horizons: it IS the corpus digest table, the
+    same one the nightly batch path reads/writes, so batch backfills and
+    the live stream dedup against one shared fact set.  State per document
+    is one 64-hex-char digest row — at 100 TB you partition the store by
+    digest prefix and the per-batch anti-join shuffles digests only (AQE
+    broadcasts small batches).
+
+    Delivery: ``foreachBatch`` + checkpoint gives at-least-once batch
+    replay; a replayed batch re-appends digests (harmless — the store is
+    semantically a set and the anti-join ignores multiplicity) but can
+    also re-append SURVIVOR rows to ``out_path``.  Production sinks want a
+    transactional table format (Delta/Iceberg MERGE) for exactly-once
+    output; plain parquet keeps this container-runnable and the semantics
+    honest.  Returns the started StreamingQuery (availableNow trigger —
+    call ``awaitTermination()``)."""
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        from ..operators.dedup import dedup_against_reference
+
+        spark = batch_df.sparkSession
+        try:
+            ref = spark.read.parquet(store_path).select("digest")
+        except Exception:  # first batch: store does not exist yet
+            ref = spark.createDataFrame([], "digest string")
+        fresh = dedup_against_reference(batch_df, ref, text_col, id_col).persist()
+        fresh.write.mode("append").parquet(out_path)
+        fresh.select(
+            F.sha2(F.col(text_col).cast("binary"), 256).alias("digest")
+        ).write.mode("append").parquet(store_path)
+        fresh.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_process).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
