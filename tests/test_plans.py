@@ -341,3 +341,30 @@ def test_remove_repeated_chunks_broadcasts_frequent_set(spark):
     plan = formatted_plan(out)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert python_eval_count(out) == 0
+
+
+def test_token_budget_pays_window_only_for_the_cut_bucket(spark):
+    """select_to_token_budget's scale contract: when every named budget
+    swallows its group, the plan is a pure map-side filter (no Window, no
+    Exchange); when a budget line falls inside a group, exactly ONE Window
+    appears — over the bucket-filtered partial slice, never the corpus —
+    costing one Exchange.  Python never enters either plan."""
+    import re
+
+    from woe_monotonic_binning_spark.operators.sampling import select_to_token_budget
+    from woe_monotonic_binning_spark.operators.text import token_count_bpe
+
+    docs = spark.read.parquet(f"{SF}/../sf0.01/documents.parquet").withColumn(
+        "toks", token_count_bpe(F.col("text"))
+    )
+    easy = select_to_token_budget(docs, {"src0": 1e12}, token_col="toks")
+    plan = formatted_plan(easy)
+    assert len(re.findall(r"\(\d+\)\s+Window\b", plan)) == 0
+    assert exchange_count(easy) == 0
+    assert python_eval_count(easy) == 0
+
+    tight = select_to_token_budget(docs, {"src0": 500.0}, token_col="toks")
+    plan = formatted_plan(tight)
+    assert len(re.findall(r"\(\d+\)\s+Window\b", plan)) == 1
+    assert exchange_count(tight) == 1
+    assert python_eval_count(tight) == 0
