@@ -934,23 +934,17 @@ def q_events_window_suite(spark, sf_dir):
         sliding_agg,
     )
 
+    from woe_monotonic_binning_spark.operators.windows import tumbling_agg_exact
+
     ev = _events(spark, sf_dir)
     fmt = "yyyy-MM-dd HH:mm:ss"
-    tumbling = (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
-            F.count_distinct("user_id").alias("n_users"),
-        )
-        .select(
-            F.lit("tumbling").alias("kind"),
-            F.date_format(F.col("w.start"), fmt).alias("wlabel"),
-            "event_type",
-            "n_events",
-            "total_value",
-            "n_users",
-        )
+    tumbling = tumbling_agg_exact(ev).select(
+        F.lit("tumbling").alias("kind"),
+        F.date_format("window_start", fmt).alias("wlabel"),
+        "event_type",
+        "n_events",
+        "total_value",
+        "n_users",
     )
     sliding = sliding_agg(ev).select(
         F.lit("sliding").alias("kind"),
@@ -1047,17 +1041,9 @@ def q_events_user_suite(spark, sf_dir):
 def q_events_tumbling(spark, sf_dir):
     """Tumbling 1h windows; hash-certified through q_events_window_suite
     (round 6 merge), rows-only here."""
-    ev = _events(spark, sf_dir)
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
-            F.count_distinct("user_id").alias("n_users"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events",
-                "total_value", "n_users")
-    )
+    from woe_monotonic_binning_spark.operators.windows import tumbling_agg_exact
+
+    return tumbling_agg_exact(_events(spark, sf_dir))
 
 
 @_q("q_events_sliding")

@@ -35,6 +35,28 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def tumbling_agg_exact(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """``tumbling_agg`` with EXACT distinct users — the oracle-checkable
+    form (approx_count_distinct is sketch-dependent and can never
+    hash-match); the certified catalog suite and its demoted single-slot
+    twin both build on this."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
 def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
     return (
         events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
