@@ -207,3 +207,18 @@ def test_token_budget_matches_duckdb_twin(spark, tok_docs):
         """
     ).fetchdf()
     assert got == exp["doc_id"].tolist()
+
+
+def test_token_budget_single_bucket_degenerates_to_naive(spark, tok_docs):
+    """n_buckets=1 pushes the whole group through the window path — the
+    degenerate configuration must still equal the naive rule exactly."""
+    from woe_monotonic_binning_spark.operators.sampling import select_to_token_budget
+
+    budgets = {"src0": 700, "src1": 200}
+    got = {
+        r.doc_id
+        for r in select_to_token_budget(
+            tok_docs, budgets, token_col="toks", n_buckets=1
+        ).collect()
+    }
+    assert got == _naive_budget_selection(spark, tok_docs, budgets)
