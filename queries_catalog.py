@@ -1266,6 +1266,23 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return srp_threshold_pairs(emb, threshold=0.35)
 
 
+@_q("q_dedup_semantic")
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup composition (operators/dedup.py semantic_dedup): Lloyd
+    centroids -> cell assignment -> within-cell cosine pairs -> components
+    -> canonical keep.  Planted-clone collapse, keep-best policy and
+    repartition stability pinned in tests/test_operators.py; rows-only
+    here (Lloyd means are float-summation-order dependent, so the result
+    is not bit-hashable cross-engine)."""
+    from woe_monotonic_binning_spark.operators.dedup import semantic_dedup
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).select("vec_id", "embedding")
+    out = semantic_dedup(emb, n_cells=8, threshold=0.35)
+    return out.select("vec_id", "component")
+
+
 @_q("q_sim_search_lsh")
 def q_sim_search_lsh(spark, sf_dir):
     """SRP-LSH bucketed approximate top-k (Charikar cosine LSH); recall and

@@ -768,3 +768,60 @@ def test_pipelines_leave_no_sql_cache_entries(spark):
     assert lazy.count() >= 0
     assert not cm.isEmpty()
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup composition)
+
+
+def test_semantic_dedup_collapses_planted_duplicate_vectors(spark):
+    """Clones of the first 5 vectors (new ids, identical embeddings) must
+    collapse onto their originals — an identical vector lands in the same
+    cell and pairs at cosine 1 — while at threshold ~1 nothing else pairs;
+    min-id canonical keeps the original."""
+    from woe_monotonic_binning_spark.operators.dedup import semantic_dedup
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+    )
+    clones = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    corpus = emb.unionByName(clones)
+    out = semantic_dedup(corpus, n_cells=4, threshold=0.999999)
+    ids = {r.vec_id for r in out.select("vec_id").collect()}
+    assert out.count() == emb.count()
+    for i in range(5):
+        assert i in ids and i + 100_000 not in ids
+
+
+def test_semantic_dedup_keep_best_policy_and_stability(spark):
+    """With an order column the BEST clone wins (here the planted copy
+    carries the higher score), and the selection is identical after
+    repartitioning (centroid seeding is id-ordered, not layout-ordered)."""
+    from woe_monotonic_binning_spark.operators.dedup import semantic_dedup
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+    )
+    clones = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    corpus = emb.unionByName(clones).withColumn(
+        "score", F.when(F.col("vec_id") >= 100_000, 2.0).otherwise(1.0)
+    )
+    out = semantic_dedup(
+        corpus, n_cells=4, threshold=0.999999, order_col="score"
+    )
+    ids = {r.vec_id for r in out.select("vec_id").collect()}
+    for i in range(5):
+        assert i + 100_000 in ids and i not in ids
+
+    again = semantic_dedup(
+        corpus.repartition(13), n_cells=4, threshold=0.999999, order_col="score"
+    )
+    assert {r.vec_id for r in again.select("vec_id").collect()} == ids

@@ -566,6 +566,50 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    order_col: str | None = None,
+    descending: bool = True,
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove documents
+    whose EMBEDDINGS are near-identical — paraphrases and templated
+    rewrites that survive every text-level dedup — by k-means-clustering
+    the embedding space, finding within-cluster cosine pairs above
+    ``threshold``, and keeping one representative per semantic component.
+
+    Composition of this module's audited pieces, end to end:
+    ``train_centroids`` (distributed Lloyd, driver holds n_cells vectors)
+    -> ``assign_cells`` (broadcast argmax, one pass) ->
+    ``embedding_neardup_pairs`` with the CELL as the block key (the
+    at-scale block source its docstring promises; pair count is
+    per-cluster quadratic, so size ``n_cells`` ~ corpus/1k docs) ->
+    components -> ``dedup_keep_best`` over ``order_col`` (pass e.g. a
+    quality score; the paper keeps the doc farthest from the centroid —
+    any such score works here) or min-id canonical when ``order_col`` is
+    None.  Cross-cluster near-dups are missed by construction — the
+    SemDeDup trade; raise ``n_cells`` resolution only with a quality prior
+    on cluster balance.
+
+    Returns the surviving rows of ``emb`` (plus ``component``).  Not
+    bit-hashable cross-engine: Lloyd means depend on float summation
+    order, so correctness is pinned by property tests (planted duplicate
+    vectors collapse, winners obey the policy, selection is stable under
+    repartitioning), not a DuckDB oracle."""
+    from .similarity import assign_cells, train_centroids
+
+    centroids = train_centroids(emb, n_cells, vec_col, id_col, lloyd_iters)
+    assigned = assign_cells(emb, centroids, vec_col, id_col)
+    pairs = embedding_neardup_pairs(assigned, vec_col, id_col, "cell", threshold)
+    if order_col is None:
+        return dedup_keep_canonical(emb, pairs, id_col)
+    return dedup_keep_best(emb, pairs, id_col, order_col, descending)
+
+
 def contamination_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,
