@@ -682,3 +682,26 @@ def test_curate_corpus_token_budget_stage(spark):
     # unnamed sources untouched
     other = base.filter(F.col("source") != src).count()
     assert capped.filter(F.col("source") != src).count() == other
+
+
+def test_curate_corpus_decontam_stage(spark):
+    """benchmark docs and their 8-gram sharers are gone from the output,
+    and the stage runs before dedup (a planted exact dup of a benchmark
+    doc cannot survive as a cluster representative)."""
+    from woe_monotonic_binning_spark import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    out = curate_corpus(
+        docs, near_dup=None, quality_threshold=0.0, benchmark=bench
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    bench_ids = {r.doc_id for r in bench.select("doc_id").collect()}
+    assert ids and not (ids & bench_ids)
+    # matches the operator applied directly
+    from woe_monotonic_binning_spark.operators.dedup import decontaminate
+
+    expected = {
+        r.doc_id for r in decontaminate(docs, bench, n=8).select("doc_id").collect()
+    }
+    assert ids <= expected

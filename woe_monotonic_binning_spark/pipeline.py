@@ -50,6 +50,8 @@ def curate_corpus(
     split_seed: int = 1,
     token_budgets: dict[str, float] | None = None,
     budget_seed: int = 2,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 8,
     output_path: str | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the labeled survivor table
@@ -61,8 +63,12 @@ def curate_corpus(
     (optional) caps each named source's token mass AFTER mixing — the
     "fill the recipe to N tokens" step (``select_to_token_budget`` over a
     transient BPE-ish token count); unnamed sources pass through.
-    ``output_path`` also writes the result as parquet partitioned by
-    ``split`` (one pass).
+    ``benchmark`` (optional) is an eval-set DataFrame sharing
+    ``text_col``/``id_col``: every doc sharing a word ``decontam_n``-gram
+    with it is dropped FIRST (broadcast gram scan + anti-join) —
+    contamination must go before dedup picks cluster representatives, or
+    a kept representative can still leak eval text.  ``output_path`` also
+    writes the result as parquet partitioned by ``split`` (one pass).
 
     ``seed`` drives the source-mixing draw, ``split_seed`` the train/test
     draw, ``budget_seed`` the budget admission order — all three MUST
@@ -71,6 +77,10 @@ def curate_corpus(
     over-sample whatever the mixing draw correlates with (every doc with u
     just below a low source weight is both kept AND labeled test).
     """
+    if benchmark is not None:
+        from .operators.dedup import decontaminate
+
+        docs = decontaminate(docs, benchmark, text_col, id_col, n=decontam_n)
     scored = quality_score(docs, text_col).filter(
         F.col("quality") >= quality_threshold
     )
