@@ -705,3 +705,21 @@ def test_curate_corpus_decontam_stage(spark):
         r.doc_id for r in decontaminate(docs, bench, n=8).select("doc_id").collect()
     }
     assert ids <= expected
+
+
+def test_curation_report_retention_and_eliminated_sources(spark):
+    from woe_monotonic_binning_spark.operators.text import curation_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # doc_id % 3 varies WITHIN each source (sources are assigned round-robin
+    # by id with an even stride, so % 2 would be constant per source)
+    after = docs.filter((F.col("source") != "src0") & (F.col("doc_id") % 3 != 0))
+    rep = {r.source: r for r in curation_report(docs, after).collect()}
+    n_sources = docs.select("source").distinct().count()
+    assert len(rep) == n_sources  # eliminated sources still report
+    assert rep["src0"].docs_out == 0 and rep["src0"].token_retention == 0.0
+    for s, r in rep.items():
+        assert 0 <= r.docs_out <= r.docs_in
+        assert 0.0 <= r.doc_retention <= 1.0
+        if s != "src0":
+            assert r.docs_out > 0

@@ -525,3 +525,47 @@ def winnow_match_pairs(
     if cleanup:
         return materialize_and_release(out, fp, ex)
     return out
+
+
+def curation_report(
+    before: DataFrame,
+    after: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source before/after curation telemetry: doc and token mass in
+    and out plus retention ratios — the summary a 100 TB curation job logs
+    after every run (a source whose retention collapses is the first sign
+    a filter or dedup threshold went wrong for that domain).
+
+    Two ``corpus_profile`` aggregation passes (one over each corpus; both
+    map-side per-doc, one small shuffle each) joined on the group — the
+    join itself is groups-sized, broadcast by AQE.  Sources eliminated
+    entirely by curation report 0 survivors, not a dropped row."""
+    b = corpus_profile(before, text_col, id_col, group_col).select(
+        group_col,
+        F.col("n_docs").alias("docs_in"),
+        F.col("total_tokens").alias("tokens_in"),
+    )
+    a = corpus_profile(after, text_col, id_col, group_col).select(
+        group_col,
+        F.col("n_docs").alias("docs_out"),
+        F.col("total_tokens").alias("tokens_out"),
+    )
+    return (
+        b.join(a, group_col, "left")
+        .withColumn("docs_out", F.coalesce("docs_out", F.lit(0)))
+        .withColumn("tokens_out", F.coalesce("tokens_out", F.lit(0)))
+        .select(
+            group_col,
+            "docs_in",
+            "docs_out",
+            F.round(F.col("docs_out") / F.col("docs_in"), 6).alias("doc_retention"),
+            "tokens_in",
+            "tokens_out",
+            F.round(F.col("tokens_out") / F.col("tokens_in"), 6).alias(
+                "token_retention"
+            ),
+        )
+    )
