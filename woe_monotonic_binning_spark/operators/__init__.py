@@ -1,3 +1,12 @@
-from . import dedup, multimodal, packing, similarity, text, windows
+from . import dedup, joins, multimodal, packing, sampling, similarity, text, windows
 
-__all__ = ["dedup", "multimodal", "packing", "similarity", "text", "windows"]
+__all__ = [
+    "dedup",
+    "joins",
+    "multimodal",
+    "packing",
+    "sampling",
+    "similarity",
+    "text",
+    "windows",
+]
