@@ -1795,31 +1795,18 @@ def q_gopher_signals(spark, sf_dir):
 
 
 @_q(
-    "q_sample_hash",
-    # deterministic md5-based sampling (operators/sampling.py): stable under
-    # partitioning, bit-identical in DuckDB.  Driver-certified since round 5.
+    "q_sampling_suite",
+    # MERGED certification slot (round 6) for the md5-draw family —
+    # deterministic ~25% hash sampling and the pretraining source-mixture
+    # filter folded into one labelled union (same table, same md5 draw,
+    # same output shape), freeing one driver slot for q_token_budget.
     """
-    SELECT doc_id, source FROM documents
+    SELECT 'sample' AS kind, doc_id, source FROM documents
     WHERE CAST(CONCAT('0x',
             substr(md5(CAST(doc_id AS VARCHAR) || '_7'), 1, 8)) AS BIGINT)
           / 4294967296.0 < 0.25
-    """,
-)
-def q_sample_hash(spark, sf_dir):
-    """Deterministic hash sampling: keep ~25% of documents by id hash."""
-    from woe_monotonic_binning_spark.operators.sampling import sample_by_hash
-
-    return sample_by_hash(_docs(spark, sf_dir), "doc_id", 0.25, seed=7).select(
-        "doc_id", "source"
-    )
-
-
-@_q(
-    "q_mix_sources",
-    # pretraining-style source mixture: per-source keep fraction via the
-    # same md5 draw; literal CASE on both sides.
-    """
-    SELECT doc_id, source FROM documents
+    UNION ALL
+    SELECT 'mix' AS kind, doc_id, source FROM documents
     WHERE CAST(CONCAT('0x',
             substr(md5(CAST(doc_id AS VARCHAR) || '_0'), 1, 8)) AS BIGINT)
           / 4294967296.0
@@ -1829,8 +1816,79 @@ def q_sample_hash(spark, sf_dir):
                  ELSE 0.0 END
     """,
 )
+def q_sampling_suite(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.sampling import (
+        mix_sources,
+        sample_by_hash,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sample = sample_by_hash(docs, "doc_id", 0.25, seed=7).select(
+        F.lit("sample").alias("kind"), "doc_id", "source"
+    )
+    mix = mix_sources(docs, {"src0": 1.0, "src1": 0.5, "src2": 0.2}).select(
+        F.lit("mix").alias("kind"), "doc_id", "source"
+    )
+    return sample.unionByName(mix)
+
+
+@_q(
+    "q_token_budget",
+    # data-recipe token-budget fill, replayed as one DuckDB window query:
+    # same md5 draw (bit-identical), same BPE-ish token count, same
+    # prev-sum-below-budget admission rule as select_to_token_budget
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS toks,
+             CAST(CONCAT('0x',
+               substr(md5(CAST(doc_id AS VARCHAR) || '_0'), 1, 8)) AS BIGINT)
+             / 4294967296.0 AS u
+      FROM documents
+    ), p AS (
+      SELECT *, coalesce(sum(toks) OVER (PARTITION BY source ORDER BY u, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM t
+    )
+    SELECT doc_id, source, toks FROM p
+    WHERE CASE source WHEN 'src0' THEN prev < 500
+                      WHEN 'src1' THEN prev < 1200
+                      WHEN 'src2' THEN prev < 120
+                      ELSE true END
+    """,
+)
+def q_token_budget(spark, sf_dir):
+    """Data-recipe token-budget fill: admit docs per source in hash-draw
+    order until each named source's token budget is reached (bucketed
+    prefix-sum cut — no whole-group window).  Hash-certified against the
+    DuckDB window twin since round 6 (the slot freed by q_sampling_suite);
+    naive-window equivalence, nestedness and partitioning invariance stay
+    pinned in tests/test_sampling.py."""
+    from woe_monotonic_binning_spark.operators.sampling import select_to_token_budget
+    from woe_monotonic_binning_spark.operators.text import token_count_bpe
+
+    docs = _docs(spark, sf_dir).withColumn("toks", token_count_bpe(F.col("text")))
+    budgets = {"src0": 500.0, "src1": 1200.0, "src2": 120.0}
+    out = select_to_token_budget(docs, budgets, token_col="toks")
+    return out.select("doc_id", "source", "toks")
+
+
+@_q("q_sample_hash")
+def q_sample_hash(spark, sf_dir):
+    """Deterministic hash sampling (~25% by id hash); hash-certified
+    through q_sampling_suite (round 6 merge), rows-only here."""
+    from woe_monotonic_binning_spark.operators.sampling import sample_by_hash
+
+    return sample_by_hash(_docs(spark, sf_dir), "doc_id", 0.25, seed=7).select(
+        "doc_id", "source"
+    )
+
+
+@_q("q_mix_sources")
 def q_mix_sources(spark, sf_dir):
-    """Dataset mixing: down-sample each source to its recipe weight."""
+    """Dataset mixing: down-sample each source to its recipe weight;
+    hash-certified through q_sampling_suite (round 6 merge), rows-only
+    here."""
     from woe_monotonic_binning_spark.operators.sampling import mix_sources
 
     return mix_sources(
@@ -2299,23 +2357,6 @@ def q_gopher_filter(spark, sf_dir):
     )
 
 
-@_q("q_token_budget")
-def q_token_budget(spark, sf_dir):
-    """Data-recipe token-budget fill: admit docs per source in hash-draw
-    order until each named source's token budget is reached (bucketed
-    prefix-sum cut — no whole-group window).  Naive-window equivalence,
-    nestedness, partitioning invariance and a bit-identical DuckDB twin
-    are pinned in tests/test_sampling.py; rows-only here (driver window
-    holds exactly the 50 certified slots)."""
-    from woe_monotonic_binning_spark.operators.sampling import select_to_token_budget
-    from woe_monotonic_binning_spark.operators.text import token_count_bpe
-
-    docs = _docs(spark, sf_dir).withColumn("toks", token_count_bpe(F.col("text")))
-    budgets = {"src0": 500.0, "src1": 1200.0, "src2": 120.0}
-    out = select_to_token_budget(docs, budgets, token_col="toks")
-    return out.select("doc_id", "source", "toks")
-
-
 @_q("q_sample_exact")
 def q_sample_exact(spark, sf_dir):
     """Deterministic exact-count sampling: exactly min(20, group size) docs
@@ -2349,12 +2390,13 @@ def q_sample_exact(spark, sf_dir):
 # union suites (q_events_window_suite = tumbling+sliding+rollup,
 # q_events_user_suite = session+topk — same tables, same aggregate shapes)
 # to hash-certify the curation ops q_corpus_profile, q_decontam and
-# q_scrub_pii, so the catalog carries EXACTLY 50 oracle-backed entries —
-# the window IS the hash-checked set.  The
+# q_scrub_pii, and folded the two md5-draw slots into q_sampling_suite to
+# admit q_token_budget, so the catalog carries EXACTLY 50 oracle-backed
+# entries — the window IS the hash-checked set.  The
 # iterative fit ops (q_pava, q_ztest_merge, ...) sit at the tail — their
 # correctness is carried by golden parity (test_fit_parity), the hypothesis
-# fuzz (test_fuzz_parity; 150 examples per CI pass, 2000-example deep run
-# green in round 5) and the partitioning-invariance determinism pin.
+# fuzz (test_fuzz_parity; 150 examples per CI pass, 2000-example deep runs
+# green in rounds 5 and 6) and the partitioning-invariance determinism pin.
 _n_oracle = sum(1 for k in SPARK_QUERIES if k in ORACLE_SQL)
 assert _n_oracle == 50, (
     f"{_n_oracle} oracle-backed registrations; the driver window holds 50 — "
