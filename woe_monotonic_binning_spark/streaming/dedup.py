@@ -88,10 +88,14 @@ def streaming_dedup_against_store(
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         from ..operators.dedup import dedup_against_reference
 
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             ref = spark.read.parquet(store_path).select("digest")
-        except Exception:  # first batch: store does not exist yet
+        except AnalysisException:  # first batch: store does not exist yet
+            # Deliberately NARROW: an unreadable/corrupt store must raise,
+            # not silently restart dedup from an empty digest set.
             ref = spark.createDataFrame([], "digest string")
         fresh = dedup_against_reference(batch_df, ref, text_col, id_col).persist()
         fresh.write.mode("append").parquet(out_path)
