@@ -799,29 +799,49 @@ def q_text_stats(spark, sf_dir):
 
 
 @_q(
-    "q_lang_id",
-    # rule-based language ID: marker-word scores -> argmax (ties by code)
+    "q_doc_signals_suite",
+    # MERGED certification slot (round 6) for the per-doc signal family —
+    # rule-based language ID (marker-word scores -> argmax, ties by code)
+    # and the md5 document fingerprint certified side by side in ONE
+    # map-side projection (same table, same per-doc shape), freeing one
+    # driver slot for q_dedup_lines.
     """
     WITH scored AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS score_en,
              len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b')) AS score_es,
              len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS score_de,
              len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) AS score_fr
       FROM documents
     )
-    SELECT lang_pred, count(*) AS n_docs FROM (
-      SELECT CASE
-        WHEN greatest(score_en, score_es, score_de, score_fr) <= 0 THEN 'und'
-        WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
-        WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
-        WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
-        ELSE 'fr' END AS lang_pred
-      FROM scored
-    ) GROUP BY lang_pred
+    SELECT doc_id,
+           CASE
+             WHEN greatest(score_en, score_es, score_de, score_fr) <= 0 THEN 'und'
+             WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+             WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+             WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+             ELSE 'fr' END AS lang_pred,
+           substring(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16)
+             AS stat_fingerprint
+    FROM scored
     """,
 )
+def q_doc_signals_suite(spark, sf_dir):
+    from woe_monotonic_binning_spark.operators.text import (
+        detect_language,
+        fingerprint,
+    )
+
+    return detect_language(_docs(spark, sf_dir)).select(
+        "doc_id", "lang_pred", fingerprint(F.col("text")).alias("stat_fingerprint")
+    )
+
+
+@_q("q_lang_id")
 def q_lang_id(spark, sf_dir):
+    """Rule-based language ID distribution; the per-doc lang_pred column is
+    hash-certified through q_doc_signals_suite (round 6 merge), rows-only
+    here."""
     from woe_monotonic_binning_spark.operators.text import detect_language
 
     return detect_language(_docs(spark, sf_dir)).groupBy("lang_pred").agg(
@@ -845,17 +865,10 @@ def q_token_count(spark, sf_dir):
     )
 
 
-@_q(
-    "q_fingerprint",
-    # deterministic md5 document fingerprint (normalised text)
-    """
-    SELECT doc_id,
-           substring(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16)
-             AS stat_fingerprint
-    FROM documents
-    """,
-)
+@_q("q_fingerprint")
 def q_fingerprint(spark, sf_dir):
+    """Deterministic md5 document fingerprint; hash-certified through
+    q_doc_signals_suite (round 6 merge), rows-only here."""
     from woe_monotonic_binning_spark.operators.text import fingerprint
 
     return _docs(spark, sf_dir).select(
@@ -2216,12 +2229,34 @@ def q_repeated_chunks(spark, sf_dir):
     return out.select("doc_id", "n_chunks_removed", F.length("text").alias("new_len"))
 
 
-@_q("q_dedup_lines")
+@_q(
+    "q_dedup_lines",
+    # DuckDB's list_distinct does not guarantee order, so the oracle keeps
+    # first occurrences via an index-aware list_filter — the same ordered-
+    # distinct construction the local parity test pins (Spark's
+    # array_distinct documents first-occurrence order)
+    """
+    WITH d AS (
+      SELECT doc_id, text || chr(10) || text || chr(10) || 'tail' AS text
+      FROM documents
+    ), k AS (
+      SELECT doc_id, str_split(text, chr(10)) AS ls FROM d
+    )
+    SELECT doc_id,
+           len(ls) - len(list_filter(ls, (x, i) -> list_position(ls, x) = i))
+             AS n_lines_removed,
+           length(array_to_string(
+             list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10)))
+             AS new_len
+    FROM k
+    """,
+)
 def q_dedup_lines(spark, sf_dir):
     """C4-style intra-document line dedup: docs reshaped to three lines of
     which two are identical — one map-side array_distinct pass removes the
-    repeat, preserving first-occurrence order (order contract pinned vs
-    DuckDB in tests/test_curation_ops.py); rows-only here."""
+    repeat, preserving first-occurrence order.  Hash-certified against the
+    DuckDB ordered-distinct oracle since round 6 (the slot freed by
+    q_doc_signals_suite)."""
     from woe_monotonic_binning_spark.operators.text import remove_repeated_lines
 
     docs = _docs(spark, sf_dir).withColumn(
@@ -2390,9 +2425,11 @@ def q_sample_exact(spark, sf_dir):
 # union suites (q_events_window_suite = tumbling+sliding+rollup,
 # q_events_user_suite = session+topk — same tables, same aggregate shapes)
 # to hash-certify the curation ops q_corpus_profile, q_decontam and
-# q_scrub_pii, and folded the two md5-draw slots into q_sampling_suite to
-# admit q_token_budget, so the catalog carries EXACTLY 50 oracle-backed
-# entries — the window IS the hash-checked set.  The
+# q_scrub_pii, folded the two md5-draw slots into q_sampling_suite to
+# admit q_token_budget, and folded the per-doc signal slots (lang-id +
+# fingerprint) into q_doc_signals_suite to admit q_dedup_lines, so the
+# catalog carries EXACTLY 50 oracle-backed entries — the window IS the
+# hash-checked set.  The
 # iterative fit ops (q_pava, q_ztest_merge, ...) sit at the tail — their
 # correctness is carried by golden parity (test_fit_parity), the hypothesis
 # fuzz (test_fuzz_parity; 150 examples per CI pass, 2000-example deep runs
