@@ -723,3 +723,59 @@ def test_curation_report_retention_and_eliminated_sources(spark):
         assert 0.0 <= r.doc_retention <= 1.0
         if s != "src0":
             assert r.docs_out > 0
+
+
+def test_remove_repeated_chunks_matches_duckdb_reconstruction(spark):
+    """Full value-level DuckDB twin of the boilerplate removal — chunking,
+    distinct-doc frequency cut and positional text reconstruction replayed
+    as one SQL query (the parity the q_repeated_chunks catalog entry
+    claims)."""
+    from woe_monotonic_binning_spark.operators.text import remove_repeated_chunks
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = (
+        remove_repeated_chunks(docs, chunk_words=5, min_df=2)
+        .select("doc_id", "n_chunks_removed", F.length("text").alias("new_len"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    exp = con.execute(
+        r"""
+        WITH w AS (
+          SELECT doc_id,
+                 str_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+          FROM documents
+        ), c AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(ws[i*5+1 : i*5+5], ' ') AS chunk
+          FROM w, unnest(range(0, greatest(CAST(ceil(len(ws)/5.0) AS INT), 1))) AS t(i)
+        ), freq AS (
+          SELECT lower(chunk) AS lc FROM c
+          GROUP BY lower(chunk) HAVING count(DISTINCT doc_id) >= 2
+        ), kept AS (
+          SELECT doc_id, pos, chunk FROM c
+          WHERE lower(chunk) NOT IN (SELECT lc FROM freq)
+        ), rebuilt AS (
+          SELECT doc_id, array_to_string(list(chunk ORDER BY pos), ' ') AS text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ), totals AS (
+          SELECT doc_id, count(*) AS n_total FROM c GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               t.n_total - coalesce(r.n_kept, 0) AS n_chunks_removed,
+               length(coalesce(r.text, '')) AS new_len
+        FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY doc_id
+        """
+    ).fetchdf()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert (
+        got["n_chunks_removed"].tolist()
+        == exp["n_chunks_removed"].astype(int).tolist()
+    )
+    assert got["new_len"].tolist() == exp["new_len"].astype(int).tolist()
