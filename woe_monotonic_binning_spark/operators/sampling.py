@@ -191,7 +191,10 @@ def select_to_token_budget(
     re-runnable, and NESTED — a larger budget strictly extends the smaller
     budget's selection, so recipe iterations reuse cached shards.  Groups
     absent from ``budgets`` pass through untouched (only named sources are
-    capped).
+    capped) — including rows whose ``group_col`` is NULL, which no budget
+    key can name (the pass-through predicate tests ``isNull`` explicitly:
+    a bare ``~isin(...)`` is NULL, not true, for NULL groups under
+    three-valued logic and would silently drop them — round-6 ADVICE).
 
     Scale shape: the naive rule is one window over each ENTIRE group — a
     single-reducer funnel per source at 100 TB.  Instead the draw is
@@ -214,7 +217,9 @@ def select_to_token_budget(
     for r in sums:
         per_group.setdefault(r[group_col], []).append((r["__b"], float(r["__t"] or 0)))
 
-    full_cond = ~F.col(group_col).isin(list(budgets))  # pass-through groups
+    full_cond = F.col(group_col).isNull() | ~F.col(group_col).isin(
+        list(budgets)
+    )  # pass-through groups (NULL groups cannot be named by a budget key)
     partial: dict[str, tuple[int, float]] = {}
     for g, pairs in per_group.items():
         if g not in budgets:
