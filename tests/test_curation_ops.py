@@ -177,6 +177,8 @@ def test_scrub_pii_masks_and_counts(spark):
             (1, "server 10.0.255.1 and 192.168.1.77 up"),
             (2, "call 555-867-5309 or 555.123.4567 now"),
             (3, "clean text no pii"),
+            (4, "ring (555) 867-5309 or (555)867-5309 or 555 867 5309"),
+            (5, "node fe80:0:0:0:202:b3ff:fe1e:8329 and 2001:db8:85a3:0:0:8a2e:370:7334 up"),
         ],
         "doc_id long, text string",
     )
@@ -189,6 +191,14 @@ def test_scrub_pii_masks_and_counts(spark):
     assert out[2].n_phone == 2
     assert out[3].text == "clean text no pii"
     assert out[3].n_email == out[3].n_ip == out[3].n_phone == 0
+    # paren phones mask as their own kind (with or without the space);
+    # the space-separated bare form is the widened phone class — and the
+    # bare pattern never double-counts the local part of a paren number
+    assert out[4].text == "ring <PHONE_PAREN> or <PHONE_PAREN> or <PHONE>"
+    assert out[4].n_phone_paren == 2 and out[4].n_phone == 1
+    # full-form (8-group) ipv6 masks; v4 counts untouched
+    assert out[5].text == "node <IPV6> and <IPV6> up"
+    assert out[5].n_ipv6 == 2 and out[5].n_ip == 0
 
 
 def test_scrub_pii_patterns_parse_identically_in_duckdb(spark):
@@ -202,6 +212,11 @@ def test_scrub_pii_patterns_parse_identically_in_duckdb(spark):
         (1, "not.an.email@ 1.2.3 12-34-5678 999.999.9999"),
         (2, "x@y.zz.ww 255.255.255.255 000-000-0000 trailing"),
         (3, "dots..everywhere..@..dots 1...2...3...4"),
+        (4, "(555) 867-5309 (555)867-5309 (55) 867-5309 (5555) 867-5309"),
+        (5, "555 867 5309 mixed 555-867 5309 and 555.867 5309"),
+        (6, "fe80:0:0:0:202:b3ff:fe1e:8329 FE80:CAFE:BABE:DEAD:BEEF:0:0:1"),
+        (7, "short a:b:c:d 1:2:3:4:5:6:7:8 too:long:1:2:3:4:5:6:7:8:9"),
+        (8, "boundary x1:2:3:4:5:6:7:8 and 1:2:3:4:5:6:7:8x end"),
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     got = (
@@ -577,17 +592,34 @@ def test_dedup_against_reference_drops_known_and_within_batch_dups(spark):
 
 
 def test_curate_corpus_matches_flagship_composition(spark, tmp_path):
-    """The one-call pipeline (jaccard path, flagship params) must reproduce
-    q_curation_pipeline's hash-certified output row-for-row, and the
-    single-pass partitionBy(split) write must land both split dirs."""
+    """The one-call pipeline (scrub=True, jaccard path, flagship params)
+    must reproduce q_curation_pipeline's hash-certified output
+    row-for-row (including the round-7 PII-scrub stage, given the same
+    planted PII), and the single-pass partitionBy(split) write must land
+    both split dirs."""
     import queries_catalog as qc
     from woe_monotonic_binning_spark import curate_corpus
 
     sf = "/root/testdata/sf0.001"
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                "text",
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 or 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
     out_path = str(tmp_path / "curated")
     got = curate_corpus(
         docs,
+        scrub=True,
         quality_threshold=0.5,
         near_dup="jaccard",
         near_dup_threshold=0.7,
@@ -725,6 +757,115 @@ def test_curate_corpus_decontam_stage(spark):
         r.doc_id for r in decontaminate(docs, bench, n=8).select("doc_id").collect()
     }
     assert ids <= expected
+
+
+def test_curate_corpus_scrub_stage(spark):
+    """scrub=True masks PII in place before hashing (so a masked and an
+    unmasked copy of one doc DO dedup afterwards) and leaks no n_* count
+    columns."""
+    from woe_monotonic_binning_spark import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog is of to contact a@b.co", "src0"),
+            (2, "the quick brown fox and the lazy dog is of to contact x@y.org", "src0"),
+            (3, "the slow green turtle and the happy cat is of to go home now", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = curate_corpus(
+        docs, scrub=True, near_dup=None, quality_threshold=0.0, test_fraction=0.0
+    )
+    assert not [c for c in out.columns if c.startswith("n_")]
+    rows = {r.doc_id: r.text for r in out.collect()}
+    # docs 1 and 2 differ only in their email; after scrubbing they are
+    # byte-identical, so exact dedup keeps only the min id
+    assert set(rows) == {1, 3}
+    assert rows[1].endswith("<EMAIL>")
+    # without the scrub both survive
+    raw = curate_corpus(
+        docs, scrub=False, near_dup=None, quality_threshold=0.0, test_fraction=0.0
+    )
+    assert {r.doc_id for r in raw.collect()} == {1, 2, 3}
+
+
+def test_curate_corpus_line_dedup_stage(spark):
+    """dedup_lines=True removes repeated intra-doc lines before scoring
+    and drops the n_lines_removed helper column."""
+    from woe_monotonic_binning_spark import curate_corpus
+
+    line = "the cat and the dog is of to go"
+    docs = spark.createDataFrame(
+        [(1, f"{line}\n{line}\n{line}", "src0"), (2, "the bird is of to fly and sing", "src0")],
+        "doc_id long, text string, source string",
+    )
+    out = curate_corpus(
+        docs, dedup_lines=True, near_dup=None, quality_threshold=0.0, test_fraction=0.0
+    )
+    assert "n_lines_removed" not in out.columns
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert rows[1] == line
+
+
+def test_curate_corpus_chunk_dedup_stage(spark):
+    """dedup_chunks=True cuts cross-document boilerplate segments before
+    scoring; the helper count column is dropped."""
+    from woe_monotonic_binning_spark import curate_corpus
+
+    boiler = "all rights reserved by the site owner please subscribe today ok"
+    docs = spark.createDataFrame(
+        [
+            (1, f"first unique document body text here {boiler}", "src0"),
+            (2, f"second unique document body text here {boiler}", "src0"),
+            (3, "third unique document body text here and nothing else", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = curate_corpus(
+        docs,
+        dedup_chunks=True,
+        chunk_words=11,
+        chunk_min_df=2,
+        near_dup=None,
+        quality_threshold=0.0,
+        test_fraction=0.0,
+    )
+    assert "n_chunks_removed" not in out.columns
+    rows = {r.doc_id: r.text for r in out.collect()}
+    for did in (1, 2):
+        assert did in rows and boiler not in rows[did]
+    assert "third unique" in rows[3]
+
+
+def test_curate_corpus_gopher_stage(spark):
+    """gopher=True drops documents violating the acceptance bands (here a
+    too-short doc via the stat_words floor) and leaks no signal columns."""
+    from woe_monotonic_binning_spark import curate_corpus
+
+    # 60 distinct words (unique n-grams, mean word length ~6) — inside
+    # every acceptance band; doc 2 fails only the stat_words floor
+    long_body = " ".join(
+        f"alpha{i} bravo{i} charlie{i} delta{i} echo{i}" for i in range(12)
+    )
+    docs = spark.createDataFrame(
+        [(1, long_body, "src0"), (2, "tiny", "src0")],
+        "doc_id long, text string, source string",
+    )
+    out = curate_corpus(
+        docs, gopher=True, near_dup=None, quality_threshold=0.0, test_fraction=0.0
+    )
+    assert not [c for c in out.columns if c.startswith("sig_") or c == "fail_reasons"]
+    assert {r.doc_id for r in out.collect()} == {1}
+    # custom thresholds flow through
+    lax = curate_corpus(
+        docs,
+        gopher=True,
+        gopher_thresholds={"stat_words": (0.0, 1e9)},
+        near_dup=None,
+        quality_threshold=0.0,
+        test_fraction=0.0,
+    )
+    assert {r.doc_id for r in lax.collect()} == {1, 2}
 
 
 def test_curation_report_retention_and_eliminated_sources(spark):

@@ -187,3 +187,191 @@ def test_streaming_dedup_against_store_cross_batch_and_restart(spark, tmp_path):
     # 10 dups the stored 'alpha text'; 12 dups 11 within the batch (min id kept)
     assert kept2 == {0, 1, 3, 11}
     assert spark.read.parquet(store).distinct().count() == 4
+
+
+# ---------------------------------------------------------------------------
+# streaming_dedup_against_bucketed_store (the at-scale digest store)
+
+
+def test_streaming_dedup_against_bucketed_store_cross_batch_and_restart(
+    spark, tmp_path
+):
+    """Same semantics as the flat-store twin — cross-batch dups drop, a new
+    query over a later crawl dedups against everything ingested — with the
+    store held as a digest-bucketed managed table."""
+    import time as _time
+
+    from woe_monotonic_binning_spark.streaming.dedup import (
+        streaming_dedup_against_bucketed_store,
+    )
+
+    table = "wmb_test_digest_store"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        src = tmp_path / "src"
+        out = str(tmp_path / "out")
+        spark.createDataFrame(
+            [(0, "alpha text"), (1, "beta text")], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)
+        spark.createDataFrame(
+            [(2, "beta text"), (3, "gamma text")], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+        schema = spark.read.parquet(str(src)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = streaming_dedup_against_bucketed_store(
+            stream, table, out, checkpoint_dir=str(tmp_path / "ckpt1"), num_buckets=4
+        )
+        q.awaitTermination()
+        kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert kept == {0, 1, 3}
+        assert spark.table(table).distinct().count() == 3
+
+        src2 = tmp_path / "src2"
+        spark.createDataFrame(
+            [(10, "alpha text"), (11, "delta text"), (12, "delta text")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(str(src2))
+        stream2 = spark.readStream.schema(schema).parquet(str(src2))
+        q2 = streaming_dedup_against_bucketed_store(
+            stream2, table, out, checkpoint_dir=str(tmp_path / "ckpt2"), num_buckets=4
+        )
+        q2.awaitTermination()
+        kept2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert kept2 == {0, 1, 3, 11}
+        # the stream's appends happened in foreachBatch's CLONED session;
+        # this session read the table above, so refresh its relation cache
+        # (documented caveat on streaming_dedup_against_bucketed_store)
+        spark.catalog.refreshTable(table)
+        assert spark.table(table).distinct().count() == 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_store_anti_join_does_not_shuffle_store(spark, tmp_path):
+    """The scale contract that de-weakens the store path: the per-batch
+    anti-join's plan carries an Exchange ONLY on the batch side — the
+    store's bucketing satisfies the join's distribution requirement, so
+    the accumulated digests are read bucket-local.  The flat-parquet
+    store pays a second Exchange (the store side re-shuffled every
+    batch), asserted here as the contrast."""
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.plans import exchange_count
+    from woe_monotonic_binning_spark.sources.io import write_bucketed_table
+
+    table = "wmb_test_digest_store_plan"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.createDataFrame(
+            [(i, f"doc number {i} body") for i in range(200)],
+            "doc_id long, text string",
+        )
+        digests = docs.select(
+            F.sha2(F.col("text").cast("binary"), 256).alias("digest")
+        )
+        write_bucketed_table(
+            digests, table, ["digest"], 4, sort_cols=["digest"], mode="overwrite"
+        )
+        batch = spark.createDataFrame(
+            [(1000, "doc number 3 body"), (1001, "fresh body")],
+            "doc_id long, text string",
+        ).withColumn("__digest", F.sha2(F.col("text").cast("binary"), 256))
+
+        bucketed_ref = spark.table(table).select(F.col("digest").alias("__digest"))
+        anti_bucketed = batch.join(bucketed_ref, "__digest", "left_anti")
+        assert exchange_count(anti_bucketed) == 1  # batch side only
+
+        flat_path = str(tmp_path / "flat_digests")
+        digests.write.parquet(flat_path)
+        flat_ref = spark.read.parquet(flat_path).select(
+            F.col("digest").alias("__digest")
+        )
+        anti_flat = batch.join(flat_ref, "__digest", "left_anti")
+        assert exchange_count(anti_flat) == 2  # flat store re-shuffled too
+
+        # and the bucket-local join computes the same answer
+        kept = {r.doc_id for r in anti_bucketed.collect()}
+        assert kept == {1001}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_digest_store_roundtrip(spark, tmp_path):
+    """Compaction bounds the append-driven file growth: after appends the
+    store holds many files and duplicate digests; compact_digest_store
+    rewrites it to one file per bucket, distinct digests, same bucket
+    spec, and the table still answers the anti-join bucket-locally."""
+    import glob
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.plans import exchange_count
+    from woe_monotonic_binning_spark.sources.io import bucket_spec
+    from woe_monotonic_binning_spark.streaming.dedup import (
+        compact_digest_store,
+        streaming_dedup_against_bucketed_store,
+    )
+
+    table = "wmb_test_digest_store_compact"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__compact")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        src = tmp_path / "src"
+        for b in range(3):  # 3 micro-batches -> 3 bucketed appends
+            spark.createDataFrame(
+                [(b * 10 + i, f"text number {b * 10 + i}") for i in range(5)],
+                "doc_id long, text string",
+            ).coalesce(1).write.mode("append").parquet(str(src))
+            _time.sleep(1.1)
+        schema = spark.read.parquet(str(src)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = streaming_dedup_against_bucketed_store(
+            stream,
+            table,
+            str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            num_buckets=4,
+        )
+        q.awaitTermination()
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        files_before = glob.glob(f"{warehouse}/{table}/*.parquet")
+        n_rows = spark.table(table).count()
+        n_distinct = spark.table(table).distinct().count()
+        assert len(files_before) > 4  # per-batch appends accumulated
+
+        compact_digest_store(spark, table)
+
+        files_after = glob.glob(f"{warehouse}/{table}/*.parquet")
+        assert len(files_after) <= 4  # one file per bucket
+        assert spark.table(table).count() == n_distinct <= n_rows
+        nb, bcols, scols = bucket_spec(spark, table)
+        assert (nb, bcols, scols) == (4, ["digest"], ["digest"])
+        # still bucket-local under the anti-join after the rewrite
+        batch = spark.createDataFrame(
+            [(99, "text number 0")], "doc_id long, text string"
+        ).withColumn("__digest", F.sha2(F.col("text").cast("binary"), 256))
+        ref = spark.table(table).select(F.col("digest").alias("__digest"))
+        anti = batch.join(ref, "__digest", "left_anti")
+        assert exchange_count(anti) == 1
+        assert anti.count() == 0  # the known doc is recognised post-compaction
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact")

@@ -318,23 +318,35 @@ def remove_repeated_chunks(
 
 
 # PII patterns chosen to parse identically under Java regex (Spark) and RE2
-# (DuckDB) so the scrub is oracle-checkable: no backreferences, no lookaround.
+# (DuckDB) so the scrub is oracle-checkable: no backreferences, no lookaround
+# (non-capturing groups and \b are fine in both).  Dict order IS replacement
+# order — see scrub_pii.
 PII_PATTERNS: dict[str, str] = {
     "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    # full-form IPv6 only (8 hex groups) — compressed "::" forms need
+    # alternations whose leftmost-match behavior is harder to keep identical
+    # across engines; the full form is the log-file shape
+    "ipv6": "\\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b",
     "ip": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
-    "phone": "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b",
+    # (555) 867-5309 — the paren is its own left delimiter, so no \b
+    "phone_paren": "\\([0-9]{3}\\) ?[0-9]{3}[-. ][0-9]{4}",
+    "phone": "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b",
 }
 
 
 def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Mask common PII shapes (emails, IPv4 addresses, phone numbers) with
-    typed placeholder tokens, counting matches per kind before replacement.
+    """Mask common PII shapes (emails, IPv6/IPv4 addresses, phone numbers
+    with dash/dot/space or paren formatting) with typed placeholder tokens,
+    counting matches per kind before replacement.
 
     One map-side codegen'd pass — a chain of regexp count + replace column
     expressions, no Python, no shuffle; the standard pre-training scrub
     step that must run over every byte of a 100 TB corpus exactly once.
-    Replacement order is fixed (email, ip, phone) so the phone pattern
-    cannot re-match digits inside an already-masked ip."""
+    Replacement order is fixed (email, ipv6, ip, phone_paren, phone) so a
+    later pattern cannot re-match digits inside an already-masked earlier
+    kind — in particular the bare phone pattern never sees the local part
+    of a paren-formatted number (phone_paren masks it first) and never
+    sees ip octets (ip masks them first)."""
     out = df
     t = F.col(text_col)
     for kind, pat in PII_PATTERNS.items():

@@ -1,13 +1,18 @@
 """One-call corpus curation: the composition every piece of this engine
 exists to serve, as a single user-facing entry point.
 
-``curate_corpus`` chains quality scoring -> quality gate -> exact dedup ->
-near-dup pair generation -> connected-components keep-best -> source
-mixing -> train/test split labeling, all from the individually-tested
-operators (the hash-certified q_curation_pipeline catalog query is this
-exact composition with the oracle-checkable pair generator).
+``curate_corpus`` chains optional PII scrubbing / repetition removal /
+Gopher gating -> optional decontamination -> quality scoring -> quality
+gate -> exact dedup -> near-dup pair generation -> connected-components
+keep-best -> source mixing -> train/test split labeling -> optional token
+budgets, all from the individually-tested operators (the hash-certified
+q_curation_pipeline catalog query is this composition with the
+oracle-checkable pair generator and the scrub stage on).
 
 Scale posture, stage by stage (the 100 TB read of the plan):
+- PII scrub, line repetition removal and the Gopher gate are map-side
+  fused column expressions; corpus-level chunk removal adds the one
+  inherent text shuffle (reconstruction groupBy — see text.py);
 - scoring, quality gate, mixing and split labeling are map-side column
   expressions — they fuse into the scans around them, zero shuffle;
 - exact dedup shuffles 32-byte digests, never text;
@@ -39,6 +44,13 @@ def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scrub: bool = False,
+    dedup_lines: bool = False,
+    dedup_chunks: bool = False,
+    chunk_words: int = 10,
+    chunk_min_df: int = 2,
+    gopher: bool = False,
+    gopher_thresholds: dict[str, tuple[float, float]] | None = None,
     quality_threshold: float = 0.5,
     near_dup: str | None = "minhash",
     near_dup_threshold: float = 0.7,
@@ -57,6 +69,26 @@ def curate_corpus(
     """Run the full curation pipeline; returns the labeled survivor table
     (input columns + ``quality`` + ``component`` + ``split``).
 
+    Optional text-hygiene stages (all off by default; each is the
+    individually-certified operator from ``operators/text.py``), applied
+    in the standard-recipe order BEFORE everything else — scrub must
+    precede hashing or masked and unmasked copies of one document stop
+    deduplicating; repetition removal must precede the quality gate or
+    boilerplate inflates the signals it is judged on:
+
+    - ``scrub=True`` — ``scrub_pii`` masks emails/IPs/phones in place
+      (the per-kind ``n_*`` count columns are dropped to keep the output
+      schema stable);
+    - ``dedup_lines=True`` — ``remove_repeated_lines`` drops repeated
+      intra-document lines, keeping first occurrences;
+    - ``dedup_chunks=True`` — ``remove_repeated_chunks`` cuts
+      ``chunk_words``-word segments appearing in >= ``chunk_min_df``
+      distinct documents (corpus-level boilerplate; the one stage with an
+      inherent text shuffle);
+    - ``gopher=True`` — ``gopher_filter`` drops documents violating the
+      Rae et al. acceptance bands (``gopher_thresholds`` to retune; the
+      signal/fail-reason columns are dropped after the gate).
+
     ``near_dup``: ``'minhash'`` (default, at-scale), ``'jaccard'`` (exact
     blocked all-pairs over ``block_cols``), or ``None`` to skip near-dup
     entirely.  ``weights=None`` skips source mixing.  ``token_budgets``
@@ -65,7 +97,7 @@ def curate_corpus(
     transient BPE-ish token count); unnamed sources pass through.
     ``benchmark`` (optional) is an eval-set DataFrame sharing
     ``text_col``/``id_col``: every doc sharing a word ``decontam_n``-gram
-    with it is dropped FIRST (broadcast gram scan + anti-join) —
+    with it is dropped before dedup (broadcast gram scan + anti-join) —
     contamination must go before dedup picks cluster representatives, or
     a kept representative can still leak eval text.  ``output_path`` also
     writes the result as parquet partitioned by ``split`` (one pass).
@@ -77,6 +109,27 @@ def curate_corpus(
     over-sample whatever the mixing draw correlates with (every doc with u
     just below a low source weight is both kept AND labeled test).
     """
+    if scrub:
+        from .operators.text import PII_PATTERNS, scrub_pii
+
+        docs = scrub_pii(docs, text_col).drop(
+            *[f"n_{kind}" for kind in PII_PATTERNS]
+        )
+    if dedup_lines:
+        from .operators.text import remove_repeated_lines
+
+        docs = remove_repeated_lines(docs, text_col).drop("n_lines_removed")
+    if dedup_chunks:
+        from .operators.text import remove_repeated_chunks
+
+        docs = remove_repeated_chunks(
+            docs, text_col, id_col, chunk_words=chunk_words, min_df=chunk_min_df
+        ).drop("n_chunks_removed")
+    if gopher:
+        from .operators.text import gopher_filter
+
+        gated = gopher_filter(docs, text_col, thresholds=gopher_thresholds)
+        docs = gated.filter(F.col("keep")).select(*docs.columns)
     if benchmark is not None:
         from .operators.dedup import decontaminate
 

@@ -98,6 +98,72 @@ def write_bucketed_table(
     writer.saveAsTable(table_name)
 
 
+def bucket_spec(
+    spark: SparkSession, table_name: str
+) -> tuple[int, list[str], list[str]]:
+    """(num_buckets, bucket_cols, sort_cols) of a bucketed table, read back
+    from the catalog — so maintenance helpers (compaction) can preserve a
+    table's layout without the caller re-stating it."""
+    info = {
+        r.col_name.strip(): (r.data_type or "").strip()
+        for r in spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
+    }
+    if "Num Buckets" not in info:
+        raise ValueError(f"{table_name!r} is not a bucketed table")
+
+    def _cols(key: str) -> list[str]:
+        raw = info.get(key, "[]").strip("[]")
+        return [c.strip(" `") for c in raw.split(",") if c.strip(" `")]
+
+    return int(info["Num Buckets"]), _cols("Bucket Columns"), _cols("Sort Columns")
+
+
+def compact_bucketed_table(
+    spark: SparkSession,
+    table_name: str,
+    distinct: bool = False,
+    fmt: str = "parquet",
+) -> None:
+    """Rewrite a bucketed table down to ONE file per bucket (optionally
+    dropping duplicate rows), preserving its bucket/sort spec.
+
+    Append-heavy bucketed tables (e.g. a streaming digest store appending
+    ``num_buckets`` files per micro-batch) accumulate small files without
+    bound — every later scan pays the listing, and Spark only trusts a
+    bucketed table's ``sortBy`` order when each bucket holds a single
+    file, so appends also re-introduce per-batch Sort nodes in merge
+    joins.  Compaction restores both: bounded file count and sort-free
+    bucket-local joins.  The repartition on the bucket columns is the one
+    shuffle this maintenance pass pays (narrow rows — for a digest store,
+    32-byte digests), and it is what makes each writing task hold exactly
+    one bucket (Spark's bucket id and ``repartition``'s hash partitioning
+    use the same Murmur3 function), so the output is exactly one file per
+    bucket.
+
+    Implementation: write to a staging table, then DROP + RENAME — the
+    source table is never read and overwritten in the same plan.  Not
+    transactional (a crash between DROP and RENAME loses the name, though
+    the staging data survives); a production deployment on Delta/Iceberg
+    gets real OPTIMIZE/compaction transactions instead."""
+    n, bucket_cols, sort_cols = bucket_spec(spark, table_name)
+    df = spark.table(table_name)
+    if distinct:
+        df = df.distinct()
+    staging = f"{table_name}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    writer = (
+        df.repartition(n, *[df[c] for c in bucket_cols])
+        .write.mode("overwrite")
+        .format(fmt)
+        .bucketBy(n, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(staging)
+    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+
+
 def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
     """Z-order (Morton) key column over ``cols``: per-column min/max scaling
     to ``bits``-bit integers, then bit interleaving — all JVM-side HOFs.
