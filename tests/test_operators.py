@@ -825,3 +825,37 @@ def test_semantic_dedup_keep_best_policy_and_stability(spark):
         corpus.repartition(13), n_cells=4, threshold=0.999999, order_col="score"
     )
     assert {r.vec_id for r in again.select("vec_id").collect()} == ids
+
+
+def test_semantic_dedup_multi_probe_catches_cross_cell_pair(spark):
+    """A planted near-identical pair straddling the boundary between two
+    cells: single-probe assignment (pair_probes=1) provably puts the two
+    vectors in DIFFERENT cells, so the pair is never generated and both
+    survive; top-2 probing (the default) blocks each vector on both cells
+    and collapses the pair (round-7 VERDICT item 4).
+
+    Geometry: 2 cells seeded at [1,0] / [0,1] (lowest-id vectors), filler
+    vectors near each axis, and the dup pair at ~45° tilted a hair toward
+    opposite axes — each member's nearest centroid differs, its
+    second-nearest is the other's."""
+    from woe_monotonic_binning_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (4, [0.1, 0.9]),
+        (6, [0.72, 0.69]),  # dup pair, cosine ~0.9991; every other pair < 0.994
+        (7, [0.69, 0.72]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    single = semantic_dedup(emb, n_cells=2, threshold=0.995, pair_probes=1)
+    single_ids = {r.vec_id for r in single.select("vec_id").collect()}
+    assert {6, 7} <= single_ids  # the documented single-probe miss
+
+    multi = semantic_dedup(emb, n_cells=2, threshold=0.995)  # pair_probes=2
+    multi_ids = {r.vec_id for r in multi.select("vec_id").collect()}
+    assert 6 in multi_ids and 7 not in multi_ids  # min-id canonical
+    # nothing else was over-merged: all other vectors survive
+    assert multi_ids == {0, 1, 2, 4, 6}

@@ -601,6 +601,7 @@ def semantic_dedup(
     order_col: str | None = None,
     descending: bool = True,
     lloyd_iters: int = 1,
+    pair_probes: int = 2,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove documents
     whose EMBEDDINGS are near-identical — paraphrases and templated
@@ -610,27 +611,41 @@ def semantic_dedup(
 
     Composition of this module's audited pieces, end to end:
     ``train_centroids`` (distributed Lloyd, driver holds n_cells vectors)
-    -> ``assign_cells`` (broadcast argmax, one pass) ->
+    -> ``assign_cells`` (broadcast arg-top, one pass) ->
     ``embedding_neardup_pairs`` with the CELL as the block key (the
     at-scale block source its docstring promises; pair count is
     per-cluster quadratic, so size ``n_cells`` ~ corpus/1k docs) ->
     components -> ``dedup_keep_best`` over ``order_col`` (pass e.g. a
     quality score; the paper keeps the doc farthest from the centroid —
     any such score works here) or min-id canonical when ``order_col`` is
-    None.  Cross-cluster near-dups are missed by construction — the
-    SemDeDup trade; raise ``n_cells`` resolution only with a quality prior
-    on cluster balance.
+    None.
+
+    ``pair_probes`` (default 2) multi-probes PAIR GENERATION: each vector
+    blocks on its ``pair_probes`` nearest cells, so a near-dup pair
+    straddling a cell boundary — provably missed by single-probe
+    assignment, the round-6 documented trade — still shares a block
+    (either member's second-nearest cell is usually the other's nearest).
+    Membership stays conceptually single-cell; a pair found in both
+    shared cells dedups through the pair table's ``distinct`` (identical
+    (id_a, id_b, cosine) rows).  The pair stage pays ~``pair_probes``²×
+    the single-probe candidate mass — set ``pair_probes=1`` to fall back
+    to the paper's exact behavior.  Genuinely far-apart cells can still
+    hide a pair (top-2 is a heuristic, not closure) — raise
+    ``pair_probes`` with the same cost trade.
 
     Returns the surviving rows of ``emb`` (plus ``component``).  Not
     bit-hashable cross-engine: Lloyd means depend on float summation
     order, so correctness is pinned by property tests (planted duplicate
     vectors collapse, winners obey the policy, selection is stable under
-    repartitioning), not a DuckDB oracle."""
+    repartitioning, a planted cross-cell pair is caught), not a DuckDB
+    oracle."""
     from .similarity import assign_cells, train_centroids
 
     centroids = train_centroids(emb, n_cells, vec_col, id_col, lloyd_iters)
-    assigned = assign_cells(emb, centroids, vec_col, id_col)
-    pairs = embedding_neardup_pairs(assigned, vec_col, id_col, "cell", threshold)
+    probed = assign_cells(emb, centroids, vec_col, id_col, n_probe=pair_probes)
+    pairs = embedding_neardup_pairs(
+        probed, vec_col, id_col, "cell", threshold
+    ).distinct()
     if order_col is None:
         return dedup_keep_canonical(emb, pairs, id_col)
     return dedup_keep_best(emb, pairs, id_col, order_col, descending)

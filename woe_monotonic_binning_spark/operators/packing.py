@@ -125,3 +125,48 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
             6,
         ).alias("utilization"),
     )
+
+
+def pack_shard_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-SHARD fill distribution: one row per shard with its pack count
+    and the min/median/max token utilization of its non-oversize packs —
+    the observability ``n_shards`` tuning needs (round-6 VERDICT item 9).
+
+    ``pack_stats``'s single corpus-wide utilization averages away shard
+    imbalance: one shard drawing mostly tiny documents packs near 100%
+    while another full of just-over-half-budget documents strands ~45% of
+    every pack — same mean, very different padding waste — and the only
+    fix (more/fewer shards, different budget) is a per-shard decision.
+    The shard id is recovered from the pack id's construction
+    (``shard * 2^40 + local``), so this runs on any persisted pack table
+    without re-running the packer.  Two narrow aggregations (pack-level
+    then shard-level; the median is exact ``percentile`` over the
+    shard's pack utilizations — groups are pack-counts-sized, bounded by
+    the same shard-memory knob as packing itself)."""
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("tokens").alias("pack_tokens"),
+        F.count("*").alias("n_docs"),
+        F.max(F.col("oversize").cast("int")).alias("oversize"),
+    )
+    util = per_pack.withColumn(
+        "shard", (F.col("pack_id") / _SHARD_STRIDE).cast("long")
+    ).withColumn(
+        "util",
+        F.when(
+            F.col("oversize") == 0, F.col("pack_tokens") / F.lit(float(budget))
+        ),
+    )
+    return (
+        util.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_packs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum(F.when(F.col("oversize") == 1, 1).otherwise(0)).alias(
+                "n_oversize"
+            ),
+            F.round(F.min("util"), 6).alias("min_utilization"),
+            F.round(F.expr("percentile(util, 0.5)"), 6).alias("median_utilization"),
+            F.round(F.max("util"), 6).alias("max_utilization"),
+        )
+        .orderBy("shard")
+    )

@@ -118,8 +118,16 @@ def assign_cells(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Nearest-centroid assignment via broadcast join + argmax — one pass."""
+    """Nearest-centroid assignment via broadcast join + arg-top — one pass.
+
+    ``n_probe=1`` (default) is the classic single-cell membership (one row
+    per vector).  ``n_probe>1`` emits one row per (vector, cell) for the
+    ``n_probe`` nearest centroids — the multi-probe table pair-generation
+    consumers (semantic_dedup) block on, so near-dups straddling a cell
+    boundary still land in one common block; the output grows
+    ``n_probe``-fold, nothing else changes."""
     spark = corpus.sparkSession
     cdf = _centroid_df(spark, centroids)
     scored = corpus.crossJoin(F.broadcast(cdf)).select(
@@ -131,7 +139,7 @@ def assign_cells(
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_probe)
         .select(id_col, vec_col, "cell")
     )
 
