@@ -2421,6 +2421,27 @@ def q_pack_sequences(spark, sf_dir):
     return pack_stats(packed, budget=512)
 
 
+@_q("q_pack_materialize")
+def q_pack_materialize(spark, sf_dir):
+    """Pack materialization: the packing assignment joined back to the
+    corpus and concatenated into one training sequence per pack (id
+    order, single inherent text shuffle).  Concatenation order/coverage/
+    determinism pinned in tests/test_curation_ops.py; rows-only here (the
+    upstream pack ids come from iterative bin packing)."""
+    from woe_monotonic_binning_spark.operators.packing import (
+        materialize_packs,
+        pack_sequences,
+    )
+    from woe_monotonic_binning_spark.operators.text import text_stats
+
+    toks = text_stats(_docs(spark, sf_dir)).select("doc_id", "text", "stat_tokens")
+    packed = pack_sequences(toks, budget=512, n_shards=16)
+    out = materialize_packs(toks, packed)
+    return out.select(
+        "pack_id", "n_docs", "oversize", F.length("text").alias("seq_len")
+    )
+
+
 @_q("q_dedup_incremental")
 def q_dedup_incremental(spark, sf_dir):
     """Incremental snapshot dedup: the first half of the corpus plays the

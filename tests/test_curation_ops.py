@@ -453,6 +453,46 @@ def test_pack_shard_stats_distribution(spark, token_df):
         assert r.min_utilization <= r.median_utilization <= r.max_utilization
 
 
+def test_materialize_packs_concatenates_in_id_order(spark):
+    """Each pack materializes to one row: members' text sep-joined in
+    ascending id order, member ids carried, oversize flag preserved; every
+    doc appears in exactly one sequence and no text is lost."""
+    from woe_monotonic_binning_spark.operators.packing import (
+        materialize_packs,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha body", 300),
+            (1, "beta body", 300),
+            (2, "gamma body", 200),
+            (3, "delta body", 200),
+            (4, "tiny", 12),
+            (5, "way too big", 9000),
+        ],
+        "doc_id long, text string, stat_tokens long",
+    )
+    packed = pack_sequences(docs, budget=512, n_shards=1)
+    out = materialize_packs(docs, packed, sep=" | ").collect()
+    by_pack = {r.pack_id: r for r in out}
+    packs = {r.doc_id: r.pack_id for r in packed.collect()}
+    # single-shard BFD (pinned elsewhere): {0,2,4} / {1,3} / {5 oversize}
+    p0 = by_pack[packs[0]]
+    assert p0.text == "alpha body | gamma body | tiny"  # id order 0 < 2 < 4
+    assert p0.doc_ids == [0, 2, 4] and p0.n_docs == 3 and not p0.oversize
+    p1 = by_pack[packs[1]]
+    assert p1.text == "beta body | delta body"
+    over = by_pack[packs[5]]
+    assert over.oversize and over.text == "way too big" and over.n_docs == 1
+    # coverage: every doc id appears exactly once across all sequences
+    all_ids = sorted(i for r in out for i in r.doc_ids)
+    assert all_ids == [0, 1, 2, 3, 4, 5]
+    # determinism under repartitioning
+    again = materialize_packs(docs.repartition(7), packed, sep=" | ").collect()
+    assert {r.pack_id: r.text for r in again} == {r.pack_id: r.text for r in out}
+
+
 def test_pack_sequences_single_shard_is_global_bfd(spark):
     """n_shards=1 reduces to textbook best-fit-decreasing; a hand-checkable
     instance pins the placement policy (tightest sufficient room, ties to

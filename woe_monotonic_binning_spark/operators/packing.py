@@ -127,6 +127,50 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def materialize_packs(
+    docs: DataFrame,
+    packed: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Turn pack assignments into actual training sequences: one row per
+    pack with the member documents' text concatenated (``sep``-joined, id
+    order), plus token and member counts — the step between
+    ``pack_sequences`` and writing tokenizer-ready shards.
+
+    The packer itself never touches text (ids and counts only — its scale
+    contract); this is the one place the text moves, and it moves exactly
+    once: the (id, pack_id) table joins back to the corpus on the id
+    (AQE-sized equi-join) and the reconstruction pays the single inherent
+    groupBy(pack_id) text shuffle — the same positional-rebuild shape as
+    ``text.remove_repeated_chunks``.  Join order inside a pack is
+    ascending id (deterministic under any partitioning), not BFD
+    placement order: concatenation order is a training-data shuffling
+    concern, and stable ids make the output reproducible and diffable.
+    Oversize singletons materialize like any pack (``oversize`` carried
+    through) — truncation stays a tokenizer-level decision."""
+    slim = packed.select(id_col, "pack_id", "oversize")
+    joined = docs.select(id_col, text_col).join(slim, id_col)
+    return (
+        joined.groupBy("pack_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+            F.max(F.col("oversize").cast("int")).cast("boolean").alias("oversize"),
+        )
+    )
+
+
 def pack_shard_stats(packed: DataFrame, budget: int) -> DataFrame:
     """Per-SHARD fill distribution: one row per shard with its pack count
     and the min/median/max token utilization of its non-oversize packs —
