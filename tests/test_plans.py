@@ -305,6 +305,45 @@ def test_round6_text_ops_are_single_map_side_passes(spark):
         assert "Generate" not in formatted_plan(out), name
 
 
+def test_curate_corpus_full_hygiene_stages_stay_jvm_side(spark):
+    """curate_corpus with every map-side hygiene stage on (scrub + line
+    dedup + gopher gate; chunk dedup excluded — it owns the one inherent
+    text shuffle) must still compile to a zero-Python plan with no forced
+    broadcast — the stages fuse into the scan, not bolt on as UDFs."""
+    from woe_monotonic_binning_spark import curate_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = curate_corpus(
+        docs,
+        scrub=True,
+        dedup_lines=True,
+        gopher=True,
+        near_dup=None,
+        quality_threshold=0.0,
+    )
+    assert python_eval_count(out) == 0
+    assert "broadcast(" not in formatted_plan(out)
+
+
+def test_materialize_packs_no_python(spark):
+    """Pack materialization is pure JVM: the id equi-join plus the one
+    reconstruction groupBy — no Python eval nodes re-enter after the
+    packer's single Arrow stage."""
+    from woe_monotonic_binning_spark.operators.packing import (
+        materialize_packs,
+        pack_sequences,
+    )
+    from woe_monotonic_binning_spark.operators.text import text_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = text_stats(docs).select("doc_id", "text", "stat_tokens")
+    packed = pack_sequences(toks, budget=512, n_shards=8)
+    out = materialize_packs(toks, packed)
+    # the packer's BFD is the plan's single Python boundary; nothing in
+    # the materialization itself adds another
+    assert python_eval_count(out) == 1
+
+
 def test_pack_sequences_one_shuffle_one_arrow_stage(spark):
     """Packing shuffles exactly once (hash-shard grouping) and crosses the
     Python boundary exactly once (the per-shard BFD applyInPandas); the
