@@ -1597,9 +1597,6 @@ def q_score_stream(spark, sf_dir):
     medians (streaming/score.py).  Stream==batch parity asserted in
     tests/test_streaming_score.py; rows-only here (the driver harness is
     batch)."""
-    import os
-    import tempfile
-
     from woe_monotonic_binning_spark import batch_woe_binning
     from woe_monotonic_binning_spark.streaming.score import score_stream
     from woe_monotonic_binning_spark.transform import median_prepass
@@ -2102,9 +2099,6 @@ def q_sim_search_ivf_index(spark, sf_dir):
     """IVF search served from a persisted cell-partitioned index (partition
     pruning does the candidate cut); equality with the inline IVF path is
     pinned in tests/test_operators.py — rows-only here (tmp index dir)."""
-    import os
-    import tempfile
-
     from woe_monotonic_binning_spark.operators.similarity import (
         ivf_topk_index,
         save_ivf_index,
@@ -2126,9 +2120,6 @@ def q_dedup_stream(spark, sf_dir):
     of each event_id flows through, planted later copies are dropped;
     watermark-bounded state.  Horizon semantics + batch parity pinned in
     tests/test_streaming_dedup.py; rows-only here (streaming sink)."""
-    import os
-    import tempfile
-
     from woe_monotonic_binning_spark.sources.tables import load_table
     from woe_monotonic_binning_spark.streaming.dedup import streaming_exact_dedup
     from woe_monotonic_binning_spark.streaming.events import run_available_now
@@ -2209,9 +2200,6 @@ def q_kafka_replay(spark, sf_dir):
     twin of the kafka source, decode with from_json, window-aggregate.
     Batch parity pinned in tests/test_streaming_kafka.py; rows-only here
     (streaming sink)."""
-    import os
-    import tempfile
-
     from woe_monotonic_binning_spark.sources.tables import load_table
     from woe_monotonic_binning_spark.streaming.events import run_available_now
     from woe_monotonic_binning_spark.streaming.kafka import (
