@@ -2409,6 +2409,21 @@ def q_pack_sequences(spark, sf_dir):
     return pack_stats(packed, budget=512)
 
 
+@_q("q_contamination_report")
+def q_contamination_report(spark, sf_dir):
+    """Eval-integrity telemetry: per benchmark doc (every 25th doc plays
+    the eval set, as in q_decontam), how many corpus docs share an 8-gram
+    with it and what fraction of its grams are hit.  Same broadcast-gram
+    plan as the certified q_decontam; per-doc semantics pinned in
+    tests/test_curation_ops.py; rows-only here (q_decontam holds the
+    oracle slot for this gram machinery)."""
+    from woe_monotonic_binning_spark.operators.dedup import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    return contamination_report(docs, bench, n=8)
+
+
 @_q("q_pack_materialize")
 def q_pack_materialize(spark, sf_dir):
     """Pack materialization: the packing assignment joined back to the

@@ -831,6 +831,45 @@ def test_curate_corpus_decontam_stage(spark):
     assert ids <= expected
 
 
+def test_contamination_report_per_benchmark_doc(spark):
+    """One row per benchmark doc: leak counts for compromised items, zero
+    rows-with-leaks for clean ones, and totals consistent with the
+    forward (corpus-side) contamination_overlap view."""
+    from woe_monotonic_binning_spark.operators.dedup import (
+        contamination_overlap,
+        contamination_report,
+    )
+
+    bench = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (1, "completely unique evaluation item nothing in the corpus shares this"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # two docs embed bench-0's opening 8-gram run
+            (10, "prefix words the quick brown fox jumps over the lazy dog here"),
+            (11, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (12, "clean corpus document with entirely different content words"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r.doc_id: r for r in contamination_report(corpus, bench, n=8).collect()}
+    assert set(rep) == {0, 1}  # every bench doc reports, leaked or not
+    assert rep[0].n_corpus_docs == 2
+    assert 0 < rep[0].n_grams_hit <= rep[0].n_grams
+    assert rep[0].gram_hit_frac == round(rep[0].n_grams_hit / rep[0].n_grams, 6)
+    assert rep[1].n_corpus_docs == 0 and rep[1].n_grams_hit == 0
+    # consistency with the forward view: the corpus docs flagged by
+    # contamination_overlap are exactly the leak sources counted here
+    flagged = {
+        r.doc_id for r in contamination_overlap(corpus, bench, n=8).collect()
+    }
+    assert flagged == {10, 11}
+
+
 def test_curate_corpus_scrub_stage(spark):
     """scrub=True masks PII in place before hashing (so a masked and an
     unmasked copy of one doc DO dedup afterwards) and leaks no n_* count

@@ -60,6 +60,36 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS orders_b")
 
 
+def test_write_training_shards_bounds_records_per_file(spark, tmp_path):
+    """No output file exceeds the record bound, every row survives, and
+    partition_by composes into the standard split-partitioned shard tree."""
+    import glob
+
+    from woe_monotonic_binning_spark.sources.io import write_training_shards
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("seq "), F.col("id").cast("string")).alias("text"),
+        F.when(F.col("id") % 4 == 0, "test").otherwise("train").alias("split"),
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(
+        df, path, max_records_per_file=100, partition_by=["split"], num_tasks=2
+    )
+    files = glob.glob(f"{path}/split=*/*.parquet")
+    assert len(files) >= 10  # 1000 rows / 100-per-file bound
+    for f in files:
+        assert spark.read.parquet(f).count() <= 100, f
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert {r.split for r in back.select("split").distinct().collect()} == {
+        "train",
+        "test",
+    }
+    with pytest.raises(ValueError):
+        write_training_shards(df, path, max_records_per_file=0)
+
+
 def test_range_clustered_write_disjoint_file_ranges(spark, tmp_path):
     """Range layout: each output file carries a disjoint value range, so
     parquet footer min/max stats prune selective scans to ~one file."""

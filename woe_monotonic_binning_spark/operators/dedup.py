@@ -703,6 +703,68 @@ def contamination_overlap(
     return out
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    cleanup: bool = True,
+) -> DataFrame:
+    """The REVERSE view of ``contamination_overlap``: one row per
+    BENCHMARK document that leaks into the corpus — how many distinct
+    corpus documents share at least one word ``n``-gram with it
+    (``n_corpus_docs``) and how many of its distinct grams are hit at all
+    (``n_grams_hit``, against ``n_grams`` total).  This is the
+    eval-integrity report: ``contamination_overlap`` tells you what to
+    DROP from the training mix; this tells you which eval items were
+    compromised and how badly — the number an eval-audit dashboard wants
+    per benchmark release, and the evidence for excluding an eval item
+    whose text turns out to be boilerplate that half the crawl shares.
+
+    Plan shape: identical to ``contamination_overlap`` (benchmark gram
+    table broadcasts, corpus side is one map-side shingle pass, only
+    matched (gram, ids) rows aggregate) plus a tiny per-bench-doc gram
+    count; benchmark docs with zero leaks still report (left join), so
+    the row count is exactly ``|benchmark|``."""
+    bench_sh = shingled(benchmark, text_col, id_col, n=n).persist()
+    bench_grams = bench_sh.select(
+        F.col(id_col).alias("__bench_id"), F.explode("shingles").alias("gram")
+    )
+    gram_totals = bench_sh.select(
+        F.col(id_col).alias("__bench_id"), F.size("shingles").alias("n_grams")
+    )
+    corpus_sh = shingled(corpus, text_col, id_col, n=n).persist()
+    corpus_grams = corpus_sh.select(
+        F.col(id_col).alias("__corpus_id"), F.explode("shingles").alias("gram")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("__bench_id")
+        .agg(
+            F.count_distinct("__corpus_id").alias("n_corpus_docs"),
+            F.count_distinct("gram").alias("n_grams_hit"),
+        )
+    )
+    out = (
+        gram_totals.join(hits, "__bench_id", "left")
+        .select(
+            F.col("__bench_id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_grams_hit", F.lit(0)).alias("n_grams_hit"),
+            F.coalesce("n_corpus_docs", F.lit(0)).alias("n_corpus_docs"),
+            F.round(
+                F.coalesce("n_grams_hit", F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                6,
+            ).alias("gram_hit_frac"),
+        )
+    )
+    if cleanup:
+        return materialize_and_release(out, bench_sh, corpus_sh)
+    return out
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

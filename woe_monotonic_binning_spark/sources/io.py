@@ -258,6 +258,42 @@ def write_clustered_table(
     write_table(out, path, fmt=fmt, mode=mode)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = 100_000,
+    partition_by: Sequence[str] | None = None,
+    num_tasks: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write training sequences as size-bounded shards: no output file
+    exceeds ``max_records_per_file`` rows — the contract a data-loader
+    fleet wants (shards stream independently, resume at file granularity,
+    and one shard fits one loader worker's memory).
+
+    ``maxRecordsPerFile`` makes the WRITER roll files at the bound, which
+    is the correct mechanism at scale: a row-count repartition would need
+    a global count + range shuffle, while rolling is free and local to
+    each task.  The row-count bound therefore caps file SIZE variance
+    only per task — combine with ``num_tasks`` (a round-robin
+    ``repartition``, one shuffle) when upstream partitioning is skewed
+    and shard-size uniformity matters more than the shuffle.
+    ``partition_by`` (e.g. ``["split"]``) composes: the standard
+    train/test shard tree in one pass."""
+    if max_records_per_file <= 0:
+        raise ValueError(
+            f"max_records_per_file must be positive, got {max_records_per_file}"
+        )
+    out = df.repartition(int(num_tasks)) if num_tasks else df
+    writer = out.write.mode(mode).option(
+        "maxRecordsPerFile", int(max_records_per_file)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    getattr(writer, fmt)(path)
+
+
 def save_bins(bins: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Persist a fitted bins table (the model artifact) as parquet,
     partitioned by variable so per-variable loads prune to one directory."""
