@@ -284,7 +284,12 @@ def main() -> None:
         # block and exists for DuckDB checkability, not throughput).
         scored = quality_score(read_docs()).filter(F.col("quality") >= 0.5)
         reps_df = exact_dedup_by_digest(scored, "text", "doc_id").select("doc_id")
-        uniq = scored.join(reps_df, "doc_id", "left_semi")
+        # Persist the survivor set (curate_corpus's cache_survivors): its
+        # regex-scoring + semi-join lineage otherwise re-evaluates under
+        # the pair generator, both keep-best branches and the final
+        # projection — measured ~25% of this headline.  Released after the
+        # action below (same owned lifecycle as the pipeline API).
+        uniq = scored.join(reps_df, "doc_id", "left_semi").persist()
         pairs = minhash_dedup_pairs(uniq, "text", "doc_id", threshold=0.7)
         best = dedup_keep_best(uniq, pairs, "doc_id", "quality", descending=True)
         weights = {f"src{i}": 1.0 for i in range(5)}
@@ -295,7 +300,9 @@ def main() -> None:
         # one pass over the pipeline producing both split labels (the
         # write-once partitionBy(split) shape); the previous
         # train.count() + test.count() evaluated the lineage twice
-        return labeled.groupBy("split").count().count()
+        n = labeled.groupBy("split").count().count()
+        uniq.unpersist()
+        return n
 
     if wanted("curation"):
         timed("curation", run_curation)

@@ -715,6 +715,36 @@ def test_curate_corpus_matches_flagship_composition(spark, tmp_path):
     }
 
 
+def test_curate_corpus_survivor_cache_lifecycle(spark, tmp_path):
+    """cache_survivors: the write path (output_path) releases the cache
+    before returning — SQL cache empty, no leak; the lazy path keeps it
+    for the returned DataFrame (caller-owned, documented); and
+    cache_survivors=False never caches.  Results identical in all
+    modes."""
+    from woe_monotonic_binning_spark import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+
+    out_path = str(tmp_path / "c")
+    written = curate_corpus(
+        docs, near_dup="minhash", output_path=out_path
+    )
+    assert cm.isEmpty(), "write path must release the survivor cache"
+    base = sorted(map(tuple, written.select("doc_id", "split").collect()))
+
+    lazy = curate_corpus(docs, near_dup="minhash")
+    assert not cm.isEmpty()  # caller-owned cache backs the lazy result
+    assert sorted(map(tuple, lazy.select("doc_id", "split").collect())) == base
+    spark.catalog.clearCache()
+
+    plain = curate_corpus(docs, near_dup="minhash", cache_survivors=False)
+    assert cm.isEmpty()
+    assert sorted(map(tuple, plain.select("doc_id", "split").collect())) == base
+
+
 def test_curate_corpus_minhash_and_skip_paths(spark):
     from woe_monotonic_binning_spark import curate_corpus
 
