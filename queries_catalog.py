@@ -2180,7 +2180,14 @@ def q_dedup_store_stream(spark, sf_dir):
     dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000
     )
-    docs.unionByName(dups).repartition(4).write.parquet(src)
+    # originals in strictly earlier files than the copies: first-arrival-
+    # wins means a batch split delivering a copy first would keep the copy
+    # — stage arrival order deterministically (see q_simhash_store_stream)
+    import time as _time
+
+    docs.repartition(2).write.parquet(src)
+    _time.sleep(0.1)
+    dups.coalesce(1).write.mode("append").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
@@ -2190,6 +2197,56 @@ def q_dedup_store_stream(spark, sf_dir):
     )
     q.awaitTermination()
     compact_digest_store(spark, table)  # the periodic maintenance pass
+    return spark.read.parquet(out).select("doc_id")
+
+
+@_q("q_simhash_store_stream")
+def q_simhash_store_stream(spark, sf_dir):
+    """Streaming NEAR-dup dedup against a persistent SimHash band-posting
+    store (streaming/dedup.py streaming_simhash_dedup_against_store): the
+    fuzzy sibling of q_dedup_store_stream — re-collected lightly-edited
+    copies drop at ingest, not just byte-identical ones.  Planted exact
+    dups (hamming 0) cross micro-batches here; near-dup (hamming<=3)
+    semantics, batch parity and the no-store-shuffle plan are pinned in
+    tests/test_streaming_dedup.py; rows-only (streaming sink with
+    filesystem state)."""
+    import os
+    import re
+    import shutil
+
+    from woe_monotonic_binning_spark.streaming.dedup import (
+        streaming_simhash_dedup_against_store,
+    )
+
+    root = _staging_dir(spark, "simhash_store")
+    shutil.rmtree(root, ignore_errors=True)
+    table = "wmb_simhash_store_" + re.sub(
+        r"[^0-9a-zA-Z_]", "_", spark.sparkContext.applicationId
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    src, out = (os.path.join(root, d) for d in ("src", "out"))
+    docs = _docs(spark, sf_dir).select("doc_id", "text").filter(F.col("doc_id") < 200)
+    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    # originals land in strictly earlier files than the re-collected copies
+    # (the file source orders micro-batches by mtime): without this a batch
+    # split that delivers a copy FIRST keeps the copy instead — first-
+    # arrival-wins is the operator's contract, so the staging must make
+    # arrival order deterministic for the harness' repeat runs
+    import time as _time
+
+    docs.repartition(2).write.parquet(src)
+    _time.sleep(0.1)
+    dups.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    q = streaming_simhash_dedup_against_store(
+        stream, table, out, checkpoint_dir=os.path.join(root, "ckpt"), num_buckets=8
+    )
+    q.awaitTermination()
     return spark.read.parquet(out).select("doc_id")
 
 

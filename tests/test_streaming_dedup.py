@@ -305,6 +305,131 @@ def test_bucketed_store_anti_join_does_not_shuffle_store(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def _near_dup_corpus():
+    """Corpus with planted exact + near (hamming<=3) duplicates, isolated
+    pairs (no cross-pair chains, so greedy first-arrival == batch min-id)."""
+    base = " ".join(f"token{i} alpha beta gamma" for i in range(15))
+    text_a = "document about rivers " + base
+    text_b = "entirely different subject matter " + " ".join(
+        f"word{i} delta epsilon" for i in range(15)
+    )
+    text_c = "short unique note on astronomy stars planets comets " + " ".join(
+        f"sky{i}" for i in range(10)
+    )
+    text_d = "recipe for bread flour water salt yeast " + " ".join(
+        f"step{i} knead rest bake" for i in range(12)
+    )
+    batch1 = [
+        (0, text_a),
+        (1, text_b),
+        (2, text_a.replace("token7", "token7x")),  # near-dup of 0, in-batch
+        (3, text_c),
+    ]
+    batch2 = [
+        (10, text_a),                               # exact copy of stored 0
+        (11, text_b.replace("word3", "word3z")),    # near-dup of stored 1
+        (12, text_d),                               # genuinely new
+        (13, text_d.replace("step5", "step5q")),    # near-dup of 12, in-batch
+    ]
+    return batch1, batch2
+
+
+def test_streaming_simhash_dedup_drops_near_dups_across_batches(spark, tmp_path):
+    """Near-duplicates (not just exact copies) drop at ingest: in-batch
+    via the batch pigeonhole self-join, cross-batch via the persistent
+    band-posting store; survivors match the batch operator's keep set.
+    The fixture's pair structure is asserted against the BATCH operator
+    first, so a fixture drift fails loudly there, not here."""
+    import time as _time
+
+    from woe_monotonic_binning_spark.operators.dedup import simhash_near_pairs
+    from woe_monotonic_binning_spark.streaming.dedup import (
+        streaming_simhash_dedup_against_store,
+    )
+
+    batch1, batch2 = _near_dup_corpus()
+    all_rows = spark.createDataFrame(batch1 + batch2, "doc_id long, text string")
+    got_pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(all_rows, "text", "doc_id").collect()
+    }
+    assert got_pairs == {(0, 2), (0, 10), (2, 10), (1, 11), (12, 13)}
+
+    table = "wmb_test_simhash_store"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        src = tmp_path / "src"
+        out = str(tmp_path / "out")
+        for rows in (batch1, batch2):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(str(src))
+            _time.sleep(1.1)
+        schema = spark.read.parquet(str(src)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = streaming_simhash_dedup_against_store(
+            stream, table, out, checkpoint_dir=str(tmp_path / "ckpt"), num_buckets=4
+        )
+        q.awaitTermination()
+        kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert kept == {0, 1, 3, 12}
+        # the store carries exactly the survivors' postings: 4 bands each
+        spark.catalog.refreshTable(table)
+        store = spark.table(table)
+        assert {r.doc_id for r in store.select("doc_id").distinct().collect()} == kept
+        assert store.count() == 4 * len(kept)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_simhash_store_probe_join_does_not_shuffle_store(spark, tmp_path):
+    """The cross-batch probe joins on (band, bh) and the store is bucketed
+    on exactly those columns, so the store side carries no Exchange (a
+    bucket spec on a strict SUBSET of the join keys is rejected by
+    Spark's co-partitioning check and the bucketed scan disabled —
+    verified live while building this)."""
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.operators.dedup import simhash_fingerprints
+    from woe_monotonic_binning_spark.plans import exchange_count
+
+    table = "wmb_test_simhash_store_plan"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch1, batch2 = _near_dup_corpus()
+        docs = spark.createDataFrame(batch1, "doc_id long, text string")
+        fp = simhash_fingerprints(docs, "text", "doc_id")
+        postings = fp.select(
+            "doc_id", "sim_bands", F.posexplode("sim_bands").alias("band", "bh")
+        )
+        (
+            postings.repartition(4, "band", "bh")
+            .write.format("parquet")
+            .bucketBy(4, "band", "bh")
+            .sortBy("band", "bh")
+            .saveAsTable(table)
+        )
+        probe = simhash_fingerprints(
+            spark.createDataFrame(batch2, "doc_id long, text string"),
+            "text",
+            "doc_id",
+        ).select("doc_id", "sim_bands", F.posexplode("sim_bands").alias("band", "bh"))
+        stored = spark.table(table).select(
+            "band", "bh", F.col("sim_bands").alias("__stored_bands")
+        )
+        joined = probe.join(stored, ["band", "bh"])
+        assert exchange_count(joined) == 1  # probe side only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_compact_digest_store_roundtrip(spark, tmp_path):
     """Compaction bounds the append-driven file growth: after appends the
     store holds many files and duplicate digests; compact_digest_store

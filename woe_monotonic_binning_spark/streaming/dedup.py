@@ -192,6 +192,115 @@ def streaming_dedup_against_bucketed_store(
     return writer.start()
 
 
+def streaming_simhash_dedup_against_store(
+    stream: DataFrame,
+    store_table: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 10_000,
+    checkpoint_dir: str | None = None,
+    num_buckets: int = 64,
+):
+    """Ingest-time NEAR-duplicate dedup against a persistent SimHash store
+    — the fuzzy sibling of ``streaming_dedup_against_bucketed_store``:
+    each micro-batch drops documents within hamming distance
+    ``max_hamming`` of anything already ingested (or of an earlier doc in
+    the same batch), appends survivors to ``out_path`` and their SimHash
+    band postings to the store.  Exact-duplicate streams need only the
+    digest store; a crawl that re-collects lightly-edited copies
+    (timestamps, ads, typo fixes) needs this one.
+
+    Semantics per batch, both steps exactly the batch operators:
+
+    1. WITHIN the batch, ``simhash_near_pairs`` + min-id canonical keep —
+       identical to the batch path.
+    2. ACROSS batches, the batch's band postings probe the store on
+       (band, bh) — the same 4×16-bit pigeonhole that makes the batch
+       self-join complete for distance <= 3 — and candidates verify with
+       the exact hamming distance computed from the STORED fingerprint
+       (the store carries ``sim_bands``, so no text is ever re-read).
+       Near-dup-of-near-dup chains across batches collapse greedily to
+       the earliest-ingested representative, as in any streaming dedup.
+
+    State per document: one 64-bit fingerprint as 4 band values — 4
+    posting rows of (int, long, id, array<long>), ~100 bytes; ~10 TB of
+    postings per 100-billion-doc corpus, the same ballpark as the digest
+    store.  The store is bucketed on BOTH probe-join columns
+    ``(band, bh)`` — Spark's co-partitioning check requires the bucket
+    columns to line up with the join keys (a bucket spec on a strict
+    subset is rejected and the bucketed scan disabled, verified live) —
+    so the per-batch join and the ``max_bucket`` degenerate-band
+    count-filter (same guard as the batch self-join — one 16-bit band
+    value shared by k docs would create k x batch join rows) are both
+    bucket-local; the store is scanned, never shuffled (plan-pinned).
+    Compaction: ``sources.io.compact_bucketed_table(spark, store_table,
+    distinct=True)`` — replayed appends are harmless multiplicity until
+    then.  Same at-least-once foreachBatch contract and same
+    cloned-session ``refreshTable`` caveat as the digest twin."""
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        from ..operators.dedup import (
+            dedup_keep_canonical,
+            simhash_fingerprints,
+            simhash_near_pairs,
+        )
+
+        spark = batch_df.sparkSession
+        pairs = simhash_near_pairs(batch_df, text_col, id_col, max_hamming)
+        batch_kept = dedup_keep_canonical(batch_df, pairs, id_col).drop("component")
+        fp = simhash_fingerprints(batch_kept, text_col, id_col).persist()
+        probe = fp.select(
+            F.col(id_col),
+            F.col("sim_bands"),
+            F.posexplode("sim_bands").alias("band", "bh"),
+        )
+        if spark.catalog.tableExists(store_table):
+            store = spark.table(store_table)
+            ok_buckets = (
+                store.groupBy("band", "bh")
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") <= max_bucket)
+                .select("band", "bh")
+            )
+            stored = store.join(ok_buckets, ["band", "bh"]).select(
+                "band",
+                "bh",
+                F.col("sim_bands").alias("__stored_bands"),
+            )
+            hamming = F.expr(
+                "aggregate(zip_with(sim_bands, __stored_bands, "
+                "(x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"
+            )
+            dup_ids = (
+                probe.join(stored, ["band", "bh"])
+                .filter(hamming <= max_hamming)
+                .select(id_col)
+                .distinct()
+            )
+            fresh = batch_kept.join(dup_ids, id_col, "left_anti").persist()
+        else:
+            fresh = batch_kept.persist()
+        fresh.write.mode("append").parquet(out_path)
+        postings = probe.join(fresh.select(id_col), id_col, "left_semi")
+        (
+            postings.repartition(num_buckets, "band", "bh")
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(num_buckets, "band", "bh")
+            .sortBy("band", "bh")
+            .saveAsTable(store_table)
+        )
+        fresh.unpersist()
+        fp.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_process).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def compact_digest_store(spark, store_table: str) -> None:
     """Maintenance pass for the bucketed digest store: rewrite to one file
     per bucket and collapse duplicate digests (re-appended by at-least-once
