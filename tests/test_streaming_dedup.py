@@ -382,8 +382,20 @@ def test_streaming_simhash_dedup_drops_near_dups_across_batches(spark, tmp_path)
         store = spark.table(table)
         assert {r.doc_id for r in store.select("doc_id").distinct().collect()} == kept
         assert store.count() == 4 * len(kept)
+        # compaction round-trips the multi-column bucket spec and the
+        # array-typed sim_bands column through its distinct
+        from woe_monotonic_binning_spark.sources.io import (
+            bucket_spec,
+            compact_bucketed_table,
+        )
+
+        compact_bucketed_table(spark, table, distinct=True)
+        nb, bcols, scols = bucket_spec(spark, table)
+        assert (nb, bcols, scols) == (4, ["band", "bh"], ["band", "bh"])
+        assert spark.table(table).count() == 4 * len(kept)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact")
 
 
 def test_simhash_store_probe_join_does_not_shuffle_store(spark, tmp_path):
