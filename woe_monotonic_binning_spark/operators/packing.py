@@ -193,7 +193,7 @@ def pack_shard_stats(packed: DataFrame, budget: int) -> DataFrame:
         F.max(F.col("oversize").cast("int")).alias("oversize"),
     )
     util = per_pack.withColumn(
-        "shard", (F.col("pack_id") / _SHARD_STRIDE).cast("long")
+        "shard", F.expr(f"pack_id div {_SHARD_STRIDE}L")  # integer division
     ).withColumn(
         "util",
         F.when(

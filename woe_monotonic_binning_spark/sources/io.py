@@ -281,6 +281,8 @@ def write_training_shards(
     and shard-size uniformity matters more than the shuffle.
     ``partition_by`` (e.g. ``["split"]``) composes: the standard
     train/test shard tree in one pass."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {_FORMATS}")
     if max_records_per_file <= 0:
         raise ValueError(
             f"max_records_per_file must be positive, got {max_records_per_file}"
