@@ -300,9 +300,10 @@ def main() -> None:
         # one pass over the pipeline producing both split labels (the
         # write-once partitionBy(split) shape); the previous
         # train.count() + test.count() evaluated the lineage twice
-        n = labeled.groupBy("split").count().count()
-        uniq.unpersist()
-        return n
+        try:
+            return labeled.groupBy("split").count().count()
+        finally:
+            uniq.unpersist()
 
     if wanted("curation"):
         timed("curation", run_curation)

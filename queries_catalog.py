@@ -42,6 +42,9 @@ def _li_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STALE_AGE_S = 86_400  # artifacts from sessions older than a day are dead
+
+
 def _staging_dir(spark: SparkSession, *parts: str) -> str:
     """Per-SESSION staging path for queries that round-trip through the
     filesystem: ``$TMPDIR/wmb_<applicationId>/<parts...>``.
@@ -50,14 +53,108 @@ def _staging_dir(spark: SparkSession, *parts: str) -> str:
     leaking a fresh mkdtemp per rep — the round-5 ADVICE) but unique across
     sessions (the app id carries a start timestamp), so two concurrent
     harness runs on one host can no longer clobber each other's staged
-    parquet / store / checkpoint state (round-6 VERDICT nit + ADVICE)."""
-    import os
-    import tempfile
+    parquet / store / checkpoint state (round-6 VERDICT nit + ADVICE).
 
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"wmb_{spark.sparkContext.applicationId}",
-        *parts,
+    Session-unique names shift the leak one level up — nothing would ever
+    delete a DEAD session's tree — so this also best-effort sweeps sibling
+    ``wmb_*`` staging roots untouched for over a day (the age guard keeps
+    concurrent live runs safe; harness sessions live minutes)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    tmp = tempfile.gettempdir()
+    mine = f"wmb_{spark.sparkContext.applicationId}"
+    for d in _glob.glob(os.path.join(tmp, "wmb_*")):
+        try:
+            if os.path.basename(d) != mine and (
+                time.time() - os.path.getmtime(d) > _STALE_AGE_S
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass  # sweep is best-effort; a vanished dir is fine
+    return os.path.join(tmp, mine, *parts)
+
+
+def _session_table(spark: SparkSession, prefix: str) -> str:
+    """Session-scoped managed-table name ``<prefix>_<sanitized appId>``,
+    dropped fresh for this run; same-prefix tables left behind by DEAD
+    sessions (warehouse directory untouched for over a day) are swept,
+    bounding cross-run warehouse growth the same way ``_staging_dir``
+    bounds /tmp growth."""
+    import os
+    import re
+    import time
+
+    name = f"{prefix}_" + re.sub(
+        r"[^0-9a-zA-Z_]", "_", spark.sparkContext.applicationId
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for r in spark.sql("SHOW TABLES").collect():
+            t = r.tableName
+            if t.startswith(f"{prefix}_") and t != name:
+                d = os.path.join(wh, t)
+                if not os.path.exists(d) or (
+                    time.time() - os.path.getmtime(d) > _STALE_AGE_S
+                ):
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    except Exception:  # noqa: BLE001 — sweep is best-effort
+        pass
+    return name
+
+
+def _stage_ordered(first_df: DataFrame, second_df: DataFrame, src: str) -> None:
+    """Stage two DataFrames into one stream-source directory such that
+    ``first_df``'s files sort STRICTLY earlier than ``second_df``'s in the
+    file source's modification-time ordering — the deterministic-arrival
+    contract the first-arrival-wins store-stream queries need.  The
+    ordering is enforced with an explicit ``os.utime`` bump (+2 s on the
+    second phase's files), not a sleep: a sleep shorter than the
+    filesystem's mtime granularity (1 s on many systems) can tie, and a
+    tie lets a planted copy enter an earlier micro-batch than its
+    original on some runs (round-7 review finding)."""
+    import glob as _glob
+    import os
+
+    first_df.repartition(2).write.parquet(src)
+    existing = set(_glob.glob(os.path.join(src, "*.parquet")))
+    latest = max(os.path.getmtime(f) for f in existing)
+    second_df.coalesce(1).write.mode("append").parquet(src)
+    for f in set(_glob.glob(os.path.join(src, "*.parquet"))) - existing:
+        os.utime(f, (latest + 2, latest + 2))
+
+
+def _plant_pii(df: DataFrame, extended: bool = False) -> DataFrame:
+    """Append synthetic PII to every 5th doc (the raw tables carry none).
+    The SINGLE source of the planted text: q_curation_pipeline (base
+    form), q_scrub_pii (``extended=True`` adds a paren phone + full-form
+    IPv6) and the curate_corpus flagship-parity test all call this, so
+    the plant can never drift out of sync between the Spark queries and
+    their hard-coded oracle SQL twins (which must each mirror the exact
+    concatenation)."""
+    parts = [
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 or 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    ]
+    if extended:
+        parts += [
+            F.lit(" or (555) 867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" on fe80:0:0:0:202:b3ff:fe1e:"),
+            (F.col("doc_id") % 9999).cast("string"),
+        ]
+    return df.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(*parts)).otherwise(F.col("text")),
     )
 
 
@@ -2065,21 +2162,7 @@ def q_curation_pipeline(spark, sf_dir):
         scrub_pii,
     )
 
-    planted = _docs(spark, sf_dir).withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(
-                "text",
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com at 10.0."),
-                (F.col("doc_id") % 256).cast("string"),
-                F.lit(".1 or 555-867-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            ),
-        ).otherwise(F.col("text")),
-    )
+    planted = _plant_pii(_docs(spark, sf_dir))
     clean = scrub_pii(planted).drop(*[f"n_{kind}" for kind in PII_PATTERNS])
     docs = quality_score(clean).filter(F.col("quality") >= 0.5)
     reps = exact_dedup_by_digest(docs, "text", "doc_id").select("doc_id")
@@ -2158,7 +2241,6 @@ def q_dedup_store_stream(spark, sf_dir):
     round-trip pinned in tests/test_streaming_dedup.py; rows-only here
     (streaming sink with filesystem state)."""
     import os
-    import re
     import shutil
 
     from woe_monotonic_binning_spark.streaming.dedup import (
@@ -2171,10 +2253,7 @@ def q_dedup_store_stream(spark, sf_dir):
     # rmtree/DROP still give deterministic fresh state per rep
     root = _staging_dir(spark, "sdedup_store")
     shutil.rmtree(root, ignore_errors=True)
-    table = "wmb_digest_store_" + re.sub(
-        r"[^0-9a-zA-Z_]", "_", spark.sparkContext.applicationId
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    table = _session_table(spark, "wmb_digest_store")
     src, out = (os.path.join(root, d) for d in ("src", "out"))
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
@@ -2182,12 +2261,8 @@ def q_dedup_store_stream(spark, sf_dir):
     )
     # originals in strictly earlier files than the copies: first-arrival-
     # wins means a batch split delivering a copy first would keep the copy
-    # — stage arrival order deterministically (see q_simhash_store_stream)
-    import time as _time
-
-    docs.repartition(2).write.parquet(src)
-    _time.sleep(0.1)
-    dups.coalesce(1).write.mode("append").parquet(src)
+    # — _stage_ordered enforces arrival order with explicit mtimes
+    _stage_ordered(docs, dups, src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
@@ -2211,7 +2286,6 @@ def q_simhash_store_stream(spark, sf_dir):
     tests/test_streaming_dedup.py; rows-only (streaming sink with
     filesystem state)."""
     import os
-    import re
     import shutil
 
     from woe_monotonic_binning_spark.streaming.dedup import (
@@ -2220,10 +2294,7 @@ def q_simhash_store_stream(spark, sf_dir):
 
     root = _staging_dir(spark, "simhash_store")
     shutil.rmtree(root, ignore_errors=True)
-    table = "wmb_simhash_store_" + re.sub(
-        r"[^0-9a-zA-Z_]", "_", spark.sparkContext.applicationId
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    table = _session_table(spark, "wmb_simhash_store")
     src, out = (os.path.join(root, d) for d in ("src", "out"))
     docs = _docs(spark, sf_dir).select("doc_id", "text").filter(F.col("doc_id") < 200)
     dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
@@ -2232,13 +2303,9 @@ def q_simhash_store_stream(spark, sf_dir):
     # originals land in strictly earlier files than the re-collected copies
     # (the file source orders micro-batches by mtime): without this a batch
     # split that delivers a copy FIRST keeps the copy instead — first-
-    # arrival-wins is the operator's contract, so the staging must make
-    # arrival order deterministic for the harness' repeat runs
-    import time as _time
-
-    docs.repartition(2).write.parquet(src)
-    _time.sleep(0.1)
-    dups.coalesce(1).write.mode("append").parquet(src)
+    # arrival-wins is the operator's contract, so _stage_ordered enforces
+    # arrival order with explicit mtimes for the harness' repeat runs
+    _stage_ordered(docs, dups, src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
@@ -2338,25 +2405,7 @@ def q_scrub_pii(spark, sf_dir):
     adversarial-row parity suite stays in tests/test_curation_ops.py."""
     from woe_monotonic_binning_spark.operators.text import scrub_pii
 
-    docs = _docs(spark, sf_dir).withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(
-                "text",
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com at 10.0."),
-                (F.col("doc_id") % 256).cast("string"),
-                F.lit(".1 or 555-867-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-                F.lit(" or (555) 867-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-                F.lit(" on fe80:0:0:0:202:b3ff:fe1e:"),
-                (F.col("doc_id") % 9999).cast("string"),
-            ),
-        ).otherwise(F.col("text")),
-    )
+    docs = _plant_pii(_docs(spark, sf_dir), extended=True)
     return scrub_pii(docs).select(
         "doc_id", "text", "n_email", "n_ipv6", "n_ip", "n_phone_paren", "n_phone"
     )

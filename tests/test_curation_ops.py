@@ -673,21 +673,9 @@ def test_curate_corpus_matches_flagship_composition(spark, tmp_path):
     from woe_monotonic_binning_spark import curate_corpus
 
     sf = "/root/testdata/sf0.001"
-    docs = spark.read.parquet(f"{sf}/documents.parquet").withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(
-                "text",
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com at 10.0."),
-                (F.col("doc_id") % 256).cast("string"),
-                F.lit(".1 or 555-867-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            ),
-        ).otherwise(F.col("text")),
-    )
+    # the SAME plant the flagship query applies (single source of truth in
+    # the catalog — review finding: a hand-copied plant here could drift)
+    docs = qc._plant_pii(spark.read.parquet(f"{sf}/documents.parquet"))
     out_path = str(tmp_path / "curated")
     got = curate_corpus(
         docs,

@@ -115,13 +115,16 @@ def curate_corpus(
     full-text regex scoring pass plus the digest semi-join — is otherwise
     re-evaluated by the pair generator, both keep-best branches and the
     final projection (~4 corpus passes; measured ~25% of flagship wall
-    time at sf0.1).  The near-dup stage runs eagerly at call time, so the
-    cache is already filled when this function returns.  Lifecycle: with
+    time at sf0.1).  The default ``near_dup='minhash'`` stage runs
+    eagerly at call time and fills the cache before this function
+    returns; the ``'jaccard'``/``None`` paths are fully lazy, so there
+    the cache fills at the first action on the result.  Lifecycle: with
     ``output_path`` the write is the pipeline's action and the cache is
-    RELEASED before returning — no leak; without it, the returned lazy
-    DataFrame reads the cache and the CALLER owns release (unpersist via
-    ``spark.catalog.clearCache()`` when done, or pass
-    ``cache_survivors=False`` for a cache-free plan — the round-5 rule
+    RELEASED before returning (exception-safe) — no leak; without it,
+    the returned lazy DataFrame reads the cache and the CALLER owns
+    release — ``spark.catalog.clearCache()`` works but drops EVERY cache
+    in the session, so a session juggling several cached pipelines
+    should pass ``cache_survivors=False`` here instead (the round-5 rule
     that every cache needs an owner, with the owner here being the
     caller who asked for a lazy result).
     """
@@ -186,7 +189,11 @@ def curate_corpus(
         ).drop("__toks")
     labeled = split_column(mixed, id_col, test_fraction, split_seed, col="split")
     if output_path is not None:
-        labeled.write.mode("overwrite").partitionBy("split").parquet(output_path)
-        if cache_survivors:
-            uniq.unpersist()  # the write was the action; cache owed nothing more
+        try:
+            labeled.write.mode("overwrite").partitionBy("split").parquet(output_path)
+        finally:
+            if cache_survivors:
+                # the write was the action; cache owed nothing more — and a
+                # FAILED write must not leak it into a long-lived session
+                uniq.unpersist()
     return labeled

@@ -248,7 +248,9 @@ def streaming_simhash_dedup_against_store(
         )
 
         spark = batch_df.sparkSession
-        pairs = simhash_near_pairs(batch_df, text_col, id_col, max_hamming)
+        pairs = simhash_near_pairs(
+            batch_df, text_col, id_col, max_hamming, max_bucket=max_bucket
+        )
         batch_kept = dedup_keep_canonical(batch_df, pairs, id_col).drop("component")
         fp = simhash_fingerprints(batch_kept, text_col, id_col).persist()
         probe = fp.select(
@@ -258,9 +260,14 @@ def streaming_simhash_dedup_against_store(
         )
         if spark.catalog.tableExists(store_table):
             store = spark.table(store_table)
+            # distinct doc count, NOT raw posting rows: at-least-once
+            # replays re-append the same postings, and a raw-row count
+            # would let replay multiplicity push a legitimate band over
+            # the cap and silently exclude it from the probe (dedup
+            # recall degrading as a function of replay history)
             ok_buckets = (
                 store.groupBy("band", "bh")
-                .agg(F.count("*").alias("__n"))
+                .agg(F.count_distinct(id_col).alias("__n"))
                 .filter(F.col("__n") <= max_bucket)
                 .select("band", "bh")
             )
