@@ -2643,6 +2643,57 @@ def q_sample_exact(spark, sf_dir):
     )
 
 
+@_q("q_psi")
+def q_psi(spark, sf_dir):
+    """Population Stability Index monitoring (drift.py): per-bin PSI detail
+    of the returned-lineitem population against the full table under a
+    fixed bins spec, plus the per-variable summary fold — the credit-
+    scoring drift companion to WOE/IV (two map-side histogram passes, one
+    tiny-key shuffle each).  Value-hash parity with a DuckDB twin is pinned
+    in tests/test_drift.py (test_psi_detail_matches_duckdb_twin — same
+    compare as the driver harness); rows-only here (the 50-slot window is
+    full; the twin IS the hash check, run locally)."""
+    import pandas as pd
+
+    from woe_monotonic_binning_spark.drift import psi_report
+
+    bins = pd.DataFrame(
+        {
+            "variable": ["l_extendedprice"] * 3,
+            "interval_start_include": [0.0, 20000.0, 40000.0],
+            "interval_end_exclude": [20000.0, 40000.0, 60000.0],
+            "woe": [-0.3, 0.1, 0.4],
+            "iv_components": [0.4, 0.3, 0.3],
+        }
+    )
+    li = _li(spark, sf_dir)
+    return psi_report(li, li.filter(F.col("l_returnflag") == "R"), bins)
+
+
+@_q("q_stability_periods")
+def q_stability_periods(spark, sf_dir):
+    """Per-period stability back-test (drift.py stability_over_periods):
+    PSI of each l_shipdate year's l_extendedprice population against the
+    earliest year, ONE histogram pass grouped by (variable, bin, period).
+    Value parity with a numpy reference and baseline-is-zero pinned in
+    tests/test_drift.py; rows-only here."""
+    import pandas as pd
+
+    from woe_monotonic_binning_spark.drift import stability_over_periods
+
+    bins = pd.DataFrame(
+        {
+            "variable": ["l_extendedprice"] * 3,
+            "interval_start_include": [0.0, 20000.0, 40000.0],
+            "interval_end_exclude": [20000.0, 40000.0, 60000.0],
+            "woe": [-0.3, 0.1, 0.4],
+            "iv_components": [0.4, 0.3, 0.3],
+        }
+    )
+    li = _li(spark, sf_dir).withColumn("ship_year", F.year("l_shipdate"))
+    return stability_over_periods(li, bins, "ship_year")
+
+
 # ---------------------------------------------------------------------------
 # registration order: the driver certifies the FIRST 50 registrations, so
 # every oracle-backed query (rows+schema+hash check) must land inside that

@@ -1,0 +1,233 @@
+"""PSI / stability monitoring (drift.py): value parity against a numpy
+reference and a DuckDB twin, encoder-consistency, and the plan contract."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle_harness import compare, duckdb_connection
+from woe_monotonic_binning_spark.drift import (
+    MISSING,
+    OUT_OF_RANGE,
+    bin_histogram,
+    psi_report,
+    psi_summary,
+    stability_over_periods,
+)
+from woe_monotonic_binning_spark.plans import exchange_count, python_eval_count
+
+SF = "/root/testdata/sf0.001"
+
+
+def bins_table(variable="x", cuts=(0.0, 1.0, 2.0, 3.0), woes=(-0.3, 0.1, 0.4), iv=1.0):
+    rows = []
+    n = len(cuts) - 1
+    for i in range(n):
+        rows.append(
+            {
+                "variable": variable,
+                "interval_start_include": float(cuts[i]),
+                "interval_end_exclude": float(cuts[i + 1]),
+                "woe": float(woes[i]),
+                "iv_components": iv / n,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def np_psi(e_counts, a_counts, min_frac=1e-4):
+    e = np.asarray(e_counts, dtype=float)
+    a = np.asarray(a_counts, dtype=float)
+    ef = np.maximum(e / e.sum(), min_frac)
+    af = np.maximum(a / a.sum(), min_frac)
+    return float(((af - ef) * np.log(af / ef)).sum())
+
+
+@pytest.fixture(scope="module")
+def bins():
+    return bins_table()
+
+
+def _frame(spark, values):
+    # plain float column: None becomes NaN, which the missing bucket counts
+    # alongside NULL (both are "no usable value" to the encoder)
+    pdf = pd.DataFrame({"x": np.array([np.nan if v is None else v for v in values])})
+    return spark.createDataFrame(pdf)
+
+
+def test_identical_populations_have_zero_psi(spark, bins):
+    df = _frame(spark, [0.1, 0.5, 1.5, 2.5, 2.9, None, 5.0, -1.0])
+    out = psi_summary(psi_report(df, df, bins)).collect()
+    assert len(out) == 1
+    assert out[0]["psi"] == pytest.approx(0.0, abs=1e-12)
+    assert out[0]["status"] == "stable"
+
+
+def test_psi_matches_numpy_reference(spark, bins):
+    # expected: 4/3/1 across the three bins plus 1 missing + 1 out-of-range
+    e = _frame(spark, [0.1, 0.2, 0.3, 0.9, 1.1, 1.2, 1.9, 2.5, None, 9.0])
+    # actual: mass shifted to the top bin
+    a = _frame(spark, [0.5, 2.1, 2.2, 2.3, 2.4, 2.6, 2.7, 2.8, None, -3.0])
+    detail = psi_report(e, a, bins).toPandas().sort_values("bin")
+    # scaffold order: missing, out_of_range, bins 0..2
+    assert list(detail["bin"]) == [MISSING, OUT_OF_RANGE, 0, 1, 2]
+    assert list(detail["expected_count"]) == [1, 1, 4, 3, 1]
+    assert list(detail["actual_count"]) == [1, 1, 1, 0, 7]
+    assert detail["expected_frac"].sum() == pytest.approx(1.0)
+    assert detail["actual_frac"].sum() == pytest.approx(1.0)
+    got = psi_summary(psi_report(e, a, bins)).first()["psi"]
+    assert got == pytest.approx(np_psi([1, 1, 4, 3, 1], [1, 1, 1, 0, 7]))
+
+
+def test_abandoned_bin_is_clamped_not_infinite(spark, bins):
+    e = _frame(spark, [0.5, 1.5, 2.5])
+    a = _frame(spark, [0.5, 0.6, 0.7])  # bins 1 and 2 abandoned
+    psi = psi_summary(psi_report(e, a, bins)).first()["psi"]
+    assert math.isfinite(psi)
+    assert psi == pytest.approx(np_psi([0, 0, 1, 1, 1], [0, 0, 3, 0, 0]))
+    assert psi > 0.25  # a two-thirds mass move reads as drifted
+
+
+def test_bin_index_agrees_with_encoder_both_directions(spark):
+    """bin >= 0 exactly where the encoder emits a WOE, and the indexed WOE
+    equals the encoded value — for ascending AND descending bins tables
+    (the pd.cut closure flip, binning.py:286-293)."""
+    from woe_monotonic_binning_spark.drift import _bin_index_expr
+    from woe_monotonic_binning_spark.transform import _encode_column
+
+    values = [float(v) for v in np.arange(-0.5, 3.6, 0.25)] + [0.0, 1.0, 2.0, 3.0]
+    df = spark.createDataFrame(pd.DataFrame({"x": values}))
+    for cuts, woes in [
+        ([0.0, 1.0, 2.0, 3.0], [-0.3, 0.1, 0.4]),
+        ([3.0, 2.0, 1.0, 0.0], [0.4, 0.1, -0.3]),
+    ]:
+        rows = df.select(
+            "x",
+            _bin_index_expr(F.col("x"), cuts).alias("bin"),
+            _encode_column(F.col("x"), list(cuts), list(woes)).alias("woe"),
+        ).collect()
+        asc = cuts[0] < cuts[-1]
+        ordered_woes = list(woes) if asc else list(reversed(woes))
+        for r in rows:
+            if r["bin"] >= 0:
+                assert r["woe"] == ordered_woes[r["bin"]], (cuts, r)
+            else:
+                assert r["bin"] == OUT_OF_RANGE
+                assert r["woe"] is None, (cuts, r)
+
+
+def test_missing_bucket_counts_null_and_nan(spark, bins):
+    df = _frame(spark, [None, float("nan"), 0.5])
+    hist = {
+        (r["bin"]): r["count"]
+        for r in bin_histogram(df, [("x", [0.0, 1.0, 2.0, 3.0], [0, 0, 0])]).collect()
+    }
+    assert hist == {MISSING: 2, 0: 1}
+
+
+def test_variable_gates_and_restriction(spark):
+    bins = pd.concat(
+        [
+            bins_table("good"),
+            bins_table("weak", iv=0.001),  # fails the IV gate
+            # distinct IV total: identical totals trip the quirk-Q7
+            # exact-float duplicate-IV dedup, which is not under test here
+            bins_table("other", iv=0.9),
+        ],
+        ignore_index=True,
+    )
+    pdf = pd.DataFrame({"good": [0.5, 1.5], "weak": [0.5, 1.5], "other": [0.5, 1.5]})
+    df = spark.createDataFrame(pdf)
+    got = {r["variable"] for r in psi_summary(psi_report(df, df, bins)).collect()}
+    assert got == {"good", "other"}
+    only = psi_report(df, df, bins, variables=["good"])
+    assert {r["variable"] for r in only.collect()} == {"good"}
+    with pytest.raises(ValueError, match="no variables"):
+        psi_report(df, df, bins_table("weak", iv=0.001))
+
+
+def test_stability_over_periods(spark, bins):
+    rows = []
+    for v in [0.1, 0.5, 1.5, 2.5]:
+        rows.append(("2024-01", v))
+        rows.append(("2024-02", v))  # identical to baseline
+    for v in [2.1, 2.2, 2.3, 2.6]:
+        rows.append(("2024-03", v))  # shifted
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["month", "x"]))
+    out = {
+        (r["variable"], r["month"]): (r["psi"], r["status"])
+        for r in stability_over_periods(df, bins, "month").collect()
+    }
+    assert out[("x", "2024-01")][0] == pytest.approx(0.0, abs=1e-12)  # baseline
+    assert out[("x", "2024-02")][0] == pytest.approx(0.0, abs=1e-12)
+    psi3 = out[("x", "2024-03")][0]
+    assert psi3 == pytest.approx(np_psi([0, 0, 2, 1, 1], [0, 0, 0, 0, 4]))
+    assert out[("x", "2024-03")][1] == "drifted"
+    # explicit baseline selection flips which period reads as zero
+    out2 = {
+        r["month"]: r["psi"]
+        for r in stability_over_periods(
+            df, bins, "month", baseline_period="2024-03"
+        ).collect()
+    }
+    assert out2["2024-03"] == pytest.approx(0.0, abs=1e-12)
+    assert out2["2024-01"] > 0.25
+
+
+PSI_ORACLE = """
+WITH spec(bin, interval_lo, interval_hi) AS (
+    VALUES (0, 0.0, 20000.0), (1, 20000.0, 40000.0), (2, 40000.0, 60000.0),
+           (-1, NULL, NULL), (-2, NULL, NULL)
+), binned AS (
+    SELECT l_returnflag,
+           CASE WHEN l_extendedprice IS NULL THEN -2
+                WHEN l_extendedprice >= 0.0 AND l_extendedprice < 20000.0 THEN 0
+                WHEN l_extendedprice >= 20000.0 AND l_extendedprice < 40000.0 THEN 1
+                WHEN l_extendedprice >= 40000.0 AND l_extendedprice < 60000.0 THEN 2
+                ELSE -1 END AS bin
+    FROM lineitem
+), e AS (SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin),
+   a AS (SELECT bin, COUNT(*) AS c FROM binned WHERE l_returnflag = 'R' GROUP BY bin),
+   f AS (
+    SELECT spec.bin, spec.interval_lo, spec.interval_hi,
+           COALESCE(e.c, 0) AS expected_count,
+           COALESCE(a.c, 0) AS actual_count,
+           COALESCE(e.c, 0) / CAST((SELECT SUM(c) FROM e) AS DOUBLE) AS expected_frac,
+           COALESCE(a.c, 0) / CAST((SELECT SUM(c) FROM a) AS DOUBLE) AS actual_frac
+    FROM spec LEFT JOIN e ON spec.bin = e.bin LEFT JOIN a ON spec.bin = a.bin
+)
+SELECT 'l_extendedprice' AS variable, bin,
+       CASE WHEN bin = -2 THEN 'missing' WHEN bin = -1 THEN 'out_of_range'
+            ELSE 'bin' END AS bucket,
+       CAST(interval_lo AS DOUBLE) AS interval_lo,
+       CAST(interval_hi AS DOUBLE) AS interval_hi,
+       expected_count, actual_count,
+       expected_frac, actual_frac,
+       (GREATEST(actual_frac, 1e-4) - GREATEST(expected_frac, 1e-4))
+         * LN(GREATEST(actual_frac, 1e-4) / GREATEST(expected_frac, 1e-4))
+         AS psi_component
+FROM f
+"""
+
+
+def test_psi_detail_matches_duckdb_twin(spark):
+    bins = bins_table(
+        "l_extendedprice", cuts=(0.0, 20000.0, 40000.0, 60000.0), woes=(-0.3, 0.1, 0.4)
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    detail = psi_report(li, li.filter(F.col("l_returnflag") == "R"), bins)
+    con = duckdb_connection(SF)
+    assert compare(detail, con, PSI_ORACLE, "psi_detail") == []
+
+
+def test_histogram_plan_single_shuffle_no_python(spark):
+    spark.catalog.clearCache()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    hist = bin_histogram(li, [("l_extendedprice", [0.0, 20000.0, 60000.0], [0, 0])])
+    assert exchange_count(hist) == 1
+    assert python_eval_count(hist) == 0

@@ -18,6 +18,7 @@ from .fit import (
     woe_binning_sep,
 )
 from .transform import apply_bins
+from .drift import psi_report, psi_summary, stability_over_periods
 from .session import get_spark
 from ._algo import BINS_COLUMNS, FitParams
 from .ml import WOEBinner, WOEBinnerModel
@@ -35,6 +36,9 @@ __all__ = [
     "fit_bins",
     "merge_bins",
     "get_spark",
+    "psi_report",
+    "psi_summary",
+    "stability_over_periods",
     "unpack_woe",
     "woe_binning",
     "woe_binning_sep",

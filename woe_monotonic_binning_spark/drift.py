@@ -1,0 +1,297 @@
+"""Score/feature drift monitoring over fitted bins: PSI and per-period
+stability — the operational companion to WOE/IV that the reference's
+credit-scoring domain assumes but never ships (binning.py fits and encodes;
+nothing watches the deployed population move).
+
+Population Stability Index between an *expected* (development/baseline)
+population and an *actual* (recent/scoring) population, computed over the
+SAME fitted bins the scoring path uses (``transform.compile_bin_exprs``
+with identical gates, so drift is monitored on exactly the deployed
+variables and exactly the deployed cut points)::
+
+    PSI(v) = sum_b (a_b - e_b) * ln(a_b / e_b)
+
+over an EXHAUSTIVE per-variable partition: the fitted bins, one
+``out_of_range`` bucket (values outside the cut span — pandas/``apply_bins``
+map these to NULL) and one ``missing`` bucket (NULL/NaN), so the per-frame
+fractions always sum to 1 and a population sliding off the fitted range is
+drift, not silence.  Zero fractions are clamped at ``min_frac`` before the
+log (the standard Laplace-style floor; otherwise one empty bin makes PSI
+infinite).  Conventional reading: < 0.1 stable, 0.1–0.25 shifting,
+> 0.25 drifted.
+
+Scale posture (the 100 TB read):
+
+- Each frame pays ONE pass: the per-variable bin index is the same
+  whole-stage-codegen CASE chain as the encoder, melted to
+  ``(variable, bin)`` pairs and partially aggregated map-side, so the one
+  shuffle carries at most ``tasks x variables x (bins+2)`` count rows —
+  never data rows.
+- Everything after the histograms is arithmetic on ``variables x bins``
+  rows (hundreds), done with tiny DataFrame joins — no collect of data,
+  no Python on the data path.
+- ``stability_over_periods`` folds the period key into the SAME single
+  pass (``variables x bins x periods`` shuffle rows), so a 36-month
+  back-test is still one scan of the score table.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .transform import _bins_to_pandas, compile_bin_exprs
+
+#: bin-index sentinels for the two non-fitted buckets
+OUT_OF_RANGE = -1
+MISSING = -2
+
+def _bucket_label() -> Column:
+    # built lazily: a module-level Column would require an active
+    # SparkContext at import time
+    return (
+        F.when(F.col("bin") == MISSING, F.lit("missing"))
+        .when(F.col("bin") == OUT_OF_RANGE, F.lit("out_of_range"))
+        .otherwise(F.lit("bin"))
+    )
+
+
+def _bin_index_expr(value: Column, cuts: Sequence[float]) -> Column:
+    """Bin index (0-based, ascending) for ``value`` under ``cuts`` — the
+    index twin of ``transform._encode_column`` (same ``pd.cut`` closure
+    semantics, binning.py:286-303): ascending cuts give ``[c_i, c_{i+1})``
+    with the lowest edge included, a descending bins table flips to
+    ``(c_i, c_{i+1}]``.  NULL/NaN -> ``MISSING``; outside the cut span
+    (NULL under the encoder) -> ``OUT_OF_RANGE``."""
+    ascending = not (cuts[0] > cuts[-1])
+    cs = [float(c) for c in (cuts if ascending else reversed(cuts))]
+    n = len(cs) - 1
+    expr = None
+    for i in range(n):
+        hi = F.lit(cs[i + 1])
+        cond = (value < hi) if ascending else (value <= hi)
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    lo = F.lit(cs[0])
+    in_range = (value >= lo) if ascending else (value > lo)
+    return (
+        F.when(value.isNull() | F.isnan(value), F.lit(MISSING))
+        # beyond the TOP cut the inner chain matches nothing (the encoder
+        # maps it to NULL, pd.cut right-open semantics) — coalesce to the
+        # out-of-range bucket instead of a NULL bin
+        .when(in_range, F.coalesce(expr, F.lit(OUT_OF_RANGE)))
+        .otherwise(F.lit(OUT_OF_RANGE))
+    )
+
+
+def bin_histogram(
+    df: DataFrame,
+    specs: Sequence[tuple[str, Sequence[float], Sequence[float]]],
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Counts per ``(variable, bin[, *extra_cols])`` in ONE pass.
+
+    The melt (one ``(variable, bin)`` struct per spec per row, exploded)
+    happens map-side in the same stage as the parquet scan; partial
+    aggregation collapses it before the shuffle, so shuffle volume is
+    bounded by distinct keys per task, not by row count."""
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(v).alias("variable"),
+                    _bin_index_expr(F.col(v).cast("double"), cuts).alias("bin"),
+                )
+                for v, cuts, _ in specs
+            ]
+        )
+    ).alias("p")
+    melted = df.select(*extra_cols, pairs).select(
+        "p.variable", "p.bin", *extra_cols
+    )
+    return melted.groupBy("variable", "bin", *extra_cols).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+def _scaffold(spark, specs) -> DataFrame:
+    """Exhaustive (variable, bin, interval) frame — every fitted bin plus
+    the two sentinel buckets, so zero-count bins still appear (a bin the
+    actual population abandoned entirely is the loudest drift signal)."""
+    rows = []
+    for v, cuts, _ in specs:
+        ascending = not (cuts[0] > cuts[-1])
+        cs = [float(c) for c in (cuts if ascending else reversed(cuts))]
+        for i in range(len(cs) - 1):
+            rows.append((v, i, cs[i], cs[i + 1]))
+        rows.append((v, OUT_OF_RANGE, None, None))
+        rows.append((v, MISSING, None, None))
+    return spark.createDataFrame(
+        rows, "variable string, bin int, interval_lo double, interval_hi double"
+    )
+
+
+def _fractions(hist: DataFrame, scaffold: DataFrame, prefix: str) -> DataFrame:
+    total = hist.groupBy("variable").agg(F.sum("count").alias("__tot"))
+    return (
+        scaffold.join(hist, ["variable", "bin"], "left")
+        .join(total, "variable", "left")
+        .select(
+            "variable",
+            "bin",
+            "interval_lo",
+            "interval_hi",
+            F.coalesce(F.col("count"), F.lit(0)).alias(f"{prefix}_count"),
+            (
+                F.coalesce(F.col("count"), F.lit(0))
+                / F.coalesce(F.col("__tot"), F.lit(1))
+            ).alias(f"{prefix}_frac"),
+        )
+    )
+
+
+def _psi_component(e: Column, a: Column, min_frac: float) -> Column:
+    ec = F.greatest(e, F.lit(float(min_frac)))
+    ac = F.greatest(a, F.lit(float(min_frac)))
+    return (ac - ec) * F.log(ac / ec)
+
+
+def psi_report(
+    expected: DataFrame,
+    actual: DataFrame,
+    bins,
+    iv_threshold: float = 0.02,
+    bin_threshold: int = 2,
+    remove_100_corr: bool = True,
+    min_frac: float = 1e-4,
+    variables: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-bin PSI detail between two populations under fitted ``bins``.
+
+    ``bins`` is anything ``apply_bins`` accepts (Spark/pandas bins table or
+    the reference dict-of-frames); the variable gates (``iv_threshold`` /
+    ``bin_threshold`` / ``remove_100_corr``) default to the encoder's, so
+    the monitored set IS the deployed set — pass ``variables`` to restrict
+    further.  Returns one row per (variable, bucket): ``variable, bin,
+    bucket, interval_lo, interval_hi, expected_count, actual_count,
+    expected_frac, actual_frac, psi_component`` — feed to
+    :func:`psi_summary` for the per-variable index."""
+    specs = compile_bin_exprs(
+        _bins_to_pandas(bins), iv_threshold, bin_threshold, remove_100_corr
+    )
+    if variables is not None:
+        keep = set(variables)
+        specs = [s for s in specs if s[0] in keep]
+    if not specs:
+        raise ValueError("no variables survive the bin gates; nothing to monitor")
+    scaffold = _scaffold(expected.sparkSession, specs)
+    e = _fractions(bin_histogram(expected, specs), scaffold, "expected")
+    a = _fractions(bin_histogram(actual, specs), scaffold, "actual").select(
+        "variable", "bin", "actual_count", "actual_frac"
+    )
+    return e.join(a, ["variable", "bin"]).select(
+        "variable",
+        "bin",
+        _bucket_label().alias("bucket"),
+        "interval_lo",
+        "interval_hi",
+        "expected_count",
+        "actual_count",
+        "expected_frac",
+        "actual_frac",
+        _psi_component(
+            F.col("expected_frac"), F.col("actual_frac"), min_frac
+        ).alias("psi_component"),
+    )
+
+
+def psi_summary(detail: DataFrame) -> DataFrame:
+    """Fold a :func:`psi_report` detail to one row per variable:
+    ``variable, psi, status`` with the conventional bands (< 0.1 stable,
+    0.1–0.25 shifting, > 0.25 drifted)."""
+    psi = F.sum("psi_component").alias("psi")
+    return detail.groupBy("variable").agg(psi).select(
+        "variable",
+        "psi",
+        F.when(F.col("psi") < 0.1, F.lit("stable"))
+        .when(F.col("psi") < 0.25, F.lit("shifting"))
+        .otherwise(F.lit("drifted"))
+        .alias("status"),
+    )
+
+
+def stability_over_periods(
+    df: DataFrame,
+    bins,
+    period_col: str,
+    baseline_period=None,
+    iv_threshold: float = 0.02,
+    bin_threshold: int = 2,
+    remove_100_corr: bool = True,
+    min_frac: float = 1e-4,
+) -> DataFrame:
+    """PSI of every period's population against a baseline period, in ONE
+    pass over ``df`` — the back-test/monitoring view (``variable, period,
+    psi, status``; the baseline period reports PSI 0 against itself).
+
+    ``baseline_period=None`` uses the minimum period value (the earliest
+    vintage).  The single histogram pass groups by
+    ``(variable, bin, period)``; everything downstream is arithmetic on
+    ``variables x bins x periods`` rows."""
+    specs = compile_bin_exprs(
+        _bins_to_pandas(bins), iv_threshold, bin_threshold, remove_100_corr
+    )
+    if not specs:
+        raise ValueError("no variables survive the bin gates; nothing to monitor")
+    hist = bin_histogram(df, specs, extra_cols=(period_col,)).persist()
+    try:
+        if baseline_period is None:
+            baseline_period = hist.agg(F.min(period_col)).first()[0]
+        scaffold = _scaffold(df.sparkSession, specs)
+        periods = hist.select(period_col).distinct()
+        # exhaustive (variable, bin, period) frame so an abandoned bin
+        # still contributes its vanished mass
+        grid = scaffold.select("variable", "bin").crossJoin(periods)
+        totals = hist.groupBy("variable", period_col).agg(
+            F.sum("count").alias("__tot")
+        )
+        fracs = (
+            grid.join(hist, ["variable", "bin", period_col], "left")
+            .join(totals, ["variable", period_col], "left")
+            .select(
+                "variable",
+                "bin",
+                period_col,
+                (
+                    F.coalesce(F.col("count"), F.lit(0))
+                    / F.coalesce(F.col("__tot"), F.lit(1))
+                ).alias("frac"),
+            )
+        )
+        base = fracs.filter(F.col(period_col) == F.lit(baseline_period)).select(
+            "variable", "bin", F.col("frac").alias("base_frac")
+        )
+        out = (
+            fracs.join(base, ["variable", "bin"])
+            .groupBy("variable", period_col)
+            .agg(
+                F.sum(
+                    _psi_component(F.col("base_frac"), F.col("frac"), min_frac)
+                ).alias("psi")
+            )
+            .select(
+                "variable",
+                period_col,
+                "psi",
+                F.when(F.col("psi") < 0.1, F.lit("stable"))
+                .when(F.col("psi") < 0.25, F.lit("shifting"))
+                .otherwise(F.lit("drifted"))
+                .alias("status"),
+            )
+        )
+        # the two derived frames above read `hist` twice; materialise the
+        # result while the persist is alive, then release it
+        out = out.localCheckpoint(eager=True)
+    finally:
+        hist.unpersist()
+    return out
