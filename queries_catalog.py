@@ -2643,6 +2643,23 @@ def q_sample_exact(spark, sf_dir):
     )
 
 
+@_q("q_diversity_sample")
+def q_diversity_sample(spark, sf_dir):
+    """Cluster-balanced sampling over the embeddings table: exactly 64
+    vectors drawn round-robin across 8 Lloyd cells, so sparse embedding
+    regions are represented at par with dense ones (a uniform draw would
+    mirror the density skew).  Balance/nestedness/partitioning-invariance
+    and the degenerate-assignment fallback are property-pinned in
+    tests/test_sampling.py; rows-only here (centroid- and hash-seeded)."""
+    from woe_monotonic_binning_spark.operators.sampling import diversity_sample
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = diversity_sample(emb, 64, n_cells=8, seed=7, keep_cell=True)
+    return out.select("vec_id", "label", "cell")
+
+
 @_q("q_psi")
 def q_psi(spark, sf_dir):
     """Population Stability Index monitoring (drift.py): per-bin PSI detail

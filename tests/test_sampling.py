@@ -243,3 +243,89 @@ def test_token_budget_single_bucket_degenerates_to_naive(spark, tok_docs):
         ).collect()
     }
     assert got == _naive_budget_selection(spark, tok_docs, budgets)
+
+
+# --- diversity (cluster-balanced) sampling -------------------------------
+
+
+def _emb_frame(spark, sizes):
+    """Planted-cluster embeddings: cluster c is the one-hot e_c direction
+    plus a small deterministic off-axis jitter; ids are interleaved
+    round-robin so the lowest ids cover every cluster (centroid seeds)."""
+    rows, remaining, i, c = [], list(sizes), 0, 0
+    while sum(remaining) > 0:
+        if remaining[c] > 0:
+            vec = [0.0] * 4
+            vec[c] = 1.0
+            vec[(c + 1) % 4] = 0.05 * ((i % 7) / 7.0)
+            rows.append((i, vec, c))
+            remaining[c] -= 1
+            i += 1
+        c = (c + 1) % 4
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, true_cluster int"
+    )
+
+
+def test_diversity_sample_balances_clusters(spark):
+    from woe_monotonic_binning_spark.operators.sampling import diversity_sample
+
+    df = _emb_frame(spark, [25, 25, 25, 25])
+    out = diversity_sample(df, 20, n_cells=4, keep_cell=True, seed=5).collect()
+    assert len(out) == 20
+    by_cluster = {}
+    for r in out:
+        by_cluster[r["true_cluster"]] = by_cluster.get(r["true_cluster"], 0) + 1
+    # round-robin across cells => exactly fair shares from equal clusters
+    assert by_cluster == {0: 5, 1: 5, 2: 5, 3: 5}
+
+
+def test_diversity_sample_exhausts_small_cluster_gracefully(spark):
+    from woe_monotonic_binning_spark.operators.sampling import diversity_sample
+
+    df = _emb_frame(spark, [38, 30, 30, 2])
+    out = diversity_sample(df, 20, n_cells=4, keep_cell=True, seed=5).collect()
+    assert len(out) == 20
+    counts = {}
+    for r in out:
+        counts[r["true_cluster"]] = counts.get(r["true_cluster"], 0) + 1
+    # tiny cluster contributes everything it has; remainder spreads evenly
+    assert counts == {0: 6, 1: 6, 2: 6, 3: 2}
+
+
+def test_diversity_sample_nested_and_partitioning_invariant(spark):
+    from woe_monotonic_binning_spark.operators.sampling import diversity_sample
+
+    df = _emb_frame(spark, [25, 25, 25, 25])
+    small = {r.vec_id for r in diversity_sample(df, 10, n_cells=4, seed=5).collect()}
+    big = {r.vec_id for r in diversity_sample(df, 20, n_cells=4, seed=5).collect()}
+    assert len(small) == 10 and len(big) == 20
+    assert small <= big  # nested in n
+    again = {
+        r.vec_id
+        for r in diversity_sample(df.repartition(7), 20, n_cells=4, seed=5).collect()
+    }
+    assert again == big
+
+
+def test_diversity_sample_per_cell_cap(spark):
+    from woe_monotonic_binning_spark.operators.sampling import diversity_sample
+
+    df = _emb_frame(spark, [38, 30, 30, 2])
+    out = diversity_sample(df, 0, n_cells=4, per_cell=3, keep_cell=True).collect()
+    counts = {}
+    for r in out:
+        counts[r["cell"]] = counts.get(r["cell"], 0) + 1
+    assert all(v <= 3 for v in counts.values())
+    assert len(out) == 3 + 3 + 3 + 2  # min(3, cluster size) per cell
+
+
+def test_diversity_sample_degenerate_assignment_falls_back(spark):
+    from woe_monotonic_binning_spark.operators.sampling import diversity_sample
+
+    # all vectors identical -> every row lands in one cell; the rank
+    # pre-filter undershoots and the loud fallback must still return n
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = diversity_sample(df, 50, n_cells=4, seed=5).collect()
+    assert len(out) == 50

@@ -259,3 +259,84 @@ def select_to_token_budget(
         )
         kept = kept.unionByName(part.filter(F.col("__prev") < offset).drop("__prev"))
     return kept.drop("__u", "__b")
+
+
+def diversity_sample(
+    df: DataFrame,
+    n: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    per_cell: int | None = None,
+    seed: int = 0,
+    lloyd_iters: int = 1,
+    centroids: list[list[float]] | None = None,
+    keep_cell: bool = False,
+    oversample: float = 3.0,
+) -> DataFrame:
+    """Cluster-balanced ("diversity") sampling over an embedding column:
+    exactly ``min(n, corpus size)`` rows chosen so every embedding cluster
+    is represented as evenly as possible — the selection step of
+    cluster-balanced data curation, where a plain uniform sample would
+    reproduce the corpus's topic imbalance (the dominant cluster floods
+    the sample) instead of correcting it.
+
+    Mechanics: deterministic centroids (``similarity.train_centroids`` —
+    lowest-id seeds + Lloyd refinement; or pass ``centroids`` to reuse a
+    trained codebook), single-cell assignment, per-cell hash-draw rank,
+    then a global first-``n`` by ``(rank, draw, id)`` — round-robin across
+    cells, so cells contribute ceil/floor-balanced counts and a cell
+    smaller than its fair share is simply exhausted, its remainder going
+    to the next-ranked rows elsewhere.  Like everything in this module the
+    pick is a pure function of (ids, seed, centroids): partitioning-
+    invariant and NESTED in ``n`` (the global order never depends on
+    ``n``, so a larger sample strictly extends a smaller one).
+
+    ``per_cell`` switches to cap semantics instead: at most ``per_cell``
+    rows from every cell (``n`` ignored, may return fewer total) — the
+    "no more than k near-identical examples" guard rather than the
+    "exactly n diverse examples" draw.
+
+    Scale shape: assignment is one broadcast-codebook pass; the per-cell
+    rank shuffles narrow (id, cell, draw) triples, never vectors; the
+    global first-n window runs over the ~``oversample * n`` best-ranked
+    candidates only (rank pre-filter, with the same loud
+    correctness-over-speed fallback as ``sample_exact_n`` if a degenerate
+    assignment undershoots), and the selected ids re-join the corpus as a
+    broadcast-size semi-join."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    from .similarity import assign_cells, train_centroids
+
+    if centroids is None:
+        centroids = train_centroids(
+            df, n_cells=n_cells, vec_col=vec_col, id_col=id_col, lloyd_iters=lloyd_iters
+        )
+    assigned = assign_cells(df, centroids, vec_col=vec_col, id_col=id_col).select(
+        id_col, "cell"
+    )
+    u = hash_uniform(F.col(id_col), seed).alias("__u")
+    ranked = assigned.withColumn("__u", u).withColumn(
+        "__r", F.row_number().over(Window.partitionBy("cell").orderBy("__u", id_col))
+    )
+    if per_cell is not None:
+        sel = ranked.filter(F.col("__r") <= per_cell).select(id_col, "cell")
+    else:
+        r_cap = max(1, math.ceil(oversample * n / max(1, len(centroids))))
+        cand = ranked.filter(F.col("__r") <= r_cap)
+        # A row outside the rank pre-filter can only make the global
+        # first-n if fewer than n candidates exist (every candidate set
+        # >= n dominates all rank > r_cap rows in (rank, ...) order), so
+        # candidate-count >= n proves the pre-filter exact.
+        if cand.count() < n:
+            cand = ranked
+        w = Window.orderBy("__r", "__u", id_col)
+        sel = (
+            cand.withColumn("__g", F.row_number().over(w))
+            .filter(F.col("__g") <= n)
+            .select(id_col, "cell")
+        )
+    out = df.join(sel, id_col, "inner")
+    return out if keep_cell else out.drop("cell")
