@@ -2643,6 +2643,47 @@ def q_sample_exact(spark, sf_dir):
     )
 
 
+@_q("q_psi_stream")
+def q_psi_stream(spark, sf_dir):
+    """Streaming PSI monitor (streaming/drift.py): per-micro-batch drift
+    of a lineitem stream against pinned baseline bin fractions, metrics
+    appended to a parquet sink.  Stream==batch PSI parity, drift alerting
+    and per-batch row emission pinned in tests/test_streaming_drift.py;
+    rows-only here (streaming sink)."""
+    import pandas as pd
+
+    from woe_monotonic_binning_spark.drift import baseline_fractions
+    from woe_monotonic_binning_spark.streaming.drift import streaming_psi_monitor
+
+    bins = pd.DataFrame(
+        {
+            "variable": ["l_quantity"] * 4,
+            "interval_start_include": [0.0, 10.0, 25.0, 40.0],
+            "interval_end_exclude": [10.0, 25.0, 40.0, 51.0],
+            "woe": [-0.4, -0.1, 0.2, 0.5],
+            "iv_components": [0.25] * 4,
+        }
+    )
+    li = _li(spark, sf_dir)
+    base = baseline_fractions(li, bins)
+    src = _staging_dir(spark, "psi_stream_stage", "lineitem")
+    li.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    metrics = _staging_dir(spark, "psi_stream_stage", "metrics")
+    import shutil
+
+    shutil.rmtree(metrics, ignore_errors=True)  # bench reps re-append otherwise
+    ckpt = _staging_dir(spark, "psi_stream_stage", "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = streaming_psi_monitor(stream, bins, base, metrics, checkpoint_dir=ckpt)
+    q.awaitTermination()
+    return spark.read.parquet(metrics).select("batch_id", "variable", "n_rows", "psi", "status")
+
+
 @_q("q_diversity_sample")
 def q_diversity_sample(spark, sf_dir):
     """Cluster-balanced sampling over the embeddings table: exactly 64

@@ -1,0 +1,92 @@
+"""Streaming PSI monitor (streaming/drift.py): batch==stream parity,
+drift alerting, multi-batch metrics, gate-mismatch guard."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from woe_monotonic_binning_spark.drift import baseline_fractions
+from woe_monotonic_binning_spark.streaming.drift import streaming_psi_monitor
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bins(variable, cuts, woes):
+    n = len(cuts) - 1
+    return pd.DataFrame(
+        {
+            "variable": [variable] * n,
+            "interval_start_include": [float(c) for c in cuts[:-1]],
+            "interval_end_exclude": [float(c) for c in cuts[1:]],
+            "woe": [float(w) for w in woes],
+            "iv_components": [1.0 / n] * n,
+        }
+    )
+
+
+QTY_BINS = _bins("l_quantity", (0.0, 10.0, 25.0, 40.0, 51.0), (-0.4, -0.1, 0.2, 0.5))
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def _run_monitor(spark, tmp_path, src_df, baseline, n_files=1):
+    src = str(tmp_path / "src")
+    src_df.repartition(n_files).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(src_df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    metrics = str(tmp_path / "metrics")
+    q = streaming_psi_monitor(
+        stream,
+        QTY_BINS,
+        baseline,
+        metrics,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(metrics)
+
+
+def test_stream_identical_to_baseline_reads_stable(spark, li, tmp_path):
+    base = baseline_fractions(li, QTY_BINS)
+    got = _run_monitor(spark, tmp_path, li, base).collect()
+    assert len(got) == 1  # one file -> one batch -> one variable row
+    assert got[0]["variable"] == "l_quantity"
+    assert got[0]["n_rows"] == li.count()
+    assert got[0]["psi"] == pytest.approx(0.0, abs=1e-12)
+    assert got[0]["status"] == "stable"
+
+
+def test_drifted_stream_alerts(spark, li, tmp_path):
+    base = baseline_fractions(li.filter(F.col("l_quantity") <= 25), QTY_BINS)
+    got = _run_monitor(
+        spark, tmp_path, li.filter(F.col("l_quantity") > 25), base
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["status"] == "drifted"
+    assert got[0]["psi"] > 0.25
+
+
+def test_multi_batch_emits_one_row_per_batch(spark, li, tmp_path):
+    base = baseline_fractions(li, QTY_BINS)
+    got = _run_monitor(spark, tmp_path, li, base, n_files=3).toPandas()
+    assert len(got) == 3
+    assert sorted(got["batch_id"]) == [0, 1, 2]
+    assert set(got["variable"]) == {"l_quantity"}
+    # each batch is a hash-arbitrary third of the table: close to the
+    # full-table baseline, certainly not drifted
+    assert (got["psi"] < 0.1).all()
+    assert int(got["n_rows"].sum()) == li.count()
+
+
+def test_gate_mismatch_is_loud(spark, li, tmp_path):
+    base = baseline_fractions(li, QTY_BINS)
+    other = _bins("l_tax", (0.0, 0.05, 0.09), (-0.2, 0.3))
+    stream = spark.readStream.schema(li.schema).parquet(str(tmp_path))
+    with pytest.raises(ValueError, match="no overlap"):
+        streaming_psi_monitor(stream, other, base, str(tmp_path / "m"))

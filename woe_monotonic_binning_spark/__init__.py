@@ -18,7 +18,12 @@ from .fit import (
     woe_binning_sep,
 )
 from .transform import apply_bins
-from .drift import psi_report, psi_summary, stability_over_periods
+from .drift import (
+    baseline_fractions,
+    psi_report,
+    psi_summary,
+    stability_over_periods,
+)
 from .session import get_spark
 from ._algo import BINS_COLUMNS, FitParams
 from .ml import WOEBinner, WOEBinnerModel
@@ -31,6 +36,7 @@ __all__ = [
     "WOEBinner",
     "WOEBinnerModel",
     "apply_bins",
+    "baseline_fractions",
     "batch_woe_binning",
     "curate_corpus",
     "fit_bins",

@@ -205,6 +205,36 @@ def psi_report(
     )
 
 
+def baseline_fractions(
+    expected: DataFrame,
+    bins,
+    iv_threshold: float = 0.02,
+    bin_threshold: int = 2,
+    remove_100_corr: bool = True,
+    variables: Sequence[str] | None = None,
+):
+    """Pin the expected side of the PSI once, batch-side: the tiny
+    ``(variable, bin, expected_frac)`` pandas frame a serving-time monitor
+    (``streaming.drift.streaming_psi_monitor``) compares every micro-batch
+    against — the same train-time-statistics-at-serve-time pattern as the
+    precomputed median fill values.  One histogram pass over ``expected``;
+    the returned frame is ``variables x (bins+2)`` rows."""
+    specs = compile_bin_exprs(
+        _bins_to_pandas(bins), iv_threshold, bin_threshold, remove_100_corr
+    )
+    if variables is not None:
+        keep = set(variables)
+        specs = [s for s in specs if s[0] in keep]
+    if not specs:
+        raise ValueError("no variables survive the bin gates; nothing to pin")
+    scaffold = _scaffold(expected.sparkSession, specs)
+    return (
+        _fractions(bin_histogram(expected, specs), scaffold, "expected")
+        .select("variable", "bin", "expected_frac")
+        .toPandas()
+    )
+
+
 def psi_summary(detail: DataFrame) -> DataFrame:
     """Fold a :func:`psi_report` detail to one row per variable:
     ``variable, psi, status`` with the conventional bands (< 0.1 stable,

@@ -1,0 +1,123 @@
+"""Streaming drift monitoring: per-micro-batch PSI of a scoring stream
+against pinned training-time bin fractions — the serve-time face of
+``drift.psi_report`` (same bins, same exhaustive bucket partition, same
+clamped components), emitting one metrics row per (variable, batch) to a
+parquet sink a dashboard or alerter tails.
+
+Pattern: the EXPECTED side is batch-precomputed once on historical data
+(:func:`~woe_monotonic_binning_spark.drift.baseline_fractions` — the same
+train-time-statistics-at-serve-time move as the median fill values in
+``streaming/score.py``); each micro-batch then pays one map-side histogram
+pass over its own rows plus arithmetic on ``variables x bins`` rows.  No
+state store: every batch is scored against the frozen baseline
+independently, so a drifting batch alerts immediately and a recovered one
+reads stable again — PSI over a sliding data window is a batch-side query
+over the metrics sink, not stream state.
+
+At scale the monitor adds one narrow aggregation per batch (the same
+partial-agg melt as the batch histogram: shuffle rows bounded by
+``tasks x variables x buckets``) — negligible next to the scoring
+projection it rides along with.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..drift import MISSING, OUT_OF_RANGE, bin_histogram  # noqa: F401 (re-export)
+from ..transform import _bins_to_pandas, compile_bin_exprs
+
+
+def streaming_psi_monitor(
+    stream: DataFrame,
+    bins,
+    baseline: pd.DataFrame,
+    metrics_path: str,
+    checkpoint_dir: str | None = None,
+    min_frac: float = 1e-4,
+    iv_threshold: float = 0.02,
+    bin_threshold: int = 2,
+    remove_100_corr: bool = True,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Start a foreachBatch monitor appending per-batch PSI metrics rows
+    ``(batch_id, variable, n_rows, psi, status)`` to ``metrics_path``.
+
+    ``baseline`` is the tiny ``(variable, bin, expected_frac)`` frame from
+    :func:`~woe_monotonic_binning_spark.drift.baseline_fractions` — it
+    already carries the exhaustive bucket set (fitted bins + out-of-range
+    + missing), so per-batch fractions join against a complete scaffold
+    and a batch abandoning a bin still contributes that bin's vanished
+    mass.  The bin gates must match the ones the baseline was built with;
+    variables are intersected with the baseline's as a guard.  Empty
+    micro-batches are skipped (no population, no signal — alerting on
+    "no data" belongs to the source's own lag metrics, not PSI).
+
+    Delivery: at-least-once (foreachBatch + checkpoint) — a replayed
+    batch re-appends the same metrics rows, harmless for dashboards and
+    dedupable on (batch_id, variable) where it is not."""
+    specs = compile_bin_exprs(
+        _bins_to_pandas(bins), iv_threshold, bin_threshold, remove_100_corr
+    )
+    base_vars = set(baseline["variable"].unique())
+    specs = [s for s in specs if s[0] in base_vars]
+    if not specs:
+        raise ValueError(
+            "no overlap between the bins' surviving variables and the "
+            "baseline's; rebuild baseline_fractions with the same gates"
+        )
+    base_records = [
+        (str(r.variable), int(r.bin), float(r.expected_frac))
+        for r in baseline.itertuples(index=False)
+    ]
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hist = bin_histogram(batch_df, specs)
+        base = spark.createDataFrame(
+            base_records, "variable string, bin int, expected_frac double"
+        )
+        totals = hist.groupBy("variable").agg(F.sum("count").alias("__tot"))
+        joined = (
+            base.join(hist, ["variable", "bin"], "left")
+            .join(totals, "variable", "left")
+            .select(
+                "variable",
+                "expected_frac",
+                F.coalesce(F.col("__tot"), F.lit(0)).alias("n_rows"),
+                (
+                    F.coalesce(F.col("count"), F.lit(0))
+                    / F.coalesce(F.col("__tot"), F.lit(1))
+                ).alias("actual_frac"),
+            )
+        )
+        ec = F.greatest(F.col("expected_frac"), F.lit(float(min_frac)))
+        ac = F.greatest(F.col("actual_frac"), F.lit(float(min_frac)))
+        metrics = (
+            joined.filter(F.col("n_rows") > 0)  # empty batch: no signal
+            .groupBy("variable")
+            .agg(
+                F.max("n_rows").alias("n_rows"),
+                F.sum((ac - ec) * F.log(ac / ec)).alias("psi"),
+            )
+            .select(
+                F.lit(batch_id).alias("batch_id"),
+                "variable",
+                "n_rows",
+                "psi",
+                F.when(F.col("psi") < 0.1, F.lit("stable"))
+                .when(F.col("psi") < 0.25, F.lit("shifting"))
+                .otherwise(F.lit("drifted"))
+                .alias("status"),
+            )
+        )
+        metrics.write.mode("append").parquet(metrics_path)
+
+    writer = stream.writeStream.foreachBatch(_process)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
