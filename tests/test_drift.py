@@ -231,3 +231,93 @@ def test_histogram_plan_single_shuffle_no_python(spark):
     hist = bin_histogram(li, [("l_extendedprice", [0.0, 20000.0, 60000.0], [0, 0])])
     assert exchange_count(hist) == 1
     assert python_eval_count(hist) == 0
+
+
+# --- quantile-grid PSI (score deciles, no fitted bins) --------------------
+
+
+def test_quantile_psi_identical_is_zero_with_open_edges(spark):
+    from woe_monotonic_binning_spark.drift import psi_report_quantile
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"score": np.linspace(0.0, 1.0, 200)})
+    )
+    detail = psi_report_quantile(df, df, ["score"], n_bins=10).toPandas()
+    bins = detail[detail["bucket"] == "bin"]
+    assert len(bins) == 10
+    assert bins["interval_lo"].min() == -np.inf
+    assert bins["interval_hi"].max() == np.inf
+    # open edges: nothing can be out of range, everything lands in a bin
+    oor = detail[detail["bucket"] == "out_of_range"]
+    assert (oor["expected_count"] == 0).all() and (oor["actual_count"] == 0).all()
+    assert detail["expected_count"].sum() == 200
+    assert abs(detail["psi_component"].sum()) < 1e-12
+
+
+def test_quantile_psi_detects_shift_beyond_dev_range(spark):
+    from woe_monotonic_binning_spark.drift import psi_report_quantile, psi_summary
+
+    e = spark.createDataFrame(pd.DataFrame({"score": np.linspace(0.0, 1.0, 200)}))
+    a = spark.createDataFrame(pd.DataFrame({"score": np.linspace(2.0, 3.0, 200)}))
+    detail = psi_report_quantile(e, a, ["score"], n_bins=10)
+    row = psi_summary(detail).first()
+    assert row["status"] == "drifted"
+    # the entire actual mass sits beyond the dev range — in the OPEN top
+    # bin, not silently out-of-range
+    top = (
+        detail.toPandas().sort_values("bin").query("bucket == 'bin'").iloc[-1]
+    )
+    assert top["actual_count"] == 200
+
+
+def test_psi_is_symmetric_in_populations(spark, bins):
+    from woe_monotonic_binning_spark.drift import psi_report_quantile
+
+    e = _frame(spark, [0.1, 0.2, 0.3, 0.9, 1.1, 1.2, 1.9, 2.5, None, 9.0])
+    a = _frame(spark, [0.5, 2.1, 2.2, 2.3, 2.4, 2.6, 2.7, 2.8, None, -3.0])
+    # (a-e)ln(a/e) is invariant under swapping the populations
+    fwd = psi_summary(psi_report(e, a, bins)).first()["psi"]
+    rev = psi_summary(psi_report(a, e, bins)).first()["psi"]
+    assert fwd == pytest.approx(rev, rel=1e-12)
+    qf = psi_summary(psi_report_quantile(e, a, ["x"], n_bins=4)).first()["psi"]
+    # NOTE: quantile grids are NOT symmetric (the grid follows the first
+    # argument) — only assert the fitted-bins path here and that the
+    # quantile path runs
+    assert math.isfinite(qf)
+
+
+def test_quantile_psi_collapses_duplicate_cuts(spark):
+    from woe_monotonic_binning_spark.drift import psi_report_quantile
+
+    # 90% mass point: decile cuts collapse to a handful of distinct values
+    vals = [5.0] * 180 + list(np.linspace(10, 20, 20))
+    df = spark.createDataFrame(pd.DataFrame({"x": vals}))
+    detail = psi_report_quantile(df, df, ["x"], n_bins=10).toPandas()
+    n_bins = (detail["bucket"] == "bin").sum()
+    assert 2 <= n_bins < 10  # collapsed, not zero-width
+    assert abs(detail["psi_component"].sum()) < 1e-12
+    # constant column: one cut survives -> two open bins, still works
+    const = spark.createDataFrame(pd.DataFrame({"x": [7.0] * 50}))
+    d2 = psi_report_quantile(const, const, ["x"], n_bins=10).toPandas()
+    assert (d2["bucket"] == "bin").sum() == 2
+    # all-NULL column: loud
+    nulls = spark.createDataFrame(pd.DataFrame({"x": [np.nan] * 10}))
+    with pytest.raises(ValueError, match="no finite quantile cuts"):
+        psi_report_quantile(nulls, nulls, ["x"])
+
+
+def test_quantile_psi_partitioning_invariant(spark):
+    from woe_monotonic_binning_spark.drift import psi_report_quantile
+
+    rng = np.random.RandomState(11)
+    e = spark.createDataFrame(pd.DataFrame({"x": rng.normal(size=500)}))
+    a = spark.createDataFrame(pd.DataFrame({"x": rng.normal(0.5, 1.2, size=500)}))
+    base = psi_report_quantile(e, a, ["x"]).toPandas().sort_values("bin")
+    again = (
+        psi_report_quantile(e.repartition(13), a.repartition(7), ["x"])
+        .toPandas()
+        .sort_values("bin")
+    )
+    assert list(base["expected_count"]) == list(again["expected_count"])
+    assert list(base["actual_count"]) == list(again["actual_count"])
+    assert np.allclose(base["psi_component"], again["psi_component"])

@@ -21,6 +21,7 @@ from .transform import apply_bins
 from .drift import (
     baseline_fractions,
     psi_report,
+    psi_report_quantile,
     psi_summary,
     stability_over_periods,
 )
@@ -43,6 +44,7 @@ __all__ = [
     "merge_bins",
     "get_spark",
     "psi_report",
+    "psi_report_quantile",
     "psi_summary",
     "stability_over_periods",
     "unpack_woe",

@@ -184,6 +184,51 @@ def psi_report(
         specs = [s for s in specs if s[0] in keep]
     if not specs:
         raise ValueError("no variables survive the bin gates; nothing to monitor")
+    return _psi_detail_from_specs(expected, actual, specs, min_frac)
+
+
+def psi_report_quantile(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_cols: Sequence[str],
+    n_bins: int = 10,
+    min_frac: float = 1e-4,
+    relative_error: float = 0.0,
+) -> DataFrame:
+    """PSI over an equal-frequency grid derived from the EXPECTED
+    population — the standard score-decile PSI, for monitoring a model
+    output (or any raw column) that has no fitted bins table.
+
+    The grid is the expected side's ``n_bins``-quantile cuts with the two
+    edge bins OPEN (lowest cut −inf, highest +inf, the score-PSI
+    convention: a value beyond the development range lands in an edge bin,
+    it does not vanish into out-of-range — only NULL/NaN falls outside the
+    grid, into the ``missing`` bucket).  Duplicate quantile cuts (mass
+    points) collapse, so a skewed column yields fewer, wider bins rather
+    than zero-width ones.  ``relative_error=0.0`` computes exact quantiles
+    (distinct-count-bound memory, same trade as ``impute='exact'``);
+    raise it (e.g. ``1e-4``) for the bounded-memory GK sketch at scale.
+    Same output shape as :func:`psi_report`."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    specs = []
+    for col in value_cols:
+        qs = expected.approxQuantile(col, probs, relative_error)
+        inner = sorted({float(q) for q in qs if q == q})  # dedupe, drop NaN
+        if not inner:
+            raise ValueError(
+                f"{col!r}: no finite quantile cuts (all-NULL or constant "
+                "column) — nothing to grid"
+            )
+        cuts = [float("-inf"), *inner, float("inf")]
+        specs.append((col, cuts, [0.0] * (len(cuts) - 1)))
+    return _psi_detail_from_specs(expected, actual, specs, min_frac)
+
+
+def _psi_detail_from_specs(
+    expected: DataFrame, actual: DataFrame, specs, min_frac: float
+) -> DataFrame:
     scaffold = _scaffold(expected.sparkSession, specs)
     e = _fractions(bin_histogram(expected, specs), scaffold, "expected")
     a = _fractions(bin_histogram(actual, specs), scaffold, "actual").select(
