@@ -2643,6 +2643,35 @@ def q_sample_exact(spark, sf_dir):
     )
 
 
+@_q("q_characteristic")
+def q_characteristic(spark, sf_dir):
+    """Characteristic analysis (drift.py characteristic_stability): per-bin
+    WOE/IV recomputed per ship-year under fixed fitted cuts, with deltas
+    vs the fitted WOE — audits whether the bins' risk separation held.
+    Value-hash parity with a DuckDB twin is pinned in tests/test_drift.py
+    (test_characteristic_detail_matches_duckdb_twin), fitted-WOE
+    reproduction on training data too; rows-only here (window full)."""
+    import pandas as pd
+
+    from woe_monotonic_binning_spark.drift import characteristic_stability
+
+    bins = pd.DataFrame(
+        {
+            "variable": ["l_extendedprice"] * 3,
+            "interval_start_include": [0.0, 20000.0, 40000.0],
+            "interval_end_exclude": [20000.0, 40000.0, 60000.0],
+            "woe": [-0.3, 0.1, 0.4],
+            "iv_components": [0.4, 0.3, 0.3],
+        }
+    )
+    li = (
+        _li(spark, sf_dir)
+        .withColumn("target", (F.col("l_returnflag") == "R").cast("int"))
+        .withColumn("ship_year", F.year("l_shipdate"))
+    )
+    return characteristic_stability(li, bins, "target", period_col="ship_year")
+
+
 @_q("q_psi_stream")
 def q_psi_stream(spark, sf_dir):
     """Streaming PSI monitor (streaming/drift.py): per-micro-batch drift

@@ -321,3 +321,135 @@ def test_quantile_psi_partitioning_invariant(spark):
     assert list(base["expected_count"]) == list(again["expected_count"])
     assert list(base["actual_count"]) == list(again["actual_count"])
     assert np.allclose(base["psi_component"], again["psi_component"])
+
+
+# --- characteristic stability (WOE/IV audit under fixed cuts) -------------
+
+
+def test_characteristic_stability_reproduces_fit_on_training_data(
+    spark, binning_df
+):
+    """On the data the bins were fitted from, the audited WOE/IV must equal
+    the fitted WOE/IV bin for bin (same dist convention: the missing bucket
+    participates in the totals exactly like the reference's NaN bin)."""
+    from woe_monotonic_binning_spark import batch_woe_binning
+    from woe_monotonic_binning_spark.drift import characteristic_stability
+
+    df = binning_df.drop("row_id")
+    bins = batch_woe_binning(df, "target", n_threshold=100).toPandas()
+    detail = characteristic_stability(
+        df, bins, "target", iv_threshold=0.0
+    ).toPandas()
+    fitted_rows = detail[detail["bucket"] == "bin"]
+    assert len(fitted_rows) > 0
+    resid = (fitted_rows["woe_actual"] - fitted_rows["woe_fitted"]).abs()
+    assert resid.max() < 1e-9, fitted_rows[resid > 1e-9]
+    # out-of-range is empty on the training population (cuts span the data)
+    oor = detail[detail["bucket"] == "out_of_range"]
+    assert (oor["n"] == 0).all()
+
+
+def test_characteristic_stability_period_trajectory(spark):
+    from woe_monotonic_binning_spark.drift import (
+        characteristic_stability,
+        iv_summary,
+    )
+
+    # period A: strong (not perfect — perfect separation legitimately
+    # yields NULL/inf WOE, the reference's own semantics) 90/10
+    # separation; period B: relationship gone
+    rows = []
+    for i in range(200):
+        x = (i % 10) / 10.0 * 2.0  # in [0, 2)
+        flip = i % 10 == 0
+        rows.append(("A", x, int((x < 1.0) != flip)))
+        # block-alternating target: independent of i % 10 (and so of x) —
+        # i % 2 would correlate with the residue that defines x
+        rows.append(("B", x, (i // 10) % 2))
+    df = spark.createDataFrame(rows, "period string, x double, target int")
+    bins = bins_table("x", cuts=(0.0, 1.0, 2.0), woes=(1.0, -1.0))
+    detail = characteristic_stability(df, bins, "target", period_col="period")
+    summ = {
+        r["period"]: r["iv_actual"]
+        for r in iv_summary(detail, period_col="period").collect()
+    }
+    assert summ["A"] > 1.0  # strong separation
+    assert abs(summ["B"]) < 0.05  # signal collapsed
+    b_woe = {
+        r["bin"]: r["woe_actual"]
+        for r in detail.filter("period = 'B' and bucket = 'bin'").collect()
+    }
+    assert all(abs(w) < 0.2 for w in b_woe.values())
+
+
+def test_characteristic_stability_single_class_is_null_not_crash(spark):
+    from woe_monotonic_binning_spark.drift import characteristic_stability
+
+    rows = [(float(x) / 10.0 * 2, 1) for x in range(100)]  # ALL bad
+    df = spark.createDataFrame(rows, "x double, target int")
+    bins = bins_table("x", cuts=(0.0, 1.0, 2.0), woes=(1.0, -1.0))
+    got = characteristic_stability(df, bins, "target").toPandas()
+    # good side is empty: ANSI division must not blow up; WOE reads NULL
+    assert got["woe_actual"].isna().all()
+    # Laplace smoothing restores finite WOE
+    sm = characteristic_stability(df, bins, "target", laplace=0.5).toPandas()
+    fitted = sm[sm["bucket"] == "bin"]
+    assert fitted["woe_actual"].notna().all()
+    assert np.isfinite(fitted["woe_actual"]).all()
+
+
+CHAR_ORACLE = """
+WITH spec(bin, interval_lo, interval_hi, woe_fitted) AS (
+    VALUES (0, 0.0, 20000.0, -0.3), (1, 20000.0, 40000.0, 0.1),
+           (2, 40000.0, 60000.0, 0.4), (-1, NULL, NULL, NULL),
+           (-2, NULL, NULL, NULL)
+), binned AS (
+    SELECT CASE WHEN l_extendedprice IS NULL THEN -2
+                WHEN l_extendedprice >= 0.0 AND l_extendedprice < 20000.0 THEN 0
+                WHEN l_extendedprice >= 20000.0 AND l_extendedprice < 40000.0 THEN 1
+                WHEN l_extendedprice >= 40000.0 AND l_extendedprice < 60000.0 THEN 2
+                ELSE -1 END AS bin,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+    FROM lineitem
+), h AS (SELECT bin, COUNT(*) AS n, SUM(bad) AS nb FROM binned GROUP BY bin),
+   f AS (
+    SELECT spec.bin, CAST(spec.interval_lo AS DOUBLE) AS interval_lo,
+           CAST(spec.interval_hi AS DOUBLE) AS interval_hi,
+           CAST(spec.woe_fitted AS DOUBLE) AS woe_fitted,
+           COALESCE(h.n, 0) AS n, CAST(COALESCE(h.nb, 0) AS DOUBLE) AS n_bad
+    FROM spec LEFT JOIN h ON spec.bin = h.bin
+), t AS (SELECT SUM(n_bad) AS bad_tot, SUM(n - n_bad) AS good_tot FROM f),
+   g AS (
+    SELECT f.*, (f.n - f.n_bad) AS n_good,
+           (f.n - f.n_bad) / t.good_tot AS dist_good,
+           f.n_bad / t.bad_tot AS dist_bad
+    FROM f, t
+)
+SELECT 'l_extendedprice' AS variable, bin,
+       CASE WHEN bin = -2 THEN 'missing' WHEN bin = -1 THEN 'out_of_range'
+            ELSE 'bin' END AS bucket,
+       interval_lo, interval_hi, n, n_bad, n_good, dist_good, dist_bad,
+       CASE WHEN dist_bad > 0 AND dist_good > 0
+            THEN LN(dist_bad / dist_good) END AS woe_actual,
+       CASE WHEN dist_bad > 0 AND dist_good > 0
+            THEN (dist_bad - dist_good) * LN(dist_bad / dist_good)
+       END AS iv_component,
+       woe_fitted,
+       CASE WHEN dist_bad > 0 AND dist_good > 0
+            THEN LN(dist_bad / dist_good) - woe_fitted END AS delta_woe
+FROM g
+"""
+
+
+def test_characteristic_detail_matches_duckdb_twin(spark):
+    from woe_monotonic_binning_spark.drift import characteristic_stability
+
+    bins = bins_table(
+        "l_extendedprice", cuts=(0.0, 20000.0, 40000.0, 60000.0), woes=(-0.3, 0.1, 0.4)
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
+        "target", (F.col("l_returnflag") == "R").cast("int")
+    )
+    detail = characteristic_stability(li, bins, "target")
+    con = duckdb_connection(SF)
+    assert compare(detail, con, CHAR_ORACLE, "characteristic") == []

@@ -20,6 +20,8 @@ from .fit import (
 from .transform import apply_bins
 from .drift import (
     baseline_fractions,
+    characteristic_stability,
+    iv_summary,
     psi_report,
     psi_report_quantile,
     psi_summary,
@@ -39,8 +41,10 @@ __all__ = [
     "apply_bins",
     "baseline_fractions",
     "batch_woe_binning",
+    "characteristic_stability",
     "curate_corpus",
     "fit_bins",
+    "iv_summary",
     "merge_bins",
     "get_spark",
     "psi_report",

@@ -88,13 +88,16 @@ def bin_histogram(
     df: DataFrame,
     specs: Sequence[tuple[str, Sequence[float], Sequence[float]]],
     extra_cols: Sequence[str] = (),
+    sum_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Counts per ``(variable, bin[, *extra_cols])`` in ONE pass.
+    """Counts (and optional per-column sums, e.g. a 0/1 target giving the
+    bad count) per ``(variable, bin[, *extra_cols])`` in ONE pass.
 
     The melt (one ``(variable, bin)`` struct per spec per row, exploded)
     happens map-side in the same stage as the parquet scan; partial
     aggregation collapses it before the shuffle, so shuffle volume is
-    bounded by distinct keys per task, not by row count."""
+    bounded by distinct keys per task, not by row count.  Each ``sum_cols``
+    entry adds a ``sum_<col>`` column."""
     pairs = F.explode(
         F.array(
             *[
@@ -106,11 +109,12 @@ def bin_histogram(
             ]
         )
     ).alias("p")
-    melted = df.select(*extra_cols, pairs).select(
-        "p.variable", "p.bin", *extra_cols
+    melted = df.select(*extra_cols, *sum_cols, pairs).select(
+        "p.variable", "p.bin", *extra_cols, *sum_cols
     )
     return melted.groupBy("variable", "bin", *extra_cols).agg(
-        F.count(F.lit(1)).alias("count")
+        F.count(F.lit(1)).alias("count"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
     )
 
 
@@ -370,3 +374,115 @@ def stability_over_periods(
     finally:
         hist.unpersist()
     return out
+
+
+def characteristic_stability(
+    df: DataFrame,
+    bins,
+    target: str,
+    period_col: str | None = None,
+    iv_threshold: float = 0.02,
+    bin_threshold: int = 2,
+    remove_100_corr: bool = True,
+    laplace: float = 0.0,
+) -> DataFrame:
+    """Characteristic analysis: recompute each fitted bin's WOE/IV on a
+    LABELED population (optionally per period) under the FIXED fitted
+    cuts, so the risk separation the fit promised can be audited against
+    what the portfolio actually did — the companion report to PSI (PSI
+    watches the population move; this watches the target relationship
+    move).
+
+    Per ``(variable[, period], bin)``: ``n``, ``n_bad`` (``target`` sum —
+    0/1 like the fit), ``n_good``, ``dist_good``/``dist_bad`` (per
+    variable-period totals over the exhaustive bucket set, matching the
+    reference's convention of including the NaN bin in the distributions,
+    binning.py's dist sums), ``woe_actual`` (``ln(dist_bad/dist_good)``,
+    the fitted formula — NULL where either side is empty unless
+    ``laplace`` > 0 adds the classic +L/(tot+L*k) smoothing),
+    ``iv_component``, ``woe_fitted`` (NULL for the sentinel buckets) and
+    ``delta_woe``.  Sum ``iv_component`` per (variable, period) for the
+    IV trajectory; a drifting |delta_woe| on a high-mass bin is the
+    earliest sign a scorecard needs refitting.
+
+    One pass over ``df`` (the same melt/partial-agg histogram as PSI with
+    a target-sum measure); everything downstream is arithmetic on
+    ``variables x bins x periods`` rows."""
+    specs = compile_bin_exprs(
+        _bins_to_pandas(bins), iv_threshold, bin_threshold, remove_100_corr
+    )
+    if not specs:
+        raise ValueError("no variables survive the bin gates; nothing to audit")
+    spark = df.sparkSession
+    extra = (period_col,) if period_col else ()
+    hist = bin_histogram(df, specs, extra_cols=extra, sum_cols=(target,))
+    scaffold = _scaffold(spark, specs)
+    fitted = spark.createDataFrame(
+        [
+            (v, i, float(w))
+            for v, cuts, woes in specs
+            for i, w in enumerate(
+                woes if not (cuts[0] > cuts[-1]) else list(reversed(woes))
+            )
+        ],
+        "variable string, bin int, woe_fitted double",
+    )
+    if period_col:
+        grid = scaffold.crossJoin(hist.select(period_col).distinct())
+        keys = ["variable", "bin", period_col]
+        tot_keys = ["variable", period_col]
+    else:
+        grid = scaffold
+        keys = ["variable", "bin"]
+        tot_keys = ["variable"]
+    full = grid.join(hist, keys, "left").select(
+        *keys,
+        "interval_lo",
+        "interval_hi",
+        F.coalesce(F.col("count"), F.lit(0)).alias("n"),
+        F.coalesce(F.col(f"sum_{target}"), F.lit(0)).cast("double").alias("n_bad"),
+    )
+    totals = full.groupBy(*tot_keys).agg(
+        F.sum("n_bad").alias("__bad_tot"),
+        (F.sum("n") - F.sum("n_bad")).alias("__good_tot"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    lp = F.lit(float(laplace))
+    # try_divide, not /: a single-class period has a zero good or bad
+    # total, and ANSI mode turns double division by zero into a hard error
+    # — the audit must report NULL WOE there, not crash the job
+    out = full.join(totals, tot_keys).select(
+        *keys,
+        _bucket_label().alias("bucket"),
+        "interval_lo",
+        "interval_hi",
+        "n",
+        "n_bad",
+        (F.col("n") - F.col("n_bad")).alias("n_good"),
+        F.try_divide(
+            F.col("n") - F.col("n_bad") + lp,
+            F.col("__good_tot") + lp * F.col("__k"),
+        ).alias("dist_good"),
+        F.try_divide(
+            F.col("n_bad") + lp, F.col("__bad_tot") + lp * F.col("__k")
+        ).alias("dist_bad"),
+    )
+    # log(<=0) is NULL (not an error) even under ANSI; try_divide covers
+    # the dist_good == 0 divisor
+    woe = F.log(F.try_divide(F.col("dist_bad"), F.col("dist_good")))
+    out = out.withColumn("woe_actual", woe).withColumn(
+        "iv_component", (F.col("dist_bad") - F.col("dist_good")) * F.col("woe_actual")
+    )
+    return out.join(fitted, ["variable", "bin"], "left").withColumn(
+        "delta_woe", F.col("woe_actual") - F.col("woe_fitted")
+    )
+
+
+def iv_summary(detail: DataFrame, period_col: str | None = None) -> DataFrame:
+    """Fold a :func:`characteristic_stability` detail to the IV
+    trajectory: ``variable[, period], iv_actual, max_abs_delta_woe``."""
+    keys = ["variable"] + ([period_col] if period_col else [])
+    return detail.groupBy(*keys).agg(
+        F.sum("iv_component").alias("iv_actual"),
+        F.max(F.abs("delta_woe")).alias("max_abs_delta_woe"),
+    )
