@@ -24,6 +24,9 @@ Each headline exercises a different engine pillar:
                   anti-join; added round 6)
 - pack            token-budget sequence packing (BFD per hash shard over
                   text_stats token counts; added round 6)
+- drift           PSI population drift + per-ship-year characteristic
+                  WOE/IV audit under fixed bins — three melt/partial-agg
+                  histogram passes over lineitem (added round 7)
 
 Methodology: each query is timed $SPARK_GRAFT_BENCH_REPS times (default 3)
 and the MINIMUM is reported — the bench host is shared and a transient
@@ -322,6 +325,39 @@ def main() -> None:
 
     if wanted("pack"):
         timed("pack", run_pack)
+
+    def run_drift():
+        import pandas as pd
+
+        from woe_monotonic_binning_spark.drift import (
+            characteristic_stability,
+            psi_report,
+            psi_summary,
+        )
+
+        drift_bins = pd.DataFrame(
+            {
+                "variable": ["l_extendedprice"] * 3 + ["l_quantity"] * 3,
+                "interval_start_include": [0.0, 20000.0, 40000.0, 0.0, 17.0, 34.0],
+                "interval_end_exclude": [20000.0, 40000.0, 60000.0, 17.0, 34.0, 51.0],
+                "woe": [-0.3, 0.1, 0.4, -0.2, 0.0, 0.3],
+                "iv_components": [0.4, 0.3, 0.3, 0.2, 0.15, 0.15],
+            }
+        )
+        detail = psi_report(
+            read_li(), read_li().filter(F.col("l_tax") > 0.04), drift_bins
+        )
+        n = psi_summary(detail).count()
+        char = characteristic_stability(
+            read_li().withColumn("ship_year", F.year("l_shipdate")),
+            drift_bins,
+            "target",
+            period_col="ship_year",
+        )
+        return n + char.count()
+
+    if wanted("drift"):
+        timed("drift", run_drift)
 
     rerun: dict[str, dict[str, float]] = {}
     if only is None:
