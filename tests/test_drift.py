@@ -453,3 +453,32 @@ def test_characteristic_detail_matches_duckdb_twin(spark):
     detail = characteristic_stability(li, bins, "target")
     con = duckdb_connection(SF)
     assert compare(detail, con, CHAR_ORACLE, "characteristic") == []
+
+
+def test_psi_and_characteristic_scan_each_frame_once(spark):
+    """Round-7 plan audit regression: totals computed as a second
+    aggregation of the histogram lineage silently doubled the corpus
+    scans (4 per psi_report, 2 per characteristic audit).  Pin the scan
+    counts: one file scan per input frame."""
+    from woe_monotonic_binning_spark.drift import (
+        characteristic_stability,
+        psi_report,
+    )
+    from woe_monotonic_binning_spark.plans import scan_read_columns
+
+    spark.catalog.clearCache()
+    bins = bins_table(
+        "l_extendedprice", cuts=(0.0, 20000.0, 40000.0, 60000.0), woes=(-0.3, 0.1, 0.4)
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    detail = psi_report(li, li.filter(F.col("l_returnflag") == "R"), bins)
+    assert len(scan_read_columns(detail)) == 2  # expected + actual, once each
+    labeled = li.withColumn("target", (F.col("l_returnflag") == "R").cast("int"))
+    char = characteristic_stability(labeled, bins, "target")
+    assert len(scan_read_columns(char)) == 1
+    # scans stay pruned to the audited columns
+    (psi_cols, _) = scan_read_columns(detail)
+    assert set(psi_cols) == {"l_extendedprice"} or set(psi_cols) == {
+        "l_extendedprice",
+        "l_returnflag",
+    }

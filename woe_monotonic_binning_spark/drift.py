@@ -136,21 +136,28 @@ def _scaffold(spark, specs) -> DataFrame:
 
 
 def _fractions(hist: DataFrame, scaffold: DataFrame, prefix: str) -> DataFrame:
-    total = hist.groupBy("variable").agg(F.sum("count").alias("__tot"))
-    return (
-        scaffold.join(hist, ["variable", "bin"], "left")
-        .join(total, "variable", "left")
-        .select(
-            "variable",
-            "bin",
-            "interval_lo",
-            "interval_hi",
-            F.coalesce(F.col("count"), F.lit(0)).alias(f"{prefix}_count"),
-            (
-                F.coalesce(F.col("count"), F.lit(0))
-                / F.coalesce(F.col("__tot"), F.lit(1))
-            ).alias(f"{prefix}_frac"),
-        )
+    # Totals as a WINDOW over the scaffold-joined frame, not a second
+    # aggregation of `hist`: hist's lineage is a full corpus scan, and a
+    # separate groupBy+join would re-evaluate it — two scans per frame
+    # (four per psi_report), caught in the round-7 plan audit.  The window
+    # runs over variables x (bins+2) rows; the scaffold is exhaustive, so
+    # every hist row matches exactly one scaffold row and the window sum
+    # IS the frame total.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("variable")
+    joined = scaffold.join(hist, ["variable", "bin"], "left").withColumn(
+        "__cnt", F.coalesce(F.col("count"), F.lit(0))
+    )
+    return joined.select(
+        "variable",
+        "bin",
+        "interval_lo",
+        "interval_hi",
+        F.col("__cnt").alias(f"{prefix}_count"),
+        (
+            F.col("__cnt") / F.greatest(F.sum("__cnt").over(w), F.lit(1))
+        ).alias(f"{prefix}_frac"),
     )
 
 
@@ -416,6 +423,11 @@ def characteristic_stability(
     spark = df.sparkSession
     extra = (period_col,) if period_col else ()
     hist = bin_histogram(df, specs, extra_cols=extra, sum_cols=(target,))
+    if period_col:
+        # the period grid needs distinct periods — a second evaluation of
+        # hist's corpus-scan lineage unless the (tiny) histogram is
+        # pinned; released after the eager materialisation below
+        hist = hist.persist()
     scaffold = _scaffold(spark, specs)
     fitted = spark.createDataFrame(
         [
@@ -442,16 +454,23 @@ def characteristic_stability(
         F.coalesce(F.col("count"), F.lit(0)).alias("n"),
         F.coalesce(F.col(f"sum_{target}"), F.lit(0)).cast("double").alias("n_bad"),
     )
-    totals = full.groupBy(*tot_keys).agg(
-        F.sum("n_bad").alias("__bad_tot"),
-        (F.sum("n") - F.sum("n_bad")).alias("__good_tot"),
-        F.count(F.lit(1)).alias("__k"),
+    # class totals as WINDOWS over the grid-joined frame (variables x bins
+    # x periods rows), not a groupBy+self-join — the latter re-evaluates
+    # `hist`'s corpus-scan lineage a second time (round-7 plan audit, same
+    # fix as _fractions)
+    from pyspark.sql.window import Window
+
+    tw = Window.partitionBy(*tot_keys)
+    full = (
+        full.withColumn("__bad_tot", F.sum("n_bad").over(tw))
+        .withColumn("__good_tot", F.sum(F.col("n") - F.col("n_bad")).over(tw))
+        .withColumn("__k", F.count(F.lit(1)).over(tw))
     )
     lp = F.lit(float(laplace))
     # try_divide, not /: a single-class period has a zero good or bad
     # total, and ANSI mode turns double division by zero into a hard error
     # — the audit must report NULL WOE there, not crash the job
-    out = full.join(totals, tot_keys).select(
+    out = full.select(
         *keys,
         _bucket_label().alias("bucket"),
         "interval_lo",
@@ -473,9 +492,17 @@ def characteristic_stability(
     out = out.withColumn("woe_actual", woe).withColumn(
         "iv_component", (F.col("dist_bad") - F.col("dist_good")) * F.col("woe_actual")
     )
-    return out.join(fitted, ["variable", "bin"], "left").withColumn(
+    out = out.join(fitted, ["variable", "bin"], "left").withColumn(
         "delta_woe", F.col("woe_actual") - F.col("woe_fitted")
     )
+    if period_col:
+        # materialise while the histogram persist is alive, then release
+        # (same owned-cache lifecycle as stability_over_periods)
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            hist.unpersist()
+    return out
 
 
 def iv_summary(detail: DataFrame, period_col: str | None = None) -> DataFrame:

@@ -74,23 +74,28 @@ def streaming_psi_monitor(
     ]
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
         spark = batch_df.sparkSession
         hist = bin_histogram(batch_df, specs)
         base = spark.createDataFrame(
             base_records, "variable string, bin int, expected_frac double"
         )
-        totals = hist.groupBy("variable").agg(F.sum("count").alias("__tot"))
+        # batch total as a window over the baseline-joined frame — a
+        # groupBy+join of `hist` would evaluate the batch-scan lineage
+        # twice per micro-batch (same single-scan fix as drift._fractions)
+        w = Window.partitionBy("variable")
         joined = (
             base.join(hist, ["variable", "bin"], "left")
-            .join(totals, "variable", "left")
+            .withColumn("__cnt", F.coalesce(F.col("count"), F.lit(0)))
+            .withColumn("__tot", F.sum("__cnt").over(w))
             .select(
                 "variable",
                 "expected_frac",
-                F.coalesce(F.col("__tot"), F.lit(0)).alias("n_rows"),
-                (
-                    F.coalesce(F.col("count"), F.lit(0))
-                    / F.coalesce(F.col("__tot"), F.lit(1))
-                ).alias("actual_frac"),
+                F.col("__tot").alias("n_rows"),
+                (F.col("__cnt") / F.greatest(F.col("__tot"), F.lit(1))).alias(
+                    "actual_frac"
+                ),
             )
         )
         ec = F.greatest(F.col("expected_frac"), F.lit(float(min_frac)))
