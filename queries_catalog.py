@@ -2643,6 +2643,19 @@ def q_sample_exact(spark, sf_dir):
     )
 
 
+@_q("q_column_profile")
+def q_column_profile(spark, sf_dir):
+    """One-pass generic column profiling (profile.py column_profile) of
+    lineitem: per-column null/NaN counts, HLL cardinality, typed
+    min/max/mean/stddev (value/length/epoch basis).  Exact stats pinned
+    against Spark aggregates and planted-NULL/NaN frames in
+    tests/test_profile.py; rows-only here (approx_distinct is an HLL
+    sketch, no DuckDB bit-parity)."""
+    from woe_monotonic_binning_spark.profile import column_profile
+
+    return column_profile(_li(spark, sf_dir))
+
+
 @_q("q_characteristic")
 def q_characteristic(spark, sf_dir):
     """Characteristic analysis (drift.py characteristic_stability): per-bin

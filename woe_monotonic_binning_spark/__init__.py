@@ -31,6 +31,7 @@ from .session import get_spark
 from ._algo import BINS_COLUMNS, FitParams
 from .ml import WOEBinner, WOEBinnerModel
 from .pipeline import curate_corpus
+from .profile import check_expectations, column_profile
 
 __all__ = [
     "BINS_COLUMNS",
@@ -42,6 +43,8 @@ __all__ = [
     "baseline_fractions",
     "batch_woe_binning",
     "characteristic_stability",
+    "check_expectations",
+    "column_profile",
     "curate_corpus",
     "fit_bins",
     "iv_summary",
