@@ -482,3 +482,45 @@ def test_psi_and_characteristic_scan_each_frame_once(spark):
         "l_extendedprice",
         "l_returnflag",
     }
+
+
+def test_bin_index_encoder_agreement_fuzz(spark):
+    """Breadth version of the direction test: random cut grids (both
+    directions, varied widths/signs) x values at edges, midpoints and
+    outside — bin >= 0 iff the encoder emits, and the indexed WOE matches.
+    Deterministic numpy draws; one tiny Spark job per grid."""
+    from woe_monotonic_binning_spark.drift import _bin_index_expr
+    from woe_monotonic_binning_spark.transform import _encode_column
+
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        k = int(rng.integers(2, 9))
+        cuts = np.sort(
+            rng.choice(np.round(rng.normal(0, 100, 60), 3), size=k + 1, replace=False)
+        )
+        if len(np.unique(cuts)) != k + 1:
+            continue
+        woes = [round(float(w), 6) for w in rng.normal(0, 1, k)]
+        if trial % 2:  # descending bins table
+            cuts_l, woes_l = [float(c) for c in cuts[::-1]], list(reversed(woes))
+        else:
+            cuts_l, woes_l = [float(c) for c in cuts], list(woes)
+        mids = [(cuts[i] + cuts[i + 1]) / 2 for i in range(k)]
+        values = (
+            [float(c) for c in cuts]
+            + [float(m) for m in mids]
+            + [float(cuts[0] - 5), float(cuts[-1] + 5)]
+        )
+        df = spark.createDataFrame([(v,) for v in values], "x double")
+        rows = df.select(
+            "x",
+            _bin_index_expr(F.col("x"), cuts_l).alias("bin"),
+            _encode_column(F.col("x"), cuts_l, woes_l).alias("woe"),
+        ).collect()
+        asc = cuts_l[0] < cuts_l[-1]
+        ordered = woes_l if asc else list(reversed(woes_l))
+        for r in rows:
+            if r["bin"] >= 0:
+                assert r["woe"] == ordered[r["bin"]], (trial, cuts_l, r)
+            else:
+                assert r["bin"] == OUT_OF_RANGE and r["woe"] is None, (trial, r)
