@@ -110,3 +110,33 @@ def test_total_iv(model):
     ivs = {r["variable"]: r["iv_total"] for r in model.totalIv().collect()}
     assert set(ivs) == set(FEATURES)
     assert all(v >= 0 or v != v for v in ivs.values())
+
+
+def test_model_drift_methods_match_functional_api(li, model):
+    from woe_monotonic_binning_spark.drift import (
+        characteristic_stability,
+        psi_report,
+        psi_summary,
+    )
+
+    recent = li.filter(F.col("l_quantity") > 25)
+    via_model = psi_summary(model.psi(li, recent)).toPandas().sort_values("variable")
+    direct = (
+        psi_summary(psi_report(li, recent, model.binsTable, iv_threshold=0.0))
+        .toPandas()
+        .sort_values("variable")
+    )
+    assert list(via_model["variable"]) == list(direct["variable"])
+    assert (via_model["psi"].to_numpy() == direct["psi"].to_numpy()).all()
+    # identical populations through the model read stable
+    self_psi = psi_summary(model.psi(li, li)).toPandas()
+    assert (self_psi["status"] == "stable").all()
+    cs = model.characteristicStability(li).toPandas()
+    want = characteristic_stability(
+        li, model.binsTable, "target", iv_threshold=0.0
+    ).toPandas()
+    key = ["variable", "bin"]
+    cs, want = cs.sort_values(key), want.sort_values(key)
+    assert (cs["n"].to_numpy() == want["n"].to_numpy()).all()
+    fitted = cs[cs["bucket"] == "bin"]
+    assert (fitted["woe_actual"] - fitted["woe_fitted"]).abs().max() < 1e-9

@@ -239,6 +239,38 @@ class WOEBinnerModel(_WOEParams, Model, MLReadable, MLWritable):
             impute_median=self.getOrDefault(self.imputeMedian),
         )
 
+    def psi(self, expected: DataFrame, actual: DataFrame, **kwargs) -> DataFrame:
+        """Population drift of ``actual`` vs ``expected`` under THIS
+        model's bins and transform gates — ``drift.psi_report`` wired to
+        the model's own ivThreshold/binThreshold/remove100Corr params, so
+        the monitored variable set is exactly what ``transform`` encodes.
+        Feed to ``drift.psi_summary`` for the per-variable index."""
+        from .drift import psi_report
+
+        kwargs.setdefault("iv_threshold", self.getOrDefault(self.ivThreshold))
+        kwargs.setdefault("bin_threshold", self.getOrDefault(self.binThreshold))
+        kwargs.setdefault("remove_100_corr", self.getOrDefault(self.remove100Corr))
+        return psi_report(expected, actual, self.binsTable, **kwargs)
+
+    def characteristicStability(
+        self, dataset: DataFrame, period_col: str | None = None, **kwargs
+    ) -> DataFrame:
+        """Per-bin WOE/IV audit of a labeled population under this model's
+        fixed cuts (``drift.characteristic_stability`` with the model's
+        target column and transform gates)."""
+        from .drift import characteristic_stability
+
+        kwargs.setdefault("iv_threshold", self.getOrDefault(self.ivThreshold))
+        kwargs.setdefault("bin_threshold", self.getOrDefault(self.binThreshold))
+        kwargs.setdefault("remove_100_corr", self.getOrDefault(self.remove100Corr))
+        return characteristic_stability(
+            dataset,
+            self.binsTable,
+            self.getTargetCol(),
+            period_col=period_col,
+            **kwargs,
+        )
+
     def write(self) -> MLWriter:
         return _ModelWriter(self)
 
