@@ -2656,6 +2656,27 @@ def q_column_profile(spark, sf_dir):
     return column_profile(_li(spark, sf_dir))
 
 
+@_q("q_expectations")
+def q_expectations(spark, sf_dir):
+    """One-pass named expectation checks (profile.py check_expectations)
+    over lineitem: range/positivity/enum contracts with NULL-counts-as-
+    violation semantics.  Violation counting (incl. the NULL rule) pinned
+    in tests/test_profile.py; rows-only here (boolean verdict table)."""
+    from woe_monotonic_binning_spark.profile import check_expectations
+
+    li = _li(spark, sf_dir)
+    return check_expectations(
+        li,
+        {
+            "price_positive": F.col("l_extendedprice") > 0,
+            "quantity_1_to_50": F.col("l_quantity").between(1, 50),
+            "discount_unit_interval": F.col("l_discount").between(0.0, 1.0),
+            "returnflag_enum": F.col("l_returnflag").isin("A", "N", "R"),
+            "orderkey_present": F.col("l_orderkey").isNotNull(),
+        },
+    )
+
+
 @_q("q_characteristic")
 def q_characteristic(spark, sf_dir):
     """Characteristic analysis (drift.py characteristic_stability): per-bin
