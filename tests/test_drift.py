@@ -524,3 +524,54 @@ def test_bin_index_encoder_agreement_fuzz(spark):
                 assert r["woe"] == ordered[r["bin"]], (trial, cuts_l, r)
             else:
                 assert r["bin"] == OUT_OF_RANGE and r["woe"] is None, (trial, r)
+
+
+def test_null_period_group_is_audited_not_fabricated(spark, bins):
+    """Round-7 review: equijoins drop NULL keys, so a NULL-period group
+    read as zero fractions (fake drift) in the back-test and was silently
+    excluded from the characteristic audit.  Null-safe joins fix both."""
+    from woe_monotonic_binning_spark.drift import characteristic_stability
+
+    rows = []
+    for v in [0.1, 0.5, 1.5, 2.5]:
+        rows.append(("2024-01", v, 0))
+        rows.append((None, v, 1))  # NULL vintage, identical distribution
+    df = spark.createDataFrame(rows, "month string, x double, target int")
+    out = {
+        r["month"]: (r["psi"], r["status"])
+        for r in stability_over_periods(df, bins, "month").collect()
+    }
+    assert None in out
+    # identical distribution to the baseline: PSI must be ~0, not a
+    # fabricated all-mass-vanished alarm
+    assert out[None][0] == pytest.approx(0.0, abs=1e-12)
+    char = characteristic_stability(
+        df, bins, "target", period_col="month"
+    ).toPandas()
+    null_rows = char[char["month"].isna()]
+    assert null_rows["n"].sum() == 4  # the NULL-period population is counted
+
+
+def test_unknown_baseline_period_raises(spark, bins):
+    df = spark.createDataFrame(
+        [("2024-01", 0.5), ("2024-02", 1.5)], "month string, x double"
+    )
+    with pytest.raises(ValueError, match="does not occur"):
+        stability_over_periods(df, bins, "month", baseline_period="2025-13")
+
+
+def test_quantile_grid_top_edge_catches_plus_inf(spark):
+    from woe_monotonic_binning_spark.drift import psi_report_quantile
+
+    e = spark.createDataFrame(pd.DataFrame({"score": np.linspace(0, 1, 100)}))
+    a = spark.createDataFrame(
+        [(float("inf"),), (float("-inf"),), (0.5,)], "score double"
+    )
+    detail = psi_report_quantile(e, a, ["score"], n_bins=4).toPandas()
+    # open edges: +inf in the TOP bin, -inf in the BOTTOM bin, nothing
+    # out of range (round-7 review: +inf previously leaked to out_of_range)
+    oor = detail[detail["bucket"] == "out_of_range"]
+    assert (oor["actual_count"] == 0).all()
+    bins_only = detail[detail["bucket"] == "bin"].sort_values("bin")
+    assert bins_only.iloc[0]["actual_count"] == 1  # -inf
+    assert bins_only.iloc[-1]["actual_count"] == 1  # +inf

@@ -111,3 +111,14 @@ def test_profile_and_expectations_are_one_scan_no_python(spark):
     )
     assert len(scan_read_columns(agg)) == 1
     assert python_eval_count(agg) == 0
+
+
+def test_profile_and_expectations_on_empty_table(spark):
+    """Round-7 review: sum aggregates are NULL over zero rows; the gates
+    must classify an empty partition, not crash on int(None)."""
+    empty = spark.createDataFrame([], "x double, s string")
+    prof = {r["column"]: r for r in column_profile(empty).collect()}
+    assert prof["x"]["n_rows"] == 0 and prof["x"]["n_null"] == 0
+    assert prof["x"]["null_frac"] == 0.0 and prof["x"]["min"] is None
+    chk = check_expectations(empty, {"pos": F.col("x") >= 0}).first()
+    assert chk["n_rows"] == 0 and chk["n_violations"] == 0 and chk["passed"]

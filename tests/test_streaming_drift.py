@@ -90,3 +90,14 @@ def test_gate_mismatch_is_loud(spark, li, tmp_path):
     stream = spark.readStream.schema(li.schema).parquet(str(tmp_path))
     with pytest.raises(ValueError, match="no overlap"):
         streaming_psi_monitor(stream, other, base, str(tmp_path / "m"))
+
+
+def test_refit_bins_against_stale_baseline_is_loud(spark, li, tmp_path):
+    """Round-7 review: a baseline pinned from a 4-bin fit must not be
+    silently renormalised when the monitor starts with a refit bins table
+    whose bin set differs."""
+    base = baseline_fractions(li, QTY_BINS)  # 4 bins
+    refit = _bins("l_quantity", (0.0, 25.0, 51.0), (-0.3, 0.3))  # 2 bins
+    stream = spark.readStream.schema(li.schema).parquet(str(tmp_path))
+    with pytest.raises(ValueError, match="refit"):
+        streaming_psi_monitor(stream, refit, base, str(tmp_path / "m"))

@@ -57,6 +57,35 @@ def _bucket_label() -> Column:
     )
 
 
+def _status(psi: Column) -> Column:
+    """The conventional PSI bands, in ONE place (used by psi_summary, the
+    period back-test and the streaming monitor): < 0.1 stable, 0.1–0.25
+    shifting (0.25 inclusive, matching the documented '> 0.25 drifted')."""
+    return (
+        F.when(psi < 0.1, F.lit("stable"))
+        .when(psi <= 0.25, F.lit("shifting"))
+        .otherwise(F.lit("drifted"))
+    )
+
+
+def _nullsafe_left(left: DataFrame, right: DataFrame, keys, ns_key: str) -> DataFrame:
+    """LEFT join on ``keys`` where ``ns_key`` compares null-safely — an
+    equijoin key list silently drops NULL keys (NULL != NULL), which for a
+    NULL period group meant fabricated zero fractions (round-7 review).
+    Output: all left columns + right's non-key columns."""
+    l, r = left.alias("__l"), right.alias("__r")
+    cond = None
+    for k in keys:
+        lc, rc = F.col(f"__l.{k}"), F.col(f"__r.{k}")
+        c = lc.eqNullSafe(rc) if k == ns_key else (lc == rc)
+        cond = c if cond is None else cond & c
+    extra = [c for c in right.columns if c not in keys]
+    return l.join(r, cond, "left").select(
+        *[F.col(f"__l.{c}") for c in left.columns],
+        *[F.col(f"__r.{c}") for c in extra],
+    )
+
+
 def _bin_index_expr(value: Column, cuts: Sequence[float]) -> Column:
     """Bin index (0-based, ascending) for ``value`` under ``cuts`` — the
     index twin of ``transform._encode_column`` (same ``pd.cut`` closure
@@ -74,12 +103,20 @@ def _bin_index_expr(value: Column, cuts: Sequence[float]) -> Column:
         expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
     lo = F.lit(cs[0])
     in_range = (value >= lo) if ascending else (value > lo)
+    # beyond the TOP cut the inner chain matches nothing (the encoder maps
+    # it to NULL, pd.cut right-open semantics) — fall through to the
+    # out-of-range bucket instead of a NULL bin.  Exception: an explicit
+    # +inf top cut declares the edge bin OPEN (the quantile-grid path), and
+    # a literal +inf value must land in it, not out-of-range (`value <
+    # lit(inf)` is false for +inf itself — round-7 review).
+    fall_through = (
+        F.lit(n - 1)
+        if ascending and cs[-1] == float("inf")
+        else F.lit(OUT_OF_RANGE)
+    )
     return (
         F.when(value.isNull() | F.isnan(value), F.lit(MISSING))
-        # beyond the TOP cut the inner chain matches nothing (the encoder
-        # maps it to NULL, pd.cut right-open semantics) — coalesce to the
-        # out-of-range bucket instead of a NULL bin
-        .when(in_range, F.coalesce(expr, F.lit(OUT_OF_RANGE)))
+        .when(in_range, F.coalesce(expr, fall_through))
         .otherwise(F.lit(OUT_OF_RANGE))
     )
 
@@ -223,9 +260,11 @@ def psi_report_quantile(
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     probs = [i / n_bins for i in range(1, n_bins)]
+    # ONE multi-column approxQuantile call: a per-column loop would pay a
+    # full scan of `expected` per monitored column (round-7 review)
+    all_qs = expected.approxQuantile(list(value_cols), probs, relative_error)
     specs = []
-    for col in value_cols:
-        qs = expected.approxQuantile(col, probs, relative_error)
+    for col, qs in zip(value_cols, all_qs):
         inner = sorted({float(q) for q in qs if q == q})  # dedupe, drop NaN
         if not inner:
             raise ValueError(
@@ -297,12 +336,7 @@ def psi_summary(detail: DataFrame) -> DataFrame:
     0.1–0.25 shifting, > 0.25 drifted)."""
     psi = F.sum("psi_component").alias("psi")
     return detail.groupBy("variable").agg(psi).select(
-        "variable",
-        "psi",
-        F.when(F.col("psi") < 0.1, F.lit("stable"))
-        .when(F.col("psi") < 0.25, F.lit("shifting"))
-        .otherwise(F.lit("drifted"))
-        .alias("status"),
+        "variable", "psi", _status(F.col("psi")).alias("status")
     )
 
 
@@ -332,7 +366,23 @@ def stability_over_periods(
     hist = bin_histogram(df, specs, extra_cols=(period_col,)).persist()
     try:
         if baseline_period is None:
+            # F.min skips NULL periods — a NULL vintage cannot be the
+            # implicit baseline (None is the auto sentinel)
             baseline_period = hist.agg(F.min(period_col)).first()[0]
+            if baseline_period is None:
+                raise ValueError(
+                    f"no non-NULL {period_col!r} values; cannot pick a baseline"
+                )
+        elif (
+            hist.filter(F.col(period_col) == F.lit(baseline_period)).limit(1).count()
+            == 0
+        ):
+            # a typo'd baseline would empty the inner join below and a
+            # monitoring job would silently report "no rows" as all-stable
+            raise ValueError(
+                f"baseline_period {baseline_period!r} does not occur in "
+                f"{period_col!r}"
+            )
         scaffold = _scaffold(df.sparkSession, specs)
         periods = hist.select(period_col).distinct()
         # exhaustive (variable, bin, period) frame so an abandoned bin
@@ -341,18 +391,21 @@ def stability_over_periods(
         totals = hist.groupBy("variable", period_col).agg(
             F.sum("count").alias("__tot")
         )
-        fracs = (
-            grid.join(hist, ["variable", "bin", period_col], "left")
-            .join(totals, ["variable", period_col], "left")
-            .select(
-                "variable",
-                "bin",
-                period_col,
-                (
-                    F.coalesce(F.col("count"), F.lit(0))
-                    / F.coalesce(F.col("__tot"), F.lit(1))
-                ).alias("frac"),
-            )
+        # null-safe on the period key: an equijoin drops the NULL-period
+        # group's counts and fabricates zero fractions (round-7 review)
+        fracs = _nullsafe_left(
+            _nullsafe_left(grid, hist, ["variable", "bin", period_col], period_col),
+            totals,
+            ["variable", period_col],
+            period_col,
+        ).select(
+            "variable",
+            "bin",
+            period_col,
+            (
+                F.coalesce(F.col("count"), F.lit(0))
+                / F.coalesce(F.col("__tot"), F.lit(1))
+            ).alias("frac"),
         )
         base = fracs.filter(F.col(period_col) == F.lit(baseline_period)).select(
             "variable", "bin", F.col("frac").alias("base_frac")
@@ -369,10 +422,7 @@ def stability_over_periods(
                 "variable",
                 period_col,
                 "psi",
-                F.when(F.col("psi") < 0.1, F.lit("stable"))
-                .when(F.col("psi") < 0.25, F.lit("shifting"))
-                .otherwise(F.lit("drifted"))
-                .alias("status"),
+                _status(F.col("psi")).alias("status"),
             )
         )
         # the two derived frames above read `hist` twice; materialise the
@@ -443,11 +493,15 @@ def characteristic_stability(
         grid = scaffold.crossJoin(hist.select(period_col).distinct())
         keys = ["variable", "bin", period_col]
         tot_keys = ["variable", period_col]
+        # null-safe on the period key: an equijoin would silently exclude
+        # the NULL-period group from the audit (round-7 review)
+        joined = _nullsafe_left(grid, hist, keys, period_col)
     else:
         grid = scaffold
         keys = ["variable", "bin"]
         tot_keys = ["variable"]
-    full = grid.join(hist, keys, "left").select(
+        joined = grid.join(hist, keys, "left")
+    full = joined.select(
         *keys,
         "interval_lo",
         "interval_hi",

@@ -82,6 +82,9 @@ def column_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataF
         ]
     row = df.agg(*aggs).first()
     n = row["__n"]
+    # `or 0` throughout: over an EMPTY table every sum aggregate is NULL,
+    # and a pre-flight gate pointed at an empty partition must report
+    # n_rows=0, not crash on int(None)
     out = pd.DataFrame(
         [
             {
@@ -89,10 +92,10 @@ def column_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataF
                 "dtype": fields[c].simpleString(),
                 "stat_basis": basis[c],
                 "n_rows": int(n),
-                "n_null": int(row[f"__null_{c}"]),
-                "null_frac": (row[f"__null_{c}"] / n) if n else 0.0,
+                "n_null": int(row[f"__null_{c}"] or 0),
+                "null_frac": ((row[f"__null_{c}"] or 0) / n) if n else 0.0,
                 "n_nan": int(row[f"__nan_{c}"] or 0),
-                "approx_distinct": int(row[f"__dist_{c}"]),
+                "approx_distinct": int(row[f"__dist_{c}"] or 0),
                 "min": row[f"__min_{c}"],
                 "max": row[f"__max_{c}"],
                 "mean": row[f"__mean_{c}"],
@@ -134,14 +137,16 @@ def check_expectations(
         )
     row = df.agg(*aggs).first()
     n = int(row["__n"])
+    # `or 0`: over an empty table the violation sums are NULL — the gate
+    # must classify the degenerate input (0 violations, passed), not crash
     out = pd.DataFrame(
         [
             {
                 "rule": name,
                 "n_rows": n,
-                "n_violations": int(row[f"__viol_{name}"]),
-                "violation_frac": (row[f"__viol_{name}"] / n) if n else 0.0,
-                "passed": int(row[f"__viol_{name}"]) == 0,
+                "n_violations": int(row[f"__viol_{name}"] or 0),
+                "violation_frac": ((row[f"__viol_{name}"] or 0) / n) if n else 0.0,
+                "passed": int(row[f"__viol_{name}"] or 0) == 0,
             }
             for name in rules
         ]

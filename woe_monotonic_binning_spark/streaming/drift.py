@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from .. import drift as _drift
 from ..drift import MISSING, OUT_OF_RANGE, bin_histogram  # noqa: F401 (re-export)
 from ..transform import _bins_to_pandas, compile_bin_exprs
 
@@ -68,6 +69,21 @@ def streaming_psi_monitor(
             "no overlap between the bins' surviving variables and the "
             "baseline's; rebuild baseline_fractions with the same gates"
         )
+    # bin-STRUCTURE guard, not just variable overlap: if the bins were
+    # refit since the baseline was pinned, batch counts in bins absent
+    # from the baseline are silently dropped by the left join below and
+    # every actual fraction renormalises over the wrong subset — fail
+    # loudly instead (round-7 review)
+    base_bins = baseline.groupby("variable")["bin"].apply(set).to_dict()
+    for v, cuts, _ in specs:
+        want = {MISSING, OUT_OF_RANGE, *range(len(cuts) - 1)}
+        have = base_bins.get(v, set())
+        if want != have:
+            raise ValueError(
+                f"baseline bin set for {v!r} is {sorted(have)} but the bins "
+                f"table implies {sorted(want)} — the bins were refit since "
+                "baseline_fractions was built; re-pin the baseline"
+            )
     base_records = [
         (str(r.variable), int(r.bin), float(r.expected_frac))
         for r in baseline.itertuples(index=False)
@@ -112,10 +128,7 @@ def streaming_psi_monitor(
                 "variable",
                 "n_rows",
                 "psi",
-                F.when(F.col("psi") < 0.1, F.lit("stable"))
-                .when(F.col("psi") < 0.25, F.lit("shifting"))
-                .otherwise(F.lit("drifted"))
-                .alias("status"),
+                _drift._status(F.col("psi")).alias("status"),
             )
         )
         metrics.write.mode("append").parquet(metrics_path)
