@@ -2836,7 +2836,7 @@ def q_stability_periods(spark, sf_dir):
 # iterative fit ops (q_pava, q_ztest_merge, ...) sit at the tail — their
 # correctness is carried by golden parity (test_fit_parity), the hypothesis
 # fuzz (test_fuzz_parity; 150 examples per CI pass, 2000-example deep runs
-# green in rounds 5 and 6) and the partitioning-invariance determinism pin.
+# green in rounds 5, 6 and 7) and the partitioning-invariance determinism pin.
 _n_oracle = sum(1 for k in SPARK_QUERIES if k in ORACLE_SQL)
 assert _n_oracle == 50, (
     f"{_n_oracle} oracle-backed registrations; the driver window holds 50 — "
