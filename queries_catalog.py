@@ -215,47 +215,67 @@ def q_filter_isnan(spark, sf_dir):
 
 @_q(
     "q_filter_suite",
-    # MERGED certification slot (round 5) for SURVEY §2 ops 4, 5 and 6 —
-    # three tiny same-CTE filter certifications folded into one query whose
-    # oracle exercises every predicate, freeing two driver-window slots for
-    # q_sample_hash / q_mix_sources:
-    #   op 4 q_dropna      (binning.py:121)    — na.drop() on the nullable d
-    #   op 5 q_filter_flag (binning.py:136)    — keep del_flag == 0 survivors
-    #   op 6 q_anti_drop   (binning.py:214,27) — drop row rn == 1 by position
+    # MERGED certification slot (round 5, widened round 8) for SURVEY §2
+    # ops 4, 5, 6 and 10 — four tiny same-table certifications folded into
+    # one query whose oracle exercises every predicate, freeing driver
+    # window slots (round 5: q_sample_hash / q_mix_sources; round 8: the
+    # drift/profile suites):
+    #   op 4  q_dropna      (binning.py:121)    — na.drop() on the nullable d
+    #   op 5  q_filter_flag (binning.py:136)    — keep del_flag == 0 survivors
+    #   op 6  q_anti_drop   (binning.py:214,27) — drop row rn == 1 by position
+    #   op 10 q_groupby_nan (binning.py:235-236) — the missing-value-group
+    #         aggregate, appended as the single NULL-keyed row
     """
-    SELECT l_quantity, n FROM (
-      SELECT l_quantity, n,
+    SELECT l_quantity, n, mean FROM (
+      SELECT l_quantity, n, mean,
              row_number() OVER (ORDER BY n DESC, l_quantity) AS rn
       FROM (
-        SELECT l_quantity, count(*) AS n
+        SELECT l_quantity, count(*) AS n,
+               ROUND(avg(target), 9) AS mean
         FROM (SELECT l_quantity,
                      NULLIF(l_discount, 0.0) AS d,
-                     CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END AS del_flag
+                     CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END AS del_flag,
+                     CAST(l_returnflag = 'R' AS DOUBLE) AS target
               FROM lineitem)
         WHERE d IS NOT NULL AND del_flag = 0
         GROUP BY l_quantity
       )
     ) WHERE rn <> 1
+    UNION ALL
+    SELECT CAST(NULL AS DOUBLE) AS l_quantity, count(*) AS n,
+           ROUND(avg(CAST(l_returnflag = 'R' AS DOUBLE)), 9) AS mean
+    FROM lineitem WHERE NULLIF(l_tax, 0.0) IS NULL
     """,
 )
 def q_filter_suite(spark, sf_dir):
     df = (
-        _li(spark, sf_dir)
+        _li_t(spark, sf_dir)
         .withColumn("d", F.expr("nullif(l_discount, 0.0)"))
         .withColumn("del_flag", F.when(F.col("l_quantity") < 10, 1).otherwise(0))
     )
     kept = (
-        df.select("l_quantity", "d", "del_flag")
+        df.select("l_quantity", "d", "del_flag", "target")
         .na.drop()  # op 4: dataset.dropna() twin — d is the only nullable col
         .filter(F.col("del_flag") == 0)  # op 5: PAVA survivor filter twin
     )
-    counts = kept.groupBy("l_quantity").agg(F.count("*").alias("n"))
+    counts = kept.groupBy("l_quantity").agg(
+        F.count("*").alias("n"), F.round(F.avg("target"), 9).alias("mean")
+    )
     w = Window.orderBy(F.col("n").desc(), F.col("l_quantity"))
-    return (  # op 6: positional anti-drop over the deterministic sort
+    survivors = (  # op 6: positional anti-drop over the deterministic sort
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") != 1)
-        .select("l_quantity", "n")
+        .select("l_quantity", "n", "mean")
     )
+    nan_group = (  # op 10: the missing-value group's aggregate, one row
+        df.withColumn("t", F.expr("nullif(l_tax, 0.0)"))
+        .filter(F.col("t").isNull())
+        .agg(F.count("*").alias("n"), F.round(F.avg("target"), 9).alias("mean"))
+        .select(
+            F.lit(None).cast("double").alias("l_quantity"), "n", "mean"
+        )
+    )
+    return survivors.unionByName(nan_group)
 
 
 @_q(
@@ -323,20 +343,10 @@ def q_groupby_summary(spark, sf_dir):
     )
 
 
-@_q(
-    "q_groupby_nan",
-    # op 10 (binning.py:235-236): aggregate over the missing-value group
-    """
-    SELECT count(*) AS size,
-           ROUND(avg(CAST(l_returnflag = 'R' AS DOUBLE)), 9) AS mean
-    FROM lineitem WHERE NULLIF(l_tax, 0.0) IS NULL
-    """,
-)
-def q_groupby_nan(spark, sf_dir):
-    df = _li_t(spark, sf_dir).withColumn("t", F.expr("nullif(l_tax, 0.0)"))
-    return df.filter(F.col("t").isNull()).agg(
-        F.count("*").alias("size"), F.round(F.avg("target"), 9).alias("mean")
-    )
+# op 10 (q_groupby_nan) was folded into the q_filter_suite merged slot in
+# round 8 (same table, same aggregate shape — the suite's NULL-keyed row IS
+# the missing-value-group aggregate), freeing a driver window slot for the
+# drift/profile suites.
 
 
 @_q(
@@ -359,46 +369,47 @@ def q_global_sums(spark, sf_dir):
 
 
 @_q(
-    "q_argmax",
-    # op 12 (binning.py:209-210): argmax row (orderBy desc limit 1)
+    "q_argmax_lead_suite",
+    # MERGED certification slot (round 8) for SURVEY §2 ops 12 + 13 — the
+    # two near-duplicate per-value window certifications folded into one
+    # query over the same grouped frame, freeing a driver window slot for
+    # the drift/profile suites:
+    #   op 12 q_argmax (binning.py:209-210) — the bad_rank = 1 row IS the
+    #         orderBy-desc-limit-1 argmax (certified as a rank, so every
+    #         row's position in the argmax ordering is hash-checked, a
+    #         strictly stronger check than the single argmax row)
+    #   op 13 q_lead   (binning.py:181-183,228) — lead() neighbour stats
     """
-    SELECT l_quantity, bads FROM (
-      SELECT l_quantity, CAST(sum(CAST(l_returnflag = 'R' AS DOUBLE)) AS DOUBLE) AS bads
-      FROM lineitem GROUP BY l_quantity
-    ) ORDER BY bads DESC, l_quantity LIMIT 1
-    """,
-)
-def q_argmax(spark, sf_dir):
-    df = _li_t(spark, sf_dir)
-    return (
-        df.groupBy("l_quantity")
-        .agg(F.sum("target").cast("double").alias("bads"))
-        .orderBy(F.col("bads").desc(), "l_quantity")
-        .limit(1)
-    )
-
-
-@_q(
-    "q_lead",
-    # op 13 (binning.py:181-183,228): lead() for neighbour stats / interval ends
-    """
-    SELECT value, next_value, next_size FROM (
+    SELECT value, size, bads, next_value, next_size, bad_rank FROM (
       SELECT l_quantity AS value, count(*) AS size,
+             CAST(sum(CAST(l_returnflag = 'R' AS DOUBLE)) AS DOUBLE) AS bads,
              lead(l_quantity) OVER (ORDER BY l_quantity) AS next_value,
-             lead(count(*)) OVER (ORDER BY l_quantity) AS next_size
+             lead(count(*)) OVER (ORDER BY l_quantity) AS next_size,
+             row_number() OVER (
+               ORDER BY sum(CAST(l_returnflag = 'R' AS DOUBLE)) DESC, l_quantity
+             ) AS bad_rank
       FROM lineitem GROUP BY l_quantity
     )
     """,
 )
-def q_lead(spark, sf_dir):
-    counts = _li(spark, sf_dir).groupBy(F.col("l_quantity").alias("value")).agg(
-        F.count("*").alias("size")
+def q_argmax_lead_suite(spark, sf_dir):
+    counts = (
+        _li_t(spark, sf_dir)
+        .groupBy(F.col("l_quantity").alias("value"))
+        .agg(
+            F.count("*").alias("size"),
+            F.sum("target").cast("double").alias("bads"),
+        )
     )
     w = Window.orderBy("value")
+    wr = Window.orderBy(F.col("bads").desc(), F.col("value"))
     return counts.select(
         "value",
-        F.lead("value").over(w).alias("next_value"),
+        "size",
+        "bads",
+        F.lead("value").over(w).alias("next_value"),  # op 13
         F.lead("size").over(w).alias("next_size"),
+        F.row_number().over(wr).alias("bad_rank"),  # op 12
     )
 
 
@@ -2650,7 +2661,8 @@ def q_column_profile(spark, sf_dir):
     min/max/mean/stddev (value/length/epoch basis).  Exact stats pinned
     against Spark aggregates and planted-NULL/NaN frames in
     tests/test_profile.py; rows-only here (approx_distinct is an HLL
-    sketch, no DuckDB bit-parity)."""
+    sketch, no DuckDB bit-parity) — the deterministic statistics are
+    driver-hash certified through the merged q_profile_suite slot (round 8)."""
     from woe_monotonic_binning_spark.profile import column_profile
 
     return column_profile(_li(spark, sf_dir))
@@ -2661,7 +2673,8 @@ def q_expectations(spark, sf_dir):
     """One-pass named expectation checks (profile.py check_expectations)
     over lineitem: range/positivity/enum contracts with NULL-counts-as-
     violation semantics.  Violation counting (incl. the NULL rule) pinned
-    in tests/test_profile.py; rows-only here (boolean verdict table)."""
+    in tests/test_profile.py; rows-only here — driver-hash certified
+    through the merged q_profile_suite slot (round 8)."""
     from woe_monotonic_binning_spark.profile import check_expectations
 
     li = _li(spark, sf_dir)
@@ -2772,8 +2785,8 @@ def q_psi(spark, sf_dir):
     scoring drift companion to WOE/IV (two map-side histogram passes, one
     tiny-key shuffle each).  Value-hash parity with a DuckDB twin is pinned
     in tests/test_drift.py (test_psi_detail_matches_duckdb_twin — same
-    compare as the driver harness); rows-only here (the 50-slot window is
-    full; the twin IS the hash check, run locally)."""
+    compare as the driver harness); rows-only here — the driver-hash
+    certification lives in the merged q_drift_suite slot (round 8)."""
     import pandas as pd
 
     from woe_monotonic_binning_spark.drift import psi_report
@@ -2797,7 +2810,8 @@ def q_stability_periods(spark, sf_dir):
     PSI of each l_shipdate year's l_extendedprice population against the
     earliest year, ONE histogram pass grouped by (variable, bin, period).
     Value parity with a numpy reference and baseline-is-zero pinned in
-    tests/test_drift.py; rows-only here."""
+    tests/test_drift.py; rows-only here — driver-hash certified through
+    the merged q_drift_suite slot (round 8)."""
     import pandas as pd
 
     from woe_monotonic_binning_spark.drift import stability_over_periods
@@ -2813,6 +2827,286 @@ def q_stability_periods(spark, sf_dir):
     )
     li = _li(spark, sf_dir).withColumn("ship_year", F.year("l_shipdate"))
     return stability_over_periods(li, bins, "ship_year")
+
+
+@_q(
+    "q_drift_suite",
+    # MERGED certification slot (round 8): driver-hash certification for
+    # the drift surface (drift.py) — psi_report per-bin detail UNION the
+    # stability_over_periods per-period back-test, under one fixed
+    # 3-bin l_extendedprice spec.  Lifts the local DuckDB twins
+    # (tests/test_drift.py PSI_ORACLE + the stability twin) into the
+    # 50-slot oracle window, per the round-7 verdict's #1 ask.  Rows are
+    # labelled by `section`; columns the other section does not produce
+    # are NULL with matched types.
+    """
+    WITH spec(bin, interval_lo, interval_hi) AS (
+        VALUES (0, 0.0, 20000.0), (1, 20000.0, 40000.0), (2, 40000.0, 60000.0),
+               (-1, NULL, NULL), (-2, NULL, NULL)
+    ), binned AS (
+        SELECT l_returnflag, year(l_shipdate) AS period,
+               CASE WHEN l_extendedprice IS NULL THEN -2
+                    WHEN l_extendedprice >= 0.0 AND l_extendedprice < 20000.0 THEN 0
+                    WHEN l_extendedprice >= 20000.0 AND l_extendedprice < 40000.0 THEN 1
+                    WHEN l_extendedprice >= 40000.0 AND l_extendedprice < 60000.0 THEN 2
+                    ELSE -1 END AS bin
+        FROM lineitem
+    ), e AS (SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin),
+       a AS (SELECT bin, COUNT(*) AS c FROM binned WHERE l_returnflag = 'R' GROUP BY bin),
+       psi_detail AS (
+        SELECT spec.bin, spec.interval_lo, spec.interval_hi,
+               COALESCE(e.c, 0) AS expected_count,
+               COALESCE(a.c, 0) AS actual_count,
+               COALESCE(e.c, 0) / CAST((SELECT SUM(c) FROM e) AS DOUBLE) AS expected_frac,
+               COALESCE(a.c, 0) / CAST((SELECT SUM(c) FROM a) AS DOUBLE) AS actual_frac
+        FROM spec LEFT JOIN e ON spec.bin = e.bin LEFT JOIN a ON spec.bin = a.bin
+    ), h AS (SELECT period, bin, COUNT(*) AS c FROM binned GROUP BY period, bin),
+       periods AS (SELECT DISTINCT period FROM binned),
+       grid AS (SELECT p.period, s.bin FROM periods p CROSS JOIN spec s),
+       fr AS (
+        SELECT g.period, g.bin,
+               COALESCE(h.c, 0) /
+                 CAST(SUM(COALESCE(h.c, 0)) OVER (PARTITION BY g.period) AS DOUBLE)
+                 AS frac
+        FROM grid g LEFT JOIN h ON g.period = h.period AND g.bin = h.bin
+    ), b AS (
+        SELECT bin, frac AS base_frac FROM fr
+        WHERE period = (SELECT MIN(period) FROM periods)
+    ), stab AS (
+        SELECT fr.period,
+               SUM((GREATEST(fr.frac, 1e-4) - GREATEST(b.base_frac, 1e-4))
+                   * LN(GREATEST(fr.frac, 1e-4) / GREATEST(b.base_frac, 1e-4))) AS psi
+        FROM fr JOIN b ON fr.bin = b.bin
+        GROUP BY fr.period
+    )
+    SELECT 'psi_detail' AS section, 'l_extendedprice' AS variable, bin,
+           CASE WHEN bin = -2 THEN 'missing' WHEN bin = -1 THEN 'out_of_range'
+                ELSE 'bin' END AS bucket,
+           CAST(interval_lo AS DOUBLE) AS interval_lo,
+           CAST(interval_hi AS DOUBLE) AS interval_hi,
+           expected_count, actual_count, expected_frac, actual_frac,
+           (GREATEST(actual_frac, 1e-4) - GREATEST(expected_frac, 1e-4))
+             * LN(GREATEST(actual_frac, 1e-4) / GREATEST(expected_frac, 1e-4))
+             AS psi_component,
+           CAST(NULL AS BIGINT) AS period, CAST(NULL AS DOUBLE) AS psi,
+           CAST(NULL AS VARCHAR) AS status
+    FROM psi_detail
+    UNION ALL
+    SELECT 'stability' AS section, 'l_extendedprice' AS variable,
+           CAST(NULL AS INTEGER) AS bin, CAST(NULL AS VARCHAR) AS bucket,
+           CAST(NULL AS DOUBLE) AS interval_lo, CAST(NULL AS DOUBLE) AS interval_hi,
+           CAST(NULL AS BIGINT) AS expected_count, CAST(NULL AS BIGINT) AS actual_count,
+           CAST(NULL AS DOUBLE) AS expected_frac, CAST(NULL AS DOUBLE) AS actual_frac,
+           CAST(NULL AS DOUBLE) AS psi_component,
+           CAST(period AS BIGINT) AS period, psi,
+           CASE WHEN psi < 0.1 THEN 'stable' WHEN psi <= 0.25 THEN 'shifting'
+                ELSE 'drifted' END AS status
+    FROM stab
+    """,
+)
+def q_drift_suite(spark, sf_dir):
+    """Driver-hash slot for drift.py: psi_report detail + per-period
+    stability under one fixed bins spec (see the oracle comment)."""
+    import pandas as pd
+
+    from woe_monotonic_binning_spark.drift import psi_report, stability_over_periods
+
+    bins = pd.DataFrame(
+        {
+            "variable": ["l_extendedprice"] * 3,
+            "interval_start_include": [0.0, 20000.0, 40000.0],
+            "interval_end_exclude": [20000.0, 40000.0, 60000.0],
+            "woe": [-0.3, 0.1, 0.4],
+            "iv_components": [0.4, 0.3, 0.3],
+        }
+    )
+    li = _li(spark, sf_dir)
+    detail = psi_report(li, li.filter(F.col("l_returnflag") == "R"), bins).select(
+        F.lit("psi_detail").alias("section"),
+        "variable",
+        "bin",
+        "bucket",
+        "interval_lo",
+        "interval_hi",
+        "expected_count",
+        "actual_count",
+        "expected_frac",
+        "actual_frac",
+        "psi_component",
+        F.lit(None).cast("long").alias("period"),
+        F.lit(None).cast("double").alias("psi"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    stab = stability_over_periods(
+        li.withColumn("ship_year", F.year("l_shipdate")), bins, "ship_year"
+    ).select(
+        F.lit("stability").alias("section"),
+        "variable",
+        F.lit(None).cast("int").alias("bin"),
+        F.lit(None).cast("string").alias("bucket"),
+        F.lit(None).cast("double").alias("interval_lo"),
+        F.lit(None).cast("double").alias("interval_hi"),
+        F.lit(None).cast("long").alias("expected_count"),
+        F.lit(None).cast("long").alias("actual_count"),
+        F.lit(None).cast("double").alias("expected_frac"),
+        F.lit(None).cast("double").alias("actual_frac"),
+        F.lit(None).cast("double").alias("psi_component"),
+        F.col("ship_year").cast("long").alias("period"),
+        "psi",
+        "status",
+    )
+    return detail.unionByName(stab)
+
+
+@_q(
+    "q_profile_suite",
+    # MERGED certification slot (round 8): driver-hash certification for
+    # the profiling surface (profile.py) — column_profile over a
+    # representative column set (value/length bases) UNION the
+    # check_expectations verdict table, per the round-7 verdict's #1 ask.
+    # The certified projection carries the deterministic statistics
+    # (row/NULL/NaN accounting, exact min/max on the stat basis);
+    # approx_distinct (HLL sketch — no DuckDB bit-parity) and the
+    # float-summation moments (mean/stddev — parallel-reduction order
+    # sensitive at round-9) stay pinned by tests/test_profile.py's exact
+    # planted-frame checks.  The epoch basis (timestamp columns) is
+    # session-timezone dependent and is likewise locally pinned.
+    """
+    SELECT 'profile' AS section, 'l_orderkey' AS item, 'value' AS stat_basis,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS frac,
+           CAST(0 AS BIGINT) AS n_nan,
+           CAST(MIN(l_orderkey) AS DOUBLE) AS lo,
+           CAST(MAX(l_orderkey) AS DOUBLE) AS hi,
+           CAST(NULL AS BOOLEAN) AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'profile', 'l_quantity', 'value', COUNT(*),
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*),
+           CAST(SUM(CASE WHEN COALESCE(isnan(l_quantity), FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+           MIN(CASE WHEN COALESCE(isnan(l_quantity), FALSE) THEN NULL ELSE l_quantity END),
+           MAX(CASE WHEN COALESCE(isnan(l_quantity), FALSE) THEN NULL ELSE l_quantity END),
+           CAST(NULL AS BOOLEAN)
+    FROM lineitem
+    UNION ALL
+    SELECT 'profile', 'l_extendedprice', 'value', COUNT(*),
+           CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*),
+           CAST(SUM(CASE WHEN COALESCE(isnan(l_extendedprice), FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+           MIN(CASE WHEN COALESCE(isnan(l_extendedprice), FALSE) THEN NULL ELSE l_extendedprice END),
+           MAX(CASE WHEN COALESCE(isnan(l_extendedprice), FALSE) THEN NULL ELSE l_extendedprice END),
+           CAST(NULL AS BOOLEAN)
+    FROM lineitem
+    UNION ALL
+    SELECT 'profile', 'l_returnflag', 'length', COUNT(*),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*),
+           CAST(0 AS BIGINT),
+           CAST(MIN(LENGTH(l_returnflag)) AS DOUBLE),
+           CAST(MAX(LENGTH(l_returnflag)) AS DOUBLE),
+           CAST(NULL AS BOOLEAN)
+    FROM lineitem
+    UNION ALL
+    SELECT 'profile', 'l_linestatus', 'length', COUNT(*),
+           CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*),
+           CAST(0 AS BIGINT),
+           CAST(MIN(LENGTH(l_linestatus)) AS DOUBLE),
+           CAST(MAX(LENGTH(l_linestatus)) AS DOUBLE),
+           CAST(NULL AS BOOLEAN)
+    FROM lineitem
+    UNION ALL
+    SELECT 'expectation', 'price_positive', CAST(NULL AS VARCHAR), COUNT(*),
+           CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'expectation', 'quantity_1_to_50', CAST(NULL AS VARCHAR), COUNT(*),
+           CAST(SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'expectation', 'discount_unit_interval', CAST(NULL AS VARCHAR), COUNT(*),
+           CAST(SUM(CASE WHEN NOT COALESCE(l_discount BETWEEN 0.0 AND 1.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT COALESCE(l_discount BETWEEN 0.0 AND 1.0, FALSE) THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           SUM(CASE WHEN NOT COALESCE(l_discount BETWEEN 0.0 AND 1.0, FALSE) THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'expectation', 'returnflag_enum', CAST(NULL AS VARCHAR), COUNT(*),
+           CAST(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A', 'N', 'R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A', 'N', 'R'), FALSE) THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A', 'N', 'R'), FALSE) THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'expectation', 'orderkey_present', CAST(NULL AS VARCHAR), COUNT(*),
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    """,
+)
+def q_profile_suite(spark, sf_dir):
+    """Driver-hash slot for profile.py: column_profile deterministic
+    statistics + check_expectations verdicts (see the oracle comment)."""
+    from woe_monotonic_binning_spark.profile import check_expectations, column_profile
+
+    li = _li(spark, sf_dir)
+    prof = column_profile(
+        li,
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"],
+    ).select(
+        F.lit("profile").alias("section"),
+        F.col("column").alias("item"),
+        "stat_basis",
+        "n_rows",
+        F.col("n_null").alias("n_flag"),
+        F.col("null_frac").alias("frac"),
+        "n_nan",
+        F.col("min").alias("lo"),
+        F.col("max").alias("hi"),
+        F.lit(None).cast("boolean").alias("passed"),
+    )
+    exp = check_expectations(
+        li,
+        {
+            "price_positive": F.col("l_extendedprice") > 0,
+            "quantity_1_to_50": F.col("l_quantity").between(1, 50),
+            "discount_unit_interval": F.col("l_discount").between(0.0, 1.0),
+            "returnflag_enum": F.col("l_returnflag").isin("A", "N", "R"),
+            "orderkey_present": F.col("l_orderkey").isNotNull(),
+        },
+    ).select(
+        F.lit("expectation").alias("section"),
+        F.col("rule").alias("item"),
+        F.lit(None).cast("string").alias("stat_basis"),
+        "n_rows",
+        F.col("n_violations").alias("n_flag"),
+        F.col("violation_frac").alias("frac"),
+        F.lit(None).cast("long").alias("n_nan"),
+        F.lit(None).cast("double").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
+        "passed",
+    )
+    return prof.unionByName(exp)
 
 
 # ---------------------------------------------------------------------------
@@ -2832,7 +3126,13 @@ def q_stability_periods(spark, sf_dir):
 # admit q_token_budget, and folded the per-doc signal slots (lang-id +
 # fingerprint) into q_doc_signals_suite to admit q_dedup_lines, so the
 # catalog carries EXACTLY 50 oracle-backed entries — the window IS the
-# hash-checked set.  The
+# hash-checked set.  Round 8 rotated certification onto the round-7
+# drift/profile surface (the verdict's #1 ask): q_argmax + q_lead merged
+# into q_argmax_lead_suite and q_groupby_nan folded into q_filter_suite
+# (same tables, same shapes) to admit q_drift_suite (psi_report +
+# stability_over_periods, the lifted tests/test_drift.py twins) and
+# q_profile_suite (column_profile deterministic stats + check_expectations).
+# The
 # iterative fit ops (q_pava, q_ztest_merge, ...) sit at the tail — their
 # correctness is carried by golden parity (test_fit_parity), the hypothesis
 # fuzz (test_fuzz_parity; 150 examples per CI pass, 2000-example deep runs
