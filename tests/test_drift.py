@@ -575,3 +575,32 @@ def test_quantile_grid_top_edge_catches_plus_inf(spark):
     bins_only = detail[detail["bucket"] == "bin"].sort_values("bin")
     assert bins_only.iloc[0]["actual_count"] == 1  # -inf
     assert bins_only.iloc[-1]["actual_count"] == 1  # +inf
+
+
+def test_period_col_name_validation_is_loud(spark):
+    """Round-7 advice: a period column named like an internal drift column
+    ('variable', 'bin', 'count', ...) or containing a dot would shadow a
+    groupBy key / break the alias-qualified null-safe join — reject both
+    loudly instead of mis-joining."""
+    from woe_monotonic_binning_spark.drift import (
+        characteristic_stability,
+        stability_over_periods,
+    )
+
+    bins = bins_table("x", cuts=(0.0, 1.0, 2.0), woes=(1.0, -1.0))
+    df = (
+        spark.createDataFrame([(0.5, 1, "a")], "x double, target int, p string")
+    )
+    for bad in ("variable", "bin", "count", "frac", "__tot", "a.b", "a`b"):
+        with pytest.raises(ValueError, match="period_col"):
+            stability_over_periods(df, bins, bad)
+        with pytest.raises(ValueError, match="period_col"):
+            characteristic_stability(df, bins, "target", period_col=bad)
+    # the histogram's measure column is reserved too
+    with pytest.raises(ValueError, match="period_col"):
+        characteristic_stability(df, bins, "target", period_col="sum_target")
+    # a benign name still works end-to-end
+    out = stability_over_periods(
+        df.withColumn("month", F.lit("2024-01")), bins, "month"
+    )
+    assert out.count() == 1

@@ -324,8 +324,21 @@ def test_diversity_sample_degenerate_assignment_falls_back(spark):
     from woe_monotonic_binning_spark.operators.sampling import diversity_sample
 
     # all vectors identical -> every row lands in one cell; the rank
-    # pre-filter undershoots and the loud fallback must still return n
+    # pre-filter undershoots and the loud fallback must still return n,
+    # WARNING about the single-reducer global window (round-7 verdict nit:
+    # the fallback used to be silent)
     rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(60)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    out = diversity_sample(df, 50, n_cells=4, seed=5).collect()
+    with pytest.warns(UserWarning, match="pre-filter undershot"):
+        out = diversity_sample(df, 50, n_cells=4, seed=5).collect()
+    assert len(out) == 50
+
+
+def test_sample_exact_n_global_fallback_warns(spark):
+    from woe_monotonic_binning_spark.operators.sampling import sample_exact_n
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    # oversample=0.5 guarantees the pre-filter keeps < n rows
+    with pytest.warns(UserWarning, match="pre-filter undershot"):
+        out = sample_exact_n(df, "doc_id", 50, oversample=0.5).collect()
     assert len(out) == 50

@@ -101,3 +101,30 @@ def test_refit_bins_against_stale_baseline_is_loud(spark, li, tmp_path):
     stream = spark.readStream.schema(li.schema).parquet(str(tmp_path))
     with pytest.raises(ValueError, match="refit"):
         streaming_psi_monitor(stream, refit, base, str(tmp_path / "m"))
+
+
+def test_partial_baseline_overlap_warns_not_silent(spark, li, tmp_path):
+    """Round-7 advice: a baseline covering only a subset of the bins'
+    gate-surviving variables used to silently narrow the monitored set;
+    now it warns (and still monitors the intersection)."""
+    price = _bins("l_extendedprice", (0.0, 20000.0, 40000.0, 60000.0), (-0.3, 0.1, 0.4))
+    # distinct total IV — an identical total would trip the reference's
+    # exact-float duplicate-IV dedup (quirk Q7) and drop the variable
+    price["iv_components"] = [0.2, 0.2, 0.2]
+    two = pd.concat([QTY_BINS, price], ignore_index=True)
+    narrow_base = baseline_fractions(li, two, variables=["l_quantity"])
+    src = str(tmp_path / "src")
+    li.repartition(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(li.schema).parquet(src)
+    with pytest.warns(UserWarning, match="NOT monitored"):
+        q = streaming_psi_monitor(
+            stream,
+            two,
+            narrow_base,
+            str(tmp_path / "metrics"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "metrics"))
+    vars_seen = {r["variable"] for r in got.select("variable").distinct().collect()}
+    assert vars_seen == {"l_quantity"}  # the intersection, monitored

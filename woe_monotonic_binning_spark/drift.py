@@ -68,6 +68,59 @@ def _status(psi: Column) -> Column:
     )
 
 
+#: column names the drift plumbing generates internally — a user-supplied
+#: period column may not collide with them (it would shadow a groupBy key
+#: or a join alias and mis-join silently)
+_RESERVED_COLS = frozenset(
+    {
+        "variable",
+        "bin",
+        "bucket",
+        "count",
+        "frac",
+        "base_frac",
+        "interval_lo",
+        "interval_hi",
+        "n",
+        "n_bad",
+        "n_good",
+        "dist_good",
+        "dist_bad",
+        "woe_actual",
+        "woe_fitted",
+        "iv_component",
+        "delta_woe",
+        "psi",
+        "status",
+        "__tot",
+        "__cnt",
+        "__k",
+        "__bad_tot",
+        "__good_tot",
+    }
+)
+
+
+def _check_period_col(period_col: str, *, also_reserved: Sequence[str] = ()) -> None:
+    """Reject period column names the internal plumbing cannot carry:
+    dotted/backticked names break the ``__l.<k>`` null-safe join aliases,
+    and a name colliding with an internal column ('variable', 'bin',
+    'count', ...) would shadow a groupBy key or join alias and mis-join
+    silently (round-7 advice).  Rename the column upstream
+    (``df.withColumnRenamed``) instead."""
+    if "." in period_col or "`" in period_col:
+        raise ValueError(
+            f"period_col {period_col!r} contains '.' or '`' — the drift "
+            "join plumbing addresses it as an alias-qualified name; rename "
+            "the column (withColumnRenamed) before monitoring"
+        )
+    if period_col in _RESERVED_COLS or period_col in set(also_reserved):
+        raise ValueError(
+            f"period_col {period_col!r} collides with an internal drift "
+            "column name; rename the column before monitoring"
+        )
+
+
 def _nullsafe_left(left: DataFrame, right: DataFrame, keys, ns_key: str) -> DataFrame:
     """LEFT join on ``keys`` where ``ns_key`` compares null-safely — an
     equijoin key list silently drops NULL keys (NULL != NULL), which for a
@@ -358,6 +411,7 @@ def stability_over_periods(
     vintage).  The single histogram pass groups by
     ``(variable, bin, period)``; everything downstream is arithmetic on
     ``variables x bins x periods`` rows."""
+    _check_period_col(period_col)
     specs = compile_bin_exprs(
         _bins_to_pandas(bins), iv_threshold, bin_threshold, remove_100_corr
     )
@@ -456,7 +510,11 @@ def characteristic_stability(
     reference's convention of including the NaN bin in the distributions,
     binning.py's dist sums), ``woe_actual`` (``ln(dist_bad/dist_good)``,
     the fitted formula — NULL where either side is empty unless
-    ``laplace`` > 0 adds the classic +L/(tot+L*k) smoothing),
+    ``laplace`` > 0 adds +L/(tot+L*k) smoothing, where ``k`` counts ALL
+    grid buckets — the fitted bins PLUS the two always-present sentinel
+    buckets (``missing``/``out_of_range``) — so the smoothed
+    distributions still sum to 1 over the exhaustive partition; slightly
+    stronger smoothing than a fitted-bins-only ``k`` would give),
     ``iv_component``, ``woe_fitted`` (NULL for the sentinel buckets) and
     ``delta_woe``.  Sum ``iv_component`` per (variable, period) for the
     IV trajectory; a drifting |delta_woe| on a high-mass bin is the
@@ -465,6 +523,10 @@ def characteristic_stability(
     One pass over ``df`` (the same melt/partial-agg histogram as PSI with
     a target-sum measure); everything downstream is arithmetic on
     ``variables x bins x periods`` rows."""
+    if period_col is not None:
+        # the histogram also emits sum_<target>; a period column of that
+        # name would collide with the measure column
+        _check_period_col(period_col, also_reserved=(f"sum_{target}",))
     specs = compile_bin_exprs(
         _bins_to_pandas(bins), iv_threshold, bin_threshold, remove_100_corr
     )

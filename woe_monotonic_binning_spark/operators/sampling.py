@@ -98,8 +98,8 @@ def sample_exact_n(
     narrow count + filter) before the window ranks the survivors; the
     window then sorts thousands of rows, not billions.  If the pre-filter
     undershoots (pathological hash clustering), it falls back to the full
-    window rather than returning short — correctness over speed, loudly
-    documented here instead of silently sampling fewer rows."""
+    window rather than returning short — correctness over speed, with a
+    ``UserWarning`` emitted instead of silently sampling fewer rows."""
     from pyspark.sql.window import Window
 
     u = hash_uniform(F.col(id_col), seed).alias("__u")
@@ -117,6 +117,14 @@ def sample_exact_n(
     cut = min(1.0, oversample * n / total)
     pre = df.withColumn("__u", u).filter(F.col("__u") < cut)
     if pre.count() < n:  # hash clustering worse than the oversample margin
+        import warnings
+
+        warnings.warn(
+            f"sample_exact_n pre-filter undershot (n={n}, "
+            f"oversample={oversample}): ranking the full corpus through "
+            "the single-reducer global window — correct but slow at scale",
+            stacklevel=2,
+        )
         pre = df.withColumn("__u", u)
     w = Window.orderBy("__u", id_col)
     return (
@@ -297,13 +305,22 @@ def diversity_sample(
     "no more than k near-identical examples" guard rather than the
     "exactly n diverse examples" draw.
 
+    ``id_col`` must be UNIQUE (the standing precondition of every
+    hash-draw operator in this module): the selection re-joins the corpus
+    on ``id_col``, so a duplicated id would multiply its row in the output
+    and break the exactly-``min(n, size)`` contract.
+
     Scale shape: assignment is one broadcast-codebook pass; the per-cell
     rank shuffles narrow (id, cell, draw) triples, never vectors; the
     global first-n window runs over the ~``oversample * n`` best-ranked
-    candidates only (rank pre-filter, with the same loud
-    correctness-over-speed fallback as ``sample_exact_n`` if a degenerate
-    assignment undershoots), and the selected ids re-join the corpus as a
-    broadcast-size semi-join."""
+    candidates only (rank pre-filter).  If the pre-filter undershoots —
+    only reachable when ``n`` approaches corpus size / ``oversample``, or
+    under a degenerate single-cell assignment — the ENTIRE ranked corpus
+    routes through the single-reducer global window instead of returning
+    short: correctness over speed, and a ``UserWarning`` is emitted so a
+    production job sees the scale cliff (raise ``oversample`` or ``n_cells``
+    to restore the pre-filtered path).  The selected ids then re-join the
+    corpus as a broadcast-size semi-join."""
     import math
 
     from pyspark.sql.window import Window
@@ -331,6 +348,16 @@ def diversity_sample(
         # >= n dominates all rank > r_cap rows in (rank, ...) order), so
         # candidate-count >= n proves the pre-filter exact.
         if cand.count() < n:
+            import warnings
+
+            warnings.warn(
+                f"diversity_sample rank pre-filter undershot (n={n}, "
+                f"cells={len(centroids)}, oversample={oversample}): the "
+                "full corpus routes through the single-reducer global "
+                "window — correct but slow at scale; raise oversample or "
+                "n_cells, or lower n",
+                stacklevel=2,
+            )
             cand = ranked
         w = Window.orderBy("__r", "__u", id_col)
         sel = (

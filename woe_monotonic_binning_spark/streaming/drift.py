@@ -63,6 +63,24 @@ def streaming_psi_monitor(
         _bins_to_pandas(bins), iv_threshold, bin_threshold, remove_100_corr
     )
     base_vars = set(baseline["variable"].unique())
+    spec_vars = {s[0] for s in specs}
+    # A partially-stale baseline must not SILENTLY narrow the monitored
+    # set (round-7 advice): warn on any asymmetry, not just an empty
+    # intersection.  A deliberately narrowed baseline
+    # (baseline_fractions(..., variables=[...])) still works — the warning
+    # names exactly what is and is not monitored.
+    if spec_vars - base_vars or base_vars - spec_vars:
+        import warnings
+
+        warnings.warn(
+            "baseline variable set differs from the bins' gate-surviving "
+            f"set — NOT monitored (absent from baseline): "
+            f"{sorted(spec_vars - base_vars)}; baseline-only (stale?): "
+            f"{sorted(base_vars - spec_vars)}.  Monitoring the "
+            "intersection; re-pin baseline_fractions with the same bins "
+            "and gates if this narrowing is not deliberate",
+            stacklevel=2,
+        )
     specs = [s for s in specs if s[0] in base_vars]
     if not specs:
         raise ValueError(
