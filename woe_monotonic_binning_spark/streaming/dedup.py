@@ -54,6 +54,47 @@ def streaming_exact_dedup_unbounded(
     return stream.dropDuplicates(list(key_cols))
 
 
+def _query_token(checkpoint_dir: str | None) -> str:
+    """Stable identity of one query LINEAGE — the domain over which batch
+    ids are unique and replays happen.  Derived from the checkpoint dir
+    (same checkpoint across restarts => same token => a replayed batch
+    overwrites its own partition).  Without a checkpoint there is no
+    replay tracking at all, so a random token just keeps two
+    checkpoint-less queries appending to one ``out_path`` from clobbering
+    each other's partitions."""
+    import hashlib
+    import uuid
+
+    if checkpoint_dir:
+        return hashlib.sha1(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
+    return uuid.uuid4().hex[:12]
+
+
+def _write_survivors_idempotent(
+    fresh: DataFrame, out_path: str, token: str, batch_id: int
+) -> None:
+    """Effectively-once survivor output WITHOUT a transactional table
+    format (round-7 verdict #2): every micro-batch owns the
+    ``_commit_id=<query-token>-<batch-id>`` partition of ``out_path`` and
+    writes it with DYNAMIC partition overwrite, so an at-least-once
+    replay of batch N rewrites that batch's partition in place instead of
+    appending duplicate survivor rows.  The query token scopes batch ids
+    to one checkpoint lineage — independent queries sharing an
+    ``out_path`` (a later crawl's run) own disjoint partitions instead of
+    clobbering each other's batch 0.  Readers see one extra
+    ``_commit_id`` partition column — drop it, or keep it as free write
+    lineage.  (The digest/posting STORES stay append-only at-least-once:
+    they are semantically sets, multiplicity is harmless and compaction
+    collapses it.)"""
+    (
+        fresh.withColumn("_commit_id", F.lit(f"{token}-{int(batch_id)}"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_commit_id")
+        .parquet(out_path)
+    )
+
+
 def streaming_dedup_against_store(
     stream: DataFrame,
     store_path: str,
@@ -76,14 +117,15 @@ def streaming_dedup_against_store(
     digest prefix and the per-batch anti-join shuffles digests only (AQE
     broadcasts small batches).
 
-    Delivery: ``foreachBatch`` + checkpoint gives at-least-once batch
-    replay; a replayed batch re-appends digests (harmless — the store is
-    semantically a set and the anti-join ignores multiplicity) but can
-    also re-append SURVIVOR rows to ``out_path``.  Production sinks want a
-    transactional table format (Delta/Iceberg MERGE) for exactly-once
-    output; plain parquet keeps this container-runnable and the semantics
-    honest.  Returns the started StreamingQuery (availableNow trigger —
-    call ``awaitTermination()``).
+    Delivery: ``foreachBatch`` + checkpoint replays batches at least
+    once, but the SURVIVOR output is effectively-once: each batch writes
+    its own ``_commit_id`` partition of ``out_path`` with dynamic
+    partition overwrite, so a replay rewrites that partition in place
+    (``_write_survivors_idempotent``) instead of appending duplicates.
+    Only the digest STORE keeps the at-least-once multiplicity (it is
+    semantically a set; the anti-join ignores duplicates and compaction
+    collapses them).  Returns the started StreamingQuery (availableNow
+    trigger — call ``awaitTermination()``).
 
     This plain-parquet path is the zero-setup FALLBACK: the store is a
     flat directory whose file count grows per batch and whose scan is
@@ -93,7 +135,9 @@ def streaming_dedup_against_store(
     shuffles the store side and ``compact_digest_store`` bounds the file
     count."""
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    token = _query_token(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import dedup_against_reference
 
         from pyspark.errors import AnalysisException
@@ -106,7 +150,7 @@ def streaming_dedup_against_store(
             # not silently restart dedup from an empty digest set.
             ref = spark.createDataFrame([], "digest string")
         fresh = dedup_against_reference(batch_df, ref, text_col, id_col).persist()
-        fresh.write.mode("append").parquet(out_path)
+        _write_survivors_idempotent(fresh, out_path, token, batch_id)
         fresh.select(
             F.sha2(F.col(text_col).cast("binary"), 256).alias("digest")
         ).write.mode("append").parquet(store_path)
@@ -149,10 +193,11 @@ def streaming_dedup_against_bucketed_store(
       the table to one file per bucket and drops duplicate digests —
       run it every N batches or from a scheduled maintenance job.
 
-    Same delivery contract as the flat-store twin (at-least-once via
-    foreachBatch + checkpoint; duplicate digest re-appends are harmless —
-    the store is a set; Delta/Iceberg MERGE is the exactly-once
-    production sink).  Returns the started StreamingQuery.
+    Same delivery contract as the flat-store twin (survivor output
+    effectively-once via per-batch dynamic partition overwrite; duplicate
+    digest re-appends in the STORE are harmless — it is a set, and
+    compaction collapses multiplicity).  Returns the started
+    StreamingQuery.
 
     Catalog-cache caveat: foreachBatch runs in a CLONED session whose
     appends invalidate the clone's relation cache, not other sessions' —
@@ -160,7 +205,9 @@ def streaming_dedup_against_bucketed_store(
     ``spark.catalog.refreshTable(store_table)`` before reading again, or
     it serves the stale file listing."""
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    token = _query_token(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import dedup_against_reference
 
         spark = batch_df.sparkSession
@@ -169,7 +216,7 @@ def streaming_dedup_against_bucketed_store(
         else:
             ref = spark.createDataFrame([], "digest string")
         fresh = dedup_against_reference(batch_df, ref, text_col, id_col).persist()
-        fresh.write.mode("append").parquet(out_path)
+        _write_survivors_idempotent(fresh, out_path, token, batch_id)
         digests = fresh.select(
             F.sha2(F.col(text_col).cast("binary"), 256).alias("digest")
         )
@@ -236,11 +283,15 @@ def streaming_simhash_dedup_against_store(
     value shared by k docs would create k x batch join rows) are both
     bucket-local; the store is scanned, never shuffled (plan-pinned).
     Compaction: ``sources.io.compact_bucketed_table(spark, store_table,
-    distinct=True)`` — replayed appends are harmless multiplicity until
-    then.  Same at-least-once foreachBatch contract and same
-    cloned-session ``refreshTable`` caveat as the digest twin."""
+    distinct=True)`` — replayed POSTING appends are harmless multiplicity
+    until then, while the survivor output is effectively-once via the
+    per-batch dynamic partition overwrite.  Same foreachBatch contract
+    and same cloned-session ``refreshTable`` caveat as the digest
+    twin."""
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    token = _query_token(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import (
             dedup_keep_canonical,
             simhash_fingerprints,
@@ -289,7 +340,7 @@ def streaming_simhash_dedup_against_store(
             fresh = batch_kept.join(dup_ids, id_col, "left_anti").persist()
         else:
             fresh = batch_kept.persist()
-        fresh.write.mode("append").parquet(out_path)
+        _write_survivors_idempotent(fresh, out_path, token, batch_id)
         postings = probe.join(fresh.select(id_col), id_col, "left_semi")
         (
             postings.repartition(num_buckets, "band", "bh")
