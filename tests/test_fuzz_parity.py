@@ -208,3 +208,46 @@ def test_fit_variable_matches_reference(case):
         ),
     )
     assert_bins_equal(got, expected, f"fuzz{params}")
+
+
+# ---------------------------------------------------------------------------
+# round 8: the worklist PAVA must be BIT-identical to the sweep transcription
+
+
+@st.composite
+def pava_case(draw):
+    """Grouped-summary draws biased toward the shapes that distinguish
+    pooling orders: ties, zero means, long non-decreasing runs, and the
+    descending-ramp-plus-spike cascade that costs the sweep O(k^2)."""
+    k = draw(st.integers(min_value=1, max_value=80))
+    rng = np.random.default_rng(draw(st.integers(min_value=0, max_value=2**31 - 1)))
+    shape = draw(st.sampled_from(["random", "ties", "ramp_spike", "sawtooth"]))
+    if shape == "random":
+        m = rng.random(k)
+    elif shape == "ties":
+        m = rng.choice([0.0, 0.25, 0.5], size=k)
+    elif shape == "ramp_spike":
+        m = np.concatenate([np.linspace(1.0, 0.5, max(k - 1, 1)), [50.0]])[:k]
+    else:
+        m = (np.arange(k) % 2) * 0.5 + np.arange(k) / (10.0 * max(k, 1))
+    v = np.sort(rng.choice(10_000, size=k, replace=False)).astype(float)
+    sz = rng.integers(1, 7, size=k).astype(float)
+    st_ = np.round(rng.random(k), 4)
+    return v.tolist(), m.tolist(), sz.tolist(), st_.tolist()
+
+
+@settings(
+    max_examples=_FUZZ_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pava_case())
+def test_pava_worklist_bit_identical_to_sweep(case):
+    from woe_monotonic_binning_spark._algo import pava_pool, pava_pool_sweep
+
+    v, m, sz, st_ = case
+    a = pava_pool_sweep(v, m, sz, st_)
+    b = pava_pool(v, m, sz, st_)
+    for name, x, y in zip(("values", "means", "sizes", "stds"), a, b):
+        assert len(x) == len(y), name
+        assert (x == y).all(), name

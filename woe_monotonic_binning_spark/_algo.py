@@ -239,16 +239,22 @@ def detect_direction(s: GroupSummary) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def pava_pool(values, means, sizes, stds):
-    """Pool adjacent groups until means are strictly decreasing in table order.
+def pava_pool_sweep(values, means, sizes, stds):
+    """Pool adjacent groups until means are strictly decreasing in table
+    order — the LITERAL transcription of the reference's repeated-sweep
+    control flow (binning.py:133-178).  Retained as the bit-exactness
+    oracle for :func:`pava_pool` (the worklist replay below performs the
+    SAME pooling operations in the SAME order; exact float equality is
+    pinned by tests/test_fuzz_parity.py) — O(k * sweeps) = O(k^2) worst
+    case, so the production path is ``pava_pool``.
 
-    Replicates the reference's sweep semantics exactly (binning.py:133-178):
-    repeat full sweeps until one deletes nothing; within a sweep, walk pairs
-    and pool every run of non-decreasing means into its left anchor, using
-    the weighted mean (binning.py:152-153) and the reference's pooled-std
-    conventions (quirk Q12): ``n == 2`` -> population std of the two *means*
-    (binning.py:155-156), else sqrt(weighted mean of variances)
-    (binning.py:158-159).  The surviving group keeps the anchor's value.
+    Sweep semantics: repeat full sweeps until one deletes nothing; within
+    a sweep, walk pairs and pool every run of non-decreasing means into
+    its left anchor, using the weighted mean (binning.py:152-153) and the
+    reference's pooled-std conventions (quirk Q12): ``n == 2`` ->
+    population std of the two *means* (binning.py:155-156), else
+    sqrt(weighted mean of variances) (binning.py:158-159).  The surviving
+    group keeps the anchor's value.
     """
     v = list(map(float, values))
     m = list(map(float, means))
@@ -296,6 +302,98 @@ def pava_pool(values, means, sizes, stds):
         np.asarray(m, dtype=np.float64),
         np.asarray(sz, dtype=np.float64),
         np.asarray(st, dtype=np.float64),
+    )
+
+
+def pava_pool(values, means, sizes, stds):
+    """Pool adjacent groups until means are strictly decreasing in table
+    order — bit-identical to :func:`pava_pool_sweep` (the reference's
+    repeated-sweep transcription, binning.py:133-178) but O(k) total.
+
+    Why a worklist instead of the textbook stack PAVA: the pooled stats
+    are NOT associative under the reference's conventions (float summation
+    order in the weighted mean; the quirk-Q12 ``n == 2`` std special
+    case), and the stack form pools a raised anchor into its LEFT
+    neighbour immediately where the sweep form finishes the anchor's
+    rightward run first — measurably different last-ulp results on ~40%
+    of random draws.  This replay instead executes the sweep algorithm's
+    EXACT operation sequence and merely skips the re-scans that cannot
+    pool: after a sweep, a violating adjacent pair can only sit at
+    ``(prev(y), y)`` where ``y`` is an anchor whose mean rose in that
+    sweep (every other adjacent pair was explicitly verified decreasing
+    at a moment when both sides already had their final sweep values), so
+    the next sweep's walk over the clean spans is a no-op and the
+    candidate list IS the sweep.  Total work is O(k + total pools) vs the
+    sweep's O(k * sweeps) — at ``max_distinct=8192`` that is the
+    difference between ~8k and ~67M interpreter steps inside the fit's
+    Arrow UDF.
+
+    Pooling math (identical expressions, identical operand order):
+    weighted mean (binning.py:152-153); pooled std per quirk Q12 —
+    ``n == 2`` -> population std of the two *means* (binning.py:155-156),
+    else sqrt(weighted mean of variances) (binning.py:158-159); the
+    surviving group keeps the anchor's value.  Exact float equality with
+    ``pava_pool_sweep`` is pinned across the deep fuzz corpus
+    (tests/test_fuzz_parity.py).
+    """
+    k = len(means)
+    v = list(map(float, values))
+    m = list(map(float, means))
+    sz = list(map(float, sizes))
+    st = list(map(float, stds))
+    if k <= 1:
+        return (
+            np.asarray(v, dtype=np.float64),
+            np.asarray(m, dtype=np.float64),
+            np.asarray(sz, dtype=np.float64),
+            np.asarray(st, dtype=np.float64),
+        )
+    nxt = list(range(1, k)) + [k]  # k = end sentinel
+    prv = [-1] + list(range(k - 1))
+    alive = [True] * k
+    # sweep 1 scans every pair; later sweeps only the raised anchors
+    candidates = list(range(1, k))
+    while candidates:
+        new_cands: list[int] = []
+        frontier = -1  # rightmost index whose left pair is verified this sweep
+        for y in candidates:
+            if not alive[y] or y <= frontier:
+                continue  # consumed by an earlier run, or already verified
+            i = prv[y]
+            if i < 0:
+                continue  # list head has no left pair
+            if m[y] < m[i]:
+                frontier = y  # pair (i, y) verified decreasing
+                continue
+            new_cands.append(i)  # anchor's mean rises: recheck next sweep
+            j = y
+            while True:  # pool the run starting at j into anchor i
+                n = sz[j] + sz[i]
+                mm = (sz[j] * m[j] + sz[i] * m[i]) / n
+                if n == 2:
+                    ss = abs(m[j] - m[i]) / 2.0  # np.std of the two means
+                else:
+                    ss = math.sqrt((sz[j] * st[j] ** 2 + sz[i] * st[i] ** 2) / n)
+                sz[i], m[i], st[i] = n, mm, ss
+                alive[j] = False
+                nj = nxt[j]
+                nxt[i] = nj
+                if nj < k:
+                    prv[nj] = i
+                j = nj
+                if j >= k:
+                    frontier = k
+                    break
+                if m[j] < m[i]:
+                    frontier = j  # run ends; pair (i, j) verified
+                    break
+        candidates = new_cands
+    idx = [x for x in range(k) if alive[x]]
+    return (
+        np.asarray([v[x] for x in idx], dtype=np.float64),
+        np.asarray([m[x] for x in idx], dtype=np.float64),
+        np.asarray([sz[x] for x in idx], dtype=np.float64),
+        np.asarray([st[x] for x in idx], dtype=np.float64),
     )
 
 
