@@ -1069,3 +1069,53 @@ def test_remove_repeated_chunks_matches_duckdb_reconstruction(spark):
         == exp["n_chunks_removed"].astype(int).tolist()
     )
     assert got["new_len"].tolist() == exp["new_len"].astype(int).tolist()
+
+
+def test_curate_corpus_simhash_backend_drops_token_identical_variant(spark):
+    """near_dup='simhash' (round-7 verdict #3): a copy with identical
+    token content but different bytes (case/punctuation edits) survives
+    the exact-digest stage yet collapses at hamming 0 in the simhash
+    stage; unrelated prose survives."""
+    from woe_monotonic_binning_spark import curate_corpus
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank", "web"),
+        (2, "the QUICK brown fox jumps over the lazy dog near the river bank!!", "web"),
+        (3, "completely different prose about sailing ships across wide oceans", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_corpus(docs, near_dup="simhash", quality_threshold=0.0)
+    kept = {r.doc_id for r in out.collect()}
+    assert 3 in kept
+    assert len(kept & {1, 2}) == 1  # the token-identical pair collapsed
+
+
+def test_curate_corpus_semantic_backend_drops_paraphrase_by_embedding(spark):
+    """near_dup='semantic': two docs with disjoint wording but
+    near-identical embeddings collapse (the paraphrase case no text-level
+    hash can catch); a missing embedding column is a loud error."""
+    import pytest
+
+    from woe_monotonic_binning_spark import curate_corpus
+
+    rows = [
+        (1, "alpha text about one topic entirely", [1.0, 0.0, 0.0], "web"),
+        (2, "totally unrelated wording, same meaning", [0.999, 0.032, 0.0], "web"),
+        (3, "third document on another subject", [0.0, 1.0, 0.0], "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>, source string"
+    )
+    out = curate_corpus(
+        docs,
+        near_dup="semantic",
+        quality_threshold=0.0,
+        semantic_cells=2,
+        semantic_threshold=0.95,
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert 3 in kept
+    assert len(kept & {1, 2}) == 1  # cosine ~0.9995 pair collapsed
+    no_vec = docs.drop("embedding")
+    with pytest.raises(ValueError, match="embedding"):
+        curate_corpus(no_vec, near_dup="semantic")

@@ -95,19 +95,24 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
 
 
 def test_filter_suite_prunes_and_pushes_down(spark):
-    """The round-5 merged certification slot (SURVEY §2 ops 4/5/6) must keep
-    the plan those three separate queries had: the parquet scan reads ONLY
-    the two referenced columns, the derived-column filters stay above the
-    scan but the whole pre-window pipeline is one codegen'd pass, and the
-    positional anti-drop costs exactly the one window exchange."""
+    """The merged certification slot (SURVEY §2 ops 4/5/6, plus op 10's
+    NULL-keyed aggregate row since round 8) must keep the plan those
+    separate queries had: each union branch's parquet scan reads ONLY its
+    referenced columns (survivor branch: quantity/discount + the target
+    source; NaN-group branch: tax + the target source), the derived-column
+    filters stay above the scan but fused into one codegen'd pass, and
+    the positional anti-drop costs exactly the one window exchange."""
     import queries_catalog as qc
 
     df = qc.SPARK_QUERIES["q_filter_suite"](spark, SF)
-    (cols,) = scan_read_columns(df)
-    assert set(cols) == {"l_quantity", "l_discount"}, cols
+    scans = [set(c) for c in scan_read_columns(df)]
+    assert len(scans) == 2, scans
+    assert {"l_quantity", "l_discount", "l_returnflag"} in scans, scans
+    assert {"l_returnflag", "l_tax"} in scans, scans
     assert python_eval_count(df) == 0
-    # groupBy(l_quantity) + the global row_number window (+AQE reads)
-    assert exchange_count(df) <= 3
+    # branch A: groupBy(l_quantity) + the global row_number window;
+    # branch B: one partial+final global aggregate (+AQE reads)
+    assert exchange_count(df) <= 4
 
 
 def test_exact_dedup_is_single_shuffle(spark):
@@ -407,3 +412,22 @@ def test_token_budget_pays_window_only_for_the_cut_bucket(spark):
     assert len(re.findall(r"\(\d+\)\s+Window\b", plan)) == 1
     assert exchange_count(tight) == 1
     assert python_eval_count(tight) == 0
+
+
+def test_curate_corpus_simhash_path_stays_jvm_side(spark):
+    """The simhash near-dup backend (round-7 verdict #3) composes with
+    the hygiene stages without re-introducing Python eval nodes: the
+    fingerprint is a HOF expression chain, the probe join and keep-best
+    are plain joins/windows."""
+    from woe_monotonic_binning_spark import curate_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = curate_corpus(
+        docs,
+        scrub=True,
+        dedup_lines=True,
+        gopher=True,
+        near_dup="simhash",
+        quality_threshold=0.0,
+    )
+    assert python_eval_count(out) == 0

@@ -393,8 +393,22 @@ def test_streaming_simhash_dedup_drops_near_dups_across_batches(spark, tmp_path)
         nb, bcols, scols = bucket_spec(spark, table)
         assert (nb, bcols, scols) == (4, ["band", "bh"], ["band", "bh"])
         assert spark.table(table).count() == 4 * len(kept)
+        # incremental bucket-cap side table (round-7 verdict #6): the
+        # per-batch updates must land exactly where a full count_distinct
+        # recompute of the posting store would — without the per-batch
+        # full-store aggregation the old plan paid
+        from pyspark.sql import functions as F
+
+        caps = spark.table(f"{table}_caps")
+        recomputed = spark.table(table).groupBy("band", "bh").agg(
+            F.count_distinct("doc_id").alias("n")
+        )
+        assert sorted(map(tuple, caps.collect())) == sorted(
+            map(tuple, recomputed.collect())
+        )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_caps")
         spark.sql(f"DROP TABLE IF EXISTS {table}__compact")
 
 

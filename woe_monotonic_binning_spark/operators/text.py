@@ -170,14 +170,33 @@ def _dup_ngram_char_frac(n: int) -> Column:
         f"i -> array_join(slice(__gw, i, {n}), ' '))"
     )
     sg = f"array_sort({grams})"
-    dup = (
-        f"aggregate(sequence(1, size({sg})), 0L, (acc, i) -> acc + "
-        f"IF((i > 1 AND element_at({sg}, i) = element_at({sg}, i - 1)) "
-        f"OR (i < size({sg}) AND element_at({sg}, i) = element_at({sg}, i + 1)), "
-        f"cast(length(element_at({sg}, i)) as bigint), 0L))"
+    # ONE fold over the sorted array carrying (prev gram, in-run flag, dup
+    # chars, total chars), with the ratio emitted by the finish lambda —
+    # the sorted array is referenced exactly ONCE.  The previous form
+    # indexed it with element_at per position (O(g) textual references,
+    # each re-building and re-sorting the gram array): fine inside a
+    # Project, where whole-stage codegen eliminates the common
+    # subexpression, but catastrophic when the signal is substituted into
+    # a FILTER predicate (predicate pushdown through gopher_filter's
+    # projection) — Spark performs no subexpression elimination in filter
+    # predicates, so each element_at re-evaluated the sort and per-doc
+    # cost went O(g^3) (~1.3 s/doc measured; the curate_corpus gopher
+    # gate never returned at 500 docs).  Run-length accounting: the first
+    # element of a duplicate run adds its own and its predecessor's
+    # length (two members), later members add their own.
+    fold = (
+        f"aggregate({sg}, "
+        "named_struct('prev', cast(null as string), 'run', false, "
+        "'dup', 0L, 'tot', 0L), "
+        "(acc, g) -> named_struct("
+        "'prev', g, "
+        "'run', acc.prev <=> g, "
+        "'dup', acc.dup + IF(acc.prev <=> g, "
+        "cast(length(g) as bigint) + IF(acc.run, 0L, cast(length(acc.prev) as bigint)), 0L), "
+        "'tot', acc.tot + cast(length(g) as bigint)), "
+        "acc -> round(acc.dup / greatest(acc.tot, 1L), 6))"
     )
-    tot = f"aggregate({sg}, 0L, (acc, g) -> acc + cast(length(g) as bigint))"
-    return F.round(F.expr(dup) / F.greatest(F.expr(tot), F.lit(1)), 6)
+    return F.expr(fold)
 
 
 def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:

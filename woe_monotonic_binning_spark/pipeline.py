@@ -17,8 +17,11 @@ Scale posture, stage by stage (the 100 TB read of the plan):
   expressions — they fuse into the scans around them, zero shuffle;
 - exact dedup shuffles 32-byte digests, never text;
 - near-dup defaults to MinHash-LSH (banded, bucket-capped — the linear
-  at-scale path); ``near_dup='jaccard'`` swaps in the oracle-exact blocked
-  all-pairs generator (quadratic per block — for validation runs);
+  at-scale path); ``near_dup='simhash'`` swaps in the 4-band pigeonhole
+  (cheaper state per doc, hamming-bounded edits); ``near_dup='semantic'``
+  runs SemDeDup over an embedding column (cell-blocked cosine pairs);
+  ``near_dup='jaccard'`` the oracle-exact blocked all-pairs generator
+  (quadratic per block — for validation runs);
 - keep-best runs the checkpointed O(log n) component rounds over
   (long, long) state and one window over (component, id, order) triples;
 - the optional write is ONE pass, ``partitionBy(split)`` — the single-pass
@@ -55,6 +58,10 @@ def curate_corpus(
     near_dup: str | None = "minhash",
     near_dup_threshold: float = 0.7,
     block_cols: list[str] | None = None,
+    simhash_max_hamming: int = 3,
+    vec_col: str = "embedding",
+    semantic_threshold: float = 0.95,
+    semantic_cells: int = 16,
     weights: dict[str, float] | None = None,
     source_col: str = "source",
     test_fraction: float = 0.1,
@@ -90,9 +97,26 @@ def curate_corpus(
       Rae et al. acceptance bands (``gopher_thresholds`` to retune; the
       signal/fail-reason columns are dropped after the gate).
 
-    ``near_dup``: ``'minhash'`` (default, at-scale), ``'jaccard'`` (exact
-    blocked all-pairs over ``block_cols``), or ``None`` to skip near-dup
-    entirely.  ``weights=None`` skips source mixing.  ``token_budgets``
+    ``near_dup`` picks the near-duplicate backend (each the certified
+    operator from ``operators/dedup.py``; all feed the same
+    quality-keep-best component resolution):
+
+    - ``'minhash'`` (default) — MinHash-LSH banded pairs at Jaccard >=
+      ``near_dup_threshold``; the general at-scale path;
+    - ``'simhash'`` — 64-bit SimHash pigeonhole pairs at hamming <=
+      ``simhash_max_hamming``; cheaper than MinHash at crawl scale (4
+      band values per doc instead of a signature matrix) and the right
+      sensitivity for lightly-edited re-collections;
+    - ``'semantic'`` — SemDeDup over the ``vec_col`` embedding column
+      (must exist on the input): Lloyd cells of ``semantic_cells``
+      centroids, within-cell cosine pairs >= ``semantic_threshold``,
+      multi-probed across cell boundaries — catches paraphrases that
+      survive every text-level hash;
+    - ``'jaccard'`` — exact blocked all-pairs over ``block_cols``
+      (quadratic per block; validation runs);
+    - ``None`` — skip near-dup entirely.
+
+    ``weights=None`` skips source mixing.  ``token_budgets``
     (optional) caps each named source's token mass AFTER mixing — the
     "fill the recipe to N tokens" step (``select_to_token_budget`` over a
     transient BPE-ish token count); unnamed sources pass through.
@@ -115,9 +139,11 @@ def curate_corpus(
     full-text regex scoring pass plus the digest semi-join — is otherwise
     re-evaluated by the pair generator, both keep-best branches and the
     final projection (~4 corpus passes; measured ~25% of flagship wall
-    time at sf0.1).  The default ``near_dup='minhash'`` stage runs
-    eagerly at call time and fills the cache before this function
-    returns; the ``'jaccard'``/``None`` paths are fully lazy, so there
+    time at sf0.1).  The default ``near_dup='minhash'`` stage (and
+    ``'simhash'``, same cleanup contract) runs eagerly at call time and
+    fills the cache before this function returns; ``'semantic'`` trains
+    its centroids at call time but pairs lazily; the
+    ``'jaccard'``/``None`` paths are fully lazy, so there
     the cache fills at the first action on the result.  Lifecycle: with
     ``output_path`` the write is the pipeline's action and the cache is
     RELEASED before returning (exception-safe) — no leak; without it,
@@ -165,6 +191,30 @@ def curate_corpus(
             uniq, text_col, id_col, threshold=near_dup_threshold
         )
         best = dedup_keep_best(uniq, pairs, id_col, "quality", descending=True)
+    elif near_dup == "simhash":
+        from .operators.dedup import simhash_near_pairs
+
+        pairs = simhash_near_pairs(
+            uniq, text_col, id_col, max_hamming=simhash_max_hamming
+        )
+        best = dedup_keep_best(uniq, pairs, id_col, "quality", descending=True)
+    elif near_dup == "semantic":
+        from .operators.dedup import semantic_dedup
+
+        if vec_col not in uniq.columns:
+            raise ValueError(
+                f"near_dup='semantic' needs the embedding column {vec_col!r} "
+                f"on the input corpus; have {uniq.columns}"
+            )
+        best = semantic_dedup(
+            uniq,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_cells=semantic_cells,
+            threshold=semantic_threshold,
+            order_col="quality",
+            descending=True,
+        )
     elif near_dup == "jaccard":
         pairs = ngram_jaccard_pairs(
             uniq, text_col, id_col, block_cols or [], near_dup_threshold
@@ -173,7 +223,10 @@ def curate_corpus(
     elif near_dup is None:
         best = uniq.withColumn("component", F.col(id_col).cast("long"))
     else:
-        raise ValueError(f"near_dup must be 'minhash', 'jaccard' or None, got {near_dup!r}")
+        raise ValueError(
+            "near_dup must be 'minhash', 'simhash', 'semantic', 'jaccard' "
+            f"or None, got {near_dup!r}"
+        )
     mixed = mix_sources(best, weights, source_col, id_col, seed) if weights else best
     if token_budgets:
         from .operators.sampling import select_to_token_budget

@@ -278,10 +278,15 @@ def streaming_simhash_dedup_against_store(
     ``(band, bh)`` — Spark's co-partitioning check requires the bucket
     columns to line up with the join keys (a bucket spec on a strict
     subset is rejected and the bucketed scan disabled, verified live) —
-    so the per-batch join and the ``max_bucket`` degenerate-band
-    count-filter (same guard as the batch self-join — one 16-bit band
-    value shared by k docs would create k x batch join rows) are both
-    bucket-local; the store is scanned, never shuffled (plan-pinned).
+    so the per-batch join is bucket-local; the store is scanned, never
+    shuffled (plan-pinned).  The ``max_bucket`` degenerate-band guard
+    (one 16-bit band value shared by k docs would create k x batch join
+    rows) reads a tiny INCREMENTAL side table ``<store_table>_caps`` of
+    per-bucket distinct-doc counts — bounded at 4 x 65536 rows by the
+    (band, bh) key space and updated per batch from the written postings
+    (round-7 verdict #6) — instead of re-aggregating the full posting
+    store every micro-batch; a store built before the caps table existed
+    is seeded with one full count_distinct aggregation.
     Compaction: ``sources.io.compact_bucketed_table(spark, store_table,
     distinct=True)`` — replayed POSTING appends are harmless multiplicity
     until then, while the survivor output is effectively-once via the
@@ -299,6 +304,7 @@ def streaming_simhash_dedup_against_store(
         )
 
         spark = batch_df.sparkSession
+        caps_table = f"{store_table}_caps"
         pairs = simhash_near_pairs(
             batch_df, text_col, id_col, max_hamming, max_bucket=max_bucket
         )
@@ -309,18 +315,26 @@ def streaming_simhash_dedup_against_store(
             F.col("sim_bands"),
             F.posexplode("sim_bands").alias("band", "bh"),
         )
+        caps = None
         if spark.catalog.tableExists(store_table):
             store = spark.table(store_table)
-            # distinct doc count, NOT raw posting rows: at-least-once
-            # replays re-append the same postings, and a raw-row count
-            # would let replay multiplicity push a legitimate band over
-            # the cap and silently exclude it from the probe (dedup
-            # recall degrading as a function of replay history)
+            # The per-bucket distinct-doc cap comes from the INCREMENTAL
+            # side table (<= 4 x 65536 rows by construction — (band, bh)
+            # is a 2-bit band index x 16-bit value), maintained below per
+            # batch, NOT from re-aggregating terabytes of postings every
+            # micro-batch (round-7 verdict #6).  A pre-caps store (built
+            # by an older pipeline) is seeded with one full aggregation —
+            # count_distinct, robust to replayed posting multiplicity —
+            # after which the updates are incremental.
+            if spark.catalog.tableExists(caps_table):
+                caps = spark.table(caps_table)
+            else:
+                caps = (
+                    store.groupBy("band", "bh")
+                    .agg(F.count_distinct(id_col).alias("n"))
+                )
             ok_buckets = (
-                store.groupBy("band", "bh")
-                .agg(F.count_distinct(id_col).alias("__n"))
-                .filter(F.col("__n") <= max_bucket)
-                .select("band", "bh")
+                caps.filter(F.col("n") <= max_bucket).select("band", "bh")
             )
             stored = store.join(ok_buckets, ["band", "bh"]).select(
                 "band",
@@ -349,6 +363,32 @@ def streaming_simhash_dedup_against_store(
             .bucketBy(num_buckets, "band", "bh")
             .sortBy("band", "bh")
             .saveAsTable(store_table)
+        )
+        # Incremental cap maintenance: each FRESH doc posts exactly one
+        # row per band, so count(*) of this batch's written postings IS
+        # the distinct-doc increment per bucket.  Replay-safe without
+        # count_distinct: a replayed batch finds its own postings already
+        # in the store, every doc self-matches at hamming 0, fresh is
+        # empty and the increment is zero.  (A crash between the posting
+        # append and this overwrite undercounts by one batch — the safe
+        # direction: an undercounted bucket is probed, never silently
+        # dropped.)  localCheckpoint cuts the lineage reading caps_table
+        # so the overwrite of the same table is legal.
+        add = postings.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
+        if caps is not None:
+            c, a = caps.alias("__c"), add.alias("__a")
+            merged = c.join(a, ["band", "bh"], "full_outer").select(
+                "band",
+                "bh",
+                (
+                    F.coalesce(F.col("__c.n"), F.lit(0))
+                    + F.coalesce(F.col("__a.n"), F.lit(0))
+                ).alias("n"),
+            )
+        else:
+            merged = add
+        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
+            caps_table
         )
         fresh.unpersist()
         fp.unpersist()
