@@ -1,0 +1,64 @@
+"""Bench-host protocol checks (bench.py).
+
+The rep_spread re-run adjudication (BASELINE.md protocol) never fired in
+rounds 6-7 because no query left its band; the round-7 verdict (#7) asks
+for proof the mechanism still works.  This drives the real bench binary
+from a copy directory seeded with a doctored prior artifact, so the flag
+-> fresh-process re-run -> "rerun" record path executes end to end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+
+def test_bench_rerun_adjudication_fires(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shutil.copy(os.path.join(repo, "bench.py"), tmp_path / "bench.py")
+    # doctored prior at the SAME sf: text_stats pinned absurdly fast, so
+    # the current run must exceed the band and trigger the fresh re-run
+    (tmp_path / "BENCH_r99.json").write_text(
+        json.dumps(
+            {
+                "queries": {"text_stats": 0.001},
+                "rep_spread": {"text_stats": 1.0},
+                "sf": 0.001,
+            }
+        )
+    )
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_REPS="1",
+        PYTHONPATH=repo,
+    )
+    env.pop("SPARK_GRAFT_BENCH_ONLY", None)
+    out = subprocess.run(
+        [sys.executable, str(tmp_path / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1500,
+        cwd=str(tmp_path),
+    )
+    payload = None
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            payload = json.loads(line)
+            break
+        except json.JSONDecodeError:
+            continue
+    assert payload is not None, (out.stdout[-2000:], out.stderr[-2000:])
+    assert "rerun" in payload, sorted(payload)
+    rec = payload["rerun"].get("text_stats")
+    assert rec is not None, payload["rerun"]
+    assert rec["orig"] > 0 and rec["fresh"] > 0
+    # the reported figure is the min of the two samples (noise-robust)
+    assert payload["queries"]["text_stats"] == min(
+        round(rec["orig"], 3), round(rec["fresh"], 3)
+    ) or payload["queries"]["text_stats"] <= rec["orig"]
