@@ -42,6 +42,20 @@ TABLES = [
 
 
 def _nanos_fields(path: str) -> list[str]:
+    import os
+
+    if os.path.isdir(path):
+        # Spark-written table: a DIRECTORY of part files (the driver's
+        # testdata ships single files, but any regenerated/scaled dataset
+        # is a directory) — read the schema from the first part file
+        parts = sorted(
+            p
+            for p in os.listdir(path)
+            if p.endswith(".parquet") and not p.startswith(("_", "."))
+        )
+        if not parts:
+            return []
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     return [
         f.name
