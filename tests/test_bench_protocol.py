@@ -58,7 +58,9 @@ def test_bench_rerun_adjudication_fires(tmp_path):
     rec = payload["rerun"].get("text_stats")
     assert rec is not None, payload["rerun"]
     assert rec["orig"] > 0 and rec["fresh"] > 0
-    # the reported figure is the min of the two samples (noise-robust)
+    # the reported figure is the min of the two samples (noise-robust);
+    # exact equality, so a regression back to reporting the original
+    # timing cannot slip through (round-8 review)
     assert payload["queries"]["text_stats"] == min(
         round(rec["orig"], 3), round(rec["fresh"], 3)
-    ) or payload["queries"]["text_stats"] <= rec["orig"]
+    )

@@ -595,3 +595,38 @@ def test_survivor_sink_idempotent_under_forced_batch_replay(spark, tmp_path):
         for r in spark.read.parquet(out).select("_commit_id").distinct().collect()
     }
     assert len(commit_ids) == 2
+
+
+def test_query_token_invariant_to_checkpoint_path_spelling():
+    """Round-8 review: '/data/ckpt' and '/data/ckpt/' are the same
+    checkpoint to Spark, so they must yield the same commit token — a
+    restart script varying the spelling would otherwise duplicate the
+    replayed batch's partition."""
+    from woe_monotonic_binning_spark.streaming.dedup import _query_token
+
+    a = _query_token("/data/ckpt")
+    assert _query_token("/data/ckpt/") == a
+    assert _query_token("/data/ckpt//") == a
+    assert _query_token("/data/other") != a
+    # checkpoint-less queries get a fresh random token per query
+    assert _query_token(None) != _query_token(None)
+
+
+def test_out_layout_guard_rejects_pre_upgrade_append_files(tmp_path):
+    """Round-8 review: an out_path holding root-level parquet files from
+    the pre-_commit_id append-mode sink would fail partition discovery
+    only at READ time — the guard fails at query start with the
+    migration step instead."""
+    import pytest
+
+    from woe_monotonic_binning_spark.streaming.dedup import _check_out_layout
+
+    out = tmp_path / "out"
+    _check_out_layout(str(out))  # absent dir: fine
+    out.mkdir()
+    _check_out_layout(str(out))  # empty dir: fine
+    (out / "_commit_id=abc-0").mkdir()
+    _check_out_layout(str(out))  # partitioned layout: fine
+    (out / "part-00000.parquet").write_bytes(b"")
+    with pytest.raises(ValueError, match="_commit_id=legacy-0"):
+        _check_out_layout(str(out))

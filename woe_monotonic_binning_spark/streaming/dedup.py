@@ -63,11 +63,45 @@ def _query_token(checkpoint_dir: str | None) -> str:
     checkpoint-less queries appending to one ``out_path`` from clobbering
     each other's partitions."""
     import hashlib
+    import os
     import uuid
 
     if checkpoint_dir:
-        return hashlib.sha1(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
+        # Normalise before hashing: '/data/ckpt' and '/data/ckpt/' (or a
+        # relative spelling) are the SAME checkpoint to Spark, and a
+        # restart script varying the spelling must land on the same token
+        # or a replayed batch writes a second partition instead of
+        # overwriting its own (round-8 review)
+        canon = os.path.abspath(checkpoint_dir.rstrip("/") or "/")
+        return hashlib.sha1(canon.encode("utf-8")).hexdigest()[:12]
     return uuid.uuid4().hex[:12]
+
+
+def _check_out_layout(out_path: str) -> None:
+    """Refuse an ``out_path`` holding PRE-partitioned survivor files at
+    its root (written by the append-mode sink this library shipped before
+    the ``_commit_id`` layout): parquet partition discovery over a mix of
+    root-level files and ``_commit_id=`` directories fails with a
+    'conflicting directory structures' error only at READ time — fail
+    loudly at query START instead, with the migration step (round-8
+    review)."""
+    import os
+
+    if not os.path.isdir(out_path):
+        return
+    root_files = [
+        f
+        for f in os.listdir(out_path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    if root_files:
+        raise ValueError(
+            f"out_path {out_path!r} holds {len(root_files)} root-level "
+            "parquet files from the pre-_commit_id append-mode sink; "
+            "partition discovery cannot mix them with _commit_id= "
+            "directories.  Migrate once: move the old files into "
+            f"{out_path}/_commit_id=legacy-0/ and retry"
+        )
 
 
 def _write_survivors_idempotent(
@@ -135,6 +169,7 @@ def streaming_dedup_against_store(
     shuffles the store side and ``compact_digest_store`` bounds the file
     count."""
 
+    _check_out_layout(out_path)
     token = _query_token(checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -205,6 +240,7 @@ def streaming_dedup_against_bucketed_store(
     ``spark.catalog.refreshTable(store_table)`` before reading again, or
     it serves the stale file listing."""
 
+    _check_out_layout(out_path)
     token = _query_token(checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -294,6 +330,7 @@ def streaming_simhash_dedup_against_store(
     and same cloned-session ``refreshTable`` caveat as the digest
     twin."""
 
+    _check_out_layout(out_path)
     token = _query_token(checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
