@@ -101,30 +101,91 @@ def median_prepass(
 ) -> DataFrame:
     """One-row aggregation of the NULL/NaN-fill medians (binning.py:297,302).
 
-    ``impute="exact"`` uses exact ``percentile`` (oracle-identical,
-    distinct-count-bound memory); ``"approx"`` uses ``percentile_approx``
-    (bounded GK sketch, the at-scale path — deviation D7).  ``"auto"``
+    ``impute="exact"`` computes exact medians (oracle-identical) over the
+    DISTINCT-VALUE HISTOGRAM: melt the variables to narrow
+    ``(variable, value)`` pairs, count per pair (a codegen hash aggregate
+    with map-side partials — the shuffle carries distinct pairs, never
+    rows), then ``percentile(value, 0.5, count)`` — Spark's
+    frequency-weighted percentile, identical by definition to the
+    row-expanded exact percentile.  This keeps the exact path
+    distinct-count-bound in COMPUTE as well as memory: the row-level
+    ``percentile(col, 0.5)`` aggregate is a TypedImperativeAggregate
+    (per-partition value map serialized between partial and final — no
+    codegen); the histogram form feeds the final percentile pre-reduced
+    pairs and keeps the partials in codegen (sf1 smoke: 27.8s -> 18.9s
+    for 8 variables over 6M rows; the residual cost is the per-variable
+    value map on genuinely high-cardinality columns — exactly the case
+    ``"auto"`` routes to the sketch).  ``"approx"`` uses
+    ``percentile_approx`` (bounded GK sketch — deviation D7).  ``"auto"``
     probes ``approx_count_distinct`` per variable in one pass and picks
     exact below ``auto_distinct_limit`` distincts, approx above — exact
-    where it is safe, bounded memory where it is not, per variable (a
-    score table routinely mixes low-cardinality ints with raw doubles)."""
+    where it is safe, bounded sketch where even the histogram's distinct
+    pairs would be large, per variable (a score table routinely mixes
+    low-cardinality ints with raw doubles).  Mixed auto mode pays one
+    pass per family (exact melt + approx sketch)."""
     if impute == "auto":
         counts = df.select(
             *[F.approx_count_distinct(v).alias(v) for v in variables]
         ).first()
-        fns = {
-            v: "percentile" if counts[v] <= auto_distinct_limit else "percentile_approx"
-            for v in variables
-        }
+        exact_vars = [v for v in variables if counts[v] <= auto_distinct_limit]
+    elif impute == "exact":
+        exact_vars = list(variables)
     else:
-        fn = "percentile" if impute == "exact" else "percentile_approx"
-        fns = {v: fn for v in variables}
-    return df.select(
-        *[
-            F.expr(f"{fns[v]}(nanvl(`{v}`, cast(NULL as double)), 0.5D)").alias(v)
-            for v in variables
-        ]
-    )
+        exact_vars = []
+    approx_vars = [v for v in variables if v not in exact_vars]
+
+    one_row = []
+    if exact_vars:
+        pairs = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(v).alias("variable"),
+                        F.expr(
+                            f"nanvl(cast(`{v}` as double), cast(NULL as double))"
+                        ).alias("value"),
+                    )
+                    for v in exact_vars
+                ]
+            )
+        ).alias("p")
+        hist = (
+            df.select(pairs)
+            .select("p.variable", "p.value")
+            .where(F.col("value").isNotNull())
+            .groupBy("variable", "value")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        med = hist.groupBy("variable").agg(
+            F.expr("percentile(value, 0.5D, __n)").alias("__m")
+        )
+        # fold the tiny (variable, median) frame to ONE row with a column
+        # per variable; a global agg yields its row even over empty input,
+        # so an all-NULL column reports a NULL median (old behavior)
+        one_row.append(
+            med.agg(
+                *[
+                    F.first(
+                        F.when(F.col("variable") == v, F.col("__m")),
+                        ignorenulls=True,
+                    ).alias(v)
+                    for v in exact_vars
+                ]
+            )
+        )
+    if approx_vars:
+        one_row.append(
+            df.select(
+                *[
+                    F.expr(
+                        f"percentile_approx(nanvl(`{v}`, cast(NULL as double)), 0.5D)"
+                    ).alias(v)
+                    for v in approx_vars
+                ]
+            )
+        )
+    out = one_row[0] if len(one_row) == 1 else one_row[0].crossJoin(one_row[1])
+    return out.select(*variables)
 
 
 def apply_bins(
