@@ -1119,3 +1119,46 @@ def test_curate_corpus_semantic_backend_drops_paraphrase_by_embedding(spark):
     no_vec = docs.drop("embedding")
     with pytest.raises(ValueError, match="embedding"):
         curate_corpus(no_vec, near_dup="semantic")
+
+
+def test_curate_corpus_maximal_composition_executes(spark, tmp_path):
+    """Round-8 lesson: plan-only pins hide execution blow-ups (the gopher
+    filter-predicate hang shipped plan-green for two rounds and only
+    surfaced when the composition was finally EXECUTED).  Run the maximal
+    pipeline — every hygiene stage, decontamination, near-dup, mixing,
+    token budgets, and the partitioned write — end to end on real docs."""
+    from woe_monotonic_binning_spark import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    bench_docs = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    out_path = str(tmp_path / "maximal")
+    got = curate_corpus(
+        docs,
+        scrub=True,
+        dedup_lines=True,
+        dedup_chunks=True,
+        gopher=True,
+        quality_threshold=0.2,
+        near_dup="minhash",
+        near_dup_threshold=0.7,
+        weights={s: 1.0 for s in sources},
+        test_fraction=0.2,
+        token_budgets={sources[0]: 1e9},
+        benchmark=bench_docs,
+        output_path=out_path,
+    )
+    n = got.count()
+    assert 0 < n <= docs.count()
+    written = spark.read.parquet(out_path)
+    assert written.count() == n
+    splits = {r.split for r in written.select("split").distinct().collect()}
+    assert splits <= {"train", "test"} and splits
+    # decontamination really ran: every benchmark doc's text is gone
+    leaked = written.join(
+        bench_docs.select(F.col("text").alias("__bt")),
+        written.text == F.col("__bt"),
+    ).count()
+    assert leaked == 0
