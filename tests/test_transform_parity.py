@@ -124,3 +124,44 @@ def test_transform_woe_values_subset_of_fit(spark, binning_df):
         fitted_woes = set(np.round(bins[bins.variable == var]["woe"].dropna(), 12))
         got = set(np.round(scored[col].dropna().unique(), 12))
         assert got <= fitted_woes, f"{col}: {got - fitted_woes}"
+
+
+def test_median_prepass_histogram_equals_row_level_percentile(spark):
+    """Round-8 guard for the histogram rewrite: the melt -> count ->
+    percentile(value, 0.5, n) exact path must be bit-identical to the
+    row-level percentile it replaced, across NaN/NULL mixes, an all-NULL
+    column, an integer column and ties."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.transform import median_prepass
+
+    rng = random.Random(77)
+    rows = []
+    for i in range(500):
+        a = rng.choice([None, float("nan"), rng.uniform(-5, 5), float(rng.randint(0, 3))])
+        b = rng.randint(-10, 10)
+        c = None  # all-NULL column
+        d = rng.choice([0.25, 0.5, 0.5, 1.75])  # heavy ties
+        rows.append((a, b, c, d))
+    df = spark.createDataFrame(
+        rows, "a double, b int, c double, d double"
+    )
+    variables = ["a", "b", "c", "d"]
+    got = median_prepass(df, variables, "exact").first()
+    exp = df.select(
+        *[
+            F.expr(
+                f"percentile(nanvl(cast(`{v}` as double), cast(NULL as double)), 0.5D)"
+            ).alias(v)
+            for v in variables
+        ]
+    ).first()
+    for v in variables:
+        g, e = got[v], exp[v]
+        if e is None:
+            assert g is None, v
+        else:
+            assert g == e, (v, g, e)  # bit-identical, not approx
+    assert got["c"] is None  # all-NULL column reports NULL median
