@@ -859,3 +859,71 @@ def test_semantic_dedup_multi_probe_catches_cross_cell_pair(spark):
     assert 6 in multi_ids and 7 not in multi_ids  # min-id canonical
     # nothing else was over-merged: all other vectors survive
     assert multi_ids == {0, 1, 2, 4, 6}
+
+
+def test_semi_pruned_join_rejects_prune_unsafe_modes(spark):
+    """Round-8 review: pruning before a left join removes exactly the rows
+    it must keep (NULL-extended), and before a left_anti removes the rows
+    it must return — both must be loud errors, not silent corruption."""
+    import pytest
+
+    from woe_monotonic_binning_spark.operators.joins import semi_pruned_join
+
+    fact = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dim = spark.createDataFrame([(1, "x")], "k long, d string")
+    with pytest.raises(ValueError, match="semi_pruned_join"):
+        semi_pruned_join(fact, dim, "k", how="left")
+    with pytest.raises(ValueError, match="semi_pruned_join"):
+        semi_pruned_join(fact, dim, "k", how="left_anti")
+    assert semi_pruned_join(fact, dim, "k").count() == 1  # inner still fine
+
+
+def test_star_join_drops_redundant_dim_key(spark):
+    """Round-8 review: the dim-side key is redundant after the equi-join
+    and, when its name equals the fact FK, made every later by-name
+    reference ambiguous."""
+    from woe_monotonic_binning_spark.operators.joins import star_join
+
+    fact = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 5.0)], "custkey long, amt double")
+    dim = spark.createDataFrame([(1, "GOLD"), (2, "SILVER")], "custkey long, tier string")
+    out = star_join(fact, {"custkey": (dim, "custkey")})
+    assert out.columns.count("custkey") == 1  # no duplicate column
+    rows = {r.custkey: r.tier for r in out.select("custkey", "tier").collect()}
+    assert rows == {1: "GOLD", 2: "SILVER", 3: None}  # left semantics kept
+
+
+def test_asof_join_accepts_epoch_right_ts(spark):
+    """Round-8 review: a bigint epoch right_ts made the union's payload
+    struct types incompatible (__ts:timestamp vs __ts:bigint)."""
+    from woe_monotonic_binning_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, lts string"
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    import datetime
+
+    ts = int(datetime.datetime(2024, 1, 1, 9, 0, tzinfo=datetime.timezone.utc).timestamp())
+    right = spark.createDataFrame(
+        [(1, ts, "early"), (1, ts + 7200, "late")], "k long, rts long, tag string"
+    )
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    assert len(out) == 1
+    assert out[0]["tag"] == "early"  # 09:00 <= 10:00 < 11:00
+
+
+def test_pack_sequences_null_tokens_and_bad_shards_are_loud(spark):
+    """Round-8 review: a NULL token count used to kill the packing stage
+    with int(NaN) deep inside pandas; n_shards <= 0 reached pmod(x, 0)."""
+    import pytest
+
+    from woe_monotonic_binning_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 50)], "doc_id long, stat_tokens long"
+    )
+    with pytest.raises(Exception, match="NULL|not castable"):
+        pack_sequences(docs, budget=512).count()
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_sequences(docs.na.drop(), budget=512, n_shards=0)
+    ok = pack_sequences(docs.na.drop(), budget=512)
+    assert ok.count() == 2

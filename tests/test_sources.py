@@ -213,3 +213,57 @@ def test_unsupported_format_raises(spark, nation, tmp_path):
         write_table(nation, str(tmp_path / "x"), fmt="avro")
     with pytest.raises(ValueError, match="unsupported format"):
         read_table(spark, str(tmp_path / "x"), fmt="xml")
+
+
+def test_zorder_key_tolerates_nan_rejects_inf(spark):
+    """Round-8 review: a NaN in a cluster column made the column max NaN,
+    whose repr interpolated into the generated SQL as the bare identifier
+    `nan` (UNRESOLVED_COLUMN at write time).  NaNs now cluster with the
+    NULLs at the column minimum; infinities raise a clear error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.sources.io import zorder_key
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (9.0,), (None,)], "x double"
+    )
+    keys = df.withColumn("zk", zorder_key(df, ["x"])).select("x", "zk").collect()
+    by_x = {("nan" if r.x != r.x else r.x) if r.x is not None else None: r.zk for r in keys}
+    # NaN and NULL both map to the column minimum's key
+    assert by_x["nan"] == by_x[None] == by_x[1.0]
+    assert by_x[9.0] > by_x[1.0]  # range scaling still intact
+    inf_df = spark.createDataFrame([(1.0,), (float("inf"),)], "x double")
+    with pytest.raises(ValueError, match="non-finite"):
+        zorder_key(inf_df, ["x"])
+
+
+def test_compact_bucketed_table_preserves_provider(spark, tmp_path):
+    """Round-8 review: compaction defaulted to parquet regardless of the
+    table's actual provider, silently converting an ORC table's storage
+    format under a maintenance pass."""
+    name = "wmb_test_orc_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"DROP TABLE IF EXISTS {name}__compact")
+    try:
+        df = spark.range(100).withColumnRenamed("id", "k")
+        (
+            df.repartition(4, "k")
+            .write.mode("overwrite")
+            .format("orc")
+            .bucketBy(4, "k")
+            .sortBy("k")
+            .saveAsTable(name)
+        )
+        from woe_monotonic_binning_spark.sources.io import compact_bucketed_table
+
+        compact_bucketed_table(spark, name, distinct=True)
+        info = {
+            r.col_name.strip(): (r.data_type or "").strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+        }
+        assert info.get("Provider", "").lower() == "orc", info.get("Provider")
+        assert spark.table(name).count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}__compact")

@@ -163,3 +163,65 @@ def test_terminal_event_splits_sessions(spark, events_path):
         sessionize_stream(read_events_stream(spark, events_path)), "t_sessions_plain"
     )
     assert out.agg(F.sum("n_events")).first()[0] >= plain.agg(F.sum("n_events")).first()[0]
+
+
+def test_out_of_order_later_batch_does_not_regress_session_envelope():
+    """Round-8 review: an above-watermark event arriving in a LATER
+    micro-batch with an EARLIER ts must extend the carried session's
+    envelope via min/max, not overwrite start/last with the batch's own
+    extremes — a regressed last both mis-reports session_end and sets an
+    event-time timeout below the watermark (a state-store error)."""
+    import pandas as pd
+
+    from woe_monotonic_binning_spark.streaming.stateful import _sessionize
+
+    gap_ms = 30 * 60 * 1000
+    fn = _sessionize(gap_ms, "logout")
+    st = _FakeState()
+
+    def run_batch(specs):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1] * len(specs),
+                "ts": pd.to_datetime([t for t, _, _ in specs]),
+                "value": [v for _, v, _ in specs],
+                "event_type": [e for _, _, e in specs],
+            }
+        )
+        return pd.concat(list(fn((1,), iter([pdf]), st)), ignore_index=True)
+
+    def ms(t):
+        return int(pd.Timestamp(t).value // 1_000_000)
+
+    run_batch([("2024-01-01 10:00:00", 1.0, "click")])
+    start0, last0, n0, tot0 = st.get
+    assert (start0, last0, n0, tot0) == (ms("2024-01-01 10:00:00"),) * 2 + (1, 1.0)
+
+    # late (but above-watermark) event lands in the NEXT batch
+    run_batch([("2024-01-01 09:50:00", 2.0, "click")])
+    start1, last1, n1, tot1 = st.get
+    assert last1 == last0, "session_end regressed on an out-of-order event"
+    assert start1 == ms("2024-01-01 09:50:00")  # start extended backward
+    assert (n1, tot1) == (2, 3.0)
+    assert st.timeout == last0 + gap_ms  # timeout basis did not regress
+
+    # terminal in a third batch, also before the carried last: the emitted
+    # envelope is [min start, max last]
+    out = run_batch([("2024-01-01 09:55:00", 4.0, "logout")])
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["session_start"] == pd.Timestamp("2024-01-01 09:50:00")
+    assert row["session_end"] == pd.Timestamp("2024-01-01 10:00:00")
+    assert row["n_events"] == 3 and row["total_value"] == 7.0
+    assert not st.exists
+
+
+def test_calendar_interval_rejected(spark):
+    """Round-8 review: '1 month' silently resolved to January-anchored 31
+    days; calendar units must raise."""
+    from woe_monotonic_binning_spark.streaming.stateful import _interval_ms
+
+    for bad in ("1 month", "2 years", "1 YEAR 3 days"):
+        with pytest.raises(ValueError, match="calendar"):
+            _interval_ms(spark, bad)
+    assert _interval_ms(spark, "90 minutes") == 90 * 60 * 1000

@@ -51,8 +51,13 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    # __ts cast to timestamp INSIDE the struct: the left side's NULL
+    # payload declares __ts:timestamp, and an epoch-typed right_ts (which
+    # __t's cast below explicitly supports) would otherwise make the
+    # union's struct types incompatible (round-8 review)
     payload = F.struct(
-        F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols]
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        *[F.col(c) for c in right_cols],
     ).alias("__payload")
 
     l_side = left.select(
@@ -118,7 +123,10 @@ def star_join(
     """
     out = fact
     for fk, (dim, dk) in dims.items():
-        out = out.join(F.broadcast(dim), out[fk] == dim[dk], "left")
+        # drop the dim-side key after the equi-join: it is redundant with
+        # the fact FK and, when the names collide, every later by-name
+        # reference to the key becomes AMBIGUOUS_REFERENCE (round-8 review)
+        out = out.join(F.broadcast(dim), out[fk] == dim[dk], "left").drop(dim[dk])
     return out
 
 
@@ -145,7 +153,18 @@ def semi_pruned_join(
     Use when |dim keys| fits a broadcast (tens of millions of longs).  If
     the dim is outright small, a plain ``F.broadcast`` join needs no prune;
     if the dim is huge AND unselective, nothing prunes — shuffle both.
+
+    Only ``inner`` (and the degenerate ``left_semi``) are supported: the
+    prune removes exactly the fact rows a ``left`` join must KEEP (they
+    would surface with NULL dim columns) and a ``left_anti`` must RETURN —
+    pruning first silently corrupts both (round-8 review).
     """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            "semi_pruned_join supports how='inner' (or 'left_semi'); the "
+            f"prune drops rows {how!r} semantics must keep — join without "
+            "the prune instead"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     key_set = dim.select(*keys).distinct()
     pruned = fact.join(F.broadcast(key_set), keys, "left_semi")

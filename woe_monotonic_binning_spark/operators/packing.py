@@ -49,6 +49,10 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        # would reach pmod(x, 0) — an ANSI DIVIDE_BY_ZERO mid-stage under
+        # Spark 4, NULL shards + a NaN crash otherwise (round-8 review)
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
     slim = df.select(
         F.col(id_col).alias("id"),
         F.col(token_col).cast("long").alias("tokens"),
@@ -57,9 +61,20 @@ def pack_sequences(
         .alias("shard"),
     )
 
+
     def _bfd(pdf: pd.DataFrame) -> pd.DataFrame:
         import bisect
 
+        # A NULL token count (NULL input, or a non-numeric value the
+        # cast nulled) arrives here as float64 NaN, and int(NaN) would
+        # kill the stage with no culprit named (round-8 review) — fail
+        # loudly with the offending ids instead, at zero extra scan cost.
+        if pdf["tokens"].isna().any():
+            bad_ids = pdf.loc[pdf["tokens"].isna(), "id"].head(5).tolist()
+            raise ValueError(
+                "token column is NULL (or not castable to long) for ids "
+                f"{bad_ids}; filter or fill token counts before packing"
+            )
         pdf = pdf.sort_values(
             ["tokens", "id"], ascending=[False, True], kind="mergesort"
         ).reset_index(drop=True)
@@ -102,16 +117,23 @@ def pack_sequences(
     return packed.withColumnRenamed("id", id_col)
 
 
+def _per_pack(packed: DataFrame) -> DataFrame:
+    """The shared pack-level aggregation both telemetry surfaces fold —
+    one definition so pack accounting cannot silently diverge between
+    them (round-8 review)."""
+    return packed.groupBy("pack_id").agg(
+        F.sum("tokens").alias("pack_tokens"),
+        F.count("*").alias("n_docs"),
+        F.max(F.col("oversize").cast("int")).alias("oversize"),
+    )
+
+
 def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
     """One row of packing-efficiency telemetry: pack count, docs/pack, and
     token utilisation over non-oversize packs (padding waste is
     ``1 - utilization`` — the number a training-throughput dashboard
     watches)."""
-    per_pack = packed.groupBy("pack_id").agg(
-        F.sum("tokens").alias("pack_tokens"),
-        F.count("*").alias("n_docs"),
-        F.max(F.col("oversize").cast("int")).alias("oversize"),
-    )
+    per_pack = _per_pack(packed)
     return per_pack.agg(
         F.count("*").alias("n_packs"),
         F.sum("n_docs").alias("n_docs"),
@@ -187,11 +209,7 @@ def pack_shard_stats(packed: DataFrame, budget: int) -> DataFrame:
     then shard-level; the median is exact ``percentile`` over the
     shard's pack utilizations — groups are pack-counts-sized, bounded by
     the same shard-memory knob as packing itself)."""
-    per_pack = packed.groupBy("pack_id").agg(
-        F.sum("tokens").alias("pack_tokens"),
-        F.count("*").alias("n_docs"),
-        F.max(F.col("oversize").cast("int")).alias("oversize"),
-    )
+    per_pack = _per_pack(packed)
     util = per_pack.withColumn(
         "shard", F.expr(f"pack_id div {_SHARD_STRIDE}L")  # integer division
     ).withColumn(

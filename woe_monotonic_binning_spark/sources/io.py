@@ -122,7 +122,7 @@ def compact_bucketed_table(
     spark: SparkSession,
     table_name: str,
     distinct: bool = False,
-    fmt: str = "parquet",
+    fmt: str | None = None,
 ) -> None:
     """Rewrite a bucketed table down to ONE file per bucket (optionally
     dropping duplicate rows), preserving its bucket/sort spec.
@@ -144,8 +144,18 @@ def compact_bucketed_table(
     source table is never read and overwritten in the same plan.  Not
     transactional (a crash between DROP and RENAME loses the name, though
     the staging data survives); a production deployment on Delta/Iceberg
-    gets real OPTIMIZE/compaction transactions instead."""
+    gets real OPTIMIZE/compaction transactions instead.
+
+    ``fmt=None`` (default) reads the table's own catalog Provider, so
+    compacting an ORC table cannot silently rewrite it as parquet
+    (round-8 review); pass an explicit format only to convert."""
     n, bucket_cols, sort_cols = bucket_spec(spark, table_name)
+    if fmt is None:
+        info = {
+            r.col_name.strip(): (r.data_type or "").strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
+        }
+        fmt = (info.get("Provider") or "parquet").lower()
     df = spark.table(table_name)
     if distinct:
         df = df.distinct()
@@ -192,20 +202,33 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
             "of a BIGINT key (max 63 columns)"
         )
     hi = (1 << bits) - 1
+    # NaNs are excluded from the range stats (Spark's max sorts NaN above
+    # everything — a single NaN made mx=NaN, whose repr interpolates into
+    # the SQL below as the bare identifier `nan` and the write died with
+    # UNRESOLVED_COLUMN; round-8 review) and NaN values cluster with the
+    # NULLs at the column minimum.
+    nv = lambda c: f"nanvl(cast(`{c}` as double), cast(NULL as double))"  # noqa: E731
     stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+        *[F.min(F.expr(nv(c))).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.expr(nv(c))).alias(f"mx_{i}") for i, c in enumerate(cols)],
     ).first()
     k = len(cols)
     parts: list[str] = []
+    import math as _math
+
     for j, c in enumerate(cols):
         mn, mx = stats[f"mn_{j}"], stats[f"mx_{j}"]
         if mn is None:  # all-null column contributes nothing to the key
             continue
+        if not (_math.isfinite(mn) and _math.isfinite(mx)):
+            raise ValueError(
+                f"zorder_key: column {c!r} has a non-finite range "
+                f"({mn}, {mx}); filter or clip infinities before clustering"
+            )
         span = (mx - mn) or 1.0
         scaled = (
             f"cast(greatest(0L, least({hi}L, floor("
-            f"(coalesce(cast(`{c}` as double), {mn!r}) - {mn!r}) / {span!r} * {hi}"
+            f"(coalesce({nv(c)}, {mn!r}) - {mn!r}) / {span!r} * {hi}"
             f"))) as bigint)"
         )
         # spread bit i of dimension j to position i*k + j of the key

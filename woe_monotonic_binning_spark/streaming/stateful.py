@@ -38,6 +38,16 @@ def _interval_ms(spark, text: str) -> int:
     the Spark parse error for unsupported text, and rejects non-positive or
     calendar (year/month) intervals, whose millisecond length is undefined.
     """
+    import re
+
+    if re.search(r"\b(year|month)", text, re.IGNORECASE):
+        # a calendar interval added to epoch 0 resolves to January-anchored
+        # day counts — an arbitrary number the docstring's contract rejects
+        # (round-8 review: '1 month' previously slipped through as 31 days)
+        raise ValueError(
+            f"interval {text!r} must be a positive day-time duration; "
+            "calendar units (year/month) have no fixed millisecond length"
+        )
     try:
         row = (
             spark.range(1)
@@ -111,6 +121,16 @@ def _sessionize(gap_ms: int, terminal_event: str | None):
                     start_ms, last_ms = None, None
                     n, total = 0, 0.0
                 carry_open = last_ms is not None
+                # Carried extremes are folded with min/max, NOT overwritten:
+                # an above-watermark event can arrive in a LATER micro-batch
+                # with a ts before the carried session's last (or start),
+                # and taking the batch's own extremes would regress
+                # session_end / the timeout basis — a timeout below the
+                # watermark is also a hard error in the state store
+                # (round-8 review).  The carried state holds aggregates,
+                # not the event list, so the merged segment's internal gap
+                # structure is approximated — its envelope is exact.
+                carried_start, carried_last = start_ms, last_ms
                 close = term.copy()
                 close[:-1] |= (ts[1:] - ts[:-1]) > gap_ms
                 why = np.where(term, "terminal", "gap")
@@ -121,19 +141,25 @@ def _sessionize(gap_ms: int, terminal_event: str | None):
                     seg_n = e - seg_start + 1
                     seg_total = cs[e + 1] - cs[seg_start]
                     if seg_start == 0 and carry_open:
-                        s_ms, seg_n, seg_total = start_ms, seg_n + n, seg_total + total
+                        s_ms = min(int(carried_start), int(ts[0]))
+                        e_ms = max(int(carried_last), int(ts[e]))
+                        seg_n, seg_total = seg_n + n, seg_total + total
                     else:
                         s_ms = int(ts[seg_start])
-                    emit(int(s_ms), int(ts[e]), int(seg_n), float(seg_total), str(why[e]))
+                        e_ms = int(ts[e])
+                    emit(int(s_ms), int(e_ms), int(seg_n), float(seg_total), str(why[e]))
                     seg_start = e + 1
                 if seg_start < m:  # trailing open segment -> new state
                     t_n = m - seg_start
                     t_total = cs[m] - cs[seg_start]
                     if seg_start == 0 and carry_open:
                         t_n, t_total = t_n + n, t_total + total
+                        start_ms = min(int(carried_start), int(ts[0]))
+                        last_ms = max(int(carried_last), int(ts[-1]))
                     else:
                         start_ms = int(ts[seg_start])
-                    last_ms, n, total = int(ts[-1]), int(t_n), float(t_total)
+                        last_ms = int(ts[-1])
+                    n, total = int(t_n), float(t_total)
                 else:
                     start_ms, last_ms = None, None
                     n, total = 0, 0.0
