@@ -1050,21 +1050,24 @@ def q_sim_search(spark, sf_dir):
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wlabel,
            event_type, count(*) AS n_events,
            ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value,
-           count(DISTINCT user_id) AS n_users
+           count(DISTINCT user_id) AS n_users,
+           CAST(0 AS BIGINT) AS gid
     FROM events GROUP BY 1, 2, 3
     UNION ALL
     SELECT 'sliding' AS kind,
            strftime(window_start, '%Y-%m-%d %H:%M:%S') AS wlabel,
            event_type, count(*) AS n_events,
            ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value,
-           CAST(NULL AS BIGINT) AS n_users
+           CAST(NULL AS BIGINT) AS n_users,
+           CAST(0 AS BIGINT) AS gid
     FROM sl GROUP BY 1, 2, 3
     UNION ALL
     SELECT 'rollup' AS kind,
            strftime(date_trunc('day', ts), '%Y-%m-%d') AS wlabel,
            event_type, count(*) AS n_events,
            ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value,
-           CAST(NULL AS BIGINT) AS n_users
+           CAST(NULL AS BIGINT) AS n_users,
+           CAST(GROUPING(event_type) * 2 + GROUPING(wlabel) AS BIGINT) AS gid
     FROM events GROUP BY ROLLUP (event_type, wlabel)
     """,
 )
@@ -1085,6 +1088,7 @@ def q_events_window_suite(spark, sf_dir):
         "n_events",
         "total_value",
         "n_users",
+        F.lit(0).cast("long").alias("gid"),
     )
     sliding = sliding_agg(ev).select(
         F.lit("sliding").alias("kind"),
@@ -1093,6 +1097,7 @@ def q_events_window_suite(spark, sf_dir):
         "n_events",
         "total_value",
         F.lit(None).cast("long").alias("n_users"),
+        F.lit(0).cast("long").alias("gid"),
     )
     rollup = event_rollup(ev).select(
         F.lit("rollup").alias("kind"),
@@ -1101,6 +1106,7 @@ def q_events_window_suite(spark, sf_dir):
         "n_events",
         "total_value",
         F.lit(None).cast("long").alias("n_users"),
+        F.col("grouping_id").cast("long").alias("gid"),
     )
     return tumbling.unionByName(sliding).unionByName(rollup)
 

@@ -135,3 +135,67 @@ def test_unpack_woe_forwards(spark, binning_df):
     a = unpack_woe((binning_df, "target", "x_mono_up", 100)).toPandas()
     b = woe_binning(binning_df, "target", "x_mono_up", 100).toPandas()
     assert a.equals(b)
+
+
+def test_quantize_cap_counts_only_non_null_distincts(spark):
+    """Round-8 review: the distinct-count gate counted the NULL
+    missing-group summary row, so a variable with exactly max_distinct
+    non-null distincts plus NULLs was wrongly quantized instead of
+    re-aggregating to itself bit-identically."""
+    import pandas as pd
+
+    from woe_monotonic_binning_spark.fit import quantize_summary
+
+    rows = [("x", float(v), 10.0 - (v % 3), 1.0, 1.0) for v in range(8)]
+    rows.append(("x", None, 5.0, 2.0, 2.0))  # the missing group
+    summary = spark.createDataFrame(
+        rows, "variable string, value double, size double, bads double, sumsq double"
+    )
+    out = quantize_summary(summary, max_distinct=8).toPandas()
+    # 8 non-null distincts == cap: NOT over, so values survive verbatim
+    got_vals = sorted(v for v in out["value"] if pd.notna(v))
+    assert got_vals == [float(v) for v in range(8)]
+    assert len(out) == 9
+
+
+def test_merge_bins_survives_row_reorder_and_rejects_multi_variable(spark):
+    """Round-8 review: positional bins_index over an arbitrarily-ordered
+    Spark frame addressed the wrong rows; a reordered frame is now
+    reconstructed (ascending, missing last) with a warning, and a
+    multi-variable frame is rejected."""
+    import warnings as _warnings
+
+    import pandas as pd
+    import pytest
+
+    from woe_monotonic_binning_spark.fit import merge_bins
+
+    pdf = pd.DataFrame(
+        {
+            "variable": ["x"] * 3,
+            "interval_start_include": [0.0, 1.0, 2.0],
+            "interval_end_exclude": [1.0, 2.0, 3.0],
+            "size": [10.0, 20.0, 30.0],
+            "mean": [0.2, 0.2, 0.2],
+            "bads": [2.0, 4.0, 6.0],
+            "goods": [8.0, 16.0, 24.0],
+            "dist_good": [0.1, 0.2, 0.3],
+            "dist_bad": [0.1, 0.2, 0.3],
+            "woe": [0.5, 0.1, -0.4],
+            "iv_components": [0.1, 0.1, 0.1],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    ordered = merge_bins(sdf, [0, 1]).toPandas()
+    # shuffle the row order: same logical table, reordered partitions
+    shuffled = spark.createDataFrame(pdf.iloc[[2, 0, 1]])
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        re_ordered = merge_bins(shuffled, [0, 1]).toPandas()
+    assert any("fit order" in str(x.message) for x in w)
+    assert sorted(map(tuple, ordered.values.tolist())) == sorted(
+        map(tuple, re_ordered.values.tolist())
+    )
+    two = pd.concat([pdf, pdf.assign(variable="y")], ignore_index=True)
+    with pytest.raises(ValueError, match="single variable"):
+        merge_bins(spark.createDataFrame(two), [0, 1])

@@ -927,3 +927,72 @@ def test_pack_sequences_null_tokens_and_bad_shards_are_loud(spark):
         pack_sequences(docs.na.drop(), budget=512, n_shards=0)
     ok = pack_sequences(docs.na.drop(), budget=512)
     assert ok.count() == 2
+
+
+def test_zero_norm_embedding_excluded_not_rank_one(spark):
+    """Round-8 review: cosine 0/0 gave NaN, which Spark ranks ABOVE every
+    real cosine — an all-zero embedding surfaced as the rank-1 neighbor of
+    every query and passed >= threshold filters.  try_divide yields NULL:
+    sorted last, fails every threshold."""
+    from woe_monotonic_binning_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 0.0]),  # degenerate
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 1), k=2).collect()
+    ranks = {r.rank: r.neighbor_id for r in out}
+    assert ranks[1] == 2  # the real neighbor, not the zero vector
+    zero_rows = [r for r in out if r.neighbor_id == 3]
+    assert all(r.cosine is None for r in zero_rows)
+
+
+def test_srp_band_parameters_validated(spark):
+    """Round-8 review: a non-dividing n_bands silently dropped trailing
+    hyperplane bits; n_bands > n_bits crashed with an unrelated
+    AttributeError.  Both are loud ValueErrors now; empty corpora get a
+    clear dim-inference error."""
+    import pytest
+
+    from woe_monotonic_binning_spark.operators.similarity import srp_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="divide"):
+        srp_topk(emb, emb, k=1, n_bits=32, n_bands=6)
+    with pytest.raises(ValueError, match="divide"):
+        srp_topk(emb, emb, k=1, n_bits=8, n_bands=16)
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="dim"):
+        srp_topk(empty, emb, k=1)
+
+
+def test_event_rollup_grouping_id_disambiguates_null_keys(spark):
+    """Round-8 review: a subtotal row's NULL event_type was byte-identical
+    to a genuine NULL event_type data row; grouping_id tells them apart."""
+    from woe_monotonic_binning_spark.operators.windows import event_rollup
+
+    rows = [
+        (None, "2024-01-01 10:00:00", 1.0),
+        ("click", "2024-01-01 11:00:00", 2.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = event_rollup(ev).collect()
+    data_null = [
+        r for r in out if r.event_type is None and r.day is not None and r.grouping_id == 0
+    ]
+    # the NULL-event_type GROUP's subtotal: event_type None AND day None,
+    # told apart from the grand total only by grouping_id
+    null_group_subtotal = [
+        r for r in out if r.event_type is None and r.day is None and r.grouping_id == 1
+    ]
+    grand = [r for r in out if r.grouping_id == 3]
+    assert len(data_null) == 1 and data_null[0].n_events == 1
+    assert len(null_group_subtotal) == 1 and null_group_subtotal[0].n_events == 1
+    assert len(grand) == 1 and grand[0].n_events == 2
+    assert grand[0].event_type is None and grand[0].day is None  # same keys!

@@ -136,7 +136,13 @@ def quantize_summary(
         .localCheckpoint(eager=True)
     )
     sub = rp.groupBy("variable", "__pid").agg(
-        F.sum(nn_size).alias("__ptot"), F.count("*").alias("__pk")
+        F.sum(nn_size).alias("__ptot"),
+        # count NON-NULL distinct values only: the missing-group summary
+        # row is not a distinct value, and counting it pushed a variable
+        # with exactly max_distinct non-null distincts plus NULLs over the
+        # cap — quantizing a variable fit_bins promises re-aggregates to
+        # itself bit-identically (round-8 review)
+        F.count("value").alias("__pk"),
     )
     w_off = Window.partitionBy("variable").orderBy("__pid")
     wp = Window.partitionBy("variable")
@@ -360,12 +366,55 @@ def merge_bins(bins, bins_index: list[int]):
     lo, hi = idx[0], idx[-1]
 
     def _merge_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["variable"].nunique() > 1:
+            # positional indices are only meaningful within ONE variable's
+            # frame; merging across variables would silently relabel rows
+            # under iloc[0]'s variable (round-8 review)
+            raise ValueError(
+                "merge_bins takes a single variable's bins; got "
+                f"{sorted(pdf['variable'].unique())} — filter first"
+            )
         return _algo.merge_bins_rows(pdf.reset_index(drop=True), lo, hi)
 
     if isinstance(bins, pd.DataFrame):
         return _merge_pdf(bins)
     spark = bins.sparkSession
-    merged = _merge_pdf(bins.toPandas())
+    pdf = bins.toPandas()
+    # Spark guarantees NO row order: a bins table round-tripped through
+    # parquet (or any reordering plan) arrives in arbitrary partition
+    # order, and positional indices would then address the wrong bins
+    # (round-8 review).  A freshly-fit frame's order is a contiguous
+    # interval chain (ascending or descending) with the missing row last —
+    # keep such an order verbatim (reference display-order semantics for
+    # both directions); otherwise reconstruct ascending interval order,
+    # missing row last, and warn that positions now address THAT order.
+    clean = pdf.dropna(subset=["interval_start_include"])
+    starts = clean["interval_start_include"].to_numpy()
+    ends = clean["interval_end_exclude"].to_numpy()
+    chained = len(clean) <= 1 or (
+        (starts[1:] == ends[:-1]).all() or (ends[1:] == starts[:-1]).all()
+    )
+    missing_last = clean.index.max() <= len(pdf) - 1 and (
+        pdf.index.difference(clean.index) >= clean.index.max()
+    ).all() if len(clean) else True
+    if not (chained and missing_last):
+        import warnings
+
+        warnings.warn(
+            "merge_bins received a bins DataFrame whose rows are not in "
+            "fit order (reordered by a shuffle or a file round-trip); "
+            "reordering to ascending intervals with the missing row last "
+            "— bins_index positions address that order",
+            stacklevel=2,
+        )
+        pdf = pd.concat(
+            [
+                clean.sort_values("interval_start_include"),
+                pdf[pdf["interval_start_include"].isna()],
+            ],
+            ignore_index=True,
+        )
+    merged = _merge_pdf(pdf)
     return spark.createDataFrame(merged, schema=BINS_SCHEMA_DDL)
 
 

@@ -23,7 +23,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine of the angle between ``a`` and ``b``; NULL when either
+    vector has zero norm (no defined direction).  ``try_divide``, not
+    ``/``: a plain 0/0 yields NaN (or a hard ANSI error), and Spark ranks
+    NaN ABOVE every real number — an all-zero embedding would surface as
+    the rank-1 neighbor of every query and pass ``>= threshold`` filters
+    (round-8 review).  NULL instead sorts last under ``desc()`` and fails
+    every threshold comparison, so degenerate vectors drop out of
+    similarity results rather than dominating them."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def l2_distance(a: Column, b: Column) -> Column:

@@ -58,12 +58,7 @@ def brute_force_topk(
             F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def train_centroids(
@@ -144,6 +139,39 @@ def assign_cells(
     )
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail: (cosine desc, neighbor_id) deterministic rank,
+    keep rank <= k — one definition for the four serving paths (round-8
+    review: the tie-break policy must not drift between them)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _query_probes(q: DataFrame, cdf: DataFrame, n_probe: int) -> DataFrame:
+    """Shared probe construction: each query's n_probe nearest cells by
+    centroid cosine (deterministic tiebreak on cell id)."""
+    q_cells = q.crossJoin(F.broadcast(cdf)).select(
+        "query_id",
+        "q_vec",
+        "cell",
+        cosine_similarity(
+            F.col("q_vec").cast("array<double>"), F.col("c_vec")
+        ).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    return (
+        q_cells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -160,18 +188,7 @@ def ivf_topk(
     assigned = assign_cells(corpus, centroids, vec_col, id_col)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    q_cells = q.crossJoin(F.broadcast(cdf)).select(
-        "query_id",
-        "q_vec",
-        "cell",
-        cosine_similarity(F.col("q_vec").cast("array<double>"), F.col("c_vec")).alias("sim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))
-    probes = (
-        q_cells.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_vec", "cell")
-    )
+    probes = _query_probes(q, cdf, n_probe)
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -181,12 +198,7 @@ def ivf_topk(
             F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def save_ivf_index(
@@ -237,18 +249,7 @@ def ivf_topk_index(
     assigned = spark.read.parquet(f"{path}/assigned")
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    q_cells = q.crossJoin(F.broadcast(cdf)).select(
-        "query_id",
-        "q_vec",
-        "cell",
-        cosine_similarity(F.col("q_vec").cast("array<double>"), F.col("c_vec")).alias("sim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))
-    probes = (
-        q_cells.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_vec", "cell")
-    )
+    probes = _query_probes(q, cdf, n_probe)
     # Only the DISTINCT probed cell ids come to the driver (bounded by
     # n_cells, never by |queries|): the IN-list makes the pruning static
     # (visible as PartitionFilters in the scan).  The probe rows themselves —
@@ -268,12 +269,7 @@ def ivf_topk_index(
             F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def srp_hyperplanes(dim: int, n_bits: int = 16, seed: int = 42) -> list[list[float]]:
@@ -305,6 +301,15 @@ def _srp_bands(
     candidate-pair dedup downstream.
     """
     n_bits = len(planes)
+    if n_bands <= 0 or n_bits % n_bands != 0:
+        # a remainder silently DROPPED trailing hyperplane bits from every
+        # band (recall/pruning deviated from the documented curve), and
+        # n_bands > n_bits produced 0-bit bands that crashed with an
+        # unrelated AttributeError (round-8 review)
+        raise ValueError(
+            f"n_bands ({n_bands}) must positively divide n_bits ({n_bits}) "
+            "so every hyperplane bit lands in exactly one band"
+        )
     r = n_bits // n_bands
     bits = [
         (dot(F.col(vec_col), F.array(*[F.lit(x) for x in h])) >= 0).cast("int")
@@ -350,7 +355,13 @@ def srp_topk(
     cosine).  Raise n_bands for recall, raise bits-per-band for pruning.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        first = corpus.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                f"cannot infer embedding dimension: corpus is empty or its "
+                f"first {vec_col!r} is NULL — pass dim explicitly"
+            )
+        dim = len(first[0])
     planes = srp_hyperplanes(dim, n_bits, seed)
     c_bands = _srp_bands(corpus, planes, n_bands, vec_col, id_col, "neighbor_id", "c_vec")
     q_bands = _srp_bands(queries, planes, n_bands, vec_col, id_col, "query_id", "q_vec")
@@ -364,12 +375,7 @@ def srp_topk(
         "neighbor_id",
         F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def srp_threshold_pairs(
@@ -401,7 +407,13 @@ def srp_threshold_pairs(
     exact-dedup operator should run first anyway.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                f"cannot infer embedding dimension: input is empty or its "
+                f"first {vec_col!r} is NULL — pass dim explicitly"
+            )
+        dim = len(first[0])
     planes = srp_hyperplanes(dim, n_bits, seed)
     # Compute the n_bits dot products once: the band table feeds THREE
     # consumers (bucket-size count, both join sides), so it is persisted.

@@ -103,9 +103,19 @@ def top_users_per_window(events: DataFrame, width: str = "1 day", k: int = 5) ->
 
 def event_rollup(events: DataFrame) -> DataFrame:
     """ROLLUP (event_type, day): subtotal rows carry NULL group keys —
-    grouping-set coverage the reference lacks (SURVEY section 2 notes)."""
+    grouping-set coverage the reference lacks (SURVEY section 2 notes).
+
+    ``grouping_id`` disambiguates a SUBTOTAL row's NULL key from a
+    genuine NULL ``event_type`` value (0 = data row, 1 = day subtotal,
+    3 = grand total) — without it a consumer summing ``n_events`` over a
+    corpus with NULL event types double-counts with no way to tell the
+    rows apart (round-8 review)."""
     return (
         events.withColumn("day", F.to_date("ts"))
         .rollup("event_type", "day")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.grouping_id().alias("grouping_id"),
+        )
     )

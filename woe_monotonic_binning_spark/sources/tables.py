@@ -42,8 +42,6 @@ TABLES = [
 
 
 def _nanos_fields(path: str) -> list[str]:
-    import os
-
     if os.path.isdir(path):
         # Spark-written table: a DIRECTORY of part files (the driver's
         # testdata ships single files, but any regenerated/scaled dataset
@@ -64,12 +62,38 @@ def _nanos_fields(path: str) -> list[str]:
     ]
 
 
+def _cast_ns_to_us(table: "pa.Table") -> "pa.Table":
+    """The shared Arrow ns->us schema rewrite (one definition so the
+    load_table fallback and microsecond_parquet_copy cannot drift —
+    round-8 review).  safe=False truncates sub-microsecond digits, the
+    same loss as the fast path's ``div 1000``."""
+    fields = [
+        pa.field(f.name, pa.timestamp("us"))
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        else f
+        for f in table.schema
+    ]
+    return table.cast(pa.schema(fields), safe=False)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver table; ns-timestamp tables go through the
+    ``nanosAsLong`` path described in the module docstring.
+
+    NOTE: that path sets ``spark.sql.legacy.parquet.nanosAsLong`` for the
+    SESSION and deliberately leaves it set — the returned DataFrame is
+    lazy, and its executing tasks re-consult the conf, so restoring it
+    here would make the scan fail later with PARQUET_TYPE_ILLEGAL.  The
+    visible side effect: other ns-parquet reads in the session also get
+    long-typed nanos instead of the loud error (round-8 review —
+    documented trade; the fallback branch DOES restore the conf since its
+    result is driver-materialized)."""
     path = f"{sf_dir}/{name}.parquet"
     nanos = _nanos_fields(path)
     if nanos:
         from pyspark.sql import functions as F
 
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
@@ -77,17 +101,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
             return df
         except Exception:
-            # conf static / unavailable: driver-side Arrow load fallback
-            table = pq.read_table(path)
-            fields = [
-                pa.field(f.name, pa.timestamp("us"))
-                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-                else f
-                for f in table.schema
-            ]
-            # safe=False: ns -> us drops sub-microsecond digits, same
-            # truncation as the `div 1000` fast path
-            return spark.createDataFrame(table.cast(pa.schema(fields), safe=False))
+            # conf static / unavailable: driver-side Arrow load fallback —
+            # the result is fully materialized, so the conf can be
+            # restored without breaking later execution
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+            return spark.createDataFrame(_cast_ns_to_us(pq.read_table(path)))
     return spark.read.parquet(path)
 
 
@@ -101,15 +122,8 @@ def microsecond_parquet_copy(sf_dir: str, name: str, out_root: str = "/tmp/wmb_u
     marker = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(marker):
         os.makedirs(out_dir, exist_ok=True)
-        table = pq.read_table(f"{sf_dir}/{name}.parquet")
-        fields = [
-            pa.field(f.name, pa.timestamp("us"))
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-            else f
-            for f in table.schema
-        ]
         pq.write_table(
-            table.cast(pa.schema(fields), safe=False),
+            _cast_ns_to_us(pq.read_table(f"{sf_dir}/{name}.parquet")),
             os.path.join(out_dir, "part-0.parquet"),
         )
         open(marker, "w").close()

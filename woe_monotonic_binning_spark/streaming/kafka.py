@@ -55,16 +55,23 @@ def read_kafka_stream(
 ) -> DataFrame:
     """``readStream.format("kafka")`` with the standard options, gated on
     connector availability."""
-    try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
-        )
-    except Exception as exc:  # noqa: BLE001 - any JVM failure means "absent"
-        raise ImportError(
-            "The Kafka connector is not on the classpath; launch with "
-            f"spark.jars.packages={_KAFKA_PKG} (or use "
-            "kafka_shaped_file_stream for a file-backed replay source)."
-        ) from exc
+    # The classpath probe needs the py4j JVM handle; a Spark Connect
+    # session has none, and treating that as "connector absent" would
+    # refuse a reader that works (round-8 review) — on Connect, skip the
+    # probe and let the server-side resolver raise its own
+    # DATA_SOURCE_NOT_FOUND if kafka truly is missing.
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is not None:
+        try:
+            jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+            )
+        except Exception as exc:  # noqa: BLE001 - class lookup failed => absent
+            raise ImportError(
+                "The Kafka connector is not on the classpath; launch with "
+                f"spark.jars.packages={_KAFKA_PKG} (or use "
+                "kafka_shaped_file_stream for a file-backed replay source)."
+            ) from exc
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
