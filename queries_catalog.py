@@ -1265,8 +1265,9 @@ def q_multimodal_stats(spark, sf_dir):
     SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
            CAST(f * 1000 AS BIGINT) AS ts_ms
     FROM documents,
-         unnest(generate_series(0, greatest(CAST(floor(n_chars * 10 / 1000) AS INT) - 1, 0)))
+         unnest(generate_series(0, CAST(ceil(n_chars * 10 / 1000.0) AS INT) - 1))
            AS t(f)
+    WHERE n_chars > 0
     """,
 )
 def q_frame_sample(spark, sf_dir):
@@ -1864,8 +1865,8 @@ def q_tfidf(spark, sf_dir):
     WITH g AS (
       SELECT doc_id,
              len(regexp_extract_all(text, '[A-Za-z0-9]+'))           AS words,
-             length(text) - length(regexp_replace(text, '[#\\.]', '', 'g'))
-                                                                     AS symbols,
+             length(text) - length(regexp_replace(text, '#', '', 'g'))
+               + len(regexp_extract_all(text, '(\\.\\.\\.|\u2026)'))      AS symbols,
              length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))   AS word_chars,
              string_split(text, chr(10))                             AS lines,
              regexp_extract_all(lower(text), '[a-z0-9]+')            AS gw

@@ -996,3 +996,91 @@ def test_event_rollup_grouping_id_disambiguates_null_keys(spark):
     assert len(null_group_subtotal) == 1 and null_group_subtotal[0].n_events == 1
     assert len(grand) == 1 and grand[0].n_events == 2
     assert grand[0].event_type is None and grand[0].day is None  # same keys!
+
+
+def test_minhash_band_parameters_validated(spark):
+    """Round-8 review: bands > num_hashes made every band slice EMPTY (one
+    mega-bucket per band: silent zero recall past max_bucket, quadratic
+    below it) and a non-dividing ratio silently ignored trailing signature
+    rows."""
+    import pytest
+
+    from woe_monotonic_binning_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="divide"):
+        minhash_dedup_pairs(docs, "text", "doc_id", num_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_dedup_pairs(docs, "text", "doc_id", num_hashes=60, bands=16)
+    with pytest.raises(ValueError, match="unit"):
+        from woe_monotonic_binning_spark.operators.dedup import shingled
+
+        shingled(docs, "text", "doc_id", unit="chars")
+
+
+def test_curate_corpus_jaccard_requires_block_cols(spark):
+    """Round-8 review: block_cols=None fed an empty using-list join — a
+    silent full cartesian self-join."""
+    import pytest
+
+    from woe_monotonic_binning_spark import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a text here", "web")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="block_cols"):
+        curate_corpus(docs, near_dup="jaccard")
+
+
+def test_multimodal_kernels_tolerate_null_payloads(spark):
+    """Round-8 review: NULL binary payloads killed every mapInPandas
+    kernel with a worker-side TypeError; they now yield NULL features."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        extract_features,
+        fake_decode_stats,
+        resize_media,
+    )
+
+    rows = [
+        (1, "image", bytearray(b"abc"), ("m", 1, 1, 1000)),
+        (2, "image", None, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, "
+        "meta struct<mime: string, width: int, height: int, duration_ms: int>",
+    )
+    stats = {r.media_id: r for r in fake_decode_stats(media).collect()}
+    assert stats[1].n_bytes == 3 and stats[1].checksum is not None
+    assert stats[2].n_bytes is None and stats[2].checksum is None
+    feats = {r.media_id: r.feature for r in extract_features(media, dim=4).collect()}
+    assert feats[1] is not None and feats[2] is None
+    resized = {r.media_id: r.meta for r in resize_media(media, 8, 8).collect()}
+    assert resized[1]["width"] == 8 and resized[2] is None
+
+
+def test_sample_frames_covers_partial_interval_and_skips_empty(spark):
+    """Round-8 review: floor(duration/every)-1 dropped the last
+    partial-interval frame and zero-duration media still emitted one."""
+    from woe_monotonic_binning_spark.operators.multimodal import sample_frames
+
+    rows = [
+        (1, "video", None, ("m", 1, 1, 2500)),
+        (2, "video", None, ("m", 1, 1, 1999)),
+        (3, "video", None, ("m", 1, 1, 0)),
+        (4, "video", None, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, "
+        "meta struct<mime: string, width: int, height: int, duration_ms: int>",
+    )
+    got = {}
+    for r in sample_frames(media, every_ms=1000).collect():
+        got.setdefault(r.media_id, []).append(r.ts_ms)
+    assert sorted(got[1]) == [0, 1000, 2000]  # 2500ms: 3 started intervals
+    assert sorted(got[2]) == [0, 1000]
+    assert 3 not in got and 4 not in got  # zero/NULL duration: no frames

@@ -88,6 +88,8 @@ def shingled(
     corpora every pair looks alike and the candidate join goes quadratic —
     exactly what the sf0.1 bench showed before the switch).
     """
+    if unit not in ("word", "char"):
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
     normal = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
     if unit == "char":
         expr = (
@@ -146,6 +148,16 @@ def _lsh_candidate_pairs_lazy(
     materialization instead of paying an extra eager localCheckpoint here
     (round-6 VERDICT item 3: two eager materializations per
     ``minhash_dedup_pairs`` call)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        # a remainder silently ignored trailing signature rows, and
+        # bands > num_hashes made every band slice EMPTY — all docs then
+        # share one bucket per band, and the max_bucket cap either drops
+        # every candidate (silent zero recall) or the join goes quadratic
+        # (round-8 review)
+        raise ValueError(
+            f"bands ({bands}) must positively divide num_hashes "
+            f"({num_hashes}) so every signature row lands in exactly one band"
+        )
     rows_per_band = num_hashes // bands
     banded_src = sig_df.select(
         F.col(id_col),

@@ -209,7 +209,15 @@ def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     (no explode, no shuffle)."""
     t = F.col(text_col)
     words = word_count(t)
-    symbols = F.length(t) - F.length(F.regexp_replace(t, "[#\\.]", ""))
+    # the PUBLISHED Gopher symbol set: '#' plus the ellipsis ('...' or
+    # '\u2026') — NOT every period (round-8 review: counting sentence
+    # periods over-filtered normal prose; 'U.S.A. v1.2' is not symbol
+    # noise under Rae et al. section A1.1)
+    symbols = (
+        F.length(t)
+        - F.length(F.regexp_replace(t, "#", ""))
+        + F.regexp_count(t, F.lit("(\\.\\.\\.|\u2026)"))
+    )
     word_chars = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
     lines = F.split(t, "\n")
     n_lines = F.size(lines)
@@ -290,7 +298,17 @@ def remove_repeated_chunks(
     reconstruction groupBy shuffles the surviving chunk text once — a full
     corpus rewrite is inherent to the operator's semantics, and this is the
     single unavoidable text shuffle.  Documents losing every chunk survive
-    with empty text (left join back to the input keyset)."""
+    with empty text (left join back to the input keyset).
+
+    Formatting: the reconstruction joins word chunks with single spaces,
+    so a document that LOSES chunks comes back whitespace-normalised (its
+    newlines are gone — unavoidable once the text is re-assembled from
+    word segments).  Documents that lose NOTHING keep their original
+    bytes verbatim (round-8 review: the old behavior normalised EVERY
+    document, silently flattening line structure corpus-wide and
+    neutering any downstream line-based signal like the Gopher line
+    fractions).  Run line-sensitive gates before this operator, or accept
+    normalised text on the (small) boilerplate-carrying fraction."""
     words = F.split(
         F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "), " "
     )
@@ -328,7 +346,15 @@ def remove_repeated_chunks(
         .join(totals, id_col, "left")
         .select(
             *other_cols,
-            F.coalesce("__new_text", F.lit("")).alias(text_col),
+            # original bytes when nothing was removed; the joined rebuild
+            # (whitespace-normalised) only where boilerplate was cut
+            F.when(
+                F.coalesce("__n_chunks", F.lit(0))
+                == F.coalesce("__n_kept", F.lit(0)),
+                F.col(text_col),
+            )
+            .otherwise(F.coalesce("__new_text", F.lit("")))
+            .alias(text_col),
             (F.coalesce("__n_chunks", F.lit(0)) - F.coalesce("__n_kept", F.lit(0)))
             .cast("int")
             .alias("n_chunks_removed"),
@@ -434,10 +460,11 @@ def corpus_profile(
     group_col: str = "source",
 ) -> DataFrame:
     """Per-source corpus telemetry in one aggregation pass: doc count,
-    token totals, text-length moments, distinct content fingerprints
-    (exact — the duplication ratio is ``n_docs / n_distinct``), and the
-    mean quality score.  The per-doc expressions are map-side; the shuffle
-    carries one partial-aggregate row per (partition, group).
+    token totals, text-length moments, and distinct content fingerprints
+    (exact — the duplication ratio is ``n_docs / n_distinct``; NULL when a
+    group's every fingerprint is NULL).  The per-doc expressions are
+    map-side; the shuffle carries one partial-aggregate row per
+    (partition, group).
 
     The dashboard row a 100 TB ingest job emits after every snapshot:
     duplication creeping up or token mass shifting across sources is the
@@ -456,7 +483,12 @@ def corpus_profile(
         F.round(F.avg("__tokens"), 6).alias("avg_tokens"),
         F.round(F.avg("__chars"), 6).alias("avg_chars"),
         F.count_distinct(F.col("__fp")).alias("n_distinct"),
-        F.round(F.count("*") / F.count_distinct(F.col("__fp")), 6).alias("dup_ratio"),
+        # try_divide: a group whose every text is NULL has zero distinct
+        # fingerprints, and ANSI turns the division into a hard error
+        # (round-8 review) — report NULL instead
+        F.round(
+            F.try_divide(F.count("*"), F.count_distinct(F.col("__fp"))), 6
+        ).alias("dup_ratio"),
     )
 
 
@@ -603,8 +635,11 @@ def curation_report(
             F.round(F.col("docs_out") / F.col("docs_in"), 6).alias("doc_retention"),
             "tokens_in",
             "tokens_out",
-            F.round(F.col("tokens_out") / F.col("tokens_in"), 6).alias(
-                "token_retention"
-            ),
+            # try_divide: a source of empty/whitespace-only docs has
+            # tokens_in = 0, and ANSI would kill the report (round-8
+            # review) — NULL retention for a zero-token source
+            F.round(
+                F.try_divide(F.col("tokens_out"), F.col("tokens_in")), 6
+            ).alias("token_retention"),
         )
     )

@@ -216,8 +216,18 @@ def curate_corpus(
             descending=True,
         )
     elif near_dup == "jaccard":
+        if not block_cols:
+            # an empty block-column list makes the all-pairs self-join an
+            # unconditioned cartesian product — N^2/2 pairs, silently
+            # (round-8 review); the jaccard path is only sane blocked
+            raise ValueError(
+                "near_dup='jaccard' requires block_cols (the exact "
+                "all-pairs generator is quadratic PER BLOCK; an empty "
+                "block key would be a full cartesian self-join) — use "
+                "'minhash' or 'simhash' for unblocked near-dup"
+            )
         pairs = ngram_jaccard_pairs(
-            uniq, text_col, id_col, block_cols or [], near_dup_threshold
+            uniq, text_col, id_col, block_cols, near_dup_threshold
         )
         best = dedup_keep_best(uniq, pairs, id_col, "quality", descending=True)
     elif near_dup is None:
