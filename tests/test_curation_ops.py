@@ -1162,3 +1162,22 @@ def test_curate_corpus_maximal_composition_executes(spark, tmp_path):
         written.text == F.col("__bt"),
     ).count()
     assert leaked == 0
+
+
+def test_curate_corpus_tail_params_are_keyword_only(spark):
+    """Round-8 advice: parameters were inserted mid-signature across
+    releases, so positional calls past block_cols must fail loudly
+    instead of silently mis-binding (a weights dict landing in
+    simhash_max_hamming)."""
+    import pytest
+
+    from woe_monotonic_binning_spark.pipeline import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "web")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(TypeError):
+        curate_corpus(
+            docs, "text", "doc_id", False, False, False, 10, 2, False, None,
+            0.5, "minhash", 0.7, None, 3,
+        )

@@ -267,3 +267,36 @@ def test_compact_bucketed_table_preserves_provider(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(f"DROP TABLE IF EXISTS {name}__compact")
+
+
+def test_compact_refuses_provider_less_table(spark, monkeypatch):
+    """Round-8 advice: a table whose DESCRIBE FORMATTED has no Provider
+    row (Hive-serde) must be refused, not silently compacted as parquet —
+    the fallback would re-introduce the exact format conversion the
+    catalog lookup exists to prevent."""
+    from types import SimpleNamespace
+
+    import pytest
+
+    from woe_monotonic_binning_spark.sources.io import compact_bucketed_table
+
+    rows = [
+        SimpleNamespace(col_name="Num Buckets", data_type="4"),
+        SimpleNamespace(col_name="Bucket Columns", data_type="[`digest`]"),
+        SimpleNamespace(col_name="Sort Columns", data_type="[`digest`]"),
+    ]
+
+    class FakeResult:
+        def collect(self):
+            return rows
+
+    real_sql = type(spark).sql
+
+    def fake_sql(self, q, *a, **k):
+        if q.startswith("DESCRIBE FORMATTED"):
+            return FakeResult()
+        return real_sql(self, q, *a, **k)
+
+    monkeypatch.setattr(type(spark), "sql", fake_sql)
+    with pytest.raises(ValueError, match="Provider"):
+        compact_bucketed_table(spark, "wmb_fake_hive_serde_table")

@@ -630,3 +630,121 @@ def test_out_layout_guard_rejects_pre_upgrade_append_files(tmp_path):
     (out / "part-00000.parquet").write_bytes(b"")
     with pytest.raises(ValueError, match="_commit_id=legacy-0"):
         _check_out_layout(str(out))
+
+
+def test_query_token_handles_uri_checkpoints(monkeypatch, tmp_path):
+    """Round-8 advice: URI-style checkpoints must not be abspath'd —
+    'file:/x' and '/x' are the same checkpoint to Spark and must share a
+    token, and an s3/hdfs URI token must not depend on the driver cwd
+    (a cwd-dependent token turns a restart into a NEW lineage, quietly
+    reverting effectively-once to at-least-once)."""
+    import os
+
+    from woe_monotonic_binning_spark.streaming.dedup import _query_token
+
+    assert _query_token("file:/data/ckpt") == _query_token("/data/ckpt")
+    assert _query_token("file:///data/ckpt") == _query_token("/data/ckpt")
+    s3 = _query_token("s3a://bucket/pipe/ckpt")
+    assert _query_token("s3a://bucket/pipe/ckpt/") == s3
+    hdfs = _query_token("hdfs://nn:8020/ckpt")
+    assert _query_token("hdfs://nn:8020/ckpt/") == hdfs
+    assert s3 != hdfs
+    # remote-URI tokens are cwd-invariant; relative local paths still
+    # resolve against cwd (they are genuinely cwd-relative to Spark too)
+    cwd = os.getcwd()
+    try:
+        os.chdir(str(tmp_path))
+        assert _query_token("s3a://bucket/pipe/ckpt") == s3
+        assert _query_token("hdfs://nn:8020/ckpt") == hdfs
+    finally:
+        os.chdir(cwd)
+
+
+def test_out_layout_guard_covers_hadoop_fs_paths(spark, tmp_path):
+    """Round-8 advice: with a SparkSession the layout guard lists through
+    the Hadoop FileSystem API, so URI-style out_paths (where the mixed
+    layout is most likely in production) are covered — exercised here
+    with a file: URI the os-path fallback would treat as nonexistent."""
+    import pytest
+
+    from woe_monotonic_binning_spark.streaming.dedup import _check_out_layout
+
+    out = tmp_path / "out_uri"
+    uri = f"file:{out}"
+    _check_out_layout(uri, spark)  # absent: fine
+    out.mkdir()
+    (out / "_commit_id=abc-0").mkdir()
+    _check_out_layout(uri, spark)  # partitioned layout: fine
+    (out / "part-00000.parquet").write_bytes(b"")
+    with pytest.raises(ValueError, match="_commit_id=legacy-0"):
+        _check_out_layout(uri, spark)
+    # the os fallback (no session) cannot see a file: URI — documented
+    # local-only scope — but the session path above is what the public
+    # entry points use
+
+
+def test_simhash_caps_seed_does_not_double_count_seeding_batch(spark, tmp_path):
+    """Round-8 advice (medium): seeding the caps side table from a
+    pre-caps posting store must count the store BEFORE this batch's
+    postings land — a lazy seed re-evaluated after the append counts the
+    seeding batch twice, and the inflated counts persist, crossing
+    max_bucket early (silent recall loss).  Pin: after a batch against a
+    caps-less store, the caps table equals a fresh count_distinct
+    recompute of the final store."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.operators.dedup import simhash_fingerprints
+    from woe_monotonic_binning_spark.streaming.dedup import (
+        streaming_simhash_dedup_against_store,
+    )
+
+    table = "wmb_test_simhash_caps_seed"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_caps")
+    try:
+        batch1, batch2 = _near_dup_corpus()
+        # build the posting store as an OLDER pipeline would have: postings
+        # for batch1's survivors, no caps side table
+        docs = spark.createDataFrame(batch1, "doc_id long, text string")
+        postings = simhash_fingerprints(docs, "text", "doc_id").select(
+            "doc_id", "sim_bands", F.posexplode("sim_bands").alias("band", "bh")
+        )
+        (
+            postings.repartition(4, "band", "bh")
+            .write.format("parquet")
+            .bucketBy(4, "band", "bh")
+            .sortBy("band", "bh")
+            .saveAsTable(table)
+        )
+        assert not spark.catalog.tableExists(f"{table}_caps")
+        src = tmp_path / "src"
+        spark.createDataFrame(batch2, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        schema = spark.read.parquet(str(src)).schema
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = streaming_simhash_dedup_against_store(
+            stream,
+            table,
+            str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            num_buckets=4,
+        )
+        q.awaitTermination()
+        spark.catalog.refreshTable(table)
+        caps = sorted(map(tuple, spark.table(f"{table}_caps").collect()))
+        recomputed = sorted(
+            map(
+                tuple,
+                spark.table(table)
+                .groupBy("band", "bh")
+                .agg(F.count_distinct("doc_id").alias("n"))
+                .collect(),
+            )
+        )
+        assert caps == recomputed
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_caps")

@@ -58,6 +58,11 @@ def curate_corpus(
     near_dup: str | None = "minhash",
     near_dup_threshold: float = 0.7,
     block_cols: list[str] | None = None,
+    # Keyword-only from here: parameters have been inserted mid-list
+    # across releases (simhash/semantic knobs landed before weights), so a
+    # stale positional call would silently mis-bind (e.g. a weights dict
+    # landing in simhash_max_hamming) instead of failing loudly.
+    *,
     simhash_max_hamming: int = 3,
     vec_col: str = "embedding",
     semantic_threshold: float = 0.95,

@@ -155,7 +155,16 @@ def compact_bucketed_table(
             r.col_name.strip(): (r.data_type or "").strip()
             for r in spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
         }
-        fmt = (info.get("Provider") or "parquet").lower()
+        provider = (info.get("Provider") or "").strip().lower()
+        if not provider:
+            # A table with no Provider row (e.g. Hive-serde) would fall
+            # back to parquet and silently convert the table's format —
+            # the exact defect the catalog lookup exists to prevent.
+            raise ValueError(
+                f"{table_name!r} has no Provider in DESCRIBE FORMATTED "
+                "(Hive-serde table?); pass fmt= explicitly to compact it"
+            )
+        fmt = provider
     df = spark.table(table_name)
     if distinct:
         df = df.distinct()

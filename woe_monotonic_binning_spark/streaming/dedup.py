@@ -71,22 +71,63 @@ def _query_token(checkpoint_dir: str | None) -> str:
         # relative spelling) are the SAME checkpoint to Spark, and a
         # restart script varying the spelling must land on the same token
         # or a replayed batch writes a second partition instead of
-        # overwriting its own (round-8 review)
-        canon = os.path.abspath(checkpoint_dir.rstrip("/") or "/")
+        # overwriting its own (round-8 review).  URI-style checkpoints
+        # ('file:/x', 's3a://bucket/x', 'hdfs://nn/x') must NOT go through
+        # os.path.abspath — it would prepend the driver cwd to the whole
+        # URI, so a restart from a different cwd would mint a new token
+        # and quietly revert effectively-once to at-least-once (round-8
+        # advice).  Scheme-less and file: paths canonicalise to the same
+        # absolute local path; remote URIs keep scheme + authority.
+        from urllib.parse import urlparse
+
+        p = urlparse(checkpoint_dir)
+        if p.scheme in ("", "file") and not p.netloc:
+            canon = os.path.abspath(p.path.rstrip("/") or "/")
+        else:
+            canon = f"{p.scheme}://{p.netloc}{p.path.rstrip('/') or '/'}"
         return hashlib.sha1(canon.encode("utf-8")).hexdigest()[:12]
     return uuid.uuid4().hex[:12]
 
 
-def _check_out_layout(out_path: str) -> None:
+def _check_out_layout(out_path: str, spark=None) -> None:
     """Refuse an ``out_path`` holding PRE-partitioned survivor files at
     its root (written by the append-mode sink this library shipped before
     the ``_commit_id`` layout): parquet partition discovery over a mix of
     root-level files and ``_commit_id=`` directories fails with a
     'conflicting directory structures' error only at READ time — fail
     loudly at query START instead, with the migration step (round-8
-    review)."""
+    review).
+
+    With a SparkSession the listing goes through the Hadoop FileSystem
+    API, so object-store / hdfs:// out_paths — where production mixed
+    layouts are most likely — are covered too (round-8 advice); without
+    one it falls back to ``os`` and covers local paths only."""
     import os
 
+    if spark is not None:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath) or not fs.getFileStatus(jpath).isDirectory():
+            return
+        root_files = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if (
+                st.isFile()
+                and name.endswith(".parquet")
+                and not name.startswith(("_", "."))
+            ):
+                root_files.append(name)
+        if root_files:
+            raise ValueError(
+                f"out_path {out_path!r} holds {len(root_files)} root-level "
+                "parquet files from the pre-_commit_id append-mode sink; "
+                "partition discovery cannot mix them with _commit_id= "
+                "directories.  Migrate once: move the old files into "
+                f"{out_path}/_commit_id=legacy-0/ and retry"
+            )
+        return
     if not os.path.isdir(out_path):
         return
     root_files = [
@@ -169,7 +210,7 @@ def streaming_dedup_against_store(
     shuffles the store side and ``compact_digest_store`` bounds the file
     count."""
 
-    _check_out_layout(out_path)
+    _check_out_layout(out_path, stream.sparkSession)
     token = _query_token(checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -240,7 +281,7 @@ def streaming_dedup_against_bucketed_store(
     ``spark.catalog.refreshTable(store_table)`` before reading again, or
     it serves the stale file listing."""
 
-    _check_out_layout(out_path)
+    _check_out_layout(out_path, stream.sparkSession)
     token = _query_token(checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -330,7 +371,7 @@ def streaming_simhash_dedup_against_store(
     and same cloned-session ``refreshTable`` caveat as the digest
     twin."""
 
-    _check_out_layout(out_path)
+    _check_out_layout(out_path, stream.sparkSession)
     token = _query_token(checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -366,9 +407,19 @@ def streaming_simhash_dedup_against_store(
             if spark.catalog.tableExists(caps_table):
                 caps = spark.table(caps_table)
             else:
+                # Materialize the seed EAGERLY, before this batch's
+                # postings are appended below: a lazy seed would be
+                # re-evaluated at the merged.localCheckpoint AFTER the
+                # append, counting this batch's postings once in the seed
+                # and again in `add` — the inflated counts persist in the
+                # caps table, so touched buckets cross max_bucket early
+                # and are silently dropped from probing (recall loss),
+                # violating the undercount-is-safe invariant (round-8
+                # advice, medium).
                 caps = (
                     store.groupBy("band", "bh")
                     .agg(F.count_distinct(id_col).alias("n"))
+                    .localCheckpoint(eager=True)
                 )
             ok_buckets = (
                 caps.filter(F.col("n") <= max_bucket).select("band", "bh")
