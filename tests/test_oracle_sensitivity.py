@@ -1,0 +1,254 @@
+"""Mutation tests for the certification surface itself (round-8 verdict #2).
+
+`tests/test_oracle_local.py` proves every (query, oracle) pair AGREES at
+sf0.01.  Agreement alone is weak evidence: a same-author oracle updated "in
+lockstep" with an engine fix could encode the same wrong semantics and keep
+agreeing.  This suite closes the gap from the other side — for a
+representative certified query and a classic bug class, inject exactly that
+bug into the ENGINE side (at the engine-function seam via monkeypatch when
+the catalog query calls into the engine; by re-declaring the single mutated
+expression when the catalog query IS the engine line) and assert the
+driver-style compare FAILS.  "Oracle agrees" becomes "oracle can disagree".
+
+Bug classes covered: boundary off-by-one (filter, jaccard threshold, lead
+offset), sign/ratio flip (WOE), wrong constant (target definition), edge-row
+semantics (-inf first interval, missing NULL-group row), precision
+(rounding digits, median interpolation shift), count off-by-one
+(n_dups includes self), scale/convention (PSI x2, quality calibration),
+and schema drift (renamed column).
+
+Every mutant runs against the same sf0.01 DuckDB connection the clean
+parity test uses, so the only difference between "passes there" and "must
+fail here" is the injected bug.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+import queries_catalog as qc
+from tests.oracle_harness import compare, duckdb_connection
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connection(SF)
+    yield c
+    c.close()
+
+
+def assert_caught(spark, con, name, mutant_df):
+    problems = compare(mutant_df, con, qc.ORACLE_SQL[name], name)
+    assert problems, (
+        f"oracle for {name} FAILED TO CATCH the injected engine bug — "
+        "the certification for this query is vacuous"
+    )
+
+
+# -- inline-expression mutants (the catalog expression IS the engine line) --
+
+
+def test_boundary_widened_filter_is_caught(spark, con):
+    """== 25.0 -> <= 25.0 (classic comparison-operator typo)."""
+    mutant = qc._li(spark, SF).filter(F.col("l_quantity") <= 25.0).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    assert_caught(spark, con, "q_filter_eq", mutant)
+
+
+def test_woe_sign_flip_is_caught(spark, con):
+    """log(dist_bad/dist_good) -> log(dist_good/dist_bad): the WOE sign
+    convention flipped — values are plausible, magnitudes identical."""
+    df = qc._li_t(spark, SF)
+    grouped = df.groupBy(F.col("l_quantity").alias("value")).agg(
+        F.count("*").cast("double").alias("size"),
+        F.sum("target").cast("double").alias("bads"),
+    )
+    w = Window.partitionBy()
+    dist = grouped.select(
+        "value",
+        "size",
+        (F.col("bads") / F.sum("bads").over(w)).alias("dist_bad"),
+        (
+            (F.col("size") - F.col("bads"))
+            / F.sum(F.col("size") - F.col("bads")).over(w)
+        ).alias("dist_good"),
+    )
+    woe = dist.withColumn("woe", F.log(F.col("dist_good") / F.col("dist_bad")))
+    mutant = woe.select(
+        "value",
+        "size",
+        F.round("woe", 9).alias("woe"),
+        F.round((F.col("dist_bad") - F.col("dist_good")) * F.col("woe"), 9).alias(
+            "iv_components"
+        ),
+    )
+    assert_caught(spark, con, "q_woe_iv", mutant)
+
+
+def test_first_interval_not_minus_inf_is_caught(spark, con):
+    """First bin starts at its observed value instead of -inf — the
+    classic open-left-boundary bug that silently drops unseen-low scores
+    at apply time."""
+    counts = qc._li(spark, SF).groupBy(F.col("l_quantity").alias("value")).agg(
+        F.count("*").alias("size")
+    )
+    w = Window.orderBy("value")
+    mutant = counts.select(
+        F.col("value").alias("interval_start_include"),
+        F.coalesce(F.lead("value").over(w), F.lit(float("inf"))).alias(
+            "interval_end_exclude"
+        ),
+        "size",
+    )
+    assert_caught(spark, con, "q_intervals", mutant)
+
+
+def test_insufficient_rounding_precision_is_caught(spark, con):
+    """Stats rounded at 6 digits instead of the contract's 9 — a
+    precision regression the normaliser (which rounds at 9) must see."""
+    df = qc._li_t(spark, SF)
+    mutant = df.groupBy(F.col("l_quantity").alias("value")).agg(
+        F.count("*").alias("size"),
+        F.round(F.avg("target"), 6).alias("mean"),
+        F.round(F.coalesce(F.stddev_samp("target"), F.lit(0.0)), 6).alias("std"),
+    )
+    assert_caught(spark, con, "q_groupby_summary", mutant)
+
+
+def test_missing_null_group_row_is_caught(spark, con):
+    """The NULL-keyed missing-value-group row dropped from the suite —
+    the reference's op-10 semantics silently lost."""
+    full = qc.SPARK_QUERIES["q_filter_suite"](spark, SF)
+    mutant = full.filter(F.col("l_quantity").isNotNull())
+    assert_caught(spark, con, "q_filter_suite", mutant)
+
+
+def test_lead_offset_off_by_one_is_caught(spark, con):
+    """lead(..., 2) instead of lead(..., 1): neighbour stats shifted one
+    bin — the exact class of bug the merge loop would propagate."""
+    df = qc._li_t(spark, SF)
+    w = Window.orderBy("value")
+    grouped = df.groupBy(F.col("l_quantity").alias("value")).agg(
+        F.count("*").alias("size"),
+        F.sum("target").cast("double").alias("bads"),
+    )
+    mutant = grouped.select(
+        "value",
+        "size",
+        "bads",
+        F.lead("value", 2).over(w).alias("next_value"),
+        F.lead("size", 2).over(w).alias("next_size"),
+        F.row_number()
+        .over(Window.orderBy(F.col("bads").desc(), "value"))
+        .alias("bad_rank"),
+    )
+    assert_caught(spark, con, "q_argmax_lead_suite", mutant)
+
+
+def test_wrong_target_constant_is_caught(spark, con):
+    """target = (l_returnflag == 'A') instead of 'R' — wrong-constant bug
+    in the global totals."""
+    df = qc._li(spark, SF).withColumn(
+        "target", (F.col("l_returnflag") == "A").cast("double")
+    )
+    mutant = df.agg(
+        F.sum("target").cast("double").alias("total_bads"),
+        (F.count("*").cast("double") - F.sum("target")).alias("total_goods"),
+        F.count("*").alias("n"),
+    )
+    assert_caught(spark, con, "q_global_sums", mutant)
+
+
+def test_median_interpolation_shift_is_caught(spark, con):
+    """Median nudged by +1e-6 — the magnitude of a lower-vs-linear
+    interpolation convention bug; it must survive the 6-digit rounding of
+    the summed output (it does: the shift sums over every filled row)."""
+    df = qc._li(spark, SF).withColumn("d", F.expr("nullif(l_discount, 0.0)"))
+    med = df.select(F.expr("percentile(d, 0.5D)").alias("m")).first()["m"] + 1e-6
+    mutant = df.select(F.coalesce("d", F.lit(med)).alias("filled")).agg(
+        F.round(F.sum("filled").cast("double"), 6).alias("total_filled"),
+        F.count("*").alias("n"),
+    )
+    assert_caught(spark, con, "q_median_impute", mutant)
+
+
+def test_renamed_column_is_caught(spark, con):
+    """Schema drift: an aggregate alias renamed on the engine side only."""
+    mutant = qc._li(spark, SF).select(
+        F.col("l_extendedprice").alias("val"),
+        (F.col("l_returnflag") == "R").cast("double").alias("target"),
+    )
+    assert_caught(spark, con, "q_project", mutant)
+
+
+# -- engine-seam mutants (monkeypatch the function the catalog calls) --
+
+
+def test_dedup_count_includes_self_is_caught(spark, con, monkeypatch):
+    """exact_dedup reporting n_dups + 1 (duplicate count including the
+    survivor itself) — injected at the operators.dedup seam, exactly
+    where the real implementation could get it wrong."""
+    import woe_monotonic_binning_spark.operators.dedup as dd
+
+    orig = dd.exact_dedup
+
+    def mutated(*args, **kwargs):
+        return orig(*args, **kwargs).withColumn("n_dups", F.col("n_dups") + 1)
+
+    monkeypatch.setattr(dd, "exact_dedup", mutated)
+    assert_caught(spark, con, "q_dedup_exact", qc.SPARK_QUERIES["q_dedup_exact"](spark, SF))
+
+
+def test_jaccard_threshold_off_by_eps_is_caught(spark, con, monkeypatch):
+    """ngram_jaccard_pairs cutting at threshold + 0.05 — a boundary bug
+    that silently under-reports near-duplicates."""
+    import woe_monotonic_binning_spark.operators.dedup as dd
+
+    orig = dd.ngram_jaccard_pairs
+
+    def mutated(df, text_col, id_col, block_cols, threshold, *a, **k):
+        return orig(df, text_col, id_col, block_cols, threshold + 0.05, *a, **k)
+
+    monkeypatch.setattr(dd, "ngram_jaccard_pairs", mutated)
+    assert_caught(
+        spark, con, "q_dedup_ngram", qc.SPARK_QUERIES["q_dedup_ngram"](spark, SF)
+    )
+
+
+def test_psi_scale_convention_bug_is_caught(spark, con, monkeypatch):
+    """psi_report components doubled (a natural-log-vs-log2 style
+    convention slip) — injected at the drift seam under the certified
+    merged suite."""
+    import woe_monotonic_binning_spark.drift as drift
+
+    orig = drift.psi_report
+
+    def mutated(*args, **kwargs):
+        out = orig(*args, **kwargs)
+        return out.withColumn("psi_component", F.col("psi_component") * 2)
+
+    monkeypatch.setattr(drift, "psi_report", mutated)
+    assert_caught(
+        spark, con, "q_drift_suite", qc.SPARK_QUERIES["q_drift_suite"](spark, SF)
+    )
+
+
+def test_quality_calibration_shift_is_caught(spark, con, monkeypatch):
+    """quality_score shifted by +0.001 — a weight-tweak class bug at the
+    text-operator seam."""
+    import woe_monotonic_binning_spark.operators.text as text
+
+    orig = text.quality_score
+
+    def mutated(*args, **kwargs):
+        out = orig(*args, **kwargs)
+        return out.withColumn("quality", F.round(F.col("quality") + 0.001, 6))
+
+    monkeypatch.setattr(text, "quality_score", mutated)
+    assert_caught(
+        spark, con, "q_quality_score", qc.SPARK_QUERIES["q_quality_score"](spark, SF)
+    )
