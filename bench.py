@@ -103,9 +103,36 @@ def _fresh_process_rerun(name: str, reps: int) -> float | None:
         try:
             payload = json.loads(line)
             return payload["queries"].get(name)
-        except (json.JSONDecodeError, KeyError, AttributeError):
+        except (json.JSONDecodeError, KeyError, AttributeError, TypeError):
+            # TypeError: a stray stdout line that parses as non-dict JSON
+            # ('42', '[]') must not abort the whole adjudication pass
             continue
     return None
+
+
+HEADLINES = [
+    "fit_batch",
+    "transform",
+    "dedup_digest",
+    "dedup_minhash",
+    "sim_search",
+    "text_stats",
+    "events_windows",
+    "dedup_cc",
+    "tfidf",
+    "curation",
+    "decontam",
+    "pack",
+    "drift",
+]
+
+
+def _parse_sf(sf_dir: str) -> float | str:
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        return float(sf)
+    except ValueError:
+        return sf
 
 
 def main() -> None:
@@ -113,7 +140,15 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY") or None
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    if only is not None and only not in HEADLINES:
+        # a typo'd name would otherwise pay the full warm-up and then print
+        # an empty artifact that reads as silent success in the re-run
+        # protocol
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_ONLY={only!r} is not a headline query; "
+            f"known: {', '.join(HEADLINES)}"
+        )
+    sf_val = _parse_sf(sf_dir)
 
     from woe_monotonic_binning_spark import apply_bins, fit_bins, get_spark
     from woe_monotonic_binning_spark.operators.dedup import (
@@ -124,10 +159,6 @@ def main() -> None:
         minhash_dedup_pairs,
     )
     from woe_monotonic_binning_spark.operators.packing import pack_sequences
-    from woe_monotonic_binning_spark.operators.sampling import (
-        mix_sources,
-        split_column,
-    )
     from woe_monotonic_binning_spark.operators.text import (
         quality_score,
         text_stats,
@@ -188,7 +219,23 @@ def main() -> None:
     ev_warm = events.limit(256).cache()
     tumbling_agg(ev_warm).count()
     session_agg(ev_warm).count()
-    warm_li.unpersist(), warm_docs.unpersist(), ev_warm.unpersist()
+    # the curation headline now runs the public curate_corpus API — warm
+    # its fused scrub/mix/split expression shapes too
+    from queries_catalog import _CURATION_WEIGHTS
+    from woe_monotonic_binning_spark.pipeline import curate_corpus
+
+    curate_corpus(
+        warm_docs,
+        scrub=True,
+        quality_threshold=0.5,
+        near_dup="minhash",
+        near_dup_threshold=0.7,
+        weights=_CURATION_WEIGHTS,
+        test_fraction=0.25,
+        split_seed=11,
+    ).groupBy("split").count().count()
+    # releases warm_li/warm_docs/ev_warm and the curation survivor cache
+    spark.catalog.clearCache()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -281,32 +328,34 @@ def main() -> None:
         timed("tfidf", lambda: tfidf_top_terms(read_docs()).count())
 
     def run_curation():
-        # The flagship composition (q_curation_pipeline) with the production
-        # pair generator: MinHash-LSH instead of the oracle-exact blocked
-        # Jaccard (same pair schema; blocked Jaccard is quadratic in the
-        # block and exists for DuckDB checkability, not throughput).
-        scored = quality_score(read_docs()).filter(F.col("quality") >= 0.5)
-        reps_df = exact_dedup_by_digest(scored, "text", "doc_id").select("doc_id")
-        # Persist the survivor set (curate_corpus's cache_survivors): its
-        # regex-scoring + semi-join lineage otherwise re-evaluates under
-        # the pair generator, both keep-best branches and the final
-        # projection — measured ~25% of this headline.  Released after the
-        # action below (same owned lifecycle as the pipeline API).
-        uniq = scored.join(reps_df, "doc_id", "left_semi").persist()
-        pairs = minhash_dedup_pairs(uniq, "text", "doc_id", threshold=0.7)
-        best = dedup_keep_best(uniq, pairs, "doc_id", "quality", descending=True)
-        weights = {f"src{i}": 1.0 for i in range(5)}
-        weights.update({f"src{i}": 0.5 for i in range(5, 10)})
-        weights.update({f"src{i}": 0.25 for i in range(10, 15)})
-        mixed = mix_sources(best, weights)
-        labeled = split_column(mixed, "doc_id", test_fraction=0.25, seed=11)
+        # The flagship composition as ONE call to the public pipeline API —
+        # exactly what a user runs — with the production pair generator
+        # (MinHash-LSH; the catalog slot swaps in the oracle-exact blocked
+        # Jaccard for DuckDB checkability, not throughput) and the same
+        # scrub-first stage order and mixing recipe as the certified
+        # q_curation_pipeline.  Hand-rolling the stages here had already
+        # drifted from the flagship once (the round-7 scrub stage was
+        # missing — round-9 review), so the bench now measures the API.
+        from queries_catalog import _CURATION_WEIGHTS
+        from woe_monotonic_binning_spark.pipeline import curate_corpus
+
+        labeled = curate_corpus(
+            read_docs(),
+            scrub=True,
+            quality_threshold=0.5,
+            near_dup="minhash",
+            near_dup_threshold=0.7,
+            weights=_CURATION_WEIGHTS,
+            test_fraction=0.25,
+            split_seed=11,
+        )
         # one pass over the pipeline producing both split labels (the
-        # write-once partitionBy(split) shape); the previous
-        # train.count() + test.count() evaluated the lineage twice
+        # write-once partitionBy(split) shape); the survivor cache the
+        # lazy API hands to the caller is released after the action
         try:
             return labeled.groupBy("split").count().count()
         finally:
-            uniq.unpersist()
+            spark.catalog.clearCache()
 
     if wanted("curation"):
         timed("curation", run_curation)
@@ -362,7 +411,6 @@ def main() -> None:
     rerun: dict[str, dict[str, float]] = {}
     if only is None:
         prior = _latest_prior_artifact()
-        sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
         # only adjudicate against a same-scale artifact: a local sf0.01
         # iteration run is legitimately ~10x faster than the driver's
         # sf0.1 record and would otherwise flag everything
@@ -393,7 +441,7 @@ def main() -> None:
         "queries_median": medians,
         "rep_spread": spreads,
         "reps": reps,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if rerun:
         payload["rerun"] = rerun

@@ -93,7 +93,16 @@ def _session_table(spark: SparkSession, prefix: str) -> str:
     )
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     try:
-        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        raw_wh = spark.conf.get("spark.sql.warehouse.dir")
+        wh = raw_wh.removeprefix("file:")
+        if "://" in wh:
+            # non-local warehouse (hdfs://, s3a://): os.path.exists is
+            # always False there, so the age guard would read every
+            # same-prefix table — including a CONCURRENT live session's
+            # store — as stale and drop it.  The sweep is a local-disk
+            # hygiene measure; skip it entirely off local disk (round-9
+            # certification review).
+            return name
         for r in spark.sql("SHOW TABLES").collect():
             t = r.tableName
             if t.startswith(f"{prefix}_") and t != name:
@@ -1006,18 +1015,28 @@ def q_fingerprint(spark, sf_dir):
 @_q(
     "q_sim_search",
     # brute-force cosine top-5 for the first 10 vectors (rank on the rounded
-    # cosine so both engines tie-break identically)
+    # cosine so both engines tie-break identically).  Zero-norm vectors:
+    # the engine's try_divide yields NULL (round-8 fix — a 0/0 NaN ranked
+    # zero vectors first everywhere), so the oracle must emit NULL too
+    # (DuckDB's list_cosine_similarity gives NaN, which DuckDB sorts ABOVE
+    # every value under DESC) and order NULLS LAST explicitly to match
+    # Spark's desc default (round-9 certification review).
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 10),
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine
+             CASE WHEN list_dot_product(q.qv, q.qv) = 0
+                    OR list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]) = 0
+                  THEN NULL
+                  ELSE ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6)
+             END AS cosine
       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
+                                   ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 5
     """,
@@ -1243,8 +1262,17 @@ def q_events_rollup(spark, sf_dir):
     SELECT doc_id AS media_id, 'image' AS kind,
            CAST(strlen(text) AS INT) AS n_bytes,
            md5(text) AS checksum,
-           ascii(substring(text, 1, 1)) AS first_byte,
-           ascii(substring(text, length(text), 1)) AS last_byte
+           -- first/last UTF-8 BYTE of the payload (hex-extract), NOT
+           -- ascii() of the first/last CHARACTER: the engine decodes raw
+           -- bytes, so a non-ASCII boundary char gives its lead/tail byte
+           -- (e.g. '…' -> 226/166, not code point 8230), and an empty
+           -- payload the -1 sentinel (round-9 certification review)
+           CASE WHEN strlen(text) = 0 THEN -1
+                ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT
+           END AS first_byte,
+           CASE WHEN strlen(text) = 0 THEN -1
+                ELSE ('0x' || right(hex(encode(text)), 2))::INT
+           END AS last_byte
     FROM documents
     """,
 )
@@ -1317,8 +1345,16 @@ def q_dedup_simhash(spark, sf_dir):
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_dot_product(a.v, b.v)
-                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+             -- zero-norm guard mirrors the engine's try_divide -> NULL
+             -- (round-8 fix): DuckDB's IEEE 0/0 is NaN, and NaN >= 0.35
+             -- is TRUE in DuckDB's ordering, which would keep exactly the
+             -- degenerate pairs the engine drops (round-9 review)
+             CASE WHEN list_dot_product(a.v, a.v) = 0
+                    OR list_dot_product(b.v, b.v) = 0
+                  THEN NULL
+                  ELSE round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             END AS cosine
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
@@ -1786,7 +1822,12 @@ def q_winnow_fingerprint(spark, sf_dir):
                0)                                              AS cum_before,
              SUM(CASE WHEN value IS NOT NULL THEN size ELSE 0 END)
                OVER ()                                         AS total,
-             COUNT(*) OVER ()                                  AS k
+             -- COUNT(value): the distinct-count guard counts NON-NULL
+             -- values only, matching quantize_summary's F.count("value")
+             -- (round-8 fix) — COUNT(*) would include the NULL/NaN
+             -- summary row and quantize at exactly 64 distinct values
+             -- when the engine correctly leaves the summary raw
+             COUNT(value) OVER ()                              AS k
       FROM s
     ), b AS (
       SELECT *,
