@@ -2879,18 +2879,21 @@ def q_stability_periods(spark, sf_dir):
 
 @_q(
     "q_drift_suite",
-    # MERGED certification slot (round 8): driver-hash certification for
-    # the drift surface (drift.py) — psi_report per-bin detail UNION the
-    # stability_over_periods per-period back-test, under one fixed
-    # 3-bin l_extendedprice spec.  Lifts the local DuckDB twins
-    # (tests/test_drift.py PSI_ORACLE + the stability twin) into the
-    # 50-slot oracle window, per the round-7 verdict's #1 ask.  Rows are
-    # labelled by `section`; columns the other section does not produce
-    # are NULL with matched types.
+    # MERGED certification slot (round 8, widened round 9): driver-hash
+    # certification for the drift surface (drift.py) — psi_report per-bin
+    # detail UNION the stability_over_periods per-period back-test UNION
+    # the characteristic_stability WOE/IV audit (round-8 verdict #5: the
+    # last drift component outside the window), under one fixed 3-bin
+    # l_extendedprice spec.  Lifts the local DuckDB twins
+    # (tests/test_drift.py PSI_ORACLE + CHAR_ORACLE + the stability twin)
+    # into the 50-slot oracle window.  Rows are labelled by `section`;
+    # columns another section does not produce are NULL with matched
+    # types.
     """
-    WITH spec(bin, interval_lo, interval_hi) AS (
-        VALUES (0, 0.0, 20000.0), (1, 20000.0, 40000.0), (2, 40000.0, 60000.0),
-               (-1, NULL, NULL), (-2, NULL, NULL)
+    WITH spec(bin, interval_lo, interval_hi, woe_fitted) AS (
+        VALUES (0, 0.0, 20000.0, -0.3), (1, 20000.0, 40000.0, 0.1),
+               (2, 40000.0, 60000.0, 0.4),
+               (-1, NULL, NULL, NULL), (-2, NULL, NULL, NULL)
     ), binned AS (
         SELECT l_returnflag, year(l_shipdate) AS period,
                CASE WHEN l_extendedprice IS NULL THEN -2
@@ -2926,6 +2929,22 @@ def q_stability_periods(spark, sf_dir):
                    * LN(GREATEST(fr.frac, 1e-4) / GREATEST(b.base_frac, 1e-4))) AS psi
         FROM fr JOIN b ON fr.bin = b.bin
         GROUP BY fr.period
+    ), ch AS (
+        SELECT bin, COUNT(*) AS n,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nb
+        FROM binned GROUP BY bin
+    ), cf AS (
+        SELECT spec.bin, CAST(spec.interval_lo AS DOUBLE) AS interval_lo,
+               CAST(spec.interval_hi AS DOUBLE) AS interval_hi,
+               CAST(spec.woe_fitted AS DOUBLE) AS woe_fitted,
+               COALESCE(ch.n, 0) AS n, CAST(COALESCE(ch.nb, 0) AS DOUBLE) AS n_bad
+        FROM spec LEFT JOIN ch ON spec.bin = ch.bin
+    ), ct AS (SELECT SUM(n_bad) AS bad_tot, SUM(n - n_bad) AS good_tot FROM cf),
+       cg AS (
+        SELECT cf.*, (cf.n - cf.n_bad) AS n_good,
+               (cf.n - cf.n_bad) / ct.good_tot AS dist_good,
+               cf.n_bad / ct.bad_tot AS dist_bad
+        FROM cf, ct
     )
     SELECT 'psi_detail' AS section, 'l_extendedprice' AS variable, bin,
            CASE WHEN bin = -2 THEN 'missing' WHEN bin = -1 THEN 'out_of_range'
@@ -2937,7 +2956,11 @@ def q_stability_periods(spark, sf_dir):
              * LN(GREATEST(actual_frac, 1e-4) / GREATEST(expected_frac, 1e-4))
              AS psi_component,
            CAST(NULL AS BIGINT) AS period, CAST(NULL AS DOUBLE) AS psi,
-           CAST(NULL AS VARCHAR) AS status
+           CAST(NULL AS VARCHAR) AS status,
+           CAST(NULL AS DOUBLE) AS n_bad, CAST(NULL AS DOUBLE) AS n_good,
+           CAST(NULL AS DOUBLE) AS dist_good, CAST(NULL AS DOUBLE) AS dist_bad,
+           CAST(NULL AS DOUBLE) AS woe_actual, CAST(NULL AS DOUBLE) AS iv_component,
+           CAST(NULL AS DOUBLE) AS woe_fitted, CAST(NULL AS DOUBLE) AS delta_woe
     FROM psi_detail
     UNION ALL
     SELECT 'stability' AS section, 'l_extendedprice' AS variable,
@@ -2948,16 +2971,45 @@ def q_stability_periods(spark, sf_dir):
            CAST(NULL AS DOUBLE) AS psi_component,
            CAST(period AS BIGINT) AS period, psi,
            CASE WHEN psi < 0.1 THEN 'stable' WHEN psi <= 0.25 THEN 'shifting'
-                ELSE 'drifted' END AS status
+                ELSE 'drifted' END AS status,
+           CAST(NULL AS DOUBLE) AS n_bad, CAST(NULL AS DOUBLE) AS n_good,
+           CAST(NULL AS DOUBLE) AS dist_good, CAST(NULL AS DOUBLE) AS dist_bad,
+           CAST(NULL AS DOUBLE) AS woe_actual, CAST(NULL AS DOUBLE) AS iv_component,
+           CAST(NULL AS DOUBLE) AS woe_fitted, CAST(NULL AS DOUBLE) AS delta_woe
     FROM stab
+    UNION ALL
+    SELECT 'characteristic' AS section, 'l_extendedprice' AS variable, bin,
+           CASE WHEN bin = -2 THEN 'missing' WHEN bin = -1 THEN 'out_of_range'
+                ELSE 'bin' END AS bucket,
+           interval_lo, interval_hi,
+           n AS expected_count, CAST(NULL AS BIGINT) AS actual_count,
+           CAST(NULL AS DOUBLE) AS expected_frac, CAST(NULL AS DOUBLE) AS actual_frac,
+           CAST(NULL AS DOUBLE) AS psi_component,
+           CAST(NULL AS BIGINT) AS period, CAST(NULL AS DOUBLE) AS psi,
+           CAST(NULL AS VARCHAR) AS status,
+           n_bad, n_good, dist_good, dist_bad,
+           CASE WHEN dist_bad > 0 AND dist_good > 0
+                THEN LN(dist_bad / dist_good) END AS woe_actual,
+           CASE WHEN dist_bad > 0 AND dist_good > 0
+                THEN (dist_bad - dist_good) * LN(dist_bad / dist_good)
+           END AS iv_component,
+           woe_fitted,
+           CASE WHEN dist_bad > 0 AND dist_good > 0
+                THEN LN(dist_bad / dist_good) - woe_fitted END AS delta_woe
+    FROM cg
     """,
 )
 def q_drift_suite(spark, sf_dir):
     """Driver-hash slot for drift.py: psi_report detail + per-period
-    stability under one fixed bins spec (see the oracle comment)."""
+    stability + the characteristic WOE/IV audit under one fixed bins spec
+    (see the oracle comment)."""
     import pandas as pd
 
-    from woe_monotonic_binning_spark.drift import psi_report, stability_over_periods
+    from woe_monotonic_binning_spark.drift import (
+        characteristic_stability,
+        psi_report,
+        stability_over_periods,
+    )
 
     bins = pd.DataFrame(
         {
@@ -2968,6 +3020,22 @@ def q_drift_suite(spark, sf_dir):
             "iv_components": [0.4, 0.3, 0.3],
         }
     )
+    # NULL fills (typed) for the characteristic-only columns in the other
+    # two sections; built inside the function — module-level Columns break
+    # import under Spark 4
+    _DRIFT_CHAR_NULLS = [
+        F.lit(None).cast("double").alias(c)
+        for c in (
+            "n_bad",
+            "n_good",
+            "dist_good",
+            "dist_bad",
+            "woe_actual",
+            "iv_component",
+            "woe_fitted",
+            "delta_woe",
+        )
+    ]
     li = _li(spark, sf_dir)
     detail = psi_report(li, li.filter(F.col("l_returnflag") == "R"), bins).select(
         F.lit("psi_detail").alias("section"),
@@ -2984,6 +3052,7 @@ def q_drift_suite(spark, sf_dir):
         F.lit(None).cast("long").alias("period"),
         F.lit(None).cast("double").alias("psi"),
         F.lit(None).cast("string").alias("status"),
+        *_DRIFT_CHAR_NULLS,
     )
     stab = stability_over_periods(
         li.withColumn("ship_year", F.year("l_shipdate")), bins, "ship_year"
@@ -3002,8 +3071,37 @@ def q_drift_suite(spark, sf_dir):
         F.col("ship_year").cast("long").alias("period"),
         "psi",
         "status",
+        *_DRIFT_CHAR_NULLS,
     )
-    return detail.unionByName(stab)
+    char = characteristic_stability(
+        li.withColumn("target", (F.col("l_returnflag") == "R").cast("int")),
+        bins,
+        "target",
+    ).select(
+        F.lit("characteristic").alias("section"),
+        "variable",
+        "bin",
+        "bucket",
+        "interval_lo",
+        "interval_hi",
+        F.col("n").cast("long").alias("expected_count"),
+        F.lit(None).cast("long").alias("actual_count"),
+        F.lit(None).cast("double").alias("expected_frac"),
+        F.lit(None).cast("double").alias("actual_frac"),
+        F.lit(None).cast("double").alias("psi_component"),
+        F.lit(None).cast("long").alias("period"),
+        F.lit(None).cast("double").alias("psi"),
+        F.lit(None).cast("string").alias("status"),
+        F.col("n_bad").cast("double").alias("n_bad"),
+        F.col("n_good").cast("double").alias("n_good"),
+        "dist_good",
+        "dist_bad",
+        "woe_actual",
+        "iv_component",
+        "woe_fitted",
+        "delta_woe",
+    )
+    return detail.unionByName(stab).unionByName(char)
 
 
 @_q(

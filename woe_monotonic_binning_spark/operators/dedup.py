@@ -242,9 +242,17 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     shingle_unit: str = "word",
     cleanup: bool = True,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
     bucket-join -> exact-Jaccard verify.
+
+    ``max_bucket`` is the skew guard (previously hardcoded): an LSH band
+    bucket holding k documents emits O(k^2) candidate pairs, so one hot
+    near-dup cluster of 10k docs is a 50M-pair task on one key.  Buckets
+    larger than ``max_bucket`` are dropped from candidate generation —
+    recall for MEGA-clusters only is traded for a bounded join; zipfian
+    corpora tune this down (the round-9 skew smoke measures the effect).
 
     The input is repartitioned to the session default parallelism before the
     shingle/signature HOFs: document corpora often arrive as a few large
@@ -269,7 +277,7 @@ def minhash_dedup_pairs(
     sh = shingled(narrow, text_col, id_col, shingle_n, shingle_unit).cache()
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands, banded = _lsh_candidate_pairs_lazy(
-        sigs, id_col, num_hashes, bands, max_bucket=10_000
+        sigs, id_col, num_hashes, bands, max_bucket=max_bucket
     )
     verified = jaccard_verify(cands, sh, id_col, threshold)
     if cleanup:

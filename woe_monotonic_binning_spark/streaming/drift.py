@@ -56,9 +56,14 @@ def streaming_psi_monitor(
     micro-batches are skipped (no population, no signal — alerting on
     "no data" belongs to the source's own lag metrics, not PSI).
 
-    Delivery: at-least-once (foreachBatch + checkpoint) — a replayed
-    batch re-appends the same metrics rows, harmless for dashboards and
-    dedupable on (batch_id, variable) where it is not."""
+    Delivery: effectively-once (round-8 verdict #6) — each micro-batch
+    owns the ``_commit_id=<query-token>-<batch-id>`` partition of
+    ``metrics_path`` and writes it with dynamic partition overwrite (the
+    same pattern as the dedup survivor sinks, streaming/dedup.py), so a
+    foreachBatch replay rewrites that batch's partition in place instead
+    of appending duplicate ``(batch_id, variable)`` metric rows.  Readers
+    see one extra ``_commit_id`` partition column — drop it, or keep it
+    as write lineage."""
     specs = compile_bin_exprs(
         _bins_to_pandas(bins), iv_threshold, bin_threshold, remove_100_corr
     )
@@ -107,6 +112,12 @@ def streaming_psi_monitor(
         for r in baseline.itertuples(index=False)
     ]
 
+    from .dedup import _check_out_layout, _query_token
+    from .dedup import _write_survivors_idempotent as _write_metrics_idempotent
+
+    _check_out_layout(metrics_path, stream.sparkSession)
+    token = _query_token(checkpoint_dir)
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
 
@@ -149,7 +160,7 @@ def streaming_psi_monitor(
                 _drift._status(F.col("psi")).alias("status"),
             )
         )
-        metrics.write.mode("append").parquet(metrics_path)
+        _write_metrics_idempotent(metrics, metrics_path, token, batch_id)
 
     writer = stream.writeStream.foreachBatch(_process)
     if trigger_available_now:
