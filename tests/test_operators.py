@@ -46,10 +46,13 @@ def test_simhash_finds_planted_dups(spark, docs_with_dups):
         assert found.get((d, d + 100000)) == 0, f"exact dup of {d}: hamming != 0"
 
 
-def test_simhash_bucket_cap_bounds_degenerate_buckets(spark, docs_with_dups):
+def test_simhash_bucket_cap_degrades_to_star_not_drop(spark, docs_with_dups):
     """k identical/empty texts share every band value; without the cap the
     band self-join goes O(k^2) on one reducer.  With max_bucket below k the
-    degenerate bucket is dropped entirely; real dup pairs are unaffected."""
+    over-cap bucket degrades to O(k) STAR pairs around the min-id anchor
+    (round 9 — dropping it zeroed recall for the hottest cluster): the
+    degenerate docs stay one connected component through the anchor, but no
+    quadratic non-anchor pair is generated.  Real dup pairs unaffected."""
     from woe_monotonic_binning_spark.operators.dedup import simhash_near_pairs
 
     k = 40
@@ -60,11 +63,45 @@ def test_simhash_bucket_cap_bounds_degenerate_buckets(spark, docs_with_dups):
     poisoned = docs_with_dups.unionByName(junk)
     capped = simhash_near_pairs(poisoned, "text", "doc_id", max_hamming=3, max_bucket=k - 1)
     capped_pairs = {(p.id_a, p.id_b) for p in capped.collect()}
-    # no pair among the degenerate docs survives (their buckets exceeded the cap)
-    assert not any(a >= 900000 and b >= 900000 for a, b in capped_pairs)
+    junk_pairs = {(a, b) for a, b in capped_pairs if a >= 900000 and b >= 900000}
+    # exactly the star around the anchor: k-1 pairs, every one anchored
+    assert junk_pairs == {(900000, 900000 + i) for i in range(1, k)}
     # true planted dups still found
     for d in range(3):
         assert (d, d + 100000) in capped_pairs
+
+
+def test_minhash_bucket_cap_degrades_to_star_not_drop(spark):
+    """MinHash twin of the star-fallback guarantee: a hot near-dup cluster
+    larger than max_bucket yields anchor-star pairs (verified by exact
+    Jaccard), so connected-components still collapses the cluster, at O(k)
+    instead of O(k^2) pair cost."""
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.operators.dedup import (
+        dedup_keep_canonical,
+        minhash_dedup_pairs,
+    )
+
+    base = " ".join(f"tok{i} common words here" for i in range(30))
+    k = 12
+    # identical texts -> identical signatures -> EVERY band bucket holds
+    # the whole cluster and exceeds the cap (a varied-tail cluster would
+    # leave some bands sub-cap and legitimately emit quadratic pairs
+    # there, verified while building this test)
+    rows = [(i, base) for i in range(k)]
+    rows.append((500, "a completely different document about other things " * 5))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.7, max_bucket=k - 2)
+    got = {(p.id_a, p.id_b) for p in pairs.collect()}
+    # exactly the star around the min-id anchor; pre-round-9 drop
+    # semantics produced the EMPTY set here
+    cluster_pairs = {(a, b) for a, b in got if a < 500 and b < 500}
+    assert cluster_pairs == {(0, i) for i in range(1, k)}
+    # and the component resolution still collapses the whole cluster
+    kept = dedup_keep_canonical(docs, pairs, "doc_id")
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert kept_ids == {0, 500}
 
 
 def test_simhash_single_fold_matches_naive_per_bit(spark, docs_with_dups):

@@ -188,7 +188,26 @@ def _lsh_candidate_pairs_lazy(
     ).select(
         F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
     )
-    return pairs.distinct(), banded
+    # Over-cap buckets degrade to STAR candidates around the bucket's
+    # min-id anchor — O(k) pairs instead of O(k^2) — rather than being
+    # dropped outright (round-9 skew smoke: one 2,500-doc hot near-dup
+    # cluster sat UNDER the old 10k cap and cost 25x wall-clock in
+    # quadratic pair generation; tuning the cap down then ZEROED recall
+    # for exactly the cluster that matters most).  A mutually-similar
+    # mega-cluster stays one connected component through its anchor, so
+    # connected-components dedup still collapses it; only non-transitive
+    # stragglers (similar to a member but not to the anchor) are missed —
+    # strictly better than the empty set the drop produced.
+    banded_hot = banded.join(
+        counts.filter(F.col("n") > max_bucket).select("band", "bh"), ["band", "bh"]
+    )
+    anchors = banded_hot.groupBy("band", "bh").agg(F.min(id_col).alias("__anchor"))
+    star = (
+        banded_hot.join(anchors, ["band", "bh"])
+        .filter(F.col(id_col) != F.col("__anchor"))
+        .select(F.col("__anchor").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return pairs.unionByName(star).distinct(), banded
 
 
 def lsh_candidate_pairs(
@@ -196,14 +215,16 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 64,
     bands: int = 16,
-    max_bucket: int = 10_000,
+    max_bucket: int = 1_000,
     cleanup: bool = True,
 ) -> DataFrame:
     """Banded LSH: equal band-slices -> candidate id pairs (id_a < id_b).
 
     Shuffles only (band, band_hash, id); buckets larger than ``max_bucket``
-    are dropped with a count filter (degenerate content — a 10^6-doc bucket
-    would create 10^12 pairs).
+    degrade to O(k) STAR candidates around the bucket's min-id anchor (a
+    10^6-doc bucket would otherwise create 10^12 pairs; the pre-round-9
+    behavior of dropping the bucket zeroed recall for exactly the hottest
+    clusters — see _lsh_candidate_pairs_lazy).
 
     ``cleanup=True`` (default) eagerly materializes the pair table and
     unpersists the internal band table (see _cache.py); pass False for a
@@ -242,7 +263,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     shingle_unit: str = "word",
     cleanup: bool = True,
-    max_bucket: int = 10_000,
+    max_bucket: int = 1_000,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
     bucket-join -> exact-Jaccard verify.
@@ -250,9 +271,12 @@ def minhash_dedup_pairs(
     ``max_bucket`` is the skew guard (previously hardcoded): an LSH band
     bucket holding k documents emits O(k^2) candidate pairs, so one hot
     near-dup cluster of 10k docs is a 50M-pair task on one key.  Buckets
-    larger than ``max_bucket`` are dropped from candidate generation —
-    recall for MEGA-clusters only is traded for a bounded join; zipfian
-    corpora tune this down (the round-9 skew smoke measures the effect).
+    larger than ``max_bucket`` degrade to O(k) star candidates around the
+    bucket's min-id anchor (verified by exact Jaccard like any candidate),
+    so a mutually-similar mega-cluster still collapses through its anchor
+    under connected components instead of escaping dedup entirely; zipfian
+    corpora tune this down (the round-9 skew smoke measures the effect:
+    2,500-doc hot cluster, 243 s quadratic vs 7 s capped at sf1).
 
     The input is repartitioned to the session default parallelism before the
     shingle/signature HOFs: document corpora often arrive as a few large
@@ -359,7 +383,7 @@ def simhash_near_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
-    max_bucket: int = 10_000,
+    max_bucket: int = 1_000,
     cleanup: bool = True,
 ) -> DataFrame:
     """Near-dup pairs at hamming distance <= max_hamming (pigeonhole on 4
@@ -368,11 +392,14 @@ def simhash_near_pairs(
     ``cleanup=True`` (default) eagerly materializes the pair table and
     unpersists the fingerprint/band caches before returning (_cache.py).
 
-    Band buckets larger than ``max_bucket`` are dropped with a count filter
-    before the self-join — same guard as the MinHash (lsh_candidate_pairs)
-    and SRP (similarity.srp_threshold_pairs) siblings: one degenerate 16-bit
-    band value shared by k docs (e.g. every empty/near-empty text hashes its
-    bands to 0) would otherwise create k^2 join rows on a single reducer.
+    Band buckets larger than ``max_bucket`` degrade to O(k) star candidates
+    around the bucket's min-id anchor (verified by the exact hamming
+    distance like any candidate) — same guard-with-fallback as the MinHash
+    sibling (_lsh_candidate_pairs_lazy): one degenerate 16-bit band value
+    shared by k docs (e.g. every empty/near-empty text hashes its bands to
+    0) would otherwise create k^2 join rows on a single reducer, while
+    DROPPING the bucket (the pre-round-9 behavior) zeroed recall for the
+    hottest clusters.
     """
     sc = df.sparkSession.sparkContext
     narrow = df.select(id_col, text_col)
@@ -404,8 +431,31 @@ def simhash_near_pairs(
             F.col("l.sim_bands").alias("ba"),
             F.col("r.sim_bands").alias("bb"),
         )
-        .distinct()
     )
+    # over-cap buckets: star candidates around the min-id anchor (see
+    # docstring) — id_a < id_b holds because the anchor IS the minimum
+    banded_hot = banded_all.join(
+        counts.filter(F.col("n") > max_bucket).select("band", "bh"), ["band", "bh"]
+    )
+    anchor_ids = banded_hot.groupBy("band", "bh").agg(
+        F.min(id_col).alias("__anchor")
+    )
+    anchor_rows = (
+        banded_hot.join(anchor_ids, ["band", "bh"])
+        .filter(F.col(id_col) == F.col("__anchor"))
+        .select("band", "bh", "__anchor", F.col("sim_bands").alias("__anchor_bands"))
+    )
+    star = (
+        banded_hot.join(anchor_rows, ["band", "bh"])
+        .filter(F.col(id_col) != F.col("__anchor"))
+        .select(
+            F.col("__anchor").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col("__anchor_bands").alias("ba"),
+            F.col("sim_bands").alias("bb"),
+        )
+    )
+    cand = cand.unionByName(star).distinct()
     # hamming distance via popcount of per-band xor
     hamming = F.expr(
         "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"
