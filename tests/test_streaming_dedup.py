@@ -401,11 +401,12 @@ def test_streaming_simhash_dedup_drops_near_dups_across_batches(spark, tmp_path)
 
         caps = spark.table(f"{table}_caps")
         recomputed = spark.table(table).groupBy("band", "bh").agg(
-            F.count_distinct("doc_id").alias("n")
+            F.count_distinct("doc_id").alias("n"),
+            F.min("doc_id").alias("rep_id"),
         )
-        assert sorted(map(tuple, caps.collect())) == sorted(
-            map(tuple, recomputed.collect())
-        )
+        assert sorted(
+            map(tuple, caps.select("band", "bh", "n", "rep_id").collect())
+        ) == sorted(map(tuple, recomputed.collect()))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_caps")
@@ -734,17 +735,80 @@ def test_simhash_caps_seed_does_not_double_count_seeding_batch(spark, tmp_path):
         )
         q.awaitTermination()
         spark.catalog.refreshTable(table)
-        caps = sorted(map(tuple, spark.table(f"{table}_caps").collect()))
+        caps = sorted(
+            map(
+                tuple,
+                spark.table(f"{table}_caps")
+                .select("band", "bh", "n", "rep_id")
+                .collect(),
+            )
+        )
         recomputed = sorted(
             map(
                 tuple,
                 spark.table(table)
                 .groupBy("band", "bh")
-                .agg(F.count_distinct("doc_id").alias("n"))
+                .agg(
+                    F.count_distinct("doc_id").alias("n"),
+                    F.min("doc_id").alias("rep_id"),
+                )
                 .collect(),
             )
         )
         assert caps == recomputed
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_caps")
+
+
+def test_simhash_store_overcap_buckets_probe_representative(spark, tmp_path):
+    """Round-9: over-cap buckets must NOT be dropped from cross-batch
+    probing (the skew smoke showed cap-as-drop zeroes recall for exactly
+    the hottest cluster) — they probe the single earliest-posted
+    representative carried in the caps side table.  max_bucket=0 makes
+    EVERY bucket over-cap, so the cross-batch dedup here works only if
+    the representative path works: pre-round-9 drop semantics kept 10
+    and 11 (near-dups of stored 0 and 1).  The in-batch anchor-star
+    fallback is exercised the same way (pairs (0,2) and (12,13) arise in
+    buckets of size 2 > 0).
+
+    Note: the fixture's batch ids are monotone increasing, so the
+    earliest-posted representative coincides with the per-bucket min id."""
+    import time as _time
+
+    from woe_monotonic_binning_spark.streaming.dedup import (
+        streaming_simhash_dedup_against_store,
+    )
+
+    table = "wmb_test_simhash_store_rep"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_caps")
+    try:
+        batch1, batch2 = _near_dup_corpus()
+        src = tmp_path / "src"
+        out = str(tmp_path / "out")
+        for rows in (batch1, batch2):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(str(src))
+            _time.sleep(1.1)
+        schema = spark.read.parquet(str(src)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = streaming_simhash_dedup_against_store(
+            stream,
+            table,
+            out,
+            max_bucket=0,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            num_buckets=4,
+        )
+        q.awaitTermination()
+        kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert kept == {0, 1, 3, 12}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_caps")

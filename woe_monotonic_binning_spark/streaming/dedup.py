@@ -323,7 +323,7 @@ def streaming_simhash_dedup_against_store(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket: int = 10_000,
+    max_bucket: int = 1_000,
     checkpoint_dir: str | None = None,
     num_buckets: int = 64,
 ):
@@ -363,7 +363,17 @@ def streaming_simhash_dedup_against_store(
     (band, bh) key space and updated per batch from the written postings
     (round-7 verdict #6) — instead of re-aggregating the full posting
     store every micro-batch; a store built before the caps table existed
-    is seeded with one full count_distinct aggregation.
+    (or one whose caps predate the representative columns) is seeded with
+    one full aggregation.  Over-cap buckets are NOT dropped from probing
+    (pre-round-9 behavior — the round-9 skew smoke showed cap-as-drop
+    zeroes recall for exactly the hottest cluster): the caps table also
+    carries the bucket's earliest-posted REPRESENTATIVE fingerprint
+    (``rep_id``/``rep_bands``), and an over-cap bucket probes against
+    that single stored row — O(batch) join cost instead of O(batch x k),
+    the streaming face of the batch operators' anchor-star fallback
+    (operators/dedup._lsh_candidate_pairs_lazy).  Only stragglers near a
+    non-representative member of a saturated bucket are missed, strictly
+    better than the empty probe the drop produced.
     Compaction: ``sources.io.compact_bucketed_table(spark, store_table,
     distinct=True)`` — replayed POSTING appends are harmless multiplicity
     until then, while the survivor output is effectively-once via the
@@ -404,7 +414,10 @@ def streaming_simhash_dedup_against_store(
             # by an older pipeline) is seeded with one full aggregation —
             # count_distinct, robust to replayed posting multiplicity —
             # after which the updates are incremental.
-            if spark.catalog.tableExists(caps_table):
+            if (
+                spark.catalog.tableExists(caps_table)
+                and "rep_id" in spark.table(caps_table).columns
+            ):
                 caps = spark.table(caps_table)
             else:
                 # Materialize the seed EAGERLY, before this batch's
@@ -413,12 +426,18 @@ def streaming_simhash_dedup_against_store(
                 # append, counting this batch's postings once in the seed
                 # and again in `add` — the inflated counts persist in the
                 # caps table, so touched buckets cross max_bucket early
-                # and are silently dropped from probing (recall loss),
+                # and fall back to representative-only probing too soon,
                 # violating the undercount-is-safe invariant (round-8
-                # advice, medium).
+                # advice, medium).  A caps table written before the
+                # rep_id/rep_bands columns existed reseeds the same way
+                # (one aggregation, then incremental again).
                 caps = (
                     store.groupBy("band", "bh")
-                    .agg(F.count_distinct(id_col).alias("n"))
+                    .agg(
+                        F.count_distinct(id_col).alias("n"),
+                        F.min(id_col).alias("rep_id"),
+                        F.min_by("sim_bands", F.col(id_col)).alias("rep_bands"),
+                    )
                     .localCheckpoint(eager=True)
                 )
             ok_buckets = (
@@ -429,6 +448,17 @@ def streaming_simhash_dedup_against_store(
                 "bh",
                 F.col("sim_bands").alias("__stored_bands"),
             )
+            # over-cap buckets probe the single stored representative
+            # carried in the caps table (see docstring) — the streaming
+            # twin of the batch anchor-star fallback
+            reps = (
+                caps.filter(
+                    (F.col("n") > max_bucket) & F.col("rep_id").isNotNull()
+                ).select(
+                    "band", "bh", F.col("rep_bands").alias("__stored_bands")
+                )
+            )
+            stored = stored.unionByName(reps)
             hamming = F.expr(
                 "aggregate(zip_with(sim_bands, __stored_bands, "
                 "(x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"
@@ -459,10 +489,17 @@ def streaming_simhash_dedup_against_store(
         # in the store, every doc self-matches at hamming 0, fresh is
         # empty and the increment is zero.  (A crash between the posting
         # append and this overwrite undercounts by one batch — the safe
-        # direction: an undercounted bucket is probed, never silently
-        # dropped.)  localCheckpoint cuts the lineage reading caps_table
-        # so the overwrite of the same table is legal.
-        add = postings.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
+        # direction: an undercounted bucket probes in full, never
+        # representative-only.)  The bucket REPRESENTATIVE is the
+        # earliest-posted min-id doc — existing rep wins the merge, so it
+        # is stable across batches and replays.  localCheckpoint cuts the
+        # lineage reading caps_table so the overwrite of the same table
+        # is legal.
+        add = postings.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(id_col).alias("rep_id"),
+            F.min_by("sim_bands", F.col(id_col)).alias("rep_bands"),
+        )
         if caps is not None:
             c, a = caps.alias("__c"), add.alias("__a")
             merged = c.join(a, ["band", "bh"], "full_outer").select(
@@ -472,6 +509,12 @@ def streaming_simhash_dedup_against_store(
                     F.coalesce(F.col("__c.n"), F.lit(0))
                     + F.coalesce(F.col("__a.n"), F.lit(0))
                 ).alias("n"),
+                F.coalesce(F.col("__c.rep_id"), F.col("__a.rep_id")).alias(
+                    "rep_id"
+                ),
+                F.coalesce(
+                    F.col("__c.rep_bands"), F.col("__a.rep_bands")
+                ).alias("rep_bands"),
             )
         else:
             merged = add
