@@ -704,6 +704,81 @@ def test_srp_threshold_pairs_recall_and_exact_refilter(spark):
     emb.unpersist()
 
 
+def test_srp_bucket_cap_degrades_to_star_not_drop(spark):
+    """SRP twin of the MinHash/SimHash star-fallback guarantee (round 9):
+    a constant-embedding spam cluster larger than max_bucket shares every
+    band bucket, so pre-fix the cap DROPPED all its buckets and the
+    cluster escaped embedding near-dup entirely.  Now each over-cap bucket
+    emits O(k) anchor-star candidates (exact-cosine verified), so the
+    cluster stays one connected component at linear pair cost."""
+    from woe_monotonic_binning_spark.operators.similarity import srp_threshold_pairs
+
+    k = 24
+    hot_vec = [1.0, 2.0, -1.0, 0.5]
+    rows = [(i, hot_vec) for i in range(k)]
+    # background vectors, mutually dissimilar from the hot cluster
+    rows += [
+        (1000, [-1.0, 0.3, 2.0, -0.7]),
+        (1001, [0.2, -2.0, 0.1, 1.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = srp_threshold_pairs(
+        emb, threshold=0.99, n_bits=32, n_bands=8, max_bucket=k - 4
+    )
+    got = {(r.id_a, r.id_b): r.cosine for r in pairs.collect()}
+    cluster_pairs = {p for p in got if p[0] < 1000 and p[1] < 1000}
+    # exactly the star around the min-id anchor — pre-round-9 drop
+    # semantics produced the EMPTY set here
+    assert cluster_pairs == {(0, i) for i in range(1, k)}
+    assert all(got[p] == 1.0 for p in cluster_pairs)
+
+
+def test_embedding_neardup_max_block_star_fallback(spark):
+    """embedding_neardup_pairs with max_block: an over-cap block degrades
+    to anchor-star candidates; under-cap blocks stay exact all-pairs; the
+    default (max_block=None) keeps the SQL-oracle-exact quadratic
+    semantics unchanged."""
+    from woe_monotonic_binning_spark.operators.dedup import embedding_neardup_pairs
+
+    k = 10
+    hot_vec = [1.0, 0.0, 1.0]
+    rows = [(i, hot_vec, "hot") for i in range(k)]
+    rows += [(100, [0.0, 1.0, 0.0], "cold"), (101, [0.0, 1.0, 0.0], "cold"),
+             (102, [0.0, 1.0, 0.001], "cold")]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, blk string")
+
+    capped = embedding_neardup_pairs(
+        df, "embedding", "vec_id", "blk", 0.9, max_block=k - 1
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    hot_pairs = {p for p in got if p[0] < 100}
+    cold_pairs = {p for p in got if p[0] >= 100}
+    assert hot_pairs == {(0, i) for i in range(1, k)}  # star only
+    assert cold_pairs == {(100, 101), (100, 102), (101, 102)}  # exact all-pairs
+
+    exact = embedding_neardup_pairs(df, "embedding", "vec_id", "blk", 0.9)
+    assert exact.count() == k * (k - 1) // 2 + 3  # default stays quadratic
+
+
+def test_semantic_dedup_max_block_preserves_collapse(spark):
+    """semantic_dedup(max_block=...): a hot semantic cluster bigger than
+    max_block still collapses to ONE survivor through the anchor star."""
+    import random
+
+    from woe_monotonic_binning_spark.operators.dedup import semantic_dedup
+
+    rnd = random.Random(7)
+    k = 12
+    hot = [1.0, 1.0, 0.0, 0.5]
+    rows = [(i, hot) for i in range(k)]
+    rows += [(200 + j, [rnd.uniform(-1, 1) for _ in range(4)]) for j in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, n_cells=3, threshold=0.999999, max_block=k - 2)
+    kept = {r.vec_id for r in out.collect()}
+    assert len(kept & set(range(k))) == 1  # hot cluster -> one survivor
+    assert kept & set(range(k)) == {0}  # min-id canonical through the anchor
+
+
 def test_srp_topk_default_params_recall_floor(spark):
     """Recall telemetry at srp_topk's DEFAULTS (32 bits / 8 bands): the
     docstring claims recall@5 ~ 0.7 on the near-random driver embeddings;

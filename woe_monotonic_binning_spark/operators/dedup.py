@@ -649,11 +649,23 @@ def embedding_neardup_pairs(
     id_col: str,
     block_col: str,
     threshold: float = 0.95,
+    *,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup within blocks (e.g. a cluster/label key).
 
     The blocked self-join keeps the pair count tractable; at scale the block
     key comes from an LSH or IVF assignment (see similarity.py).
+
+    ``max_block`` (keyword-only, default None = every block exact) is the
+    zipfian skew guard: blocks holding more than ``max_block`` rows degrade
+    to O(k) STAR candidates around the block's min-id anchor (exact-cosine
+    verified like any candidate) instead of the O(k²) self-join — same
+    fallback as the MinHash/SimHash/SRP siblings (round-9 skew smoke: one
+    hot cluster of 5% of the corpus in a single block is quadratic).  A
+    mutually-similar hot block still collapses to one connected component
+    through its anchor; the default stays None so the SQL-oracle-exact
+    all-pairs semantics are opt-out only at scale.
     """
     from ..functions.vector import cosine_similarity
 
@@ -663,9 +675,40 @@ def embedding_neardup_pairs(
     b = df.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
     )
-    joined = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    if max_block is None:
+        cand = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "v_a", "id_b", "v_b"
+        )
+    else:
+        sizes = a.groupBy("blk").agg(F.count("*").alias("__bn"))
+        ok = sizes.filter(F.col("__bn") <= max_block).select("blk")
+        cand = (
+            a.join(ok, "blk")
+            .join(b.join(ok, "blk"), "blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "v_a", "id_b", "v_b")
+        )
+        hot = sizes.filter(F.col("__bn") > max_block).select("blk")
+        a_hot = a.join(hot, "blk")
+        anchor_ids = a_hot.groupBy("blk").agg(F.min("id_a").alias("__anchor"))
+        anchor_rows = (
+            a_hot.join(anchor_ids, "blk")
+            .filter(F.col("id_a") == F.col("__anchor"))
+            .select("blk", F.col("id_a").alias("__aid"), F.col("v_a").alias("__avec"))
+        )
+        star = (
+            a_hot.join(anchor_rows, "blk")
+            .filter(F.col("id_a") != F.col("__aid"))
+            .select(
+                F.col("__aid").alias("id_a"),
+                F.col("__avec").alias("v_a"),
+                F.col("id_a").alias("id_b"),
+                F.col("v_a").alias("v_b"),
+            )
+        )
+        cand = cand.unionByName(star).dropDuplicates(["id_a", "id_b"])
     cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
-    return joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
+    return cand.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
 
@@ -680,6 +723,8 @@ def semantic_dedup(
     descending: bool = True,
     lloyd_iters: int = 1,
     pair_probes: int = 2,
+    *,
+    max_block: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove documents
     whose EMBEDDINGS are near-identical — paraphrases and templated
@@ -711,6 +756,12 @@ def semantic_dedup(
     hide a pair (top-2 is a heuristic, not closure) — raise
     ``pair_probes`` with the same cost trade.
 
+    ``max_block`` (keyword-only, default None = exact within every cell)
+    forwards to ``embedding_neardup_pairs``: cells holding more than
+    ``max_block`` vectors degrade to anchor-star candidates, bounding a
+    hot semantic cluster (templated spam occupying one cell) at O(k)
+    pairs while still collapsing it to one component through the anchor.
+
     Returns the surviving rows of ``emb`` (plus ``component``).  Not
     bit-hashable cross-engine: Lloyd means depend on float summation
     order, so correctness is pinned by property tests (planted duplicate
@@ -722,7 +773,7 @@ def semantic_dedup(
     centroids = train_centroids(emb, n_cells, vec_col, id_col, lloyd_iters)
     probed = assign_cells(emb, centroids, vec_col, id_col, n_probe=pair_probes)
     pairs = embedding_neardup_pairs(
-        probed, vec_col, id_col, "cell", threshold
+        probed, vec_col, id_col, "cell", threshold, max_block=max_block
     ).distinct()
     if order_col is None:
         return dedup_keep_canonical(emb, pairs, id_col)

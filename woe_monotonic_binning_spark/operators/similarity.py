@@ -399,12 +399,17 @@ def srp_threshold_pairs(
     (band, id, vec) — never a cross product), are deduped, then exact
     cosine re-filtered: precision is exactly 1.0, recall is the banding
     OR-curve 1-(1-(1-θ/π)^r)^b.  Band buckets larger than ``max_bucket``
-    are dropped before the join — a degenerate bucket (zero vectors, a
-    constant-embedding spam cluster) would otherwise contribute
-    O(bucket²) join rows on one reducer; at the default 4 bits/band a
-    healthy bucket holds ~|corpus|/16 of loosely-similar vectors, so the
-    cap only fires on pathological mass duplication, exactly where the
-    exact-dedup operator should run first anyway.
+    degrade to O(k) STAR candidates around the bucket's min-id anchor
+    (exact-cosine verified like any candidate) — a degenerate bucket
+    (zero vectors, a constant-embedding spam cluster) would otherwise
+    contribute O(bucket²) join rows on one reducer, while DROPPING it
+    (the pre-round-9 behavior, same defect as the MinHash/SimHash
+    siblings fixed this round) zeroed recall for exactly the hottest
+    cluster: a mutually-similar mega-cluster stays one connected
+    component through its anchor at linear pair cost.  At the default
+    4 bits/band a healthy bucket holds ~|corpus|/16 of loosely-similar
+    vectors, so the fallback only fires on pathological mass
+    duplication.
     """
     if dim is None:
         first = df.select(vec_col).first()
@@ -432,13 +437,45 @@ def srp_threshold_pairs(
     cand = (
         a_ok.join(b_ok, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "v_a", "id_b", "v_b")
     )
-    out = cand.select(
-        "id_a",
-        "id_b",
-        F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    # Over-cap buckets: STAR candidates around the min-id anchor (see
+    # docstring) — id_a < id_b holds because the anchor IS the minimum.
+    hot = sizes.filter(F.col("__bn") > max_bucket).select("band_idx", "band_val")
+    a_hot = a.join(hot, ["band_idx", "band_val"])
+    anchor_ids = a_hot.groupBy("band_idx", "band_val").agg(
+        F.min("id_a").alias("__anchor")
+    )
+    anchor_rows = (
+        a_hot.join(anchor_ids, ["band_idx", "band_val"])
+        .filter(F.col("id_a") == F.col("__anchor"))
+        .select(
+            "band_idx",
+            "band_val",
+            F.col("id_a").alias("__aid"),
+            F.col("v_a").alias("__avec"),
+        )
+    )
+    star = (
+        a_hot.join(anchor_rows, ["band_idx", "band_val"])
+        .filter(F.col("id_a") != F.col("__aid"))
+        .select(
+            F.col("__aid").alias("id_a"),
+            F.col("__avec").alias("v_a"),
+            F.col("id_a").alias("id_b"),
+            F.col("v_a").alias("v_b"),
+        )
+    )
+    out = (
+        cand.unionByName(star)
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
     if cleanup:
         return materialize_and_release(out, bands)
     return out
