@@ -2773,7 +2773,9 @@ def q_psi_stream(spark, sf_dir):
     of a lineitem stream against pinned baseline bin fractions, metrics
     appended to a parquet sink.  Stream==batch PSI parity, drift alerting
     and per-batch row emission pinned in tests/test_streaming_drift.py;
-    rows-only here (streaming sink)."""
+    rows-only here (batch_id depends on file-arrival order) — the
+    driver-hash certification lives in q_drift_suite's psi_stream section
+    (round 9), which makes the micro-batches content-deterministic."""
     import pandas as pd
 
     from woe_monotonic_binning_spark.drift import baseline_fractions
@@ -2879,16 +2881,27 @@ def q_stability_periods(spark, sf_dir):
 
 @_q(
     "q_drift_suite",
-    # MERGED certification slot (round 8, widened round 9): driver-hash
-    # certification for the drift surface (drift.py) — psi_report per-bin
-    # detail UNION the stability_over_periods per-period back-test UNION
-    # the characteristic_stability WOE/IV audit (round-8 verdict #5: the
-    # last drift component outside the window), under one fixed 3-bin
+    # MERGED certification slot (round 8, widened twice in round 9):
+    # driver-hash certification for the drift surface (drift.py +
+    # streaming/drift.py) — psi_report per-bin detail UNION the
+    # stability_over_periods per-period back-test UNION the
+    # characteristic_stability WOE/IV audit UNION the STREAMING PSI
+    # monitor's per-micro-batch metrics, under one fixed 3-bin
     # l_extendedprice spec.  Lifts the local DuckDB twins
     # (tests/test_drift.py PSI_ORACLE + CHAR_ORACLE + the stability twin)
     # into the 50-slot oracle window.  Rows are labelled by `section`;
     # columns another section does not produce are NULL with matched
     # types.
+    #
+    # psi_stream section: the stream is made ORACLE-REPRODUCIBLE by
+    # splitting lineitem into four content-deterministic micro-batches
+    # (group = l_orderkey % 4, one parquet file per group,
+    # maxFilesPerTrigger=1), so each foreachBatch invocation scores
+    # exactly one modulo class against the full-table baseline
+    # (drift.baseline_fractions).  batch_id is file-arrival order and is
+    # NOT emitted — the certified rows are the order-insensitive multiset
+    # of (variable, n_rows, psi, status) per group, which DuckDB rebuilds
+    # with a GROUP BY (l_orderkey % 4).
     """
     WITH spec(bin, interval_lo, interval_hi, woe_fitted) AS (
         VALUES (0, 0.0, 20000.0, -0.3), (1, 20000.0, 40000.0, 0.1),
@@ -2945,6 +2958,33 @@ def q_stability_periods(spark, sf_dir):
                (cf.n - cf.n_bad) / ct.good_tot AS dist_good,
                cf.n_bad / ct.bad_tot AS dist_bad
         FROM cf, ct
+    ), sgrp AS (
+        SELECT l_orderkey % 4 AS g,
+               CASE WHEN l_extendedprice IS NULL THEN -2
+                    WHEN l_extendedprice >= 0.0 AND l_extendedprice < 20000.0 THEN 0
+                    WHEN l_extendedprice >= 20000.0 AND l_extendedprice < 40000.0 THEN 1
+                    WHEN l_extendedprice >= 40000.0 AND l_extendedprice < 60000.0 THEN 2
+                    ELSE -1 END AS bin
+        FROM lineitem
+    ), sh AS (SELECT g, bin, COUNT(*) AS c FROM sgrp GROUP BY g, bin),
+       sgrid AS (SELECT p.g, s.bin FROM (SELECT DISTINCT g FROM sgrp) p CROSS JOIN spec s),
+       sfr AS (
+        SELECT gd.g, gd.bin, COALESCE(sh.c, 0) AS c,
+               COALESCE(sh.c, 0) /
+                 CAST(SUM(COALESCE(sh.c, 0)) OVER (PARTITION BY gd.g) AS DOUBLE)
+                 AS afrac
+        FROM sgrid gd LEFT JOIN sh ON gd.g = sh.g AND gd.bin = sh.bin
+    ), sbase AS (
+        SELECT spec.bin,
+               COALESCE(e.c, 0) / CAST((SELECT SUM(c) FROM e) AS DOUBLE) AS efrac
+        FROM spec LEFT JOIN e ON spec.bin = e.bin
+    ), spsi AS (
+        SELECT sfr.g, SUM(sfr.c) AS n_rows,
+               SUM((GREATEST(sfr.afrac, 1e-4) - GREATEST(sbase.efrac, 1e-4))
+                   * LN(GREATEST(sfr.afrac, 1e-4) / GREATEST(sbase.efrac, 1e-4)))
+                 AS psi
+        FROM sfr JOIN sbase ON sfr.bin = sbase.bin
+        GROUP BY sfr.g
     )
     SELECT 'psi_detail' AS section, 'l_extendedprice' AS variable, bin,
            CASE WHEN bin = -2 THEN 'missing' WHEN bin = -1 THEN 'out_of_range'
@@ -2960,7 +3000,8 @@ def q_stability_periods(spark, sf_dir):
            CAST(NULL AS DOUBLE) AS n_bad, CAST(NULL AS DOUBLE) AS n_good,
            CAST(NULL AS DOUBLE) AS dist_good, CAST(NULL AS DOUBLE) AS dist_bad,
            CAST(NULL AS DOUBLE) AS woe_actual, CAST(NULL AS DOUBLE) AS iv_component,
-           CAST(NULL AS DOUBLE) AS woe_fitted, CAST(NULL AS DOUBLE) AS delta_woe
+           CAST(NULL AS DOUBLE) AS woe_fitted, CAST(NULL AS DOUBLE) AS delta_woe,
+           CAST(NULL AS BIGINT) AS n_rows
     FROM psi_detail
     UNION ALL
     SELECT 'stability' AS section, 'l_extendedprice' AS variable,
@@ -2975,7 +3016,8 @@ def q_stability_periods(spark, sf_dir):
            CAST(NULL AS DOUBLE) AS n_bad, CAST(NULL AS DOUBLE) AS n_good,
            CAST(NULL AS DOUBLE) AS dist_good, CAST(NULL AS DOUBLE) AS dist_bad,
            CAST(NULL AS DOUBLE) AS woe_actual, CAST(NULL AS DOUBLE) AS iv_component,
-           CAST(NULL AS DOUBLE) AS woe_fitted, CAST(NULL AS DOUBLE) AS delta_woe
+           CAST(NULL AS DOUBLE) AS woe_fitted, CAST(NULL AS DOUBLE) AS delta_woe,
+           CAST(NULL AS BIGINT) AS n_rows
     FROM stab
     UNION ALL
     SELECT 'characteristic' AS section, 'l_extendedprice' AS variable, bin,
@@ -2995,21 +3037,45 @@ def q_stability_periods(spark, sf_dir):
            END AS iv_component,
            woe_fitted,
            CASE WHEN dist_bad > 0 AND dist_good > 0
-                THEN LN(dist_bad / dist_good) - woe_fitted END AS delta_woe
+                THEN LN(dist_bad / dist_good) - woe_fitted END AS delta_woe,
+           CAST(NULL AS BIGINT) AS n_rows
     FROM cg
+    UNION ALL
+    SELECT 'psi_stream' AS section, 'l_extendedprice' AS variable,
+           CAST(NULL AS INTEGER) AS bin, CAST(NULL AS VARCHAR) AS bucket,
+           CAST(NULL AS DOUBLE) AS interval_lo, CAST(NULL AS DOUBLE) AS interval_hi,
+           CAST(NULL AS BIGINT) AS expected_count, CAST(NULL AS BIGINT) AS actual_count,
+           CAST(NULL AS DOUBLE) AS expected_frac, CAST(NULL AS DOUBLE) AS actual_frac,
+           CAST(NULL AS DOUBLE) AS psi_component,
+           CAST(NULL AS BIGINT) AS period, psi,
+           CASE WHEN psi < 0.1 THEN 'stable' WHEN psi <= 0.25 THEN 'shifting'
+                ELSE 'drifted' END AS status,
+           CAST(NULL AS DOUBLE) AS n_bad, CAST(NULL AS DOUBLE) AS n_good,
+           CAST(NULL AS DOUBLE) AS dist_good, CAST(NULL AS DOUBLE) AS dist_bad,
+           CAST(NULL AS DOUBLE) AS woe_actual, CAST(NULL AS DOUBLE) AS iv_component,
+           CAST(NULL AS DOUBLE) AS woe_fitted, CAST(NULL AS DOUBLE) AS delta_woe,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM spsi
     """,
 )
 def q_drift_suite(spark, sf_dir):
-    """Driver-hash slot for drift.py: psi_report detail + per-period
-    stability + the characteristic WOE/IV audit under one fixed bins spec
-    (see the oracle comment)."""
+    """Driver-hash slot for drift.py + streaming/drift.py: psi_report
+    detail + per-period stability + the characteristic WOE/IV audit + the
+    STREAMING PSI monitor's per-micro-batch metrics under one fixed bins
+    spec (see the oracle comment for the batch-determinism construction)."""
+    import glob as _glob
+    import os
+    import shutil
+
     import pandas as pd
 
     from woe_monotonic_binning_spark.drift import (
+        baseline_fractions,
         characteristic_stability,
         psi_report,
         stability_over_periods,
     )
+    from woe_monotonic_binning_spark.streaming.drift import streaming_psi_monitor
 
     bins = pd.DataFrame(
         {
@@ -3053,6 +3119,7 @@ def q_drift_suite(spark, sf_dir):
         F.lit(None).cast("double").alias("psi"),
         F.lit(None).cast("string").alias("status"),
         *_DRIFT_CHAR_NULLS,
+        F.lit(None).cast("long").alias("n_rows"),
     )
     stab = stability_over_periods(
         li.withColumn("ship_year", F.year("l_shipdate")), bins, "ship_year"
@@ -3072,6 +3139,7 @@ def q_drift_suite(spark, sf_dir):
         "psi",
         "status",
         *_DRIFT_CHAR_NULLS,
+        F.lit(None).cast("long").alias("n_rows"),
     )
     char = characteristic_stability(
         li.withColumn("target", (F.col("l_returnflag") == "R").cast("int")),
@@ -3100,8 +3168,57 @@ def q_drift_suite(spark, sf_dir):
         "iv_component",
         "woe_fitted",
         "delta_woe",
+        F.lit(None).cast("long").alias("n_rows"),
     )
-    return detail.unionByName(stab).unionByName(char)
+    # psi_stream section: four content-deterministic micro-batches
+    # (group = l_orderkey % 4, ONE parquet file each, maxFilesPerTrigger=1)
+    # scored by the streaming monitor against the full-table baseline.
+    # batch_id is file-arrival order (not content-determined) and is
+    # dropped; the certified multiset is keyed by the content-derived
+    # (n_rows, psi) per group, which the oracle rebuilds with GROUP BY g.
+    base = baseline_fractions(li, bins)
+    src = _staging_dir(spark, "drift_suite_stage", "src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    for g in range(4):
+        tmp = _staging_dir(spark, "drift_suite_stage", f"tmp{g}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        li.filter(F.pmod(F.col("l_orderkey"), F.lit(4)) == g).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"grp{g}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    metrics = _staging_dir(spark, "drift_suite_stage", "metrics")
+    shutil.rmtree(metrics, ignore_errors=True)
+    ckpt = _staging_dir(spark, "drift_suite_stage", "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = streaming_psi_monitor(stream, bins, base, metrics, checkpoint_dir=ckpt)
+    q.awaitTermination()
+    pstream = spark.read.parquet(metrics).select(
+        F.lit("psi_stream").alias("section"),
+        "variable",
+        F.lit(None).cast("int").alias("bin"),
+        F.lit(None).cast("string").alias("bucket"),
+        F.lit(None).cast("double").alias("interval_lo"),
+        F.lit(None).cast("double").alias("interval_hi"),
+        F.lit(None).cast("long").alias("expected_count"),
+        F.lit(None).cast("long").alias("actual_count"),
+        F.lit(None).cast("double").alias("expected_frac"),
+        F.lit(None).cast("double").alias("actual_frac"),
+        F.lit(None).cast("double").alias("psi_component"),
+        F.lit(None).cast("long").alias("period"),
+        "psi",
+        "status",
+        *_DRIFT_CHAR_NULLS,
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+    return detail.unionByName(stab).unionByName(char).unionByName(pstream)
 
 
 @_q(

@@ -237,6 +237,28 @@ def test_psi_scale_convention_bug_is_caught(spark, con, monkeypatch):
     )
 
 
+def test_streaming_psi_stale_baseline_bug_is_caught(spark, con, monkeypatch):
+    """baseline_fractions returning 1%-inflated expected fractions (a
+    stale/mis-normalised pinned baseline — the train-time-statistics-at-
+    serve-time failure mode) — injected at the seam feeding ONLY the
+    certified merged suite's psi_stream section (round 9), so this pins
+    that the streaming rows participate in the hash, not just ride along."""
+    import woe_monotonic_binning_spark.drift as drift
+
+    orig = drift.baseline_fractions
+
+    def mutated(*args, **kwargs):
+        base = orig(*args, **kwargs)
+        base = base.copy()
+        base["expected_frac"] = base["expected_frac"] * 1.01
+        return base
+
+    monkeypatch.setattr(drift, "baseline_fractions", mutated)
+    assert_caught(
+        spark, con, "q_drift_suite", qc.SPARK_QUERIES["q_drift_suite"](spark, SF)
+    )
+
+
 def test_quality_calibration_shift_is_caught(spark, con, monkeypatch):
     """quality_score shifted by +0.001 — a weight-tweak class bug at the
     text-operator seam."""
