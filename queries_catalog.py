@@ -1901,7 +1901,10 @@ def q_tfidf(spark, sf_dir):
     # DuckDB twin of operators/text.py gopher_signals: same regexes, same
     # 6-dp rounding.  Inside the driver's 50-slot window since round 5
     # (the q_dedup_exact_digest / q_dropna / q_filter_flag / q_anti_drop
-    # merges freed three slots).
+    # merges freed three slots).  Round 9: the composed gopher_filter gate
+    # is certified too — stat_words plus keep/reasons rebuilt here from
+    # the published Rae et al. bands (GOPHER_THRESHOLDS, text.py:409) in
+    # the same dict order the engine emits fail_reasons.
     """
     WITH g AS (
       SELECT doc_id,
@@ -1921,8 +1924,9 @@ def q_tfidf(spark, sf_dir):
              list_sort(list_transform(range(1, GREATEST(len(gw), 4) - 4 + 2),
                                       i -> array_to_string(gw[i:i+3], ' '))) AS sg4
       FROM g
-    )
+    ), sig AS (
     SELECT doc_id,
+           words                                     AS stat_words,
            ROUND(symbols / GREATEST(words, 1), 6)    AS sig_symbol_word_ratio,
            ROUND(word_chars / GREATEST(words, 1), 6) AS sig_mean_word_len,
            ROUND((len(lines) - len(list_distinct(lines)))
@@ -1955,16 +1959,52 @@ def q_tfidf(spark, sf_dir):
                    ln -> regexp_matches(lower(ln), '\\b(the|and|of|to|is)\\b')))
                  / GREATEST(len(lines), 1), 6)       AS sig_stopword_line_frac
     FROM s
+    ), gate AS (
+    SELECT sig.*,
+           list_filter([
+             CASE WHEN stat_words < 50.0 OR stat_words > 100000.0
+                  THEN 'stat_words' END,
+             CASE WHEN sig_mean_word_len < 3.0 OR sig_mean_word_len > 10.0
+                  THEN 'sig_mean_word_len' END,
+             CASE WHEN sig_symbol_word_ratio < 0.0 OR sig_symbol_word_ratio > 0.1
+                  THEN 'sig_symbol_word_ratio' END,
+             CASE WHEN sig_bullet_line_frac < 0.0 OR sig_bullet_line_frac > 0.9
+                  THEN 'sig_bullet_line_frac' END,
+             CASE WHEN sig_ellipsis_line_frac < 0.0 OR sig_ellipsis_line_frac > 0.3
+                  THEN 'sig_ellipsis_line_frac' END,
+             CASE WHEN sig_dup_line_frac < 0.0 OR sig_dup_line_frac > 0.3
+                  THEN 'sig_dup_line_frac' END,
+             CASE WHEN sig_dup_2gram_char_frac < 0.0 OR sig_dup_2gram_char_frac > 0.2
+                  THEN 'sig_dup_2gram_char_frac' END,
+             CASE WHEN sig_dup_3gram_char_frac < 0.0 OR sig_dup_3gram_char_frac > 0.18
+                  THEN 'sig_dup_3gram_char_frac' END,
+             CASE WHEN sig_dup_4gram_char_frac < 0.0 OR sig_dup_4gram_char_frac > 0.16
+                  THEN 'sig_dup_4gram_char_frac' END
+           ], r -> r IS NOT NULL) AS __fails
+    FROM sig
+    )
+    SELECT doc_id, sig_symbol_word_ratio, sig_mean_word_len,
+           sig_dup_line_frac, sig_bullet_line_frac, sig_dup_2gram_char_frac,
+           sig_dup_3gram_char_frac, sig_dup_4gram_char_frac,
+           sig_ellipsis_line_frac, sig_stopword_line_frac,
+           CAST(stat_words AS INTEGER) AS stat_words,
+           len(__fails) = 0 AS keep,
+           -- array_to_string([]) is NULL in DuckDB; Spark array_join is ''
+           COALESCE(array_to_string(__fails, ','), '') AS reasons
+    FROM gate
     """,
 )
 def q_gopher_signals(spark, sf_dir):
     """Gopher-style repetition/shape quality signals (operators/text.py
     gopher_signals); driver-certified since round 5, extended round 6 with
     duplicate 2/3/4-gram character fractions (sorted-neighbor O(g log g)
-    form on both engines) and ellipsis/stopword line fractions."""
-    from woe_monotonic_binning_spark.operators.text import gopher_signals
+    form on both engines) and ellipsis/stopword line fractions; extended
+    round 9 with the COMPOSED gopher_filter gate columns (stat_words, keep,
+    fail_reasons joined to a string) so the published Rae et al. acceptance
+    bands are hash-certified too, not just the signals they read."""
+    from woe_monotonic_binning_spark.operators.text import gopher_filter
 
-    return gopher_signals(_docs(spark, sf_dir)).select(
+    return gopher_filter(_docs(spark, sf_dir)).select(
         "doc_id",
         "sig_symbol_word_ratio",
         "sig_mean_word_len",
@@ -1975,6 +2015,9 @@ def q_gopher_signals(spark, sf_dir):
         "sig_dup_4gram_char_frac",
         "sig_ellipsis_line_frac",
         "sig_stopword_line_frac",
+        "stat_words",
+        "keep",
+        F.array_join("fail_reasons", ",").alias("reasons"),
     )
 
 

@@ -259,6 +259,20 @@ def test_streaming_psi_stale_baseline_bug_is_caught(spark, con, monkeypatch):
     )
 
 
+def test_gopher_band_constant_typo_is_caught(spark, con, monkeypatch):
+    """GOPHER_THRESHOLDS stat_words lower bound 50 -> 40 (a transcription
+    typo of the published Rae et al. band) — injected under the certified
+    gate columns added to q_gopher_signals in round 9."""
+    import woe_monotonic_binning_spark.operators.text as text
+
+    mutated = dict(text.GOPHER_THRESHOLDS)
+    mutated["stat_words"] = (40.0, 100_000.0)
+    monkeypatch.setattr(text, "GOPHER_THRESHOLDS", mutated)
+    assert_caught(
+        spark, con, "q_gopher_signals", qc.SPARK_QUERIES["q_gopher_signals"](spark, SF)
+    )
+
+
 def test_quality_calibration_shift_is_caught(spark, con, monkeypatch):
     """quality_score shifted by +0.001 — a weight-tweak class bug at the
     text-operator seam."""
