@@ -159,12 +159,31 @@ def curate_corpus(
     that every cache needs an owner, with the owner here being the
     caller who asked for a lazy result).
     """
+    scrub_cache = None
     if scrub:
         from .operators.text import PII_PATTERNS, scrub_pii
 
         docs = scrub_pii(docs, text_col).drop(
             *[f"n_{kind}" for kind in PII_PATTERNS]
         )
+        if cache_survivors:
+            # Materialize the scrubbed text ONCE.  Without a barrier,
+            # CollapseProject re-inlines the 5-regex replace chain into
+            # EVERY downstream reference of text_col — each quality
+            # signal, the digest, the shingles — and the quality gate's
+            # Filter predicate gets no subexpression elimination at all
+            # (the round-8 gopher blow-up, same mechanism), so the chain
+            # runs ~20x per row: measured 2x the WHOLE pipeline wall at
+            # sf0.1 (15.2s vs 7.7s scrub-off; 0.17s for one honest
+            # chain pass).  The cache is corpus-sized but TRANSIENT —
+            # same storage class and lifetime as the survivor cache and
+            # the decontam posting cache (contamination_overlap), the
+            # round-5 every-cache-needs-an-owner rule: released with the
+            # survivor cache after a write, caller-owned for lazy use.
+            from pyspark import StorageLevel
+
+            docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+            scrub_cache = docs
     if dedup_lines:
         from .operators.text import remove_repeated_lines
 
@@ -264,4 +283,6 @@ def curate_corpus(
                 # the write was the action; cache owed nothing more — and a
                 # FAILED write must not leak it into a long-lived session
                 uniq.unpersist()
+                if scrub_cache is not None:
+                    scrub_cache.unpersist()
     return labeled
