@@ -49,7 +49,23 @@ def _normalise(df: pd.DataFrame) -> list[tuple]:
             elif isinstance(v, (np.integer, int)):
                 out.append(int(v))
             elif isinstance(v, (list, np.ndarray)):
-                out.append(tuple(round(float(x), 6) for x in v))
+                # same convention as scalars: NULL and NaN elements both
+                # normalise to None (float(None) raised; NaN never compared
+                # equal to itself), non-numeric elements pass through — so a
+                # dev compare over an array column reports a diff instead of
+                # crashing.  No certified query emits a raw array (arrays
+                # are string-joined on both sides precisely for hashing).
+                out.append(
+                    tuple(
+                        None
+                        if x is None
+                        or (isinstance(x, (float, np.floating)) and math.isnan(x))
+                        else round(float(x), 6)
+                        if isinstance(x, (int, float, np.integer, np.floating))
+                        else x
+                        for x in v
+                    )
+                )
             elif isinstance(v, pd.Timestamp):
                 out.append(v.to_pydatetime().replace(tzinfo=None))
             else:

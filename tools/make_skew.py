@@ -66,6 +66,36 @@ def build_skew(spark, src: str, out: str) -> None:
         "n_chars", F.length("text").cast("long")
     ).repartition(8).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
+    # embeddings: one hot EMBEDDING cluster (round 9 — exercises the SRP /
+    # semantic star-fallback paths the text arms cannot reach): ~5% of
+    # vectors replaced by EXACT copies of one base vector (one hot SRP
+    # band bucket in every band + one hot semantic cell), another ~5% by
+    # near-copies (tiny deterministic per-dim nudge, cosine ~0.9999 — they
+    # survive exact-vector dedup and hit the near-dup path)
+    if os.path.exists(f"{src}/embeddings.parquet"):
+        emb = spark.read.parquet(f"{src}/embeddings.parquet")
+        vbase = (
+            emb.orderBy("vec_id").select("embedding").first()["embedding"]
+        )
+        epick = F.pmod(F.xxhash64("vec_id", F.lit(17)), F.lit(100))
+        e_exact = epick < int(HOT_DOC_FRAC * 100)
+        e_near = (epick >= int(HOT_DOC_FRAC * 100)) & (
+            epick < int(2 * HOT_DOC_FRAC * 100)
+        )
+        base_lit = F.array(*[F.lit(float(x)).cast("float") for x in vbase])
+        near_lit = F.expr(
+            "transform(__base, (x, i) -> cast(x + 1e-4 * pmod(vec_id + i, 7) "
+            "as float))"
+        )
+        emb.withColumn("__base", base_lit).withColumn(
+            "embedding",
+            F.when(e_exact, F.col("__base"))
+            .when(e_near, near_lit)
+            .otherwise(F.col("embedding")),
+        ).drop("__base").repartition(8).write.mode("overwrite").parquet(
+            f"{out}/embeddings.parquet"
+        )
+
     for t in (
         "region",
         "nation",
@@ -74,7 +104,6 @@ def build_skew(spark, src: str, out: str) -> None:
         "part",
         "orders",
         "lineitem",
-        "embeddings",
     ):
         # partial sources (e.g. the sf1 smoke dir holds only the four big
         # tables) copy through what exists; the skew arms above are the

@@ -18,6 +18,11 @@ Queries:
 - dedup_cc        pairs -> connected components -> canonical keep (the
                   hot cluster is one giant component)
 - dedup_digest    exact dedup (one digest carries 5% of docs)
+- dedup_srp       SRP-LSH cosine pairs (round 9: one hot embedding
+                  cluster shares every band bucket; over-cap buckets
+                  degrade to anchor-star candidates)
+- dedup_semantic  SemDeDup (hot cluster = one hot cell; max_block star
+                  cap bounds the within-cell quadratic)
 
 Usage: python tools/skew_smoke.py [uniform_dir] [skew_dir]
 Prints one JSON line: {"queries": {name: {"uniform": s, "skew": s,
@@ -46,8 +51,12 @@ def main() -> None:
         dedup_keep_canonical,
         exact_dedup_by_digest,
         minhash_dedup_pairs,
+        semantic_dedup,
     )
     from woe_monotonic_binning_spark.operators.joins import salted_join
+    from woe_monotonic_binning_spark.operators.similarity import (
+        srp_threshold_pairs,
+    )
     from woe_monotonic_binning_spark.operators.windows import (
         session_agg,
         top_users_per_window,
@@ -61,6 +70,11 @@ def main() -> None:
 
     def read_docs(d):
         return spark.read.parquet(f"{d}/documents.parquet")
+
+    def read_emb(d):
+        return spark.read.parquet(f"{d}/embeddings.parquet").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
 
     def user_dim(d):
         # a per-user dim built once OUTSIDE the timed region (eagerly
@@ -110,7 +124,29 @@ def main() -> None:
         "dedup_minhash_capped": lambda d, ctx: minhash_dedup_pairs(
             read_docs(d), "text", "doc_id", threshold=0.7, max_bucket=1000
         ).count(),
+        # embedding near-dup under a hot vector cluster (round 9): SRP with
+        # the cap BELOW the planted cluster (star fallback on every band
+        # bucket it floods), and SemDeDup with/without the max_block cap
+        # 8-bit bands (n_bands=8) keep healthy buckets ~|corpus|/256 so the
+        # planted hot cluster is the ONLY over-cap key at sf1
+        "dedup_srp": lambda d, ctx: srp_threshold_pairs(
+            read_emb(d), threshold=0.9, n_bits=64, n_bands=8, max_bucket=500
+        ).count(),
+        "dedup_semantic": lambda d, ctx: semantic_dedup(
+            read_emb(d), n_cells=16, threshold=0.99
+        ).count(),
+        "dedup_semantic_capped": lambda d, ctx: semantic_dedup(
+            read_emb(d), n_cells=16, threshold=0.99, max_block=500
+        ).count(),
     }
+
+    only = os.environ.get("SPARK_GRAFT_SKEW_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = keep - set(shapes)
+        if unknown:
+            raise SystemExit(f"unknown SPARK_GRAFT_SKEW_ONLY shapes: {sorted(unknown)}")
+        shapes = {k: v for k, v in shapes.items() if k in keep}
 
     # the join shapes must not silently broadcast the dim — the point is
     # the shuffled-reducer hot key
