@@ -1121,6 +1121,34 @@ def test_curate_corpus_semantic_backend_drops_paraphrase_by_embedding(spark):
         curate_corpus(no_vec, near_dup="semantic")
 
 
+def test_curate_corpus_semantic_max_block_forwards_and_collapses(spark):
+    """semantic_max_block (round 9) forwards to semantic_dedup: a hot
+    embedding cluster BIGGER than the cap still collapses to one survivor
+    through the anchor star instead of paying the within-cell quadratic."""
+    from woe_monotonic_binning_spark import curate_corpus
+
+    k = 9
+    rows = [
+        (i, f"hot cluster doc number {i} with words", [1.0, 0.5, 0.0], "web")
+        for i in range(k)
+    ]
+    rows.append((100, "a lone unrelated document here", [0.0, 0.0, 1.0], "web"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>, source string"
+    )
+    out = curate_corpus(
+        docs,
+        near_dup="semantic",
+        quality_threshold=0.0,
+        semantic_cells=2,
+        semantic_threshold=0.999999,
+        semantic_max_block=k - 3,
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert 100 in kept
+    assert len(kept & set(range(k))) == 1  # over-cap cluster -> one survivor
+
+
 def test_curate_corpus_maximal_composition_executes(spark, tmp_path):
     """Round-8 lesson: plan-only pins hide execution blow-ups (the gopher
     filter-predicate hang shipped plan-green for two rounds and only

@@ -67,6 +67,7 @@ def curate_corpus(
     vec_col: str = "embedding",
     semantic_threshold: float = 0.95,
     semantic_cells: int = 16,
+    semantic_max_block: int | None = None,
     weights: dict[str, float] | None = None,
     source_col: str = "source",
     test_fraction: float = 0.1,
@@ -116,7 +117,9 @@ def curate_corpus(
       (must exist on the input): Lloyd cells of ``semantic_cells``
       centroids, within-cell cosine pairs >= ``semantic_threshold``,
       multi-probed across cell boundaries — catches paraphrases that
-      survive every text-level hash;
+      survive every text-level hash; ``semantic_max_block`` caps a hot
+      cell's quadratic at O(k) anchor-star pairs (round-9 skew smoke:
+      12x wall at an under-celled config, collapse preserved);
     - ``'jaccard'`` — exact blocked all-pairs over ``block_cols``
       (quadratic per block; validation runs);
     - ``None`` — skip near-dup entirely.
@@ -238,6 +241,9 @@ def curate_corpus(
             threshold=semantic_threshold,
             order_col="quality",
             descending=True,
+            # bounds a hot cell's within-block quadratic via the anchor-star
+            # fallback (round-9 skew smoke: 12x at an under-celled config)
+            max_block=semantic_max_block,
         )
     elif near_dup == "jaccard":
         if not block_cols:
