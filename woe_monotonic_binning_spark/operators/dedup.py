@@ -667,18 +667,30 @@ def embedding_neardup_pairs(
     through its anchor; the default stays None so the SQL-oracle-exact
     all-pairs semantics are opt-out only at scale.
     """
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import cosine_from_norms as _cosine_from_norms
+    from ..functions.vector import norm as _norm
 
+    # Norms are precomputed ONCE PER ROW before the self-join and the pair
+    # cosine is try_divide(dot, n_a * n_b) — bit-identical floats to
+    # cosine_similarity (same expressions, same order), at one array
+    # aggregate per PAIR instead of three (the two norm folds dominated
+    # the pair stage: 129s -> measured in the round-9 sf1 embedding skew
+    # smoke before this change).
     a = df.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        _norm(F.col(vec_col)).alias("n_a"),
     )
     b = df.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        _norm(F.col(vec_col)).alias("n_b"),
     )
+    cols = ["id_a", "v_a", "n_a", "id_b", "v_b", "n_b"]
     if max_block is None:
-        cand = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "v_a", "id_b", "v_b"
-        )
+        cand = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).select(*cols)
     else:
         sizes = a.groupBy("blk").agg(F.count("*").alias("__bn"))
         ok = sizes.filter(F.col("__bn") <= max_block).select("blk")
@@ -686,7 +698,7 @@ def embedding_neardup_pairs(
             a.join(ok, "blk")
             .join(b.join(ok, "blk"), "blk")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "v_a", "id_b", "v_b")
+            .select(*cols)
         )
         hot = sizes.filter(F.col("__bn") > max_block).select("blk")
         a_hot = a.join(hot, "blk")
@@ -694,7 +706,12 @@ def embedding_neardup_pairs(
         anchor_rows = (
             a_hot.join(anchor_ids, "blk")
             .filter(F.col("id_a") == F.col("__anchor"))
-            .select("blk", F.col("id_a").alias("__aid"), F.col("v_a").alias("__avec"))
+            .select(
+                "blk",
+                F.col("id_a").alias("__aid"),
+                F.col("v_a").alias("__avec"),
+                F.col("n_a").alias("__anorm"),
+            )
         )
         star = (
             a_hot.join(anchor_rows, "blk")
@@ -702,12 +719,16 @@ def embedding_neardup_pairs(
             .select(
                 F.col("__aid").alias("id_a"),
                 F.col("__avec").alias("v_a"),
+                F.col("__anorm").alias("n_a"),
                 F.col("id_a").alias("id_b"),
                 F.col("v_a").alias("v_b"),
+                F.col("n_a").alias("n_b"),
             )
         )
         cand = cand.unionByName(star).dropDuplicates(["id_a", "id_b"])
-    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    cos = _cosine_from_norms(
+        F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+    )
     return cand.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from .._cache import materialize_and_release
-from ..functions.vector import cosine_similarity, dot, norm
+from ..functions.vector import cosine_from_norms, dot, norm
 
 
 def brute_force_topk(
@@ -43,11 +43,18 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine, rank).  Deterministic tiebreak
     on (cosine desc, neighbor_id).
     """
+    # Norms once per ROW (not per pair): try_divide(dot, q_n * c_n) is
+    # bit-identical to cosine_similarity but pays one array fold per
+    # (query, corpus) pair instead of three.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -55,7 +62,12 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            F.round(
+                cosine_from_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_n"), F.col("c_n")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     return _rank_topk(scored, k)
@@ -124,12 +136,24 @@ def assign_cells(
     boundary still land in one common block; the output grows
     ``n_probe``-fold, nothing else changes."""
     spark = corpus.sparkSession
-    cdf = _centroid_df(spark, centroids)
-    scored = corpus.crossJoin(F.broadcast(cdf)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("cell"),
-        cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("c_vec")).alias("sim"),
+    cdf = _centroid_df(spark, centroids).withColumn("c_n", norm(F.col("c_vec")))
+    # vector norm once per ROW, not per (row, centroid): try_divide(dot,
+    # __vn * c_n) is bit-identical to cosine_similarity at 1/n_cells the
+    # norm folds
+    scored = (
+        corpus.withColumn("__vn", norm(F.col(vec_col).cast("array<double>")))
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cell"),
+            cosine_from_norms(
+                F.col(vec_col).cast("array<double>"),
+                F.col("c_vec"),
+                F.col("__vn"),
+                F.col("c_n"),
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
     return (
@@ -156,19 +180,28 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
 def _query_probes(q: DataFrame, cdf: DataFrame, n_probe: int) -> DataFrame:
     """Shared probe construction: each query's n_probe nearest cells by
     centroid cosine (deterministic tiebreak on cell id)."""
-    q_cells = q.crossJoin(F.broadcast(cdf)).select(
-        "query_id",
-        "q_vec",
-        "cell",
-        cosine_similarity(
-            F.col("q_vec").cast("array<double>"), F.col("c_vec")
-        ).alias("sim"),
+    q_cells = (
+        q.withColumn("__qn", norm(F.col("q_vec").cast("array<double>")))
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "query_id",
+            "q_vec",
+            "__qn",
+            "cell",
+            cosine_from_norms(
+                F.col("q_vec").cast("array<double>"),
+                F.col("c_vec"),
+                F.col("__qn"),
+                F.col("c_n"),
+            ).alias("sim"),
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))
     return (
         q_cells.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_vec", "cell")
+        # q_n rides along so pair scoring downstream reuses the one fold
+        .select("query_id", "q_vec", F.col("__qn").alias("q_n"), "cell")
     )
 
 
@@ -184,18 +217,24 @@ def ivf_topk(
     """Approximate top-k: rank only inside the ``n_probe`` cells nearest to
     each query.  Same output schema as ``brute_force_topk``."""
     spark = corpus.sparkSession
-    cdf = _centroid_df(spark, centroids)
+    cdf = _centroid_df(spark, centroids).withColumn("c_n", norm(F.col("c_vec")))
     assigned = assign_cells(corpus, centroids, vec_col, id_col)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     probes = _query_probes(q, cdf, n_probe)
     scored = (
-        assigned.join(F.broadcast(probes), "cell")
+        assigned.withColumn("__cn", norm(F.col(vec_col)))
+        .join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
+            F.round(
+                cosine_from_norms(
+                    F.col("q_vec"), F.col(vec_col), F.col("q_n"), F.col("__cn")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     return _rank_topk(scored, k)
@@ -245,7 +284,7 @@ def ivf_topk_index(
     both).  The ``cell`` filter prunes at the *partition* level: the scan
     reads only the probed cells' directories."""
     centroids = load_ivf_centroids(spark, path)
-    cdf = _centroid_df(spark, centroids)
+    cdf = _centroid_df(spark, centroids).withColumn("c_n", norm(F.col("c_vec")))
     assigned = spark.read.parquet(f"{path}/assigned")
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -261,12 +300,18 @@ def ivf_topk_index(
     )
     scored = (
         assigned.filter(F.col("cell").isin(probed_cells))
+        .withColumn("__cn", norm(F.col(vec_col)))
         .join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
+            F.round(
+                cosine_from_norms(
+                    F.col("q_vec"), F.col(vec_col), F.col("q_n"), F.col("__cn")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     return _rank_topk(scored, k)
@@ -292,6 +337,7 @@ def _srp_bands(
     id_col: str,
     out_id: str,
     keep_vec: str,
+    keep_norm: str,
 ) -> DataFrame:
     """Explode a vector table to one row per (id, band_idx, band_val).
 
@@ -299,6 +345,11 @@ def _srp_bands(
     products folded into sign bits, packed r-bits-per-band into ints.  No
     shuffle happens here — the only shuffle in the SRP pipeline is the
     candidate-pair dedup downstream.
+
+    ``keep_norm`` carries the vector's L2 norm, computed ONCE PER ROW here
+    so downstream pair scoring pays one array fold per pair
+    (try_divide(dot, n_a * n_b) — bit-identical floats to
+    cosine_similarity) instead of re-folding both norms per candidate.
     """
     n_bits = len(planes)
     if n_bands <= 0 or n_bits % n_bands != 0:
@@ -320,9 +371,15 @@ def _srp_bands(
         for j in range(n_bands)
     ]
     return df.select(
-        F.col(id_col).alias(out_id), F.col(vec_col).alias(keep_vec), F.array(*bands).alias("__bands")
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias(keep_vec),
+        norm(F.col(vec_col)).alias(keep_norm),
+        F.array(*bands).alias("__bands"),
     ).select(
-        out_id, keep_vec, F.posexplode("__bands").alias("band_idx", "band_val")
+        out_id,
+        keep_vec,
+        keep_norm,
+        F.posexplode("__bands").alias("band_idx", "band_val"),
     )
 
 
@@ -363,8 +420,12 @@ def srp_topk(
             )
         dim = len(first[0])
     planes = srp_hyperplanes(dim, n_bits, seed)
-    c_bands = _srp_bands(corpus, planes, n_bands, vec_col, id_col, "neighbor_id", "c_vec")
-    q_bands = _srp_bands(queries, planes, n_bands, vec_col, id_col, "query_id", "q_vec")
+    c_bands = _srp_bands(
+        corpus, planes, n_bands, vec_col, id_col, "neighbor_id", "c_vec", "c_n"
+    )
+    q_bands = _srp_bands(
+        queries, planes, n_bands, vec_col, id_col, "query_id", "q_vec", "q_n"
+    )
     cand = (
         c_bands.join(F.broadcast(q_bands), ["band_idx", "band_val"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -373,7 +434,12 @@ def srp_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        F.round(
+            cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_n"), F.col("c_n")
+            ),
+            6,
+        ).alias("cosine"),
     )
     return _rank_topk(scored, k)
 
@@ -395,21 +461,24 @@ def srp_threshold_pairs(
     near-dup: unlike ``embedding_neardup_pairs`` it needs no pre-existing
     block column, the hyperplane bands ARE the blocking.
 
-    Candidates come from a band-key self-join (shuffle carries
-    (band, id, vec) — never a cross product), are deduped, then exact
-    cosine re-filtered: precision is exactly 1.0, recall is the banding
-    OR-curve 1-(1-(1-θ/π)^r)^b.  Band buckets larger than ``max_bucket``
-    degrade to O(k) STAR candidates around the bucket's min-id anchor
-    (exact-cosine verified like any candidate) — a degenerate bucket
-    (zero vectors, a constant-embedding spam cluster) would otherwise
-    contribute O(bucket²) join rows on one reducer, while DROPPING it
-    (the pre-round-9 behavior, same defect as the MinHash/SimHash
-    siblings fixed this round) zeroed recall for exactly the hottest
-    cluster: a mutually-similar mega-cluster stays one connected
-    component through its anchor at linear pair cost.  At the default
-    4 bits/band a healthy bucket holds ~|corpus|/16 of loosely-similar
-    vectors, so the fallback only fires on pathological mass
-    duplication.
+    Candidates come from a band-key self-join over ID-ONLY band tuples
+    (round 9: the band cache and the candidate-dedup shuffle used to carry
+    both 64-dim vectors per row — ~1 KB/candidate of shuffle and
+    n_bands-fold vector duplication in the cache; they now carry 16-byte
+    id pairs, and the vectors + per-row norms join back ONCE by id for the
+    exact-cosine verify, the same verify-by-rejoin shape as the MinHash
+    sibling).  Precision is exactly 1.0, recall is the banding OR-curve
+    1-(1-(1-θ/π)^r)^b.  Band buckets larger than ``max_bucket`` degrade to
+    O(k) STAR candidates around the bucket's min-id anchor (exact-cosine
+    verified like any candidate) — a degenerate bucket (zero vectors, a
+    constant-embedding spam cluster) would otherwise contribute O(bucket²)
+    join rows on one reducer, while DROPPING it (the pre-round-9 behavior,
+    same defect as the MinHash/SimHash siblings fixed this round) zeroed
+    recall for exactly the hottest cluster: a mutually-similar
+    mega-cluster stays one connected component through its anchor at
+    linear pair cost.  At the default 4 bits/band a healthy bucket holds
+    ~|corpus|/16 of loosely-similar vectors, so the fallback only fires on
+    pathological mass duplication.
     """
     if dim is None:
         first = df.select(vec_col).first()
@@ -420,24 +489,27 @@ def srp_threshold_pairs(
             )
         dim = len(first[0])
     planes = srp_hyperplanes(dim, n_bits, seed)
-    # Compute the n_bits dot products once: the band table feeds THREE
-    # consumers (bucket-size count, both join sides), so it is persisted.
-    # With cleanup=True (default) the pair table is eagerly materialized
-    # and the band cache released before returning (_cache.py) — same
-    # lifecycle as minhash_dedup_pairs.
-    bands = _srp_bands(df, planes, n_bands, vec_col, id_col, "id_a", "v_a").persist()
-    a = bands
-    b = bands.select(
-        F.col("id_a").alias("id_b"), F.col("v_a").alias("v_b"), "band_idx", "band_val"
+    # Compute the n_bits dot products once: the band table feeds three
+    # consumers (bucket-size count, both join sides), so it is persisted —
+    # projected down to (id, band_idx, band_val) so the cache holds 16-byte
+    # tuples, not n_bands copies of every vector.  With cleanup=True
+    # (default) the pair table is eagerly materialized and the band cache
+    # released before returning (_cache.py) — same lifecycle as
+    # minhash_dedup_pairs.
+    bands = (
+        _srp_bands(df, planes, n_bands, vec_col, id_col, "id_a", "v_a", "n_a")
+        .select("id_a", "band_idx", "band_val")
+        .persist()
     )
+    a = bands
+    b = bands.select(F.col("id_a").alias("id_b"), "band_idx", "band_val")
     sizes = a.groupBy("band_idx", "band_val").agg(F.count("*").alias("__bn"))
     ok = sizes.filter(F.col("__bn") <= max_bucket).select("band_idx", "band_val")
-    a_ok = a.join(ok, ["band_idx", "band_val"])
-    b_ok = b.join(ok, ["band_idx", "band_val"])
     cand = (
-        a_ok.join(b_ok, ["band_idx", "band_val"])
+        a.join(ok, ["band_idx", "band_val"])
+        .join(b.join(ok, ["band_idx", "band_val"]), ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "v_a", "id_b", "v_b")
+        .select("id_a", "id_b")
     )
     # Over-cap buckets: STAR candidates around the min-id anchor (see
     # docstring) — id_a < id_b holds because the anchor IS the minimum.
@@ -446,33 +518,34 @@ def srp_threshold_pairs(
     anchor_ids = a_hot.groupBy("band_idx", "band_val").agg(
         F.min("id_a").alias("__anchor")
     )
-    anchor_rows = (
-        a_hot.join(anchor_ids, ["band_idx", "band_val"])
-        .filter(F.col("id_a") == F.col("__anchor"))
-        .select(
-            "band_idx",
-            "band_val",
-            F.col("id_a").alias("__aid"),
-            F.col("v_a").alias("__avec"),
-        )
-    )
     star = (
-        a_hot.join(anchor_rows, ["band_idx", "band_val"])
-        .filter(F.col("id_a") != F.col("__aid"))
-        .select(
-            F.col("__aid").alias("id_a"),
-            F.col("__avec").alias("v_a"),
-            F.col("id_a").alias("id_b"),
-            F.col("v_a").alias("v_b"),
-        )
+        a_hot.join(anchor_ids, ["band_idx", "band_val"])
+        .filter(F.col("id_a") != F.col("__anchor"))
+        .select(F.col("__anchor").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    ids = cand.unionByName(star).dropDuplicates(["id_a", "id_b"])
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        norm(F.col(vec_col)).alias("n_a"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        norm(F.col(vec_col)).alias("n_b"),
     )
     out = (
-        cand.unionByName(star)
-        .dropDuplicates(["id_a", "id_b"])
+        ids.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+            F.round(
+                cosine_from_norms(
+                    F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
