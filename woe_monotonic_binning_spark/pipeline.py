@@ -159,7 +159,10 @@ def curate_corpus(
     release — ``spark.catalog.clearCache()`` works but drops EVERY cache
     in the session, so a session juggling several cached pipelines
     should pass ``cache_survivors=False`` here instead (the round-5 rule
-    that every cache needs an owner, with the owner here being the
+    that every cache needs an owner; note ``scrub=True`` then also skips
+    the scrubbed-text cache and pays the CollapseProject re-inlining of
+    the regex chain into every downstream text reference — measured ~2x
+    whole-pipeline wall at sf0.1 — with the owner here being the
     caller who asked for a lazy result).
     """
     scrub_cache = None
