@@ -3229,8 +3229,10 @@ def q_drift_suite(spark, sf_dir):
         li.filter(F.pmod(F.col("l_orderkey"), F.lit(4)) == g).coalesce(
             1
         ).write.mode("overwrite").parquet(tmp)
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(src, f"grp{g}.parquet"))
+        parts = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        if parts:  # an empty modulo class stages no file => no micro-batch,
+            # matching the oracle (its group set comes from the data)
+            shutil.move(parts[0], os.path.join(src, f"grp{g}.parquet"))
         shutil.rmtree(tmp, ignore_errors=True)
     stream = (
         spark.readStream.schema(li.schema)
@@ -3243,7 +3245,15 @@ def q_drift_suite(spark, sf_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
     q = streaming_psi_monitor(stream, bins, base, metrics, checkpoint_dir=ckpt)
     q.awaitTermination()
-    pstream = spark.read.parquet(metrics).select(
+    if not os.path.isdir(metrics):
+        # fully-empty source: no batch ever fired, so no metrics sink was
+        # written — the oracle likewise emits zero psi_stream rows
+        pstream_src = spark.createDataFrame(
+            [], "batch_id long, variable string, n_rows long, psi double, status string"
+        )
+    else:
+        pstream_src = spark.read.parquet(metrics)
+    pstream = pstream_src.select(
         F.lit("psi_stream").alias("section"),
         "variable",
         F.lit(None).cast("int").alias("bin"),
