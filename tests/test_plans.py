@@ -431,3 +431,46 @@ def test_curate_corpus_simhash_path_stays_jvm_side(spark):
         quality_threshold=0.0,
     )
     assert python_eval_count(out) == 0
+
+
+def test_srp_candidate_dedup_shuffles_id_pairs_only(spark):
+    """Round-9 scale fix pin: srp_threshold_pairs must carry 16-byte id
+    tuples — not the embedding vectors — through the band cache and the
+    candidate-dedup exchange.  The pre-fix plan shuffled two 64-dim
+    vectors per candidate (~1 KB/row) and the cache held n_bands copies
+    of every vector; vectors may appear only in the scans and the final
+    verify join."""
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.operators.similarity import (
+        srp_threshold_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    import re
+
+    out = srp_threshold_pairs(emb, threshold=0.5, cleanup=False)
+    plan = formatted_plan(out)
+    # the persisted band relation holds (id, band_idx, band_val) only —
+    # read the cached column list from the detail block, not the tree
+    mem_args = re.findall(
+        r"\(\d+\) InMemoryRelation\nArguments: \[([^\]]*)\]", plan
+    )
+    assert mem_args, "expected the band cache in the plan"
+    assert all("v_a" not in a and "embedding" not in a for a in mem_args), (
+        "band cache carries vectors again:\n" + "\n".join(mem_args)
+    )
+    # the candidate-dedup exchange partitions on (id_a, id_b) and its
+    # input is exactly those two columns
+    dedup_exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[(\d+)\]: \[([^\]]*)\]\n"
+        r"Arguments: hashpartitioning\(id_a[^)]*id_b",
+        plan,
+    )
+    assert dedup_exchanges, "expected the (id_a, id_b) dedup exchange"
+    for n_cols, cols in dedup_exchanges:
+        assert int(n_cols) == 2 and "v_a" not in cols, (
+            f"dedup exchange widened to [{cols}]"
+        )
