@@ -1196,3 +1196,62 @@ def test_sample_frames_covers_partial_interval_and_skips_empty(spark):
     assert sorted(got[1]) == [0, 1000, 2000]  # 2500ms: 3 started intervals
     assert sorted(got[2]) == [0, 1000]
     assert 3 not in got and 4 not in got  # zero/NULL duration: no frames
+
+
+# -- session_agg_twophase (skew-bounded split-merge sessionization) --
+
+
+def test_session_twophase_matches_single_phase_on_events(spark):
+    """The split-merge form must reproduce session_agg exactly: same
+    session boundaries and event counts (bit-for-bit), total_value to
+    1e-6 (same sum, different association order)."""
+    from woe_monotonic_binning_spark.operators.windows import (
+        session_agg,
+        session_agg_twophase,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    one = {
+        (r.session_start, r.session_end, r.user_id, r.n_events): r.total_value
+        for r in session_agg(ev).collect()
+    }
+    two = {
+        (r.session_start, r.session_end, r.user_id, r.n_events): r.total_value
+        for r in session_agg_twophase(ev).collect()
+    }
+    assert one.keys() == two.keys()
+    assert all(abs(one[k] - two[k]) <= 1e-6 for k in one)
+
+
+def test_session_twophase_merges_across_bucket_boundaries(spark):
+    """A session spanning three day-bucket cuts (events 10 minutes apart
+    straddling two midnights) must come back as ONE session — the island
+    merge, not the bucket split, defines the output; an hour-bucketed run
+    over the same events agrees, proving correctness is bucket-invariant."""
+    from datetime import datetime, timedelta
+
+    from woe_monotonic_binning_spark.operators.windows import (
+        session_agg,
+        session_agg_twophase,
+    )
+
+    t0 = datetime(2024, 3, 1, 23, 40)
+    rows = [(7, t0 + timedelta(minutes=10 * i), "click", 1.0) for i in range(300)]
+    rows += [(7, datetime(2024, 3, 5, 12, 0), "click", 2.0)]  # separate session
+    rows += [(8, datetime(2024, 3, 1, 5, 0), "view", 3.0)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    base = {
+        (r.session_start, r.session_end, r.user_id, r.n_events)
+        for r in session_agg(ev).collect()
+    }
+    for unit in ("day", "hour"):
+        got = {
+            (r.session_start, r.session_end, r.user_id, r.n_events)
+            for r in session_agg_twophase(ev, bucket_unit=unit).collect()
+        }
+        assert got == base, f"bucket_unit={unit} diverged"
+    # the 300-event chain really is one merged session
+    n_user7 = [k for k in base if k[2] == 7]
+    assert sorted(k[3] for k in n_user7) == [1, 300]

@@ -59,6 +59,7 @@ def main() -> None:
     )
     from woe_monotonic_binning_spark.operators.windows import (
         session_agg,
+        session_agg_twophase,
         top_users_per_window,
     )
 
@@ -93,6 +94,12 @@ def main() -> None:
         "events_session": lambda d, ctx: session_agg(read_events(d)).agg(
             F.count("*")
         ).collect(),
+        # skew-bounded split-merge twin (round 9): phase 1 sessionizes per
+        # (user, day), phase 2 island-merges local sessions — the hot user
+        # no longer caps the job at one task's speed
+        "events_session_twophase": lambda d, ctx: session_agg_twophase(
+            read_events(d)
+        ).agg(F.count("*")).collect(),
         "events_topk": lambda d, ctx: top_users_per_window(read_events(d)).agg(
             F.count("*")
         ).collect(),
