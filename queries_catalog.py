@@ -3223,17 +3223,26 @@ def q_drift_suite(spark, sf_dir):
     src = _staging_dir(spark, "drift_suite_stage", "src")
     shutil.rmtree(src, ignore_errors=True)
     os.makedirs(src, exist_ok=True)
+    # ONE partitioned write stages all four groups (was 4 filter+coalesce(1)
+    # jobs): repartition on the synthetic group key puts each class in one
+    # task, so every _g=<g> dir holds exactly one part file; partitionBy
+    # drops _g from the file, leaving the plain lineitem schema the stream
+    # reader expects.
+    tmp = _staging_dir(spark, "drift_suite_stage", "tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        li.withColumn("_g", F.pmod(F.col("l_orderkey"), F.lit(4)))
+        .repartition(4, "_g")
+        .write.mode("overwrite")
+        .partitionBy("_g")
+        .parquet(tmp)
+    )
     for g in range(4):
-        tmp = _staging_dir(spark, "drift_suite_stage", f"tmp{g}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        li.filter(F.pmod(F.col("l_orderkey"), F.lit(4)) == g).coalesce(
-            1
-        ).write.mode("overwrite").parquet(tmp)
-        parts = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        parts = _glob.glob(os.path.join(tmp, f"_g={g}", "part-*.parquet"))
         if parts:  # an empty modulo class stages no file => no micro-batch,
             # matching the oracle (its group set comes from the data)
             shutil.move(parts[0], os.path.join(src, f"grp{g}.parquet"))
-        shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
     stream = (
         spark.readStream.schema(li.schema)
         .option("maxFilesPerTrigger", 1)
