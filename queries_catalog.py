@@ -825,21 +825,81 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial+final hash-agg shape (dedup.py:26-44), so one oracle row
     # certifies both.  Folding the former q_dedup_exact_digest slot here
     # freed one of the three driver-window slots needed to certify
-    # q_gopher_signals / q_sample_hash / q_mix_sources.
+    # q_gopher_signals / q_sample_hash / q_mix_sources.  Round 9 widens
+    # the slot with an 'incremental' section: dedup_against_reference
+    # (anti-join on reference digests, then min-id-per-digest within the
+    # batch) replayed as SQL — the q_dedup_incremental scenario, first
+    # half = curated reference, second half + every-10th recrawl = new
+    # batch.  floor() in the half split: Spark's cast("long") on a DOUBLE
+    # truncates, DuckDB's CAST rounds — floor makes both agree.
     """
-    SELECT sha256(text) AS digest, min(doc_id) AS doc_id,
-           count(*) AS n_dups, lang
+    WITH inc_half AS (
+      SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS h FROM documents
+    ), old AS (
+      SELECT * FROM documents WHERE doc_id <= (SELECT h FROM inc_half)
+    ), ref AS (
+      SELECT DISTINCT sha256(text) AS digest FROM old
+    ), batch AS (
+      SELECT doc_id, text, lang, source FROM documents
+      WHERE doc_id > (SELECT h FROM inc_half)
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang, source
+      FROM old WHERE doc_id % 10 = 0
+    ), fresh AS (
+      SELECT doc_id, lang, source, sha256(text) AS bdigest FROM batch
+      WHERE sha256(text) NOT IN (SELECT digest FROM ref)
+    ), kept AS (
+      SELECT bdigest, min(doc_id) AS doc_id FROM fresh GROUP BY bdigest
+    )
+    SELECT 'exact' AS section, sha256(text) AS digest, min(doc_id) AS doc_id,
+           count(*) AS n_dups, lang, CAST(NULL AS VARCHAR) AS source
     FROM documents GROUP BY sha256(text), lang
+    UNION ALL
+    SELECT 'incremental' AS section, CAST(NULL AS VARCHAR) AS digest,
+           f.doc_id, CAST(NULL AS BIGINT) AS n_dups, f.lang, f.source
+    FROM fresh f
+    JOIN kept k ON f.doc_id = k.doc_id AND f.bdigest = k.bdigest
     """,
 )
 def q_dedup_exact(spark, sf_dir):
-    from woe_monotonic_binning_spark.operators.dedup import exact_dedup
+    """Exact-dedup certification suite: the digest-keyed group-agg shape
+    ('exact' section) plus the snapshot-over-snapshot incremental path
+    ('incremental' section — dedup_against_reference, the rows-only
+    q_dedup_incremental scenario, hash-certified here since round 9)."""
+    from woe_monotonic_binning_spark.operators.dedup import (
+        dedup_against_reference,
+        exact_dedup,
+        exact_dedup_by_digest,
+    )
 
     docs = _docs(spark, sf_dir).withColumn(
         "digest", F.sha2(F.col("text").cast("binary"), 256)
     )
-    out = exact_dedup(docs, ["digest", "lang"], "doc_id")
-    return out.select("digest", "doc_id", "n_dups", "lang")
+    exact = exact_dedup(docs, ["digest", "lang"], "doc_id").select(
+        F.lit("exact").alias("section"),
+        "digest",
+        "doc_id",
+        "n_dups",
+        "lang",
+        F.lit(None).cast("string").alias("source"),
+    )
+    base = _docs(spark, sf_dir)
+    half = base.agg((F.max("doc_id") / 2).cast("long")).first()[0]
+    old = base.filter(F.col("doc_id") <= half)
+    ref = exact_dedup_by_digest(old, "text", "doc_id").select("digest")
+    recrawled = old.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    batch = base.filter(F.col("doc_id") > half).unionByName(recrawled)
+    inc = dedup_against_reference(batch, ref).select(
+        F.lit("incremental").alias("section"),
+        F.lit(None).cast("string").alias("digest"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_dups"),
+        "lang",
+        "source",
+    )
+    return exact.unionByName(inc)
 
 
 @_q(
@@ -2518,8 +2578,9 @@ def q_repeated_chunks(spark, sf_dir):
     """Corpus-level boilerplate removal: the planted exact-dup texts in
     documents share every 5-word chunk, so both copies empty out while
     unique docs pass through.  Distinct-doc frequency semantics + oracle
-    parity pinned in tests/test_curation_ops.py; rows-only here (the
-    reconstruction groupBy is the one inherent full-text shuffle)."""
+    parity pinned in tests/test_curation_ops.py; rows-only here, but the
+    identical scenario is driver-hash certified through the q_dedup_lines
+    suite's 'chunks' section (round 9)."""
     from woe_monotonic_binning_spark.operators.text import remove_repeated_chunks
 
     out = remove_repeated_chunks(_docs(spark, sf_dir), chunk_words=5, min_df=2)
@@ -2532,36 +2593,84 @@ def q_repeated_chunks(spark, sf_dir):
     # first occurrences via an index-aware list_filter — the same ordered-
     # distinct construction the local parity test pins (Spark's
     # array_distinct documents first-occurrence order)
+    # Round 9 widens the slot with a 'chunks' section: corpus-level
+    # boilerplate removal (remove_repeated_chunks — the rows-only
+    # q_repeated_chunks scenario) replayed as SQL: 5-word chunking,
+    # distinct-doc frequency cut on the lowercased chunk, positional text
+    # reconstruction — lifted from the proven local twin in
+    # tests/test_curation_ops.py::test_remove_repeated_chunks_matches_duckdb_reconstruction.
     """
     WITH d AS (
       SELECT doc_id, text || chr(10) || text || chr(10) || 'tail' AS text
       FROM documents
     ), k AS (
       SELECT doc_id, str_split(text, chr(10)) AS ls FROM d
+    ), w AS (
+      SELECT doc_id,
+             str_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents
+    ), c AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ws[i*5+1 : i*5+5], ' ') AS chunk
+      FROM w, unnest(range(0, greatest(CAST(ceil(len(ws)/5.0) AS INT), 1))) AS t(i)
+    ), freq AS (
+      SELECT lower(chunk) AS lc FROM c
+      GROUP BY lower(chunk) HAVING count(DISTINCT doc_id) >= 2
+    ), kept AS (
+      SELECT doc_id, pos, chunk FROM c
+      WHERE lower(chunk) NOT IN (SELECT lc FROM freq)
+    ), rebuilt AS (
+      SELECT doc_id, array_to_string(list(chunk ORDER BY pos), ' ') AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, count(*) AS n_total FROM c GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT 'lines' AS section, doc_id,
            len(ls) - len(list_filter(ls, (x, i) -> list_position(ls, x) = i))
-             AS n_lines_removed,
+             AS n_removed,
            length(array_to_string(
              list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10)))
              AS new_len
     FROM k
+    UNION ALL
+    SELECT 'chunks' AS section, t.doc_id,
+           t.n_total - coalesce(r.n_kept, 0) AS n_removed,
+           length(coalesce(r.text, '')) AS new_len
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
     """,
 )
 def q_dedup_lines(spark, sf_dir):
-    """C4-style intra-document line dedup: docs reshaped to three lines of
-    which two are identical — one map-side array_distinct pass removes the
-    repeat, preserving first-occurrence order.  Hash-certified against the
-    DuckDB ordered-distinct oracle since round 6 (the slot freed by
-    q_doc_signals_suite)."""
-    from woe_monotonic_binning_spark.operators.text import remove_repeated_lines
+    """Intra/inter-document repetition-removal suite.  'lines' section:
+    C4-style line dedup — docs reshaped to three lines of which two are
+    identical, one map-side array_distinct pass removes the repeat
+    preserving first-occurrence order (hash-certified since round 6).
+    'chunks' section: corpus-level boilerplate removal
+    (remove_repeated_chunks, the rows-only q_repeated_chunks scenario —
+    hash-certified here since round 9)."""
+    from woe_monotonic_binning_spark.operators.text import (
+        remove_repeated_chunks,
+        remove_repeated_lines,
+    )
 
     docs = _docs(spark, sf_dir).withColumn(
         "text", F.concat("text", F.lit("\n"), "text", F.lit("\ntail"))
     )
-    return remove_repeated_lines(docs).select(
-        "doc_id", "n_lines_removed", F.length("text").alias("new_len")
+    lines = remove_repeated_lines(docs).select(
+        F.lit("lines").alias("section"),
+        "doc_id",
+        F.col("n_lines_removed").alias("n_removed"),
+        F.length("text").alias("new_len"),
     )
+    chunks = remove_repeated_chunks(
+        _docs(spark, sf_dir), chunk_words=5, min_df=2
+    ).select(
+        F.lit("chunks").alias("section"),
+        "doc_id",
+        F.col("n_chunks_removed").alias("n_removed"),
+        F.length("text").alias("new_len"),
+    )
+    return lines.unionByName(chunks)
 
 
 @_q(
@@ -2569,6 +2678,13 @@ def q_dedup_lines(spark, sf_dir):
     # word-8-gram survival oracle: same whitespace normalisation as
     # shingled() (trim/lower/collapse), grams as space-joined word runs;
     # survivors are docs sharing NO gram with the doc_id%25==0 benchmark
+    # Round 9 widens the slot with a 'report' section: the eval-integrity
+    # view (contamination_report — the rows-only q_contamination_report
+    # scenario): per benchmark doc, how many distinct corpus docs share an
+    # 8-gram with it and how many of its distinct grams are hit.  Same g
+    # CTE as the survivors section; the benchmark is a subset of the
+    # corpus, so every bench doc self-hits (gram_hit_frac saturates at 1)
+    # while n_corpus_docs carries the signal.
     """
     WITH g AS (
       SELECT doc_id, list_distinct(list_transform(
@@ -2583,23 +2699,74 @@ def q_dedup_lines(spark, sf_dir):
       SELECT DISTINCT doc_id
       FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
       WHERE gram IN (SELECT gram FROM bg)
+    ), bgrams AS (
+      SELECT doc_id AS bench_id, unnest(grams) AS gram
+      FROM g WHERE doc_id % 25 = 0
+    ), cgrams AS (
+      SELECT doc_id AS corpus_id, unnest(grams) AS gram FROM g
+    ), hits AS (
+      SELECT b.bench_id,
+             count(DISTINCT c.corpus_id) AS n_corpus_docs,
+             count(DISTINCT b.gram) AS n_grams_hit
+      FROM bgrams b JOIN cgrams c USING (gram)
+      GROUP BY b.bench_id
+    ), totals AS (
+      SELECT doc_id AS bench_id, len(grams) AS n_grams
+      FROM g WHERE doc_id % 25 = 0
     )
-    SELECT doc_id, lang, source FROM documents
+    SELECT 'survivors' AS section, doc_id, lang, source,
+           CAST(NULL AS BIGINT) AS n_grams, CAST(NULL AS BIGINT) AS n_grams_hit,
+           CAST(NULL AS BIGINT) AS n_corpus_docs,
+           CAST(NULL AS DOUBLE) AS gram_hit_frac
+    FROM documents
     WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    UNION ALL
+    SELECT 'report' AS section, t.bench_id AS doc_id,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
+           t.n_grams, coalesce(h.n_grams_hit, 0) AS n_grams_hit,
+           coalesce(h.n_corpus_docs, 0) AS n_corpus_docs,
+           round(coalesce(h.n_grams_hit, 0)
+                 / CAST(greatest(t.n_grams, 1) AS DOUBLE), 6) AS gram_hit_frac
+    FROM totals t LEFT JOIN hits h USING (bench_id)
     """,
 )
 def q_decontam(spark, sf_dir):
-    """Benchmark decontamination: every 25th doc plays the eval set; corpus
-    docs sharing any 8-gram with it (the planted exact dups, plus the
-    benchmark members themselves) are dropped via one broadcast-gram scan +
-    id anti-join.  Hash-certified against the DuckDB gram oracle since
-    round 6 (a freed q_events_window_suite slot); the broadcast plan shape
-    stays pinned in tests/test_curation_ops.py."""
-    from woe_monotonic_binning_spark.operators.dedup import decontaminate
+    """Decontamination certification suite.  'survivors' section: every
+    25th doc plays the eval set; corpus docs sharing any 8-gram with it
+    (the planted exact dups, plus the benchmark members themselves) drop
+    via one broadcast-gram scan + id anti-join (hash-certified since round
+    6; the broadcast plan shape stays pinned in tests/test_curation_ops.py).
+    'report' section: the per-benchmark-doc leak telemetry
+    (contamination_report, the rows-only q_contamination_report scenario —
+    hash-certified here since round 9)."""
+    from woe_monotonic_binning_spark.operators.dedup import (
+        contamination_report,
+        decontaminate,
+    )
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 25 == 0)
-    return decontaminate(docs, bench, n=8).select("doc_id", "lang", "source")
+    surv = decontaminate(docs, bench, n=8).select(
+        F.lit("survivors").alias("section"),
+        "doc_id",
+        "lang",
+        "source",
+        F.lit(None).cast("long").alias("n_grams"),
+        F.lit(None).cast("long").alias("n_grams_hit"),
+        F.lit(None).cast("long").alias("n_corpus_docs"),
+        F.lit(None).cast("double").alias("gram_hit_frac"),
+    )
+    rep = contamination_report(docs, bench, n=8).select(
+        F.lit("report").alias("section"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        "n_grams",
+        "n_grams_hit",
+        "n_corpus_docs",
+        "gram_hit_frac",
+    )
+    return surv.unionByName(rep)
 
 
 @_q("q_pack_sequences")
@@ -2623,8 +2790,9 @@ def q_contamination_report(spark, sf_dir):
     the eval set, as in q_decontam), how many corpus docs share an 8-gram
     with it and what fraction of its grams are hit.  Same broadcast-gram
     plan as the certified q_decontam; per-doc semantics pinned in
-    tests/test_curation_ops.py; rows-only here (q_decontam holds the
-    oracle slot for this gram machinery)."""
+    tests/test_curation_ops.py; rows-only here, but the identical scenario
+    is driver-hash certified through the q_decontam suite's 'report'
+    section (round 9)."""
     from woe_monotonic_binning_spark.operators.dedup import contamination_report
 
     docs = _docs(spark, sf_dir)
@@ -2659,8 +2827,9 @@ def q_dedup_incremental(spark, sf_dir):
     already-curated reference (as a digest table), the second half the new
     crawl batch; cross-snapshot and within-batch exact dups drop in one
     digest anti-join + group pass.  Semantics pinned in
-    tests/test_curation_ops.py; rows-only here (the certified exact-dedup
-    slot is q_dedup_exact)."""
+    tests/test_curation_ops.py; rows-only here, but the identical scenario
+    is driver-hash certified through the q_dedup_exact suite's
+    'incremental' section (round 9)."""
     from woe_monotonic_binning_spark.operators.dedup import (
         dedup_against_reference,
         exact_dedup_by_digest,

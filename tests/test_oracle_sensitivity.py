@@ -288,3 +288,57 @@ def test_quality_calibration_shift_is_caught(spark, con, monkeypatch):
     assert_caught(
         spark, con, "q_quality_score", qc.SPARK_QUERIES["q_quality_score"](spark, SF)
     )
+
+
+# -- round-9 suite-widening mutants (the sections added to the certified
+# slots must be able to disagree too, not just ride a green suite) --
+
+
+def test_incremental_reference_skipped_is_caught(spark, con, monkeypatch):
+    """dedup_against_reference ignoring the reference digests (empty
+    anti-join side) — recrawled docs would survive the incremental
+    section of the q_dedup_exact suite."""
+    import woe_monotonic_binning_spark.operators.dedup as dd
+
+    orig = dd.dedup_against_reference
+
+    def mutated(new_df, reference_digests, *a, **k):
+        return orig(new_df, reference_digests.limit(0), *a, **k)
+
+    monkeypatch.setattr(dd, "dedup_against_reference", mutated)
+    assert_caught(
+        spark, con, "q_dedup_exact", qc.SPARK_QUERIES["q_dedup_exact"](spark, SF)
+    )
+
+
+def test_chunk_min_df_off_by_one_is_caught(spark, con, monkeypatch):
+    """remove_repeated_chunks cutting at min_df + 1 — planted exact-dup
+    boilerplate stops emptying out in the chunks section of the
+    q_dedup_lines suite."""
+    import woe_monotonic_binning_spark.operators.text as text
+
+    orig = text.remove_repeated_chunks
+
+    def mutated(df, text_col="text", id_col="doc_id", chunk_words=10, min_df=2, **k):
+        return orig(df, text_col, id_col, chunk_words, min_df + 1, **k)
+
+    monkeypatch.setattr(text, "remove_repeated_chunks", mutated)
+    assert_caught(
+        spark, con, "q_dedup_lines", qc.SPARK_QUERIES["q_dedup_lines"](spark, SF)
+    )
+
+
+def test_report_gram_size_off_by_one_is_caught(spark, con, monkeypatch):
+    """contamination_report shingling 9-grams instead of 8 — every leak
+    statistic in the report section of the q_decontam suite shifts."""
+    import woe_monotonic_binning_spark.operators.dedup as dd
+
+    orig = dd.contamination_report
+
+    def mutated(corpus, benchmark, text_col="text", id_col="doc_id", n=8, **k):
+        return orig(corpus, benchmark, text_col, id_col, n + 1, **k)
+
+    monkeypatch.setattr(dd, "contamination_report", mutated)
+    assert_caught(
+        spark, con, "q_decontam", qc.SPARK_QUERIES["q_decontam"](spark, SF)
+    )
