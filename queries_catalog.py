@@ -1117,7 +1117,13 @@ def q_sim_search(spark, sf_dir):
     # slots for the round-6 curation ops (q_corpus_profile, q_decontam).
     # Window bounds are second-precision strings on both sides; n_users is
     # NULL outside the tumbling arm, which forces float64 on BOTH pandas
-    # sides so the value hash stays aligned.
+    # sides so the value hash stays aligned.  Round 9 adds a 'stream'
+    # section: the SAME 1h tumbling aggregation executed through
+    # Structured Streaming (parquet file source -> watermark -> windowed
+    # agg -> memory sink, availableNow, complete mode — the rows-only
+    # q_events_stream plan), certifying the streaming engine's windowed
+    # state against the plain GROUP BY: complete mode emits every window
+    # regardless of watermark, so the output is content-deterministic.
     """
     WITH sl AS (
       SELECT event_type, value, make_timestamp(s * 1000000) AS window_start
@@ -1148,6 +1154,14 @@ def q_sim_search(spark, sf_dir):
            CAST(NULL AS BIGINT) AS n_users,
            CAST(GROUPING(event_type) * 2 + GROUPING(wlabel) AS BIGINT) AS gid
     FROM events GROUP BY ROLLUP (event_type, wlabel)
+    UNION ALL
+    SELECT 'stream' AS kind,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wlabel,
+           event_type, count(*) AS n_events,
+           ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value,
+           CAST(NULL AS BIGINT) AS n_users,
+           CAST(0 AS BIGINT) AS gid
+    FROM events GROUP BY 1, 2, 3
     """,
 )
 def q_events_window_suite(spark, sf_dir):
@@ -1187,7 +1201,35 @@ def q_events_window_suite(spark, sf_dir):
         F.lit(None).cast("long").alias("n_users"),
         F.col("grouping_id").cast("long").alias("gid"),
     )
-    return tumbling.unionByName(sliding).unionByName(rollup)
+    # 'stream' section: the q_events_stream plan (Structured Streaming
+    # tumbling agg, complete mode => every window emitted) hash-certified
+    # against the plain GROUP BY since round 9.  The memory sink runs to
+    # completion here, so the section is a batch DataFrame like the rest.
+    from woe_monotonic_binning_spark.sources.tables import microsecond_parquet_copy
+    from woe_monotonic_binning_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        streaming_tumbling_agg,
+    )
+
+    sink = run_available_now(
+        streaming_tumbling_agg(
+            read_events_stream(spark, microsecond_parquet_copy(sf_dir, "events"))
+        ),
+        "q_events_window_suite_stream_sink",
+    )
+    streamed = sink.select(
+        F.lit("stream").alias("kind"),
+        F.date_format("window_start", fmt).alias("wlabel"),
+        "event_type",
+        "n_events",
+        "total_value",
+        F.lit(None).cast("long").alias("n_users"),
+        F.lit(0).cast("long").alias("gid"),
+    )
+    return (
+        tumbling.unionByName(sliding).unionByName(rollup).unionByName(streamed)
+    )
 
 
 @_q(
@@ -1567,7 +1609,9 @@ def q_quality_score(spark, sf_dir):
 
 @_q("q_events_stream")
 def q_events_stream(spark, sf_dir):
-    """Structured Streaming twin of q_events_tumbling (availableNow)."""
+    """Structured Streaming twin of q_events_tumbling (availableNow).
+    Rows-only here, but the identical plan is driver-hash certified
+    through the q_events_window_suite's 'stream' section (round 9)."""
     from woe_monotonic_binning_spark.sources.tables import microsecond_parquet_copy
     from woe_monotonic_binning_spark.streaming.events import (
         read_events_stream,

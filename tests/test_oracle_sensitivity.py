@@ -342,3 +342,24 @@ def test_report_gram_size_off_by_one_is_caught(spark, con, monkeypatch):
     assert_caught(
         spark, con, "q_decontam", qc.SPARK_QUERIES["q_decontam"](spark, SF)
     )
+
+
+def test_stream_window_width_bug_is_caught(spark, con, monkeypatch):
+    """streaming_tumbling_agg windowing at 2 hours instead of 1 — the
+    stream section of the q_events_window_suite diverges from the GROUP BY
+    oracle (certifying that the streaming arm is compared on content, not
+    just riding the green batch arms)."""
+    import woe_monotonic_binning_spark.streaming.events as sev
+
+    orig = sev.streaming_tumbling_agg
+
+    def mutated(stream, width="1 hour", watermark="10 minutes"):
+        return orig(stream, "2 hours", watermark)
+
+    monkeypatch.setattr(sev, "streaming_tumbling_agg", mutated)
+    assert_caught(
+        spark,
+        con,
+        "q_events_window_suite",
+        qc.SPARK_QUERIES["q_events_window_suite"](spark, SF),
+    )
