@@ -633,9 +633,25 @@ _ENCODE_WOES = [-0.35, -0.1, 0.05, 0.2, 0.4]
 
 @_q(
     "q_apply_encode",
-    # op 23 (binning.py:283-303): bucketize + WOE label map as a CASE chain
+    # op 23 (binning.py:283-303): bucketize + WOE label map as a CASE chain.
+    # Round 9 widens the slot with a 'stream' section: the SAME encode run
+    # through score_stream (streaming/score.py — apply_bins compiled onto a
+    # parquet file stream, availableNow, append-mode memory sink, the
+    # rows-only q_score_stream plan with a fixed bins spec instead of the
+    # iterative fit), certifying the streaming scoring path against the
+    # same CASE oracle: a stateless projection is batch-split-invariant,
+    # so the streamed multiset equals the batch one exactly.
     """
-    SELECT l_orderkey, l_linenumber,
+    SELECT 'batch' AS section, l_orderkey, l_linenumber,
+           CASE WHEN l_extendedprice >= 0.0 AND l_extendedprice < 20000.0 THEN -0.35
+                WHEN l_extendedprice >= 20000.0 AND l_extendedprice < 40000.0 THEN -0.1
+                WHEN l_extendedprice >= 40000.0 AND l_extendedprice < 60000.0 THEN 0.05
+                WHEN l_extendedprice >= 60000.0 AND l_extendedprice < 80000.0 THEN 0.2
+                WHEN l_extendedprice >= 80000.0 THEN 0.4
+           END AS price_bin
+    FROM lineitem
+    UNION ALL
+    SELECT 'stream' AS section, l_orderkey, l_linenumber,
            CASE WHEN l_extendedprice >= 0.0 AND l_extendedprice < 20000.0 THEN -0.35
                 WHEN l_extendedprice >= 20000.0 AND l_extendedprice < 40000.0 THEN -0.1
                 WHEN l_extendedprice >= 40000.0 AND l_extendedprice < 60000.0 THEN 0.05
@@ -652,14 +668,62 @@ def q_apply_encode(spark, sf_dir):
     # exercises the real code path.  The top interval [80000, inf) encodes
     # identically to the oracle's `>= 80000.0` branch (every finite value
     # is < inf), and values below cut 0 map to NULL on both sides.
+    import shutil
+
+    import pandas as pd
+
+    from woe_monotonic_binning_spark.streaming.score import score_stream
     from woe_monotonic_binning_spark.transform import _encode_column
 
     encoded = _encode_column(
         F.col("l_extendedprice"), _ENCODE_CUTS + [float("inf")], _ENCODE_WOES
     )
-    return _li(spark, sf_dir).select(
-        "l_orderkey", "l_linenumber", encoded.alias("price_bin")
+    batch = _li(spark, sf_dir).select(
+        F.lit("batch").alias("section"),
+        "l_orderkey",
+        "l_linenumber",
+        encoded.alias("price_bin"),
     )
+    # 'stream' section: score_stream compiles the same bins frame through
+    # compile_bin_exprs (cuts = starts + last end == _ENCODE_CUTS + [inf])
+    # onto a file stream — bit-identical CASE exprs, streaming execution.
+    bins = pd.DataFrame(
+        {
+            "variable": ["l_extendedprice"] * 5,
+            "interval_start_include": _ENCODE_CUTS,
+            "interval_end_exclude": _ENCODE_CUTS[1:] + [float("inf")],
+            "woe": _ENCODE_WOES,
+            "iv_components": [0.1] * 5,
+        }
+    )
+    staged = _staging_dir(spark, "apply_encode_stage", "li")
+    shutil.rmtree(staged, ignore_errors=True)
+    narrow = _li(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    narrow.write.mode("overwrite").parquet(staged)
+    scored = score_stream(
+        spark.readStream.schema(narrow.schema).parquet(staged),
+        bins,
+        iv_threshold=0.0,
+        keep_columns=["l_orderkey", "l_linenumber"],
+    )
+    name = "q_apply_encode_stream_sink"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table(name).select(
+        F.lit("stream").alias("section"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice_bin").alias("price_bin"),
+    )
+    return batch.unionByName(streamed)
 
 
 @_q(
@@ -1850,8 +1914,10 @@ def q_date_string_funcs(spark, sf_dir):
 def q_score_stream(spark, sf_dir):
     """Streaming WOE scoring: fit batch-side, score a stream with pinned
     medians (streaming/score.py).  Stream==batch parity asserted in
-    tests/test_streaming_score.py; rows-only here (the driver harness is
-    batch)."""
+    tests/test_streaming_score.py; rows-only here (the iterative fit has
+    no SQL twin), but the streaming scoring path itself is driver-hash
+    certified with a fixed bins spec through the q_apply_encode suite's
+    'stream' section (round 9)."""
     from woe_monotonic_binning_spark import batch_woe_binning
     from woe_monotonic_binning_spark.streaming.score import score_stream
     from woe_monotonic_binning_spark.transform import median_prepass

@@ -363,3 +363,23 @@ def test_stream_window_width_bug_is_caught(spark, con, monkeypatch):
         "q_events_window_suite",
         qc.SPARK_QUERIES["q_events_window_suite"](spark, SF),
     )
+
+
+def test_stream_score_woe_shift_is_caught(spark, con, monkeypatch):
+    """score_stream scoring with every WOE shifted +0.01 — the stream
+    section of the q_apply_encode suite diverges from the CASE oracle
+    while the batch section stays green (the streamed scores are compared
+    on content)."""
+    import woe_monotonic_binning_spark.streaming.score as ssc
+
+    orig = ssc.score_stream
+
+    def mutated(stream, bins, **kwargs):
+        b = bins.copy()
+        b["woe"] = b["woe"] + 0.01
+        return orig(stream, b, **kwargs)
+
+    monkeypatch.setattr(ssc, "score_stream", mutated)
+    assert_caught(
+        spark, con, "q_apply_encode", qc.SPARK_QUERIES["q_apply_encode"](spark, SF)
+    )
