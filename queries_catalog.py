@@ -1695,7 +1695,12 @@ def q_events_stream(spark, sf_dir):
 @_q(
     "q_asof_join",
     # point-in-time join: each event gets the user's latest order-day spend
-    # at or before the event (DuckDB native ASOF JOIN as the oracle)
+    # at or before the event (DuckDB native ASOF JOIN as the oracle).
+    # Round 9 widens the slot with a 'forward' section (direction='forward'
+    # — earliest order-day at or after the event; DuckDB spells the flip
+    # e.ts <= o.ots), certifying both carry directions of the same
+    # union+window plan.  'nearest' composes the two certified passes and
+    # stays pinned by unit tests (tests/test_operators.py).
     """
     WITH ord AS (
       SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
@@ -1703,11 +1708,17 @@ def q_events_stream(spark, sf_dir):
              COUNT(*) AS day_orders
       FROM orders GROUP BY 1, 2
     )
-    SELECT e.event_id, e.user_id,
+    SELECT 'backward' AS section, e.event_id, e.user_id,
            strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
            o.day_spend, o.day_orders
     FROM events e ASOF LEFT JOIN ord o
       ON e.user_id = o.user_id AND e.ts >= o.ots
+    UNION ALL
+    SELECT 'forward' AS section, e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           o.day_spend, o.day_orders
+    FROM events e ASOF LEFT JOIN ord o
+      ON e.user_id = o.user_id AND e.ts <= o.ots
     """,
 )
 def q_asof_join(spark, sf_dir):
@@ -1725,17 +1736,21 @@ def q_asof_join(spark, sf_dir):
             F.count("*").alias("day_orders"),
         )
     )
-    out = asof_join(
-        ev, ord_day, on="user_id", left_ts="ts", right_ts="ots",
-        right_cols=["day_spend", "day_orders"],
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
-        "day_spend",
-        "day_orders",
-    )
+    def arm(direction):
+        out = asof_join(
+            ev, ord_day, on="user_id", left_ts="ts", right_ts="ots",
+            right_cols=["day_spend", "day_orders"], direction=direction,
+        )
+        return out.select(
+            F.lit(direction).alias("section"),
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+            "day_spend",
+            "day_orders",
+        )
+
+    return arm("backward").unionByName(arm("forward"))
 
 
 @_q(

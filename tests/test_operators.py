@@ -1255,3 +1255,130 @@ def test_session_twophase_merges_across_bucket_boundaries(spark):
     # the 300-event chain really is one merged session
     n_user7 = [k for k in base if k[2] == 7]
     assert sorted(k[3] for k in n_user7) == [1, 300]
+
+
+def test_asof_join_forward_and_nearest_directions(spark):
+    """Round-9 direction support: forward attaches the EARLIEST right row
+    at-or-after, nearest picks the closer side with backward winning
+    ties (pandas merge_asof convention); unmatched rows stay NULL."""
+    from woe_monotonic_binning_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),  # backward 09:00, forward 11:30
+            (1, "2024-01-01 11:30:00"),  # equal ts: inclusive both ways
+            (2, "2024-01-01 08:00:00"),  # before every right row
+            (3, "2024-01-01 08:00:00"),  # key with no right rows at all
+        ],
+        "k long, lts string",
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", "a"),
+            (1, "2024-01-01 11:30:00", "b"),
+            (1, "2024-01-01 12:00:00", "c"),
+            (2, "2024-01-01 09:00:00", "d"),
+        ],
+        "k long, rts string, tag string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    def tags(direction):
+        out = asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts", direction=direction
+        )
+        return {(r.k, str(r.lts)): r.tag for r in out.collect()}
+
+    fwd = tags("forward")
+    assert fwd[(1, "2024-01-01 10:00:00")] == "b"  # earliest at-or-after
+    assert fwd[(1, "2024-01-01 11:30:00")] == "b"  # inclusive on equality
+    assert fwd[(2, "2024-01-01 08:00:00")] == "d"
+    assert fwd[(3, "2024-01-01 08:00:00")] is None
+
+    near = tags("nearest")
+    # 10:00 is 60min after 09:00, 90min before 11:30 -> backward 'a'
+    assert near[(1, "2024-01-01 10:00:00")] == "a"
+    assert near[(1, "2024-01-01 11:30:00")] == "b"  # exact hit
+    assert near[(2, "2024-01-01 08:00:00")] == "d"  # only forward exists
+    assert near[(3, "2024-01-01 08:00:00")] is None
+
+    bwd = tags("backward")
+    assert bwd[(1, "2024-01-01 11:30:00")] == "b"  # inclusive on equality
+    assert bwd[(2, "2024-01-01 08:00:00")] is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", left_ts="lts", right_ts="rts", direction="sideways")
+
+
+def test_asof_join_nearest_tie_prefers_backward(spark):
+    """Equidistant backward/forward matches resolve to the backward row."""
+    from woe_monotonic_binning_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, lts string"
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", "before"), (1, "2024-01-01 11:00:00", "after")],
+        "k long, rts string, tag string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", direction="nearest"
+    ).collect()
+    assert out[0]["tag"] == "before"
+
+
+def test_asof_join_forward_matches_duckdb(spark):
+    """Forward direction vs DuckDB's native ASOF JOIN with the inequality
+    flipped (l.ts <= r.ts) on real sf0.001 events/orders data."""
+    import duckdb
+
+    from woe_monotonic_binning_spark.operators.joins import asof_join
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    orders = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ots"),
+        )
+        .agg(F.round(F.sum("o_totalprice").cast("double"), 2).alias("day_spend"))
+    )
+    got = (
+        asof_join(
+            events.select("event_id", "user_id", F.col("ts").cast("timestamp")),
+            orders,
+            on="user_id",
+            left_ts="ts",
+            right_ts="ots",
+            direction="forward",
+        )
+        .select("event_id", "day_spend")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    exp = con.execute(
+        """
+        WITH ord AS (
+          SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
+                 ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS day_spend
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, o.day_spend
+        FROM events e ASOF LEFT JOIN ord o
+          ON e.user_id = o.user_id AND e.ts <= o.ots
+        ORDER BY e.event_id
+        """
+    ).fetchdf()
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    import numpy as np
+
+    g = got["day_spend"].to_numpy(dtype=float)
+    e = exp["day_spend"].to_numpy(dtype=float)
+    both_nan = np.isnan(g) & np.isnan(e)
+    assert bool(np.all(both_nan | (np.abs(g - e) < 1e-9)))

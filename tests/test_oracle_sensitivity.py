@@ -383,3 +383,22 @@ def test_stream_score_woe_shift_is_caught(spark, con, monkeypatch):
     assert_caught(
         spark, con, "q_apply_encode", qc.SPARK_QUERIES["q_apply_encode"](spark, SF)
     )
+
+
+def test_asof_direction_ignored_is_caught(spark, con, monkeypatch):
+    """asof_join silently serving the backward match when direction=
+    'forward' was requested — the classic ignored-parameter bug; the
+    forward section of the q_asof_join suite must diverge."""
+    import woe_monotonic_binning_spark.operators.joins as oj
+
+    orig = oj.asof_join
+
+    def mutated(left, right, on, left_ts, right_ts, right_cols=None,
+                suffix="_asof", direction="backward"):
+        return orig(left, right, on, left_ts, right_ts, right_cols, suffix,
+                    "backward")
+
+    monkeypatch.setattr(oj, "asof_join", mutated)
+    assert_caught(
+        spark, con, "q_asof_join", qc.SPARK_QUERIES["q_asof_join"](spark, SF)
+    )

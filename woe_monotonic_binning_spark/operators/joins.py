@@ -36,18 +36,34 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` within the same key (backward as-of, inclusive).
+    """For each left row, attach the right row nearest in time within the
+    same key (inclusive on equal timestamps, like pandas ``merge_asof`` and
+    DuckDB ``ASOF JOIN``):
 
-    Right-side payload columns come back NULL when no earlier right row
+    - ``direction='backward'`` (default): the LATEST right row with
+      ``right_ts <= left_ts`` — point-in-time feature lookup.
+    - ``direction='forward'``: the EARLIEST right row with
+      ``right_ts >= left_ts`` — next-event attribution (DuckDB spells it
+      ``ASOF JOIN ... ON l.ts <= r.ts``).
+    - ``direction='nearest'``: whichever of the two is closer in absolute
+      time; ties prefer the backward match (pandas convention).
+
+    Right-side payload columns come back NULL when no matching right row
     exists (left join semantics).  Ties on ``right_ts`` within a key are
     resolved by the last row in (key, ts) order — pre-aggregate the right
     side to one row per (key, ts) for fully deterministic output.
 
-    Equivalent to DuckDB/pandas ``ASOF JOIN`` / ``merge_asof`` — Spark has no
-    builtin; implemented as union + window carry-forward (one shuffle).
+    Spark has no builtin; implemented as union + window carry (one shuffle
+    per direction: backward carries forward over ascending time, forward
+    carries backward over descending time — same partitioning, so Catalyst
+    reuses the exchange; ``nearest`` runs both passes and picks per row).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
@@ -78,15 +94,40 @@ def asof_join(
         F.lit(None).cast(l_side.schema["__row"].dataType.simpleString()).alias("__row"),
         payload,
     )
-    # right rows sort before left rows at equal __t => inclusive (<=) match
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = l_side.unionByName(r_side).withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    )
+    # right rows sort before left rows at equal __t => inclusive match in
+    # BOTH directions (at equal __t the right row precedes the left row
+    # whether time ascends or descends, because the side tiebreak is the
+    # same); the backward pass carries the latest earlier payload forward
+    # over ascending time, the forward pass carries the earliest later
+    # payload backward over descending time.
+    unioned = l_side.unionByName(r_side)
+
+    def _carry(desc: bool):
+        order = F.col("__t").desc() if desc else F.col("__t").asc()
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(order, F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__payload", ignorenulls=True).over(w)
+
+    if direction == "backward":
+        carried = unioned.withColumn("__match", _carry(desc=False))
+    elif direction == "forward":
+        carried = unioned.withColumn("__match", _carry(desc=True))
+    else:  # nearest: both passes, pick the closer; ties -> backward
+        b, f_ = _carry(desc=False), _carry(desc=True)
+        carried = unioned.withColumn(
+            "__match",
+            F.when(b.isNull(), f_)
+            .when(f_.isNull(), b)
+            .when(
+                F.unix_micros(F.col("__t")) - F.unix_micros(b["__ts"])
+                <= F.unix_micros(f_["__ts"]) - F.unix_micros(F.col("__t")),
+                b,
+            )
+            .otherwise(f_),
+        )
     out_left = [F.col(f"__row.{c}").alias(c) for c in left.columns]
     out_right = [
         F.col(f"__match.{c}").alias(c if c not in left.columns else f"{c}{suffix}")
