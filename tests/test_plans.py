@@ -474,3 +474,29 @@ def test_srp_candidate_dedup_shuffles_id_pairs_only(spark):
         assert int(n_cols) == 2 and "v_a" not in cols, (
             f"dedup exchange widened to [{cols}]"
         )
+
+
+def test_asof_nearest_single_exchange(spark):
+    """direction='nearest' runs both carry passes over ONE hash exchange
+    (the two Window operators share the key partitioning; only the Sort
+    differs) — the docstring's at-scale claim, pinned."""
+    import re
+
+    from woe_monotonic_binning_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, lts string"
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 1.0)], "k long, rts string, v double"
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", direction="nearest"
+    )
+    plan = formatted_plan(out)
+    n_window = len(re.findall(r"\(\d+\) Window\n", plan))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\n", plan))
+    assert n_window == 2, f"expected 2 Window ops, saw {n_window}:\n{plan}"
+    assert n_exchange == 1, (
+        f"nearest as-of must reuse one key exchange, saw {n_exchange}:\n{plan}"
+    )
