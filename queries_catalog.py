@@ -1226,6 +1226,14 @@ def q_sim_search(spark, sf_dir):
            CAST(NULL AS BIGINT) AS n_users,
            CAST(0 AS BIGINT) AS gid
     FROM events GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'kafka' AS kind,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wlabel,
+           event_type, count(*) AS n_events,
+           ROUND(CAST(sum(value) AS DOUBLE), 6) AS total_value,
+           CAST(NULL AS BIGINT) AS n_users,
+           CAST(0 AS BIGINT) AS gid
+    FROM events GROUP BY 1, 2, 3
     """,
 )
 def q_events_window_suite(spark, sf_dir):
@@ -1291,8 +1299,60 @@ def q_events_window_suite(spark, sf_dir):
         F.lit(None).cast("long").alias("n_users"),
         F.lit(0).cast("long").alias("gid"),
     )
+    # 'kafka' section: the q_kafka_replay plan — events encoded to the
+    # kafka wire schema (key/value-JSON/topic/partition/offset), streamed
+    # back through the file-backed kafka twin, from_json-decoded and
+    # window-aggregated.  Hash-certified since round 9: the JSON value
+    # roundtrip (double precision, timestamp micros) must reproduce the
+    # plain GROUP BY exactly, which is what the oracle arm checks.
+    import shutil as _shutil
+
+    from woe_monotonic_binning_spark.streaming.kafka import (
+        events_to_kafka_records,
+        kafka_shaped_file_stream,
+        parse_json_value,
+    )
+
+    topic_dir = _staging_dir(spark, "events_suite_kafka", "topic")
+    _shutil.rmtree(topic_dir, ignore_errors=True)
+    evk = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    events_to_kafka_records(evk.repartition(4)).write.mode("overwrite").parquet(
+        topic_dir
+    )
+    parsed = parse_json_value(
+        kafka_shaped_file_stream(spark, topic_dir, max_files_per_trigger=2),
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    kagg = (
+        parsed.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    ksink = run_available_now(kagg, "q_events_window_suite_kafka_sink")
+    kafka_arm = ksink.select(
+        F.lit("kafka").alias("kind"),
+        F.date_format("window_start", fmt).alias("wlabel"),
+        "event_type",
+        "n_events",
+        "total_value",
+        F.lit(None).cast("long").alias("n_users"),
+        F.lit(0).cast("long").alias("gid"),
+    )
     return (
-        tumbling.unionByName(sliding).unionByName(rollup).unionByName(streamed)
+        tumbling.unionByName(sliding)
+        .unionByName(rollup)
+        .unionByName(streamed)
+        .unionByName(kafka_arm)
     )
 
 
@@ -2609,8 +2669,9 @@ def q_kafka_replay(spark, sf_dir):
     """Kafka-wire-schema replay: encode events as (key, value-JSON, topic,
     partition, offset, ts) records, stream them back through the file-backed
     twin of the kafka source, decode with from_json, window-aggregate.
-    Batch parity pinned in tests/test_streaming_kafka.py; rows-only here
-    (streaming sink)."""
+    Batch parity pinned in tests/test_streaming_kafka.py; rows-only here,
+    but the identical plan is driver-hash certified through the
+    q_events_window_suite's 'kafka' section (round 9)."""
     from woe_monotonic_binning_spark.sources.tables import load_table
     from woe_monotonic_binning_spark.streaming.events import run_available_now
     from woe_monotonic_binning_spark.streaming.kafka import (

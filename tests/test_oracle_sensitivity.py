@@ -402,3 +402,23 @@ def test_asof_direction_ignored_is_caught(spark, con, monkeypatch):
     assert_caught(
         spark, con, "q_asof_join", qc.SPARK_QUERIES["q_asof_join"](spark, SF)
     )
+
+
+def test_kafka_value_schema_drift_is_caught(spark, con, monkeypatch):
+    """parse_json_value decoding `value` as float instead of double — the
+    wire-schema precision-loss bug; the kafka section of the
+    q_events_window_suite must diverge from the GROUP BY oracle."""
+    import woe_monotonic_binning_spark.streaming.kafka as kfk
+
+    orig = kfk.parse_json_value
+
+    def mutated(stream, schema, *a, **k):
+        return orig(stream, schema.replace("value double", "value float"), *a, **k)
+
+    monkeypatch.setattr(kfk, "parse_json_value", mutated)
+    assert_caught(
+        spark,
+        con,
+        "q_events_window_suite",
+        qc.SPARK_QUERIES["q_events_window_suite"](spark, SF),
+    )
