@@ -3812,7 +3812,15 @@ def q_profile_suite(spark, sf_dir):
 # (same tables, same shapes) to admit q_drift_suite (psi_report +
 # stability_over_periods, the lifted tests/test_drift.py twins) and
 # q_profile_suite (column_profile deterministic stats + check_expectations).
-# The
+# Round 9 widened EXISTING slots instead of rotating: q_drift_suite gained
+# the characteristic + streaming-PSI sections; q_dedup_exact the
+# incremental (dedup_against_reference) section; q_dedup_lines the
+# repeated-chunks section; q_decontam the contamination-report section;
+# q_events_window_suite the streaming-tumbling and kafka-replay sections;
+# q_apply_encode the score_stream section; q_asof_join the forward
+# direction — so those rows-only registrations' scenarios are hash-checked
+# without consuming new slots (each widened section carries its own
+# engine-bug mutant in tests/test_oracle_sensitivity.py).  The
 # iterative fit ops (q_pava, q_ztest_merge, ...) sit at the tail — their
 # correctness is carried by golden parity (test_fit_parity), the hypothesis
 # fuzz (test_fuzz_parity; 150 examples per CI pass, 2000-example deep runs
