@@ -896,6 +896,24 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # half = curated reference, second half + every-10th recrawl = new
     # batch.  floor() in the half split: Spark's cast("long") on a DOUBLE
     # truncates, DuckDB's CAST rounds — floor makes both agree.
+    #
+    # Round 9 (late) adds a 'store_stream' section: the PERSISTENT
+    # bucketed-store ingest path (streaming_dedup_against_bucketed_store,
+    # the q_dedup_store_stream scenario) made oracle-reproducible by
+    # staging three content-deterministic micro-batches — group 0/1 =
+    # original docs by doc_id parity, group 2 = the +1M re-crawl copies —
+    # one parquet file per group with strictly increasing explicit mtimes,
+    # maxFilesPerTrigger=1.  First-arrival-wins + min-id-within-batch
+    # (dedup_against_reference) then makes the survivor set a pure
+    # function of content: per digest, the min doc_id within the EARLIEST
+    # staged batch holding that digest — ROW_NUMBER() OVER (PARTITION BY
+    # sha256(text) ORDER BY batch, doc_id) = 1 in the oracle.  The
+    # survivor's _commit_id batch index rides in the n_dups column and is
+    # rebuilt by the oracle as DENSE_RANK over the staged groups (an
+    # empty modulo class stages no file => no micro-batch => later ids
+    # shift, which the dense rank mirrors) — so the CROSS-batch store
+    # mechanics (batch N's digests blocking batch N+1), not just the
+    # final set, are hash-certified.
     """
     WITH inc_half AS (
       SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS h FROM documents
@@ -914,6 +932,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE sha256(text) NOT IN (SELECT digest FROM ref)
     ), kept AS (
       SELECT bdigest, min(doc_id) AS doc_id FROM fresh GROUP BY bdigest
+    ), sstaged AS (
+      SELECT doc_id, text, lang, source,
+             CASE WHEN doc_id >= 1000000 THEN 2 ELSE doc_id % 2 END AS g
+      FROM (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang, source
+        FROM documents WHERE doc_id % 10 = 0
+      )
+    ), sbatch AS (
+      SELECT *, DENSE_RANK() OVER (ORDER BY g) - 1 AS b FROM sstaged
+    ), swin AS (
+      SELECT doc_id, lang, source, b,
+             ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                ORDER BY b, doc_id) AS rn
+      FROM sbatch
     )
     SELECT 'exact' AS section, sha256(text) AS digest, min(doc_id) AS doc_id,
            count(*) AS n_dups, lang, CAST(NULL AS VARCHAR) AS source
@@ -923,17 +957,35 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
            f.doc_id, CAST(NULL AS BIGINT) AS n_dups, f.lang, f.source
     FROM fresh f
     JOIN kept k ON f.doc_id = k.doc_id AND f.bdigest = k.bdigest
+    UNION ALL
+    SELECT 'store_stream' AS section, CAST(NULL AS VARCHAR) AS digest,
+           doc_id, CAST(b AS BIGINT) AS n_dups, lang, source
+    FROM swin WHERE rn = 1
     """,
 )
 def q_dedup_exact(spark, sf_dir):
     """Exact-dedup certification suite: the digest-keyed group-agg shape
-    ('exact' section) plus the snapshot-over-snapshot incremental path
+    ('exact' section), the snapshot-over-snapshot incremental path
     ('incremental' section — dedup_against_reference, the rows-only
-    q_dedup_incremental scenario, hash-certified here since round 9)."""
+    q_dedup_incremental scenario, hash-certified here since round 9), and
+    the persistent bucketed-store streaming ingest path ('store_stream'
+    section — streaming_dedup_against_bucketed_store over three staged
+    content-deterministic micro-batches, the rows-only
+    q_dedup_store_stream scenario, hash-certified here since late round
+    9; survivor = min id within the earliest batch holding each digest,
+    the batch index certified through n_dups)."""
+    import glob as _glob
+    import os
+    import shutil
+    import time as _time
+
     from woe_monotonic_binning_spark.operators.dedup import (
         dedup_against_reference,
         exact_dedup,
         exact_dedup_by_digest,
+    )
+    from woe_monotonic_binning_spark.streaming.dedup import (
+        streaming_dedup_against_bucketed_store,
     )
 
     docs = _docs(spark, sf_dir).withColumn(
@@ -963,7 +1015,64 @@ def q_dedup_exact(spark, sf_dir):
         "lang",
         "source",
     )
-    return exact.unionByName(inc)
+    # store_stream section: deterministic fresh state per rep (rmtree +
+    # _session_table's DROP), one file per batch group with explicit
+    # strictly-increasing mtimes (the _stage_ordered lesson: a sleep can
+    # tie under 1 s mtime granularity), maxFilesPerTrigger=1 => micro-batch
+    # order == group order and the _commit_id batch index is DENSE_RANK of
+    # the staged groups, which the oracle mirrors.
+    root = _staging_dir(spark, "dexact_store_stage")
+    shutil.rmtree(root, ignore_errors=True)
+    table = _session_table(spark, "wmb_dexact_store")
+    src, out, tmp = (os.path.join(root, d) for d in ("src", "out", "tmp"))
+    os.makedirs(src, exist_ok=True)
+    copies = base.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    staged = (
+        base.select("doc_id", "text", "lang", "source")
+        .unionByName(copies.select("doc_id", "text", "lang", "source"))
+        .withColumn(
+            "_g",
+            F.when(F.col("doc_id") >= 1_000_000, F.lit(2)).otherwise(
+                (F.col("doc_id") % 2).cast("int")
+            ),
+        )
+    )
+    # one task per group => exactly one part file per _g dir (psi_stream
+    # staging recipe); partitionBy drops _g, leaving the plain doc schema
+    staged.repartition(3, "_g").write.mode("overwrite").partitionBy("_g").parquet(tmp)
+    now = _time.time()
+    n_batches = 0
+    for g in range(3):
+        parts = _glob.glob(os.path.join(tmp, f"_g={g}", "part-*.parquet"))
+        if parts:  # an empty group stages no file => no micro-batch,
+            # matching the oracle's DENSE_RANK over present groups
+            dst = os.path.join(src, f"grp{g}.parquet")
+            shutil.move(parts[0], dst)
+            os.utime(dst, (now + 2 * n_batches, now + 2 * n_batches))
+            n_batches += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(staged.drop("_g").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_dedup_against_bucketed_store(
+        stream, table, out, checkpoint_dir=os.path.join(root, "ckpt"), num_buckets=8
+    )
+    q.awaitTermination()
+    ss = spark.read.parquet(out).select(
+        F.lit("store_stream").alias("section"),
+        F.lit(None).cast("string").alias("digest"),
+        "doc_id",
+        F.regexp_extract(F.col("_commit_id"), r"-(\d+)$", 1)
+        .cast("long")
+        .alias("n_dups"),
+        "lang",
+        "source",
+    )
+    return exact.unionByName(inc).unionByName(ss)
 
 
 @_q(
@@ -2586,7 +2695,11 @@ def q_dedup_store_stream(spark, sf_dir):
     append-driven file growth to one file per bucket.  Cross-batch +
     cross-query semantics, the no-store-shuffle plan, and the compaction
     round-trip pinned in tests/test_streaming_dedup.py; rows-only here
-    (streaming sink with filesystem state)."""
+    (this scenario's arrival order depends on _stage_ordered's coarse
+    two-phase split), but the same operator is driver-hash certified
+    through the q_dedup_exact suite's 'store_stream' section (late round
+    9: three staged content-deterministic micro-batches, survivor set and
+    per-survivor batch index both oracle-rebuilt)."""
     import os
     import shutil
 

@@ -311,6 +311,47 @@ def test_incremental_reference_skipped_is_caught(spark, con, monkeypatch):
     )
 
 
+def test_store_stream_batch_lineage_shift_is_caught(spark, con, monkeypatch):
+    """_write_survivors_idempotent stamping batch N's survivors with
+    commit id N+1 — a replay would then overwrite the WRONG partition.
+    Only the store_stream section of the q_dedup_exact suite carries the
+    batch index (in n_dups), so this proves that column is real signal,
+    not decoration."""
+    import woe_monotonic_binning_spark.streaming.dedup as sdd
+
+    orig = sdd._write_survivors_idempotent
+
+    def mutated(fresh, out_path, token, batch_id):
+        return orig(fresh, out_path, token, int(batch_id) + 1)
+
+    monkeypatch.setattr(sdd, "_write_survivors_idempotent", mutated)
+    assert_caught(
+        spark, con, "q_dedup_exact", qc.SPARK_QUERIES["q_dedup_exact"](spark, SF)
+    )
+
+
+def test_store_stream_store_ignored_is_caught(spark, con, monkeypatch):
+    """The persistent digest store consulted but ignored (empty anti-join
+    side) in the STREAMING path only — every batch-2 re-crawl copy
+    survives.  The streaming _process calls dedup_against_reference with
+    four positional args while the batch incremental section passes two,
+    so the mutant keys on that to leave the incremental section green and
+    prove the store_stream section itself catches cross-batch loss."""
+    import woe_monotonic_binning_spark.operators.dedup as dd
+
+    orig = dd.dedup_against_reference
+
+    def mutated(new_df, reference_digests, *a, **k):
+        if len(a) == 2:  # the streaming _process call shape
+            reference_digests = reference_digests.limit(0)
+        return orig(new_df, reference_digests, *a, **k)
+
+    monkeypatch.setattr(dd, "dedup_against_reference", mutated)
+    assert_caught(
+        spark, con, "q_dedup_exact", qc.SPARK_QUERIES["q_dedup_exact"](spark, SF)
+    )
+
+
 def test_chunk_min_df_off_by_one_is_caught(spark, con, monkeypatch):
     """remove_repeated_chunks cutting at min_df + 1 — planted exact-dup
     boilerplate stops emptying out in the chunks section of the
