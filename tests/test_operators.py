@@ -1382,3 +1382,72 @@ def test_asof_join_forward_matches_duckdb(spark):
     e = exp["day_spend"].to_numpy(dtype=float)
     both_nan = np.isnan(g) & np.isnan(e)
     assert bool(np.all(both_nan | (np.abs(g - e) < 1e-9)))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_asof_join_all_directions_match_pandas_merge_asof(spark, seed):
+    """Randomized third-party-oracle check: every direction agrees with
+    pandas.merge_asof row-for-row on random key/timestamp shapes —
+    unmatched keys, left rows before/after every right row, and exact-ts
+    hits included.  Right timestamps are unique per key (the documented
+    determinism precondition); inclusive matching and nearest's
+    backward-on-tie are pandas' own conventions, so this pins the engine
+    to an oracle nobody on this repo wrote."""
+    import numpy as np
+    import pandas as pd
+
+    from woe_monotonic_binning_spark.operators.joins import asof_join
+
+    rng = np.random.default_rng(seed)
+    n_left, n_right = 40, 30
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        {
+            "row_id": np.arange(n_left),
+            # key 9 never appears on the right side
+            "k": rng.integers(0, 4, n_left) * 3 % 10,
+            "lts": base
+            + pd.to_timedelta(rng.integers(0, 500, n_left) * 97, unit="s"),
+        }
+    )
+    rts = []
+    rk = []
+    for key in (0, 3, 6):
+        # unique right ts per key (documented precondition); even offsets
+        # so ties with the odd-second grid above still occur via *97
+        ts = np.unique(rng.integers(0, 500, n_right // 3) * 97)
+        rts.extend(base + pd.to_timedelta(ts, unit="s"))
+        rk.extend([key] * len(ts))
+    rpdf = pd.DataFrame(
+        {"k": rk, "rts": rts, "val": np.arange(len(rk), dtype=float) * 1.5}
+    )
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    for direction in ("backward", "forward", "nearest"):
+        got = (
+            asof_join(
+                left,
+                right,
+                on="k",
+                left_ts="lts",
+                right_ts="rts",
+                direction=direction,
+            )
+            .select("row_id", "val")
+            .toPandas()
+            .sort_values("row_id")
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            lpdf.sort_values("lts"),
+            rpdf.sort_values("rts"),
+            by="k",
+            left_on="lts",
+            right_on="rts",
+            direction=direction,
+        ).sort_values("row_id")[["row_id", "val"]].reset_index(drop=True)
+        g, e = got["val"].to_numpy(), exp["val"].to_numpy()
+        both_nan = np.isnan(g) & np.isnan(e)
+        assert bool(np.all(both_nan | (g == e))), (
+            f"direction={direction} seed={seed} diverges from pandas"
+        )
