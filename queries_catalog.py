@@ -3012,6 +3012,24 @@ def q_dedup_lines(spark, sf_dir):
     ), totals AS (
       SELECT doc_id AS bench_id, len(grams) AS n_grams
       FROM g WHERE doc_id % 25 = 0
+    ), sem AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), semflag AS (
+      -- embedding-space decontamination (decontaminate_semantic): every
+      -- 20th vector plays the benchmark; corpus vectors within cosine
+      -- 0.35 of ANY benchmark vector drop (benchmark members self-match
+      -- at 1.0).  Zero-norm guard mirrors the engine's try_divide ->
+      -- NULL (NaN >= thr is TRUE in DuckDB); same 6-dp pre-round as the
+      -- q_dedup_embedding slot so the two engines cut identically.
+      SELECT DISTINCT c.vec_id
+      FROM sem c JOIN (SELECT v FROM sem WHERE vec_id % 20 = 0) b ON
+        CASE WHEN list_dot_product(c.v, c.v) = 0
+               OR list_dot_product(b.v, b.v) = 0
+             THEN NULL
+             ELSE round(list_dot_product(c.v, b.v)
+                  / (sqrt(list_dot_product(c.v, c.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6)
+        END >= 0.35
     )
     SELECT 'survivors' AS section, doc_id, lang, source,
            CAST(NULL AS BIGINT) AS n_grams, CAST(NULL AS BIGINT) AS n_grams_hit,
@@ -3027,6 +3045,13 @@ def q_dedup_lines(spark, sf_dir):
            round(coalesce(h.n_grams_hit, 0)
                  / CAST(greatest(t.n_grams, 1) AS DOUBLE), 6) AS gram_hit_frac
     FROM totals t LEFT JOIN hits h USING (bench_id)
+    UNION ALL
+    SELECT 'semantic' AS section, vec_id AS doc_id,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BIGINT) AS n_grams, CAST(NULL AS BIGINT) AS n_grams_hit,
+           CAST(NULL AS BIGINT) AS n_corpus_docs,
+           CAST(NULL AS DOUBLE) AS gram_hit_frac
+    FROM sem WHERE vec_id NOT IN (SELECT vec_id FROM semflag)
     """,
 )
 def q_decontam(spark, sf_dir):
@@ -3037,10 +3062,15 @@ def q_decontam(spark, sf_dir):
     6; the broadcast plan shape stays pinned in tests/test_curation_ops.py).
     'report' section: the per-benchmark-doc leak telemetry
     (contamination_report, the rows-only q_contamination_report scenario —
-    hash-certified here since round 9)."""
+    hash-certified here since round 9).  'semantic' section (late round
+    9): embedding-space decontamination (decontaminate_semantic — one
+    LEFT ANTI BroadcastNestedLoopJoin, corpus never shuffles) with every
+    20th vector as the benchmark at the same 0.35 synthetic-data
+    threshold as the q_dedup_embedding slot."""
     from woe_monotonic_binning_spark.operators.dedup import (
         contamination_report,
         decontaminate,
+        decontaminate_semantic,
     )
 
     docs = _docs(spark, sf_dir)
@@ -3065,7 +3095,26 @@ def q_decontam(spark, sf_dir):
         "n_corpus_docs",
         "gram_hit_frac",
     )
-    return surv.unionByName(rep)
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    sem = decontaminate_semantic(
+        emb,
+        emb.filter(F.col("vec_id") % 20 == 0),
+        "embedding",
+        "vec_id",
+        threshold=0.35,
+    ).select(
+        F.lit("semantic").alias("section"),
+        F.col("vec_id").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_grams"),
+        F.lit(None).cast("long").alias("n_grams_hit"),
+        F.lit(None).cast("long").alias("n_corpus_docs"),
+        F.lit(None).cast("double").alias("gram_hit_frac"),
+    )
+    return surv.unionByName(rep).unionByName(sem)
 
 
 @_q("q_pack_sequences")

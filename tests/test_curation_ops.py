@@ -305,6 +305,51 @@ def test_contamination_overlap_benchmark_side_broadcasts(spark):
     spark.catalog.clearCache()
 
 
+def test_decontaminate_semantic_drops_planted_leakage(spark):
+    """Embedding-space decontamination: exact benchmark copies and
+    above-threshold paraphrase vectors drop; orthogonal and zero-norm
+    vectors survive (try_divide -> NULL never crosses the threshold);
+    zero-norm BENCHMARK vectors match nothing."""
+    from woe_monotonic_binning_spark.operators.dedup import decontaminate_semantic
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 0.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0]),      # cosine 1.0 to bench 100 -> drop
+            (2, [0.9, 0.45, 0.0]),     # cosine ~0.894 -> drop at 0.8
+            (3, [0.0, 1.0, 0.0]),      # orthogonal -> keep
+            (4, [0.0, 0.0, 0.0]),      # zero norm -> NULL cosine -> keep
+            (5, [-1.0, 0.0, 0.0]),     # cosine -1 -> keep
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out = decontaminate_semantic(corpus, bench, threshold=0.8)
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {3, 4, 5}
+    # corpus columns survive untouched (the norm helper column is dropped)
+    assert out.columns == corpus.columns
+
+
+def test_decontaminate_semantic_is_shuffle_free_broadcast_anti(spark):
+    """The benchmark side must broadcast and the corpus must NOT shuffle:
+    zero Exchange operators, one LEFT ANTI BroadcastNestedLoopJoin — the
+    100 TB contract for an eval-set-sized benchmark."""
+    from woe_monotonic_binning_spark.operators.dedup import decontaminate_semantic
+    from woe_monotonic_binning_spark.plans.inspect import exchange_count
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = decontaminate_semantic(
+        emb, emb.filter(F.col("vec_id") % 20 == 0), "embedding", "vec_id", 0.35
+    )
+    assert exchange_count(out) == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+
+
 def test_decontaminate_matches_duckdb_oracle(spark):
     """Value-level parity on real corpus data: DuckDB computes the same
     distinct-shared-gram counts via list_intersect on per-doc gram lists."""

@@ -352,6 +352,23 @@ def test_store_stream_store_ignored_is_caught(spark, con, monkeypatch):
     )
 
 
+def test_semantic_decontam_threshold_drift_is_caught(spark, con, monkeypatch):
+    """decontaminate_semantic silently tightening its threshold by 15% —
+    borderline paraphrase leakage would survive into the training mix.
+    Caught by the semantic section of the q_decontam suite."""
+    import woe_monotonic_binning_spark.operators.dedup as dd
+
+    orig = dd.decontaminate_semantic
+
+    def mutated(corpus, benchmark, vec_col="embedding", id_col="doc_id", threshold=0.95):
+        return orig(corpus, benchmark, vec_col, id_col, threshold * 1.15)
+
+    monkeypatch.setattr(dd, "decontaminate_semantic", mutated)
+    assert_caught(
+        spark, con, "q_decontam", qc.SPARK_QUERIES["q_decontam"](spark, SF)
+    )
+
+
 def test_chunk_min_df_off_by_one_is_caught(spark, con, monkeypatch):
     """remove_repeated_chunks cutting at min_df + 1 — planted exact-dup
     boilerplate stops emptying out in the chunks section of the

@@ -931,3 +931,55 @@ def decontaminate(
         corpus, benchmark, text_col, id_col, n=n, min_shared=min_shared
     ).select(id_col)
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space decontamination: drop every corpus row whose
+    ``vec_col`` has cosine >= ``threshold`` to ANY benchmark embedding —
+    the semantic twin of ``decontaminate``, catching the eval leakage
+    n-grams cannot see (paraphrased or re-worded benchmark items, and
+    translations when the embedder is multilingual).
+
+    Plan shape: the benchmark side (eval sets are small — thousands of
+    rows) is explicitly broadcast and the match is a single LEFT ANTI
+    BroadcastNestedLoopJoin, so the corpus neither shuffles nor
+    materializes a pair table; per corpus row the join short-circuits at
+    the first matching benchmark vector.  Corpus norms are computed once
+    per row outside the join condition (``cosine_from_norms``, the
+    round-9 hoist — bit-identical floats to ``cosine_similarity``); the
+    cost ceiling is |corpus| x |benchmark| dot products map-side, the
+    honest brute force at eval-set scale.  For a benchmark too large to
+    broadcast, pre-block both sides (IVF cells / SRP bands,
+    similarity.py) and run this per block.
+
+    Zero-norm or NULL embeddings on either side produce NULL cosine
+    (``try_divide``) which never crosses the threshold: degenerate
+    corpus rows are KEPT (they leak nothing), degenerate benchmark rows
+    match nothing.  The cosine is rounded to 6 dp before the comparison,
+    matching ``embedding_neardup_pairs`` so thresholds mean the same
+    thing across the embedding operators."""
+    from ..functions.vector import cosine_from_norms, norm
+
+    c = corpus.withColumn("__c_n", norm(F.col(vec_col)))
+    b = F.broadcast(
+        benchmark.select(
+            F.col(vec_col).alias("__b_vec"),
+            norm(F.col(vec_col)).alias("__b_n"),
+        )
+    )
+    cond = (
+        F.round(
+            cosine_from_norms(
+                c[vec_col], b["__b_vec"], c["__c_n"], b["__b_n"]
+            ),
+            6,
+        )
+        >= threshold
+    )
+    return c.join(b, cond, "left_anti").drop("__c_n")
