@@ -3148,6 +3148,25 @@ def q_contamination_report(spark, sf_dir):
     return contamination_report(docs, bench, n=8)
 
 
+@_q("q_decontam_semantic")
+def q_decontam_semantic(spark, sf_dir):
+    """Embedding-space decontamination: drop corpus vectors within cosine
+    0.35 of any benchmark vector (every 20th vector plays the eval set) —
+    one shuffle-free LEFT ANTI BroadcastNestedLoopJoin, the paraphrase
+    leakage n-gram decontamination cannot see.  Plan + planted-leakage
+    semantics pinned in tests/test_curation_ops.py; rows-only here, but
+    the identical scenario is driver-hash certified through the
+    q_decontam suite's 'semantic' section (late round 9)."""
+    from woe_monotonic_binning_spark.operators.dedup import decontaminate_semantic
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return decontaminate_semantic(
+        emb, emb.filter(F.col("vec_id") % 20 == 0), "embedding", "vec_id", 0.35
+    ).drop("embedding")
+
+
 @_q("q_pack_materialize")
 def q_pack_materialize(spark, sf_dir):
     """Pack materialization: the packing assignment joined back to the

@@ -894,6 +894,56 @@ def test_curate_corpus_decontam_stage(spark):
     assert ids <= expected
 
 
+def test_curate_corpus_semantic_decontam_stage(spark):
+    """benchmark_emb drops corpus rows whose embedding near-matches an
+    eval embedding before dedup/quality run; a corpus without the
+    embedding column fails loudly."""
+    import pytest
+
+    from woe_monotonic_binning_spark import curate_corpus
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 50)
+        .withColumn(
+            "embedding",
+            F.array(
+                (F.col("doc_id") % 7).cast("double"),
+                F.lit(1.0),
+                (F.col("doc_id") % 3).cast("double"),
+            ),
+        )
+    )
+    bench_emb = docs.filter(F.col("doc_id") % 10 == 0).select("embedding")
+    out = curate_corpus(
+        docs,
+        near_dup=None,
+        quality_threshold=0.0,
+        benchmark_emb=bench_emb,
+        benchmark_emb_threshold=0.999999,
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # every doc whose (doc_id%7, doc_id%3) pair collides with a benchmark
+    # doc's is an exact-cosine match and must be gone
+    bench_keys = {
+        (r.doc_id % 7, r.doc_id % 3)
+        for r in docs.filter(F.col("doc_id") % 10 == 0).select("doc_id").collect()
+    }
+    leaked = {
+        r.doc_id
+        for r in docs.select("doc_id").collect()
+        if (r.doc_id % 7, r.doc_id % 3) in bench_keys
+    }
+    assert ids and not (ids & leaked)
+    with pytest.raises(ValueError, match="embedding column"):
+        curate_corpus(
+            docs.drop("embedding"),
+            near_dup=None,
+            quality_threshold=0.0,
+            benchmark_emb=bench_emb,
+        )
+
+
 def test_contamination_report_per_benchmark_doc(spark):
     """One row per benchmark doc: leak counts for compromised items, zero
     rows-with-leaks for clean ones, and totals consistent with the

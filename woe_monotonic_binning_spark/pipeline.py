@@ -77,6 +77,8 @@ def curate_corpus(
     budget_seed: int = 2,
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
+    benchmark_emb: DataFrame | None = None,
+    benchmark_emb_threshold: float = 0.95,
     output_path: str | None = None,
     cache_survivors: bool = True,
 ) -> DataFrame:
@@ -132,7 +134,14 @@ def curate_corpus(
     ``text_col``/``id_col``: every doc sharing a word ``decontam_n``-gram
     with it is dropped before dedup (broadcast gram scan + anti-join) —
     contamination must go before dedup picks cluster representatives, or
-    a kept representative can still leak eval text.  ``output_path`` also
+    a kept representative can still leak eval text.  ``benchmark_emb``
+    (optional) is the embedding-space twin: an eval-set DataFrame sharing
+    ``vec_col`` whose near-identical corpus embeddings
+    (cosine >= ``benchmark_emb_threshold``) drop via one shuffle-free
+    broadcast anti-join (``decontaminate_semantic``) — it catches the
+    paraphrased leakage n-grams cannot see, requires ``vec_col`` on the
+    input corpus, and runs at the same pre-dedup stage for the same
+    representative-leak reason.  ``output_path`` also
     writes the result as parquet partitioned by ``split`` (one pass).
 
     ``seed`` drives the source-mixing draw, ``split_seed`` the train/test
@@ -209,6 +218,17 @@ def curate_corpus(
         from .operators.dedup import decontaminate
 
         docs = decontaminate(docs, benchmark, text_col, id_col, n=decontam_n)
+    if benchmark_emb is not None:
+        from .operators.dedup import decontaminate_semantic
+
+        if vec_col not in docs.columns:
+            raise ValueError(
+                f"benchmark_emb needs the embedding column {vec_col!r} on "
+                f"the input corpus; have {docs.columns}"
+            )
+        docs = decontaminate_semantic(
+            docs, benchmark_emb, vec_col, id_col, benchmark_emb_threshold
+        )
     scored = quality_score(docs, text_col).filter(
         F.col("quality") >= quality_threshold
     )
