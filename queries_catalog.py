@@ -2636,20 +2636,30 @@ def q_curation_pipeline(spark, sf_dir):
 @_q("q_sim_search_ivf_index")
 def q_sim_search_ivf_index(spark, sf_dir):
     """IVF search served from a persisted cell-partitioned index (partition
-    pruning does the candidate cut); equality with the inline IVF path is
-    pinned in tests/test_operators.py — rows-only here (tmp index dir)."""
+    pruning does the candidate cut), built with the INCREMENTAL
+    maintenance path since late round 9: the index is saved on the first
+    half of the corpus and the second half arrives via ivf_index_append
+    (frozen centroids, partition-local append) — results are identical to
+    a full one-shot build with the same centroids, which is pinned along
+    with inline-path equality in tests/test_operators.py.  Rows-only here
+    (tmp index dir)."""
     from woe_monotonic_binning_spark.operators.similarity import (
+        ivf_index_append,
         ivf_topk_index,
         save_ivf_index,
         train_centroids,
     )
 
     emb = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    half = emb.agg((F.floor(F.max("vec_id") / 2)).cast("long")).first()[0]
     cents = train_centroids(emb, n_cells=8)
     # session-scoped staging path + overwrite: stable across bench reps (no
-    # mkdtemp leak), unique across concurrent sessions (see _staging_dir)
+    # mkdtemp leak), unique across concurrent sessions (see _staging_dir);
+    # save_ivf_index's overwrite resets the assigned dir so the append
+    # never stacks across reps
     path = _staging_dir(spark, "ivf_stage", "index")
-    save_ivf_index(emb, cents, path)
+    save_ivf_index(emb.filter(F.col("vec_id") <= half), cents, path)
+    ivf_index_append(spark, path, emb.filter(F.col("vec_id") > half))
     return ivf_topk_index(spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=3)
 
 

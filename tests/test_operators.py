@@ -331,6 +331,53 @@ def test_ivf_index_roundtrip_matches_inline(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:80]
 
 
+def test_ivf_index_append_matches_full_rebuild(spark, tmp_path):
+    """Incremental maintenance: an index built on half the corpus and
+    appended with the other half serves results identical to an index
+    built on the full corpus with the SAME centroids, and the append only
+    touches the new batch's cell partitions (old files untouched)."""
+    import glob
+    import os
+
+    from woe_monotonic_binning_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_topk_index,
+        save_ivf_index,
+        train_centroids,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .cache()
+    )
+    old = emb.filter(F.col("vec_id") < 250)
+    new = emb.filter(F.col("vec_id") >= 250)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = train_centroids(old, n_cells=8)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    save_ivf_index(old, cents, inc_path)
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{inc_path}/assigned/cell=*/part-*.parquet")
+    }
+    ivf_index_append(spark, inc_path, new)
+    after = set(glob.glob(f"{inc_path}/assigned/cell=*/part-*.parquet"))
+    # old files still present and untouched; new files appended
+    assert set(before) <= after and len(after) > len(before)
+    assert all(os.path.getmtime(f) == m for f, m in before.items())
+
+    full_path = str(tmp_path / "ivf_full")
+    save_ivf_index(emb, cents, full_path)
+
+    inc = ivf_topk_index(spark, inc_path, queries, k=5, n_probe=3)
+    full = ivf_topk_index(spark, full_path, queries, k=5, n_probe=3)
+    key = lambda r: (r.query_id, r.neighbor_id, r.cosine, r.rank)  # noqa: E731
+    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+    emb.unpersist()
+
+
 def test_train_centroids_element_wise_means_dim256(spark):
     """The posexplode mean computation must produce the exact per-cell
     element-wise means (the semantics of the former per-dimension

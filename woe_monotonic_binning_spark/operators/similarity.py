@@ -270,6 +270,41 @@ def load_ivf_centroids(spark, path: str) -> list[list[float]]:
     return [[float(x) for x in r["c_vec"]] for r in rows]
 
 
+def ivf_index_append(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental index maintenance: assign NEW vectors to the index's
+    EXISTING centroids and append them into ``{path}/assigned``'s cell
+    partitions — the daily-arrivals path that grows a serving index
+    without retraining or rewriting the corpus.
+
+    - **Centroids stay frozen.**  Already-indexed vectors are untouched
+      and results over them are unchanged; for the appended vectors the
+      search is identical to a full rebuild WITH THE SAME centroids
+      (pinned in tests/test_operators.py).  When the embedding
+      distribution drifts far enough that frozen cells go lopsided,
+      re-train and rebuild (``train_centroids`` + ``save_ivf_index``) —
+      the standard IVF re-index cadence, now decoupled from ingest.
+    - **The append is partition-local.**  ``partitionBy("cell")`` in
+      append mode adds files only under the touched cell directories, so
+      the write cost is one broadcast-assign pass over the NEW batch, and
+      serve-time partition pruning is unaffected.  Like the streaming
+      posting stores, file count grows per append — compact by rewriting
+      ``{path}/assigned`` periodically if batches are tiny.
+    - **Id dedup is the caller's contract** (same as every store in this
+      library): run ``dedup_against_reference`` / exact dedup upstream if
+      re-crawls can resend vectors, or the duplicate ids simply both
+      serve.
+    """
+    centroids = load_ivf_centroids(spark, path)
+    assigned = assign_cells(new_corpus, centroids, vec_col, id_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/assigned")
+
+
 def ivf_topk_index(
     spark,
     path: str,
