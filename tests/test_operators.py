@@ -374,7 +374,20 @@ def test_ivf_index_append_matches_full_rebuild(spark, tmp_path):
     inc = ivf_topk_index(spark, inc_path, queries, k=5, n_probe=3)
     full = ivf_topk_index(spark, full_path, queries, k=5, n_probe=3)
     key = lambda r: (r.query_id, r.neighbor_id, r.cosine, r.rank)  # noqa: E731
-    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+    served = sorted(map(key, inc.collect()))
+    assert served == sorted(map(key, full.collect()))
+
+    # compaction: one file per cell afterwards, identical serving results
+    from woe_monotonic_binning_spark.operators.similarity import compact_ivf_index
+
+    compact_ivf_index(spark, inc_path)
+    for cell_dir in glob.glob(f"{inc_path}/assigned/cell=*"):
+        parts = glob.glob(os.path.join(cell_dir, "part-*.parquet"))
+        assert len(parts) == 1, f"{cell_dir} holds {len(parts)} files"
+    assert not os.path.exists(f"{inc_path}/assigned_compacting")
+    assert not os.path.exists(f"{inc_path}/assigned_old")
+    recompacted = ivf_topk_index(spark, inc_path, queries, k=5, n_probe=3)
+    assert served == sorted(map(key, recompacted.collect()))
     emb.unpersist()
 
 

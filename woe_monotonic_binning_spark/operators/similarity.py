@@ -305,6 +305,39 @@ def ivf_index_append(
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/assigned")
 
 
+def compact_ivf_index(spark, path: str) -> None:
+    """Maintenance pass for an appended IVF index: rewrite
+    ``{path}/assigned`` to one file per cell partition.  Run after many
+    small ``ivf_index_append`` batches — probe latency degrades with
+    files-per-cell (each probed partition lists and opens every file),
+    not with rows, and the append path deliberately never rewrites.
+    Content is unchanged (same rows, same cells); the rewrite cost is one
+    shuffle of the assigned rows (hash on ``cell``, so each cell lands in
+    exactly one task and writes exactly one file).  The same cadence as
+    ``compact_digest_store`` / OPTIMIZE on a transactional table
+    format."""
+    src = f"{path}/assigned"
+    df = spark.read.parquet(src)
+    # stage the compacted copy, then swap: a crash mid-rewrite must not
+    # leave the serving index truncated
+    staged = f"{path}/assigned_compacting"
+    (
+        df.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staged)
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src_p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = src_p.getFileSystem(conf)
+    bak = jvm.org.apache.hadoop.fs.Path(f"{path}/assigned_old")
+    fs.delete(bak, True)
+    fs.rename(src_p, bak)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staged), src_p)
+    fs.delete(bak, True)
+
+
 def ivf_topk_index(
     spark,
     path: str,
