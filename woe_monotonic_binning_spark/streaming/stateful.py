@@ -189,6 +189,15 @@ def sessionize_stream(
 
     Emits one row per closed session (append mode).  Open sessions close via
     event-time timeout once the watermark passes ``last_event + gap``.
+
+    Boundary convention: an event arriving EXACTLY ``gap`` after the last
+    one CONTINUES the session (the fold closes on strictly-greater gaps,
+    matching the per-event reference loop in
+    tests/test_streaming_stateful.py).  The declarative ``session_window``
+    operators (operators/windows.py) use the opposite edge — an event at
+    ``last + gap`` starts a NEW session — so sessions agree except at that
+    single boundary instant; pick the operator by the edge you want, or
+    keep boundary-straddling data away from exact multiples of the gap.
     """
     gap_ms = _interval_ms(events.sparkSession, gap)
     ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
