@@ -3062,6 +3062,20 @@ def q_dedup_lines(spark, sf_dir):
            CAST(NULL AS BIGINT) AS n_corpus_docs,
            CAST(NULL AS DOUBLE) AS gram_hit_frac
     FROM sem WHERE vec_id NOT IN (SELECT vec_id FROM semflag)
+    UNION ALL
+    SELECT 'semantic_report' AS section, b.vec_id AS doc_id,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BIGINT) AS n_grams, CAST(NULL AS BIGINT) AS n_grams_hit,
+           (SELECT count(DISTINCT c.vec_id) FROM sem c
+            WHERE CASE WHEN list_dot_product(c.v, c.v) = 0
+                         OR list_dot_product(b.v, b.v) = 0
+                       THEN NULL
+                       ELSE round(list_dot_product(c.v, b.v)
+                            / (sqrt(list_dot_product(c.v, c.v))
+                               * sqrt(list_dot_product(b.v, b.v))), 6)
+                  END >= 0.35) AS n_corpus_docs,
+           CAST(NULL AS DOUBLE) AS gram_hit_frac
+    FROM sem b WHERE b.vec_id % 20 = 0
     """,
 )
 def q_decontam(spark, sf_dir):
@@ -3076,9 +3090,13 @@ def q_decontam(spark, sf_dir):
     9): embedding-space decontamination (decontaminate_semantic — one
     LEFT ANTI BroadcastNestedLoopJoin, corpus never shuffles) with every
     20th vector as the benchmark at the same 0.35 synthetic-data
-    threshold as the q_dedup_embedding slot."""
+    threshold as the q_dedup_embedding slot.  'semantic_report' section
+    (late round 9): the reverse per-benchmark-embedding leak telemetry
+    (contamination_report_semantic — benchmark is a corpus subset, so
+    every row's floor is the cosine-1.0 self-match)."""
     from woe_monotonic_binning_spark.operators.dedup import (
         contamination_report,
+        contamination_report_semantic,
         decontaminate,
         decontaminate_semantic,
     )
@@ -3124,7 +3142,19 @@ def q_decontam(spark, sf_dir):
         F.lit(None).cast("long").alias("n_corpus_docs"),
         F.lit(None).cast("double").alias("gram_hit_frac"),
     )
-    return surv.unionByName(rep).unionByName(sem)
+    semrep = contamination_report_semantic(
+        emb, emb.filter(F.col("vec_id") % 20 == 0), "embedding", "vec_id", 0.35
+    ).select(
+        F.lit("semantic_report").alias("section"),
+        F.col("vec_id").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_grams"),
+        F.lit(None).cast("long").alias("n_grams_hit"),
+        "n_corpus_docs",
+        F.lit(None).cast("double").alias("gram_hit_frac"),
+    )
+    return surv.unionByName(rep).unionByName(sem).unionByName(semrep)
 
 
 @_q("q_pack_sequences")

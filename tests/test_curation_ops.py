@@ -332,6 +332,42 @@ def test_decontaminate_semantic_drops_planted_leakage(spark):
     assert out.columns == corpus.columns
 
 
+def test_contamination_report_semantic_counts_per_benchmark(spark):
+    """One row per benchmark embedding: distinct corpus rows within the
+    threshold counted, clean items report 0 (not dropped), zero-norm
+    benchmark rows match nothing."""
+    from woe_monotonic_binning_spark.operators.dedup import (
+        contamination_report_semantic,
+    )
+
+    bench = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0]),   # leaks: three corpus rows are parallel
+            (101, [0.0, 1.0]),   # one parallel corpus row
+            (102, [3.0, 4.0]),   # clean
+            (103, [0.0, 0.0]),   # zero norm: matches nothing
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),
+            (2, [5.0, 0.0]),
+            (3, [1.0, 0.0]),
+            (4, [0.0, 7.0]),
+            (5, [-1.0, -1.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out = {
+        r.doc_id: r.n_corpus_docs
+        for r in contamination_report_semantic(
+            corpus, bench, threshold=0.999
+        ).collect()
+    }
+    assert out == {100: 3, 101: 1, 102: 0, 103: 0}
+
+
 def test_decontaminate_semantic_is_shuffle_free_broadcast_anti(spark):
     """The benchmark side must broadcast and the corpus must NOT shuffle:
     zero Exchange operators, one LEFT ANTI BroadcastNestedLoopJoin — the

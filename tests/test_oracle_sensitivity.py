@@ -369,6 +369,26 @@ def test_semantic_decontam_threshold_drift_is_caught(spark, con, monkeypatch):
     )
 
 
+def test_semantic_report_self_match_excluded_is_caught(spark, con, monkeypatch):
+    """contamination_report_semantic quietly excluding the benchmark's own
+    self-match from the count (off-by-one on every subset-benchmark row) —
+    caught by the semantic_report section of the q_decontam suite."""
+    import woe_monotonic_binning_spark.operators.dedup as dd
+
+    orig = dd.contamination_report_semantic
+
+    def mutated(corpus, benchmark, vec_col="embedding", id_col="doc_id", threshold=0.95):
+        out = orig(corpus, benchmark, vec_col, id_col, threshold)
+        return out.withColumn(
+            "n_corpus_docs", F.greatest(F.col("n_corpus_docs") - 1, F.lit(0))
+        )
+
+    monkeypatch.setattr(dd, "contamination_report_semantic", mutated)
+    assert_caught(
+        spark, con, "q_decontam", qc.SPARK_QUERIES["q_decontam"](spark, SF)
+    )
+
+
 def test_chunk_min_df_off_by_one_is_caught(spark, con, monkeypatch):
     """remove_repeated_chunks cutting at min_df + 1 — planted exact-dup
     boilerplate stops emptying out in the chunks section of the

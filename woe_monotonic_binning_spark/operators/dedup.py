@@ -983,3 +983,62 @@ def decontaminate_semantic(
         >= threshold
     )
     return c.join(b, cond, "left_anti").drop("__c_n")
+
+
+def contamination_report_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """The REVERSE view of ``decontaminate_semantic``, mirroring
+    ``contamination_report``: one row per BENCHMARK embedding with the
+    number of distinct corpus rows within the cosine threshold
+    (``n_corpus_docs``) — which eval items leak in embedding space and
+    how broadly.  A benchmark item that near-matches half the crawl is
+    boilerplate, not leakage, and this is the evidence for excluding it.
+
+    Plan shape: same broadcast inner join as the anti-join twin (the
+    corpus never shuffles; only matched (bench_id, corpus_id) pairs —
+    bounded by actual leakage — reach the count aggregation), then a
+    left join back to the benchmark ids so clean items report 0 rather
+    than vanish.  Same 6-dp round and NULL-on-zero-norm semantics as
+    every embedding operator here; note a benchmark that is a subset of
+    the corpus self-matches at cosine 1.0, so its floor is 1, not 0."""
+    from ..functions.vector import cosine_from_norms, norm
+
+    c = corpus.select(
+        F.col(id_col).alias("__c_id"),
+        F.col(vec_col).alias("__c_vec"),
+        norm(F.col(vec_col)).alias("__c_n"),
+    )
+    b = F.broadcast(
+        benchmark.select(
+            F.col(id_col).alias("__b_id"),
+            F.col(vec_col).alias("__b_vec"),
+            norm(F.col(vec_col)).alias("__b_n"),
+        )
+    )
+    cond = (
+        F.round(
+            cosine_from_norms(
+                c["__c_vec"], b["__b_vec"], c["__c_n"], b["__b_n"]
+            ),
+            6,
+        )
+        >= threshold
+    )
+    hits = (
+        c.join(b, cond, "inner")
+        .groupBy("__b_id")
+        .agg(F.count_distinct("__c_id").alias("n_corpus_docs"))
+    )
+    return (
+        benchmark.select(F.col(id_col).alias("__b_id"))
+        .join(hits, "__b_id", "left")
+        .select(
+            F.col("__b_id").alias(id_col),
+            F.coalesce("n_corpus_docs", F.lit(0)).alias("n_corpus_docs"),
+        )
+    )
