@@ -1475,8 +1475,13 @@ def q_events_window_suite(spark, sf_dir):
     """
     WITH marked AS (
       SELECT user_id, ts, value,
+             -- STRICTLY greater: Spark's session_window MERGES an event
+             -- arriving exactly gap after the previous one (verified on a
+             -- minimal two-event frame, late round 9) — the former >= cut
+             -- encoded the opposite edge and agreed only because the
+             -- driver data has no exact-30-minute gaps
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events

@@ -1444,6 +1444,77 @@ def test_asof_join_forward_matches_duckdb(spark):
     assert bool(np.all(both_nan | (np.abs(g - e) < 1e-9)))
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_session_agg_matches_per_event_reference_loop(spark, seed):
+    """Randomized independent-oracle check for BOTH batch sessionizers: a
+    per-event Python loop implementing session_window's TRUE contract (a
+    session ends at last_ts + gap and an event at EXACTLY last + gap
+    still MERGES — verified on a minimal frame) must reproduce session
+    boundaries, counts and sums row-for-row.  The timestamp grid is a
+    multiple of the gap so exact-boundary events occur by construction —
+    this test caught the late-round-9 twophase island-rule defect (>=
+    split a true session at a bucket cut) and the same wrong edge in the
+    certified events-suite oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from woe_monotonic_binning_spark.operators.windows import (
+        session_agg,
+        session_agg_twophase,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    gap_s = 600  # 10 minutes
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, n),
+            # steps of exactly gap/2 => consecutive diffs hit 0, gap/2,
+            # exactly gap, 1.5*gap ... including the boundary case
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(
+                np.sort(rng.integers(0, 2000, n)) * (gap_s // 2), unit="s"
+            ),
+            "value": np.round(rng.random(n) * 10, 3),
+        }
+    )
+
+    expected = set()
+    for uid, g in pdf.sort_values("ts").groupby("user_id"):
+        start = last = None
+        cnt, tot = 0, 0.0
+        for ts, val in zip(g["ts"], g["value"]):
+            if last is not None and (ts - last).total_seconds() > gap_s:
+                expected.add(
+                    (start, last + pd.Timedelta(seconds=gap_s), uid, cnt, round(tot, 6))
+                )
+                start, cnt, tot = None, 0, 0.0
+            if start is None:
+                start = ts
+            last, cnt, tot = ts, cnt + 1, tot + float(val)
+        if last is not None:
+            expected.add(
+                (start, last + pd.Timedelta(seconds=gap_s), uid, cnt, round(tot, 6))
+            )
+
+    ev = spark.createDataFrame(pdf)
+    for impl in (
+        lambda d: session_agg(d, "10 minutes"),
+        lambda d: session_agg_twophase(d, "10 minutes", bucket_unit="hour"),
+    ):
+        got = {
+            (
+                pd.Timestamp(r.session_start),
+                pd.Timestamp(r.session_end),
+                r.user_id,
+                r.n_events,
+                round(r.total_value, 6),
+            )
+            for r in impl(ev).collect()
+        }
+        assert got == expected
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_asof_join_all_directions_match_pandas_merge_asof(spark, seed):
     """Randomized third-party-oracle check: every direction agrees with

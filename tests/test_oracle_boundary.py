@@ -40,9 +40,30 @@ def boundary_sf(tmp_path_factory):
         "part",
         "orders",
         "lineitem",
-        "events",
     ]:
         shutil.copy(f"{SRC}/{t}.parquet", root / f"{t}.parquet")
+
+    # exact-gap session boundary (late round 9): two events exactly 30
+    # minutes apart, isolated 10 days after all real traffic.  Spark's
+    # session_window MERGES the pair into ONE session; the pre-fix oracle
+    # convention (>= starts a new session) split it in two and agreed on
+    # the shipped fixtures only because no exact-30-minute gap exists
+    # there.
+    ev = pd.read_parquet(f"{SRC}/events.parquet")
+    t0 = ev["ts"].max() + pd.Timedelta(days=10)
+    planted_ev = pd.DataFrame(
+        {
+            "event_id": [int(ev["event_id"].max()) + 1, int(ev["event_id"].max()) + 2],
+            "ts": [t0, t0 + pd.Timedelta(minutes=30)],
+            "user_id": [int(ev["user_id"].iloc[0])] * 2,
+            "event_type": ["click", "click"],
+            "value": [1.0, 2.0],
+            "props": ['{"k": 0}', '{"k": 0}'],
+        }
+    ).astype(ev.dtypes.to_dict())
+    pd.concat([ev, planted_ev], ignore_index=True).to_parquet(
+        root / "events.parquet", index=False
+    )
 
     emb = pd.read_parquet(f"{SRC}/embeddings.parquet")
     dim = len(emb["embedding"].iloc[0])
@@ -76,7 +97,8 @@ def boundary_sf(tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "name", ["q_sim_search", "q_dedup_embedding", "q_multimodal_stats"]
+    "name",
+    ["q_sim_search", "q_dedup_embedding", "q_multimodal_stats", "q_events_user_suite"],
 )
 def test_boundary_fixture_oracle_parity(spark, boundary_sf, name):
     con = duckdb_connection(boundary_sf)
@@ -90,6 +112,71 @@ def test_boundary_fixture_oracle_parity(spark, boundary_sf, name):
     finally:
         con.close()
     assert not problems, "\n".join(problems)
+
+
+def test_exact_gap_pair_is_actually_exercised(spark, boundary_sf):
+    """Guard against the session-boundary plant going vacuous: the two
+    planted events exactly 30 minutes apart must land in ONE Spark
+    session (the merge-at-equality edge), and the pre-fix oracle
+    convention (>= starts a new session) must disagree on this data."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.operators.windows import session_agg
+
+    ev = spark.read.parquet(f"{boundary_sf}/events.parquet")
+    planted_user = ev.orderBy(F.col("event_id").desc()).first()["user_id"]
+    top = (
+        session_agg(ev.filter(F.col("user_id") == planted_user))
+        .orderBy(F.col("session_start").desc())
+        .first()
+    )
+    assert top["n_events"] == 2 and float(top["total_value"]) == 3.0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{boundary_sf}/events.parquet'"
+    )
+    old_rule = con.execute(
+        """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL 30 MINUTE
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ), s AS (
+          SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT count(DISTINCT sid) FROM s WHERE user_id = ?
+        """,
+        [int(planted_user)],
+    ).fetchone()[0]
+    new_rule = con.execute(
+        """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ), s AS (
+          SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT count(DISTINCT sid) FROM s WHERE user_id = ?
+        """,
+        [int(planted_user)],
+    ).fetchone()[0]
+    con.close()
+    assert old_rule == new_rule + 1, (
+        "the planted pair no longer distinguishes the two session-boundary "
+        "conventions — the regression plant went vacuous"
+    )
 
 
 def test_zero_vector_is_actually_exercised(spark, boundary_sf):

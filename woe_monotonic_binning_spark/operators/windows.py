@@ -96,9 +96,10 @@ def session_agg_twophase(
     rows, not the events.
 
     Exactness: Spark's ``session_window`` ends a session at
-    ``last_ts + gap`` and a new event joins only while ``ts < end``, so
-    two local sessions continue one true session iff
-    ``next.start < prev.end`` — and within one user, bucket-split local
+    ``last_ts + gap`` and an event still joins at ``ts == end`` (the
+    exact-gap event MERGES — verified on a minimal frame, late round 9),
+    so two local sessions continue one true session iff
+    ``next.start <= prev.end`` — and within one user, bucket-split local
     sessions have monotonically non-decreasing ends (buckets are time
     ordered), so lag-based island detection is exact, not approximate.
     Session boundaries and ``n_events`` reproduce ``session_agg``
@@ -126,8 +127,14 @@ def session_agg_twophase(
     run = win.rowsBetween(Window.unboundedPreceding, 0)
     return (
         loc.withColumn(
+            # new island iff strictly past the previous end: an event (and
+            # therefore a local session) STARTING exactly at prev_end still
+            # belongs to the previous session, matching session_window's
+            # merge-at-equality edge (late round-9 fix: >= split one true
+            # session in two whenever an exact-gap event fell on a bucket
+            # cut — caught by the random per-event reference-loop test)
             "__new",
-            F.when(prev_end.isNull() | (F.col("__s") >= prev_end), 1).otherwise(0),
+            F.when(prev_end.isNull() | (F.col("__s") > prev_end), 1).otherwise(0),
         )
         .withColumn("__sid", F.sum("__new").over(run))
         .groupBy("user_id", "__sid")

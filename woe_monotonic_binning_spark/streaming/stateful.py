@@ -193,11 +193,10 @@ def sessionize_stream(
     Boundary convention: an event arriving EXACTLY ``gap`` after the last
     one CONTINUES the session (the fold closes on strictly-greater gaps,
     matching the per-event reference loop in
-    tests/test_streaming_stateful.py).  The declarative ``session_window``
-    operators (operators/windows.py) use the opposite edge — an event at
-    ``last + gap`` starts a NEW session — so sessions agree except at that
-    single boundary instant; pick the operator by the edge you want, or
-    keep boundary-straddling data away from exact multiples of the gap.
+    tests/test_streaming_stateful.py) — the SAME edge as the declarative
+    ``session_window`` operators, which also merge an event at
+    ``last + gap`` (verified on a minimal frame, late round 9), so the
+    two sessionizers agree at the boundary instant.
     """
     gap_ms = _interval_ms(events.sparkSession, gap)
     ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
