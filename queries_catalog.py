@@ -1089,8 +1089,8 @@ def q_dedup_exact(spark, sf_dir):
            ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.words, b.words))), 6) AS jaccard
     FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
+    WHERE round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.words, b.words))), 6) >= 0.5
     """,
 )
 def q_dedup_ngram(spark, sf_dir):
@@ -1114,8 +1114,8 @@ def q_dedup_ngram(spark, sf_dir):
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
+      WHERE round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.words, b.words))), 6) >= 0.5
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
@@ -2556,8 +2556,8 @@ _CURATION_WEIGHTS = {
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.words, b.words))) >= 0.7
+      WHERE round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.words, b.words))), 6) >= 0.7
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
