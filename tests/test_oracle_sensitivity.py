@@ -389,6 +389,29 @@ def test_semantic_report_self_match_excluded_is_caught(spark, con, monkeypatch):
     )
 
 
+def test_session_gap_drift_is_caught(spark, con, monkeypatch):
+    """session_agg quietly sessionizing at a 29-minute gap instead of 30 —
+    real sessions split differently and the session arm of the
+    q_events_user_suite slot must hash-mismatch.  (The exact-gap BOUNDARY
+    convention is separately pinned by the test_oracle_boundary plant —
+    on undoctored driver data a pure edge-flip is invisible, which is
+    exactly why that plant exists.)"""
+    import woe_monotonic_binning_spark.operators.windows as ow
+
+    orig = ow.session_agg
+
+    def mutated(events, gap="30 minutes"):
+        return orig(events, "29 minutes")
+
+    monkeypatch.setattr(ow, "session_agg", mutated)
+    assert_caught(
+        spark,
+        con,
+        "q_events_user_suite",
+        qc.SPARK_QUERIES["q_events_user_suite"](spark, SF),
+    )
+
+
 def test_chunk_min_df_off_by_one_is_caught(spark, con, monkeypatch):
     """remove_repeated_chunks cutting at min_df + 1 — planted exact-dup
     boilerplate stops emptying out in the chunks section of the
