@@ -1705,7 +1705,12 @@ def q_dedup_embedding(spark, sf_dir):
     from woe_monotonic_binning_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
-    return embedding_neardup_pairs(emb, "embedding", "vec_id", "label", threshold=0.35)
+    # max_block=None: the oracle is the exact all-pairs SQL, so the
+    # certified slot opts out of the round-10 capped default explicitly —
+    # the label blocks here are known-bounded at every certification sf.
+    return embedding_neardup_pairs(
+        emb, "embedding", "vec_id", "label", threshold=0.35, max_block=None
+    )
 
 
 @_q("q_sim_search_ivf")
@@ -1802,7 +1807,9 @@ def q_dedup_semantic(spark, sf_dir):
     emb = _emb(spark, sf_dir).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     ).select("vec_id", "embedding")
-    out = semantic_dedup(emb, n_cells=8, threshold=0.35)
+    # max_block=None keeps the paper-exact within-cell all-pairs (cells
+    # are bounded at catalog scale); library default is capped since r10.
+    out = semantic_dedup(emb, n_cells=8, threshold=0.35, max_block=None)
     return out.select("vec_id", "component")
 
 

@@ -613,6 +613,26 @@ def test_query_token_invariant_to_checkpoint_path_spelling():
     assert _query_token(None) != _query_token(None)
 
 
+def test_query_token_colon_in_relative_path_is_not_a_uri(monkeypatch, tmp_path):
+    """Round-9 advice: urlparse calls 'foo' in 'foo:bar/ckpt' a scheme,
+    and the URI branch minted 'foo://bar/ckpt' — so two spellings of the
+    same local dir got different tokens and a replayed batch wrote a
+    duplicate partition.  Only strings containing '://' take the URI
+    branch; colon-bearing relative paths canonicalise as local paths."""
+    import os
+
+    from woe_monotonic_binning_spark.streaming.dedup import _query_token
+
+    monkeypatch.chdir(tmp_path)
+    a = _query_token("foo:bar/ckpt")
+    assert a == _query_token("./foo:bar/ckpt")
+    assert a == _query_token("foo:bar/ckpt/")
+    assert a == _query_token(os.path.join(str(tmp_path), "foo:bar/ckpt"))
+    # genuine URIs are untouched by the fix
+    assert _query_token("s3a://bucket/x") == _query_token("s3a://bucket/x/")
+    assert _query_token("file:/data/ckpt") == _query_token("/data/ckpt")
+
+
 def test_out_layout_guard_rejects_pre_upgrade_append_files(tmp_path):
     """Round-8 review: an out_path holding root-level parquet files from
     the pre-_commit_id append-mode sink would fail partition discovery

@@ -139,11 +139,18 @@ def main() -> None:
         "dedup_srp": lambda d, ctx: srp_threshold_pairs(
             read_emb(d), threshold=0.9, n_bits=64, n_bands=8, max_bucket=500
         ).count(),
+        # "dedup_semantic" is the LIBRARY DEFAULT (capped at 1_000 since
+        # round 10) — the arm the verdict grades: skew-safe at defaults.
+        # "dedup_semantic_exact" is the opt-in uncapped quadratic
+        # (max_block=None, the pre-round-10 default) kept for contrast.
         "dedup_semantic": lambda d, ctx: semantic_dedup(
             read_emb(d), n_cells=16, threshold=0.99
         ).count(),
         "dedup_semantic_capped": lambda d, ctx: semantic_dedup(
             read_emb(d), n_cells=16, threshold=0.99, max_block=500
+        ).count(),
+        "dedup_semantic_exact": lambda d, ctx: semantic_dedup(
+            read_emb(d), n_cells=16, threshold=0.99, max_block=None
         ).count(),
     }
 

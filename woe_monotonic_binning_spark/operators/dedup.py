@@ -226,6 +226,17 @@ def lsh_candidate_pairs(
     behavior of dropping the bucket zeroed recall for exactly the hottest
     clusters — see _lsh_candidate_pairs_lazy).
 
+    **RECALL NOTE — default changed in round 9 (10_000 -> 1_000):**
+    buckets of 1_001–10_000 docs that previously emitted the full
+    verified pair set now emit only anchor-star candidates, so a true
+    near-dup pair whose members are both dissimilar to the bucket's
+    min-id anchor is missed — and because the anchor edge must still
+    survive exact verification, such a pair can split into two connected
+    components rather than merging through the anchor.  Pass
+    ``max_bucket=10_000`` to restore the previous recall at the previous
+    O(k²)-per-bucket cost (the round-9 skew smoke measured 25.7x wall on
+    one 2,500-doc hot cluster under the old default).
+
     ``cleanup=True`` (default) eagerly materializes the pair table and
     unpersists the internal band table (see _cache.py); pass False for a
     lazy plan whose cached bands the caller must release.
@@ -277,6 +288,13 @@ def minhash_dedup_pairs(
     under connected components instead of escaping dedup entirely; zipfian
     corpora tune this down (the round-9 skew smoke measures the effect:
     2,500-doc hot cluster, 243 s quadratic vs 7 s capped at sf1).
+
+    **RECALL NOTE (default 10_000 -> 1_000 in round 9):** buckets of
+    1_001–10_000 docs now emit anchor-star candidates only — pairs whose
+    members are both dissimilar to the bucket anchor are missed, and can
+    split a component when the anchor edge fails exact verification.
+    ``max_bucket=10_000`` restores the previous recall at the previous
+    quadratic cost; see ``lsh_candidate_pairs`` for the full trade.
 
     The input is repartitioned to the session default parallelism before the
     shingle/signature HOFs: document corpora often arrive as a few large
@@ -400,6 +418,12 @@ def simhash_near_pairs(
     0) would otherwise create k^2 join rows on a single reducer, while
     DROPPING the bucket (the pre-round-9 behavior) zeroed recall for the
     hottest clusters.
+
+    **RECALL NOTE (default 10_000 -> 1_000 in round 9):** band buckets of
+    1_001–10_000 docs now emit anchor-star candidates only — a pair at
+    hamming <= ``max_hamming`` whose members are both further than that
+    from the bucket anchor is missed; ``max_bucket=10_000`` restores the
+    previous recall at the previous quadratic cost.
     """
     sc = df.sparkSession.sparkContext
     narrow = df.select(id_col, text_col)
@@ -650,22 +674,28 @@ def embedding_neardup_pairs(
     block_col: str,
     threshold: float = 0.95,
     *,
-    max_block: int | None = None,
+    max_block: int | None = 1_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup within blocks (e.g. a cluster/label key).
 
     The blocked self-join keeps the pair count tractable; at scale the block
     key comes from an LSH or IVF assignment (see similarity.py).
 
-    ``max_block`` (keyword-only, default None = every block exact) is the
-    zipfian skew guard: blocks holding more than ``max_block`` rows degrade
-    to O(k) STAR candidates around the block's min-id anchor (exact-cosine
-    verified like any candidate) instead of the O(k²) self-join — same
-    fallback as the MinHash/SimHash/SRP siblings (round-9 skew smoke: one
-    hot cluster of 5% of the corpus in a single block is quadratic).  A
-    mutually-similar hot block still collapses to one connected component
-    through its anchor; the default stays None so the SQL-oracle-exact
-    all-pairs semantics are opt-out only at scale.
+    ``max_block`` (keyword-only) is the zipfian skew guard: blocks holding
+    more than ``max_block`` rows degrade to O(k) STAR candidates around the
+    block's min-id anchor (exact-cosine verified like any candidate)
+    instead of the O(k²) self-join — same fallback as the
+    MinHash/SimHash/SRP siblings.  **Default 1_000 (round 10; was None)**:
+    the builder's own sf1 skew smoke measured a 12x wall-clock blow-up from
+    one hot semantic cluster landing in a single block under the uncapped
+    default, the exact defect class the round-9 MinHash/SimHash default
+    flip fixed — safe-at-scale is now the default here too.  RECALL NOTE:
+    blocks of 1_001+ rows emit only anchor-star candidates, so a pair
+    whose members are both far from the block's min-id anchor is missed
+    (a mutually-similar hot block still collapses to one connected
+    component through its anchor).  Pass ``max_block=None`` for the exact
+    SQL-oracle all-pairs semantics when block sizes are known-bounded —
+    the certified catalog queries do exactly that.
     """
     from ..functions.vector import cosine_from_norms as _cosine_from_norms
     from ..functions.vector import norm as _norm
@@ -745,7 +775,7 @@ def semantic_dedup(
     lloyd_iters: int = 1,
     pair_probes: int = 2,
     *,
-    max_block: int | None = None,
+    max_block: int | None = 1_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove documents
     whose EMBEDDINGS are near-identical — paraphrases and templated
@@ -777,11 +807,15 @@ def semantic_dedup(
     hide a pair (top-2 is a heuristic, not closure) — raise
     ``pair_probes`` with the same cost trade.
 
-    ``max_block`` (keyword-only, default None = exact within every cell)
-    forwards to ``embedding_neardup_pairs``: cells holding more than
+    ``max_block`` (keyword-only, **default 1_000 since round 10** — was
+    None) forwards to ``embedding_neardup_pairs``: cells holding more than
     ``max_block`` vectors degrade to anchor-star candidates, bounding a
     hot semantic cluster (templated spam occupying one cell) at O(k)
     pairs while still collapsing it to one component through the anchor.
+    Pass ``max_block=None`` for the paper's exact within-cell all-pairs
+    semantics when cell sizes are known-bounded; at zipfian 100 TB the
+    capped default is the safe posture (the uncapped within-cell self-join
+    measured 12x wall on one hot cluster in the sf1 skew smoke).
 
     Returns the surviving rows of ``emb`` (plus ``component``).  Not
     bit-hashable cross-engine: Lloyd means depend on float summation

@@ -87,7 +87,13 @@ def asof_join(
             ) + ">"
         ).alias("__payload"),
     )
-    r_side = right.select(
+    # A right row with a NULL timestamp can never be a legitimate as-of
+    # match in any direction — and unfiltered it sorts FIRST under
+    # ascending __t (nulls first), so it could become the backward match
+    # with a NULL __ts payload, which then poisons the 'nearest'
+    # closeness comparison (NULL arithmetic) into silently picking the
+    # forward arm regardless of distance (round-9 advice).
+    r_side = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(k) for k in keys],
         F.col(right_ts).cast("timestamp").alias("__t"),
         F.lit(0).alias("__side"),

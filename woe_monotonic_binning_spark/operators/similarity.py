@@ -314,9 +314,34 @@ def compact_ivf_index(spark, path: str) -> None:
     Content is unchanged (same rows, same cells); the rewrite cost is one
     shuffle of the assigned rows (hash on ``cell``, so each cell lands in
     exactly one task and writes exactly one file).  The same cadence as
-    ``compact_digest_store`` / OPTIMIZE on a transactional table
-    format."""
+    ``compact_digest_store`` / OPTIMIZE on a transactional table format.
+
+    **Single-writer contract**: compaction must not run concurrently with
+    ``ivf_index_append`` (or another compaction) on the same ``path`` — a
+    batch appended between the read and the swap lands in the pre-compact
+    copy and is lost when the swap completes.  Hadoop ``FileSystem.rename``
+    / ``delete`` report failure by returning ``false`` rather than
+    raising, so every step below is checked: a failed swap restores the
+    serving copy and raises instead of continuing into the backup delete
+    (round-9 advice — the unchecked sequence could delete the only
+    serving copy).  Crash recovery: a crash between the two renames
+    leaves ``assigned_old`` but no ``assigned``; the next compaction (or
+    a manual rename) restores it — handled automatically at entry."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
     src = f"{path}/assigned"
+    src_p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = src_p.getFileSystem(conf)
+    bak = jvm.org.apache.hadoop.fs.Path(f"{path}/assigned_old")
+    # crash recovery from a previous run that died between its two
+    # renames: the backup IS the serving copy — put it back first
+    if not fs.exists(src_p) and fs.exists(bak):
+        if not fs.rename(bak, src_p):
+            raise IOError(
+                f"compact_ivf_index: found orphaned backup {bak} with no "
+                f"serving copy at {src}, and restoring it failed — fix up "
+                "the index directory manually before compacting"
+            )
     df = spark.read.parquet(src)
     # stage the compacted copy, then swap: a crash mid-rewrite must not
     # leave the serving index truncated
@@ -327,15 +352,29 @@ def compact_ivf_index(spark, path: str) -> None:
         .partitionBy("cell")
         .parquet(staged)
     )
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    src_p = jvm.org.apache.hadoop.fs.Path(src)
-    fs = src_p.getFileSystem(conf)
-    bak = jvm.org.apache.hadoop.fs.Path(f"{path}/assigned_old")
-    fs.delete(bak, True)
-    fs.rename(src_p, bak)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staged), src_p)
-    fs.delete(bak, True)
+    staged_p = jvm.org.apache.hadoop.fs.Path(staged)
+    if fs.exists(bak) and not fs.delete(bak, True):
+        raise IOError(f"compact_ivf_index: could not clear stale backup {bak}")
+    if not fs.rename(src_p, bak):
+        raise IOError(
+            f"compact_ivf_index: rename {src} -> {bak} failed (serving "
+            "copy untouched); is another writer holding the directory?"
+        )
+    if not fs.rename(staged_p, src_p):
+        # restore the serving copy before failing — the index must never
+        # be left absent
+        restored = fs.rename(bak, src_p)
+        raise IOError(
+            f"compact_ivf_index: rename {staged} -> {src} failed; "
+            + (
+                "previous serving copy restored"
+                if restored
+                else f"RESTORE ALSO FAILED — serving copy is at {bak}"
+            )
+        )
+    # delete the backup only after verifying the new serving copy exists
+    if fs.exists(src_p):
+        fs.delete(bak, True)
 
 
 def ivf_topk_index(

@@ -67,7 +67,7 @@ def curate_corpus(
     vec_col: str = "embedding",
     semantic_threshold: float = 0.95,
     semantic_cells: int = 16,
-    semantic_max_block: int | None = None,
+    semantic_max_block: int | None = 1_000,
     weights: dict[str, float] | None = None,
     source_col: str = "source",
     test_fraction: float = 0.1,
@@ -121,7 +121,9 @@ def curate_corpus(
       multi-probed across cell boundaries — catches paraphrases that
       survive every text-level hash; ``semantic_max_block`` caps a hot
       cell's quadratic at O(k) anchor-star pairs (round-9 skew smoke:
-      12x wall at an under-celled config, collapse preserved);
+      12x wall at an under-celled config, collapse preserved) — default
+      1_000 since round 10 (was None/uncapped); pass None for exact
+      within-cell all-pairs when cell sizes are known-bounded;
     - ``'jaccard'`` — exact blocked all-pairs over ``block_cols``
       (quadratic per block; validation runs);
     - ``None`` — skip near-dup entirely.

@@ -83,8 +83,20 @@ def _query_token(checkpoint_dir: str | None) -> str:
         p = urlparse(checkpoint_dir)
         if p.scheme in ("", "file") and not p.netloc:
             canon = os.path.abspath(p.path.rstrip("/") or "/")
-        else:
+        elif "://" in checkpoint_dir:
             canon = f"{p.scheme}://{p.netloc}{p.path.rstrip('/') or '/'}"
+        else:
+            # 'foo:bar/ckpt' — a RELATIVE local path whose first segment
+            # happens to contain a colon.  urlparse calls 'foo' a scheme,
+            # and the URI branch would mint 'foo://bar/ckpt', so two
+            # spellings of the same local dir ('foo:bar/ckpt' vs
+            # './foo:bar/ckpt') would get different tokens and a replayed
+            # batch would write a duplicate partition (round-9 advice).
+            # Only a string containing '://' is treated as a remote URI;
+            # everything else canonicalises as a local path.  One-time
+            # token change for such colon-paths on upgrade (file:/ and
+            # s3a:// spellings are unaffected).
+            canon = os.path.abspath(checkpoint_dir.rstrip("/") or "/")
         return hashlib.sha1(canon.encode("utf-8")).hexdigest()[:12]
     return uuid.uuid4().hex[:12]
 
