@@ -16,6 +16,126 @@ import subprocess
 import sys
 
 
+# headline -> the public package functions its body MUST call.  This is
+# the anti-drift pin the round-9 verdict asked for: the round-8 bench had
+# silently hand-rolled the curation stages (dropping scrub) instead of
+# calling curate_corpus, and only that one body was protocol-tested.  If a
+# future edit inlines operator logic in ANY headline body, the required
+# public call disappears from its AST and this fails.
+REQUIRED_PUBLIC_CALLS = {
+    "fit_batch": {"fit_bins"},
+    "transform": {"apply_bins"},
+    "dedup_digest": {"exact_dedup_by_digest"},
+    "dedup_minhash": {"minhash_dedup_pairs"},
+    "sim_search": {"brute_force_topk"},
+    "text_stats": {"text_stats"},
+    "events_windows": {"tumbling_agg", "session_agg"},
+    "dedup_cc": {"minhash_dedup_pairs", "dedup_keep_canonical"},
+    "tfidf": {"tfidf_top_terms"},
+    "curation": {"curate_corpus"},
+    "decontam": {"decontaminate"},
+    "pack": {"pack_sequences", "text_stats"},
+    "drift": {"psi_report", "psi_summary", "characteristic_stability"},
+}
+
+
+def _bench_ast():
+    import ast
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "bench.py")) as f:
+        return ast.parse(f.read())
+
+
+def test_every_headline_body_calls_the_public_api():
+    """Each timed headline body must resolve through the package's public
+    surface: the body's AST (lambda or named run_* function) contains a
+    call to every function in REQUIRED_PUBLIC_CALLS[name], and each such
+    name is imported from woe_monotonic_binning_spark."""
+    import ast
+
+    tree = _bench_ast()
+
+    # name -> FunctionDef for run_* helper resolution
+    funcdefs = {n.name: n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)}
+    # local name -> source module for every `from X import y [as z]`
+    import_src: dict[str, str] = {}
+    for n in ast.walk(tree):
+        if isinstance(n, ast.ImportFrom) and n.module:
+            for alias in n.names:
+                import_src[alias.asname or alias.name] = n.module
+
+    def called_names(node) -> set[str]:
+        out = set()
+        for c in ast.walk(node):
+            if isinstance(c, ast.Call) and isinstance(c.func, ast.Name):
+                out.add(c.func.id)
+        return out
+
+    # find every timed("name", body) site
+    bodies: dict[str, object] = {}
+    for n in ast.walk(tree):
+        if (
+            isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Name)
+            and n.func.id == "timed"
+            and len(n.args) == 2
+            and isinstance(n.args[0], ast.Constant)
+        ):
+            bodies[n.args[0].value] = n.args[1]
+
+    import bench
+
+    assert set(bodies) == set(bench.HEADLINES) == set(REQUIRED_PUBLIC_CALLS)
+
+    for name, body in bodies.items():
+        node = body
+        if isinstance(node, ast.Name):  # timed("x", run_x)
+            assert node.id in funcdefs, f"{name}: helper {node.id} not found"
+            node = funcdefs[node.id]
+        calls = called_names(node)
+        missing = REQUIRED_PUBLIC_CALLS[name] - calls
+        assert not missing, (
+            f"headline {name!r} no longer calls the public API: missing "
+            f"{sorted(missing)} — inlined operator logic drifts from the "
+            "certified composition (round-8 curation regression)"
+        )
+        for fn in REQUIRED_PUBLIC_CALLS[name]:
+            src = import_src.get(fn, "")
+            assert src.startswith("woe_monotonic_binning_spark"), (
+                f"headline {name!r}: {fn} is imported from {src!r}, not the "
+                "public package surface"
+            )
+
+
+def test_curation_headline_keeps_the_scrub_stage():
+    """The exact round-8 drift: the curation body must pass scrub=True to
+    curate_corpus (the hand-rolled copy had silently dropped the scrub
+    stage)."""
+    import ast
+
+    tree = _bench_ast()
+    for n in ast.walk(tree):
+        if (
+            isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Name)
+            and n.func.id == "timed"
+            and isinstance(n.args[0], ast.Constant)
+            and n.args[0].value == "curation"
+        ):
+            helper = n.args[1]
+    body = next(
+        f for f in ast.walk(tree)
+        if isinstance(f, ast.FunctionDef) and f.name == helper.id
+    )
+    for c in ast.walk(body):
+        if isinstance(c, ast.Call) and isinstance(c.func, ast.Name) and c.func.id == "curate_corpus":
+            kw = {k.arg: k.value for k in c.keywords}
+            assert "scrub" in kw and getattr(kw["scrub"], "value", None) is True
+            return
+    raise AssertionError("curation body no longer calls curate_corpus")
+
+
 def test_bench_rerun_adjudication_fires(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     shutil.copy(os.path.join(repo, "bench.py"), tmp_path / "bench.py")
