@@ -1596,10 +1596,15 @@ def q_events_rollup(spark, sf_dir):
 
 @_q(
     "q_multimodal_stats",
-    # binary-column plumbing: byte length + md5 checksum + boundary bytes of
-    # the payloads, decoded via Arrow-batched mapInPandas
+    # 'bytes' section: binary-column plumbing — byte length + md5 checksum
+    # + boundary bytes of the payloads, decoded via Arrow-batched
+    # mapInPandas.  'pixels' section (round 10): the REAL pure-Python PPM
+    # decoder (operators/multimodal.py decode_image) over JVM-built
+    # synthetic P6 payloads whose every pixel is (id%256, id*7%256,
+    # id*13%256) — so the exact integer channel sums are predictable SQL
+    # arithmetic and the decode kernel is hash-certified end to end.
     """
-    SELECT doc_id AS media_id, 'image' AS kind,
+    SELECT 'bytes' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(strlen(text) AS INT) AS n_bytes,
            md5(text) AS checksum,
            -- first/last UTF-8 BYTE of the payload (hex-extract), NOT
@@ -1612,18 +1617,52 @@ def q_events_rollup(spark, sf_dir):
            END AS first_byte,
            CASE WHEN strlen(text) = 0 THEN -1
                 ELSE ('0x' || right(hex(encode(text)), 2))::INT
-           END AS last_byte
+           END AS last_byte,
+           CAST(NULL AS VARCHAR) AS fmt,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(NULL AS INT) AS n_pixels,
+           CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+           CAST(NULL AS BIGINT) AS sum_b
+    FROM documents
+    UNION ALL
+    SELECT 'pixels' AS section, doc_id AS media_id, 'image' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'ppm' AS fmt, 4 AS width, 2 AS height, 8 AS n_pixels,
+           CAST(8 * (doc_id % 256) AS BIGINT) AS sum_r,
+           CAST(8 * ((doc_id * 7) % 256) AS BIGINT) AS sum_g,
+           CAST(8 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b
     FROM documents
     """,
 )
 def q_multimodal_stats(spark, sf_dir):
     from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_image,
         fake_decode_stats,
         media_from_documents,
+        synthetic_ppm_media,
     )
 
-    media = media_from_documents(_docs(spark, sf_dir))
-    return fake_decode_stats(media)
+    docs = _docs(spark, sf_dir)
+    media = media_from_documents(docs)
+    null_i = F.lit(None).cast("int")
+    base = fake_decode_stats(media).select(
+        F.lit("bytes").alias("section"),
+        "media_id", "kind", "n_bytes", "checksum", "first_byte", "last_byte",
+        F.lit(None).cast("string").alias("fmt"),
+        null_i.alias("width"), null_i.alias("height"), null_i.alias("n_pixels"),
+        F.lit(None).cast("bigint").alias("sum_r"),
+        F.lit(None).cast("bigint").alias("sum_g"),
+        F.lit(None).cast("bigint").alias("sum_b"),
+    )
+    pix = decode_image(synthetic_ppm_media(docs)).select(
+        F.lit("pixels").alias("section"),
+        "media_id", F.lit("image").alias("kind"),
+        null_i.alias("n_bytes"), F.lit(None).cast("string").alias("checksum"),
+        null_i.alias("first_byte"), null_i.alias("last_byte"),
+        "fmt", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
+    )
+    return base.unionByName(pix)
 
 
 @_q(

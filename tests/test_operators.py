@@ -526,11 +526,85 @@ def test_multimodal_decode_roundtrip(spark):
         assert r.first_byte == raw[0]
 
 
-def test_multimodal_decode_stub_raises(spark):
+def test_decode_image_ppm_real_pixels(spark):
+    """decode_image is a REAL decoder (round 10): synthetic JVM-built P6
+    payloads decode to the exact per-channel integer sums; malformed and
+    NULL payloads yield NULL-fmt rows instead of killing the worker."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_image,
+        synthetic_ppm_media,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {r.media_id: r for r in decode_image(synthetic_ppm_media(docs)).collect()}
+    assert len(out) == docs.count()
+    for mid, r in list(out.items())[:50]:
+        assert r.fmt == "ppm" and (r.width, r.height, r.n_pixels) == (4, 2, 8)
+        assert r.sum_r == 8 * (mid % 256)
+        assert r.sum_g == 8 * ((mid * 7) % 256)
+        assert r.sum_b == 8 * ((mid * 13) % 256)
+
+    bad = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"P6\n2 2\n255\n\x00\x01")),  # truncated raster
+            (2, "image", bytearray(b"\x89PNG\r\n\x1a\n....")),  # unsupported codec
+            (3, "image", None),  # NULL payload
+        ],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in decode_image(bad).collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert r.fmt is None and r.n_pixels is None and r.sum_r is None
+
+
+def test_decode_image_bmp_matches_ppm_pixels(spark):
+    """The BMP arm: hand-built 24-bit BI_RGB payloads (both bottom-up and
+    top-down rasters, with 4-byte row padding) decode to the same channel
+    sums as the equivalent P6 bytes — the two real formats agree on the
+    same pixels."""
+    import struct
+
     from woe_monotonic_binning_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(None)
+    pix = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (200, 210, 220)]]  # RGB rows
+
+    def bmp_bytes(topdown):
+        w, h = 2, 2
+        stride = (w * 3 + 3) & ~3
+        rows = pix if topdown else pix[::-1]
+        raster = b"".join(
+            b"".join(bytes((b_, g, r)) for (r, g, b_) in row)
+            + b"\x00" * (stride - w * 3)
+            for row in rows
+        )
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, (-h if topdown else h), 1, 24, 0,
+            len(raster), 2835, 2835, 0, 0,
+        )
+        return hdr + dib + raster
+
+    flat = [c for row in pix for p in row for c in p]
+    ppm = b"P6\n2 2\n255\n" + bytes(flat)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp_bytes(False))),
+            (2, "image", bytearray(bmp_bytes(True))),
+            (3, "image", bytearray(ppm)),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in decode_image(media).collect()}
+    assert rows[1].fmt == "bmp" and rows[2].fmt == "bmp" and rows[3].fmt == "ppm"
+    want = (
+        sum(p[0] for row in pix for p in row),
+        sum(p[1] for row in pix for p in row),
+        sum(p[2] for row in pix for p in row),
+    )
+    for r in rows.values():
+        assert (r.width, r.height, r.n_pixels) == (2, 2, 4)
+        assert (r.sum_r, r.sum_g, r.sum_b) == want
 
 
 def test_lang_id_deterministic(spark):

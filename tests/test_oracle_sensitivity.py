@@ -523,3 +523,29 @@ def test_kafka_value_schema_drift_is_caught(spark, con, monkeypatch):
         "q_events_window_suite",
         qc.SPARK_QUERIES["q_events_window_suite"](spark, SF),
     )
+
+
+def test_decode_channel_swap_is_caught(spark, con, monkeypatch):
+    """decode_image reading the raster as BGR instead of RGB (the classic
+    channel-order bug every real codec integration hits once) — the
+    'pixels' section of q_multimodal_stats must hash-mismatch on the
+    swapped sum_r/sum_b."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.decode_image
+
+    def mutated(media):
+        out = orig(media)
+        return out.select(
+            "media_id", "fmt", "width", "height", "n_pixels",
+            F.col("sum_b").alias("sum_r"), "sum_g",
+            F.col("sum_r").alias("sum_b"),
+        )
+
+    monkeypatch.setattr(mm, "decode_image", mutated)
+    assert_caught(
+        spark,
+        con,
+        "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )

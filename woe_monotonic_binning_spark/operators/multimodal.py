@@ -5,11 +5,15 @@ decode/feature steps run as Arrow-batched ``mapInPandas`` so each Python
 worker sees a columnar batch of payloads (the right shape for a real
 decoder or GPU preprocessor).
 
-The decode kernels themselves are STUBS — the container has no image/audio
-libraries — but everything Spark-side (schema, batch iteration, partition
-sizing, UDF signatures) is real and tested.  ``fake_decode_stats`` is the
-deterministic stand-in: byte-length + first/last-byte features, so tests
-can assert exact values through the whole pipeline.
+Kernel status (honest split): ``decode_image`` is a REAL decoder for the
+formats a pure-Python parser can handle — binary PPM (P6) and
+uncompressed 24-bit BMP — added round 10; JPEG/PNG/audio/video codecs
+still need libraries this container lacks, so those paths stay stubbed
+(``fake_decode_stats`` byte features, ``resize_media`` metadata-only) with
+everything Spark-side (schema, batch iteration, partition sizing, UDF
+signatures) real and tested.  ``synthetic_ppm_media`` builds
+oracle-predictable PPM payloads JVM-side so the real decode is
+hash-certified end to end.
 
 NULL payloads: binary columns are nullable and any real source has missing
 payloads, so every kernel tolerates ``content`` (and ``meta``) NULLs —
@@ -92,11 +96,164 @@ def fake_decode_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, schema=DECODED_STATS_SCHEMA)
 
 
+DECODED_IMAGE_SCHEMA = (
+    "media_id bigint, fmt string, width int, height int, n_pixels int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def _parse_ppm(b: bytes) -> tuple[int, int, bytes] | None:
+    """Binary PPM (P6, maxval 255) -> (width, height, raw RGB triplets), or
+    None if the payload is not a well-formed P6.  Pure Python: magic,
+    whitespace/#-comment tokenizer for the three header ints, one
+    whitespace byte, then width*height*3 raw bytes."""
+    if not b.startswith(b"P6"):
+        return None
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if i < len(b) and b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        if j == i or j >= len(b):
+            return None
+        try:
+            vals.append(int(b[i:j]))
+        except ValueError:
+            return None
+        i = j
+    i += 1  # exactly one whitespace byte separates maxval from the raster
+    w, h, maxval = vals
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    need = w * h * 3
+    px = b[i : i + need]
+    if len(px) < need:
+        return None
+    return w, h, px
+
+
+def _parse_bmp(b: bytes) -> tuple[int, int, bytes] | None:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) -> (width,
+    height, RGB triplets in top-down row order), or None.  Handles the
+    4-byte row padding, bottom-up (positive height) and top-down
+    (negative height) rasters, and converts the stored BGR to RGB."""
+    import struct
+
+    if len(b) < 54 or not b.startswith(b"BM"):
+        return None
+    (off,) = struct.unpack_from("<I", b, 10)
+    w, h = struct.unpack_from("<ii", b, 18)
+    _planes, bpp = struct.unpack_from("<HH", b, 26)
+    (comp,) = struct.unpack_from("<I", b, 30)
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    nrows = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(b) < off + stride * nrows:
+        return None
+    rows = []
+    for r in range(nrows):
+        # positive height = bottom-up storage: emit top row first
+        src = (nrows - 1 - r) if h > 0 else r
+        row = b[off + src * stride : off + src * stride + w * 3]
+        rows.append(row)
+    bgr = b"".join(rows)
+    rgb = bytearray(len(bgr))
+    rgb[0::3] = bgr[2::3]
+    rgb[1::3] = bgr[1::3]
+    rgb[2::3] = bgr[0::3]
+    return w, nrows, bytes(rgb)
+
+
 def decode_image(media: DataFrame) -> DataFrame:
-    """Real image decode — requires an imaging library not present here."""
-    raise NotImplementedError(
-        "image decoding requires Pillow/opencv; wire your decoder into the "
-        "mapInPandas body of fake_decode_stats — the Spark plumbing is done"
+    """REAL image decode for the container-friendly formats: binary PPM
+    (P6) and uncompressed 24-bit BMP, parsed in pure Python (no Pillow /
+    opencv needed) inside an Arrow-batched ``mapInPandas`` — per row the
+    format header is sniffed, the raster decoded, and exact integer
+    channel sums emitted (``sum_r/g/b`` over all pixels; integer, so the
+    output is hash-exact and oracle-checkable, unlike float means).
+
+    Rows whose payload is NULL, or any format this pure-Python kernel
+    cannot parse (JPEG/PNG/… still need a codec library — swap the
+    per-row ``_parse_*`` dispatch for your decoder), yield a row with
+    ``fmt`` NULL and NULL stats rather than killing the worker.  Batch
+    sizing via ``spark.sql.execution.arrow.maxRecordsPerBatch`` as for
+    every kernel here."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "fmt": [], "width": [], "height": [], "n_pixels": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for b in pdf["content"]:
+                parsed, fmt = None, None
+                if b is not None:
+                    raw = bytes(b)
+                    parsed = _parse_ppm(raw)
+                    if parsed is not None:
+                        fmt = "ppm"
+                    else:
+                        parsed = _parse_bmp(raw)
+                        if parsed is not None:
+                            fmt = "bmp"
+                if parsed is None:
+                    for k in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b"):
+                        out[k].append(None)
+                    out["fmt"].append(None)
+                    continue
+                w, h, px = parsed
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
+                sums = arr.sum(axis=0, dtype=np.int64)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, schema=DECODED_IMAGE_SCHEMA)
+
+
+def synthetic_ppm_media(
+    docs: DataFrame, id_col: str = "doc_id", width: int = 4, height: int = 2
+) -> DataFrame:
+    """Valid binary-PPM payloads built ENTIRELY JVM-side (hex/unhex —
+    no Python in the construction): every pixel of row ``id`` is the
+    constant triple ``(id%256, id*7%256, id*13%256)``, so the decoded
+    channel sums are exactly ``width*height*channel`` — the
+    oracle-predictable fixture that certifies ``decode_image`` end to
+    end (the q_multimodal_stats 'pixels' section)."""
+    r = F.pmod(F.col(id_col), F.lit(256)).cast("int")
+    g = F.pmod(F.col(id_col) * 7, F.lit(256)).cast("int")
+    b = F.pmod(F.col(id_col) * 13, F.lit(256)).cast("int")
+    triple_hex = F.concat(
+        F.lpad(F.hex(r), 2, "0"), F.lpad(F.hex(g), 2, "0"), F.lpad(F.hex(b), 2, "0")
+    )
+    content = F.concat(
+        F.encode(F.lit(f"P6\n{width} {height}\n255\n"), "utf-8"),
+        F.unhex(F.repeat(triple_hex, width * height)),
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
     )
 
 
