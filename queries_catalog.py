@@ -2838,6 +2838,54 @@ def q_simhash_store_stream(spark, sf_dir):
     return spark.read.parquet(out).select("doc_id")
 
 
+@_q("q_srp_store_stream")
+def q_srp_store_stream(spark, sf_dir):
+    """Streaming EMBEDDING near-dup dedup against a persistent SRP
+    band-posting + vector store (streaming/dedup.py
+    streaming_srp_dedup_against_store, round 10): the paraphrase-level
+    sibling of q_simhash_store_stream — re-worded copies the embedding
+    space sees drop at ingest.  Planted scaled-copy dups (cosine exactly
+    1.0, hence identical SRP band signatures — deterministic collision)
+    cross micro-batches; drop semantics, replay-stability and the
+    no-store-shuffle plan are pinned in tests/test_streaming_dedup.py;
+    rows-only (streaming sink with filesystem state)."""
+    import os
+    import shutil
+
+    from woe_monotonic_binning_spark.streaming.dedup import (
+        streaming_srp_dedup_against_store,
+    )
+
+    root = _staging_dir(spark, "srp_store")
+    shutil.rmtree(root, ignore_errors=True)
+    table = _session_table(spark, "wmb_srp_store")
+    for suffix in ("_postings", "_vecs", "_caps"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+    src, out = (os.path.join(root, d) for d in ("src", "out"))
+    emb = (
+        _emb(spark, sf_dir)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 200)
+    )
+    # re-collected copies: scaled vectors (cosine 1.0 to their original,
+    # same band signature) under new ids, arriving strictly later
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    _stage_ordered(emb, dups, src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    q = streaming_srp_dedup_against_store(
+        stream, table, out, checkpoint_dir=os.path.join(root, "ckpt"), num_buckets=8
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("vec_id")
+
+
 @_q("q_kafka_replay")
 def q_kafka_replay(spark, sf_dir):
     """Kafka-wire-schema replay: encode events as (key, value-JSON, topic,

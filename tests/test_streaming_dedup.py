@@ -457,6 +457,167 @@ def test_simhash_store_probe_join_does_not_shuffle_store(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def _srp_stream_corpus():
+    """Two micro-batches of 6-dim embeddings with deterministic near-dup
+    structure: scaled copies have cosine exactly 1.0 AND identical SRP
+    band signatures (sign(dot(c*v, h)) == sign(dot(v, h)) for c > 0), so
+    every planted dup collides in every band — no probabilistic recall in
+    the assertion."""
+    b1 = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+    ]
+    b2 = [
+        (10, [2.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # cross-batch dup of 0
+        (11, [0.0, 0.0, 0.0, 1.0, 0.0, 0.0]),  # new
+        (12, [0.0, 0.0, 0.0, 0.0, 1.0, 0.0]),  # in-batch pair with 13
+        (13, [0.0, 0.0, 0.0, 0.0, 3.0, 0.0]),  # dropped within batch
+    ]
+    return b1, b2
+
+
+def test_streaming_srp_dedup_drops_embedding_near_dups_across_batches(
+    spark, tmp_path
+):
+    """Paraphrase-level (embedding-space) dups drop at ingest: in-batch
+    via srp_threshold_pairs + canonical keep, cross-batch via the
+    persistent SRP posting/vector store; a full re-ingest under a fresh
+    checkpoint self-matches everything and adds no survivors."""
+    import time as _time
+
+    from woe_monotonic_binning_spark.streaming.dedup import (
+        streaming_srp_dedup_against_store,
+    )
+
+    table = "wmb_test_srp_store"
+    for suffix in ("_postings", "_vecs", "_caps"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+    try:
+        b1, b2 = _srp_stream_corpus()
+        src = tmp_path / "src"
+        out = str(tmp_path / "out")
+        for rows in (b1, b2):
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).coalesce(1).write.mode("append").parquet(str(src))
+            _time.sleep(1.1)
+        schema = spark.read.parquet(str(src)).schema
+
+        def start(ckpt):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            return streaming_srp_dedup_against_store(
+                stream, table, out,
+                checkpoint_dir=str(tmp_path / ckpt), num_buckets=4,
+            )
+
+        start("ckpt").awaitTermination()
+        kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+        assert kept == {0, 1, 3, 11, 12}
+        for suffix in ("_postings", "_vecs", "_caps"):
+            spark.catalog.refreshTable(f"{table}{suffix}")
+        post = spark.table(f"{table}_postings")
+        vecs = spark.table(f"{table}_vecs")
+        # every survivor posts exactly n_bands=8 tuples and ONE vector row
+        assert {r.vec_id for r in post.select("vec_id").distinct().collect()} == kept
+        assert post.count() == 8 * len(kept)
+        assert vecs.count() == len(kept)
+        # caps side table == a full recompute of the posting store
+        caps = spark.table(f"{table}_caps")
+        recomputed = post.groupBy("band_idx", "band_val").agg(
+            F.count_distinct("vec_id").alias("n"),
+            F.min("vec_id").alias("rep_id"),
+        )
+        assert sorted(
+            map(tuple, caps.select("band_idx", "band_val", "n", "rep_id").collect())
+        ) == sorted(map(tuple, recomputed.collect()))
+
+        # full re-ingest, fresh checkpoint lineage: every row self-matches
+        # at cosine 1.0 against its own stored vector -> zero new
+        # survivors, stores unchanged
+        start("ckpt2").awaitTermination()
+        for suffix in ("_postings", "_vecs"):
+            spark.catalog.refreshTable(f"{table}{suffix}")
+        assert {r.vec_id for r in spark.read.parquet(out).collect()} == kept
+        assert spark.table(f"{table}_vecs").count() == len(kept)
+        assert spark.table(f"{table}_postings").count() == 8 * len(kept)
+    finally:
+        for suffix in ("_postings", "_vecs", "_caps"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_srp_store_probe_join_does_not_shuffle_store(spark, tmp_path):
+    """The cross-batch probe joins on (band_idx, band_val) and the posting
+    store is bucketed on exactly those columns — store side carries no
+    Exchange; and the vector re-join store is bucketed on the id key with
+    the same property."""
+    from woe_monotonic_binning_spark.operators.similarity import (
+        _srp_bands,
+        srp_hyperplanes,
+    )
+    from woe_monotonic_binning_spark.plans import exchange_count
+
+    table = "wmb_test_srp_store_plan"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_vecs")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b1, b2 = _srp_stream_corpus()
+        planes = srp_hyperplanes(6, 128, 42)
+        df1 = spark.createDataFrame(b1, "vec_id long, embedding array<double>")
+        bands1 = _srp_bands(
+            df1, planes, 8, "embedding", "vec_id", "vec_id", "__vec", "__n"
+        )
+        (
+            bands1.select("vec_id", "band_idx", "band_val")
+            .repartition(4, "band_idx", "band_val")
+            .write.format("parquet")
+            .bucketBy(4, "band_idx", "band_val")
+            .sortBy("band_idx", "band_val")
+            .saveAsTable(table)
+        )
+        (
+            bands1.select(
+                "vec_id", F.col("__vec").alias("embedding"), F.col("__n").alias("__norm")
+            )
+            .dropDuplicates(["vec_id"])
+            .repartition(4, "vec_id")
+            .write.format("parquet")
+            .bucketBy(4, "vec_id")
+            .sortBy("vec_id")
+            .saveAsTable(f"{table}_vecs")
+        )
+        df2 = spark.createDataFrame(b2, "vec_id long, embedding array<double>")
+        probe = _srp_bands(
+            df2, planes, 8, "embedding", "vec_id", "vec_id", "__vec", "__n"
+        ).select("vec_id", "band_idx", "band_val")
+        stored = spark.table(table).select(
+            "band_idx", "band_val", F.col("vec_id").alias("__sid")
+        )
+        joined = probe.join(stored, ["band_idx", "band_val"])
+        assert exchange_count(joined) == 1  # probe side only
+        cand = joined.select("vec_id", "__sid").distinct()
+        rejoin = cand.join(
+            spark.table(f"{table}_vecs").select(
+                F.col("vec_id").alias("__sid"), "embedding", "__norm"
+            ),
+            "__sid",
+        )
+        # distinct exchange + candidate-side re-exchange on __sid; the
+        # bucketed vector store itself contributes none
+        base = exchange_count(cand)
+        assert exchange_count(rejoin) == base + 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_vecs")
+
+
 def test_compact_digest_store_roundtrip(spark, tmp_path):
     """Compaction bounds the append-driven file growth: after appends the
     store holds many files and duplicate digests; compact_digest_store

@@ -542,6 +542,230 @@ def streaming_simhash_dedup_against_store(
     return writer.start()
 
 
+def streaming_srp_dedup_against_store(
+    stream: DataFrame,
+    store_table: str,
+    out_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_bits: int = 128,
+    n_bands: int = 8,
+    seed: int = 42,
+    max_bucket: int = 1_000,
+    checkpoint_dir: str | None = None,
+    num_buckets: int = 64,
+    dim: int | None = None,
+):
+    """Ingest-time EMBEDDING near-dup dedup against a persistent SRP
+    band-posting store — the paraphrase-level sibling of
+    ``streaming_simhash_dedup_against_store``: each micro-batch drops rows
+    whose ``vec_col`` has cosine >= ``threshold`` to anything already
+    ingested (or to an earlier row of the same batch), appends survivors
+    to ``out_path`` and their SRP band postings + vectors to the store.
+    SimHash catches lightly-edited text; this catches the re-wordings
+    only the embedding space sees, at ingest instead of the nightly batch
+    (round-9 verdict item 5).
+
+    Semantics per batch, both steps the batch operators' shapes:
+
+    1. WITHIN the batch, ``srp_threshold_pairs`` + min-id canonical keep —
+       identical to the batch path (Charikar SRP banding, exact-cosine
+       verify, anchor-star over-cap fallback).
+    2. ACROSS batches, the batch's band signature probes the store on
+       ``(band_idx, band_val)`` and candidates verify with the exact
+       cosine against the STORED vector — like every store here, nothing
+       is ever re-read from the raw corpus.
+
+    Defaults are 16 BITS PER BAND (``n_bits=128, n_bands=8``) — the
+    SimHash-shaped choice, NOT ``srp_threshold_pairs``'s 4-bit default:
+    a store accumulates forever, so band values must come from a 65,536-
+    value space for generic buckets to stay sparse (4-bit bands put
+    ~1/16 of ALL ingested vectors in every bucket and the probe join
+    goes quadratic over time).  Recall is the banding OR-curve
+    ``1-(1-(1-θ/π)^16)^8``: ≈0.8 at cosine 0.95, ≈1.0 at 0.99 — right
+    for near-identical paraphrase embeddings; raise ``n_bands`` for more
+    recall at proportional posting cost.
+
+    Store layout — THREE tables, the round-9 slim-shuffle split:
+
+    - ``<store_table>_postings`` (band_idx, band_val, id): 16-byte
+      tuples bucketed on BOTH probe keys, so the per-batch probe join is
+      bucket-local (store scanned, never shuffled — same plan pin as the
+      SimHash twin);
+    - ``<store_table>_vecs`` (id, vector, norm): each vector stored ONCE
+      (not ``n_bands`` copies), bucketed on id — candidate id pairs join
+      back here for the exact-cosine verify, the verify-by-rejoin shape;
+    - ``<store_table>_caps``: the incremental per-bucket count side table
+      with the earliest-posted ``rep_id`` — over-cap buckets probe the
+      single representative's vector (O(batch) instead of O(batch x k)),
+      the streaming anchor-star fallback; bounded at
+      ``n_bands x 65,536`` rows, updated per batch, seeded with one full
+      aggregation for a pre-caps store.
+
+    Zero-norm/NULL embeddings never match (``try_divide`` cosine is NULL,
+    same convention as every embedding operator): they pass through as
+    survivors and their postings join the store, where the degenerate
+    all-ones band bucket they share is exactly what ``max_bucket`` caps.
+    Replay safety: a replayed batch finds its own postings in the store
+    and every (non-degenerate) row self-matches at cosine 1.0, so fresh
+    is empty and the caps increment zero; survivor output stays
+    effectively-once via the per-batch ``_commit_id`` dynamic partition
+    overwrite.  ``dim=None`` infers the dimension from the first row of
+    each batch (an empty batch is a no-op); pass it explicitly for
+    schema-stable pipelines.  Same foreachBatch contract and
+    cloned-session ``refreshTable`` caveat as the digest twin."""
+
+    _check_out_layout(out_path, stream.sparkSession)
+    token = _query_token(checkpoint_dir)
+    post_table = f"{store_table}_postings"
+    vec_table = f"{store_table}_vecs"
+    caps_table = f"{store_table}_caps"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.vector import cosine_from_norms
+        from ..operators.dedup import dedup_keep_canonical
+        from ..operators.similarity import (
+            _srp_bands,
+            srp_hyperplanes,
+            srp_threshold_pairs,
+        )
+
+        spark = batch_df.sparkSession
+        d = dim
+        if d is None:
+            first = batch_df.select(vec_col).first()
+            if first is None or first[0] is None:
+                return  # empty batch (or leading NULL): nothing to ingest
+            d = len(first[0])
+        planes = srp_hyperplanes(d, n_bits, seed)
+        pairs = srp_threshold_pairs(
+            batch_df, vec_col, id_col, threshold, n_bits, n_bands, seed,
+            max_bucket=max_bucket, dim=d,
+        )
+        batch_kept = dedup_keep_canonical(batch_df, pairs, id_col).drop("component")
+        # (id, vector, norm, band_idx, band_val) — the vector/norm ride
+        # along once per posting HERE (in-batch, pre-shuffle); only id
+        # tuples reach the probe join and the store
+        bands = _srp_bands(
+            batch_kept, planes, n_bands, vec_col, id_col, id_col, "__vec", "__n"
+        ).persist()
+        probe = bands.select(id_col, "band_idx", "band_val")
+        caps = None
+        if spark.catalog.tableExists(post_table):
+            postings_store = spark.table(post_table)
+            if spark.catalog.tableExists(caps_table):
+                caps = spark.table(caps_table)
+            else:
+                # pre-caps store: one full seed aggregation, EAGER for the
+                # same double-count reason as the SimHash twin
+                caps = (
+                    postings_store.groupBy("band_idx", "band_val")
+                    .agg(
+                        F.count_distinct(id_col).alias("n"),
+                        F.min(id_col).alias("rep_id"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            ok_buckets = caps.filter(F.col("n") <= max_bucket).select(
+                "band_idx", "band_val"
+            )
+            stored_ok = postings_store.join(
+                ok_buckets, ["band_idx", "band_val"]
+            ).select("band_idx", "band_val", F.col(id_col).alias("__sid"))
+            reps = caps.filter(
+                (F.col("n") > max_bucket) & F.col("rep_id").isNotNull()
+            ).select("band_idx", "band_val", F.col("rep_id").alias("__sid"))
+            stored = stored_ok.unionByName(reps)
+            # slim candidate ids first; vectors join back ONCE per side
+            cand_ids = (
+                probe.join(stored, ["band_idx", "band_val"])
+                .select(id_col, "__sid")
+                .distinct()
+            )
+            stored_vecs = spark.table(vec_table).select(
+                F.col(id_col).alias("__sid"),
+                F.col(vec_col).alias("__svec"),
+                F.col("__norm").alias("__sn"),
+            )
+            batch_vecs = bands.select(id_col, "__vec", "__n").dropDuplicates(
+                [id_col]
+            )
+            dup_ids = (
+                cand_ids.join(stored_vecs, "__sid")
+                .join(batch_vecs, id_col)
+                .filter(
+                    F.round(
+                        cosine_from_norms(
+                            F.col("__vec"), F.col("__svec"),
+                            F.col("__n"), F.col("__sn"),
+                        ),
+                        6,
+                    )
+                    >= threshold
+                )
+                .select(id_col)
+                .distinct()
+            )
+            fresh = batch_kept.join(dup_ids, id_col, "left_anti").persist()
+        else:
+            fresh = batch_kept.persist()
+        _write_survivors_idempotent(fresh, out_path, token, batch_id)
+        fresh_ids = fresh.select(id_col)
+        new_postings = probe.join(fresh_ids, id_col, "left_semi")
+        (
+            new_postings.repartition(num_buckets, "band_idx", "band_val")
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(num_buckets, "band_idx", "band_val")
+            .sortBy("band_idx", "band_val")
+            .saveAsTable(post_table)
+        )
+        (
+            bands.select(id_col, F.col("__vec").alias(vec_col), F.col("__n").alias("__norm"))
+            .dropDuplicates([id_col])
+            .join(fresh_ids, id_col, "left_semi")
+            .repartition(num_buckets, id_col)
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(num_buckets, id_col)
+            .sortBy(id_col)
+            .saveAsTable(vec_table)
+        )
+        # incremental caps: every fresh row posts exactly one row per
+        # band, so count(*) of this batch's postings is the distinct-doc
+        # increment; existing rep wins the merge (earliest-posted, stable
+        # under replays — a replayed batch has empty fresh and adds 0)
+        add = new_postings.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("n"), F.min(id_col).alias("rep_id")
+        )
+        if caps is not None:
+            c, a = caps.alias("__c"), add.alias("__a")
+            merged = c.join(a, ["band_idx", "band_val"], "full_outer").select(
+                "band_idx",
+                "band_val",
+                (
+                    F.coalesce(F.col("__c.n"), F.lit(0))
+                    + F.coalesce(F.col("__a.n"), F.lit(0))
+                ).alias("n"),
+                F.coalesce(F.col("__c.rep_id"), F.col("__a.rep_id")).alias(
+                    "rep_id"
+                ),
+            )
+        else:
+            merged = add
+        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
+            caps_table
+        )
+        fresh.unpersist()
+        bands.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_process).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def compact_digest_store(spark, store_table: str) -> None:
     """Maintenance pass for the bucketed digest store: rewrite to one file
     per bucket and collapse duplicate digests (re-appended by at-least-once
