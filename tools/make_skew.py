@@ -57,6 +57,10 @@ def build_skew(spark, src: str, out: str) -> None:
     near_text = F.concat(
         F.lit(base), F.lit(" variant token "), F.col("doc_id").cast("string")
     )
+    # hot SOURCE (round 10): ~90% of docs reassigned to src0 — the
+    # one-source-dominates-the-mix shape that funnels the token-budget
+    # cut and the per-source mixing stages onto one group key
+    hot_src = F.pmod(F.xxhash64("doc_id", F.lit(29)), F.lit(10)) < 9
     docs.withColumn(
         "text",
         F.when(exact_arm, F.lit(base))
@@ -64,6 +68,8 @@ def build_skew(spark, src: str, out: str) -> None:
         .otherwise(F.col("text")),
     ).withColumn(
         "n_chars", F.length("text").cast("long")
+    ).withColumn(
+        "source", F.when(hot_src, F.lit("src0")).otherwise(F.col("source"))
     ).repartition(8).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
     # embeddings: one hot EMBEDDING cluster (round 9 — exercises the SRP /

@@ -23,6 +23,16 @@ Queries:
                   degrade to anchor-star candidates)
 - dedup_semantic  SemDeDup (hot cluster = one hot cell; max_block star
                   cap bounds the within-cell quadratic)
+- tfidf           per-doc top-k TF-IDF (round 10: the planted 10% hot
+                  cluster makes its base-text terms appear in 10% of all
+                  docs — hot DF keys; partial aggregation absorbs them)
+- pack            token-budget sequence packing (round 10: shard key is a
+                  hash of the doc id, so content skew shifts token-mass
+                  distribution but cannot funnel one shard)
+- token_budget    per-source budget cut (round 10: make_skew reassigns
+                  ~90% of docs to src0 — one group holds 90% of the mass;
+                  the bucketed prefix-sum must stay map-side, no
+                  whole-group window)
 
 Usage: python tools/skew_smoke.py [uniform_dir] [skew_dir]
 Prints one JSON line: {"queries": {name: {"uniform": s, "skew": s,
@@ -54,8 +64,16 @@ def main() -> None:
         semantic_dedup,
     )
     from woe_monotonic_binning_spark.operators.joins import salted_join
+    from woe_monotonic_binning_spark.operators.packing import pack_sequences
+    from woe_monotonic_binning_spark.operators.sampling import (
+        select_to_token_budget,
+    )
     from woe_monotonic_binning_spark.operators.similarity import (
         srp_threshold_pairs,
+    )
+    from woe_monotonic_binning_spark.operators.text import (
+        text_stats,
+        tfidf_top_terms,
     )
     from woe_monotonic_binning_spark.operators.windows import (
         session_agg,
@@ -151,6 +169,19 @@ def main() -> None:
         ).count(),
         "dedup_semantic_exact": lambda d, ctx: semantic_dedup(
             read_emb(d), n_cells=16, threshold=0.99, max_block=None
+        ).count(),
+        "tfidf": lambda d, ctx: tfidf_top_terms(read_docs(d)).count(),
+        "pack": lambda d, ctx: pack_sequences(
+            text_stats(read_docs(d)).select("doc_id", "stat_tokens"),
+            budget=512,
+            n_shards=32,
+        ).count(),
+        # n_chars stands in for the token mass (same column both dirs);
+        # src0 carries ~90% of it in the skew variant
+        "token_budget": lambda d, ctx: select_to_token_budget(
+            read_docs(d).select("doc_id", "source", "n_chars"),
+            budgets={"src0": 200_000.0},
+            token_col="n_chars",
         ).count(),
     }
 
