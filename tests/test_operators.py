@@ -950,12 +950,31 @@ def test_embedding_neardup_default_is_capped(spark):
     a hot semantic cluster, measured 12x wall at sf1)."""
     from woe_monotonic_binning_spark.operators.dedup import embedding_neardup_pairs
 
+    import warnings as _w
+
     k = 1_001  # one over the default cap
     rows = [(i, [1.0, 0.0], "hot") for i in range(k)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, blk string")
-    got = embedding_neardup_pairs(df, "embedding", "vec_id", "blk", 0.9)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        got = embedding_neardup_pairs(df, "embedding", "vec_id", "blk", 0.9)
     pairs = {(r.id_a, r.id_b) for r in got.collect()}
     assert pairs == {(0, i) for i in range(1, k)}  # star, not k*(k-1)/2
+    # round-10 advice: the DEFAULT cap truncating a block must warn at
+    # call time so the default flip can't silently reduce recall...
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "max_block" in str(w.message)
+        for w in caught
+    )
+    # ...while an EXPLICIT cap (even the same value) is an opt-in and
+    # stays silent
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        explicit = embedding_neardup_pairs(
+            df, "embedding", "vec_id", "blk", 0.9, max_block=1_000
+        )
+        assert {(r.id_a, r.id_b) for r in explicit.collect()} == pairs
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
 
 
 def test_semantic_dedup_max_block_preserves_collapse(spark):

@@ -993,3 +993,182 @@ def test_simhash_store_overcap_buckets_probe_representative(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_caps")
+
+
+def test_query_token_no_authority_uris_are_cwd_invariant(monkeypatch, tmp_path):
+    """Round-10 advice: Hadoop's no-authority URI spellings ('hdfs:/ckpt',
+    's3a:/bucket/x') are URIs, not local colon-paths — their token must
+    not depend on the driver cwd, and both no-authority spellings of the
+    same path share a token."""
+    import os
+
+    from woe_monotonic_binning_spark.streaming.dedup import _query_token
+
+    hdfs = _query_token("hdfs:/ckpt")
+    assert _query_token("hdfs:///ckpt") == hdfs
+    assert _query_token("hdfs:/ckpt/") == hdfs
+    s3 = _query_token("s3a:/bucket/x")
+    assert s3 != hdfs
+    cwd = os.getcwd()
+    try:
+        os.chdir(str(tmp_path))
+        assert _query_token("hdfs:/ckpt") == hdfs
+        assert _query_token("s3a:/bucket/x") == s3
+        # a RELATIVE colon-path is still local and genuinely cwd-relative
+        rel = _query_token("foo:bar/ckpt")
+        assert rel == _query_token("./foo:bar/ckpt")
+        assert rel != _query_token("hdfs:/ckpt")
+    finally:
+        os.chdir(cwd)
+
+
+def test_srp_stream_null_leading_embedding_does_not_skip_batch(spark, tmp_path):
+    """Round-10 advice (high): with dim=None, a micro-batch whose FIRST
+    row has a NULL embedding must not be silently dropped — dim is
+    inferred from the first NON-NULL vector, and a batch with no non-NULL
+    vector at all still writes every row as a survivor (only the SRP/store
+    steps are skipped).  The store keeps working for later batches."""
+    import time as _time
+
+    from woe_monotonic_binning_spark.streaming.dedup import (
+        streaming_srp_dedup_against_store,
+    )
+
+    table = "wmb_test_srp_nulldim"
+    for suffix in ("_postings", "_vecs", "_caps"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+    try:
+        e1 = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+        e1x3 = [0.0, 3.0, 0.0, 0.0, 0.0, 0.0]  # scaled copy: cosine 1.0
+        b1 = [(0, None), (1, e1), (2, e1x3)]  # NULL row FIRST in the file
+        b2 = [(10, None), (11, None)]  # no non-NULL vector at all
+        b3 = [(20, [0.0, 2.0, 0.0, 0.0, 0.0, 0.0])]  # cross-batch dup of 1
+        src = tmp_path / "src"
+        out = str(tmp_path / "out")
+        for rows in (b1, b2, b3):
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).coalesce(1).write.mode("append").parquet(str(src))
+            _time.sleep(1.1)
+        schema = spark.read.parquet(str(src)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = streaming_srp_dedup_against_store(
+            stream, table, out,
+            checkpoint_dir=str(tmp_path / "ckpt"), num_buckets=4,
+        )
+        q.awaitTermination()
+        kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+        # 0 (NULL) survives; 2 drops in-batch against 1; the all-NULL
+        # batch survives whole; 20 drops cross-batch against the store
+        assert kept == {0, 1, 10, 11}
+        for suffix in ("_postings", "_vecs"):
+            spark.catalog.refreshTable(f"{table}{suffix}")
+        posted = {
+            r.vec_id
+            for r in spark.table(f"{table}_postings")
+            .select("vec_id").distinct().collect()
+        }
+        # batch-1 survivors posted (incl. the NULL row's degenerate
+        # bands); the bandless all-NULL batch skipped the store
+        assert 1 in posted and not posted & {10, 11, 20}
+    finally:
+        for suffix in ("_postings", "_vecs", "_caps"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_compact_srp_store_roundtrip(spark, tmp_path):
+    """compact_srp_store: collapses replay-duplicated posting/vector rows
+    to one file per bucket, REBUILDS caps from count_distinct (round-10
+    advice: caps drift from a partial commit must not be carried
+    forward), and the store still drops a known dup afterwards."""
+    import glob
+    import time as _time
+
+    from woe_monotonic_binning_spark.streaming.dedup import (
+        compact_srp_store,
+        streaming_srp_dedup_against_store,
+    )
+
+    table = "wmb_test_srp_compact"
+    for suffix in ("_postings", "_vecs", "_caps"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compact")
+    try:
+        b1, b2 = _srp_stream_corpus()
+        src = tmp_path / "src"
+        out = str(tmp_path / "out")
+        for rows in (b1, b2):
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).coalesce(1).write.mode("append").parquet(str(src))
+            _time.sleep(1.1)
+        schema = spark.read.parquet(str(src)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        streaming_srp_dedup_against_store(
+            stream, table, out,
+            checkpoint_dir=str(tmp_path / "ckpt"), num_buckets=4,
+        ).awaitTermination()
+        kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+
+        # simulate an at-least-once partial-commit replay: re-append the
+        # whole posting and vector stores (duplicate rows, caps now stale
+        # at half the true per-bucket duplicate multiplicity)
+        for suffix, keys in (("_postings", ["band_idx", "band_val"]), ("_vecs", ["vec_id"])):
+            t = f"{table}{suffix}"
+            dup = spark.table(t).localCheckpoint(eager=True)
+            (
+                dup.repartition(4, *keys)
+                .write.mode("append").format("parquet")
+                .bucketBy(4, *keys).sortBy(*keys).saveAsTable(t)
+            )
+        spark.catalog.refreshTable(f"{table}_postings")
+        n_post_dup = spark.table(f"{table}_postings").count()
+        assert n_post_dup == 2 * 8 * len(kept)
+
+        compact_srp_store(spark, table)
+
+        for suffix in ("_postings", "_vecs", "_caps"):
+            spark.catalog.refreshTable(f"{table}{suffix}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        assert len(glob.glob(f"{warehouse}/{table}_postings/*.parquet")) <= 4
+        assert len(glob.glob(f"{warehouse}/{table}_vecs/*.parquet")) <= 4
+        post = spark.table(f"{table}_postings")
+        assert post.count() == 8 * len(kept)  # duplicates collapsed
+        assert spark.table(f"{table}_vecs").count() == len(kept)
+        # caps == full recompute over the compacted postings
+        caps = spark.table(f"{table}_caps")
+        recomputed = post.groupBy("band_idx", "band_val").agg(
+            F.count_distinct("vec_id").alias("n"),
+            F.min("vec_id").alias("rep_id"),
+        )
+        assert sorted(
+            map(tuple, caps.select("band_idx", "band_val", "n", "rep_id").collect())
+        ) == sorted(map(tuple, recomputed.collect()))
+
+        # the compacted store still drops a known cross-batch dup
+        b3 = [(30, [5.0, 0.0, 0.0, 0.0, 0.0, 0.0])]  # scaled copy of vec 0
+        spark.createDataFrame(
+            b3, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        stream2 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        streaming_srp_dedup_against_store(
+            stream2, table, out,
+            checkpoint_dir=str(tmp_path / "ckpt"), num_buckets=4,
+        ).awaitTermination()
+        assert {r.vec_id for r in spark.read.parquet(out).collect()} == kept
+    finally:
+        for suffix in ("_postings", "_vecs", "_caps"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compact")

@@ -25,6 +25,18 @@ from .._cache import materialize_and_release
 MERSENNE_31 = 2_147_483_647  # 2^31 - 1, prime; keeps a*h+b inside int64
 
 
+class _DefaultCap(int):
+    """Int subclass marking a cap value as the LIBRARY DEFAULT rather than a
+    caller's explicit choice: behaves exactly like its int value everywhere,
+    but lets ``embedding_neardup_pairs`` warn when the default cap actually
+    truncates a block — an explicit ``max_block=1_000`` stays silent
+    (round-10 advice: silent recall regressions in existing pipelines must
+    surface at call time, without nagging callers who opted in)."""
+
+
+DEFAULT_MAX_BLOCK = _DefaultCap(1_000)
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """One row per distinct key: the minimal id and the duplicate count.
 
@@ -674,7 +686,7 @@ def embedding_neardup_pairs(
     block_col: str,
     threshold: float = 0.95,
     *,
-    max_block: int | None = 1_000,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """Embedding-cosine near-dup within blocks (e.g. a cluster/label key).
 
@@ -696,6 +708,12 @@ def embedding_neardup_pairs(
     component through its anchor).  Pass ``max_block=None`` for the exact
     SQL-oracle all-pairs semantics when block sizes are known-bounded —
     the certified catalog queries do exactly that.
+
+    When the cap is the library DEFAULT (not passed by the caller) and a
+    block actually exceeds it, a ``RuntimeWarning`` is emitted so the
+    round-10 default flip cannot silently reduce recall in an existing
+    pipeline; any explicit ``max_block`` (including 1_000) is taken as
+    opting in and stays silent.
     """
     from ..functions.vector import cosine_from_norms as _cosine_from_norms
     from ..functions.vector import norm as _norm
@@ -731,6 +749,25 @@ def embedding_neardup_pairs(
             .select(*cols)
         )
         hot = sizes.filter(F.col("__bn") > max_block).select("blk")
+        if isinstance(max_block, _DefaultCap) and not hot.isEmpty():
+            # The DEFAULT cap is actually truncating a block: callers who
+            # never chose a cap get anchor-star recall on their hot blocks
+            # — surface it instead of silently changing results across the
+            # round-10 default flip (an explicit max_block, even 1_000,
+            # stays silent).  The isEmpty probe costs one extra (blk,
+            # count) aggregation job, paid only on the default path —
+            # noise next to the blocked pair join it precedes.
+            import warnings
+
+            warnings.warn(
+                f"embedding_neardup_pairs: at least one block exceeds the "
+                f"default max_block={int(max_block)}; over-cap blocks emit "
+                "anchor-star candidates only (reduced pair recall, see "
+                "docstring).  Pass max_block explicitly (None for exact "
+                "all-pairs) to silence this.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         a_hot = a.join(hot, "blk")
         anchor_ids = a_hot.groupBy("blk").agg(F.min("id_a").alias("__anchor"))
         anchor_rows = (
@@ -775,7 +812,7 @@ def semantic_dedup(
     lloyd_iters: int = 1,
     pair_probes: int = 2,
     *,
-    max_block: int | None = 1_000,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove documents
     whose EMBEDDINGS are near-identical — paraphrases and templated

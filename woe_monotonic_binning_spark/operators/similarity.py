@@ -372,9 +372,17 @@ def compact_ivf_index(spark, path: str) -> None:
                 else f"RESTORE ALSO FAILED — serving copy is at {bak}"
             )
         )
-    # delete the backup only after verifying the new serving copy exists
-    if fs.exists(src_p):
-        fs.delete(bak, True)
+    # delete the backup only after verifying the new serving copy exists;
+    # a swap that REPORTED success but left no serving copy (eventually-
+    # consistent or flaky FS) must raise, not silently return with only
+    # the backup on disk (round-10 advice)
+    if not fs.exists(src_p):
+        raise IOError(
+            f"compact_ivf_index: rename {staged} -> {src} reported success "
+            f"but {src} does not exist; the previous serving copy is "
+            f"preserved at {bak} — restore it manually before serving"
+        )
+    fs.delete(bak, True)
 
 
 def ivf_topk_index(

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .operators.dedup import (
+    DEFAULT_MAX_BLOCK,
     dedup_keep_best,
     exact_dedup_by_digest,
     minhash_dedup_pairs,
@@ -67,7 +68,7 @@ def curate_corpus(
     vec_col: str = "embedding",
     semantic_threshold: float = 0.95,
     semantic_cells: int = 16,
-    semantic_max_block: int | None = 1_000,
+    semantic_max_block: int | None = DEFAULT_MAX_BLOCK,
     weights: dict[str, float] | None = None,
     source_col: str = "source",
     test_fraction: float = 0.1,

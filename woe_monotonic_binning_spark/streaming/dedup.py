@@ -83,7 +83,17 @@ def _query_token(checkpoint_dir: str | None) -> str:
         p = urlparse(checkpoint_dir)
         if p.scheme in ("", "file") and not p.netloc:
             canon = os.path.abspath(p.path.rstrip("/") or "/")
-        elif "://" in checkpoint_dir:
+        elif "://" in checkpoint_dir or (
+            len(p.scheme) > 1 and p.path.startswith("/")
+        ):
+            # Remote URI — including Hadoop's no-authority spellings
+            # ('hdfs:/ckpt', 's3a:/bucket/x'): a parsed scheme longer than
+            # one char with an ABSOLUTE path is a URI, not a local
+            # colon-path, so it must not be abspath'd against the driver
+            # cwd (round-10 advice — the '://'-only rule made these
+            # cwd-dependent).  Both spellings of a no-authority URI
+            # ('hdfs:/x' and 'hdfs:///x') canonicalise identically.  The
+            # len>1 guard keeps Windows drive letters ('C:/x') local.
             canon = f"{p.scheme}://{p.netloc}{p.path.rstrip('/') or '/'}"
         else:
             # 'foo:bar/ckpt' — a RELATIVE local path whose first segment
@@ -92,10 +102,12 @@ def _query_token(checkpoint_dir: str | None) -> str:
             # spellings of the same local dir ('foo:bar/ckpt' vs
             # './foo:bar/ckpt') would get different tokens and a replayed
             # batch would write a duplicate partition (round-9 advice).
-            # Only a string containing '://' is treated as a remote URI;
-            # everything else canonicalises as a local path.  One-time
-            # token change for such colon-paths on upgrade (file:/ and
-            # s3a:// spellings are unaffected).
+            # Everything else canonicalises as a local path.  Token
+            # migration ledger: round 9 moved 'hdfs:/x'-style strings from
+            # the URI branch to this local branch; round 10's advice moves
+            # them BACK to the URI branch (one-time token change each way
+            # for that spelling only — 'file:/', 's3a://' and plain paths
+            # were never affected).
             canon = os.path.abspath(checkpoint_dir.rstrip("/") or "/")
         return hashlib.sha1(canon.encode("utf-8")).hexdigest()[:12]
     return uuid.uuid4().hex[:12]
@@ -611,9 +623,15 @@ def streaming_srp_dedup_against_store(
     and every (non-degenerate) row self-matches at cosine 1.0, so fresh
     is empty and the caps increment zero; survivor output stays
     effectively-once via the per-batch ``_commit_id`` dynamic partition
-    overwrite.  ``dim=None`` infers the dimension from the first row of
-    each batch (an empty batch is a no-op); pass it explicitly for
-    schema-stable pipelines.  Same foreachBatch contract and
+    overwrite.  ``dim=None`` infers the dimension from the first NON-NULL
+    vector of each batch; a batch with no non-NULL vector still writes
+    every row as a survivor (only the SRP/store steps are skipped — NULL
+    vectors can never match anything, so their missing postings are
+    inert), and an empty batch is a no-op.  Pass ``dim`` explicitly for
+    schema-stable pipelines.  Maintenance: ``compact_srp_store`` rewrites
+    all three tables to one file per bucket, collapses replay-duplicated
+    rows and rebuilds the caps counts — same cadence as
+    ``compact_digest_store``.  Same foreachBatch contract and
     cloned-session ``refreshTable`` caveat as the digest twin."""
 
     _check_out_layout(out_path, stream.sparkSession)
@@ -634,9 +652,23 @@ def streaming_srp_dedup_against_store(
         spark = batch_df.sparkSession
         d = dim
         if d is None:
-            first = batch_df.select(vec_col).first()
-            if first is None or first[0] is None:
-                return  # empty batch (or leading NULL): nothing to ingest
+            # Infer from the first NON-NULL vector: an arbitrary first row
+            # with a NULL embedding must not skip the whole micro-batch
+            # (round-10 advice — that was silent data loss for every valid
+            # row behind it).
+            first = (
+                batch_df.filter(F.col(vec_col).isNotNull())
+                .select(vec_col)
+                .first()
+            )
+            if first is None:
+                # No non-NULL vector at all: nothing to band, but the
+                # contract says NULL-embedding rows are SURVIVORS — write
+                # them all (idempotently) and skip only the SRP/store
+                # steps.  A genuinely empty batch writes zero rows (a
+                # zero-partition dynamic overwrite is a no-op).
+                _write_survivors_idempotent(batch_df, out_path, token, batch_id)
+                return
             d = len(first[0])
         planes = srp_hyperplanes(d, n_bits, seed)
         pairs = srp_threshold_pairs(
@@ -713,14 +745,21 @@ def streaming_srp_dedup_against_store(
         _write_survivors_idempotent(fresh, out_path, token, batch_id)
         fresh_ids = fresh.select(id_col)
         new_postings = probe.join(fresh_ids, id_col, "left_semi")
-        (
-            new_postings.repartition(num_buckets, "band_idx", "band_val")
-            .write.mode("append")
-            .format("parquet")
-            .bucketBy(num_buckets, "band_idx", "band_val")
-            .sortBy("band_idx", "band_val")
-            .saveAsTable(post_table)
-        )
+        # Commit ORDER matters: the four per-batch writes (survivors,
+        # vecs, postings, caps) are not one transaction, so vecs go in
+        # BEFORE postings (round-10 advice).  A crash after the vecs
+        # append but before the postings append leaves orphan vectors —
+        # harmless: nothing probes them, and the replayed batch re-posts
+        # and re-appends (the verify-by-rejoin inner join still finds a
+        # vector for every posting).  The reverse order would leave
+        # postings whose verify join finds NO vector: candidates silently
+        # drop, the batch re-posts on replay, and duplicate postings
+        # inflate the caps counts permanently.  Residual at-least-once
+        # caveat (same as the digest-store twin): a replay after a
+        # partial commit can duplicate store rows — both stores are
+        # semantically sets, probes stay correct (duplicates only widen
+        # candidate lists), and ``compact_srp_store`` collapses the
+        # duplicates and rebuilds caps from ``count_distinct``.
         (
             bands.select(id_col, F.col("__vec").alias(vec_col), F.col("__n").alias("__norm"))
             .dropDuplicates([id_col])
@@ -731,6 +770,14 @@ def streaming_srp_dedup_against_store(
             .bucketBy(num_buckets, id_col)
             .sortBy(id_col)
             .saveAsTable(vec_table)
+        )
+        (
+            new_postings.repartition(num_buckets, "band_idx", "band_val")
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(num_buckets, "band_idx", "band_val")
+            .sortBy("band_idx", "band_val")
+            .saveAsTable(post_table)
         )
         # incremental caps: every fresh row posts exactly one row per
         # band, so count(*) of this batch's postings is the distinct-doc
@@ -777,3 +824,35 @@ def compact_digest_store(spark, store_table: str) -> None:
     from ..sources.io import compact_bucketed_table
 
     compact_bucketed_table(spark, store_table, distinct=True)
+
+
+def compact_srp_store(spark, store_table: str) -> None:
+    """Maintenance pass for the three SRP-store tables of
+    ``streaming_srp_dedup_against_store``: compact ``<store>_postings`` and
+    ``<store>_vecs`` to one file per bucket with duplicates collapsed (both
+    are semantically sets — at-least-once replays after a partial commit
+    can re-append rows), then REBUILD ``<store>_caps`` from the compacted
+    postings with ``count_distinct`` — so any caps drift accumulated by
+    duplicated postings (a crash between the vecs append and the caps
+    overwrite) is corrected, not carried forward (round-10 advice).
+
+    The rebuilt representative is the min-id member per bucket, which may
+    differ from the incremental path's earliest-POSTED min-id when a later
+    batch carried a smaller id — both are valid anchors (any bucket member
+    works for the over-cap star probe), and the rebuilt choice is the one
+    a full recompute would make.  Same cadence as ``compact_digest_store``;
+    same single-writer contract (don't run concurrently with the stream)."""
+    from ..sources.io import compact_bucketed_table
+
+    post_table = f"{store_table}_postings"
+    caps_table = f"{store_table}_caps"
+    compact_bucketed_table(spark, post_table, distinct=True)
+    compact_bucketed_table(spark, f"{store_table}_vecs", distinct=True)
+    postings = spark.table(post_table)
+    id_col = [c for c in postings.columns if c not in ("band_idx", "band_val")][0]
+    caps = postings.groupBy("band_idx", "band_val").agg(
+        F.count_distinct(id_col).alias("n"), F.min(id_col).alias("rep_id")
+    )
+    caps.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
+        caps_table
+    )
