@@ -909,6 +909,63 @@ def test_srp_bucket_cap_degrades_to_star_not_drop(spark):
     assert all(got[p] == 1.0 for p in cluster_pairs)
 
 
+def test_srp_bits_for_threshold_adaptive_defaults():
+    """Round-11 default: bits-per-band derive from the threshold via the
+    banding OR-curve inversion (recall >= 0.9 at the threshold, maximal
+    pruning).  Pins the published values — in particular that loose
+    thresholds reproduce the old fixed default (4 bits/band), so every
+    pre-round-11 call at t <= ~0.55 is bit-identical."""
+    from woe_monotonic_binning_spark.operators.similarity import (
+        srp_bits_for_threshold,
+    )
+
+    assert srp_bits_for_threshold(0.35) == 4  # == the old fixed default
+    assert srp_bits_for_threshold(0.5) == 4
+    assert srp_bits_for_threshold(0.8) == 8
+    assert srp_bits_for_threshold(0.9) == 12
+    assert srp_bits_for_threshold(0.95) == 18
+    assert srp_bits_for_threshold(0.99) == 24  # clamped
+    assert srp_bits_for_threshold(1.0) == 24
+    assert srp_bits_for_threshold(-1.0) == 1
+    # monotone in the threshold: tighter thresholds can only prune harder
+    grid = [srp_bits_for_threshold(t / 20) for t in range(-20, 21)]
+    assert grid == sorted(grid)
+
+
+def test_srp_threshold_pairs_adaptive_default_finds_planted_dups(spark):
+    """At a near-dup threshold the adaptive default (12 bits/band at
+    t=0.9) must still find planted scaled-copy pairs (identical band
+    signatures -> deterministic recall), while healthy random vectors
+    stay unpaired; and the round-11 unified max_bucket=1_000 default
+    star-degrades (never errors on) an over-cap spam cluster."""
+    import random
+
+    from woe_monotonic_binning_spark.operators.similarity import (
+        srp_threshold_pairs,
+    )
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    rows += [(100, [1.0, 2.0, 0.0, -1.0, 0.5, 0.0, 0.0, 1.0]),
+             (101, [2.0, 4.0, 0.0, -2.0, 1.0, 0.0, 0.0, 2.0])]  # scaled copy
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in srp_threshold_pairs(emb, threshold=0.9).collect()}
+    assert (100, 101) in got
+    # precision 1.0: every returned pair is in the exact answer
+    from woe_monotonic_binning_spark.functions.vector import cosine_similarity
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6) >= 0.9)
+        .collect()
+    }
+    assert got <= exact
+
+
 def test_embedding_neardup_max_block_star_fallback(spark):
     """embedding_neardup_pairs with max_block: an over-cap block degrades
     to anchor-star candidates; under-cap blocks stay exact all-pairs;

@@ -157,6 +157,20 @@ def main() -> None:
         "dedup_srp": lambda d, ctx: srp_threshold_pairs(
             read_emb(d), threshold=0.9, n_bits=64, n_bands=8, max_bucket=500
         ).count(),
+        # LIBRARY DEFAULTS (round 11: threshold-adaptive bands, 12
+        # bits/band at t=0.9, max_bucket=1_000) — the defaults arm the
+        # round-10 verdict asked to measure: the planted hot cluster
+        # (~10% of vectors) exceeds the cap and star-degrades
+        "dedup_srp_default": lambda d, ctx: srp_threshold_pairs(
+            read_emb(d), threshold=0.9
+        ).count(),
+        # contrast: the PRE-round-11 default cap under the same adaptive
+        # bands — at sf1 the hot cluster (~2k vectors) stays UNDER 10_000
+        # and runs the O(k^2) in-bucket self-join on one reducer, the
+        # quadratic window the round-10 verdict flagged
+        "dedup_srp_cap10k": lambda d, ctx: srp_threshold_pairs(
+            read_emb(d), threshold=0.9, max_bucket=10_000
+        ).count(),
         # "dedup_semantic" is the LIBRARY DEFAULT (capped at 1_000 since
         # round 10) — the arm the verdict grades: skew-safe at defaults.
         # "dedup_semantic_exact" is the opt-in uncapped quadratic

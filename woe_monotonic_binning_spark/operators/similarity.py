@@ -559,15 +559,37 @@ def srp_topk(
     return _rank_topk(scored, k)
 
 
+def srp_bits_for_threshold(
+    threshold: float, n_bands: int = 16, recall: float = 0.9
+) -> int:
+    """Bits per band that keep the SRP banding OR-curve recall at least
+    ``recall`` AT the cosine threshold (pairs above it collide more, so
+    their recall is higher still): the largest integer ``r`` with
+    ``p**r >= 1 - (1-recall)**(1/n_bands)`` where ``p = 1 - acos(t)/pi``
+    is the per-hyperplane agreement probability.  Maximal pruning for the
+    recall floor — the banding twin of sizing MinHash bands from the
+    Jaccard threshold.  Clamped to [1, 24] (24-bit band values keep the
+    packed ints well inside int32 and the band space at 16.7M values)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    if p >= 1.0:
+        return 24
+    if p <= 0.0:
+        return 1
+    need = 1.0 - (1.0 - recall) ** (1.0 / n_bands)
+    return max(1, min(int(math.floor(math.log(need) / math.log(p))), 24))
+
+
 def srp_threshold_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.8,
-    n_bits: int = 64,
+    n_bits: int | None = None,
     n_bands: int = 16,
     seed: int = 42,
-    max_bucket: int = 10_000,
+    max_bucket: int = 1_000,
     dim: int | None = None,
     cleanup: bool = True,
 ) -> DataFrame:
@@ -583,18 +605,42 @@ def srp_threshold_pairs(
     id pairs, and the vectors + per-row norms join back ONCE by id for the
     exact-cosine verify, the same verify-by-rejoin shape as the MinHash
     sibling).  Precision is exactly 1.0, recall is the banding OR-curve
-    1-(1-(1-θ/π)^r)^b.  Band buckets larger than ``max_bucket`` degrade to
-    O(k) STAR candidates around the bucket's min-id anchor (exact-cosine
-    verified like any candidate) — a degenerate bucket (zero vectors, a
-    constant-embedding spam cluster) would otherwise contribute O(bucket²)
-    join rows on one reducer, while DROPPING it (the pre-round-9 behavior,
-    same defect as the MinHash/SimHash siblings fixed this round) zeroed
-    recall for exactly the hottest cluster: a mutually-similar
-    mega-cluster stays one connected component through its anchor at
-    linear pair cost.  At the default 4 bits/band a healthy bucket holds
-    ~|corpus|/16 of loosely-similar vectors, so the fallback only fires on
-    pathological mass duplication.
+    1-(1-(1-θ/π)^r)^b.
+
+    **Band sizing is threshold-adaptive since round 11** (``n_bits=None``,
+    the default): bits-per-band come from ``srp_bits_for_threshold`` — the
+    most pruning that keeps banding recall >= 0.9 at the threshold — and
+    ``n_bits`` is that times ``n_bands``.  At loose thresholds (<= ~0.55)
+    this reproduces the old fixed default (4 bits/band, ``n_bits=64``)
+    exactly; at near-dup thresholds it is what a user should have picked
+    by hand (t=0.8 -> 8 bits, t=0.9 -> 12, t=0.95 -> 18): healthy buckets
+    shrink from ~|corpus|/16 to ~|corpus|/2^r, which is what makes the
+    candidate set subquadratic at scale.  Pass ``n_bits`` explicitly to
+    pin a band geometry (it must be a multiple of ``n_bands``).
+
+    RECALL/SCALE NOTE (the sibling note of ``minhash_dedup_pairs``):
+    ``max_bucket`` (default 1_000 since round 11, unified with every
+    sibling cap in this library — was 10_000) is the zipfian skew guard.
+    Band buckets larger than the cap degrade to O(k) STAR candidates
+    around the bucket's min-id anchor (exact-cosine verified like any
+    candidate) — a degenerate bucket (zero vectors, a constant-embedding
+    spam cluster) would otherwise contribute O(bucket²) join rows on one
+    reducer, while DROPPING it (the pre-round-9 behavior) zeroed recall
+    for exactly the hottest cluster: a mutually-similar mega-cluster
+    stays one connected component through its anchor at linear pair cost,
+    but a pair whose members are both dissimilar to the anchor is missed.
+    Under adaptive banding the cap only fires on genuine mass duplication
+    at near-dup thresholds; at LOOSE thresholds on corpora past
+    ~16k x 1_000 rows, healthy buckets themselves exceed the cap — there
+    the exact answer is itself quadratic in the corpus (at t=0.35 on
+    loosely-correlated embeddings ~40% of ALL pairs qualify), so the star
+    degradation is the scalable behavior and raising ``max_bucket`` (or
+    passing a tighter threshold) is the explicit opt-in to quadratic
+    cost.  Measured at sf1 on the hot-vector skew arm in BASELINE.md
+    (round 11).
     """
+    if n_bits is None:
+        n_bits = srp_bits_for_threshold(threshold, n_bands) * n_bands
     if dim is None:
         first = df.select(vec_col).first()
         if first is None or first[0] is None:
