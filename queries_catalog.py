@@ -1603,6 +1603,10 @@ def q_events_rollup(spark, sf_dir):
     # synthetic P6 payloads whose every pixel is (id%256, id*7%256,
     # id*13%256) — so the exact integer channel sums are predictable SQL
     # arithmetic and the decode kernel is hash-certified end to end.
+    # 'png' section (round 11): the same pixel-constant fixture as a
+    # JVM-built PNG (stored-DEFLATE IDAT, zeroed checksums —
+    # synthetic_png_media) through the new stdlib-zlib PNG decode path;
+    # sums follow the identical arithmetic, only fmt differs.
     """
     SELECT 'bytes' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(strlen(text) AS INT) AS n_bytes,
@@ -1633,6 +1637,15 @@ def q_events_rollup(spark, sf_dir):
            CAST(8 * ((doc_id * 7) % 256) AS BIGINT) AS sum_g,
            CAST(8 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b
     FROM documents
+    UNION ALL
+    SELECT 'png' AS section, doc_id AS media_id, 'image' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'png' AS fmt, 4 AS width, 2 AS height, 8 AS n_pixels,
+           CAST(8 * (doc_id % 256) AS BIGINT) AS sum_r,
+           CAST(8 * ((doc_id * 7) % 256) AS BIGINT) AS sum_g,
+           CAST(8 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b
+    FROM documents
     """,
 )
 def q_multimodal_stats(spark, sf_dir):
@@ -1640,6 +1653,7 @@ def q_multimodal_stats(spark, sf_dir):
         decode_image,
         fake_decode_stats,
         media_from_documents,
+        synthetic_png_media,
         synthetic_ppm_media,
     )
 
@@ -1655,14 +1669,18 @@ def q_multimodal_stats(spark, sf_dir):
         F.lit(None).cast("bigint").alias("sum_g"),
         F.lit(None).cast("bigint").alias("sum_b"),
     )
-    pix = decode_image(synthetic_ppm_media(docs)).select(
-        F.lit("pixels").alias("section"),
-        "media_id", F.lit("image").alias("kind"),
-        null_i.alias("n_bytes"), F.lit(None).cast("string").alias("checksum"),
-        null_i.alias("first_byte"), null_i.alias("last_byte"),
-        "fmt", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
+    def _pix(media, section):
+        return decode_image(media).select(
+            F.lit(section).alias("section"),
+            "media_id", F.lit("image").alias("kind"),
+            null_i.alias("n_bytes"), F.lit(None).cast("string").alias("checksum"),
+            null_i.alias("first_byte"), null_i.alias("last_byte"),
+            "fmt", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
+        )
+
+    return base.unionByName(_pix(synthetic_ppm_media(docs), "pixels")).unionByName(
+        _pix(synthetic_png_media(docs), "png")
     )
-    return base.unionByName(pix)
 
 
 @_q(

@@ -607,6 +607,111 @@ def test_decode_image_bmp_matches_ppm_pixels(spark):
         assert (r.sum_r, r.sum_g, r.sum_b) == want
 
 
+def _png_bytes(w, h, color, raw, real_checksums=True):
+    """Assemble a PNG from an already-FILTERED raw stream (the scanline
+    bytes including per-row filter tags) — checksums real by default so
+    the fixture is a spec-valid PNG any decoder accepts."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) if real_checksums else 0
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(raw)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_png_all_filters_golden(spark):
+    """The PNG arm (round 11): a hand-assembled 2x5 RGB PNG whose five
+    scanlines use filter types 0/1/2/3/4 — the filtered bytes are spelled
+    LITERALLY here (computed by hand from the PNG spec, sharing no code
+    with the decoder), so a wrong predictor inversion cannot cancel out.
+    Expected sums come from the intended RAW pixels."""
+    from woe_monotonic_binning_spark.operators.multimodal import decode_image
+
+    # raw pixels (RGB, w=2, h=5) the filtered stream below encodes:
+    # r0 (10,20,30)(40,50,60)   r1 (15,25,35)(45,55,65)
+    # r2 (20,30,40)(50,60,70)   r3 (100,110,120)(130,140,150)
+    # r4 (200,0,50)(60,255,5)
+    raw = bytes(
+        [0, 10, 20, 30, 40, 50, 60]  # None
+        + [1, 15, 25, 35, 30, 30, 30]  # Sub
+        + [2, 5, 5, 5, 5, 5, 5]  # Up
+        + [3, 90, 95, 100, 55, 55, 55]  # Average
+        + [4, 100, 146, 186, 116, 255, 211]  # Paeth
+    )
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_png_bytes(2, 5, 2, raw)))],
+        "media_id long, kind string, content binary",
+    )
+    r = decode_image(media).collect()[0]
+    assert r.fmt == "png" and (r.width, r.height, r.n_pixels) == (2, 5, 10)
+    assert (r.sum_r, r.sum_g, r.sum_b) == (670, 745, 625)
+
+
+def test_decode_image_png_rgba_and_rejects(spark):
+    """RGBA (color type 6) drops alpha from the channel sums; palette /
+    16-bit / interlaced / truncated payloads fall through to the NULL-fmt
+    row instead of erroring (the honest-reject contract)."""
+    from woe_monotonic_binning_spark.operators.multimodal import decode_image
+
+    # 2x1 RGBA, filter 0: (10,20,30,alpha 99) (40,50,60,alpha 1)
+    rgba = bytes([0, 10, 20, 30, 99, 40, 50, 60, 1])
+    good = _png_bytes(2, 1, 6, rgba)
+    rgb_row = bytes([0, 1, 2, 3, 4, 5, 6])
+    bad16 = _png_bytes(2, 1, 2, rgb_row)
+    bad16 = bad16.replace(b"\x08\x02\x00\x00\x00", b"\x10\x02\x00\x00\x00", 1)
+    interlaced = _png_bytes(2, 1, 2, rgb_row)
+    interlaced = interlaced.replace(
+        b"\x08\x02\x00\x00\x00", b"\x08\x02\x00\x00\x01", 1
+    )
+    truncated = _png_bytes(4, 4, 2, bytes([0] * 13))  # raster shorter than 4x4
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(good)),
+            (2, "image", bytearray(bad16)),
+            (3, "image", bytearray(interlaced)),
+            (4, "image", bytearray(truncated)),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in decode_image(media).collect()}
+    assert rows[1].fmt == "png"
+    assert (rows[1].sum_r, rows[1].sum_g, rows[1].sum_b) == (50, 70, 90)
+    for mid in (2, 3, 4):
+        assert rows[mid].fmt is None and rows[mid].sum_r is None
+
+
+def test_decode_image_png_jvm_fixture_matches_ppm(spark):
+    """synthetic_png_media (JVM-built stored-DEFLATE payloads, zeroed
+    checksums) decodes byte-for-byte to the same channel sums as the PPM
+    fixture for the same ids — the catalog 'png' section's local twin."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_image,
+        synthetic_png_media,
+        synthetic_ppm_media,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(64)
+    png = {r.media_id: r for r in decode_image(synthetic_png_media(docs)).collect()}
+    ppm = {r.media_id: r for r in decode_image(synthetic_ppm_media(docs)).collect()}
+    assert set(png) == set(ppm) and len(png) == 64
+    for mid, r in png.items():
+        assert r.fmt == "png" and ppm[mid].fmt == "ppm"
+        assert (r.width, r.height, r.n_pixels, r.sum_r, r.sum_g, r.sum_b) == (
+            ppm[mid].width, ppm[mid].height, ppm[mid].n_pixels,
+            ppm[mid].sum_r, ppm[mid].sum_g, ppm[mid].sum_b,
+        )
+        assert r.sum_r == 8 * (mid % 256)
+
+
 def test_lang_id_deterministic(spark):
     from woe_monotonic_binning_spark.operators.text import detect_language
 
@@ -1569,6 +1674,46 @@ def test_session_agg_auto_picks_phase_on_planted_celebrity(spark, monkeypatch):
     empty = spark.createDataFrame([], "user_id long, ts timestamp, value double")
     assert W.session_agg_auto(empty, probe_fraction=1.0).count() == 0
     assert calls[-1] == "single"
+
+
+def test_session_agg_user_col_param_and_single_job_probe(spark):
+    """Round-10 verdict item 7: the session family takes ``user_col`` —
+    renaming the key column gives identical sessions under the new name
+    through both phases and the auto route — and session_agg_auto's probe
+    is exactly ONE Spark action (job-group count), so routing adds one
+    tiny job, never a second scan cascade."""
+    import woe_monotonic_binning_spark.operators.windows as W
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "ts", "value")
+    )
+    renamed = ev.withColumnRenamed("user_id", "account")
+    key = lambda r, u: (str(r.session_start), str(r.session_end), r[u], r.n_events)  # noqa: E731
+    base = sorted(key(r, "user_id") for r in W.session_agg(ev).collect())
+    for fn in (
+        lambda d: W.session_agg(d, user_col="account"),
+        lambda d: W.session_agg_twophase(d, user_col="account"),
+        lambda d: W.session_agg_auto(d, probe_fraction=1.0, user_col="account"),
+    ):
+        out = fn(renamed)
+        assert "account" in out.columns and "user_id" not in out.columns
+        assert sorted(key(r, "account") for r in out.collect()) == base
+
+    # the probe is ONE action over the sample: under AQE a single action
+    # materializes each exchange as its own stage-job, so the probe's two
+    # tiny aggregations bound the group at <= 4 jobs — a full per-user
+    # count of the corpus or a per-partition cascade would blow past it
+    sc = spark.sparkContext
+    sc.setJobGroup("wmb_probe_count", "session_agg_auto probe")
+    try:
+        plan = W.session_agg_auto(ev, probe_fraction=0.5)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("wmb_probe_count")
+    assert 1 <= len(jobs) <= 4, f"probe ran {len(jobs)} jobs"
+    assert plan.count() >= 0  # the returned plan is still runnable
 
 
 def test_asof_join_forward_and_nearest_directions(spark):

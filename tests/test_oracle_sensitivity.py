@@ -549,3 +549,40 @@ def test_decode_channel_swap_is_caught(spark, con, monkeypatch):
         "q_multimodal_stats",
         qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
     )
+
+
+def test_png_decode_absent_is_caught(spark, con, monkeypatch):
+    """A broken/absent PNG decoder (every PNG payload falling through to
+    the NULL-fmt reject row — the exact pre-round-11 behavior): the 'png'
+    section of q_multimodal_stats must hash-mismatch, proving the section
+    actually certifies the new decode path rather than tolerating
+    NULLs."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.decode_image
+
+    def mutated(media):
+        out = orig(media)
+        is_png = F.col("fmt") == "png"
+        nulled = [
+            F.when(is_png, F.lit(None).cast(t)).otherwise(F.col(c)).alias(c)
+            for c, t in (
+                ("width", "int"), ("height", "int"), ("n_pixels", "int"),
+                ("sum_r", "bigint"), ("sum_g", "bigint"), ("sum_b", "bigint"),
+            )
+        ]
+        return out.select(
+            "media_id",
+            F.when(is_png, F.lit(None).cast("string"))
+            .otherwise(F.col("fmt"))
+            .alias("fmt"),
+            *nulled,
+        )
+
+    monkeypatch.setattr(mm, "decode_image", mutated)
+    assert_caught(
+        spark,
+        con,
+        "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )

@@ -85,7 +85,25 @@ def main() -> None:
     ev = ev.withColumn(idc, F.col(idc) * 10 + F.col("__rep")).drop("__rep")
     ev.repartition(16).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
-    for t in ("lineitem", "documents", "embeddings", "events"):
+    # orders scale WITH lineitem and keep the same key formula, so the
+    # l_orderkey <-> o_orderkey FK survives the replication (the sf1
+    # oracle sweep runs join queries); customer keys are untouched so the
+    # copied-through customer dim still resolves
+    od = spark.read.parquet(f"{SRC}/orders.parquet").select("*", rep)
+    od = od.withColumn("o_orderkey", F.col("o_orderkey") * 10 + F.col("__rep")).drop(
+        "__rep"
+    )
+    od.repartition(16).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    # dimension tables copy through unchanged: facts scale 10x, dims stay
+    # (the realistic shape, and every FK in the replicated facts that
+    # references a dim key is untouched by the replication)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+
+    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n}")
     spark.stop()

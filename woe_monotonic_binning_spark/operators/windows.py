@@ -65,15 +65,19 @@ def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "30 minut
     )
 
 
-def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Per-user sessions separated by >= ``gap`` of inactivity."""
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", user_col: str = "user_id"
+) -> DataFrame:
+    """Per-user sessions separated by >= ``gap`` of inactivity.
+    ``user_col`` names the session key (round-10 verdict: the whole
+    session family takes it, defaulting to the events-table column)."""
     return (
-        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        events.groupBy(F.session_window("ts", gap).alias("w"), user_col)
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
-            "user_id",
+            user_col,
             "n_events",
             "total_value",
         )
@@ -81,7 +85,10 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def session_agg_twophase(
-    events: DataFrame, gap: str = "30 minutes", bucket_unit: str = "day"
+    events: DataFrame,
+    gap: str = "30 minutes",
+    bucket_unit: str = "day",
+    user_col: str = "user_id",
 ) -> DataFrame:
     """``session_agg`` for zipfian user distributions: same output, hot-key
     bounded.
@@ -112,17 +119,17 @@ def session_agg_twophase(
     balance does."""
     loc = (
         events.withColumn("__b", F.date_trunc(bucket_unit, "ts"))
-        .groupBy("user_id", "__b", F.session_window("ts", gap).alias("w"))
+        .groupBy(user_col, "__b", F.session_window("ts", gap).alias("w"))
         .agg(F.count("*").alias("__n"), F.sum("value").alias("__sv"))
         .select(
-            "user_id",
+            user_col,
             F.col("w.start").alias("__s"),
             F.col("w.end").alias("__e"),
             "__n",
             "__sv",
         )
     )
-    win = Window.partitionBy("user_id").orderBy("__s")
+    win = Window.partitionBy(user_col).orderBy("__s")
     prev_end = F.lag("__e").over(win)
     run = win.rowsBetween(Window.unboundedPreceding, 0)
     return (
@@ -137,7 +144,7 @@ def session_agg_twophase(
             F.when(prev_end.isNull() | (F.col("__s") > prev_end), 1).otherwise(0),
         )
         .withColumn("__sid", F.sum("__new").over(run))
-        .groupBy("user_id", "__sid")
+        .groupBy(user_col, "__sid")
         .agg(
             F.min("__s").alias("session_start"),
             F.max("__e").alias("session_end"),
@@ -145,7 +152,7 @@ def session_agg_twophase(
             F.round(F.sum("__sv"), 6).alias("total_value"),
         )
         .select(
-            "session_start", "session_end", "user_id", "n_events", "total_value"
+            "session_start", "session_end", user_col, "n_events", "total_value"
         )
     )
 
@@ -157,6 +164,7 @@ def session_agg_auto(
     hot_user_events: int = 1_000_000,
     probe_fraction: float = 0.01,
     seed: int = 42,
+    user_col: str = "user_id",
 ) -> DataFrame:
     """``session_agg`` with AUTOMATIC phase selection (round-9 verdict
     item 6): a cheap sampled probe estimates the hottest user's event
@@ -178,12 +186,16 @@ def session_agg_auto(
     phases are exact, so a wrong pick costs wall-clock only, never
     correctness (bit-parity pinned in tests/test_operators.py).  The
     decision and the estimate are logged at INFO on the module logger.
+    ``user_col`` names the session key, matching the rest of the session
+    family (round-10 verdict item 7 — the probe groups by it too); the
+    probe itself is a single Spark action (one ``first()``), pinned by a
+    job-group count in tests/test_operators.py.
     """
     import logging
 
     top = (
         events.sample(fraction=probe_fraction, seed=seed)
-        .groupBy("user_id")
+        .groupBy(user_col)
         .agg(F.count(F.lit(1)).alias("__n"))
         .agg(F.max("__n").alias("m"))
         .first()["m"]
@@ -195,12 +207,12 @@ def session_agg_auto(
             "session_agg_auto: est max events/user %.0f > %d -> two-phase "
             "(bucket_unit=%s)", est, hot_user_events, bucket_unit,
         )
-        return session_agg_twophase(events, gap, bucket_unit)
+        return session_agg_twophase(events, gap, bucket_unit, user_col)
     log.info(
         "session_agg_auto: est max events/user %.0f <= %d -> single-phase",
         est, hot_user_events,
     )
-    return session_agg(events, gap)
+    return session_agg(events, gap, user_col)
 
 
 def top_users_per_window(events: DataFrame, width: str = "1 day", k: int = 5) -> DataFrame:
