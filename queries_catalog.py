@@ -1607,6 +1607,13 @@ def q_events_rollup(spark, sf_dir):
     # JVM-built PNG (stored-DEFLATE IDAT, zeroed checksums —
     # synthetic_png_media) through the new stdlib-zlib PNG decode path;
     # sums follow the identical arithmetic, only fmt differs.
+    # 'audio' section (round 11): REAL RIFF/WAV PCM16 decode
+    # (decode_audio) over JVM-built synthetic_wav_media payloads (every
+    # sample of id is id%20000, so sum_pcm = n_frames * (id%20000)).
+    # 'resize' section (round 11): the full pixel-transform chain —
+    # synthetic PNG -> decode -> nearest-neighbor resample 4x2 -> 6x3 ->
+    # P6 re-encode -> decode_image again; constant-color inputs make the
+    # resampled sums exact SQL arithmetic (18 * channel).
     """
     SELECT 'bytes' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(strlen(text) AS INT) AS n_bytes,
@@ -1626,7 +1633,10 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
            CAST(NULL AS INT) AS n_pixels,
            CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
-           CAST(NULL AS BIGINT) AS sum_b
+           CAST(NULL AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm
     FROM documents
     UNION ALL
     SELECT 'pixels' AS section, doc_id AS media_id, 'image' AS kind,
@@ -1635,7 +1645,10 @@ def q_events_rollup(spark, sf_dir):
            'ppm' AS fmt, 4 AS width, 2 AS height, 8 AS n_pixels,
            CAST(8 * (doc_id % 256) AS BIGINT) AS sum_r,
            CAST(8 * ((doc_id * 7) % 256) AS BIGINT) AS sum_g,
-           CAST(8 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b
+           CAST(8 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm
     FROM documents
     UNION ALL
     SELECT 'png' AS section, doc_id AS media_id, 'image' AS kind,
@@ -1644,30 +1657,66 @@ def q_events_rollup(spark, sf_dir):
            'png' AS fmt, 4 AS width, 2 AS height, 8 AS n_pixels,
            CAST(8 * (doc_id % 256) AS BIGINT) AS sum_r,
            CAST(8 * ((doc_id * 7) % 256) AS BIGINT) AS sum_g,
-           CAST(8 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b
+           CAST(8 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm
+    FROM documents
+    UNION ALL
+    SELECT 'audio' AS section, doc_id AS media_id, 'audio' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'wav' AS fmt,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(NULL AS INT) AS n_pixels,
+           CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+           CAST(NULL AS BIGINT) AS sum_b,
+           1 AS n_channels, 8000 AS sample_rate, 8 AS n_frames,
+           CAST(1 AS BIGINT) AS duration_ms,
+           CAST(8 * (doc_id % 20000) AS BIGINT) AS sum_pcm
+    FROM documents
+    UNION ALL
+    SELECT 'resize' AS section, doc_id AS media_id, 'image' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'ppm' AS fmt, 6 AS width, 3 AS height, 18 AS n_pixels,
+           CAST(18 * (doc_id % 256) AS BIGINT) AS sum_r,
+           CAST(18 * ((doc_id * 7) % 256) AS BIGINT) AS sum_g,
+           CAST(18 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm
     FROM documents
     """,
 )
 def q_multimodal_stats(spark, sf_dir):
     from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_audio,
         decode_image,
         fake_decode_stats,
         media_from_documents,
+        resize_image,
         synthetic_png_media,
         synthetic_ppm_media,
+        synthetic_wav_media,
     )
 
     docs = _docs(spark, sf_dir)
     media = media_from_documents(docs)
     null_i = F.lit(None).cast("int")
+    null_l = F.lit(None).cast("bigint")
+    audio_nulls = [
+        null_i.alias("n_channels"), null_i.alias("sample_rate"),
+        null_i.alias("n_frames"), null_l.alias("duration_ms"),
+        null_l.alias("sum_pcm"),
+    ]
     base = fake_decode_stats(media).select(
         F.lit("bytes").alias("section"),
         "media_id", "kind", "n_bytes", "checksum", "first_byte", "last_byte",
         F.lit(None).cast("string").alias("fmt"),
         null_i.alias("width"), null_i.alias("height"), null_i.alias("n_pixels"),
-        F.lit(None).cast("bigint").alias("sum_r"),
-        F.lit(None).cast("bigint").alias("sum_g"),
-        F.lit(None).cast("bigint").alias("sum_b"),
+        null_l.alias("sum_r"), null_l.alias("sum_g"), null_l.alias("sum_b"),
+        *audio_nulls,
     )
     def _pix(media, section):
         return decode_image(media).select(
@@ -1676,10 +1725,27 @@ def q_multimodal_stats(spark, sf_dir):
             null_i.alias("n_bytes"), F.lit(None).cast("string").alias("checksum"),
             null_i.alias("first_byte"), null_i.alias("last_byte"),
             "fmt", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
+            *audio_nulls,
         )
 
-    return base.unionByName(_pix(synthetic_ppm_media(docs), "pixels")).unionByName(
-        _pix(synthetic_png_media(docs), "png")
+    audio = decode_audio(synthetic_wav_media(docs)).select(
+        F.lit("audio").alias("section"),
+        "media_id", F.lit("audio").alias("kind"),
+        null_i.alias("n_bytes"), F.lit(None).cast("string").alias("checksum"),
+        null_i.alias("first_byte"), null_i.alias("last_byte"),
+        "fmt",
+        null_i.alias("width"), null_i.alias("height"), null_i.alias("n_pixels"),
+        null_l.alias("sum_r"), null_l.alias("sum_g"), null_l.alias("sum_b"),
+        "n_channels", "sample_rate", "n_frames", "duration_ms", "sum_pcm",
+    )
+    # the resized output is P6 bytes, so decode_image closes the
+    # decode -> resample -> re-encode -> decode chain (fmt becomes 'ppm')
+    resized = _pix(resize_image(synthetic_png_media(docs), 6, 3), "resize")
+    return (
+        base.unionByName(_pix(synthetic_ppm_media(docs), "pixels"))
+        .unionByName(_pix(synthetic_png_media(docs), "png"))
+        .unionByName(audio)
+        .unionByName(resized)
     )
 
 

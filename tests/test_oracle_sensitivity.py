@@ -551,6 +551,52 @@ def test_decode_channel_swap_is_caught(spark, con, monkeypatch):
     )
 
 
+def test_wav_rate_misparse_is_caught(spark, con, monkeypatch):
+    """decode_audio reading byte_rate where sample_rate sits (adjacent
+    little-endian fields in the fmt chunk — the classic WAV header
+    off-by-four): sample_rate doubles for the mono PCM16 fixture and the
+    'audio' section of q_multimodal_stats must hash-mismatch."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.decode_audio
+
+    def mutated(media):
+        out = orig(media)
+        return out.withColumn(
+            "sample_rate", (F.col("sample_rate") * 2).cast("int")
+        )
+
+    monkeypatch.setattr(mm, "decode_audio", mutated)
+    assert_caught(
+        spark,
+        con,
+        "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
+
+
+def test_resize_dimension_swap_is_caught(spark, con, monkeypatch):
+    """resize_image transposing the target (6x3 delivered as 3x6 — the
+    row/column-major confusion every resampler integration hits): the
+    constant-color fixture keeps identical SUMS either way (18 pixels),
+    so this pins that the 'resize' section certifies the emitted
+    width/height too, not just the pixel mass."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.resize_image
+
+    def mutated(media, out_w, out_h):
+        return orig(media, out_h, out_w)
+
+    monkeypatch.setattr(mm, "resize_image", mutated)
+    assert_caught(
+        spark,
+        con,
+        "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
+
+
 def test_png_decode_absent_is_caught(spark, con, monkeypatch):
     """A broken/absent PNG decoder (every PNG payload falling through to
     the NULL-fmt reject row — the exact pre-round-11 behavior): the 'png'

@@ -6,14 +6,18 @@ worker sees a columnar batch of payloads (the right shape for a real
 decoder or GPU preprocessor).
 
 Kernel status (honest split): ``decode_image`` is a REAL decoder for the
-formats a pure-Python parser can handle — binary PPM (P6) and
-uncompressed 24-bit BMP — added round 10; JPEG/PNG/audio/video codecs
-still need libraries this container lacks, so those paths stay stubbed
-(``fake_decode_stats`` byte features, ``resize_media`` metadata-only) with
-everything Spark-side (schema, batch iteration, partition sizing, UDF
-signatures) real and tested.  ``synthetic_ppm_media`` builds
-oracle-predictable PPM payloads JVM-side so the real decode is
-hash-certified end to end.
+formats a pure-Python parser can handle — binary PPM (P6), uncompressed
+24-bit BMP (round 10), and non-interlaced 8-bit RGB/RGBA PNG via stdlib
+zlib (round 11); ``decode_audio`` is a REAL decoder for RIFF/WAV PCM16
+(round 11, stdlib struct + numpy); ``resize_image`` is a REAL
+nearest-neighbor resampler over the decodable formats, re-encoding to P6
+(round 11).  JPEG and compressed audio/video codecs still need libraries
+this container lacks, so those paths stay stubbed (``fake_decode_stats``
+byte features, ``resize_media`` metadata-only) with everything Spark-side
+(schema, batch iteration, partition sizing, UDF signatures) real and
+tested.  ``synthetic_ppm_media`` / ``synthetic_png_media`` /
+``synthetic_wav_media`` build oracle-predictable payloads JVM-side so
+every real kernel is hash-certified end to end.
 
 NULL payloads: binary columns are nullable and any real source has missing
 payloads, so every kernel tolerates ``content`` (and ``meta``) NULLs —
@@ -435,6 +439,198 @@ def synthetic_png_media(
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+DECODED_AUDIO_SCHEMA = (
+    "media_id bigint, fmt string, n_channels int, sample_rate int, "
+    "n_frames int, duration_ms bigint, sum_pcm bigint, sum_pcm_r bigint"
+)
+
+
+def _parse_wav(b: bytes) -> tuple[int, int, int, list[int]] | None:
+    """RIFF/WAV, 16-bit PCM, 1-2 channels -> (n_channels, sample_rate,
+    n_frames, per-channel integer sample sums), or None.  Pure stdlib
+    ``struct`` chunk walk (RIFF has no checksums, so JVM-built fixtures
+    are byte-exact): reads ``fmt `` then the first ``data`` chunk;
+    compressed codecs (MP3/AAC/ADPCM), other bit depths and >2 channels
+    return None and fall through to the honest reject row."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    nch = rate = bits = None
+    data = None
+    while i + 8 <= len(b):
+        ctype = b[i : i + 4]
+        (ln,) = struct.unpack_from("<I", b, i + 4)
+        body = b[i + 8 : i + 8 + ln]
+        if len(body) < ln:
+            return None
+        if ctype == b"fmt ":
+            if ln < 16:
+                return None
+            fmt_tag, nch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_tag != 1:  # PCM only
+                return None
+        elif ctype == b"data":
+            data = body
+            break
+        i += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if nch is None or data is None or bits != 16 or nch not in (1, 2) or rate <= 0:
+        return None
+    n_samples = len(data) // 2
+    if n_samples % nch != 0:
+        return None
+    arr = np.frombuffer(data[: n_samples * 2], dtype="<i2").reshape(-1, nch)
+    sums = arr.sum(axis=0, dtype=np.int64)
+    return nch, rate, arr.shape[0], [int(s) for s in sums]
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode for RIFF/WAV 16-bit PCM (round 11): per payload
+    the channel count, sample rate, frame count, integer duration_ms
+    (floor), and exact per-channel integer sample sums (``sum_pcm`` =
+    channel 0, ``sum_pcm_r`` = channel 1 or NULL for mono) — integer, so
+    hash-exact and oracle-checkable like ``decode_image``'s sums.  Same
+    Arrow-batched ``mapInPandas`` shape and NULL/unparseable tolerance;
+    compressed audio stays honestly rejected (needs codec libraries)."""
+    import numpy as np  # noqa: F401 — imported for the worker
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "fmt": [], "n_channels": [], "sample_rate": [],
+                "n_frames": [], "duration_ms": [], "sum_pcm": [], "sum_pcm_r": [],
+            }
+            for b in pdf["content"]:
+                parsed = _parse_wav(bytes(b)) if b is not None else None
+                if parsed is None:
+                    for k in ("fmt", "n_channels", "sample_rate", "n_frames",
+                              "duration_ms", "sum_pcm", "sum_pcm_r"):
+                        out[k].append(None)
+                    continue
+                nch, rate, n_frames, sums = parsed
+                out["fmt"].append("wav")
+                out["n_channels"].append(nch)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(n_frames)
+                out["duration_ms"].append(n_frames * 1000 // rate)
+                out["sum_pcm"].append(sums[0])
+                out["sum_pcm_r"].append(sums[1] if nch == 2 else None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, schema=DECODED_AUDIO_SCHEMA)
+
+
+def synthetic_wav_media(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 8,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Valid mono PCM16 WAV payloads built ENTIRELY JVM-side (RIFF has no
+    checksums, so unlike PNG nothing needs zeroing): every sample of
+    payload ``id`` is the constant value ``id % 20000`` (non-negative, so
+    the little-endian int16 hex is plain arithmetic), making the decoded
+    ``sum_pcm`` exactly ``n_frames * (id % 20000)`` — the
+    oracle-predictable fixture certifying ``decode_audio`` end to end."""
+    data_len = n_frames * 2
+    hdr_hex = (
+        "52494646"  # 'RIFF'
+        + (36 + data_len).to_bytes(4, "little").hex()
+        + "57415645"  # 'WAVE'
+        + "666d7420" + "10000000"  # 'fmt ', length 16
+        + "0100" + "0100"  # PCM, mono
+        + sample_rate.to_bytes(4, "little").hex()
+        + (sample_rate * 2).to_bytes(4, "little").hex()  # byte rate
+        + "0200" + "1000"  # block align 2, 16 bits
+        + "64617461"  # 'data'
+        + data_len.to_bytes(4, "little").hex()
+    )
+    v = F.pmod(F.col(id_col), F.lit(20000)).cast("int")
+    lo = F.lpad(F.hex(F.pmod(v, F.lit(256))), 2, "0")
+    hi = F.lpad(F.hex((v / 256).cast("int")), 2, "0")
+    sample_hex = F.concat(lo, hi)  # little-endian int16
+    content = F.unhex(F.concat(F.lit(hdr_hex), F.repeat(sample_hex, n_frames)))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("audio").alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(n_frames * 1000 // sample_rate).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+RESIZED_IMAGE_SCHEMA = (
+    "media_id bigint, fmt string, width int, height int, content binary"
+)
+
+
+def resize_image(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbor image resize (round 11) over the decodable
+    formats (PPM/BMP/PNG): decode the raster, resample each output pixel
+    from ``in[floor(y*in_h/out_h)][floor(x*in_w/out_w)]``, and re-encode
+    as binary PPM (P6) — so the output of this transform feeds straight
+    back into ``decode_image`` and the whole decode→transform→decode
+    chain is oracle-certifiable (the 'resize' section of
+    q_multimodal_stats).  ``fmt`` reports the SOURCE format; unparseable
+    or NULL payloads yield a NULL-fmt row with NULL content, the same
+    honest-reject contract as the decoders.  A real pipeline swaps the
+    resample line for its codec/SIMD kernel; the Spark-side shape
+    (Arrow batches, schema, NULL tolerance) is exactly this."""
+    import numpy as np
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"resize_image: invalid target {out_w}x{out_h}")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "fmt": [], "width": [], "height": [], "content": [],
+            }
+            for b in pdf["content"]:
+                parsed, fmt = None, None
+                if b is not None:
+                    raw = bytes(b)
+                    for parse, name in (
+                        (_parse_ppm, "ppm"),
+                        (_parse_bmp, "bmp"),
+                        (_parse_png, "png"),
+                    ):
+                        parsed = parse(raw)
+                        if parsed is not None:
+                            fmt = name
+                            break
+                if parsed is None:
+                    out["fmt"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["content"].append(None)
+                    continue
+                w, h, px = parsed
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                res = arr[ys][:, xs]
+                body = res.tobytes()
+                out["fmt"].append(fmt)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["content"].append(
+                    f"P6\n{out_w} {out_h}\n255\n".encode("ascii") + body
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(resize, schema=RESIZED_IMAGE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
