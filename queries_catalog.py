@@ -2003,26 +2003,52 @@ def q_events_stream(spark, sf_dir):
     # Round 9 widens the slot with a 'forward' section (direction='forward'
     # — earliest order-day at or after the event; DuckDB spells the flip
     # e.ts <= o.ots), certifying both carry directions of the same
-    # union+window plan.  'nearest' composes the two certified passes and
-    # stays pinned by unit tests (tests/test_operators.py).
+    # union+window plan.  Round 11 adds the 'nearest' section: the twin
+    # composes DuckDB's two native ASOF passes and picks the closer match
+    # by exact integer microsecond distance with ties to backward — the
+    # documented pandas.merge_asof convention the engine implements
+    # (previously unit-pinned only).
     """
     WITH ord AS (
       SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
              ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS day_spend,
              COUNT(*) AS day_orders
       FROM orders GROUP BY 1, 2
+    ),
+    bw AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.ots AS bots, o.day_spend AS bs, o.day_orders AS bo
+      FROM events e ASOF LEFT JOIN ord o
+        ON e.user_id = o.user_id AND e.ts >= o.ots
+    ),
+    fw AS (
+      SELECT e.event_id, o.ots AS fots, o.day_spend AS fs, o.day_orders AS fo
+      FROM events e ASOF LEFT JOIN ord o
+        ON e.user_id = o.user_id AND e.ts <= o.ots
     )
-    SELECT 'backward' AS section, e.event_id, e.user_id,
-           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
-           o.day_spend, o.day_orders
-    FROM events e ASOF LEFT JOIN ord o
-      ON e.user_id = o.user_id AND e.ts >= o.ots
+    SELECT 'backward' AS section, event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           bs AS day_spend, bo AS day_orders
+    FROM bw
     UNION ALL
-    SELECT 'forward' AS section, e.event_id, e.user_id,
-           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
-           o.day_spend, o.day_orders
-    FROM events e ASOF LEFT JOIN ord o
-      ON e.user_id = o.user_id AND e.ts <= o.ots
+    SELECT 'forward' AS section, bw.event_id, bw.user_id,
+           strftime(bw.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           fw.fs AS day_spend, fw.fo AS day_orders
+    FROM bw JOIN fw USING (event_id)
+    UNION ALL
+    SELECT 'nearest' AS section, bw.event_id, bw.user_id,
+           strftime(bw.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           CASE WHEN fots IS NULL THEN bs
+                WHEN bots IS NULL THEN fs
+                WHEN epoch_us(bw.ts) - epoch_us(bots)
+                     <= epoch_us(fots) - epoch_us(bw.ts) THEN bs
+                ELSE fs END AS day_spend,
+           CASE WHEN fots IS NULL THEN bo
+                WHEN bots IS NULL THEN fo
+                WHEN epoch_us(bw.ts) - epoch_us(bots)
+                     <= epoch_us(fots) - epoch_us(bw.ts) THEN bo
+                ELSE fo END AS day_orders
+    FROM bw JOIN fw USING (event_id)
     """,
 )
 def q_asof_join(spark, sf_dir):
@@ -2054,7 +2080,9 @@ def q_asof_join(spark, sf_dir):
             "day_orders",
         )
 
-    return arm("backward").unionByName(arm("forward"))
+    return (
+        arm("backward").unionByName(arm("forward")).unionByName(arm("nearest"))
+    )
 
 
 @_q(

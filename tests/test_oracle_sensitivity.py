@@ -505,6 +505,26 @@ def test_asof_direction_ignored_is_caught(spark, con, monkeypatch):
     )
 
 
+def test_asof_nearest_closeness_ignored_is_caught(spark, con, monkeypatch):
+    """asof_join serving the FORWARD match whenever direction='nearest'
+    (the closer-side comparison dropped — round 11's newly certified
+    section): every event whose genuinely nearest order-day lies behind
+    it diverges, so the 'nearest' section must hash-mismatch."""
+    import woe_monotonic_binning_spark.operators.joins as oj
+
+    orig = oj.asof_join
+
+    def mutated(left, right, on, left_ts, right_ts, right_cols=None,
+                suffix="_asof", direction="backward"):
+        return orig(left, right, on, left_ts, right_ts, right_cols, suffix,
+                    "forward" if direction == "nearest" else direction)
+
+    monkeypatch.setattr(oj, "asof_join", mutated)
+    assert_caught(
+        spark, con, "q_asof_join", qc.SPARK_QUERIES["q_asof_join"](spark, SF)
+    )
+
+
 def test_kafka_value_schema_drift_is_caught(spark, con, monkeypatch):
     """parse_json_value decoding `value` as float instead of double — the
     wire-schema precision-loss bug; the kafka section of the

@@ -8,6 +8,12 @@ validated one decade of scale past the certification point.
 Differences from the driver harness, all mechanical:
 - the sf1 tables are Spark-written DIRECTORIES, so the DuckDB views glob
   '<table>.parquet/*.parquet';
+- the comparison is a VECTORIZED canonicalisation (every column rendered
+  to a canonical string: floats rounded to 9 dp with -0.0 folded,
+  timestamps ISO, NULL sentinel; frames sorted by all columns, ndarray
+  equality) instead of oracle_harness._normalise's per-row Python loop —
+  same semantics, but a 40M-row melt result compares in seconds instead
+  of hours;
 - each compare is timed and any failure/exception is recorded per query
   instead of aborting the sweep;
 - SPARK_GRAFT_SWEEP_ONLY=<q1,q2> filters, SPARK_GRAFT_SWEEP_SKIP skips
@@ -29,13 +35,73 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _canon_col(s):
+    """Render one pandas column to canonical strings: NULL sentinel,
+    floats/ints/bools as round-9 floats with -0.0 folded to 0.0,
+    timestamps as naive ISO — the vectorized twin of
+    oracle_harness._normalise's per-value rules."""
+    import numpy as np
+    import pandas as pd
+
+    if pd.api.types.is_datetime64_any_dtype(s):
+        try:
+            s = s.dt.tz_localize(None)
+        except TypeError:
+            pass
+        out = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return out.where(s.notna(), "<NULL>")
+    if s.dtype.kind in "ifub":
+        f = s.astype("float64").round(9) + 0.0  # fold -0.0
+        out = f.map(repr)
+        return out.where(~f.isna(), "<NULL>")
+    # object columns: decimals/strings/None/NaN; numeric objects (DuckDB
+    # HUGEINT/DECIMAL fetch as objects) go through the float rule
+    import decimal
+
+    def one(v):
+        if v is None or (isinstance(v, float) and v != v):
+            return "<NULL>"
+        if isinstance(v, (int, float, decimal.Decimal)) and not isinstance(v, bool):
+            return repr(round(float(v), 9) + 0.0)
+        return str(v)
+
+    return s.map(one)
+
+
+def compare_fast(got, exp, name: str) -> list[str]:
+    """Row-count + schema + order-insensitive value compare, vectorized."""
+    problems: list[str] = []
+    if sorted(got.columns) != sorted(exp.columns):
+        return [f"{name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}"]
+    if len(got) != len(exp):
+        problems.append(f"{name}: rows {len(got)} vs {len(exp)}")
+        return problems
+    cols = sorted(got.columns)
+    g = {c: _canon_col(got[c]) for c in cols}
+    e = {c: _canon_col(exp[c]) for c in cols}
+    import pandas as pd
+
+    gdf = pd.DataFrame(g).sort_values(cols, kind="mergesort").reset_index(drop=True)
+    edf = pd.DataFrame(e).sort_values(cols, kind="mergesort").reset_index(drop=True)
+    for c in cols:
+        neq = (gdf[c].values != edf[c].values).nonzero()[0]
+        if len(neq):
+            i = int(neq[0])
+            problems.append(
+                f"{name}: {len(neq)} value diffs in {c}; first at sorted row "
+                f"{i}: {gdf[c].iloc[i]!r} vs {edf[c].iloc[i]!r}"
+            )
+            break
+    return problems
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/wmb_sf1"
 
     import duckdb
 
     import __spark_entry__ as entry
-    from tests.oracle_harness import TABLES, compare
+    from tests.oracle_harness import TABLES
     from woe_monotonic_binning_spark import get_spark
 
     qs, osql = entry.queries(), entry.oracle_sql()
@@ -69,7 +135,9 @@ def main() -> None:
             continue
         t0 = time.time()
         try:
-            problems = compare(qs[name](spark, sf_dir), con, osql[name], name)
+            got = qs[name](spark, sf_dir).toPandas()
+            exp = con.execute(osql[name]).fetchdf()
+            problems = compare_fast(got, exp, name)
             results[name] = {
                 "ok": not problems,
                 "sec": round(time.time() - t0, 1),
