@@ -127,12 +127,26 @@ def main() -> None:
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
+    def _alive(s) -> bool:
+        try:
+            return not s.sparkContext._jsc.sc().isStopped()
+        except Exception:  # noqa: BLE001
+            return False
+
     results: dict[str, dict] = {}
     for name in names:
         if name in skip:
             results[name] = {"ok": None, "skipped": True}
             print(f"{name}: SKIPPED", flush=True)
             continue
+        if not _alive(spark):
+            # a heavy query OOM'd the JVM (an executor OutOfMemoryError
+            # shuts the whole local SparkContext down): rebuild the
+            # session so one pathological query cannot void the rest of
+            # the sweep
+            print(f"{name}: SparkContext dead — rebuilding session", flush=True)
+            spark = get_spark(app_name="wmb-oracle-sweep")
+            spark.sparkContext.setLogLevel("ERROR")
         t0 = time.time()
         try:
             got = qs[name](spark, sf_dir).toPandas()
@@ -150,6 +164,10 @@ def main() -> None:
                 "err": f"{type(ex).__name__}: {str(ex)[:300]}",
             }
         print(f"{name}: {results[name]}", flush=True)
+        try:
+            spark.catalog.clearCache()  # bound cross-query heap growth
+        except Exception:  # noqa: BLE001
+            pass
 
     n_ok = sum(1 for r in results.values() if r.get("ok"))
     n_run = sum(1 for r in results.values() if not r.get("skipped"))
