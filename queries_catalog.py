@@ -1474,19 +1474,30 @@ def q_events_window_suite(spark, sf_dir):
     # session arm (float64 on both pandas sides, hash-aligned).
     """
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              -- STRICTLY greater: Spark's session_window MERGES an event
              -- arriving exactly gap after the previous one (verified on a
              -- minimal two-event frame, late round 9) — the former >= cut
              -- encoded the opposite edge and agreed only because the
-             -- driver data has no exact-30-minute gaps
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             -- driver data has no exact-30-minute gaps.
+             -- event_id TIEBREAKER in BOTH windows (round-11 sf1 sweep):
+             -- with DUPLICATE (user_id, ts) rows, a bare ORDER BY ts makes
+             -- the ROWS running sum nondeterministic within the tie group
+             -- — the new_session=1 row can sort mid-tie and DuckDB then
+             -- splits one true session across two ids (engine
+             -- session_window is tie-safe; caught at sf1 where the
+             -- replicated events carry exact ts copies).  With unique
+             -- (user, ts) — every driver sf — the tiebreaker is inert.
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), sessions AS (
-      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     ), daily AS (

@@ -192,3 +192,48 @@ def test_zero_vector_is_actually_exercised(spark, boundary_sf):
     assert len(rows) == 1
     label = rows[0]["label"]
     assert emb.filter(F.col("label") == label).count() > 1
+
+
+def test_session_oracle_handles_duplicate_timestamps(spark):
+    """Round-11 sf1 sweep regression: with DUPLICATE (user_id, ts) rows
+    (sf1 replication creates exact ts copies) the gaps-and-islands oracle
+    must order its lag AND running sum by (ts, event_id) — a bare ORDER
+    BY ts lets the new_session=1 row sort mid-tie and DuckDB splits one
+    true session across two ids (engine session_window is tie-safe).
+    Pins the fixed oracle against session_agg on a planted tie frame."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from woe_monotonic_binning_spark.operators.windows import session_agg
+
+    rows = []
+    eid = 0
+    for ts, k in (("2024-01-01 10:00:00", 4), ("2024-01-01 12:00:00", 3)):
+        for _ in range(k):
+            rows.append((eid, 7, ts, 1.0, "click"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        (str(r.session_start), r.n_events)
+        for r in session_agg(ev).collect()
+    )
+    assert got == [("2024-01-01 10:00:00", 4), ("2024-01-01 12:00:00", 3)]
+
+    # the certified oracle (with the round-11 tiebreaker) must agree on
+    # the same frame — extract just its session CTE chain
+    sql = entry.oracle_sql()["q_events_user_suite"]
+    assert "ORDER BY ts, event_id" in sql, "tiebreaker regressed out of the oracle"
+    con = duckdb.connect()
+    pdf = ev.toPandas()
+    con.register("events", pdf)
+    oracle = con.execute(
+        sql.replace("UNION ALL", "UNION ALL -- cut").split("UNION ALL -- cut")[0]
+        .replace("SELECT 'session' AS kind,", "SELECT")
+    ).fetchdf()
+    con.close()
+    want = sorted((w, int(n)) for w, n in zip(oracle["wlabel"], oracle["n_events"]))
+    assert want == got

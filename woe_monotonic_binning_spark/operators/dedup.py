@@ -351,6 +351,14 @@ def ngram_jaccard_pairs(
     Quadratic within blocks by construction — ``block_cols`` must bound the
     block size (e.g. language + length bucket).  SQL-expressible end to end,
     so it doubles as the oracle-checkable twin of the MinHash pipeline.
+
+    The self-join carries a ``merge`` hint: both sides are the CORPUS
+    (each row holds a document's full word array), so the join must never
+    be planned as a broadcast — Spark's size estimate sees a small ROW
+    count and under-sizes the word arrays, and the resulting
+    corpus-as-broadcast plan times out the 300 s broadcast future at sf1
+    (caught by the round-11 sweep) and is impossible at 100 TB.  The
+    sort-merge join on the block key is the shape that scales.
     """
     words = F.array_distinct(
         F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
@@ -366,7 +374,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id_b"),
         F.col("words").alias("w_b"),
     )
-    joined = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    joined = a.hint("merge").join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("w_a", "w_b")).cast("double")
     union = F.size(F.array_union("w_a", "w_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
