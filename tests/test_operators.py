@@ -665,6 +665,12 @@ def test_decode_image_png_rgba_and_rejects(spark):
     # 2x1 RGBA, filter 0: (10,20,30,alpha 99) (40,50,60,alpha 1)
     rgba = bytes([0, 10, 20, 30, 99, 40, 50, 60, 1])
     good = _png_bytes(2, 1, 6, rgba)
+    # grayscale (color 0) replicates to r=g=b; gray+alpha (4) drops alpha
+    gray = _png_bytes(3, 1, 0, bytes([1, 10, 10, 10]))  # Sub: 10,20,30
+    graya = _png_bytes(2, 1, 4, bytes([0, 7, 200, 9, 1]))
+    palette = _png_bytes(2, 1, 2, bytes([0, 1, 2, 3, 4, 5, 6])).replace(
+        b"\x08\x02\x00\x00\x00", b"\x08\x03\x00\x00\x00", 1
+    )
     rgb_row = bytes([0, 1, 2, 3, 4, 5, 6])
     bad16 = _png_bytes(2, 1, 2, rgb_row)
     bad16 = bad16.replace(b"\x08\x02\x00\x00\x00", b"\x10\x02\x00\x00\x00", 1)
@@ -679,13 +685,20 @@ def test_decode_image_png_rgba_and_rejects(spark):
             (2, "image", bytearray(bad16)),
             (3, "image", bytearray(interlaced)),
             (4, "image", bytearray(truncated)),
+            (5, "image", bytearray(gray)),
+            (6, "image", bytearray(graya)),
+            (7, "image", bytearray(palette)),
         ],
         "media_id long, kind string, content binary",
     )
     rows = {r.media_id: r for r in decode_image(media).collect()}
     assert rows[1].fmt == "png"
     assert (rows[1].sum_r, rows[1].sum_g, rows[1].sum_b) == (50, 70, 90)
-    for mid in (2, 3, 4):
+    assert rows[5].fmt == "png"
+    assert (rows[5].sum_r, rows[5].sum_g, rows[5].sum_b) == (60, 60, 60)
+    assert rows[6].fmt == "png"
+    assert (rows[6].sum_r, rows[6].sum_g, rows[6].sum_b) == (16, 16, 16)
+    for mid in (2, 3, 4, 7):
         assert rows[mid].fmt is None and rows[mid].sum_r is None
 
 

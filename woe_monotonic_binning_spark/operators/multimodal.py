@@ -176,20 +176,21 @@ def _parse_bmp(b: bytes) -> tuple[int, int, bytes] | None:
 
 
 def _parse_png(b: bytes) -> tuple[int, int, bytes] | None:
-    """Non-interlaced 8-bit RGB/RGBA PNG -> (width, height, raw RGB
-    triplets, alpha dropped), or None.  Pure Python + stdlib ``zlib``
-    (DEFLATE is the one genuinely-library-shaped piece and it ships with
-    CPython — round-10 verdict item 5): chunk walk, IDAT concatenation,
-    raw-DEFLATE inflate, then scanline unfiltering for all five PNG
-    filter types (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth).
+    """Non-interlaced 8-bit grayscale/RGB/RGBA PNG (color types 0/2/4/6)
+    -> (width, height, raw RGB triplets; alpha dropped, gray replicated
+    to r=g=b), or None.  Pure Python + stdlib ``zlib`` (DEFLATE is the
+    one genuinely-library-shaped piece and it ships with CPython —
+    round-10 verdict item 5): chunk walk, IDAT concatenation, raw-DEFLATE
+    inflate, then scanline unfiltering for all five PNG filter types
+    (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth).
 
     Tolerant decoder by design: chunk CRCs and the zlib adler32 trailer
     are NOT verified (the kernel is a decoder, not an integrity checker —
     corruption surfaces as a None/short-data reject or wrong pixels, and
     it lets fixtures be built JVM-side with zeroed checksums, the same
     oracle trick as ``synthetic_ppm_media``).  Unsupported shapes
-    (palette/gray color types, 16-bit depth, Adam7 interlace) return
-    None and fall through to the unparsed row, honestly."""
+    (palette color type 3, 16-bit depth, Adam7 interlace) return None
+    and fall through to the unparsed row, honestly."""
     import struct
     import zlib
 
@@ -213,7 +214,7 @@ def _parse_png(b: bytes) -> tuple[int, int, bytes] | None:
             )
             if (
                 depth != 8
-                or color not in (2, 6)
+                or color not in (0, 2, 4, 6)
                 or comp != 0
                 or filt != 0
                 or inter != 0
@@ -221,7 +222,7 @@ def _parse_png(b: bytes) -> tuple[int, int, bytes] | None:
                 or h <= 0
             ):
                 return None
-            channels = 3 if color == 2 else 4
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -272,11 +273,24 @@ def _parse_png(b: bytes) -> tuple[int, int, bytes] | None:
             return None
         out[r * stride : (r + 1) * stride] = line
         prev = line
-    if channels == 4:  # drop alpha for the RGB stats contract
+    if channels == 4:  # RGBA: drop alpha for the RGB stats contract
         rgb = bytearray(w * h * 3)
         rgb[0::3] = out[0::4]
         rgb[1::3] = out[1::4]
         rgb[2::3] = out[2::4]
+        out = rgb
+    elif channels == 2:  # gray+alpha: drop alpha, replicate gray
+        gray = out[0::2]
+        rgb = bytearray(w * h * 3)
+        rgb[0::3] = gray
+        rgb[1::3] = gray
+        rgb[2::3] = gray
+        out = rgb
+    elif channels == 1:  # grayscale: replicate to r=g=b
+        rgb = bytearray(w * h * 3)
+        rgb[0::3] = out
+        rgb[1::3] = out
+        rgb[2::3] = out
         out = rgb
     return w, h, bytes(out)
 
