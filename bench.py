@@ -71,6 +71,24 @@ MAX_RERUNS = 3  # fresh JVM per re-run is ~1 min; >3 flags means the host
 RERUN_BAND_FLOOR = 1.5
 
 
+def _unwrap_artifact(d: dict | None) -> dict | None:
+    """Normalise a bench artifact to the bench-line shape.  The DRIVER's
+    per-round ``BENCH_r{N}.json`` wraps this script's JSON line under
+    ``"parsed"`` (alongside rc/cpus/tail), so reading it raw never
+    exposes top-level ``"queries"`` and the re-run adjudication silently
+    never fired against driver artifacts (round-11 review — the band
+    check was comparing against nothing every round).  Accept both the
+    raw line and the driver wrapper."""
+    if d is None:
+        return None
+    if isinstance(d.get("queries"), dict):
+        return d
+    parsed = d.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        return parsed
+    return None
+
+
 def _latest_prior_artifact() -> dict | None:
     here = os.path.dirname(os.path.abspath(__file__))
     best, best_n = None, -1
@@ -82,7 +100,7 @@ def _latest_prior_artifact() -> dict | None:
         return None
     try:
         with open(best) as f:
-            return json.load(f)
+            return _unwrap_artifact(json.load(f))
     except (OSError, json.JSONDecodeError):
         return None
 

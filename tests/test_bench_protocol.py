@@ -184,3 +184,22 @@ def test_bench_rerun_adjudication_fires(tmp_path):
     assert payload["queries"]["text_stats"] == min(
         round(rec["orig"], 3), round(rec["fresh"], 3)
     )
+
+
+def test_bench_artifact_unwrap_handles_driver_wrapper():
+    """Round-11 review: the driver's BENCH_r{N}.json wraps the bench line
+    under 'parsed', so reading it raw exposed no top-level 'queries' and
+    the out-of-band fresh-process re-run adjudication silently never
+    fired.  _unwrap_artifact must accept both shapes and reject junk."""
+    import bench
+
+    raw = {"queries": {"a": 1.0}, "rep_spread": {"a": 1.5}, "sf": 0.1}
+    assert bench._unwrap_artifact(raw) is raw
+    wrapped = {"rc": 0, "tail": "…", "parsed": dict(raw)}
+    assert bench._unwrap_artifact(wrapped) == raw
+    assert bench._unwrap_artifact({"rc": 0}) is None
+    assert bench._unwrap_artifact(None) is None
+    # and the repo's real latest artifact (driver-written) must load
+    prior = bench._latest_prior_artifact()
+    assert prior is not None and isinstance(prior.get("queries"), dict)
+    assert prior.get("sf") == 0.1
