@@ -1077,18 +1077,26 @@ def q_dedup_exact(spark, sf_dir):
 
 @_q(
     "q_dedup_ngram",
-    # exact word-set Jaccard within language blocks (oracle-checkable twin
-    # of the MinHash pipeline)
+    # exact word-set Jaccard within BOUNDED blocks (oracle-checkable twin
+    # of the MinHash pipeline).  Round 12 re-based the certified recipe on
+    # lang + doc_id%50 blocking — the operator docstring mandates bounded
+    # blocks, and lang-only blocking is quadratic by construction one
+    # decade up (sf1's en block alone is 20.6k docs ⇒ ~212M pairs; the
+    # round-11 sweep had to run this slot at exactly this bounded key,
+    # matching 4,653,430 pairs — BASELINE.md).  Certified recipes are what
+    # users copy, so the slot demonstrates the scale-safe shape, and the
+    # sf1 sweep now runs the slot as written.
     """
     WITH w AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, doc_id % 50 AS blk,
              list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words
       FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.words, b.words))), 6) AS jaccard
-    FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    FROM w a JOIN w b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
     WHERE round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
           / len(list_distinct(list_concat(a.words, b.words))), 6) >= 0.5
     """,
@@ -1096,7 +1104,8 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_ngram(spark, sf_dir):
     from woe_monotonic_binning_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", ["lang"], 0.5)
+    docs = _docs(spark, sf_dir).withColumn("blk", F.col("doc_id") % 50)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", ["lang", "blk"], 0.5)
 
 
 @_q(
@@ -1105,15 +1114,18 @@ def q_dedup_ngram(spark, sf_dir):
     # even though (A, C) was never emitted.  Spark side is iterative
     # min-label propagation (connected_components); the oracle is a
     # recursive CTE computing min reachable id — reachability equals
-    # component membership on the symmetrised edge list.
+    # component membership on the symmetrised edge list.  The pair source
+    # uses the same bounded lang + doc_id%50 blocking as q_dedup_ngram
+    # (round 12) — both certified recipes model the scale-safe shape.
     """
     WITH RECURSIVE w AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, doc_id % 50 AS blk,
              list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words
       FROM documents
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      FROM w a JOIN w b
+        ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
       WHERE round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
             / len(list_distinct(list_concat(a.words, b.words))), 6) >= 0.5
     ), edges AS (
@@ -1134,7 +1146,8 @@ def q_dedup_cluster(spark, sf_dir):
         ngram_jaccard_pairs,
     )
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", ["lang"], 0.5)
+    docs = _docs(spark, sf_dir).withColumn("blk", F.col("doc_id") % 50)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", ["lang", "blk"], 0.5)
     return connected_components(pairs)
 
 
@@ -2591,7 +2604,14 @@ def q_sampling_suite(spark, sf_dir):
     "q_token_budget",
     # data-recipe token-budget fill, replayed as one DuckDB window query:
     # same md5 draw (bit-identical), same BPE-ish token count, same
-    # prev-sum-below-budget admission rule as select_to_token_budget
+    # prev-sum-below-budget admission rule as select_to_token_budget.
+    # 'materialize' section (round 12): materialize_packs certified under a
+    # deterministic SQL-expressible pack assignment (pack_id = doc_id % 37;
+    # the production assignment comes from iterative BFD packing, which is
+    # rows-only by nature, but the materialization itself — join back to
+    # the corpus, id-ordered sep-join, member count, oversize max — is
+    # exact SQL).  md5 of the concatenated sequence certifies the exact
+    # bytes AND the ascending-id concat order.
     """
     WITH t AS (
       SELECT doc_id, source,
@@ -2605,11 +2625,23 @@ def q_sampling_suite(spark, sf_dir):
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
       FROM t
     )
-    SELECT doc_id, source, toks FROM p
+    SELECT 'budget' AS section, doc_id, source, toks,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS VARCHAR) AS text_md5,
+           CAST(NULL AS BOOLEAN) AS oversize
+    FROM p
     WHERE CASE source WHEN 'src0' THEN prev < 500
                       WHEN 'src1' THEN prev < 1200
                       WHEN 'src2' THEN prev < 120
                       ELSE true END
+    UNION ALL
+    SELECT 'materialize' AS section, pack_id AS doc_id,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS toks,
+           count(*) AS n_docs,
+           md5(string_agg(text, '|' ORDER BY doc_id)) AS text_md5,
+           max(CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END) = 1 AS oversize
+    FROM (SELECT doc_id % 37 AS pack_id, doc_id, text FROM documents)
+    GROUP BY pack_id
     """,
 )
 def q_token_budget(spark, sf_dir):
@@ -2618,14 +2650,48 @@ def q_token_budget(spark, sf_dir):
     prefix-sum cut — no whole-group window).  Hash-certified against the
     DuckDB window twin since round 6 (the slot freed by q_sampling_suite);
     naive-window equivalence, nestedness and partitioning invariance stay
-    pinned in tests/test_sampling.py."""
+    pinned in tests/test_sampling.py.
+
+    'materialize' section (round 12, verdict item 5): materialize_packs
+    (operators/packing.py) driver-hash certified given a deterministic
+    pack assignment (doc_id % 37, oversize planted on every 100th doc) —
+    the md5 of each pack's sep-joined sequence pins the exact ascending-id
+    concatenation order and bytes; n_docs and the oversize max certify the
+    member aggregation.  The BFD assignment itself stays rows-only
+    (q_pack_sequences) — iterative bin packing is not SQL-expressible —
+    but every downstream transformation of an assignment is certified
+    here."""
+    from woe_monotonic_binning_spark.operators.packing import materialize_packs
     from woe_monotonic_binning_spark.operators.sampling import select_to_token_budget
     from woe_monotonic_binning_spark.operators.text import token_count_bpe
 
-    docs = _docs(spark, sf_dir).withColumn("toks", token_count_bpe(F.col("text")))
+    docs = _docs(spark, sf_dir)
+    toks = docs.withColumn("toks", token_count_bpe(F.col("text")))
     budgets = {"src0": 500.0, "src1": 1200.0, "src2": 120.0}
-    out = select_to_token_budget(docs, budgets, token_col="toks")
-    return out.select("doc_id", "source", "toks")
+    out = select_to_token_budget(toks, budgets, token_col="toks").select(
+        F.lit("budget").alias("section"),
+        "doc_id",
+        "source",
+        "toks",
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("string").alias("text_md5"),
+        F.lit(None).cast("boolean").alias("oversize"),
+    )
+    assign = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 37).alias("pack_id"),
+        (F.col("doc_id") % 100 == 0).alias("oversize"),
+    )
+    mat = materialize_packs(docs, assign, sep="|").select(
+        F.lit("materialize").alias("section"),
+        F.col("pack_id").alias("doc_id"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("toks"),
+        "n_docs",
+        F.md5(F.col("text")).alias("text_md5"),
+        "oversize",
+    )
+    return out.unionByName(mat)
 
 
 @_q("q_sample_hash")
@@ -2719,12 +2785,13 @@ _CURATION_WEIGHTS = {
     ), uniq AS (
       SELECT q.* FROM q JOIN reps USING (doc_id)
     ), w AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, doc_id % 50 AS blk,
              list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words
       FROM uniq
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      FROM w a JOIN w b
+        ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
       WHERE round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
             / len(list_distinct(list_concat(a.words, b.words))), 6) >= 0.7
     ), edges AS (
@@ -2796,8 +2863,12 @@ def q_curation_pipeline(spark, sf_dir):
     clean = scrub_pii(planted).drop(*[f"n_{kind}" for kind in PII_PATTERNS])
     docs = quality_score(clean).filter(F.col("quality") >= 0.5)
     reps = exact_dedup_by_digest(docs, "text", "doc_id").select("doc_id")
-    uniq = docs.join(reps, "doc_id", "left_semi")
-    pairs = ngram_jaccard_pairs(uniq, "text", "doc_id", ["lang"], 0.7)
+    uniq = docs.join(reps, "doc_id", "left_semi").withColumn(
+        "blk", F.col("doc_id") % 50
+    )
+    # bounded lang + doc_id%50 blocking (round 12, matching q_dedup_ngram):
+    # the certified recipe must be the scale-safe shape users copy
+    pairs = ngram_jaccard_pairs(uniq, "text", "doc_id", ["lang", "blk"], 0.7)
     best = dedup_keep_best(uniq, pairs, "doc_id", "quality", descending=True)
     mixed = mix_sources(best, _CURATION_WEIGHTS)
     # single-pass split labeling (split_column == the train_test_split draw,

@@ -755,8 +755,15 @@ def test_curate_corpus_matches_flagship_composition(spark, tmp_path):
 
     sf = "/root/testdata/sf0.001"
     # the SAME plant the flagship query applies (single source of truth in
-    # the catalog — review finding: a hand-copied plant here could drift)
-    docs = qc._plant_pii(spark.read.parquet(f"{sf}/documents.parquet"))
+    # the catalog — review finding: a hand-copied plant here could drift);
+    # blk mirrors the flagship's round-12 bounded blocking key (a pure
+    # function of doc_id, so pre-adding it on the input is equivalent to
+    # the catalog body deriving it post-dedup)
+    from pyspark.sql import functions as F
+
+    docs = qc._plant_pii(spark.read.parquet(f"{sf}/documents.parquet")).withColumn(
+        "blk", F.col("doc_id") % 50
+    )
     out_path = str(tmp_path / "curated")
     got = curate_corpus(
         docs,
@@ -764,7 +771,7 @@ def test_curate_corpus_matches_flagship_composition(spark, tmp_path):
         quality_threshold=0.5,
         near_dup="jaccard",
         near_dup_threshold=0.7,
-        block_cols=["lang"],
+        block_cols=["lang", "blk"],
         weights=qc._CURATION_WEIGHTS,
         test_fraction=0.25,
         seed=0,

@@ -652,3 +652,43 @@ def test_png_decode_absent_is_caught(spark, con, monkeypatch):
         "q_multimodal_stats",
         qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
     )
+
+
+def test_pack_materialize_concat_order_is_caught(spark, con, monkeypatch):
+    """materialize_packs concatenating in DESCENDING id order — the exact
+    class of bug the round-12 'materialize' section's text_md5 exists to
+    catch (the member set, counts and oversize max would all still
+    match)."""
+    import woe_monotonic_binning_spark.operators.packing as pk
+
+    orig = pk.materialize_packs
+
+    def mutated(docs, packed, text_col="text", id_col="doc_id", sep="\n\n"):
+        slim = packed.select(id_col, "pack_id", "oversize")
+        joined = docs.select(id_col, text_col).join(slim, id_col)
+        return joined.groupBy("pack_id").agg(
+            F.array_join(
+                F.reverse(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col(id_col).alias("i"),
+                                    F.col(text_col).alias("t"),
+                                )
+                            )
+                        ),
+                        lambda s: s["t"],
+                    )
+                ),
+                sep,
+            ).alias(text_col),
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+            F.max(F.col("oversize").cast("int")).cast("boolean").alias("oversize"),
+        )
+
+    monkeypatch.setattr(pk, "materialize_packs", mutated)
+    assert_caught(
+        spark, con, "q_token_budget", qc.SPARK_QUERIES["q_token_budget"](spark, SF)
+    )
