@@ -1634,6 +1634,10 @@ def q_events_rollup(spark, sf_dir):
     # 'audio' section (round 11): REAL RIFF/WAV PCM16 decode
     # (decode_audio) over JVM-built synthetic_wav_media payloads (every
     # sample of id is id%20000, so sum_pcm = n_frames * (id%20000)).
+    # 'palette' section (round 12): color-type-3 PLTE expansion over
+    # JVM-built synthetic_png_palette_media payloads — per-pixel indices
+    # VARY across the row ((id+x)%3), so the sums only match if every
+    # index reads the right palette entry.
     # 'resize' section (round 11): the full pixel-transform chain —
     # synthetic PNG -> decode -> nearest-neighbor resample 4x2 -> 6x3 ->
     # P6 re-encode -> decode_image again; constant-color inputs make the
@@ -1687,6 +1691,21 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS BIGINT) AS sum_pcm
     FROM documents
     UNION ALL
+    SELECT 'palette' AS section, doc_id AS media_id, 'image' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'png' AS fmt, 4 AS width, 2 AS height, 8 AS n_pixels,
+           -- palette entries (10,5,20)/(50,85,80)/(90,165,140); pixel x of
+           -- image id carries index (id+x)%3, so a 4-pixel row is every
+           -- entry once plus entry id%3 again, times 2 rows
+           CAST(2 * (150 + CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 50 ELSE 90 END) AS BIGINT) AS sum_r,
+           CAST(2 * (255 + CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 85 ELSE 165 END) AS BIGINT) AS sum_g,
+           CAST(2 * (240 + CASE doc_id % 3 WHEN 0 THEN 20 WHEN 1 THEN 80 ELSE 140 END) AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm
+    FROM documents
+    UNION ALL
     SELECT 'audio' AS section, doc_id AS media_id, 'audio' AS kind,
            CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
@@ -1721,6 +1740,7 @@ def q_multimodal_stats(spark, sf_dir):
         media_from_documents,
         resize_image,
         synthetic_png_media,
+        synthetic_png_palette_media,
         synthetic_ppm_media,
         synthetic_wav_media,
     )
@@ -1768,6 +1788,7 @@ def q_multimodal_stats(spark, sf_dir):
     return (
         base.unionByName(_pix(synthetic_ppm_media(docs), "pixels"))
         .unionByName(_pix(synthetic_png_media(docs), "png"))
+        .unionByName(_pix(synthetic_png_palette_media(docs), "palette"))
         .unionByName(audio)
         .unionByName(resized)
     )

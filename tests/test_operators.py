@@ -607,10 +607,11 @@ def test_decode_image_bmp_matches_ppm_pixels(spark):
         assert (r.sum_r, r.sum_g, r.sum_b) == want
 
 
-def _png_bytes(w, h, color, raw, real_checksums=True):
+def _png_bytes(w, h, color, raw, real_checksums=True, plte=None, trns=None):
     """Assemble a PNG from an already-FILTERED raw stream (the scanline
     bytes including per-row filter tags) — checksums real by default so
-    the fixture is a spec-valid PNG any decoder accepts."""
+    the fixture is a spec-valid PNG any decoder accepts.  ``plte``/
+    ``trns`` insert PLTE / tRNS chunks (palette fixtures, round 12)."""
     import struct
     import zlib
 
@@ -620,9 +621,15 @@ def _png_bytes(w, h, color, raw, real_checksums=True):
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     idat = zlib.compress(raw)
+    mid = b""
+    if plte is not None:
+        mid += chunk(b"PLTE", bytes(plte))
+    if trns is not None:
+        mid += chunk(b"tRNS", bytes(trns))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + mid
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
@@ -700,6 +707,64 @@ def test_decode_image_png_rgba_and_rejects(spark):
     assert (rows[6].sum_r, rows[6].sum_g, rows[6].sum_b) == (16, 16, 16)
     for mid in (2, 3, 4, 7):
         assert rows[mid].fmt is None and rows[mid].sum_r is None
+
+
+def test_decode_image_png_palette_golden(spark):
+    """Color type 3 (round 12): indices expand through PLTE entries; a
+    spec-valid hand-built fixture with per-pixel VARYING indices (so an
+    index-offset bug shifts the sums), a Sub-filtered index row (filters
+    operate on the index bytes, before palette expansion), an ignored
+    tRNS chunk, and the reject shapes (out-of-range index, malformed
+    PLTE length)."""
+    from woe_monotonic_binning_spark.operators.multimodal import decode_image
+
+    plte = bytes([10, 5, 20, 50, 85, 80, 90, 165, 140])
+    # 3x2: row0 filter 0, indices 0,1,2; row1 Sub: 2, then +255 (=left-1
+    # mod 256 -> 1), then +255 (-> 0) — expansion AFTER unfiltering
+    raw = bytes([0, 0, 1, 2] + [1, 2, 255, 255])
+    good = _png_bytes(3, 2, 3, raw, plte=plte, trns=bytes([255, 128, 0]))
+    # expected raw indices: (0,1,2),(2,1,0) -> each entry twice
+    exp = tuple(2 * (plte[c] + plte[3 + c] + plte[6 + c]) for c in range(3))
+    oob = _png_bytes(1, 1, 3, bytes([0, 3]), plte=plte)  # index 3 of 3-entry
+    badlen = _png_bytes(1, 1, 3, bytes([0, 0]), plte=plte[:5])  # len % 3 != 0
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(good)),
+            (2, "image", bytearray(oob)),
+            (3, "image", bytearray(badlen)),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in decode_image(media).collect()}
+    assert rows[1].fmt == "png" and (rows[1].width, rows[1].height) == (3, 2)
+    assert (rows[1].sum_r, rows[1].sum_g, rows[1].sum_b) == exp
+    for mid in (2, 3):
+        assert rows[mid].fmt is None and rows[mid].sum_r is None
+
+
+def test_decode_image_png_palette_jvm_fixture(spark):
+    """synthetic_png_palette_media (JVM-built, zeroed checksums) decodes
+    to the id%3 arithmetic the catalog 'palette' oracle section encodes —
+    the local twin of the driver-hash certification."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        _PALETTE,
+        decode_image,
+        synthetic_png_palette_media,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(64)
+    rows = {
+        r.media_id: r
+        for r in decode_image(synthetic_png_palette_media(docs)).collect()
+    }
+    assert len(rows) == 64
+    tot = [sum(e[c] for e in _PALETTE) for c in range(3)]
+    for mid, r in rows.items():
+        assert r.fmt == "png" and (r.width, r.height, r.n_pixels) == (4, 2, 8)
+        k = mid % 3
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(
+            2 * (tot[c] + _PALETTE[k][c]) for c in range(3)
+        )
 
 
 def test_decode_image_png_jvm_fixture_matches_ppm(spark):

@@ -692,3 +692,22 @@ def test_pack_materialize_concat_order_is_caught(spark, con, monkeypatch):
     assert_caught(
         spark, con, "q_token_budget", qc.SPARK_QUERIES["q_token_budget"](spark, SF)
     )
+
+
+def test_png_palette_index_offset_is_caught(spark, con, monkeypatch):
+    """Palette index-offset (round 12): every index reads the NEXT palette
+    entry — injected by rotating the module palette the JVM fixture is
+    built from (a driver-side plan-construction seam; the decode kernel
+    itself runs in the Arrow worker where a driver monkeypatch cannot
+    reach).  The 'palette' oracle section's id%3 arithmetic must
+    disagree."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    rotated = mm._PALETTE[1:] + mm._PALETTE[:1]
+    monkeypatch.setattr(mm, "_PALETTE", rotated)
+    assert_caught(
+        spark,
+        con,
+        "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
