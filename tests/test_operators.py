@@ -2199,3 +2199,84 @@ def test_asof_join_all_directions_match_pandas_merge_asof(spark, seed):
         assert bool(np.all(both_nan | (g == e))), (
             f"direction={direction} seed={seed} diverges from pandas"
         )
+
+
+def test_decode_image_codec_hook(spark):
+    """The round-12 codec= escape hatch: a user callable is tried before
+    the built-in parsers (sentinel format decoded, fmt passed through),
+    returning None or raising falls through (built-in PPM still decodes;
+    junk still rejects) — the integration point for Pillow/ffmpeg on
+    clusters that have them."""
+    from woe_monotonic_binning_spark.operators.multimodal import decode_image
+
+    def stub_codec(raw):
+        if raw.startswith(b"FAKEIMG"):
+            return ("jpeg", 2, 1, bytes([1, 2, 3, 4, 5, 6]))
+        if raw.startswith(b"BOOM"):
+            raise ValueError("corrupt payload")  # must not kill the worker
+        return None
+
+    ppm = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"FAKEIMG-payload")),
+            (2, "image", bytearray(ppm)),
+            (3, "image", bytearray(b"BOOM then junk")),
+            (4, "image", bytearray(b"not an image at all")),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in decode_image(media, codec=stub_codec).collect()}
+    assert rows[1].fmt == "jpeg"
+    assert (rows[1].width, rows[1].height, rows[1].n_pixels) == (2, 1, 2)
+    assert (rows[1].sum_r, rows[1].sum_g, rows[1].sum_b) == (5, 7, 9)
+    # codec returned None -> built-in parser path unchanged
+    assert rows[2].fmt == "ppm" and (rows[2].sum_r, rows[2].sum_g, rows[2].sum_b) == (50, 70, 90)
+    # codec raised / nothing parses -> honest reject rows
+    assert rows[3].fmt is None and rows[4].fmt is None
+    # and without a codec the sentinel payload is just an unparseable row
+    base = {r.media_id: r for r in decode_image(media).collect()}
+    assert base[1].fmt is None and base[2].fmt == "ppm"
+
+
+def test_decode_audio_codec_hook(spark):
+    """decode_audio's codec= hook: sentinel compressed format decoded by
+    the stub (per-channel sums, duration derived), None/raise falls
+    through to the built-in WAV parser."""
+    import struct
+    import wave as wave_mod
+    import io
+
+    from woe_monotonic_binning_spark.operators.multimodal import decode_audio
+
+    def stub_codec(raw):
+        if raw.startswith(b"FAKEMP3"):
+            return ("mp3", 2, 44100, 4, [100, -7])
+        if raw.startswith(b"BOOM"):
+            raise ValueError("corrupt payload")
+        return None
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(struct.pack("<4h", 5, -2, 7, 10))
+    wav = buf.getvalue()
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(b"FAKEMP3-payload")),
+            (2, "audio", bytearray(wav)),
+            (3, "audio", bytearray(b"BOOM junk")),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in decode_audio(media, codec=stub_codec).collect()}
+    assert rows[1].fmt == "mp3"
+    assert (rows[1].n_channels, rows[1].sample_rate, rows[1].n_frames) == (2, 44100, 4)
+    assert rows[1].duration_ms == 4 * 1000 // 44100
+    assert (rows[1].sum_pcm, rows[1].sum_pcm_r) == (100, -7)
+    assert rows[2].fmt == "wav" and rows[2].sum_pcm == 20 and rows[2].sum_pcm_r is None
+    assert rows[3].fmt is None
+    base = {r.media_id: r for r in decode_audio(media).collect()}
+    assert base[1].fmt is None and base[2].fmt == "wav"
