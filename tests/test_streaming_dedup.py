@@ -1172,3 +1172,149 @@ def test_compact_srp_store_roundtrip(spark, tmp_path):
         for suffix in ("_postings", "_vecs", "_caps"):
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compact")
+
+
+def test_compact_srp_store_after_forced_checkpoint_replay(spark, tmp_path):
+    """Round-11 verdict #6, the full crash story end to end:
+
+    1. a FULL-commit replay (drop the last commit marker, restart) is a
+       store NO-OP — every replayed row self-matches at cosine 1.0, so
+       postings/vecs/caps are untouched and survivors stay
+       duplicate-free (the docstring's replay-safety claim, pinned);
+    2. the real duplicate window — a crash BETWEEN the vecs append and
+       the postings append (fault-injected at the saveAsTable seam) —
+       leaves orphan vectors; the replay cannot self-match (no postings
+       yet), re-appends the vector, and the store carries it twice;
+    3. compact_srp_store restores vecs == survivors and
+       postings == n_bands x survivors, rebuilds caps to the full
+       recompute, and the compacted store still drops a scaled copy.
+    """
+    import os
+    import time as _time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from woe_monotonic_binning_spark.streaming.dedup import (
+        compact_srp_store,
+        streaming_srp_dedup_against_store,
+    )
+
+    table = "wmb_test_srp_compact_replay"
+    for suffix in ("_postings", "_vecs", "_caps"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compact")
+    try:
+        b1, b2 = _srp_stream_corpus()
+        src = tmp_path / "src"
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        for rows in (b1, b2):
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).coalesce(1).write.mode("append").parquet(str(src))
+            _time.sleep(1.1)
+        schema = spark.read.parquet(str(src)).schema
+
+        def run():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            q = streaming_srp_dedup_against_store(
+                stream, table, out, checkpoint_dir=ckpt, num_buckets=4
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
+            deadline = _time.time() + 30
+            while any(
+                aq.id == q.id for aq in spark.streams.active
+            ) and _time.time() < deadline:
+                _time.sleep(0.2)
+
+        run()
+        kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+        assert kept == {0, 1, 3, 11, 12}
+        n_post_clean = spark.table(f"{table}_postings").count()
+        assert n_post_clean == 8 * len(kept)
+
+        # -- 1. full-commit replay: store no-op ------------------------
+        commits = sorted(
+            c for c in os.listdir(os.path.join(ckpt, "commits"))
+            if not c.startswith(".")
+        )
+        os.remove(os.path.join(ckpt, "commits", commits[-1]))
+        crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        run()
+        for suffix in ("_postings", "_vecs", "_caps"):
+            spark.catalog.refreshTable(f"{table}{suffix}")
+        assert {r.vec_id for r in spark.read.parquet(out).collect()} == kept
+        assert spark.table(f"{table}_postings").count() == n_post_clean
+        assert spark.table(f"{table}_vecs").count() == len(kept)
+
+        # -- 2. crash between vecs and postings appends ----------------
+        spark.createDataFrame(
+            [(30, [0.0, 0.0, 0.0, 0.0, 0.0, 7.0])],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        orig_save = DataFrameWriter.saveAsTable
+        armed = {"boom": True}
+
+        def boom(self, name, *a, **k):
+            if armed["boom"] and name == f"{table}_postings":
+                armed["boom"] = False
+                raise RuntimeError("injected crash before postings append")
+            return orig_save(self, name, *a, **k)
+
+        DataFrameWriter.saveAsTable = boom
+        try:
+            try:
+                run()
+                raise AssertionError("injected crash did not surface")
+            except StreamingQueryException:
+                pass  # the batch failed between the two appends
+        finally:
+            DataFrameWriter.saveAsTable = orig_save
+        # replay: vec 30 finds its orphan vector but NO posting, cannot
+        # self-match, survives again -> duplicate vecs row
+        run()
+        kept3 = kept | {30}
+        for suffix in ("_postings", "_vecs", "_caps"):
+            spark.catalog.refreshTable(f"{table}{suffix}")
+        assert {r.vec_id for r in spark.read.parquet(out).collect()} == kept3
+        assert spark.table(f"{table}_vecs").count() == len(kept3) + 1
+        assert spark.table(f"{table}_postings").count() == 8 * len(kept3)
+
+        # -- 3. compaction restores every invariant ---------------------
+        compact_srp_store(spark, table)
+        for suffix in ("_postings", "_vecs", "_caps"):
+            spark.catalog.refreshTable(f"{table}{suffix}")
+        post = spark.table(f"{table}_postings")
+        assert post.count() == 8 * len(kept3)
+        assert spark.table(f"{table}_vecs").count() == len(kept3)
+        caps = spark.table(f"{table}_caps")
+        recomputed = post.groupBy("band_idx", "band_val").agg(
+            F.count_distinct("vec_id").alias("n"),
+            F.min("vec_id").alias("rep_id"),
+        )
+        assert sorted(
+            map(tuple, caps.select("band_idx", "band_val", "n", "rep_id").collect())
+        ) == sorted(map(tuple, recomputed.collect()))
+
+        # the compacted store still drops a scaled copy of the vector
+        # whose crash window we replayed
+        spark.createDataFrame(
+            [(40, [0.0, 0.0, 0.0, 0.0, 0.0, 21.0])],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        run()
+        assert {r.vec_id for r in spark.read.parquet(out).collect()} == kept3
+    finally:
+        for suffix in ("_postings", "_vecs", "_caps"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compact")
