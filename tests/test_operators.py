@@ -1299,10 +1299,18 @@ def test_embedding_neardup_default_is_capped(spark):
     assert pairs == {(0, i) for i in range(1, k)}  # star, not k*(k-1)/2
     # round-10 advice: the DEFAULT cap truncating a block must warn at
     # call time so the default flip can't silently reduce recall...
-    assert any(
-        issubclass(w.category, RuntimeWarning) and "max_block" in str(w.message)
-        for w in caught
+    warning = next(
+        w for w in caught
+        if issubclass(w.category, RuntimeWarning) and "max_block" in str(w.message)
     )
+    # ...pointing at THIS file (the caller), not at dedup.py internals
+    # (round-11 advice: stacklevel threads through the wrapper chain)
+    assert warning.filename == __file__
+    # round-11 advice: on the default path the (blk, count) probe table is
+    # checkpointed once and shared, so the returned plan reads the
+    # materialized RDD instead of re-running df's upstream lineage for
+    # the ok/hot branches (visible as an ExistingRDD scan in the plan)
+    assert "ExistingRDD" in got._jdf.queryExecution().executedPlan().toString()
     # ...while an EXPLICIT cap (even the same value) is an opt-in and
     # stays silent
     with _w.catch_warnings(record=True) as caught:

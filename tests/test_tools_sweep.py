@@ -1,0 +1,68 @@
+"""tools/oracle_sweep.py compare_fast canonicalisation rules (round-11
+advice: int64 above 2^53 must canonicalise EXACTLY, not through float64,
+or two distinct hash values could false-PASS the sf1 sweep)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sweep():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "oracle_sweep", os.path.join(repo, "tools", "oracle_sweep.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_large_int64_mismatch_is_caught(sweep):
+    """The exact advice scenario: two int64 hashes differing only below
+    float64 precision (2^53 + 1 vs 2^53 + 2) must NOT compare equal."""
+    a = pd.DataFrame({"h": pd.array([2**53 + 1], dtype="int64")})
+    b = pd.DataFrame({"h": pd.array([2**53 + 2], dtype="int64")})
+    assert sweep.compare_fast(a, b, "q")  # non-empty problems
+    assert not sweep.compare_fast(a, a.copy(), "q")
+
+
+def test_int_vs_equal_double_still_matches(sweep):
+    """Driver parity: _normalise's tuple equality treats int 5 == float
+    5.0 as equal (a BIGINT sum vs a DOUBLE sum), so representable ints
+    keep the float render."""
+    a = pd.DataFrame({"v": pd.array([5, -3, 0], dtype="int64")})
+    b = pd.DataFrame({"v": [5.0, -3.0, -0.0]})  # -0.0 folds to 0.0
+    assert not sweep.compare_fast(a, b, "q")
+
+
+def test_object_ints_and_decimals(sweep):
+    """DuckDB HUGEINT/DECIMAL arrive as object columns: huge python ints
+    render exactly; integral Decimals match their int/float twins;
+    fractional Decimals follow the round-9 float rule."""
+    import decimal
+
+    a = pd.DataFrame({"v": pd.Series([2**64 + 1, 7, None], dtype="object")})
+    b = pd.DataFrame({"v": pd.Series([2**64 + 1, 7, None], dtype="object")})
+    assert not sweep.compare_fast(a, b, "q")
+    c = pd.DataFrame({"v": pd.Series([2**64 + 2, 7, None], dtype="object")})
+    assert sweep.compare_fast(a, c, "q")
+    d = pd.DataFrame(
+        {"v": pd.Series([decimal.Decimal("5.00"), decimal.Decimal("2.5")], dtype="object")}
+    )
+    e = pd.DataFrame({"v": [5.0, 2.5]})
+    assert not sweep.compare_fast(d, e, "q")
+
+
+def test_float_rule_unchanged(sweep):
+    """Genuine floats still round to 9dp with the -0.0 fold and the NULL
+    sentinel."""
+    a = pd.DataFrame({"v": [1.0000000001, -0.0, float("nan")]})
+    b = pd.DataFrame({"v": [1.0000000001, 0.0, None]})
+    assert not sweep.compare_fast(a, b, "q")
+    c = pd.DataFrame({"v": [1.001, 0.0, None]})
+    assert sweep.compare_fast(a, c, "q")

@@ -37,8 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _canon_col(s):
     """Render one pandas column to canonical strings: NULL sentinel,
-    floats/ints/bools as round-9 floats with -0.0 folded to 0.0,
-    timestamps as naive ISO — the vectorized twin of
+    floats/bools as round-9 floats with -0.0 folded to 0.0, ints EXACT
+    (float render when float64-representable so int == float equality
+    matches the driver, exact decimal string otherwise — round-11
+    advice), timestamps as naive ISO — the vectorized twin of
     oracle_harness._normalise's per-value rules."""
     import numpy as np
     import pandas as pd
@@ -50,18 +52,42 @@ def _canon_col(s):
             pass
         out = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         return out.where(s.notna(), "<NULL>")
-    if s.dtype.kind in "ifub":
+    def canon_int(i):
+        # Mirror oracle_harness._normalise, which keeps ints EXACT (round-11
+        # advice: routing int64 through float64 canonicalises values above
+        # 2^53 lossily — two distinct hashes could false-PASS).  An int that
+        # round-trips through float64 exactly renders via the float rule, so
+        # it still compares equal to an equal-valued DOUBLE on the other
+        # side (the driver's int == float tuple equality); a non-
+        # representable int renders as its exact decimal string, which can
+        # never match any float render — exactly the driver's behavior.
+        try:
+            f = float(i)
+            exact = int(f) == i
+        except OverflowError:
+            exact = False
+        return repr(f + 0.0) if exact else repr(int(i))
+
+    if s.dtype.kind in "iu":
+        out = s.map(canon_int)
+        return out.where(s.notna(), "<NULL>")
+    if s.dtype.kind in "fb":
         f = s.astype("float64").round(9) + 0.0  # fold -0.0
         out = f.map(repr)
         return out.where(~f.isna(), "<NULL>")
     # object columns: decimals/strings/None/NaN; numeric objects (DuckDB
-    # HUGEINT/DECIMAL fetch as objects) go through the float rule
+    # HUGEINT/DECIMAL fetch as objects) follow the same int-exact/float
+    # rules as the typed columns above
     import decimal
 
     def one(v):
         if v is None or (isinstance(v, float) and v != v):
             return "<NULL>"
-        if isinstance(v, (int, float, decimal.Decimal)) and not isinstance(v, bool):
+        if isinstance(v, int) and not isinstance(v, bool):
+            return canon_int(v)
+        if isinstance(v, decimal.Decimal) and v == v.to_integral_value():
+            return canon_int(int(v))
+        if isinstance(v, (float, decimal.Decimal)):
             return repr(round(float(v), 9) + 0.0)
         return str(v)
 

@@ -695,6 +695,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     *,
     max_block: int | None = DEFAULT_MAX_BLOCK,
+    _warn_stacklevel: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-dup within blocks (e.g. a cluster/label key).
 
@@ -749,6 +750,18 @@ def embedding_neardup_pairs(
         cand = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).select(*cols)
     else:
         sizes = a.groupBy("blk").agg(F.count("*").alias("__bn"))
+        if isinstance(max_block, _DefaultCap):
+            # Default path only: materialize the tiny (blk, count) table
+            # ONCE, eagerly, so the isEmpty warning probe below and the
+            # returned plan's ok/hot branches all read it without
+            # re-running df's full upstream lineage (round-11 advice: the
+            # probe used to be a whole extra pass over an expensive
+            # uncached upstream in semantic_dedup/curate_corpus).  Still
+            # eager at plan-construction time — deliberately, because the
+            # warning must reach user code synchronously where
+            # ``stacklevel`` points at the caller; an explicit max_block
+            # skips both the checkpoint and the probe entirely.
+            sizes = sizes.localCheckpoint(eager=True)
         ok = sizes.filter(F.col("__bn") <= max_block).select("blk")
         cand = (
             a.join(ok, "blk")
@@ -762,9 +775,7 @@ def embedding_neardup_pairs(
             # never chose a cap get anchor-star recall on their hot blocks
             # — surface it instead of silently changing results across the
             # round-10 default flip (an explicit max_block, even 1_000,
-            # stays silent).  The isEmpty probe costs one extra (blk,
-            # count) aggregation job, paid only on the default path —
-            # noise next to the blocked pair join it precedes.
+            # stays silent).
             import warnings
 
             warnings.warn(
@@ -774,7 +785,7 @@ def embedding_neardup_pairs(
                 "docstring).  Pass max_block explicitly (None for exact "
                 "all-pairs) to silence this.",
                 RuntimeWarning,
-                stacklevel=2,
+                stacklevel=_warn_stacklevel,
             )
         a_hot = a.join(hot, "blk")
         anchor_ids = a_hot.groupBy("blk").agg(F.min("id_a").alias("__anchor"))
@@ -821,6 +832,7 @@ def semantic_dedup(
     pair_probes: int = 2,
     *,
     max_block: int | None = DEFAULT_MAX_BLOCK,
+    _warn_stacklevel: int = 2,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): remove documents
     whose EMBEDDINGS are near-identical — paraphrases and templated
@@ -873,7 +885,11 @@ def semantic_dedup(
     centroids = train_centroids(emb, n_cells, vec_col, id_col, lloyd_iters)
     probed = assign_cells(emb, centroids, vec_col, id_col, n_probe=pair_probes)
     pairs = embedding_neardup_pairs(
-        probed, vec_col, id_col, "cell", threshold, max_block=max_block
+        probed, vec_col, id_col, "cell", threshold, max_block=max_block,
+        # +1 per wrapper frame so the default-cap RuntimeWarning points at
+        # the caller of semantic_dedup/curate_corpus, not at this line
+        # (round-11 advice)
+        _warn_stacklevel=_warn_stacklevel + 1,
     ).distinct()
     if order_col is None:
         return dedup_keep_canonical(emb, pairs, id_col)

@@ -270,6 +270,8 @@ def curate_corpus(
             # bounds a hot cell's within-block quadratic via the anchor-star
             # fallback (round-9 skew smoke: 12x at an under-celled config)
             max_block=semantic_max_block,
+            # default-cap RuntimeWarning points at curate_corpus's caller
+            _warn_stacklevel=3,
         )
     elif near_dup == "jaccard":
         if not block_cols:
