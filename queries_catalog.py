@@ -2649,7 +2649,12 @@ def q_sampling_suite(spark, sf_dir):
     SELECT 'budget' AS section, doc_id, source, toks,
            CAST(NULL AS BIGINT) AS n_docs,
            CAST(NULL AS VARCHAR) AS text_md5,
-           CAST(NULL AS BOOLEAN) AS oversize
+           CAST(NULL AS BOOLEAN) AS oversize,
+           CAST(NULL AS BIGINT) AS n_packs,
+           CAST(NULL AS BIGINT) AS n_oversize,
+           CAST(NULL AS DOUBLE) AS utilization,
+           CAST(NULL AS DOUBLE) AS min_utilization,
+           CAST(NULL AS DOUBLE) AS max_utilization
     FROM p
     WHERE CASE source WHEN 'src0' THEN prev < 500
                       WHEN 'src1' THEN prev < 1200
@@ -2660,9 +2665,64 @@ def q_sampling_suite(spark, sf_dir):
            CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS toks,
            count(*) AS n_docs,
            md5(string_agg(text, '|' ORDER BY doc_id)) AS text_md5,
-           max(CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END) = 1 AS oversize
+           max(CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END) = 1 AS oversize,
+           CAST(NULL AS BIGINT) AS n_packs,
+           CAST(NULL AS BIGINT) AS n_oversize,
+           CAST(NULL AS DOUBLE) AS utilization,
+           CAST(NULL AS DOUBLE) AS min_utilization,
+           CAST(NULL AS DOUBLE) AS max_utilization
     FROM (SELECT doc_id % 37 AS pack_id, doc_id, text FROM documents)
     GROUP BY pack_id
+    UNION ALL
+    SELECT 'pack_stats' AS section, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS toks,
+           sum(n_docs) AS n_docs,
+           CAST(NULL AS VARCHAR) AS text_md5,
+           CAST(NULL AS BOOLEAN) AS oversize,
+           count(*) AS n_packs,
+           CAST(sum(oversize) AS BIGINT) AS n_oversize,
+           round(sum(CASE WHEN oversize = 0 THEN pack_tokens END)
+                 / greatest(sum(CASE WHEN oversize = 0 THEN 95 END), 1), 6)
+             AS utilization,
+           CAST(NULL AS DOUBLE) AS min_utilization,
+           CAST(NULL AS DOUBLE) AS max_utilization
+    FROM (
+      -- budget 95 splits the sf0.01 corpus into 11 oversize / 26 clean
+      -- packs, so the oversize-exclusion rule is non-vacuous
+      SELECT pack_id, sum(tk) AS pack_tokens, count(*) AS n_docs,
+             max(CASE WHEN tk > 95 THEN 1 ELSE 0 END) AS oversize
+      FROM (
+        SELECT doc_id % 37 AS pack_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tk
+        FROM documents
+      ) GROUP BY pack_id
+    )
+    UNION ALL
+    SELECT 'shard_stats' AS section, shard AS doc_id,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS toks,
+           sum(n_docs) AS n_docs,
+           CAST(NULL AS VARCHAR) AS text_md5,
+           CAST(NULL AS BOOLEAN) AS oversize,
+           count(*) AS n_packs,
+           CAST(sum(oversize) AS BIGINT) AS n_oversize,
+           round(quantile_cont(util, 0.5), 6) AS utilization,
+           round(min(util), 6) AS min_utilization,
+           round(max(util), 6) AS max_utilization
+    FROM (
+      -- shard id rides in the pack id exactly as pack_sequences mints it
+      -- (shard * 2^40 + local); util is NULL for oversize packs so the
+      -- per-shard min/median/max aggregate only clean packs
+      SELECT pack_id, pack_id // 1099511627776 AS shard,
+             sum(tk) AS pack_tokens, count(*) AS n_docs,
+             max(CASE WHEN tk > 95 THEN 1 ELSE 0 END) AS oversize,
+             CASE WHEN max(CASE WHEN tk > 95 THEN 1 ELSE 0 END) = 0
+                  THEN sum(tk) / 95.0 END AS util
+      FROM (
+        SELECT (doc_id % 3) * 1099511627776 + doc_id % 37 AS pack_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tk
+        FROM documents
+      ) GROUP BY pack_id
+    ) GROUP BY shard
     """,
 )
 def q_token_budget(spark, sf_dir):
@@ -2678,25 +2738,39 @@ def q_token_budget(spark, sf_dir):
     pack assignment (doc_id % 37, oversize planted on every 100th doc) —
     the md5 of each pack's sep-joined sequence pins the exact ascending-id
     concatenation order and bytes; n_docs and the oversize max certify the
-    member aggregation.  The BFD assignment itself stays rows-only
+    member aggregation.  'pack_stats' section (round 12): the packing
+    telemetry (pack_stats + the shared _per_pack fold) certified under
+    the same trick with real per-doc BPE token counts and per-row
+    oversize = tokens > budget — utilization's oversize-exclusion rule is
+    exact SQL.  The BFD assignment itself stays rows-only
     (q_pack_sequences) — iterative bin packing is not SQL-expressible —
     but every downstream transformation of an assignment is certified
     here."""
-    from woe_monotonic_binning_spark.operators.packing import materialize_packs
+    from woe_monotonic_binning_spark.operators.packing import (
+        materialize_packs,
+        pack_stats,
+    )
     from woe_monotonic_binning_spark.operators.sampling import select_to_token_budget
     from woe_monotonic_binning_spark.operators.text import token_count_bpe
 
     docs = _docs(spark, sf_dir)
     toks = docs.withColumn("toks", token_count_bpe(F.col("text")))
     budgets = {"src0": 500.0, "src1": 1200.0, "src2": 120.0}
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
     out = select_to_token_budget(toks, budgets, token_col="toks").select(
         F.lit("budget").alias("section"),
         "doc_id",
         "source",
         "toks",
-        F.lit(None).cast("long").alias("n_docs"),
+        null_l.alias("n_docs"),
         F.lit(None).cast("string").alias("text_md5"),
         F.lit(None).cast("boolean").alias("oversize"),
+        null_l.alias("n_packs"),
+        null_l.alias("n_oversize"),
+        null_d.alias("utilization"),
+        null_d.alias("min_utilization"),
+        null_d.alias("max_utilization"),
     )
     assign = docs.select(
         "doc_id",
@@ -2707,12 +2781,69 @@ def q_token_budget(spark, sf_dir):
         F.lit("materialize").alias("section"),
         F.col("pack_id").alias("doc_id"),
         F.lit(None).cast("string").alias("source"),
-        F.lit(None).cast("long").alias("toks"),
+        null_l.alias("toks"),
         "n_docs",
         F.md5(F.col("text")).alias("text_md5"),
         "oversize",
+        null_l.alias("n_packs"),
+        null_l.alias("n_oversize"),
+        null_d.alias("utilization"),
+        null_d.alias("min_utilization"),
+        null_d.alias("max_utilization"),
     )
-    return out.unionByName(mat)
+    # pack_stats under the same deterministic-assignment trick (the
+    # telemetry the 'pack' bench headline watches), with real per-doc BPE
+    # token counts and per-row oversize = tokens > budget
+    assign_tok = toks.select(
+        "doc_id",
+        (F.col("doc_id") % 37).alias("pack_id"),
+        F.col("toks").alias("tokens"),
+        (F.col("toks") > 95).alias("oversize"),
+    )
+    stats = pack_stats(assign_tok, budget=95).select(
+        F.lit("pack_stats").alias("section"),
+        null_l.alias("doc_id"),
+        F.lit(None).cast("string").alias("source"),
+        null_l.alias("toks"),
+        "n_docs",
+        F.lit(None).cast("string").alias("text_md5"),
+        F.lit(None).cast("boolean").alias("oversize"),
+        "n_packs",
+        F.col("n_oversize").cast("long").alias("n_oversize"),
+        "utilization",
+        null_d.alias("min_utilization"),
+        null_d.alias("max_utilization"),
+    )
+    # pack_shard_stats with the shard id striped into the pack id exactly
+    # as pack_sequences mints it (shard * 2^40 + local): 3 shards, per-
+    # shard min/median/max utilization over clean packs is exact SQL
+    # (Spark percentile(0.5) and DuckDB quantile_cont both interpolate at
+    # (n-1)*q over the sorted values)
+    from woe_monotonic_binning_spark.operators.packing import pack_shard_stats
+
+    assign_shard = toks.select(
+        "doc_id",
+        ((F.col("doc_id") % 3) * F.lit(1 << 40) + F.col("doc_id") % 37).alias(
+            "pack_id"
+        ),
+        F.col("toks").alias("tokens"),
+        (F.col("toks") > 95).alias("oversize"),
+    )
+    shard = pack_shard_stats(assign_shard, budget=95).select(
+        F.lit("shard_stats").alias("section"),
+        F.col("shard").alias("doc_id"),
+        F.lit(None).cast("string").alias("source"),
+        null_l.alias("toks"),
+        "n_docs",
+        F.lit(None).cast("string").alias("text_md5"),
+        F.lit(None).cast("boolean").alias("oversize"),
+        "n_packs",
+        F.col("n_oversize").cast("long").alias("n_oversize"),
+        F.col("median_utilization").alias("utilization"),
+        "min_utilization",
+        "max_utilization",
+    )
+    return out.unionByName(mat).unionByName(stats).unionByName(shard)
 
 
 @_q("q_sample_hash")

@@ -711,3 +711,52 @@ def test_png_palette_index_offset_is_caught(spark, con, monkeypatch):
         "q_multimodal_stats",
         qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
     )
+
+
+def test_pack_stats_oversize_in_utilization_is_caught(spark, con, monkeypatch):
+    """pack_stats counting OVERSIZE packs into utilization (numerator and
+    denominator) — the natural off-by-a-filter bug in the telemetry the
+    'pack_stats' section certifies; the 6dp utilization must disagree."""
+    import woe_monotonic_binning_spark.operators.packing as pk
+
+    def mutated(packed, budget):
+        per_pack = pk._per_pack(packed)
+        return per_pack.agg(
+            F.count("*").alias("n_packs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum(F.when(F.col("oversize") == 1, 1).otherwise(0)).alias("n_oversize"),
+            F.round(
+                F.sum(F.col("pack_tokens"))
+                / F.greatest(F.count("*") * F.lit(budget), F.lit(1)),
+                6,
+            ).alias("utilization"),
+        )
+
+    monkeypatch.setattr(pk, "pack_stats", mutated)
+    assert_caught(
+        spark, con, "q_token_budget", qc.SPARK_QUERIES["q_token_budget"](spark, SF)
+    )
+
+
+def test_pack_shard_stride_bug_is_caught(spark, con, monkeypatch):
+    """pack_shard_stats decoding the shard with the WRONG stride (2^32
+    instead of the mint-side 2^40) — shards collapse/explode and the
+    per-shard rows disagree."""
+    import woe_monotonic_binning_spark.operators.packing as pk
+
+    orig = pk.pack_shard_stats
+
+    def mutated(packed, budget):
+        import pyspark.sql.functions as SF
+
+        wrong = packed.withColumn(
+            "pack_id",
+            (SF.col("pack_id") % SF.lit(1 << 40))
+            + (SF.col("pack_id") / SF.lit(1 << 40)).cast("long") * SF.lit(1 << 32),
+        )
+        return orig(wrong, budget)
+
+    monkeypatch.setattr(pk, "pack_shard_stats", mutated)
+    assert_caught(
+        spark, con, "q_token_budget", qc.SPARK_QUERIES["q_token_budget"](spark, SF)
+    )

@@ -66,3 +66,52 @@ def test_float_rule_unchanged(sweep):
     assert not sweep.compare_fast(a, b, "q")
     c = pd.DataFrame({"v": [1.001, 0.0, None]})
     assert sweep.compare_fast(a, c, "q")
+
+
+def test_certified_jaccard_recipes_stay_bounded():
+    """Round-12 re-base pin: the certified q_dedup_ngram, q_dedup_cluster
+    and q_curation_pipeline bodies must block the exact-Jaccard self-join
+    on lang + blk (doc_id%50) — lang-only blocking is quadratic by
+    construction one decade up (sf1: the en block alone is ~212M pairs),
+    and certified recipes are what users copy.  Checks both the Spark
+    bodies (AST: every ngram_jaccard_pairs call in those functions passes
+    ['lang', 'blk']) and the oracle twins (SQL: the pair join carries the
+    a.blk = b.blk conjunct)."""
+    import ast
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "queries_catalog.py")) as f:
+        tree = ast.parse(f.read())
+    targets = {"q_dedup_ngram", "q_dedup_cluster", "q_curation_pipeline"}
+    seen = set()
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.FunctionDef) and node.name in targets):
+            continue
+        for c in ast.walk(node):
+            if (
+                isinstance(c, ast.Call)
+                and isinstance(c.func, ast.Name)
+                and c.func.id == "ngram_jaccard_pairs"
+            ):
+                seen.add(node.name)
+                blocks = next(
+                    (a for a in c.args if isinstance(a, ast.List)), None
+                )
+                assert blocks is not None, f"{node.name}: block_cols not a literal list"
+                names = [getattr(e, "value", None) for e in blocks.elts]
+                assert names == ["lang", "blk"], (
+                    f"{node.name}: certified recipe blocks on {names}, not the "
+                    "bounded ['lang', 'blk'] key (round-12 re-base)"
+                )
+    assert seen == targets
+
+    import sys
+
+    sys.path.insert(0, repo)
+    import queries_catalog as qc
+
+    for name in ("q_dedup_ngram", "q_dedup_cluster", "q_curation_pipeline"):
+        sql = qc.ORACLE_SQL[name]
+        assert "a.blk = b.blk" in sql, f"{name}: oracle twin lost the blk conjunct"
+        assert "doc_id % 50" in sql, f"{name}: oracle twin lost the doc_id%50 key"
