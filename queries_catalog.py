@@ -2681,8 +2681,13 @@ def q_sampling_suite(spark, sf_dir):
            CAST(NULL AS BOOLEAN) AS oversize,
            count(*) AS n_packs,
            CAST(sum(oversize) AS BIGINT) AS n_oversize,
-           round(sum(CASE WHEN oversize = 0 THEN pack_tokens END)
-                 / greatest(sum(CASE WHEN oversize = 0 THEN 95 END), 1), 6)
+           -- ELSE 0 mirrors pack_stats' otherwise(0): a corpus whose
+           -- every pack is oversize reports utilization 0.0 (0 clean
+           -- tokens over the floor-1 denominator), not NULL — the sf1
+           -- spot-sweep caught the CASE-without-ELSE twin returning NULL
+           -- where the engine says 0.0 (round 12)
+           round(sum(CASE WHEN oversize = 0 THEN pack_tokens ELSE 0 END)
+                 / greatest(sum(CASE WHEN oversize = 0 THEN 95 ELSE 0 END), 1), 6)
              AS utilization,
            CAST(NULL AS DOUBLE) AS min_utilization,
            CAST(NULL AS DOUBLE) AS max_utilization

@@ -500,3 +500,24 @@ def test_asof_nearest_single_exchange(spark):
     assert n_exchange == 1, (
         f"nearest as-of must reuse one key exchange, saw {n_exchange}:\n{plan}"
     )
+
+
+def test_ngram_jaccard_self_join_is_merge_not_broadcast(spark):
+    """The round-11 sf1-caught plan defect, pinned: both sides of the
+    blocked exact-Jaccard self-join are the CORPUS (each row carries the
+    document's full word array), so Spark's row-count-based size estimate
+    under-sizes them and would happily broadcast one side — the plan that
+    timed out the broadcast future at sf1 and cannot exist at 100 TB.
+    The merge hint must keep the static plan a SortMergeJoin on the block
+    key (join hints also survive AQE re-planning), with the round-12
+    bounded lang+blk blocking shape."""
+    from woe_monotonic_binning_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "blk", F.col("doc_id") % 50
+    )
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", ["lang", "blk"], 0.5)
+    plan = formatted_plan(out)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
