@@ -3390,28 +3390,80 @@ def q_repeated_chunks(spark, sf_dir):
              AS n_removed,
            length(array_to_string(
              list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10)))
-             AS new_len
+             AS new_len,
+           CAST(NULL AS INT) AS chunk_idx,
+           CAST(NULL AS VARCHAR) AS chunk_md5,
+           CAST(NULL AS INT) AS n_units
     FROM k
     UNION ALL
     SELECT 'chunks' AS section, t.doc_id,
            t.n_total - coalesce(r.n_kept, 0) AS n_removed,
-           length(coalesce(r.text, '')) AS new_len
+           length(coalesce(r.text, '')) AS new_len,
+           CAST(NULL AS INT) AS chunk_idx,
+           CAST(NULL AS VARCHAR) AS chunk_md5,
+           CAST(NULL AS INT) AS n_units
     FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    UNION ALL
+    -- sliding windows, words unit: chunk 20 / overlap 5 (stride 15);
+    -- md5 of each re-joined window pins the exact slice and boundaries
+    SELECT 'window_words' AS section, doc_id,
+           CAST(NULL AS INT) AS n_removed, CAST(NULL AS INT) AS new_len,
+           CAST(i AS INT) AS chunk_idx,
+           md5(array_to_string(ws[i*15+1 : i*15+20], ' ')) AS chunk_md5,
+           CAST(len(ws[i*15+1 : i*15+20]) AS INT) AS n_units
+    FROM (
+      SELECT doc_id, ws,
+             CASE WHEN n <= 0 THEN 0
+                  ELSE 1 + CAST(ceil(greatest(n - 20, 0) / 15.0) AS INT)
+             END AS n_windows
+      FROM (
+        SELECT doc_id,
+               str_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(str_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+               END AS n
+        FROM documents
+      )
+    ), unnest(range(0, n_windows)) AS t(i)
+    UNION ALL
+    -- sliding windows, chars unit: chunk 64 / overlap 16 (stride 48);
+    -- substr slices the ORIGINAL bytes, so chunk_md5 certifies verbatim
+    -- character windows
+    SELECT 'window_chars' AS section, doc_id,
+           CAST(NULL AS INT) AS n_removed, CAST(NULL AS INT) AS new_len,
+           CAST(i AS INT) AS chunk_idx,
+           md5(substr(text, CAST(i*48+1 AS INT), 64)) AS chunk_md5,
+           CAST(length(substr(text, CAST(i*48+1 AS INT), 64)) AS INT) AS n_units
+    FROM (
+      SELECT doc_id, text,
+             CASE WHEN length(text) <= 0 THEN 0
+                  ELSE 1 + CAST(ceil(greatest(length(text) - 64, 0) / 48.0) AS INT)
+             END AS n_windows
+      FROM documents
+    ), unnest(range(0, n_windows)) AS t(i)
     """,
 )
 def q_dedup_lines(spark, sf_dir):
-    """Intra/inter-document repetition-removal suite.  'lines' section:
-    C4-style line dedup — docs reshaped to three lines of which two are
-    identical, one map-side array_distinct pass removes the repeat
-    preserving first-occurrence order (hash-certified since round 6).
-    'chunks' section: corpus-level boilerplate removal
+    """Intra/inter-document repetition-removal + window-chunking suite.
+    'lines' section: C4-style line dedup — docs reshaped to three lines
+    of which two are identical, one map-side array_distinct pass removes
+    the repeat preserving first-occurrence order (hash-certified since
+    round 6).  'chunks' section: corpus-level boilerplate removal
     (remove_repeated_chunks, the rows-only q_repeated_chunks scenario —
-    hash-certified here since round 9)."""
+    hash-certified here since round 9).  'window_words'/'window_chars'
+    sections (round 12): sliding-window document chunking
+    (chunk_documents, the rows-only q_chunk_documents scenario) — one
+    row per window, chunk_md5 pinning the exact slice text (words:
+    chunk 20/overlap 5 re-joined windows; chars: chunk 64/overlap 16
+    verbatim substrings), n_units pinning the short final window."""
     from woe_monotonic_binning_spark.operators.text import (
+        chunk_documents,
         remove_repeated_chunks,
         remove_repeated_lines,
     )
 
+    null_i = F.lit(None).cast("int")
+    null_s = F.lit(None).cast("string")
     docs = _docs(spark, sf_dir).withColumn(
         "text", F.concat("text", F.lit("\n"), "text", F.lit("\ntail"))
     )
@@ -3420,6 +3472,9 @@ def q_dedup_lines(spark, sf_dir):
         "doc_id",
         F.col("n_lines_removed").alias("n_removed"),
         F.length("text").alias("new_len"),
+        null_i.alias("chunk_idx"),
+        null_s.alias("chunk_md5"),
+        null_i.alias("n_units"),
     )
     chunks = remove_repeated_chunks(
         _docs(spark, sf_dir), chunk_words=5, min_df=2
@@ -3428,8 +3483,29 @@ def q_dedup_lines(spark, sf_dir):
         "doc_id",
         F.col("n_chunks_removed").alias("n_removed"),
         F.length("text").alias("new_len"),
+        null_i.alias("chunk_idx"),
+        null_s.alias("chunk_md5"),
+        null_i.alias("n_units"),
     )
-    return lines.unionByName(chunks)
+
+    def _window(unit, cs, ov, section):
+        return chunk_documents(
+            _docs(spark, sf_dir), chunk_size=cs, overlap=ov, unit=unit
+        ).select(
+            F.lit(section).alias("section"),
+            "doc_id",
+            null_i.alias("n_removed"),
+            null_i.alias("new_len"),
+            "chunk_idx",
+            F.md5(F.col("text")).alias("chunk_md5"),
+            "n_units",
+        )
+
+    return (
+        lines.unionByName(chunks)
+        .unionByName(_window("words", 20, 5, "window_words"))
+        .unionByName(_window("chars", 64, 16, "window_chars"))
+    )
 
 
 @_q(
@@ -3655,6 +3731,20 @@ def q_decontam_semantic(spark, sf_dir):
     return decontaminate_semantic(
         emb, emb.filter(F.col("vec_id") % 20 == 0), "embedding", "vec_id", 0.35
     ).drop("embedding")
+
+
+@_q("q_chunk_documents")
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window document chunking at the production default shape
+    (512-word windows, 64-word overlap): the context-window prep step
+    between curation and tokenization.  Window math, both units, edge
+    semantics and passthrough columns pinned in tests/test_curation_ops
+    .py; rows-only here, but the identical windowing is driver-hash
+    certified through the q_dedup_lines 'window_words'/'window_chars'
+    sections (round 12)."""
+    from woe_monotonic_binning_spark.operators.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=512, overlap=64)
 
 
 @_q("q_pack_materialize")

@@ -1347,3 +1347,82 @@ def test_curate_corpus_tail_params_are_keyword_only(spark):
             docs, "text", "doc_id", False, False, False, 10, 2, False, None,
             0.5, "minhash", 0.7, None, 3,
         )
+
+
+def _chunk_ref(text, chunk_size, overlap, unit):
+    """Independent pure-Python reference for chunk_documents."""
+    stride = chunk_size - overlap
+    if unit == "words":
+        units = " ".join(text.split()).split(" ") if text.split() else []
+    else:
+        units = list(text)
+    n = len(units)
+    if n == 0:
+        return []
+    n_windows = 1 + max(0, -(-(n - chunk_size) // stride)) if n > chunk_size else 1
+    out = []
+    for i in range(n_windows):
+        w = units[i * stride : i * stride + chunk_size]
+        joined = " ".join(w) if unit == "words" else "".join(w)
+        out.append((i, joined, len(w)))
+    return out
+
+
+def test_chunk_documents_matches_reference_both_units(spark):
+    """chunk_documents vs an independent sliding-window reference on the
+    real corpus, both units: same (doc, idx) keyset, same chunk text,
+    same n_units; passthrough columns preserved on every row."""
+    from woe_monotonic_binning_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    rows = {r.doc_id: r for r in docs.collect()}
+    for unit, cs, ov in (("words", 20, 5), ("chars", 64, 16)):
+        got = chunk_documents(docs, chunk_size=cs, overlap=ov, unit=unit)
+        got_map = {
+            (r.doc_id, r.chunk_idx): (r.text, r.n_units, r.lang, r.source)
+        # noqa: E128 — dict comprehension over collected rows
+            for r in got.collect()
+        }
+        exp_map = {}
+        for did, r in rows.items():
+            for i, chunk, nu in _chunk_ref(r.text, cs, ov, unit):
+                exp_map[(did, i)] = (chunk, nu, r.lang, r.source)
+        assert got_map == exp_map and len(exp_map) > len(rows) // 2, unit
+
+
+def test_chunk_documents_boundaries(spark):
+    """Edge semantics pinned: empty / whitespace-only doc -> zero rows;
+    doc at exactly chunk_size -> one chunk; one unit over -> two chunks
+    with the second carrying overlap + the new unit; exact-stride
+    multiple emits no trailing overlap-only window; invalid overlap and
+    unit raise."""
+    import pytest as _pytest
+
+    from woe_monotonic_binning_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "   "),
+            (2, "a b c d"),          # n=4 == chunk_size -> 1 chunk
+            (3, "a b c d e"),        # n=5 -> windows [0:4], [2:5]
+            (4, "a b c d e f"),      # n=6 = chunk + stride -> exactly 2
+        ],
+        "doc_id long, text string",
+    )
+    got = chunk_documents(docs, chunk_size=4, overlap=2, unit="words")
+    by_doc = {}
+    for r in got.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.text, r.n_units))
+    for d in by_doc.values():
+        d.sort()
+    assert 0 not in by_doc and 1 not in by_doc
+    assert by_doc[2] == [(0, "a b c d", 4)]
+    assert by_doc[3] == [(0, "a b c d", 4), (1, "c d e", 3)]
+    assert by_doc[4] == [(0, "a b c d", 4), (1, "c d e f", 4)]
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=4, overlap=4)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=4, overlap=-1)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, unit="tokens")

@@ -760,3 +760,21 @@ def test_pack_shard_stride_bug_is_caught(spark, con, monkeypatch):
     assert_caught(
         spark, con, "q_token_budget", qc.SPARK_QUERIES["q_token_budget"](spark, SF)
     )
+
+
+def test_chunk_overlap_ignored_is_caught(spark, con, monkeypatch):
+    """chunk_documents silently dropping the overlap (stride = chunk_size
+    instead of chunk_size - overlap) — window starts shift, chunk_md5 and
+    the window count both disagree in the round-12 window sections."""
+    import woe_monotonic_binning_spark.operators.text as tx
+
+    orig = tx.chunk_documents
+
+    def mutated(df, text_col="text", id_col="doc_id", chunk_size=512,
+                overlap=64, unit="words"):
+        return orig(df, text_col, id_col, chunk_size, 0, unit)
+
+    monkeypatch.setattr(tx, "chunk_documents", mutated)
+    assert_caught(
+        spark, con, "q_dedup_lines", qc.SPARK_QUERIES["q_dedup_lines"](spark, SF)
+    )

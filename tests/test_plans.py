@@ -521,3 +521,23 @@ def test_ngram_jaccard_self_join_is_merge_not_broadcast(spark):
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_documents_single_generate_no_shuffle_no_python(spark):
+    """chunk_documents (round 12) is pure map-side + the one inherent
+    posexplode: row expansion IS the output, so exactly one Generate,
+    zero exchanges, zero Python eval nodes — at 100 TB it fuses into the
+    surrounding scan/writer."""
+    import re
+
+    from woe_monotonic_binning_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for unit in ("words", "chars"):
+        out = chunk_documents(docs, chunk_size=64, overlap=16, unit=unit)
+        plan = formatted_plan(out)
+        # node headers only — explain('formatted') repeats each node name
+        # in its detail block
+        assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, unit
+        assert exchange_count(out) == 0, unit
+        assert python_eval_count(out) == 0, unit

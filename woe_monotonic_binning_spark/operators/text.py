@@ -362,6 +362,95 @@ def remove_repeated_chunks(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 512,
+    overlap: int = 64,
+    unit: str = "words",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    between curation and tokenization (split long documents into
+    ``chunk_size``-unit windows that overlap by ``overlap`` units, the
+    standard shape for embedding-model inputs and long-doc training
+    examples).  One output row per chunk: every input column except
+    ``text_col`` passes through, plus ``chunk_idx`` (0-based window
+    index), the chunk text under ``text_col``, and ``n_units`` (words or
+    chars actually in the chunk — the final window may be shorter).
+
+    Window math: stride = ``chunk_size - overlap``; window ``i`` covers
+    units ``[i*stride, i*stride + chunk_size)``; the number of windows is
+    ``1 + ceil(max(n - chunk_size, 0) / stride)`` — a document at or
+    under ``chunk_size`` units yields exactly one chunk, an empty
+    document (zero units) yields ZERO rows (nothing to train on), and no
+    trailing window consisting purely of already-seen overlap is ever
+    emitted.
+
+    ``unit='words'`` tokenises on whitespace (trim + collapse, the same
+    normalisation as ``remove_repeated_chunks``) and re-joins each window
+    with single spaces — chunk text is whitespace-normalised, inherent to
+    word-window reassembly.  ``unit='chars'`` slices the original string
+    (``substr``) so chunk bytes are verbatim; overlap semantics are
+    identical.
+
+    Plan shape at scale: pure map-side column expressions plus the ONE
+    inherent ``posexplode`` (row expansion IS the operator's output —
+    this is the legitimate Generate, unlike the stats operators that
+    must stay explode-free); zero shuffles, zero Python, so it fuses
+    into whatever scan or writer surrounds it and scales embarrassingly.
+    Beyond-reference op (training-data pipeline surface); certified via
+    the q_dedup_lines 'window_words'/'window_chars' driver-hash sections
+    and the local parity/boundary tests."""
+    if not (0 <= overlap < chunk_size):
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_size, got "
+            f"overlap={overlap}, chunk_size={chunk_size}"
+        )
+    if unit not in ("words", "chars"):
+        raise ValueError(f"unit must be 'words' or 'chars', got {unit!r}")
+    stride = chunk_size - overlap
+    if unit == "words":
+        units = F.split(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "), " ")
+        # split('') yields [''] — an empty doc must count zero units
+        n = F.when(
+            F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+        ).otherwise(F.size(units))
+    else:
+        units = None
+        n = F.length(F.col(text_col))
+    n_windows = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.ceil(F.greatest(n - chunk_size, F.lit(0)) / F.lit(stride)).cast("int")
+    )
+    # sequence(0, -1) would infer step -1 and emit [0, -1]; guard with an
+    # empty array so zero-window docs explode to zero rows
+    idxs = F.when(n_windows > 0, F.sequence(F.lit(0), n_windows - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    other_cols = [c for c in df.columns if c != text_col]
+    base = df.withColumn("__units", units if units is not None else F.col(text_col))
+    ex = base.select(
+        *other_cols,
+        F.col("__units"),
+        F.explode(idxs).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    if unit == "words":
+        window = F.slice(F.col("__units"), start + 1, chunk_size)
+        chunk = F.array_join(window, " ")
+        n_units = F.size(window)
+    else:
+        chunk = F.col("__units").substr(start + 1, F.lit(chunk_size))
+        n_units = F.length(chunk)
+    return ex.select(
+        *other_cols,
+        "chunk_idx",
+        chunk.alias(text_col),
+        n_units.cast("int").alias("n_units"),
+    )
+
+
 # PII patterns chosen to parse identically under Java regex (Spark) and RE2
 # (DuckDB) so the scrub is oracle-checkable: no backreferences, no lookaround
 # (non-capturing groups and \b are fine in both).  Dict order IS replacement
