@@ -1426,3 +1426,28 @@ def test_chunk_documents_boundaries(spark):
         chunk_documents(docs, chunk_size=4, overlap=-1)
     with _pytest.raises(ValueError):
         chunk_documents(docs, unit="tokens")
+
+
+def test_curate_corpus_window_stage(spark):
+    """curate_corpus(window_size=...) chunks the labeled survivors as the
+    final stage: output equals chunk_documents applied to the
+    no-window run, windows inherit quality/component/split, and the
+    stage composes with the rest of the pipeline untouched."""
+    from woe_monotonic_binning_spark import curate_corpus
+    from woe_monotonic_binning_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = curate_corpus(docs, quality_threshold=0.5, near_dup="minhash")
+    windowed = curate_corpus(
+        docs, quality_threshold=0.5, near_dup="minhash",
+        window_size=20, window_overlap=5,
+    )
+    exp = chunk_documents(base, chunk_size=20, overlap=5)
+    key = lambda r: (r["doc_id"], r["chunk_idx"])
+    g = sorted(map(lambda r: r.asDict(), windowed.collect()), key=key)
+    e = sorted(map(lambda r: r.asDict(), exp.collect()), key=key)
+    assert g == e and len(g) > 0
+    assert {"quality", "component", "split", "chunk_idx", "n_units"} <= set(
+        windowed.columns
+    )
+    spark.catalog.clearCache()

@@ -80,6 +80,9 @@ def curate_corpus(
     decontam_n: int = 8,
     benchmark_emb: DataFrame | None = None,
     benchmark_emb_threshold: float = 0.95,
+    window_size: int | None = None,
+    window_overlap: int = 64,
+    window_unit: str = "words",
     output_path: str | None = None,
     cache_survivors: bool = True,
 ) -> DataFrame:
@@ -98,6 +101,7 @@ def curate_corpus(
       schema stable);
     - ``dedup_lines=True`` — ``remove_repeated_lines`` drops repeated
       intra-document lines, keeping first occurrences;
+
     - ``dedup_chunks=True`` — ``remove_repeated_chunks`` cuts
       ``chunk_words``-word segments appearing in >= ``chunk_min_df``
       distinct documents (corpus-level boilerplate; the one stage with an
@@ -105,6 +109,14 @@ def curate_corpus(
     - ``gopher=True`` — ``gopher_filter`` drops documents violating the
       Rae et al. acceptance bands (``gopher_thresholds`` to retune; the
       signal/fail-reason columns are dropped after the gate).
+
+    ``window_size`` (keyword-only, round 12) turns on the FINAL stage:
+    sliding-window chunking of the labeled survivors via
+    ``chunk_documents`` (``window_overlap`` / ``window_unit`` forwarded)
+    — the output becomes one row per context window instead of one per
+    document, each window inheriting its document's quality, component
+    and split columns, so the partitioned write lands tokenizer-ready
+    windows.
 
     ``near_dup`` picks the near-duplicate backend (each the certified
     operator from ``operators/dedup.py``; all feed the same
@@ -309,6 +321,17 @@ def curate_corpus(
             seed=budget_seed,
         ).drop("__toks")
     labeled = split_column(mixed, id_col, test_fraction, split_seed, col="split")
+    if window_size is not None:
+        # final stage: sliding-window chunking (round 12) — one output row
+        # per context window, inheriting quality/component/split, so the
+        # partitionBy(split) write below lands tokenizer-ready windows.
+        # After the budget stage by design: budgets meter whole documents
+        # (the unit the recipe reasons about), windows are the packaging.
+        from .operators.text import chunk_documents
+
+        labeled = chunk_documents(
+            labeled, text_col, id_col, window_size, window_overlap, window_unit
+        )
     if output_path is not None:
         try:
             labeled.write.mode("overwrite").partitionBy("split").parquet(output_path)
