@@ -3417,10 +3417,12 @@ def q_repeated_chunks(spark, sf_dir):
                   ELSE 1 + CAST(ceil(greatest(n - 20, 0) / 15.0) AS INT)
              END AS n_windows
       FROM (
+        -- collapse-then-trim mirrors the engine (trim strips spaces
+        -- only; raw-text trim left phantom units for edge newlines/tabs)
         SELECT doc_id,
-               str_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws,
-               CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(str_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+               str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws,
+               CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+                    ELSE len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
                END AS n
         FROM documents
       )

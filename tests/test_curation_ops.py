@@ -1407,6 +1407,14 @@ def test_chunk_documents_boundaries(spark):
             (2, "a b c d"),          # n=4 == chunk_size -> 1 chunk
             (3, "a b c d e"),        # n=5 -> windows [0:4], [2:5]
             (4, "a b c d e f"),      # n=6 = chunk + stride -> exactly 2
+            # round-12 review regressions: Spark trim strips SPACES only,
+            # so edge \n/\t used to mint phantom empty units (trailing
+            # newline = nearly every real document); NULL text used to
+            # defeat the zero-window guard via greatest()'s NULL-skip
+            (5, "a b c d e\n"),      # trailing newline == doc 3
+            (6, "\ta b c d e"),      # leading tab == doc 3
+            (7, "\n"),               # whitespace-only -> zero rows
+            (8, None),               # NULL text -> zero rows
         ],
         "doc_id long, text string",
     )
@@ -1417,9 +1425,18 @@ def test_chunk_documents_boundaries(spark):
     for d in by_doc.values():
         d.sort()
     assert 0 not in by_doc and 1 not in by_doc
+    assert 7 not in by_doc and 8 not in by_doc
     assert by_doc[2] == [(0, "a b c d", 4)]
     assert by_doc[3] == [(0, "a b c d", 4), (1, "c d e", 3)]
     assert by_doc[4] == [(0, "a b c d", 4), (1, "c d e f", 4)]
+    assert by_doc[5] == by_doc[3] and by_doc[6] == by_doc[3]
+    # NULL text yields zero rows in the chars unit too
+    chars = chunk_documents(docs, chunk_size=4, overlap=2, unit="chars")
+    assert chars.filter(F.col("doc_id") == 8).count() == 0
+    import pytest as _pytest2
+
+    with _pytest2.raises(ValueError):
+        chunk_documents(docs, id_col="nope")
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_size=4, overlap=4)
     with _pytest.raises(ValueError):

@@ -2288,3 +2288,57 @@ def test_decode_audio_codec_hook(spark):
     assert rows[3].fmt is None
     base = {r.media_id: r for r in decode_audio(media).collect()}
     assert base[1].fmt is None and base[2].fmt == "wav"
+
+
+def test_decode_codec_malformed_returns_reject_rows_not_job(spark):
+    """Round-12 review: a codec returning garbage must reject the ROW,
+    never kill the stage — wrong-arity tuples, rate 0 on a malformed
+    header (the common decoder-wrapper convention), non-3*w*h rasters,
+    and a stereo report with a one-element sums sequence all fall
+    through to the built-in parsers / the NULL row."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+    )
+
+    def bad_img_codec(raw):
+        tag = raw[:1]
+        if tag == b"A":
+            return ("jpeg", 2, 1)  # wrong arity
+        if tag == b"B":
+            return ("jpeg", 2, 1, bytes(5))  # raster not 3*w*h
+        if tag == b"C":
+            return ("jpeg", 0, 1, b"")  # non-positive dims
+        if tag == b"D":
+            return ("jpeg", 1, 1, bytes([9, 9, 9]))  # the one valid row
+        return None
+
+    img = spark.createDataFrame(
+        [(i, "image", bytearray(t)) for i, t in enumerate([b"A", b"B", b"C", b"D"])],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in decode_image(img, codec=bad_img_codec).collect()}
+    assert rows[3].fmt == "jpeg" and (rows[3].sum_r, rows[3].sum_g, rows[3].sum_b) == (9, 9, 9)
+    for mid in (0, 1, 2):
+        assert rows[mid].fmt is None and rows[mid].sum_r is None
+
+    def bad_aud_codec(raw):
+        tag = raw[:1]
+        if tag == b"A":
+            return ("mp3", 1, 0, 4, [10])  # rate 0 -> division guard
+        if tag == b"B":
+            return ("mp3", 2, 44100, 4, [10])  # stereo, 1 sum
+        if tag == b"C":
+            return ("mp3", 1, 8000)  # wrong arity
+        if tag == b"D":
+            return ("mp3", 1, 8000, 4, [10])  # the one valid row
+        return None
+
+    aud = spark.createDataFrame(
+        [(i, "audio", bytearray(t)) for i, t in enumerate([b"A", b"B", b"C", b"D"])],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in decode_audio(aud, codec=bad_aud_codec).collect()}
+    assert rows[3].fmt == "mp3" and rows[3].sum_pcm == 10
+    for mid in (0, 1, 2):
+        assert rows[mid].fmt is None and rows[mid].sum_pcm is None

@@ -367,13 +367,26 @@ def decode_image(media: DataFrame, codec=None) -> DataFrame:
                 if b is not None:
                     raw = bytes(b)
                     if codec is not None:
+                        # validate INSIDE the try: a codec returning a
+                        # wrong-arity tuple, non-positive dims, or a
+                        # raster that is not 3*w*h bytes must reject the
+                        # row, not kill the stage (round-12 review — the
+                        # docstring promises one corrupt payload among
+                        # billions cannot fail the job)
                         try:
                             got = codec(raw)
+                            if got is not None:
+                                fmt_, w_, h_, px_ = got
+                                px_ = bytes(px_)
+                                if (
+                                    int(w_) > 0
+                                    and int(h_) > 0
+                                    and len(px_) == 3 * int(w_) * int(h_)
+                                ):
+                                    fmt = str(fmt_)
+                                    parsed = (int(w_), int(h_), px_)
                         except Exception:
-                            got = None
-                        if got is not None:
-                            fmt, w_, h_, px_ = got
-                            parsed = (w_, h_, px_)
+                            parsed, fmt = None, None
                     if parsed is None:
                         for parse, name in (
                             (_parse_ppm, "ppm"),
@@ -659,13 +672,28 @@ def decode_audio(media: DataFrame, codec=None) -> DataFrame:
                 if b is not None:
                     raw = bytes(b)
                     if codec is not None:
+                        # validate INSIDE the try (round-12 review): a
+                        # codec reporting rate<=0 on a malformed header —
+                        # a common decoder-wrapper convention — would
+                        # otherwise reach the duration division and kill
+                        # the stage; wrong-arity tuples, nch<1 and a sums
+                        # sequence shorter than the channel count reject
+                        # the row the same way
                         try:
                             got = codec(raw)
+                            if got is not None:
+                                fmt_, nch_, rate_, nf_, sums_ = got
+                                sums_ = [int(x) for x in sums_]
+                                if (
+                                    int(rate_) > 0
+                                    and int(nch_) >= 1
+                                    and int(nf_) >= 0
+                                    and len(sums_) >= min(int(nch_), 2)
+                                ):
+                                    fmt = str(fmt_)
+                                    parsed = (int(nch_), int(rate_), int(nf_), sums_)
                         except Exception:
-                            got = None
-                        if got is not None:
-                            fmt, nch_, rate_, nf_, sums_ = got
-                            parsed = (nch_, rate_, nf_, list(sums_))
+                            parsed, fmt = None, None
                     if parsed is None:
                         parsed = _parse_wav(raw)
                         if parsed is not None:

@@ -409,16 +409,30 @@ def chunk_documents(
         )
     if unit not in ("words", "chars"):
         raise ValueError(f"unit must be 'words' or 'chars', got {unit!r}")
+    if id_col not in df.columns:
+        # the (id_col, chunk_idx) pair is the documented chunk key; a
+        # typo'd id column should fail here, not downstream
+        raise ValueError(f"id_col {id_col!r} not in {df.columns}")
     stride = chunk_size - overlap
     if unit == "words":
-        units = F.split(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "), " ")
-        # split('') yields [''] — an empty doc must count zero units
-        n = F.when(
-            F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-        ).otherwise(F.size(units))
+        # collapse ALL whitespace to single spaces FIRST, then trim —
+        # Spark's trim strips spaces only, so trimming the raw text left
+        # phantom empty units for texts with leading/trailing \n or \t
+        # (round-12 review: a trailing newline — i.e. nearly every real
+        # document — corrupted the final window and inflated n_units)
+        normed = F.trim(F.regexp_replace(F.col(text_col), "\\s+", " "))
+        units = F.split(normed, " ")
+        # split('') yields [''] — an empty doc must count zero units;
+        # coalesce folds NULL text to zero units too (greatest() skips
+        # NULLs, so a NULL n would otherwise defeat the zero-window
+        # guard and emit one phantom NULL chunk — round-12 review)
+        n = F.coalesce(
+            F.when(F.length(normed) == 0, F.lit(0)).otherwise(F.size(units)),
+            F.lit(0),
+        )
     else:
         units = None
-        n = F.length(F.col(text_col))
+        n = F.coalesce(F.length(F.col(text_col)), F.lit(0))
     n_windows = F.when(n <= 0, F.lit(0)).otherwise(
         F.lit(1)
         + F.ceil(F.greatest(n - chunk_size, F.lit(0)) / F.lit(stride)).cast("int")
