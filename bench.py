@@ -27,6 +27,10 @@ Each headline exercises a different engine pillar:
 - drift           PSI population drift + per-ship-year characteristic
                   WOE/IV audit under fixed bins — three melt/partial-agg
                   histogram passes over lineitem (added round 7)
+- chunking        sliding-window document chunking, words unit at the
+                  512/64 production shape (added round 12; pure map-side
+                  + one Generate, so this headline tracks the scan +
+                  explode + aggregate floor)
 
 Methodology: each query is timed $SPARK_GRAFT_BENCH_REPS times (default 3)
 and the MINIMUM is reported — the bench host is shared and a transient
@@ -203,6 +207,7 @@ HEADLINES = [
     "decontam",
     "pack",
     "drift",
+    "chunking",
 ]
 
 
@@ -298,6 +303,11 @@ def main() -> None:
     ev_warm = events.limit(256).cache()
     tumbling_agg(ev_warm).count()
     session_agg(ev_warm).count()
+    from woe_monotonic_binning_spark.operators.text import chunk_documents
+
+    chunk_documents(warm_docs, chunk_size=512, overlap=64).agg(
+        F.count("*"), F.sum("n_units")
+    ).collect()
     # the curation headline now runs the public curate_corpus API — warm
     # its fused scrub/mix/split expression shapes too
     from queries_catalog import _CURATION_WEIGHTS
@@ -486,6 +496,18 @@ def main() -> None:
 
     if wanted("drift"):
         timed("drift", run_drift)
+
+    def run_chunking():
+        from woe_monotonic_binning_spark.operators.text import chunk_documents
+
+        return (
+            chunk_documents(read_docs(), chunk_size=512, overlap=64)
+            .agg(F.count("*"), F.sum("n_units"))
+            .collect()
+        )
+
+    if wanted("chunking"):
+        timed("chunking", run_chunking)
 
     rerun: dict[str, dict] = {}
     if only is None:

@@ -36,6 +36,7 @@ REQUIRED_PUBLIC_CALLS = {
     "decontam": {"decontaminate"},
     "pack": {"pack_sequences", "text_stats"},
     "drift": {"psi_report", "psi_summary", "characteristic_stability"},
+    "chunking": {"chunk_documents"},
 }
 
 
