@@ -3418,11 +3418,18 @@ def q_repeated_chunks(spark, sf_dir):
              END AS n_windows
       FROM (
         -- collapse-then-trim mirrors the engine (trim strips spaces
-        -- only; raw-text trim left phantom units for edge newlines/tabs)
+        -- only; raw-text trim left phantom units for edge newlines/tabs).
+        -- The explicit ASCII class is Java \\s exactly; RE2's \\s+
+        -- shorthand omits vertical tab, so the shorthand would diverge
+        -- from the engine on \\x0B (round-12 review).  NULL text guards
+        -- to ZERO windows like the engine (a bare n <= 0 is NULL-defeated
+        -- in the CASE and DuckDB's greatest() skips NULLs too).
         SELECT doc_id,
-               str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws,
-               CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
-                    ELSE len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+               str_split(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS ws,
+               CASE WHEN text IS NULL
+                      OR length(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) = 0
+                    THEN 0
+                    ELSE len(str_split(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '))
                END AS n
         FROM documents
       )
@@ -3438,7 +3445,7 @@ def q_repeated_chunks(spark, sf_dir):
            CAST(length(substr(text, CAST(i*48+1 AS INT), 64)) AS INT) AS n_units
     FROM (
       SELECT doc_id, text,
-             CASE WHEN length(text) <= 0 THEN 0
+             CASE WHEN text IS NULL OR length(text) <= 0 THEN 0
                   ELSE 1 + CAST(ceil(greatest(length(text) - 64, 0) / 48.0) AS INT)
              END AS n_windows
       FROM documents

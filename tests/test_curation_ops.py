@@ -1350,10 +1350,15 @@ def test_curate_corpus_tail_params_are_keyword_only(spark):
 
 
 def _chunk_ref(text, chunk_size, overlap, unit):
-    """Independent pure-Python reference for chunk_documents."""
+    """Independent pure-Python reference for chunk_documents.  Tokenizes
+    on the engine's explicit ASCII class — str.split() would also split
+    on Unicode whitespace (NBSP, \u2028, ...) that Java \s does not
+    match, making the reference falsely stricter (round-12 review)."""
+    import re as _re
+
     stride = chunk_size - overlap
     if unit == "words":
-        units = " ".join(text.split()).split(" ") if text.split() else []
+        units = [t for t in _re.split("[ \t\n\x0b\f\r]+", text) if t]
     else:
         units = list(text)
     n = len(units)
@@ -1396,8 +1401,6 @@ def test_chunk_documents_boundaries(spark):
     with the second carrying overlap + the new unit; exact-stride
     multiple emits no trailing overlap-only window; invalid overlap and
     unit raise."""
-    import pytest as _pytest
-
     from woe_monotonic_binning_spark.operators.text import chunk_documents
 
     docs = spark.createDataFrame(
@@ -1433,16 +1436,50 @@ def test_chunk_documents_boundaries(spark):
     # NULL text yields zero rows in the chars unit too
     chars = chunk_documents(docs, chunk_size=4, overlap=2, unit="chars")
     assert chars.filter(F.col("doc_id") == 8).count() == 0
-    import pytest as _pytest2
-
-    with _pytest2.raises(ValueError):
+    with pytest.raises(ValueError):
         chunk_documents(docs, id_col="nope")
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         chunk_documents(docs, chunk_size=4, overlap=4)
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         chunk_documents(docs, chunk_size=4, overlap=-1)
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         chunk_documents(docs, unit="tokens")
+    # reserved-output collision fails loudly (re-chunking chunked output
+    # would otherwise be an ambiguous-reference AnalysisException deep in
+    # the plan — round-12 review); a one-call re-window works after a
+    # rename/drop
+    chunked = chunk_documents(docs, chunk_size=4, overlap=2)
+    with pytest.raises(ValueError, match="collide"):
+        chunk_documents(chunked, chunk_size=8, overlap=2)
+    rewindowed = chunk_documents(
+        chunked.drop("chunk_idx", "n_units"), chunk_size=8, overlap=2
+    )
+    assert rewindowed.count() > 0
+
+
+def test_chunk_documents_whitespace_class_is_ascii(spark):
+    """Java \\s vs RE2 \\s divergence pinned (round-12 review): the
+    engine tokenizes on the explicit ASCII class, so vertical tab IS a
+    separator (Java semantics, mirrored literally in the oracle twin) and
+    Unicode whitespace (NBSP) is NOT (neither engine class matches it);
+    the python reference agrees on both."""
+    from woe_monotonic_binning_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, "a\x0bb c"), (1, "a\xa0b c")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.text, r.n_units)
+        for r in chunk_documents(docs, chunk_size=4, overlap=1).collect()
+    }
+    assert got[(0, 0)] == ("a b c", 3)      # \x0b splits
+    assert got[(1, 0)] == ("a\xa0b c", 2)   # NBSP does not
+    for did, raw in {0: "a\x0bb c", 1: "a\xa0b c"}.items():
+        ref = _chunk_ref(raw, 4, 1, "words")
+        assert ref == [
+            (i, got[(did, i)][0], got[(did, i)][1]) for i in range(len(ref))
+        ]
 
 
 def test_curate_corpus_window_stage(spark):

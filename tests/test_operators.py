@@ -2309,17 +2309,25 @@ def test_decode_codec_malformed_returns_reject_rows_not_job(spark):
             return ("jpeg", 2, 1, bytes(5))  # raster not 3*w*h
         if tag == b"C":
             return ("jpeg", 0, 1, b"")  # non-positive dims
+        if tag == b"E":
+            # raster LENGTH instead of the raster: bytes(3) would mint a
+            # zero-filled buffer that passes the length check and lands
+            # an all-black accepted row (round-12 review)
+            return ("jpeg", 1, 1, 3)
         if tag == b"D":
             return ("jpeg", 1, 1, bytes([9, 9, 9]))  # the one valid row
         return None
 
     img = spark.createDataFrame(
-        [(i, "image", bytearray(t)) for i, t in enumerate([b"A", b"B", b"C", b"D"])],
+        [
+            (i, "image", bytearray(t))
+            for i, t in enumerate([b"A", b"B", b"C", b"D", b"E"])
+        ],
         "media_id long, kind string, content binary",
     )
     rows = {r.media_id: r for r in decode_image(img, codec=bad_img_codec).collect()}
     assert rows[3].fmt == "jpeg" and (rows[3].sum_r, rows[3].sum_g, rows[3].sum_b) == (9, 9, 9)
-    for mid in (0, 1, 2):
+    for mid in (0, 1, 2, 4):
         assert rows[mid].fmt is None and rows[mid].sum_r is None
 
     def bad_aud_codec(raw):

@@ -377,6 +377,14 @@ def decode_image(media: DataFrame, codec=None) -> DataFrame:
                             got = codec(raw)
                             if got is not None:
                                 fmt_, w_, h_, px_ = got
+                                # bytes-like only: bytes(3) would mint a
+                                # zero-filled buffer and silently accept an
+                                # integer return as an all-black image
+                                # (round-12 review)
+                                if not isinstance(
+                                    px_, (bytes, bytearray, memoryview)
+                                ):
+                                    raise TypeError("raster must be bytes-like")
                                 px_ = bytes(px_)
                                 if (
                                     int(w_) > 0

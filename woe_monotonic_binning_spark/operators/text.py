@@ -387,12 +387,15 @@ def chunk_documents(
     trailing window consisting purely of already-seen overlap is ever
     emitted.
 
-    ``unit='words'`` tokenises on whitespace (trim + collapse, the same
-    normalisation as ``remove_repeated_chunks``) and re-joins each window
-    with single spaces — chunk text is whitespace-normalised, inherent to
-    word-window reassembly.  ``unit='chars'`` slices the original string
-    (``substr``) so chunk bytes are verbatim; overlap semantics are
-    identical.
+    ``unit='words'`` tokenises on ASCII whitespace (collapse
+    ``[ \\t\\n\\x0B\\f\\r]+`` to single spaces, then trim — the explicit
+    class is exactly Java's ``\\s`` and, unlike the ``\\s`` shorthand,
+    parses identically under DuckDB's RE2, where ``\\s`` omits vertical
+    tab — the same cross-engine rule as PII_PATTERNS) and re-joins each
+    window with single spaces — chunk text is whitespace-normalised,
+    inherent to word-window reassembly.  ``unit='chars'`` slices the
+    original string (``substr``) so chunk bytes are verbatim; overlap
+    semantics are identical.
 
     Plan shape at scale: pure map-side column expressions plus the ONE
     inherent ``posexplode`` (row expansion IS the operator's output —
@@ -413,14 +416,28 @@ def chunk_documents(
         # the (id_col, chunk_idx) pair is the documented chunk key; a
         # typo'd id column should fail here, not downstream
         raise ValueError(f"id_col {id_col!r} not in {df.columns}")
+    reserved = {"chunk_idx", "n_units", "__units", "__nw"} & set(df.columns)
+    if reserved - {text_col}:
+        # same loud-failure treatment as id_col: re-chunking an already-
+        # chunked table (e.g. re-windowing curate_corpus(window_size=...)
+        # output at a new size) would otherwise hit an ambiguous-column
+        # AnalysisException deep in the plan — drop/rename first
+        raise ValueError(
+            f"input columns collide with chunk_documents outputs: "
+            f"{sorted(reserved)}; drop or rename them first"
+        )
     stride = chunk_size - overlap
+    # the explicit ASCII class is Java \s EXACTLY and parses the same
+    # under RE2 (whose \s omits \x0B) — the oracle twin uses the literal
+    # same class, per the PII_PATTERNS cross-engine rule
+    ws_class = "[ \\t\\n\\x0B\\f\\r]+"
     if unit == "words":
         # collapse ALL whitespace to single spaces FIRST, then trim —
         # Spark's trim strips spaces only, so trimming the raw text left
         # phantom empty units for texts with leading/trailing \n or \t
         # (round-12 review: a trailing newline — i.e. nearly every real
         # document — corrupted the final window and inflated n_units)
-        normed = F.trim(F.regexp_replace(F.col(text_col), "\\s+", " "))
+        normed = F.trim(F.regexp_replace(F.col(text_col), ws_class, " "))
         units = F.split(normed, " ")
         # split('') yields [''] — an empty doc must count zero units;
         # coalesce folds NULL text to zero units too (greatest() skips
@@ -437,13 +454,20 @@ def chunk_documents(
         F.lit(1)
         + F.ceil(F.greatest(n - chunk_size, F.lit(0)) / F.lit(stride)).cast("int")
     )
+    other_cols = [c for c in df.columns if c != text_col]
+    # project the window count ONCE before building the sequence: n embeds
+    # the full normalize+split+size pass over the document, and Spark does
+    # no subexpression elimination inside a single projection (the repo's
+    # round-9 no-CSE lesson) — inlining n_windows into the sequence bounds
+    # would evaluate that pass up to four times per row
+    base = df.withColumn(
+        "__units", units if units is not None else F.col(text_col)
+    ).withColumn("__nw", n_windows)
     # sequence(0, -1) would infer step -1 and emit [0, -1]; guard with an
     # empty array so zero-window docs explode to zero rows
-    idxs = F.when(n_windows > 0, F.sequence(F.lit(0), n_windows - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    other_cols = [c for c in df.columns if c != text_col]
-    base = df.withColumn("__units", units if units is not None else F.col(text_col))
+    idxs = F.when(
+        F.col("__nw") > 0, F.sequence(F.lit(0), F.col("__nw") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     ex = base.select(
         *other_cols,
         F.col("__units"),
