@@ -493,6 +493,18 @@ def chunk_documents(
 # (DuckDB) so the scrub is oracle-checkable: no backreferences, no lookaround
 # (non-capturing groups and \b are fine in both).  Dict order IS replacement
 # order — see scrub_pii.
+#
+# KNOWN CROSS-ENGINE EDGE (round 12): the \s SHORTHAND diverges — Java \s
+# is [ \t\n\x0B\f\r] while RE2 \s omits vertical tab (\x0B).  The
+# round-12 chunk_documents uses the explicit class on both engines; the
+# OLDER certified recipes (quality_score's ratios, remove_repeated_chunks'
+# normalisation and their oracle twins) still use the shorthand on both
+# sides — a document containing a vertical tab would tokenize differently
+# across engines there.  Left as-is deliberately: the certified hashes are
+# entrenched, no fixture (or typical web corpus) carries \x0B, and both
+# sides fail together rather than silently disagreeing with the engine
+# alone.  Migrate to the explicit class WITH hash re-certification if a
+# VT-bearing corpus ever matters.
 PII_PATTERNS: dict[str, str] = {
     "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     # full-form IPv6 only (8 hex groups) — compressed "::" forms need
