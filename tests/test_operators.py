@@ -2260,6 +2260,10 @@ def test_decode_audio_codec_hook(spark):
     def stub_codec(raw):
         if raw.startswith(b"FAKEMP3"):
             return ("mp3", 2, 44100, 4, [100, -7])
+        if raw.startswith(b"FAKE51"):
+            # 5.1 multichannel (round-12 advice): nch > 2 must still feed
+            # channel 1 into sum_pcm_r, not silently NULL it
+            return ("ac3", 6, 48000, 10, [11, 22, 33, 44, 55, 66])
         if raw.startswith(b"BOOM"):
             raise ValueError("corrupt payload")
         return None
@@ -2276,6 +2280,7 @@ def test_decode_audio_codec_hook(spark):
             (1, "audio", bytearray(b"FAKEMP3-payload")),
             (2, "audio", bytearray(wav)),
             (3, "audio", bytearray(b"BOOM junk")),
+            (4, "audio", bytearray(b"FAKE51-payload")),
         ],
         "media_id long, kind string, content binary",
     )
@@ -2286,6 +2291,8 @@ def test_decode_audio_codec_hook(spark):
     assert (rows[1].sum_pcm, rows[1].sum_pcm_r) == (100, -7)
     assert rows[2].fmt == "wav" and rows[2].sum_pcm == 20 and rows[2].sum_pcm_r is None
     assert rows[3].fmt is None
+    assert rows[4].fmt == "ac3" and rows[4].n_channels == 6
+    assert (rows[4].sum_pcm, rows[4].sum_pcm_r) == (11, 22)
     base = {r.media_id: r for r in decode_audio(media).collect()}
     assert base[1].fmt is None and base[2].fmt == "wav"
 

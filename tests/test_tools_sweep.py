@@ -115,3 +115,30 @@ def test_certified_jaccard_recipes_stay_bounded():
         sql = qc.ORACLE_SQL[name]
         assert "a.blk = b.blk" in sql, f"{name}: oracle twin lost the blk conjunct"
         assert "doc_id % 50" in sql, f"{name}: oracle twin lost the doc_id%50 key"
+
+
+def test_nullable_int64_with_pd_na(sweep):
+    """Round-12 advice: a pandas nullable Int64 column carrying pd.NA must
+    flow to the <NULL> sentinel (na_action='ignore'), not TypeError inside
+    canon_int's float(i)."""
+    a = pd.DataFrame({"v": pd.array([5, None, 2**53 + 1], dtype="Int64")})
+    b = pd.DataFrame({"v": pd.array([5, None, 2**53 + 1], dtype="Int64")})
+    assert not sweep.compare_fast(a, b, "q")
+    c = pd.DataFrame({"v": pd.array([5, None, 2**53 + 2], dtype="Int64")})
+    assert sweep.compare_fast(a, c, "q")
+    # NULL on one side only is a mismatch, not a crash
+    d = pd.DataFrame({"v": pd.array([5, 6, 2**53 + 1], dtype="Int64")})
+    assert sweep.compare_fast(a, d, "q")
+
+
+def test_float_render_is_python_float_repr(sweep):
+    """Round-12 advice: the float branch must render via repr(float(x)),
+    not repr(np.float64(x)) — under numpy >= 2 the latter is
+    'np.float64(5.0)' and would spuriously mismatch the int branch's
+    Python-float render.  Assert the render strings directly so the pin
+    holds regardless of the numpy version installed."""
+    import numpy as np
+
+    ints = sweep._canon_col(pd.Series([5, -3], dtype="int64"))
+    floats = sweep._canon_col(pd.Series(np.array([5.0, -3.0], dtype="float64")))
+    assert list(ints) == list(floats) == ["5.0", "-3.0"]

@@ -69,11 +69,17 @@ def _canon_col(s):
         return repr(f + 0.0) if exact else repr(int(i))
 
     if s.dtype.kind in "iu":
-        out = s.map(canon_int)
+        # na_action="ignore": a pandas nullable Int64 column can carry
+        # pd.NA, which float(i) rejects with TypeError (not the caught
+        # OverflowError) — let NAs flow to the <NULL> sentinel below
+        out = s.map(canon_int, na_action="ignore")
         return out.where(s.notna(), "<NULL>")
     if s.dtype.kind in "fb":
         f = s.astype("float64").round(9) + 0.0  # fold -0.0
-        out = f.map(repr)
+        # repr over a PYTHON float, not the np.float64 element: under
+        # numpy >= 2 repr(np.float64(5.0)) is 'np.float64(5.0)', which
+        # would spuriously mismatch the int branch's Python-float render
+        out = f.map(lambda x: repr(float(x)), na_action="ignore")
         return out.where(~f.isna(), "<NULL>")
     # object columns: decimals/strings/None/NaN; numeric objects (DuckDB
     # HUGEINT/DECIMAL fetch as objects) follow the same int-exact/float

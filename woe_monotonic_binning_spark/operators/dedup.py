@@ -723,6 +723,14 @@ def embedding_neardup_pairs(
     round-10 default flip cannot silently reduce recall in an existing
     pipeline; any explicit ``max_block`` (including 1_000) is taken as
     opting in and stays silent.
+
+    DYNAMIC-ALLOCATION CAVEAT: the default-cap path eagerly
+    ``localCheckpoint``s the tiny (blk, count) table, pinning it to
+    executor-local blocks; if executors are decommissioned (dynamic
+    allocation, spot loss) between building this plan and running it, the
+    ok/hot branches fail instead of recomputing from lineage.  On such
+    clusters either pass ``max_block`` explicitly (skips the checkpoint
+    and the probe) or run the returned plan promptly.
     """
     from ..functions.vector import cosine_from_norms as _cosine_from_norms
     from ..functions.vector import norm as _norm

@@ -718,7 +718,10 @@ def decode_audio(media: DataFrame, codec=None) -> DataFrame:
                 out["n_frames"].append(n_frames)
                 out["duration_ms"].append(n_frames * 1000 // rate)
                 out["sum_pcm"].append(sums[0])
-                out["sum_pcm_r"].append(sums[1] if nch == 2 else None)
+                # >= 2, not == 2: a multichannel codec (5.1 etc.) supplies
+                # len(sums) >= 2 per the validated contract above, and
+                # channel 1 is still the right feed for sum_pcm_r
+                out["sum_pcm_r"].append(sums[1] if nch >= 2 else None)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, schema=DECODED_AUDIO_SCHEMA)
