@@ -1163,7 +1163,7 @@ def q_dedup_cluster(spark, sf_dir):
     SELECT lang, count(*) AS n_docs,
            ROUND(avg(length(text)), 6) AS avg_chars,
            ROUND(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+'))), 6) AS avg_words,
-           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]'))) AS BIGINT)
              AS total_tokens
     FROM documents GROUP BY lang
     """,
@@ -1203,7 +1203,7 @@ def q_text_stats(spark, sf_dir):
              WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
              WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
              ELSE 'fr' END AS lang_pred,
-           substring(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16)
+           substring(md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), 1, 16)
              AS stat_fingerprint
     FROM scored
     """,
@@ -2000,8 +2000,8 @@ def q_sim_search_lsh(spark, sf_dir):
     WITH s AS (
       SELECT doc_id,
              len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS words,
-             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
-             (length(text) - length(regexp_replace(text, '\\s', '', 'g'))) / greatest(length(text), 1) AS space_ratio,
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
+             (length(text) - length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '', 'g'))) / greatest(length(text), 1) AS space_ratio,
              len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS stops
       FROM documents
     )
@@ -2636,7 +2636,7 @@ def q_sampling_suite(spark, sf_dir):
     """
     WITH t AS (
       SELECT doc_id, source,
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS toks,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS toks,
              CAST(CONCAT('0x',
                substr(md5(CAST(doc_id AS VARCHAR) || '_0'), 1, 8)) AS BIGINT)
              / 4294967296.0 AS u
@@ -2698,7 +2698,7 @@ def q_sampling_suite(spark, sf_dir):
              max(CASE WHEN tk > 95 THEN 1 ELSE 0 END) AS oversize
       FROM (
         SELECT doc_id % 37 AS pack_id,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tk
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS tk
         FROM documents
       ) GROUP BY pack_id
     )
@@ -2724,7 +2724,7 @@ def q_sampling_suite(spark, sf_dir):
                   THEN sum(tk) / 95.0 END AS util
       FROM (
         SELECT (doc_id % 3) * 1099511627776 + doc_id % 37 AS pack_id,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tk
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS tk
         FROM documents
       ) GROUP BY pack_id
     ) GROUP BY shard
@@ -2924,8 +2924,8 @@ _CURATION_WEIGHTS = {
     ), raw AS (
       SELECT doc_id, lang, source, text,
              len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS words,
-             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
-             (length(text) - length(regexp_replace(text, '\\s', '', 'g'))) / greatest(length(text), 1) AS space_ratio,
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
+             (length(text) - length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '', 'g'))) / greatest(length(text), 1) AS space_ratio,
              len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS stops
       FROM scrubbed
     ), scored AS (
@@ -3366,7 +3366,7 @@ def q_repeated_chunks(spark, sf_dir):
       SELECT doc_id, str_split(text, chr(10)) AS ls FROM d
     ), w AS (
       SELECT doc_id,
-             str_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws
+             str_split(regexp_replace(trim(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS ws
       FROM documents
     ), c AS (
       SELECT doc_id, i AS pos,
@@ -3535,7 +3535,7 @@ def q_dedup_lines(spark, sf_dir):
                range(1, greatest(len(w), 8) - 8 + 2),
                i -> array_to_string(w[i:i+7], ' '))) AS grams
       FROM (SELECT doc_id,
-                   str_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+                   str_split(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS w
             FROM documents)
     ), bg AS (
       SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 25 = 0
@@ -3811,9 +3811,9 @@ def q_dedup_incremental(spark, sf_dir):
     """
     WITH d AS (
       SELECT source,
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS toks,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS toks,
              length(text) AS chars,
-             substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
+             substr(md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), 1, 16) AS fp
       FROM documents
     )
     SELECT source, count(*) AS n_docs,

@@ -411,7 +411,7 @@ def test_decontaminate_matches_duckdb_oracle(spark):
                    range(1, greatest(len(w), 6) - 6 + 2),
                    i -> array_to_string(w[i:i+5], ' '))) AS grams
           FROM (SELECT doc_id,
-                       str_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+                       str_split(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS w
                 FROM documents)
         ), bg AS (
           SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 25 = 0
@@ -852,9 +852,9 @@ def test_corpus_profile_matches_duckdb(spark):
         """
         WITH d AS (
           SELECT source,
-                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS toks,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS toks,
                  length(text) AS chars,
-                 substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
+                 substr(md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), 1, 16) AS fp
           FROM documents
         )
         SELECT source, count(*) AS n_docs, sum(toks) AS total_tokens,

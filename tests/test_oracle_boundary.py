@@ -81,13 +81,17 @@ def boundary_sf(tmp_path_factory):
 
     docs = pd.read_parquet(f"{SRC}/documents.parquet")
     nid = int(docs["doc_id"].max())
+    # round-13 plant: vertical tab (Java \s member, NOT RE2's) plus NBSP
+    # (whitespace in NEITHER engine class) — the text that distinguishes
+    # the explicit [ \t\n\x0B\f\r] class from the old \s shorthand
+    vt_text = "alpha\x0bbeta gamma\xa0delta the and of to is!"
     planted = pd.DataFrame(
         {
-            "doc_id": [nid + 1, nid + 2],
-            "text": ["…ellipsis bounded text ends non-ascii…", ""],
-            "lang": ["en", "en"],
-            "source": ["src0", "src0"],
-            "n_chars": [39, 0],
+            "doc_id": [nid + 1, nid + 2, nid + 3],
+            "text": ["…ellipsis bounded text ends non-ascii…", "", vt_text],
+            "lang": ["en", "en", "en"],
+            "source": ["src0", "src0", "src0"],
+            "n_chars": [39, 0, len(vt_text)],
         }
     ).astype(docs.dtypes.to_dict())
     pd.concat([docs, planted], ignore_index=True).to_parquet(
@@ -237,3 +241,62 @@ def test_session_oracle_handles_duplicate_timestamps(spark):
     con.close()
     want = sorted((w, int(n)) for w, n in zip(oracle["wlabel"], oracle["n_events"]))
     assert want == got
+
+
+# Round-13 \s-shorthand migration: every slot whose engine regexes moved to
+# the explicit [ \t\n\x0B\f\r] class, re-certified on a corpus that
+# actually carries the distinguishing bytes (vertical tab + NBSP).
+WS_MIGRATED_SLOTS = [
+    "q_text_stats",
+    "q_quality_score",
+    "q_tfidf",
+    "q_dedup_lines",
+    "q_doc_signals_suite",
+    "q_dedup_ngram",
+    "q_gopher_signals",
+    "q_corpus_profile",
+]
+
+
+@pytest.mark.parametrize("name", WS_MIGRATED_SLOTS)
+def test_ws_class_oracle_parity_on_vt_corpus(spark, boundary_sf, name):
+    """The migrated slots must agree engine-vs-oracle on a corpus carrying
+    \\x0B and NBSP — the exact data on which the old \\s shorthand
+    diverged between Java (VT is whitespace) and RE2 (it is not)."""
+    con = duckdb_connection(boundary_sf)
+    try:
+        problems = compare(
+            qc.SPARK_QUERIES[name](spark, boundary_sf),
+            con,
+            qc.ORACLE_SQL[name],
+            name,
+        )
+    finally:
+        con.close()
+    assert not problems, "\n".join(problems)
+
+
+def test_vt_plant_is_actually_exercised(boundary_sf):
+    """Non-vacuity guard: the planted doc really carries VT + NBSP, and on
+    its text DuckDB's \\s shorthand disagrees with the explicit class —
+    i.e. the plant genuinely distinguishes the migrated regexes from the
+    old ones (if RE2's \\s ever grows \\x0B this fails and the plant
+    needs a new distinguishing byte)."""
+    import duckdb
+
+    docs = pd.read_parquet(f"{boundary_sf}/documents.parquet")
+    vt = docs[docs["text"].str.contains("\x0b", na=False)]
+    assert len(vt) == 1
+    text = vt["text"].iloc[0]
+    assert "\xa0" in text
+    con = duckdb.connect()
+    shorthand, explicit = con.execute(
+        "SELECT length(regexp_replace(?, '\\s', '', 'g')),"
+        "       length(regexp_replace(?, '[ \\t\\n\\x0b\\f\\r]', '', 'g'))",
+        [text, text],
+    ).fetchone()
+    con.close()
+    # RE2 \s keeps the VT (longer remainder); the explicit class strips it
+    assert shorthand == explicit + 1
+    # NBSP is whitespace in NEITHER class: both remainders still carry it
+    assert "\xa0" in text  # (kept above; the compare slots assert parity)

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from .._cache import materialize_and_release
+from .text import WS_CHARS as _WS_CHARS
 
 MERSENNE_31 = 2_147_483_647  # 2^31 - 1, prime; keeps a*h+b inside int64
 
@@ -102,7 +103,9 @@ def shingled(
     """
     if unit not in ("word", "char"):
         raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
-    normal = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    # explicit ASCII class, not \s (round-13): identical under Java and
+    # RE2 so VT-bearing text shingles the same as the oracle twins
+    normal = F.regexp_replace(F.trim(F.lower(F.col(text_col))), f"[{_WS_CHARS}]+", " ")
     if unit == "char":
         expr = (
             f"array_distinct(transform(sequence(1, greatest(length(__normal), {n}) - {n} + 1), "
