@@ -3435,6 +3435,59 @@ def q_repeated_chunks(spark, sf_dir):
       )
     ), unnest(range(0, n_windows)) AS t(i)
     UNION ALL
+    -- sliding windows, tokens unit (round 13): chunk 16 / overlap 4
+    -- (stride 12) over the BPE-ish pre-tokens (letter runs | digit runs
+    -- | single symbols — the exact _BPE_RE already certified through
+    -- q_text_stats), windows re-joined with single spaces; md5 pins the
+    -- slice, n_units the short final window.  regexp_extract_all yields
+    -- [] on empty text and NULL on NULL text in both engines.
+    SELECT 'window_tokens' AS section, doc_id,
+           CAST(NULL AS INT) AS n_removed, CAST(NULL AS INT) AS new_len,
+           CAST(i AS INT) AS chunk_idx,
+           md5(array_to_string(tk[i*12+1 : i*12+16], ' ')) AS chunk_md5,
+           CAST(len(tk[i*12+1 : i*12+16]) AS INT) AS n_units
+    FROM (
+      SELECT doc_id, tk,
+             CASE WHEN n <= 0 THEN 0
+                  ELSE 1 + CAST(ceil(greatest(n - 16, 0) / 12.0) AS INT)
+             END AS n_windows
+      FROM (
+        SELECT doc_id,
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]') AS tk,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]'))
+               END AS n
+        FROM documents
+      )
+    ), unnest(range(0, n_windows)) AS t(i)
+    UNION ALL
+    -- STREAMING chunking (round 13): the same words-unit window math at
+    -- chunk 24 / overlap 6 (stride 18), but executed through Structured
+    -- Streaming on the engine side (4 staged micro-batches -> parquet
+    -- sink).  chunk_documents is a stateless projection, so the output
+    -- is batch-split-invariant and this plain batch SQL is its oracle.
+    SELECT 'window_stream' AS section, doc_id,
+           CAST(NULL AS INT) AS n_removed, CAST(NULL AS INT) AS new_len,
+           CAST(i AS INT) AS chunk_idx,
+           md5(array_to_string(ws[i*18+1 : i*18+24], ' ')) AS chunk_md5,
+           CAST(len(ws[i*18+1 : i*18+24]) AS INT) AS n_units
+    FROM (
+      SELECT doc_id, ws,
+             CASE WHEN n <= 0 THEN 0
+                  ELSE 1 + CAST(ceil(greatest(n - 24, 0) / 18.0) AS INT)
+             END AS n_windows
+      FROM (
+        SELECT doc_id,
+               str_split(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS ws,
+               CASE WHEN text IS NULL
+                      OR length(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) = 0
+                    THEN 0
+                    ELSE len(str_split(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '))
+               END AS n
+        FROM documents
+      )
+    ), unnest(range(0, n_windows)) AS t(i)
+    UNION ALL
     -- sliding windows, chars unit: chunk 64 / overlap 16 (stride 48);
     -- substr slices the ORIGINAL bytes, so chunk_md5 certifies verbatim
     -- character windows
@@ -3460,11 +3513,16 @@ def q_dedup_lines(spark, sf_dir):
     round 6).  'chunks' section: corpus-level boilerplate removal
     (remove_repeated_chunks, the rows-only q_repeated_chunks scenario —
     hash-certified here since round 9).  'window_words'/'window_chars'
-    sections (round 12): sliding-window document chunking
-    (chunk_documents, the rows-only q_chunk_documents scenario) — one
-    row per window, chunk_md5 pinning the exact slice text (words:
-    chunk 20/overlap 5 re-joined windows; chars: chunk 64/overlap 16
-    verbatim substrings), n_units pinning the short final window."""
+    sections (round 12) and 'window_tokens' (round 13): sliding-window
+    document chunking (chunk_documents, the rows-only q_chunk_documents
+    scenario) — one row per window, chunk_md5 pinning the exact slice
+    text (words: chunk 20/overlap 5 re-joined windows; tokens: chunk
+    16/overlap 4 BPE-ish pre-token windows; chars: chunk 64/overlap 16
+    verbatim substrings), n_units pinning the short final window.
+    'window_stream' section (round 13): the words-unit chunker at chunk
+    24/overlap 6 run through Structured Streaming (4 staged micro-batches
+    -> parquet sink) — stateless projection, so batch-split-invariant and
+    certifiable against the plain batch SQL."""
     from woe_monotonic_binning_spark.operators.text import (
         chunk_documents,
         remove_repeated_chunks,
@@ -3510,10 +3568,53 @@ def q_dedup_lines(spark, sf_dir):
             "n_units",
         )
 
+    # 'window_stream' (round 13): the SAME chunker executed through
+    # Structured Streaming — stateless projection => batch-split-invariant
+    # output, so the section is content-deterministic however the file
+    # source splits micro-batches.  Parquet sink (not memory): chunk rows
+    # never transit the driver.  rmtree of sink+checkpoint keeps the
+    # section re-entrant across bench reps / repeated certification runs.
+    import os
+    import shutil
+
+    root = _staging_dir(spark, "chunk_stream_stage")
+    src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _docs(spark, sf_dir).select("doc_id", "text").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sq = (
+        chunk_documents(stream, chunk_size=24, overlap=6)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    wstream = spark.read.parquet(out).select(
+        F.lit("window_stream").alias("section"),
+        "doc_id",
+        null_i.alias("n_removed"),
+        null_i.alias("new_len"),
+        "chunk_idx",
+        F.md5(F.col("text")).alias("chunk_md5"),
+        "n_units",
+    )
+
     return (
         lines.unionByName(chunks)
         .unionByName(_window("words", 20, 5, "window_words"))
+        .unionByName(_window("tokens", 16, 4, "window_tokens"))
         .unionByName(_window("chars", 64, 16, "window_chars"))
+        .unionByName(wstream)
     )
 
 

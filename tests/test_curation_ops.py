@@ -1359,6 +1359,8 @@ def _chunk_ref(text, chunk_size, overlap, unit):
     stride = chunk_size - overlap
     if unit == "words":
         units = [t for t in _re.split("[ \t\n\x0b\f\r]+", text) if t]
+    elif unit == "tokens":
+        units = _re.findall("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]", text)
     else:
         units = list(text)
     n = len(units)
@@ -1368,7 +1370,7 @@ def _chunk_ref(text, chunk_size, overlap, unit):
     out = []
     for i in range(n_windows):
         w = units[i * stride : i * stride + chunk_size]
-        joined = " ".join(w) if unit == "words" else "".join(w)
+        joined = "".join(w) if unit == "chars" else " ".join(w)
         out.append((i, joined, len(w)))
     return out
 
@@ -1381,7 +1383,7 @@ def test_chunk_documents_matches_reference_both_units(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
     rows = {r.doc_id: r for r in docs.collect()}
-    for unit, cs, ov in (("words", 20, 5), ("chars", 64, 16)):
+    for unit, cs, ov in (("words", 20, 5), ("chars", 64, 16), ("tokens", 16, 4)):
         got = chunk_documents(docs, chunk_size=cs, overlap=ov, unit=unit)
         got_map = {
             (r.doc_id, r.chunk_idx): (r.text, r.n_units, r.lang, r.source)
@@ -1443,7 +1445,7 @@ def test_chunk_documents_boundaries(spark):
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_size=4, overlap=-1)
     with pytest.raises(ValueError):
-        chunk_documents(docs, unit="tokens")
+        chunk_documents(docs, unit="sentences")  # tokens became valid round 13
     # reserved-output collision fails loudly (re-chunking chunked output
     # would otherwise be an ambiguous-reference AnalysisException deep in
     # the plan — round-12 review); a one-call re-window works after a
@@ -1505,3 +1507,81 @@ def test_curate_corpus_window_stage(spark):
         windowed.columns
     )
     spark.catalog.clearCache()
+
+
+def test_chunk_documents_tokens_unit_and_stride_mutant(spark):
+    """unit='tokens' (round 13) budgets windows by the BPE-ish pre-tokens
+    (symbols and digit runs are their own units, unlike words), matching
+    the independent reference exactly — and an off-by-one stride in the
+    reference immediately disagrees, guarding the i*stride window
+    arithmetic against silent drift."""
+    from woe_monotonic_binning_spark.operators.text import chunk_documents
+
+    text = "Don't stop believing, hold on 2 that feeling! " * 3  # 36 tokens
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = [
+        (r.chunk_idx, r.text, r.n_units)
+        for r in chunk_documents(docs, chunk_size=6, overlap=2, unit="tokens")
+        .orderBy("chunk_idx")
+        .collect()
+    ]
+    assert got == _chunk_ref(text, 6, 2, "tokens")
+    assert got[0][1] == "Don ' t stop believing ,"  # tokens, not words
+    assert len(got) == 9 and got[-1][2] == 4  # short final window pinned
+    # off-by-one stride mutants (stride 5 and stride 3 vs the true 4)
+    # must NOT match — the window keyset itself shifts
+    for mutant_overlap in (1, 3):
+        assert got != _chunk_ref(text, 6, mutant_overlap, "tokens")
+
+
+def test_chunk_documents_tokens_vt_and_empty_edges(spark):
+    """tokens unit edge pins: VT is a separator (explicit ASCII class in
+    _BPE_RE's negated group), NBSP is a symbol TOKEN (neither engine's
+    whitespace), empty/NULL text yields zero rows."""
+    from woe_monotonic_binning_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, "a\x0bb c"), (1, "a\xa0b c"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.text, r.n_units)
+        for r in chunk_documents(docs, chunk_size=8, overlap=2, unit="tokens").collect()
+    }
+    assert got == {
+        (0, 0): ("a b c", 3),          # \x0b separates, never a token
+        (1, 0): ("a \xa0 b c", 4),     # NBSP is its own symbol token
+    }
+
+
+def test_streaming_chunking_section_is_reentrant(spark):
+    """The q_dedup_lines 'window_stream' section (round 13) must be
+    re-entrant: two consecutive evaluations of the slot produce the
+    identical window_stream rowset (the rmtree of sink+checkpoint resets
+    the streaming state each run), and it matches the batch chunker at
+    the same parameters exactly — the batch-split-invariance claim."""
+    import queries_catalog as qc
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.operators.text import chunk_documents
+
+    sf = "/root/testdata/sf0.001"
+
+    def stream_rows():
+        df = qc.SPARK_QUERIES["q_dedup_lines"](spark, sf)
+        return sorted(
+            (r.doc_id, r.chunk_idx, r.chunk_md5, r.n_units)
+            for r in df.filter(F.col("section") == "window_stream").collect()
+        )
+
+    first = stream_rows()
+    second = stream_rows()
+    assert first and first == second
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    batch = sorted(
+        (r.doc_id, r.chunk_idx, r.md5, r.n_units)
+        for r in chunk_documents(docs, chunk_size=24, overlap=6)
+        .select("doc_id", "chunk_idx", F.md5("text").alias("md5"), "n_units")
+        .collect()
+    )
+    assert first == batch

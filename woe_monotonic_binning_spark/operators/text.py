@@ -405,7 +405,14 @@ def chunk_documents(
     window with single spaces — chunk text is whitespace-normalised,
     inherent to word-window reassembly.  ``unit='chars'`` slices the
     original string (``substr``) so chunk bytes are verbatim; overlap
-    semantics are identical.
+    semantics are identical.  ``unit='tokens'`` (round 13) budgets
+    windows by the certified BPE-ish pre-tokenizer (``_BPE_RE``: letter
+    runs | digit runs | single symbols — the same tokens q_text_stats
+    counts), the shape real context-window prep uses when the budget is
+    a model's token limit; windows re-join with single spaces like the
+    words unit (token reassembly cannot reproduce the original byte
+    spacing — "don't" windows as "don ' t"), so run byte-sensitive
+    gates before chunking, or use chars.
 
     Plan shape at scale: pure map-side column expressions plus the ONE
     inherent ``posexplode`` (row expansion IS the operator's output —
@@ -420,8 +427,10 @@ def chunk_documents(
             f"overlap must satisfy 0 <= overlap < chunk_size, got "
             f"overlap={overlap}, chunk_size={chunk_size}"
         )
-    if unit not in ("words", "chars"):
-        raise ValueError(f"unit must be 'words' or 'chars', got {unit!r}")
+    if unit not in ("words", "chars", "tokens"):
+        raise ValueError(
+            f"unit must be 'words', 'chars' or 'tokens', got {unit!r}"
+        )
     if id_col not in df.columns:
         # the (id_col, chunk_idx) pair is the documented chunk key; a
         # typo'd id column should fail here, not downstream
@@ -457,6 +466,11 @@ def chunk_documents(
             F.when(F.length(normed) == 0, F.lit(0)).otherwise(F.size(units)),
             F.lit(0),
         )
+    elif unit == "tokens":
+        # regexp_extract_all yields [] on empty text (no phantom unit to
+        # guard against, unlike split) and NULL on NULL text (coalesce)
+        units = F.regexp_extract_all(F.col(text_col), F.lit(_BPE_RE), F.lit(0))
+        n = F.coalesce(F.size(units), F.lit(0))
     else:
         units = None
         n = F.coalesce(F.length(F.col(text_col)), F.lit(0))
@@ -484,7 +498,7 @@ def chunk_documents(
         F.explode(idxs).alias("chunk_idx"),
     )
     start = F.col("chunk_idx") * stride
-    if unit == "words":
+    if unit in ("words", "tokens"):
         window = F.slice(F.col("__units"), start + 1, chunk_size)
         chunk = F.array_join(window, " ")
         n_units = F.size(window)
