@@ -1642,6 +1642,11 @@ def q_events_rollup(spark, sf_dir):
     # synthetic PNG -> decode -> nearest-neighbor resample 4x2 -> 6x3 ->
     # P6 re-encode -> decode_image again; constant-color inputs make the
     # resampled sums exact SQL arithmetic (18 * channel).
+    # 'jpeg' section (round 13): the REAL baseline-JPEG Huffman decoder
+    # (_parse_jpeg) over JVM-built synthetic_jpeg_media payloads — two
+    # DC-only MCUs per image, entropy segment closed-form in doc_id, so
+    # the decoded sums (64*(257+2*dc1)) certify the marker walk, both
+    # Huffman classes, DC prediction, dequantization and the IDCT.
     """
     SELECT 'bytes' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(strlen(text) AS INT) AS n_bytes,
@@ -1706,6 +1711,21 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS BIGINT) AS sum_pcm
     FROM documents
     UNION ALL
+    SELECT 'jpeg' AS section, doc_id AS media_id, 'image' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'jpeg' AS fmt, 16 AS width, 8 AS height, 128 AS n_pixels,
+           -- two DC-only 8x8 blocks: dc1 = 16 + id%16 decodes flat to
+           -- 128+dc1, block 2 (DC diff +1) to 129+dc1; gray replicates
+           -- to every channel, so sum = 64*(128+dc1) + 64*(129+dc1)
+           CAST(64 * (257 + 2 * (16 + doc_id % 16)) AS BIGINT) AS sum_r,
+           CAST(64 * (257 + 2 * (16 + doc_id % 16)) AS BIGINT) AS sum_g,
+           CAST(64 * (257 + 2 * (16 + doc_id % 16)) AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm
+    FROM documents
+    UNION ALL
     SELECT 'audio' AS section, doc_id AS media_id, 'audio' AS kind,
            CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
@@ -1739,6 +1759,7 @@ def q_multimodal_stats(spark, sf_dir):
         fake_decode_stats,
         media_from_documents,
         resize_image,
+        synthetic_jpeg_media,
         synthetic_png_media,
         synthetic_png_palette_media,
         synthetic_ppm_media,
@@ -1789,6 +1810,7 @@ def q_multimodal_stats(spark, sf_dir):
         base.unionByName(_pix(synthetic_ppm_media(docs), "pixels"))
         .unionByName(_pix(synthetic_png_media(docs), "png"))
         .unionByName(_pix(synthetic_png_palette_media(docs), "palette"))
+        .unionByName(_pix(synthetic_jpeg_media(docs), "jpeg"))
         .unionByName(audio)
         .unionByName(resized)
     )

@@ -2357,3 +2357,160 @@ def test_decode_codec_malformed_returns_reject_rows_not_job(spark):
     assert rows[3].fmt == "mp3" and rows[3].sum_pcm == 10
     for mid in (0, 1, 2):
         assert rows[mid].fmt is None and rows[mid].sum_pcm is None
+
+
+def _mk_dc_jpeg(w, h, dcs_bits, ac_extra=False):
+    """Test-side DC-only baseline JPEG builder (independent of the engine
+    fixture): flat quant table of 8s, canonical DC table "00"=cat5 /
+    "01"=cat1, AC table "0"=EOB (with ac_extra, 2-bit codes "00"=EOB /
+    "01"=(run 0, size 1)).  dcs_bits = per component, a list of
+    pre-encoded entropy bitstrings, one per 8x8 block."""
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    ncomp = len(dcs_bits)
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([5, 1]))
+    if ac_extra:
+        out += seg(0xC4, bytes([0x10]) + bytes([0, 2] + [0] * 14) + bytes([0, 1]))
+    else:
+        out += seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0]))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    if ncomp > 1:
+        bitstr = "".join("".join(x) for x in zip(*dcs_bits))
+    else:
+        bitstr = "".join(dcs_bits[0])
+    bitstr += "1" * ((-len(bitstr)) % 8)
+    data = bytes(int(bitstr[i : i + 8], 2) for i in range(0, len(bitstr), 8))
+    stuffed = b"".join(bytes([x]) + (b"\x00" if x == 0xFF else b"") for x in data)
+    return out + stuffed + b"\xff\xd9"
+
+
+def _dc_bits(diff, eob="0"):
+    if 16 <= diff <= 31:
+        return "00" + format(diff, "05b") + eob
+    if diff == 1:
+        return "01" + "1" + eob
+    if diff == -1:
+        return "01" + "0" + eob
+    raise ValueError(diff)
+
+
+def test_parse_jpeg_dc_blocks_and_prediction():
+    """Flat DC-only blocks decode to the closed-form pixel values, the DC
+    predictor carries across MCUs, and non-MCU-multiple widths crop."""
+    import numpy as np
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    w, h, px = _parse_jpeg(_mk_dc_jpeg(8, 8, [[_dc_bits(20)]]))
+    a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    assert (w, h) == (8, 8) and (a == 148).all()
+    # two MCUs: dc 20 then diff +1 -> 148 | 149
+    w, h, px = _parse_jpeg(_mk_dc_jpeg(16, 8, [[_dc_bits(20), _dc_bits(1)]]))
+    a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    assert (a[:, :8] == 148).all() and (a[:, 8:] == 149).all()
+    # crop: 12x8 needs 2 MCUs but keeps 12 columns
+    w, h, px = _parse_jpeg(_mk_dc_jpeg(12, 8, [[_dc_bits(20), _dc_bits(1)]]))
+    assert (w, h) == (12, 8) and len(px) == 12 * 8 * 3
+
+
+def test_parse_jpeg_ycbcr_color_conversion():
+    """3-component 4:4:4: chroma DC offsets run through the JFIF YCbCr->RGB
+    matrix with round-half handling matching numpy rint."""
+    import numpy as np
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    j = _mk_dc_jpeg(8, 8, [[_dc_bits(20)], [_dc_bits(1)], [_dc_bits(-1)]])
+    w, h, px = _parse_jpeg(j)
+    a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(int)
+    y, cb, cr = 148.0, 129.0, 127.0
+    exp = [
+        int(np.rint(y + 1.402 * (cr - 128))),
+        int(np.rint(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))),
+        int(np.rint(y + 1.772 * (cb - 128))),
+    ]
+    assert (a == exp).all()
+
+
+def test_parse_jpeg_ac_coefficient_idct():
+    """A single AC coefficient ((0,1) in zigzag = horizontal frequency 1)
+    exercises run-length decode + dequant + IDCT; expected pixels computed
+    from the independently-written cosine formula."""
+    import numpy as np
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    # entropy per block: DC cat5 of 20 ("00"+5 bits) + AC (0,1) "01" with
+    # magnitude bit 1 (+1) + EOB "00"
+    bits = "00" + format(20, "05b") + "01" + "1" + "00"
+    j = _mk_dc_jpeg(8, 8, [[bits]], ac_extra=True)
+    w, h, px = _parse_jpeg(j)
+    a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    x = np.arange(8)
+    # S00 = 20*8, S(u=0,v=1) = 1*8; f(x) = S00/8 + (1/4)*cos((2x+1)pi/16)*8*sqrt(1/2)... 
+    # written out: f(y,x) = 20 + 0.25 * c0 * c1 * 8 * cos((2x+1)*1*pi/16)
+    # with c0 = 1/sqrt(2) (u=0 row factor), c1 = 1
+    expected = 128 + 20 + 0.25 * (1 / np.sqrt(2)) * 8 * np.cos((2 * x + 1) * np.pi / 16)
+    expected = np.clip(np.rint(expected), 0, 255).astype(int)
+    for col in range(8):
+        assert (a[:, col, 0] == expected[col]).all(), (col, a[0, col, 0], expected[col])
+
+
+def test_parse_jpeg_honest_rejects():
+    """Progressive (SOF2), arithmetic (long-marker set), truncated entropy
+    data, garbage, 16-bit quant tables: all return None — the tolerant
+    fall-through contract — and a corrupted entropy byte changes pixels
+    (the decode is not ignoring the payload)."""
+    import numpy as np
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    assert _parse_jpeg(b"not a jpeg") is None
+    assert _parse_jpeg(b"\xff\xd8\xff") is None
+    assert _parse_jpeg(b"\xff\xd8\xff\xc2\x00\x04ab") is None  # progressive
+    good = _mk_dc_jpeg(8, 8, [[_dc_bits(20)]])
+    # 16-bit quant table (Pq=1) rejects
+    bad_q = bytearray(good)
+    dqt_at = good.index(b"\xff\xdb") + 4
+    bad_q[dqt_at] = 0x10
+    assert _parse_jpeg(bytes(bad_q)) is None
+    # truncated entropy data rejects (cut before the entropy byte)
+    assert _parse_jpeg(good[:-3]) is None
+    # corrupt the entropy byte -> decodes to DIFFERENT pixels, not None
+    mut = bytearray(good)
+    mut[-3] = 21 << 1  # entropy byte encodes dc; 20 -> 21
+    got = _parse_jpeg(bytes(mut))
+    assert got is not None
+    a = np.frombuffer(got[2], dtype=np.uint8)
+    assert (a == 149).all()  # dc 21, not 20
+
+
+def test_synthetic_jpeg_media_certifies_decoder(spark):
+    """JVM-built JPEG fixture end-to-end: decoded sums equal the
+    closed-form 64*(257+2*dc1) for every row, fmt/dims pinned."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_image,
+        synthetic_jpeg_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(23)], "doc_id long")
+    rows = {r.media_id: r for r in decode_image(synthetic_jpeg_media(docs)).collect()}
+    assert len(rows) == 23
+    for mid, r in rows.items():
+        dc1 = 16 + mid % 16
+        exp = 64 * (257 + 2 * dc1)
+        assert (r.fmt, r.width, r.height, r.n_pixels) == ("jpeg", 16, 8, 128)
+        assert (r.sum_r, r.sum_g, r.sum_b) == (exp, exp, exp), mid
