@@ -1642,6 +1642,10 @@ def q_events_rollup(spark, sf_dir):
     # synthetic PNG -> decode -> nearest-neighbor resample 4x2 -> 6x3 ->
     # P6 re-encode -> decode_image again; constant-color inputs make the
     # resampled sums exact SQL arithmetic (18 * channel).
+    # 'png_i' section (round 13): the Adam7-interlaced PNG path over
+    # JVM-built synthetic_png_interlaced_media payloads (pass-ordered
+    # raster, same constant-triple arithmetic; placement pinned by the
+    # varying-pixel unit test since sums are permutation-invariant).
     # 'jpeg' section (round 13): the REAL baseline-JPEG Huffman decoder
     # (_parse_jpeg) over JVM-built synthetic_jpeg_media payloads — two
     # DC-only MCUs per image, entropy segment closed-form in doc_id, so
@@ -1711,6 +1715,18 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS BIGINT) AS sum_pcm
     FROM documents
     UNION ALL
+    SELECT 'png_i' AS section, doc_id AS media_id, 'image' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'png' AS fmt, 4 AS width, 2 AS height, 8 AS n_pixels,
+           CAST(8 * (doc_id % 256) AS BIGINT) AS sum_r,
+           CAST(8 * ((doc_id * 7) % 256) AS BIGINT) AS sum_g,
+           CAST(8 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm
+    FROM documents
+    UNION ALL
     SELECT 'jpeg' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
@@ -1760,6 +1776,7 @@ def q_multimodal_stats(spark, sf_dir):
         media_from_documents,
         resize_image,
         synthetic_jpeg_media,
+        synthetic_png_interlaced_media,
         synthetic_png_media,
         synthetic_png_palette_media,
         synthetic_ppm_media,
@@ -1810,6 +1827,7 @@ def q_multimodal_stats(spark, sf_dir):
         base.unionByName(_pix(synthetic_ppm_media(docs), "pixels"))
         .unionByName(_pix(synthetic_png_media(docs), "png"))
         .unionByName(_pix(synthetic_png_palette_media(docs), "palette"))
+        .unionByName(_pix(synthetic_png_interlaced_media(docs), "png_i"))
         .unionByName(_pix(synthetic_jpeg_media(docs), "jpeg"))
         .unionByName(audio)
         .unionByName(resized)

@@ -2514,3 +2514,83 @@ def test_synthetic_jpeg_media_certifies_decoder(spark):
         exp = 64 * (257 + 2 * dc1)
         assert (r.fmt, r.width, r.height, r.n_pixels) == ("jpeg", 16, 8, 128)
         assert (r.sum_r, r.sum_g, r.sum_b) == (exp, exp, exp), mid
+
+
+def _mk_png(w, h, pixels, interlace=0):
+    """Test-side PNG builder (independent of the engine fixtures): 8-bit
+    RGB, filter 0 scanlines, real zlib stream; pixels = {(x, y): (r,g,b)}.
+    With interlace=1 the raster is serialized in Adam7 pass order."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + b"\x00" * 4
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, interlace)
+    if interlace == 0:
+        raw = b"".join(
+            b"\x00" + b"".join(bytes(pixels[(x, y)]) for x in range(w))
+            for y in range(h)
+        )
+    else:
+        passes = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+                  (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+        raw = b""
+        for x0, dx, y0, dy in passes:
+            xs = list(range(x0, w, dx))
+            ys = list(range(y0, h, dy))
+            if not xs or not ys:
+                continue
+            for y in ys:
+                raw += b"\x00" + b"".join(bytes(pixels[(x, y)]) for x in xs)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_parse_png_adam7_interlace_matches_progressive():
+    """Adam7 deinterlacing (round 13): a 5x5 varying-pixel image encoded
+    interlaced decodes to the IDENTICAL raster as its non-interlaced
+    twin — constant color would be vacuous for pass placement, so every
+    pixel is position-unique and any pass-scatter error shows."""
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_png
+
+    px = {(x, y): (x * 40, y * 40, x + y) for x in range(5) for y in range(5)}
+    plain = _parse_png(_mk_png(5, 5, px, interlace=0))
+    inter = _parse_png(_mk_png(5, 5, px, interlace=1))
+    assert plain is not None and inter is not None
+    assert plain == inter
+    w, h, rgb = inter
+    assert (w, h) == (5, 5)
+    # spot-check a few scattered positions directly
+    for (x, y), (r, g, b) in list(px.items())[:8]:
+        off = (y * 5 + x) * 3
+        assert rgb[off : off + 3] == bytes((r, g, b)), (x, y)
+    # sizes that hit EMPTY passes (w or h below a pass origin) still work
+    for dims in ((1, 1), (2, 2), (3, 1), (1, 3), (8, 8), (9, 3)):
+        ww, hh = dims
+        pxs = {(x, y): (x, y, x ^ y) for x in range(ww) for y in range(hh)}
+        assert _parse_png(_mk_png(ww, hh, pxs, 1)) == _parse_png(
+            _mk_png(ww, hh, pxs, 0)
+        ), dims
+    # truncated interlaced stream rejects honestly: drop the last pass's
+    # scanlines from the raster but keep the chunk framing valid
+    import struct
+    import zlib
+
+    short_raw_png = _mk_png(5, 5, px, interlace=1)
+    # rebuild with an IDAT whose decompressed raster is missing 10 bytes
+    passes_raw = zlib.decompress(
+        short_raw_png[short_raw_png.index(b"IDAT") + 4 : short_raw_png.index(b"IEND") - 8]
+    )
+    bad_idat = zlib.compress(passes_raw[:-10])
+    body = struct.pack(">I", len(bad_idat)) + b"IDAT" + bad_idat + b"\x00" * 4
+    rebuilt = (
+        short_raw_png[: short_raw_png.index(b"IDAT") - 4]
+        + body
+        + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
+    )
+    assert _parse_png(rebuilt) is None
