@@ -778,3 +778,30 @@ def test_chunk_overlap_ignored_is_caught(spark, con, monkeypatch):
     assert_caught(
         spark, con, "q_dedup_lines", qc.SPARK_QUERIES["q_dedup_lines"](spark, SF)
     )
+
+
+def test_jpeg_entropy_byte_corruption_is_caught(spark, con, monkeypatch):
+    """The 'jpeg' section must certify the DECODE, not just the fixture
+    plumbing: overwrite the per-id entropy byte (the 4th-from-last byte —
+    DC magnitude of block 1) with a constant, so every payload decodes to
+    dc1=21 regardless of doc_id.  The oracle's closed-form sums vary with
+    doc_id, so the worker-side Huffman decode of the corrupted bytes must
+    produce mismatching sums for 15 of every 16 ids."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.synthetic_jpeg_media
+
+    def mutated(docs, id_col="doc_id"):
+        out = orig(docs, id_col)
+        return out.withColumn(
+            "content",
+            F.overlay(
+                F.col("content"), F.unhex(F.lit("2a")), F.length("content") - 3
+            ),
+        )
+
+    monkeypatch.setattr(mm, "synthetic_jpeg_media", mutated)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
