@@ -2594,3 +2594,35 @@ def test_parse_png_adam7_interlace_matches_progressive():
         + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
     )
     assert _parse_png(rebuilt) is None
+
+
+def test_parse_jpeg_restart_markers_reset_dc_predictor():
+    """DRI + RSTn between MCUs: the decoder byte-aligns at the marker and
+    RESETS the DC predictor, so two full-magnitude dc=20 blocks around an
+    RST0 both decode to 148 — a predictor that survives the restart would
+    give 128+40 on block 2; APPn/COM segments in the header are skipped."""
+    import struct
+
+    import numpy as np
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    base = _mk_dc_jpeg(16, 8, [[_dc_bits(20), _dc_bits(20)]])
+    sos_at = base.index(b"\xff\xda")
+    entropy = bytes([20 << 1])  # one full-magnitude dc=20 block
+    with_rst = (
+        base[:sos_at]
+        + seg(0xDD, struct.pack(">H", 1))  # DRI: restart every MCU
+        + base[sos_at : sos_at + 10]  # the 10-byte SOS segment
+        + entropy + b"\xff\xd0" + entropy + b"\xff\xd9"
+    )
+    r = _parse_jpeg(with_rst)
+    assert r is not None and (r[0], r[1]) == (16, 8)
+    assert (np.frombuffer(r[2], dtype=np.uint8) == 148).all()
+    # COM segment after SOI is skipped without disturbing the parse
+    plain = _parse_jpeg(base)
+    com = base[:2] + seg(0xFE, b"metadata comment") + base[2:]
+    assert _parse_jpeg(com) == plain
