@@ -2481,6 +2481,22 @@ def test_parse_jpeg_honest_rejects():
     assert _parse_jpeg(b"not a jpeg") is None
     assert _parse_jpeg(b"\xff\xd8\xff") is None
     assert _parse_jpeg(b"\xff\xd8\xff\xc2\x00\x04ab") is None  # progressive
+    # round-13 review crashes, now clean rejects: empty SOF0 body and an
+    # SOS too short for its declared component pairs
+    assert _parse_jpeg(b"\xff\xd8\xff\xc0\x00\x02\xff\xd9") is None
+    import struct as _st
+
+    def _sg(m, p):
+        return bytes([0xFF, m]) + _st.pack(">H", len(p) + 2) + p
+
+    trunc_sos = (
+        b"\xff\xd8"
+        + _sg(0xDB, bytes([0]) + bytes([8] * 64))
+        + _sg(0xC0, bytes([8]) + _st.pack(">HH", 8, 8) + bytes([3])
+              + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        + _sg(0xDA, bytes([3]))
+    )
+    assert _parse_jpeg(trunc_sos) is None
     good = _mk_dc_jpeg(8, 8, [[_dc_bits(20)]])
     # 16-bit quant table (Pq=1) rejects
     bad_q = bytearray(good)

@@ -115,8 +115,14 @@ def main() -> None:
                 capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             )
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-            times.append(json.loads(line)["sec"])
+            lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+            if out.returncode != 0 or not lines:
+                # surface the child's real diagnostic, not an IndexError
+                print(out.stderr[-4000:], file=sys.stderr)
+                raise RuntimeError(
+                    f"stage {stage!r} child failed (rc={out.returncode})"
+                )
+            times.append(json.loads(lines[-1])["sec"])
         results[stage] = min(times)
         print(f"{stage:>8}: {results[stage]:7.3f}s  (reps: {times})", file=sys.stderr)
     deltas = {

@@ -359,6 +359,78 @@ _JPEG_ZIGZAG = [
 ]
 
 
+def _jpeg_tables():
+    """Input-independent decode tables, built once per Python worker (not
+    per payload — round-13 review): the 8x8 IDCT basis and the zigzag
+    index array."""
+    import numpy as np
+
+    u = np.arange(8)
+    idct_m = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) * 0.5
+    idct_m[0, :] *= 1 / np.sqrt(2)
+    return idct_m, np.array(_JPEG_ZIGZAG)
+
+
+_JPEG_CACHE: list = []  # lazily holds (idct_m, zz) — numpy import stays lazy
+
+
+class _JpegBits:
+    """MSB-first bit reader over a JPEG entropy-coded segment: 0xFF00
+    byte-unstuffing, real markers raise EOFError, RSTn re-alignment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes) -> None:
+        self.data, self.pos, self.bit = data, 0, 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise EOFError
+        byte = self.data[self.pos]
+        if byte == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt != 0x00:
+                raise EOFError  # real marker terminates entropy data
+        v = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if byte == 0xFF else 1  # skip stuffed 00
+        return v
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 2 if self.data[self.pos] == 0xFF else 1
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise EOFError
+        self.pos += 2
+
+
+def _jpeg_decode_huff(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise EOFError
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
 def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
     """Baseline JPEG (SOF0, Huffman) -> (width, height, raw RGB triplets),
     or None — the round-13 verdict item: pure stdlib ``struct`` +
@@ -439,7 +511,9 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
                 huff[(tc, th)] = table
                 j += 17 + total
         elif marker == 0xC0:  # SOF0 — baseline sequential only
-            if seg[0] != 8 or len(seg) < 6:
+            # length check FIRST: an empty/truncated SOF0 body must reject,
+            # not IndexError (round-13 review)
+            if len(seg) < 6 or seg[0] != 8:
                 return None
             h, w = struct.unpack_from(">HH", seg, 1)
             nc = seg[5]
@@ -458,7 +532,14 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
                 return None
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
-            if comps is None or len(seg) < 1 or seg[0] != len(comps):
+            # the segment must hold Ns (id, table) byte PAIRS: a truncated
+            # SOS header must reject, not IndexError (round-13 review)
+            if (
+                comps is None
+                or len(seg) < 1
+                or seg[0] != len(comps)
+                or len(seg) < 1 + 2 * len(comps)
+            ):
                 return None
             scan_comps = []
             for c in range(seg[0]):
@@ -478,67 +559,12 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
         return None
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
-    u = np.arange(8)
-    idct_m = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) * 0.5
-    idct_m[0, :] *= 1 / np.sqrt(2)
-    zz = np.array(_JPEG_ZIGZAG)
+    if not _JPEG_CACHE:
+        _JPEG_CACHE.append(_jpeg_tables())
+    idct_m, zz = _JPEG_CACHE[0]
+    _decode_huff, _extend = _jpeg_decode_huff, _jpeg_extend
 
-    class _Bits:
-        __slots__ = ("data", "pos", "bit")
-
-        def __init__(self, data: bytes) -> None:
-            self.data, self.pos, self.bit = data, 0, 0
-
-        def read_bit(self) -> int:
-            if self.pos >= len(self.data):
-                raise EOFError
-            byte = self.data[self.pos]
-            if byte == 0xFF:
-                nxt = (
-                    self.data[self.pos + 1]
-                    if self.pos + 1 < len(self.data)
-                    else None
-                )
-                if nxt != 0x00:
-                    raise EOFError  # real marker terminates entropy data
-            v = (byte >> (7 - self.bit)) & 1
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 2 if byte == 0xFF else 1  # skip stuffed 00
-            return v
-
-        def receive(self, n: int) -> int:
-            v = 0
-            for _ in range(n):
-                v = (v << 1) | self.read_bit()
-            return v
-
-        def align_restart(self) -> None:
-            if self.bit:
-                self.bit = 0
-                self.pos += 2 if self.data[self.pos] == 0xFF else 1
-            if (
-                self.pos + 2 > len(self.data)
-                or self.data[self.pos] != 0xFF
-                or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
-            ):
-                raise EOFError
-            self.pos += 2
-
-    def _decode_huff(bits: _Bits, table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | bits.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise EOFError
-
-    def _extend(v: int, t: int) -> int:
-        return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
-
-    bits = _Bits(scan)
+    bits = _JpegBits(scan)
     planes = [
         np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
         for (_cid, ch, cv, _tq), _td, _ta in scan_comps
@@ -710,7 +736,15 @@ def decode_image(media: DataFrame, codec=None) -> DataFrame:
                             (_parse_png, "png"),
                             (_parse_jpeg, "jpeg"),
                         ):
-                            parsed = parse(raw)
+                            # per-parser try (round-13 review): the
+                            # docstring promises one corrupt payload among
+                            # billions cannot kill the job, so a parser
+                            # crash on adversarial bytes downgrades to the
+                            # honest reject row, same as returning None
+                            try:
+                                parsed = parse(raw)
+                            except Exception:
+                                parsed = None
                             if parsed is not None:
                                 fmt = name
                                 break
