@@ -2642,3 +2642,25 @@ def test_parse_jpeg_restart_markers_reset_dc_predictor():
     plain = _parse_jpeg(base)
     com = base[:2] + seg(0xFE, b"metadata comment") + base[2:]
     assert _parse_jpeg(com) == plain
+
+
+def test_resize_image_accepts_jpeg_source(spark):
+    """resize_image decodes baseline JPEG like the other formats: a flat
+    DC-only 16x8 source resampled to 4x2 stays flat (nearest-neighbor of
+    a constant raster), re-encoded as P6."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_image,
+        resize_image,
+        synthetic_jpeg_media,
+    )
+
+    docs = spark.createDataFrame([(5,)], "doc_id long")
+    resized = resize_image(synthetic_jpeg_media(docs), 4, 2)
+    r = resized.collect()[0]
+    assert (r.fmt, r.width, r.height) == ("jpeg", 4, 2)
+    out = decode_image(resized).collect()[0]
+    dc1 = 16 + 5 % 16  # blocks are 128+dc1 / 129+dc1; 4x2 samples cols
+    # nearest-neighbor x-map for 4 cols over 16: cols 0,4,8,12 -> first
+    # two from block 1 (128+dc1), last two from block 2 (129+dc1), x2 rows
+    exp = 2 * (2 * (128 + dc1) + 2 * (129 + dc1))
+    assert out.fmt == "ppm" and (out.sum_r, out.sum_g, out.sum_b) == (exp, exp, exp)

@@ -1231,7 +1231,7 @@ RESIZED_IMAGE_SCHEMA = (
 
 def resize_image(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """REAL nearest-neighbor image resize (round 11) over the decodable
-    formats (PPM/BMP/PNG): decode the raster, resample each output pixel
+    formats (PPM/BMP/PNG/baseline JPEG): decode the raster, resample each output pixel
     from ``in[floor(y*in_h/out_h)][floor(x*in_w/out_w)]``, and re-encode
     as binary PPM (P6) — so the output of this transform feeds straight
     back into ``decode_image`` and the whole decode→transform→decode
@@ -1260,8 +1260,13 @@ def resize_image(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                         (_parse_ppm, "ppm"),
                         (_parse_bmp, "bmp"),
                         (_parse_png, "png"),
+                        (_parse_jpeg, "jpeg"),
                     ):
-                        parsed = parse(raw)
+                        # same per-parser crash downgrade as decode_image
+                        try:
+                            parsed = parse(raw)
+                        except Exception:
+                            parsed = None
                         if parsed is not None:
                             fmt = name
                             break
