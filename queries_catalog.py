@@ -3501,6 +3501,38 @@ def q_repeated_chunks(spark, sf_dir):
       )
     ), unnest(range(0, n_windows)) AS t(i)
     UNION ALL
+    -- sliding windows, sentences unit (round 13): chunk 3 / overlap 1
+    -- (stride 2) over terminal-punctuation segments of the whitespace-
+    -- collapsed text (trimmed, empties dropped) — the RAG-standard
+    -- boundary-respecting chunk; the [^.!?]+[.!?]* scan is leftmost-
+    -- greedy identically under Java and RE2
+    SELECT 'window_sentences' AS section, doc_id,
+           CAST(NULL AS INT) AS n_removed, CAST(NULL AS INT) AS new_len,
+           CAST(i AS INT) AS chunk_idx,
+           md5(array_to_string(sn[i*2+1 : i*2+3], ' ')) AS chunk_md5,
+           CAST(len(sn[i*2+1 : i*2+3]) AS INT) AS n_units
+    FROM (
+      SELECT doc_id, sn,
+             CASE WHEN n <= 0 THEN 0
+                  ELSE 1 + CAST(ceil(greatest(n - 3, 0) / 2.0) AS INT)
+             END AS n_windows
+      FROM (
+        SELECT doc_id, sn,
+               CASE WHEN sn IS NULL THEN 0 ELSE len(sn) END AS n
+        FROM (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(
+                     regexp_extract_all(
+                       regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'),
+                       '[^.!?]+[.!?]*'),
+                     x -> trim(x)),
+                   x -> length(x) > 0) AS sn
+          FROM documents
+        )
+      )
+    ), unnest(range(0, n_windows)) AS t(i)
+    UNION ALL
     -- STREAMING chunking (round 13): the same words-unit window math at
     -- chunk 24 / overlap 6 (stride 18), but executed through Structured
     -- Streaming on the engine side (4 staged micro-batches -> parquet
@@ -3557,7 +3589,8 @@ def q_dedup_lines(spark, sf_dir):
     document chunking (chunk_documents, the rows-only q_chunk_documents
     scenario) — one row per window, chunk_md5 pinning the exact slice
     text (words: chunk 20/overlap 5 re-joined windows; tokens: chunk
-    16/overlap 4 BPE-ish pre-token windows; chars: chunk 64/overlap 16
+    16/overlap 4 BPE-ish pre-token windows; sentences: chunk 3/overlap 1
+    terminal-punctuation segments — round 13; chars: chunk 64/overlap 16
     verbatim substrings), n_units pinning the short final window.
     'window_stream' section (round 13): the words-unit chunker at chunk
     24/overlap 6 run through Structured Streaming (4 staged micro-batches
@@ -3653,6 +3686,7 @@ def q_dedup_lines(spark, sf_dir):
         lines.unionByName(chunks)
         .unionByName(_window("words", 20, 5, "window_words"))
         .unionByName(_window("tokens", 16, 4, "window_tokens"))
+        .unionByName(_window("sentences", 3, 1, "window_sentences"))
         .unionByName(_window("chars", 64, 16, "window_chars"))
         .unionByName(wstream)
     )

@@ -1361,6 +1361,12 @@ def _chunk_ref(text, chunk_size, overlap, unit):
         units = [t for t in _re.split("[ \t\n\x0b\f\r]+", text) if t]
     elif unit == "tokens":
         units = _re.findall("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]", text)
+    elif unit == "sentences":
+        collapsed = _re.sub("[ \t\n\x0b\f\r]+", " ", text)
+        units = [
+            s.strip(" ") for s in _re.findall("[^.!?]+[.!?]*", collapsed)
+            if s.strip(" ")
+        ]
     else:
         units = list(text)
     n = len(units)
@@ -1383,7 +1389,9 @@ def test_chunk_documents_matches_reference_both_units(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
     rows = {r.doc_id: r for r in docs.collect()}
-    for unit, cs, ov in (("words", 20, 5), ("chars", 64, 16), ("tokens", 16, 4)):
+    for unit, cs, ov in (
+        ("words", 20, 5), ("chars", 64, 16), ("tokens", 16, 4), ("sentences", 3, 1)
+    ):
         got = chunk_documents(docs, chunk_size=cs, overlap=ov, unit=unit)
         got_map = {
             (r.doc_id, r.chunk_idx): (r.text, r.n_units, r.lang, r.source)
@@ -1445,7 +1453,7 @@ def test_chunk_documents_boundaries(spark):
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_size=4, overlap=-1)
     with pytest.raises(ValueError):
-        chunk_documents(docs, unit="sentences")  # tokens became valid round 13
+        chunk_documents(docs, unit="paragraphs")  # tokens+sentences valid since r13
     # reserved-output collision fails loudly (re-chunking chunked output
     # would otherwise be an ambiguous-reference AnalysisException deep in
     # the plan — round-12 review); a one-call re-window works after a
@@ -1585,3 +1593,36 @@ def test_streaming_chunking_section_is_reentrant(spark):
         .collect()
     )
     assert first == batch
+
+
+def test_chunk_documents_sentences_unit_edges_and_mutant(spark):
+    """unit='sentences' (round 13): terminal-punctuation segmentation with
+    trim + empty-drop, boundary-respecting windows; stride off-by-one
+    mutants disagree with the independent reference; leading bare
+    punctuation drops identically on both engines."""
+    from woe_monotonic_binning_spark.operators.text import chunk_documents
+
+    text = "One fish. Two fish? Red fish!\nBlue fish... done"
+    docs = spark.createDataFrame(
+        [(0, text), (1, ""), (2, None), (3, "no punct"), (4, "... lead. ok!")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.text, r.n_units)
+        for r in chunk_documents(docs, chunk_size=2, overlap=1, unit="sentences").collect()
+    }
+    assert got == {
+        (0, 0): ("One fish. Two fish?", 2),
+        (0, 1): ("Two fish? Red fish!", 2),
+        (0, 2): ("Red fish! Blue fish...", 2),
+        (0, 3): ("Blue fish... done", 2),
+        (3, 0): ("no punct", 1),
+        (4, 0): ("lead. ok!", 2),  # leading "..." has no body -> dropped
+    }
+    seq = [
+        (i, t, n)
+        for (d, i), (t, n) in sorted(got.items()) if d == 0
+    ]
+    assert seq == _chunk_ref(text, 2, 1, "sentences")
+    # off-by-one stride mutant (overlap 0 -> stride 2) must disagree
+    assert seq != _chunk_ref(text, 2, 0, "sentences")

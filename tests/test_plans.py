@@ -533,7 +533,7 @@ def test_chunk_documents_single_generate_no_shuffle_no_python(spark):
     from woe_monotonic_binning_spark.operators.text import chunk_documents
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    for unit in ("words", "chars", "tokens"):
+    for unit in ("words", "chars", "tokens", "sentences"):
         out = chunk_documents(docs, chunk_size=64, overlap=16, unit=unit)
         plan = formatted_plan(out)
         # node headers only — explain('formatted') repeats each node name

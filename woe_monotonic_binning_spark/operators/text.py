@@ -37,6 +37,13 @@ WS_CHARS = " \\t\\n\\x0B\\f\\r"
 # BPE-ish pre-tokenizer: runs of letters, runs of digits, or single
 # non-alphanumeric non-space symbols (GPT-2-style coarse split).
 _BPE_RE = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"
+# Sentence segmenter for chunk_documents(unit='sentences'): a run of
+# non-terminal characters plus its trailing terminal-punctuation run.
+# Leftmost-greedy scan is identical under Java and RE2 (no alternation,
+# no backtracking-sensitive constructs), so the same literal certifies
+# cross-engine; abbreviation dots ("e.g.") split — documented heuristic,
+# same class as the rule-based language detector.
+_SENT_RE = "[^.!?]+[.!?]*"
 
 
 def word_count(text: Column) -> Column:
@@ -412,7 +419,12 @@ def chunk_documents(
     a model's token limit; windows re-join with single spaces like the
     words unit (token reassembly cannot reproduce the original byte
     spacing — "don't" windows as "don ' t"), so run byte-sensitive
-    gates before chunking, or use chars.
+    gates before chunking, or use chars.  ``unit='sentences'`` (round
+    13) budgets windows by sentence segments — whitespace-collapsed text
+    split on terminal-punctuation runs (``_SENT_RE``; "e.g." splits,
+    a documented heuristic), trimmed, empty segments dropped — the
+    RAG-standard boundary-respecting chunk shape; windows re-join with
+    single spaces.
 
     Plan shape at scale: pure map-side column expressions plus the ONE
     inherent ``posexplode`` (row expansion IS the operator's output —
@@ -427,9 +439,10 @@ def chunk_documents(
             f"overlap must satisfy 0 <= overlap < chunk_size, got "
             f"overlap={overlap}, chunk_size={chunk_size}"
         )
-    if unit not in ("words", "chars", "tokens"):
+    if unit not in ("words", "chars", "tokens", "sentences"):
         raise ValueError(
-            f"unit must be 'words', 'chars' or 'tokens', got {unit!r}"
+            f"unit must be 'words', 'chars', 'tokens' or 'sentences', "
+            f"got {unit!r}"
         )
     if id_col not in df.columns:
         # the (id_col, chunk_idx) pair is the documented chunk key; a
@@ -471,6 +484,19 @@ def chunk_documents(
         # guard against, unlike split) and NULL on NULL text (coalesce)
         units = F.regexp_extract_all(F.col(text_col), F.lit(_BPE_RE), F.lit(0))
         n = F.coalesce(F.size(units), F.lit(0))
+    elif unit == "sentences":
+        # collapse whitespace first (newlines between sentences become
+        # spaces), split on terminal-punctuation runs — the pattern scans
+        # leftmost-greedy identically under Java and RE2, and a leading
+        # bare punctuation run ("...") is dropped by both — then trim and
+        # drop empty segments (a trailing "? " leaves a space-only match)
+        normed = F.regexp_replace(F.col(text_col), ws_class, " ")
+        raw_units = F.regexp_extract_all(normed, F.lit(_SENT_RE), F.lit(0))
+        units = F.filter(
+            F.transform(raw_units, lambda s: F.trim(s)),
+            lambda s: F.length(s) > 0,
+        )
+        n = F.coalesce(F.size(units), F.lit(0))
     else:
         units = None
         n = F.coalesce(F.length(F.col(text_col)), F.lit(0))
@@ -498,7 +524,7 @@ def chunk_documents(
         F.explode(idxs).alias("chunk_idx"),
     )
     start = F.col("chunk_idx") * stride
-    if unit in ("words", "tokens"):
+    if unit in ("words", "tokens", "sentences"):
         window = F.slice(F.col("__units"), start + 1, chunk_size)
         chunk = F.array_join(window, " ")
         n_units = F.size(window)
