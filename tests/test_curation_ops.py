@@ -1381,9 +1381,9 @@ def _chunk_ref(text, chunk_size, overlap, unit):
     return out
 
 
-def test_chunk_documents_matches_reference_both_units(spark):
+def test_chunk_documents_matches_reference_all_units(spark):
     """chunk_documents vs an independent sliding-window reference on the
-    real corpus, both units: same (doc, idx) keyset, same chunk text,
+    real corpus, all four units: same (doc, idx) keyset, same chunk text,
     same n_units; passthrough columns preserved on every row."""
     from woe_monotonic_binning_spark.operators.text import chunk_documents
 

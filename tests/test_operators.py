@@ -2664,3 +2664,28 @@ def test_resize_image_accepts_jpeg_source(spark):
     # two from block 1 (128+dc1), last two from block 2 (129+dc1), x2 rows
     exp = 2 * (2 * (128 + dc1) + 2 * (129 + dc1))
     assert out.fmt == "ppm" and (out.sum_r, out.sum_g, out.sum_b) == (exp, exp, exp)
+
+
+def test_parse_jpeg_megapixel_bomb_rejects():
+    """A ~100-byte payload declaring 65535x65535 must reject at the SOF0
+    header (round-13 second review) — never reach the multi-GB plane
+    allocation the per-parser except cannot catch once the OOM killer
+    fires."""
+    import struct
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    bomb = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([8] * 64))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", 65535, 65535) + bytes([1])
+              + bytes([1, 0x22, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([5, 1]))
+        + seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + b"\x28\xff\xd9"
+    )
+    assert len(bomb) < 200 and _parse_jpeg(bomb) is None

@@ -31,6 +31,7 @@ stage with a Python TypeError deep inside the worker (round-8 review).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -359,10 +360,11 @@ _JPEG_ZIGZAG = [
 ]
 
 
+@functools.cache
 def _jpeg_tables():
     """Input-independent decode tables, built once per Python worker (not
     per payload — round-13 review): the 8x8 IDCT basis and the zigzag
-    index array."""
+    index array.  functools.cache keeps the numpy import lazy."""
     import numpy as np
 
     u = np.arange(8)
@@ -371,7 +373,12 @@ def _jpeg_tables():
     return idct_m, np.array(_JPEG_ZIGZAG)
 
 
-_JPEG_CACHE: list = []  # lazily holds (idct_m, zz) — numpy import stays lazy
+# A pure-Python per-MCU loop is the wrong tool past tens of megapixels, and
+# a ~100-byte adversarial payload can declare 65535x65535 (multi-GB plane
+# allocations the per-parser except cannot catch once the OOM killer fires
+# — round-13 second review).  Payloads past the cap reject to the honest
+# NULL row; bring a codec= for anything bigger.
+_JPEG_MAX_PIXELS = 16_000_000
 
 
 class _JpegBits:
@@ -444,7 +451,10 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
     rejects (return None, falling through to the unparsed row):
     progressive (SOF2) and every other non-SOF0 frame type, arithmetic
     coding, 16-bit quant tables, >2 sampling factors, truncated entropy
-    data.  Tolerance notes: chroma upsampling is nearest-neighbor
+    data, and frames declaring more than ``_JPEG_MAX_PIXELS`` (16M)
+    pixels — an adversarial 100-byte header can otherwise demand
+    multi-GB plane allocations, and a pure-Python MCU loop is the wrong
+    tool past tens of megapixels anyway (bring a ``codec=``).  Tolerance notes: chroma upsampling is nearest-neighbor
     (libjpeg's default is 'fancy' triangular interpolation, so channel
     sums on real subsampled photos can differ slightly from libjpeg's —
     the fixture certification below uses 4:4:4/grayscale where the two
@@ -519,6 +529,8 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
             nc = seg[5]
             if nc not in (1, 3) or len(seg) < 6 + 3 * nc or w <= 0 or h <= 0:
                 return None
+            if w * h > _JPEG_MAX_PIXELS:
+                return None  # see _JPEG_MAX_PIXELS — honest reject, not OOM
             comps = [
                 (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0x0F,
                  seg[8 + 3 * c])
@@ -559,9 +571,7 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
         return None
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
-    if not _JPEG_CACHE:
-        _JPEG_CACHE.append(_jpeg_tables())
-    idct_m, zz = _JPEG_CACHE[0]
+    idct_m, zz = _jpeg_tables()
     _decode_huff, _extend = _jpeg_decode_huff, _jpeg_extend
 
     bits = _JpegBits(scan)
@@ -740,9 +750,14 @@ def decode_image(media: DataFrame, codec=None) -> DataFrame:
                             # docstring promises one corrupt payload among
                             # billions cannot kill the job, so a parser
                             # crash on adversarial bytes downgrades to the
-                            # honest reject row, same as returning None
+                            # honest reject row, same as returning None.
+                            # MemoryError re-raises: resource exhaustion
+                            # on a VALID image must fail the task for
+                            # retry, not silently emit a NULL row
                             try:
                                 parsed = parse(raw)
+                            except MemoryError:
+                                raise
                             except Exception:
                                 parsed = None
                             if parsed is not None:
@@ -1263,8 +1278,11 @@ def resize_image(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                         (_parse_jpeg, "jpeg"),
                     ):
                         # same per-parser crash downgrade as decode_image
+                        # (MemoryError re-raises for retry, see there)
                         try:
                             parsed = parse(raw)
+                        except MemoryError:
+                            raise
                         except Exception:
                             parsed = None
                         if parsed is not None:

@@ -432,8 +432,10 @@ def chunk_documents(
     must stay explode-free); zero shuffles, zero Python, so it fuses
     into whatever scan or writer surrounds it and scales embarrassingly.
     Beyond-reference op (training-data pipeline surface); certified via
-    the q_dedup_lines 'window_words'/'window_chars' driver-hash sections
-    and the local parity/boundary tests."""
+    the q_dedup_lines driver-hash sections — 'window_words' /
+    'window_chars' (round 12), 'window_tokens' / 'window_sentences' and
+    the Structured-Streaming 'window_stream' (round 13) — plus the local
+    parity/boundary tests."""
     if not (0 <= overlap < chunk_size):
         raise ValueError(
             f"overlap must satisfy 0 <= overlap < chunk_size, got "
