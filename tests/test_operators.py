@@ -2689,3 +2689,51 @@ def test_parse_jpeg_megapixel_bomb_rejects():
         + b"\x28\xff\xd9"
     )
     assert len(bomb) < 200 and _parse_jpeg(bomb) is None
+
+
+def test_parse_jpeg_oversized_dc_category_rejects():
+    """Round-13 fuzz regression: a corrupted DHT can define a DC symbol
+    byte > 15; receive(sym) would then mint a >int32 magnitude that
+    overflowed the numpy coefficient assignment (OverflowError killing
+    the row).  Craft exactly that table and assert a clean reject."""
+    import struct
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    bad = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([8] * 64))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1])
+              + bytes([1, 0x11, 0]))
+        # DC table: single 1-bit code mapping to symbol 0xFF (category 255)
+        + seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0xFF]))
+        + seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + b"\x00" * 40 + b"\xff\xd9"
+    )
+    assert _parse_jpeg(bad) is None
+
+
+def test_parse_jpeg_mutation_fuzz_never_raises():
+    """Deterministic mini-fuzz (seeded): byte flips + truncations over the
+    test-encoder corpus must always reject-or-decode, never raise — the
+    tolerant contract decode_image's per-parser except depends on for
+    everything except MemoryError."""
+    import random
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    base = _mk_dc_jpeg(16, 8, [[_dc_bits(20), _dc_bits(1)]])
+    color = _mk_dc_jpeg(8, 8, [[_dc_bits(20)], [_dc_bits(1)], [_dc_bits(-1)]])
+    rng = random.Random(711)
+    for b0 in (base, color):
+        for _ in range(300):
+            m = bytearray(b0)
+            for _ in range(rng.randint(1, 8)):
+                m[rng.randrange(len(m))] = rng.randrange(256)
+            if rng.random() < 0.5:
+                m = m[: rng.randrange(1, len(m))]
+            _parse_jpeg(bytes(m))  # any non-MemoryError raise fails the test

@@ -600,6 +600,13 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
                         for bx in range(ch):
                             coeff = np.zeros(64, dtype=np.int32)
                             t = _decode_huff(bits, dc_tab)
+                            if t > 15:
+                                # a corrupted DHT can carry any symbol
+                                # byte; receive(255) would mint a 255-bit
+                                # int that overflows the int32 assignment
+                                # (found by round-13 fuzz) — baseline DC
+                                # categories are <= 11, so reject
+                                return None
                             pred[ci] += _extend(bits.receive(t), t) if t else 0
                             coeff[0] = pred[ci]
                             k = 1
