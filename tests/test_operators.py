@@ -2737,3 +2737,69 @@ def test_parse_jpeg_mutation_fuzz_never_raises():
             if rng.random() < 0.5:
                 m = m[: rng.randrange(1, len(m))]
             _parse_jpeg(bytes(m))  # any non-MemoryError raise fails the test
+
+
+def test_parse_png_dims_bomb_and_deflate_bomb_reject_fast():
+    """Round-13 fuzz: a corrupt IHDR declaring huge dims must reject
+    BEFORE the full-raster allocation (the Adam7 branch used to allocate
+    h*stride first — a mutated header stalled the worker for minutes),
+    and the inflate is max_length-capped so a DEFLATE bomb cannot blow
+    past the raster the header declares."""
+    import struct
+    import time
+    import zlib
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_png
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + b"\x00" * 4
+
+    for interlace in (0, 1):
+        ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, interlace)
+        bomb = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+            + chunk(b"IEND", b"")
+        )
+        t0 = time.time()
+        assert _parse_png(bomb) is None
+        assert time.time() - t0 < 1.0, interlace
+    # a DEFLATE bomb under the pixel cap: tiny compressed stream, huge
+    # declared raster it cannot fill -> clean reject, bounded memory
+    ihdr = struct.pack(">IIBBBBB", 2000, 2000, 8, 2, 0, 0, 0)
+    payload = zlib.compress(b"\x00" * (2000 * 6001), 9)  # ~35KB -> 12MB
+    under_filled = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3000, 3000, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", payload)
+        + chunk(b"IEND", b"")
+    )
+    assert _parse_png(under_filled) is None  # 12MB < the 3000x3000 raster
+
+
+def test_parse_png_mutation_fuzz_never_raises():
+    """Seeded mini-fuzz over progressive + interlaced PNGs (round 13):
+    byte flips and truncations must reject-or-decode, never raise and
+    never stall."""
+    import random
+    import struct
+    import zlib
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_png
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + b"\x00" * 4
+
+    px = {(x, y): (x * 40 % 256, y * 40 % 256, (x + y) % 256)
+          for x in range(9) for y in range(5)}
+    corpus = [_mk_png(9, 5, px, interlace=i) for i in (0, 1)]
+    rng = random.Random(29)
+    for b0 in corpus:
+        for _ in range(300):
+            m = bytearray(b0)
+            for _ in range(rng.randint(1, 8)):
+                m[rng.randrange(len(m))] = rng.randrange(256)
+            if rng.random() < 0.5:
+                m = m[: rng.randrange(1, len(m))]
+            _parse_png(bytes(m))

@@ -251,11 +251,23 @@ def _parse_png(b: bytes) -> tuple[int, int, bytes] | None:
     z = b"".join(idat)
     if len(z) < 2:
         return None
+    if w * h > _MAX_DECODE_PIXELS:
+        # same 16M-pixel honesty cap as _parse_jpeg (round-13 fuzz): a
+        # corrupt header declaring huge dims must not drive a multi-GB
+        # inflate/unfilter; past the cap, bring a codec=
+        return None
     try:
         # skip the 2-byte zlib header and inflate the raw DEFLATE stream
         # (wbits=-15): the trailing adler32 is left as unused_data, so a
-        # zeroed checksum never rejects an otherwise-valid raster
-        raw = zlib.decompressobj(wbits=-15).decompress(z[2:])
+        # zeroed checksum never rejects an otherwise-valid raster.
+        # max_length bounds a DEFLATE bomb to the raster the header
+        # declares: w*h*channels pixel bytes plus filter bytes — one per
+        # scanline progressive (h), and at most ~1.875h + 7 across the
+        # seven Adam7 passes (passes share row ranges), so 2h + 72 covers
+        # both layouts with slack
+        raw = zlib.decompressobj(wbits=-15).decompress(
+            z[2:], w * h * channels + 2 * h + 72
+        )
     except zlib.error:
         return None
     def _unfilter(pw: int, ph: int, pos: int) -> tuple[bytearray, int] | None:
@@ -306,6 +318,19 @@ def _parse_png(b: bytes) -> tuple[int, int, bytes] | None:
             (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
             (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
         )
+        # data-sufficiency BEFORE the full-raster allocation (round-13
+        # fuzz): a corrupted IHDR declaring huge dims would otherwise
+        # allocate a multi-GB bytearray the inflated data can't fill —
+        # total pass bytes equal h*(stride) + one filter byte per pass
+        # scanline, all computable from the header
+        need = 0
+        for x0, dx, y0, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw and ph:
+                need += ph * (pw * channels + 1)
+        if len(raw) < need:
+            return None
         out = bytearray(h * stride)
         pos = 0
         for x0, dx, y0, dy in _ADAM7:
@@ -378,7 +403,7 @@ def _jpeg_tables():
 # allocations the per-parser except cannot catch once the OOM killer fires
 # — round-13 second review).  Payloads past the cap reject to the honest
 # NULL row; bring a codec= for anything bigger.
-_JPEG_MAX_PIXELS = 16_000_000
+_MAX_DECODE_PIXELS = 16_000_000
 
 
 class _JpegBits:
@@ -451,7 +476,7 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
     rejects (return None, falling through to the unparsed row):
     progressive (SOF2) and every other non-SOF0 frame type, arithmetic
     coding, 16-bit quant tables, >2 sampling factors, truncated entropy
-    data, and frames declaring more than ``_JPEG_MAX_PIXELS`` (16M)
+    data, and frames declaring more than ``_MAX_DECODE_PIXELS`` (16M)
     pixels — an adversarial 100-byte header can otherwise demand
     multi-GB plane allocations, and a pure-Python MCU loop is the wrong
     tool past tens of megapixels anyway (bring a ``codec=``).  Tolerance notes: chroma upsampling is nearest-neighbor
@@ -529,8 +554,8 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
             nc = seg[5]
             if nc not in (1, 3) or len(seg) < 6 + 3 * nc or w <= 0 or h <= 0:
                 return None
-            if w * h > _JPEG_MAX_PIXELS:
-                return None  # see _JPEG_MAX_PIXELS — honest reject, not OOM
+            if w * h > _MAX_DECODE_PIXELS:
+                return None  # see _MAX_DECODE_PIXELS — honest reject, not OOM
             comps = [
                 (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0x0F,
                  seg[8 + 3 * c])
