@@ -2803,3 +2803,51 @@ def test_parse_png_mutation_fuzz_never_raises():
             if rng.random() < 0.5:
                 m = m[: rng.randrange(1, len(m))]
             _parse_png(bytes(m))
+
+
+def test_parse_png_adam7_all_color_types():
+    """Adam7 deinterlacing across every supported color type (0 gray /
+    2 RGB via the main test / 3 palette / 4 gray+alpha / 6 RGBA): the
+    per-pass unfilter is channel-parameterized, so each type's interlaced
+    raster must equal its progressive twin byte-for-byte."""
+    import struct
+    import zlib
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_png
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + b"\x00" * 4
+
+    def mk(w, h, color, interlace, row_fn, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace)
+        if interlace == 0:
+            raw = b"".join(b"\x00" + row_fn(range(w), y) for y in range(h))
+        else:
+            passes = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+                      (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+            raw = b""
+            for x0, dx, y0, dy in passes:
+                xs, ys = list(range(x0, w, dx)), list(range(y0, h, dy))
+                if not xs or not ys:
+                    continue
+                for y in ys:
+                    raw += b"\x00" + row_fn(xs, y)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    plte = bytes([10, 5, 20, 50, 85, 80, 90, 165, 140])
+    cases = [
+        (0, lambda xs, y: bytes((x * 7 + y * 31) % 256 for x in xs), None),
+        (3, lambda xs, y: bytes((x + y) % 3 for x in xs), plte),
+        (4, lambda xs, y: b"".join(
+            bytes(((x * 7 + y * 31) % 256, 200)) for x in xs), None),
+        (6, lambda xs, y: b"".join(
+            bytes((x * 40 % 256, y * 40 % 256, (x + y) % 256, 77)) for x in xs),
+         None),
+    ]
+    for color, row_fn, p in cases:
+        prog = _parse_png(mk(5, 5, color, 0, row_fn, p))
+        inter = _parse_png(mk(5, 5, color, 1, row_fn, p))
+        assert prog is not None and prog == inter, color
