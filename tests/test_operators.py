@@ -2851,3 +2851,170 @@ def test_parse_png_adam7_all_color_types():
         prog = _parse_png(mk(5, 5, color, 0, row_fn, p))
         inter = _parse_png(mk(5, 5, color, 1, row_fn, p))
         assert prog is not None and prog == inter, color
+
+
+# ---- progressive JPEG test encoder (round 13 late) ----
+
+_TDC_COUNTS = [0, 0, 6] + [0] * 13          # DC cats 0-5 at 3-bit codes
+_TDC_SYMS = [0, 1, 2, 3, 4, 5]
+_TAC_COUNTS = [0, 0, 0, 5] + [0] * 12       # 4-bit codes
+_TAC_SYMS = [0x00, 0x01, 0x02, 0x10, 0xF0]  # EOB0, (0,1), (0,2), EOB1, ZRL
+
+
+def _huff_map(counts, syms):
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[syms[k]] = format(code, f"0{length}b")
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_CODE = _huff_map(_TDC_COUNTS, _TDC_SYMS)
+_AC_CODE = _huff_map(_TAC_COUNTS, _TAC_SYMS)
+
+
+def _mag_bits(v):
+    """JPEG category + magnitude bits for a signed value."""
+    cat = abs(v).bit_length()
+    if cat == 0:
+        return 0, ""
+    body = v if v >= 0 else v + (1 << cat) - 1
+    return cat, format(body & ((1 << cat) - 1), f"0{cat}b")
+
+
+def _mk_jpeg(w, h, marker, scans):
+    """Grayscale JPEG with the shared test tables; scans = list of
+    ((td, ta), ss, se, ah, al, bitstring)."""
+    import struct
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+    out += seg(marker, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_TDC_COUNTS) + bytes(_TDC_SYMS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_TAC_COUNTS) + bytes(_TAC_SYMS))
+    for (td, ta), ss, se, ah, al, bitstr in scans:
+        out += seg(0xDA, bytes([1, 1, (td << 4) | ta, ss, se, (ah << 4) | al]))
+        bitstr += "1" * ((-len(bitstr)) % 8)
+        data = bytes(int(bitstr[i : i + 8], 2) for i in range(0, len(bitstr), 8))
+        out += b"".join(bytes([x]) + (b"\x00" if x == 0xFF else b"") for x in data)
+    return out + b"\xff\xd9"
+
+
+def _dc_code(diff):
+    cat, bits = _mag_bits(diff)
+    return _DC_CODE[cat] + bits
+
+
+def test_progressive_dc_successive_approximation_matches_baseline():
+    """Two-scan progressive DC (first pass in the >>1 domain, then one
+    refinement bit per block) must decode byte-identically to the
+    baseline twin carrying the same DC values (20 then 21)."""
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    dcs = [20, 21]
+    base_bits = ""
+    prev = 0
+    for v in dcs:
+        base_bits += _dc_code(v - prev) + _AC_CODE[0x00]
+        prev = v
+    baseline = _mk_jpeg(16, 8, 0xC0, [((0, 0), 0, 63, 0, 0, base_bits)])
+    # scan 1: DC first, Al=1 -> diffs of (v >> 1); scan 2: refine bits
+    s1, prev = "", 0
+    for v in dcs:
+        s1 += _dc_code((v >> 1) - prev)
+        prev = v >> 1
+    s2 = "".join(str(v & 1) for v in dcs)
+    prog = _mk_jpeg(16, 8, 0xC2, [
+        ((0, 0), 0, 0, 0, 1, s1),
+        ((0, 0), 0, 0, 1, 0, s2),
+    ])
+    rb, rp = _parse_jpeg(baseline), _parse_jpeg(prog)
+    assert rb is not None and rb == rp
+    import numpy as np
+
+    a = np.frombuffer(rb[2], dtype=np.uint8).reshape(8, 16, 3)
+    assert (a[:, :8] == 148).all() and (a[:, 8:] == 149).all()
+
+
+def test_progressive_ac_spectral_selection_and_refinement():
+    """DC-first + AC-first (Al=1) + AC-refinement (Al=0) must reconstruct
+    the same coefficients as the baseline twin (DC=20, AC at zigzag 1 =
+    3): the refinement pass supplies the low bit of the existing coeff."""
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    # baseline: DC 20, then (run 0, size 2) value 3, then EOB
+    cat, bits = _mag_bits(3)
+    assert cat == 2
+    base_bits = _dc_code(20) + _AC_CODE[0x02] + bits + _AC_CODE[0x00]
+    baseline = _mk_jpeg(8, 8, 0xC0, [((0, 0), 0, 63, 0, 0, base_bits)])
+    # progressive: DC full (Al=0); AC first at Al=1 codes 3>>1=1 via
+    # (0,1)+bit 1 then EOB; AC refine at Al=0: correction bit (3 & 1)
+    s_dc = _dc_code(20)
+    s_ac1 = _AC_CODE[0x01] + "1" + _AC_CODE[0x00]
+    s_ac2 = _AC_CODE[0x00] + ""  # EOB0 -> whole band is EOB run...
+    # ...but the band holds an existing nonzero coeff, whose correction
+    # bit (1: set the Al bit) is read during the EOB-run sweep
+    s_ac2 = _AC_CODE[0x00] + "1"
+    prog = _mk_jpeg(8, 8, 0xC2, [
+        ((0, 0), 0, 0, 0, 0, s_dc),
+        ((0, 0), 1, 63, 0, 1, s_ac1),
+        ((0, 0), 1, 63, 1, 0, s_ac2),
+    ])
+    rb, rp = _parse_jpeg(baseline), _parse_jpeg(prog)
+    assert rb is not None and rb == rp
+
+
+def test_progressive_eob_run_spans_blocks():
+    """An EOB1 run in the first AC scan covers the current AND the next
+    block (eobrun bookkeeping across blocks); result equals the DC-only
+    baseline twin."""
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    base_bits = (_dc_code(20) + _AC_CODE[0x00]) + (_dc_code(1) + _AC_CODE[0x00])
+    baseline = _mk_jpeg(16, 8, 0xC0, [((0, 0), 0, 63, 0, 0, base_bits)])
+    s_dc = _dc_code(20) + _dc_code(1)
+    s_ac = _AC_CODE[0x10] + "0"  # EOB1, appended bit 0 -> run of 2 blocks
+    prog = _mk_jpeg(16, 8, 0xC2, [
+        ((0, 0), 0, 0, 0, 0, s_dc),
+        ((0, 0), 1, 63, 0, 0, s_ac),
+    ])
+    rb, rp = _parse_jpeg(baseline), _parse_jpeg(prog)
+    assert rb is not None and rb == rp
+
+
+def test_progressive_real_files_decode():
+    """Real SOF2 files shipped with Spark/nodejs (skip if absent): the
+    grayscale photo decodes r=g=b at its known dims; the white-stripe
+    images decode near-white."""
+    import glob
+    import os
+
+    import numpy as np
+    import pytest
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    spark_imgs = sorted(
+        glob.glob("/opt/spark*/data/mllib/images/origin/multi-channel/grayscale.jpg")
+    )
+    stripes = [p for p in ("/usr/share/doc/nodejs/thin-white-stripe.jpg",
+                           "/usr/share/doc/nodejs/full-white-stripe.jpg")
+               if os.path.exists(p)]
+    if not spark_imgs and not stripes:
+        pytest.skip("no real progressive JPEGs on this host")
+    if spark_imgs:
+        r = _parse_jpeg(open(spark_imgs[0], "rb").read())
+        assert r is not None and (r[0], r[1]) == (300, 215)
+        a = np.frombuffer(r[2], dtype=np.uint8).reshape(215, 300, 3)
+        assert (a[:, :, 0] == a[:, :, 1]).all() and (a[:, :, 1] == a[:, :, 2]).all()
+    for p in stripes:
+        r = _parse_jpeg(open(p, "rb").read())
+        assert r is not None, p
+        a = np.frombuffer(r[2], dtype=np.uint8)
+        assert a.mean() > 200, p  # overwhelmingly white content

@@ -8,9 +8,10 @@ decoder or GPU preprocessor).
 Kernel status (honest split): ``decode_image`` is a REAL decoder for the
 formats a pure-Python parser can handle — binary PPM (P6), uncompressed
 24-bit BMP (round 10), non-interlaced 8-bit RGB/RGBA PNG via stdlib
-zlib (round 11), and baseline Huffman JPEG (SOF0, round 13 — grayscale
-and YCbCr up to 4:2:0, stdlib struct + numpy IDCT; progressive and
-arithmetic-coded JPEGs honestly reject); ``decode_audio`` is a REAL
+zlib (round 11), and Huffman JPEG — baseline
+SOF0 AND progressive SOF2 with successive approximation (round 13;
+grayscale and YCbCr up to 4:2:0, stdlib struct + numpy IDCT;
+arithmetic-coded/lossless frames honestly reject); ``decode_audio`` is a REAL
 decoder for RIFF/WAV PCM16 (round 11, stdlib struct + numpy);
 ``resize_image`` is a REAL nearest-neighbor resampler over the decodable
 formats, re-encoding to P6 (round 11).  Compressed audio and video
@@ -463,33 +464,207 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _jpeg_entropy_end(b: bytes, i: int) -> int:
+    """Index of the first REAL marker (not a stuffed 0x00, not RSTn) at or
+    after ``i`` — the end of an entropy-coded segment."""
+    while i + 1 < len(b):
+        if b[i] == 0xFF and b[i + 1] != 0x00 and not (0xD0 <= b[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return len(b)
+
+
+def _jpeg_decode_scan(
+    data, scan, ss, se, ah, al, progressive, coeffs, geom, huff, mcux, mcuy, ri
+) -> bool:
+    """Decode one entropy-coded scan into the per-component zigzag
+    coefficient arrays.  Handles baseline full-band blocks, progressive
+    DC first/refinement, and progressive AC first/refinement with EOB
+    runs (the successive-approximation flow of ITU T.81 G.1.2 /
+    libjpeg's decode_mcu_AC_refine); interleaved scans walk the MCU
+    grid, single-component scans the component's own (non-padded) block
+    grid.  Returns False on any malformed stream (truncation, bad
+    symbol, missing table) — the caller rejects the payload."""
+    bits = _JpegBits(data)
+    preds = [0] * len(scan)
+    eob = [0]  # EOB-run counter, shared across blocks within the scan
+
+    def decode_block(blk, si, dc_tab, ac_tab):
+        if not progressive:
+            t = _jpeg_decode_huff(bits, dc_tab)
+            if t > 15:
+                raise EOFError  # corrupted DHT symbol (fuzz-found)
+            preds[si] += _jpeg_extend(bits.receive(t), t) if t else 0
+            blk[0] = preds[si]
+            k = 1
+            while k < 64:
+                rs = _jpeg_decode_huff(bits, ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise EOFError
+                blk[k] = _jpeg_extend(bits.receive(s), s)
+                k += 1
+            return
+        if ss == 0:  # progressive DC scan
+            if ah == 0:
+                t = _jpeg_decode_huff(bits, dc_tab)
+                if t > 15:
+                    raise EOFError
+                preds[si] += _jpeg_extend(bits.receive(t), t) if t else 0
+                blk[0] = preds[si] << al
+            elif bits.read_bit():
+                # refinement: OR in the next magnitude bit (bitwise OR on
+                # a negative two's-complement value matches libjpeg)
+                blk[0] = int(blk[0]) | (1 << al)
+            return
+        if ah == 0:  # progressive AC first pass for this band
+            if eob[0] > 0:
+                eob[0] -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _jpeg_decode_huff(bits, ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eob[0] = (1 << r) - 1 + bits.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise EOFError
+                blk[k] = _jpeg_extend(bits.receive(s), s) << al
+                k += 1
+            return
+        # progressive AC refinement (T.81 G.1.2.3 / libjpeg AC_refine)
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if eob[0] == 0:
+            while k <= se:
+                rs = _jpeg_decode_huff(bits, ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        eob[0] = (1 << r) + bits.receive(r)
+                        break
+                    val = 0  # ZRL: pass 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise EOFError  # refinement codes only +-1
+                    val = p1 if bits.read_bit() else m1
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        # correction bit for an already-nonzero coeff
+                        if bits.read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    blk[k] = val
+                k += 1
+        if eob[0] > 0:
+            while k <= se:  # EOB run: only correction bits remain
+                c = int(blk[k])
+                if c != 0:
+                    if bits.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eob[0] -= 1
+
+    # resolve + validate the tables each scan component needs
+    tabs = []
+    for si, (ci, td, ta) in enumerate(scan):
+        dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
+        if progressive:
+            if ss == 0 and ah == 0 and dc_tab is None:
+                return False
+            if ss > 0 and ac_tab is None:
+                return False
+        elif dc_tab is None or ac_tab is None:
+            return False
+        tabs.append((dc_tab, ac_tab))
+    try:
+        unit = 0
+        if len(scan) > 1:  # interleaved: MCU order, all components
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and unit and unit % ri == 0:
+                        bits.align_restart()
+                        preds[:] = [0] * len(scan)
+                        eob[0] = 0
+                    for si, (ci, _td, _ta) in enumerate(scan):
+                        ch, cv = geom[ci][0], geom[ci][1]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                decode_block(
+                                    coeffs[ci][my * cv + by, mx * ch + bx],
+                                    si, *tabs[si],
+                                )
+                    unit += 1
+        else:  # non-interleaved: the component's own block grid
+            ci = scan[0][0]
+            nbw, nbh = geom[ci][3], geom[ci][4]
+            for by in range(nbh):
+                for bx in range(nbw):
+                    if ri and unit and unit % ri == 0:
+                        bits.align_restart()
+                        preds[:] = [0] * len(scan)
+                        eob[0] = 0
+                    decode_block(coeffs[ci][by, bx], 0, *tabs[0])
+                    unit += 1
+    except (EOFError, IndexError):
+        return False
+    return True
+
+
 def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
-    """Baseline JPEG (SOF0, Huffman) -> (width, height, raw RGB triplets),
-    or None — the round-13 verdict item: pure stdlib ``struct`` +
-    ``numpy`` (marker walk, canonical Huffman decode with 0xFF00
-    byte-unstuffing and RSTn restart handling, zigzag dequantization,
-    matrix IDCT, level shift), no libjpeg/Pillow.
+    """Huffman JPEG -> (width, height, raw RGB triplets), or None — pure
+    stdlib ``struct`` + ``numpy``, no libjpeg/Pillow.  Baseline (SOF0,
+    including multi-scan non-interleaved files) since round 13 early, and
+    PROGRESSIVE (SOF2: spectral selection + successive approximation
+    with EOB runs) since round 13 late — libjpeg's default progressive
+    script is what most web images use, so the honest-reject set is now
+    genuinely rare.
+
+    Architecture: one marker walk segments the stream and decodes each
+    entropy-coded scan into per-component zigzag COEFFICIENT arrays
+    (``_jpeg_decode_scan``); dequantization, a vectorized einsum IDCT
+    over all blocks, the +128 level shift, nearest-neighbor chroma
+    upsampling and YCbCr->RGB happen once at the end — identical math
+    for one baseline scan or ten progressive ones.
 
     Supported: 8-bit precision, 1 (grayscale) or 3 (YCbCr) components,
-    sampling factors 1-2 per axis (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn,
-    dimensions that are not MCU multiples (decode-then-crop).  Honest
-    rejects (return None, falling through to the unparsed row):
-    progressive (SOF2) and every other non-SOF0 frame type, arithmetic
-    coding, 16-bit quant tables, >2 sampling factors, truncated entropy
-    data, and frames declaring more than ``_MAX_DECODE_PIXELS`` (16M)
-    pixels — an adversarial 100-byte header can otherwise demand
-    multi-GB plane allocations, and a pure-Python MCU loop is the wrong
-    tool past tens of megapixels anyway (bring a ``codec=``).  Tolerance notes: chroma upsampling is nearest-neighbor
-    (libjpeg's default is 'fancy' triangular interpolation, so channel
-    sums on real subsampled photos can differ slightly from libjpeg's —
-    the fixture certification below uses 4:4:4/grayscale where the two
-    agree exactly); the IDCT is float64 matrix form, exact for the
-    DC-only fixtures and within standard IDCT tolerance elsewhere.
-    Decoded grayscale replicates to r=g=b like ``_parse_png`` type 0.
+    sampling factors 1-2 per axis (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn in
+    any scan, dimensions that are not MCU multiples (decode-then-crop).
+    Honest rejects (None, falling through to the unparsed row):
+    arithmetic coding, hierarchical/lossless/extended frames (SOF3,
+    5-7, 9-15), 16-bit quant tables, >2 sampling factors, truncated
+    entropy data, and frames declaring more than ``_MAX_DECODE_PIXELS``
+    (16M) pixels — an adversarial 100-byte header can otherwise demand
+    multi-GB allocations, and a pure-Python per-bit loop is the wrong
+    tool past tens of megapixels anyway (bring a ``codec=``).
+    Tolerance notes: chroma upsampling is nearest-neighbor (libjpeg
+    defaults to fancy triangular interpolation, so channel sums on real
+    subsampled photos can differ slightly); the IDCT is float64, exact
+    for the DC-only fixtures and within standard tolerance elsewhere.
+    Grayscale replicates to r=g=b like ``_parse_png`` type 0.
 
     Certified end-to-end through the q_multimodal_stats 'jpeg' section
     over ``synthetic_jpeg_media`` (JVM-built DC-only two-block payloads
-    whose decoded sums are closed-form in doc_id)."""
+    whose decoded sums are closed-form in doc_id); the progressive path
+    is pinned against hand-built two-scan successive-approximation
+    twins of baseline images plus real SOF2 files."""
     import struct
 
     import numpy as np
@@ -500,8 +675,11 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps = None
     w = h = None
+    progressive = False
     restart_interval = 0
-    scan = scan_comps = None
+    coeffs = geom = None
+    hmax = vmax = mcux = mcuy = None
+    any_scan = False
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -511,7 +689,7 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
             i += 2
             continue
         if marker == 0xD9:
-            return None  # EOI before any scan
+            break
         (ln,) = struct.unpack_from(">H", b, i + 2)
         seg = b[i + 4 : i + 2 + ln]
         if len(seg) < ln - 2:
@@ -521,7 +699,7 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 0x0F
                 if pq != 0 or j + 65 > len(seg):
-                    return None  # 16-bit tables are not baseline
+                    return None  # 16-bit tables are not supported
                 qt[tq] = np.frombuffer(
                     seg[j + 1 : j + 65], dtype=np.uint8
                 ).astype(np.int32)
@@ -545,9 +723,12 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
                     code <<= 1
                 huff[(tc, th)] = table
                 j += 17 + total
-        elif marker == 0xC0:  # SOF0 — baseline sequential only
-            # length check FIRST: an empty/truncated SOF0 body must reject,
-            # not IndexError (round-13 review)
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if comps is not None:
+                return None  # second frame header
+            progressive = marker == 0xC2
+            # length check FIRST: an empty/truncated SOF body must
+            # reject, not IndexError (round-13 review)
             if len(seg) < 6 or seg[0] != 8:
                 return None
             h, w = struct.unpack_from(">HH", seg, 1)
@@ -555,126 +736,100 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
             if nc not in (1, 3) or len(seg) < 6 + 3 * nc or w <= 0 or h <= 0:
                 return None
             if w * h > _MAX_DECODE_PIXELS:
-                return None  # see _MAX_DECODE_PIXELS — honest reject, not OOM
+                return None  # see _MAX_DECODE_PIXELS — honest reject
             comps = [
                 (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0x0F,
                  seg[8 + 3 * c])
                 for c in range(nc)
             ]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                        0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / extended / arithmetic / lossless
-        elif marker == 0xDD:  # DRI
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if not all(c[1] in (1, 2) and c[2] in (1, 2) for c in comps):
+                return None
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            coeffs, geom = [], []
+            for _cid, ch, cv, tq in comps:
+                comp_w = -(-w * ch // hmax)   # real component dims
+                comp_h = -(-h * cv // vmax)
+                # arrays at the PADDED MCU grid; non-interleaved scans
+                # walk only the real (nbw, nbh) prefix per T.81 A.2.2
+                coeffs.append(
+                    np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+                )
+                geom.append((ch, cv, tq, -(-comp_w // 8), -(-comp_h // 8)))
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None  # extended/lossless/arithmetic/hierarchical
+        elif marker == 0xDD:  # DRI (may change between scans)
             if len(seg) < 2:
                 return None
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
-            # the segment must hold Ns (id, table) byte PAIRS: a truncated
-            # SOS header must reject, not IndexError (round-13 review)
-            if (
-                comps is None
-                or len(seg) < 1
-                or seg[0] != len(comps)
-                or len(seg) < 1 + 2 * len(comps)
+        elif marker == 0xDA:  # SOS
+            if comps is None or len(seg) < 1:
+                return None
+            ns = seg[0]
+            # the header must hold ns (id, table) pairs + Ss/Se/AhAl
+            if ns < 1 or len(seg) < 1 + 2 * ns + 3:
+                return None
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                idx = next(
+                    (k for k, x in enumerate(comps) if x[0] == cs), None
+                )
+                if idx is None:
+                    return None
+                scan.append((idx, tdta >> 4, tdta & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if progressive:
+                if ss > se or se > 63 or al > 13:
+                    return None
+                if ss > 0 and ns != 1:
+                    return None  # progressive AC scans are single-comp
+            else:
+                ss, se, ah, al = 0, 63, 0, 0
+            start = i + 2 + ln
+            end = _jpeg_entropy_end(b, start)
+            if not _jpeg_decode_scan(
+                b[start:end], scan, ss, se, ah, al, progressive,
+                coeffs, geom, huff, mcux, mcuy, restart_interval,
             ):
                 return None
-            scan_comps = []
-            for c in range(seg[0]):
-                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                match = [x for x in comps if x[0] == cs]
-                if not match:
-                    return None
-                scan_comps.append((match[0], tdta >> 4, tdta & 0x0F))
-            scan = b[i + 2 + ln :]
-            break
+            any_scan = True
+            i = end
+            continue
         i += 2 + ln
-    if scan is None or w is None:
+    if comps is None or not any_scan:
         return None
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if not all(c[1] in (1, 2) and c[2] in (1, 2) for c in comps):
-        return None
-    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
+    # final pass: dequantize (q tables are zigzag-order like the
+    # coefficients), vectorized IDCT over every block, level shift,
+    # upsample, color-convert
     idct_m, zz = _jpeg_tables()
-    _decode_huff, _extend = _jpeg_decode_huff, _jpeg_extend
-
-    bits = _JpegBits(scan)
-    planes = [
-        np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
-        for (_cid, ch, cv, _tq), _td, _ta in scan_comps
-    ]
-    pred = [0] * len(scan_comps)
-    try:
-        mcu_count = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if (
-                    restart_interval
-                    and mcu_count
-                    and mcu_count % restart_interval == 0
-                ):
-                    bits.align_restart()
-                    pred = [0] * len(scan_comps)
-                for ci, ((_cid, ch, cv, tq), td, ta) in enumerate(scan_comps):
-                    dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
-                    q = qt.get(tq)
-                    if dc_tab is None or ac_tab is None or q is None:
-                        return None
-                    for by in range(cv):
-                        for bx in range(ch):
-                            coeff = np.zeros(64, dtype=np.int32)
-                            t = _decode_huff(bits, dc_tab)
-                            if t > 15:
-                                # a corrupted DHT can carry any symbol
-                                # byte; receive(255) would mint a 255-bit
-                                # int that overflows the int32 assignment
-                                # (found by round-13 fuzz) — baseline DC
-                                # categories are <= 11, so reject
-                                return None
-                            pred[ci] += _extend(bits.receive(t), t) if t else 0
-                            coeff[0] = pred[ci]
-                            k = 1
-                            while k < 64:
-                                rs = _decode_huff(bits, ac_tab)
-                                r, s = rs >> 4, rs & 0x0F
-                                if s == 0:
-                                    if r == 15:  # ZRL: 16 zeros
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    return None
-                                coeff[k] = _extend(bits.receive(s), s)
-                                k += 1
-                            block = np.zeros(64, dtype=np.int32)
-                            block[zz] = coeff * q
-                            spatial = (
-                                idct_m.T
-                                @ block.reshape(8, 8).astype(np.float64)
-                                @ idct_m
-                                + 128.0
-                            )
-                            y0, x0 = (my * cv + by) * 8, (mx * ch + bx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-                mcu_count += 1
-    except (EOFError, IndexError):
-        return None
-
-    out_planes = []
-    for ci, ((_cid, ch, cv, _tq), _td, _ta) in enumerate(scan_comps):
-        p = planes[ci]
+    planes = []
+    for ci, (_cid, ch, cv, tq) in enumerate(comps):
+        q = qt.get(tq)
+        if q is None:
+            return None
+        arr = coeffs[ci]
+        bh, bw = arr.shape[0], arr.shape[1]
+        deq = (arr * q).astype(np.float64)
+        nat = np.zeros_like(deq)
+        nat[:, :, zz] = deq
+        blocks = nat.reshape(bh, bw, 8, 8)
+        spatial = np.einsum("ki,yxkl,lj->yxij", idct_m, blocks, idct_m) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         if ch != hmax:
-            p = np.repeat(p, hmax // ch, axis=1)
+            plane = np.repeat(plane, hmax // ch, axis=1)
         if cv != vmax:
-            p = np.repeat(p, vmax // cv, axis=0)
-        out_planes.append(p[:h, :w])
-    if len(out_planes) == 1:
-        g = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+            plane = np.repeat(plane, vmax // cv, axis=0)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
         rgb = np.stack([g, g, g], axis=-1)
     else:
-        y, cb, cr = out_planes
+        y, cb, cr = planes
         rgb = np.stack(
             [
                 np.clip(np.rint(x), 0, 255).astype(np.uint8)
@@ -693,9 +848,9 @@ def decode_image(media: DataFrame, codec=None) -> DataFrame:
     """REAL image decode for the container-friendly formats: binary PPM
     (P6), uncompressed 24-bit BMP, non-interlaced 8-bit
     grayscale/palette/RGB/RGBA PNG (stdlib ``zlib`` DEFLATE + all five
-    scanline filters — rounds 11-12), and baseline Huffman JPEG (SOF0,
-    grayscale/YCbCr up to 4:2:0 — round 13, see ``_parse_jpeg`` for the
-    support matrix and tolerance notes), parsed in pure Python (no
+    scanline filters — rounds 11-12), and Huffman JPEG — baseline SOF0
+    and progressive SOF2 (grayscale/YCbCr up to 4:2:0 — round 13, see
+    ``_parse_jpeg`` for the support matrix and tolerance notes), parsed in pure Python (no
     Pillow / opencv needed) inside an Arrow-batched ``mapInPandas`` —
     per row the format header is sniffed, the raster decoded, and exact
     integer channel sums emitted (``sum_r/g/b`` over all pixels;
@@ -703,7 +858,7 @@ def decode_image(media: DataFrame, codec=None) -> DataFrame:
     float means).  PNG alpha is dropped (RGB stats contract).
 
     ``codec`` (round 12, verdict item 4) is the escape hatch for formats
-    this container cannot decode (WebP/TIFF/progressive JPEG…): a picklable callable
+    this container cannot decode (WebP/TIFF/AVIF…): a picklable callable
     ``codec(raw: bytes) -> (fmt, width, height, rgb_triplets) | None``
     tried BEFORE the built-in parsers on every non-NULL payload —
     ``rgb_triplets`` must be ``3*width*height`` bytes of packed RGB.  On
