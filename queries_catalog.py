@@ -1651,6 +1651,10 @@ def q_events_rollup(spark, sf_dir):
     # DC-only MCUs per image, entropy segment closed-form in doc_id, so
     # the decoded sums (64*(257+2*dc1)) certify the marker walk, both
     # Huffman classes, DC prediction, dequantization and the IDCT.
+    # 'jpeg_prog' section (round 13 late): the PROGRESSIVE (SOF2) twin —
+    # the same DC values delivered across two scans (shifted-domain
+    # first pass at Al=1 + per-block refinement bit at Ah=1), certifying
+    # the successive-approximation path against closed-form sums.
     """
     SELECT 'bytes' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(strlen(text) AS INT) AS n_bytes,
@@ -1742,6 +1746,21 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS BIGINT) AS sum_pcm
     FROM documents
     UNION ALL
+    SELECT 'jpeg_prog' AS section, doc_id AS media_id, 'image' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'jpeg' AS fmt, 16 AS width, 8 AS height, 128 AS n_pixels,
+           -- PROGRESSIVE twin: DC arrives over two scans (shifted-domain
+           -- first pass + one refinement bit); dc1 = 16 + id%16,
+           -- dc2 = dc1 + 2, so sum = 64*(128+dc1) + 64*(130+dc1)
+           CAST(64 * (258 + 2 * (16 + doc_id % 16)) AS BIGINT) AS sum_r,
+           CAST(64 * (258 + 2 * (16 + doc_id % 16)) AS BIGINT) AS sum_g,
+           CAST(64 * (258 + 2 * (16 + doc_id % 16)) AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm
+    FROM documents
+    UNION ALL
     SELECT 'audio' AS section, doc_id AS media_id, 'audio' AS kind,
            CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
@@ -1776,6 +1795,7 @@ def q_multimodal_stats(spark, sf_dir):
         media_from_documents,
         resize_image,
         synthetic_jpeg_media,
+        synthetic_jpeg_progressive_media,
         synthetic_png_interlaced_media,
         synthetic_png_media,
         synthetic_png_palette_media,
@@ -1829,6 +1849,7 @@ def q_multimodal_stats(spark, sf_dir):
         .unionByName(_pix(synthetic_png_palette_media(docs), "palette"))
         .unionByName(_pix(synthetic_png_interlaced_media(docs), "png_i"))
         .unionByName(_pix(synthetic_jpeg_media(docs), "jpeg"))
+        .unionByName(_pix(synthetic_jpeg_progressive_media(docs), "jpeg_prog"))
         .unionByName(audio)
         .unionByName(resized)
     )

@@ -3018,3 +3018,24 @@ def test_progressive_real_files_decode():
         assert r is not None, p
         a = np.frombuffer(r[2], dtype=np.uint8)
         assert a.mean() > 200, p  # overwhelmingly white content
+
+
+def test_synthetic_jpeg_progressive_media_certifies_decoder(spark):
+    """JVM-built PROGRESSIVE fixture end-to-end: two-scan successive
+    approximation decodes to the closed-form 64*(258+2*dc1) sums."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_image,
+        synthetic_jpeg_progressive_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(23)], "doc_id long")
+    rows = {
+        r.media_id: r
+        for r in decode_image(synthetic_jpeg_progressive_media(docs)).collect()
+    }
+    assert len(rows) == 23
+    for mid, r in rows.items():
+        dc1 = 16 + mid % 16
+        exp = 64 * (258 + 2 * dc1)
+        assert (r.fmt, r.width, r.height, r.n_pixels) == ("jpeg", 16, 8, 128)
+        assert (r.sum_r, r.sum_g, r.sum_b) == (exp, exp, exp), mid

@@ -1256,6 +1256,61 @@ def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthetic_jpeg_progressive_media(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Valid PROGRESSIVE (SOF2) JPEG payloads built ENTIRELY JVM-side —
+    certifies the round-13 successive-approximation decode path end to
+    end (q_multimodal_stats 'jpeg_prog' section).
+
+    Same 16x8 grayscale two-MCU shape as ``synthetic_jpeg_media``, but
+    the DC values arrive across TWO scans the way libjpeg's progressive
+    script sends them: scan 1 codes the diffs of ``dc >> 1`` (Al=1,
+    custom canonical DC table "00"=category 4 / "01"=category 1), scan 2
+    refines with one low bit per block (Ah=1, Al=0).  With ``dc1 = 16 +
+    id % 16`` and ``dc2 = dc1 + 2`` every scan byte is closed-form:
+
+    - scan 1 = ``[((dc1 >> 1) << 2) | 1, 0x80]`` ("00" + 4 magnitude
+      bits + "01" + "1", zero-padded — trailing pad bits are never read);
+    - scan 2 = ``0xC0`` when dc1 is odd else ``0x00`` (both blocks share
+      the same low bit since dc2 - dc1 = 2).
+
+    Decoded: block 1 flat ``128 + dc1``, block 2 flat ``130 + dc1`` —
+    channel sums exactly ``64 * (258 + 2*dc1)``, pinning DC-first
+    shifted-domain prediction AND the refinement OR across both MCUs
+    with an integer-exact oracle."""
+    prefix_hex = (
+        "ffd8"
+        + "ffdb0043" + "00" + "08" * 64
+        + "ffc2000b" + "08" + "0008" + "0010" + "01" + "011100"  # SOF2 16x8 gray
+        + "ffc40015" + "00" + "0002" + "00" * 14 + "0401"  # DC: "00"=cat4,"01"=cat1
+    )
+    sos1_hex = "ffda0008" + "01" + "0100" + "000001"  # Ss=0 Se=0 Ah=0 Al=1
+    sos2_hex = "ffda0008" + "01" + "0100" + "000010"  # Ss=0 Se=0 Ah=1 Al=0
+    dc1 = (F.pmod(F.col(id_col), F.lit(16)) + 16).cast("int")
+    b1 = F.lpad(F.hex((dc1 / 2).cast("int") * 4 + 1), 2, "0")
+    refine = F.when(F.pmod(dc1, F.lit(2)) == 1, F.lit("c0")).otherwise(F.lit("00"))
+    content = F.unhex(
+        F.concat(
+            F.lit(prefix_hex),
+            F.lit(sos1_hex), b1, F.lit("80"),
+            F.lit(sos2_hex), refine,
+            F.lit("ffd9"),
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.lit(16).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 DECODED_AUDIO_SCHEMA = (
     "media_id bigint, fmt string, n_channels int, sample_rate int, "
     "n_frames int, duration_ms bigint, sum_pcm bigint, sum_pcm_r bigint"
