@@ -2957,9 +2957,9 @@ def test_progressive_ac_spectral_selection_and_refinement():
     # (0,1)+bit 1 then EOB; AC refine at Al=0: correction bit (3 & 1)
     s_dc = _dc_code(20)
     s_ac1 = _AC_CODE[0x01] + "1" + _AC_CODE[0x00]
-    s_ac2 = _AC_CODE[0x00] + ""  # EOB0 -> whole band is EOB run...
-    # ...but the band holds an existing nonzero coeff, whose correction
-    # bit (1: set the Al bit) is read during the EOB-run sweep
+    # refine scan: EOB0 puts the whole band in an EOB run, during which
+    # the existing nonzero coeff's correction bit (1: set the Al bit) is
+    # still read — hence the trailing "1"
     s_ac2 = _AC_CODE[0x00] + "1"
     prog = _mk_jpeg(8, 8, 0xC2, [
         ((0, 0), 0, 0, 0, 0, s_dc),
@@ -3039,3 +3039,40 @@ def test_synthetic_jpeg_progressive_media_certifies_decoder(spark):
         exp = 64 * (258 + 2 * dc1)
         assert (r.fmt, r.width, r.height, r.n_pixels) == ("jpeg", 16, 8, 128)
         assert (r.sum_r, r.sum_g, r.sum_b) == (exp, exp, exp), mid
+
+
+def test_parse_jpeg_dc_predictor_overflow_rejects():
+    """Round-13 third review: an adversarial stream of repeated
+    max-category DC diffs pushes the predictor past any legal 8-bit DC
+    value; with Al=13 the shifted store would exceed int32 (silent wrap
+    on numpy 1.x, OverflowError on numpy 2).  The predictor is bounded
+    at |v| > 32768 -> clean reject, never a raise or garbage decode."""
+    import struct
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    n_blocks = 1200  # 1200 * +31 diffs -> predictor 37200 > 32768
+    w = 8 * n_blocks
+    entropy = bytes([int(_DC_CODE[5] + "11111", 2)] * n_blocks)
+    for marker, alal in ((0xC2, 0x01), (0xC0, 0x00)):  # progressive + baseline
+        scans = seg(0xDA, bytes([1, 1, 0x00, 0, 0 if marker == 0xC2 else 63, alal]))
+        jpeg = (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+            + seg(marker, bytes([8]) + struct.pack(">HH", 8, w) + bytes([1, 1, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes(_TDC_COUNTS) + bytes(_TDC_SYMS))
+            + seg(0xC4, bytes([0x10]) + bytes(_TAC_COUNTS) + bytes(_TAC_SYMS))
+            + scans + entropy + b"\xff\xd9"
+        )
+        # baseline blocks also need an AC EOB each — rebuild its entropy
+        if marker == 0xC0:
+            per_block = _DC_CODE[5] + "11111" + _AC_CODE[0x00]
+            bits = per_block * n_blocks
+            bits += "1" * ((-len(bits)) % 8)
+            ent = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+            ent = b"".join(bytes([x]) + (b"\x00" if x == 0xFF else b"") for x in ent)
+            jpeg = jpeg[: -len(entropy) - 2] + ent + b"\xff\xd9"
+        assert _parse_jpeg(jpeg) is None, hex(marker)

@@ -466,12 +466,17 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 def _jpeg_entropy_end(b: bytes, i: int) -> int:
     """Index of the first REAL marker (not a stuffed 0x00, not RSTn) at or
-    after ``i`` — the end of an entropy-coded segment."""
-    while i + 1 < len(b):
-        if b[i] == 0xFF and b[i + 1] != 0x00 and not (0xD0 <= b[i + 1] <= 0xD7):
+    after ``i`` — the end of an entropy-coded segment.  bytes.find skips
+    the non-0xFF runs at C speed (round-13 review: a pure-Python byte
+    walk here cost O(segment) per scan on top of the bit decode)."""
+    while True:
+        i = b.find(b"\xff", i)
+        if i < 0 or i + 1 >= len(b):
+            return len(b)
+        nxt = b[i + 1]
+        if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
             return i
-        i += 1
-    return len(b)
+        i += 2
 
 
 def _jpeg_decode_scan(
@@ -495,6 +500,13 @@ def _jpeg_decode_scan(
             if t > 15:
                 raise EOFError  # corrupted DHT symbol (fuzz-found)
             preds[si] += _jpeg_extend(bits.receive(t), t) if t else 0
+            if abs(preds[si]) > 32768:
+                # a legal 8-bit DC value is |v| <= 2047 (category <= 11);
+                # an adversarial stream of repeated max-category diffs
+                # could otherwise push the predictor past int32 (silent
+                # wrap on numpy 1.x, OverflowError on numpy 2 — round-13
+                # third review)
+                raise EOFError
             blk[0] = preds[si]
             k = 1
             while k < 64:
@@ -517,6 +529,8 @@ def _jpeg_decode_scan(
                 if t > 15:
                     raise EOFError
                 preds[si] += _jpeg_extend(bits.receive(t), t) if t else 0
+                if abs(preds[si]) > 32768:
+                    raise EOFError  # see the baseline-path bound above
                 blk[0] = preds[si] << al
             elif bits.read_bit():
                 # refinement: OR in the next magnitude bit (bitwise OR on
@@ -814,7 +828,10 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
             return None
         arr = coeffs[ci]
         bh, bw = arr.shape[0], arr.shape[1]
-        deq = (arr * q).astype(np.float64)
+        # widen BEFORE multiplying: |coeff| can reach 2^28 (32767 << 13)
+        # on adversarial-but-decodable streams, and coeff * q would wrap
+        # int32 silently (round-13 third review)
+        deq = (arr.astype(np.int64) * q).astype(np.float64)
         nat = np.zeros_like(deq)
         nat[:, :, zz] = deq
         blocks = nat.reshape(bh, bw, 8, 8)
@@ -1488,7 +1505,7 @@ RESIZED_IMAGE_SCHEMA = (
 
 def resize_image(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """REAL nearest-neighbor image resize (round 11) over the decodable
-    formats (PPM/BMP/PNG/baseline JPEG): decode the raster, resample each output pixel
+    formats (PPM/BMP/PNG/JPEG incl. progressive): decode the raster, resample each output pixel
     from ``in[floor(y*in_h/out_h)][floor(x*in_w/out_w)]``, and re-encode
     as binary PPM (P6) — so the output of this transform feeds straight
     back into ``decode_image`` and the whole decode→transform→decode
