@@ -1655,6 +1655,10 @@ def q_events_rollup(spark, sf_dir):
     # the same DC values delivered across two scans (shifted-domain
     # first pass at Al=1 + per-block refinement bit at Ah=1), certifying
     # the successive-approximation path against closed-form sums.
+    # 'jpeg_420' section (round 13 late): the 4:2:0 COLOR twin — one
+    # 16x16 MCU of four luma + two chroma blocks, certifying interleaved
+    # multi-component decode, chroma upsampling and YCbCr->RGB (every
+    # pixel exactly (Y-1, Y, Y+2)) — the paths grayscale cannot reach.
     """
     SELECT 'bytes' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(strlen(text) AS INT) AS n_bytes,
@@ -1746,6 +1750,20 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS BIGINT) AS sum_pcm
     FROM documents
     UNION ALL
+    SELECT 'jpeg_420' AS section, doc_id AS media_id, 'image' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'jpeg' AS fmt, 16 AS width, 16 AS height, 256 AS n_pixels,
+           -- 4:2:0 COLOR twin: Y = 144 + id%16 flat, Cb 129 / Cr 127 ->
+           -- every pixel exactly (Y-1, Y, Y+2) after YCbCr->RGB
+           CAST(256 * (143 + doc_id % 16) AS BIGINT) AS sum_r,
+           CAST(256 * (144 + doc_id % 16) AS BIGINT) AS sum_g,
+           CAST(256 * (146 + doc_id % 16) AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm
+    FROM documents
+    UNION ALL
     SELECT 'jpeg_prog' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
@@ -1794,6 +1812,7 @@ def q_multimodal_stats(spark, sf_dir):
         fake_decode_stats,
         media_from_documents,
         resize_image,
+        synthetic_jpeg_420_media,
         synthetic_jpeg_media,
         synthetic_jpeg_progressive_media,
         synthetic_png_interlaced_media,
@@ -1849,6 +1868,7 @@ def q_multimodal_stats(spark, sf_dir):
         .unionByName(_pix(synthetic_png_palette_media(docs), "palette"))
         .unionByName(_pix(synthetic_png_interlaced_media(docs), "png_i"))
         .unionByName(_pix(synthetic_jpeg_media(docs), "jpeg"))
+        .unionByName(_pix(synthetic_jpeg_420_media(docs), "jpeg_420"))
         .unionByName(_pix(synthetic_jpeg_progressive_media(docs), "jpeg_prog"))
         .unionByName(audio)
         .unionByName(resized)

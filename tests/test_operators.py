@@ -3076,3 +3076,24 @@ def test_parse_jpeg_dc_predictor_overflow_rejects():
             ent = b"".join(bytes([x]) + (b"\x00" if x == 0xFF else b"") for x in ent)
             jpeg = jpeg[: -len(entropy) - 2] + ent + b"\xff\xd9"
         assert _parse_jpeg(jpeg) is None, hex(marker)
+
+
+def test_synthetic_jpeg_420_media_certifies_color_path(spark):
+    """JVM-built 4:2:0 COLOR fixture end-to-end: interleaved MCU decode +
+    chroma upsampling + YCbCr->RGB give exactly (Y-1, Y, Y+2) per pixel."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_image,
+        synthetic_jpeg_420_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(23)], "doc_id long")
+    rows = {
+        r.media_id: r for r in decode_image(synthetic_jpeg_420_media(docs)).collect()
+    }
+    assert len(rows) == 23
+    for mid, r in rows.items():
+        y = 144 + mid % 16
+        assert (r.fmt, r.width, r.height, r.n_pixels) == ("jpeg", 16, 16, 256)
+        assert (r.sum_r, r.sum_g, r.sum_b) == (
+            256 * (y - 1), 256 * y, 256 * (y + 2)
+        ), mid

@@ -1273,6 +1273,51 @@ def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthetic_jpeg_420_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Valid 4:2:0 COLOR baseline-JPEG payloads built ENTIRELY JVM-side —
+    certifies the full color path (interleaved multi-component MCU
+    decode, 2x2 luma sampling, chroma upsampling, YCbCr->RGB) end to end
+    (q_multimodal_stats 'jpeg_420' section).
+
+    One 16x16 MCU: four DC-only luma blocks (Y = ``128 + dc1`` with
+    ``dc1 = 16 + id % 16``; blocks 2-4 code zero diffs via a category-0
+    Huffman code) plus one Cb (+1 -> flat 129) and one Cr (-1 -> flat
+    127) block.  The DC table "00"=cat 5 / "01"=cat 1 / "10"=cat 0 makes
+    the whole entropy segment FOUR bytes, three of them constant:
+    ``[dc1 << 1, 0x92, 0x32, 0x00]``.
+
+    With chroma offsets (+1, -1) the JFIF conversion lands mid-interval
+    (no rint ties): every pixel decodes to exactly
+    ``(Y - 1, Y, Y + 2)``, so channel sums are ``256*(Y-1) / 256*Y /
+    256*(Y+2)`` — integer-exact SQL arithmetic pinning the subsampled
+    color path, which the grayscale fixtures cannot reach."""
+    prefix_hex = (
+        "ffd8"
+        + "ffdb0043" + "00" + "08" * 64
+        + "ffc00011" + "08" + "0010" + "0010" + "03"  # SOF0 16x16, 3 comps
+        + "012200" + "021100" + "031100"  # Y 2x2, Cb 1x1, Cr 1x1
+        + "ffc40016" + "00" + "0003" + "00" * 14 + "050100"  # DC cat5/cat1/cat0
+        + "ffc40014" + "10" + "01" + "00" * 15 + "00"  # AC: "0"=EOB
+        + "ffda000c" + "03" + "0100" + "0200" + "0300" + "003f00"
+    )
+    dc1 = (F.pmod(F.col(id_col), F.lit(16)) + 16).cast("int")
+    byte1 = F.lpad(F.hex(dc1 * 2), 2, "0")
+    content = F.unhex(
+        F.concat(F.lit(prefix_hex), byte1, F.lit("923200"), F.lit("ffd9"))
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.lit(16).cast("int").alias("width"),
+            F.lit(16).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 def synthetic_jpeg_progressive_media(
     docs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
