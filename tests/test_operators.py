@@ -2514,6 +2514,90 @@ def test_parse_jpeg_honest_rejects():
     assert (a == 149).all()  # dc 21, not 20
 
 
+def test_parse_jpeg_fill_bytes_and_scan_validation():
+    """Round-14 advice hardening: (a) spec-legal 0xFF fill bytes before
+    markers (T.81 B.1.1.2) — including before RSTn inside entropy data —
+    decode identically instead of rejecting; (b) a progressive DC scan
+    header with Ss=0, Se>0 rejects instead of silently decoding DC-only;
+    (c) a ZRL run that crosses the block/band end is corrupt data ->
+    honest reject, not wrong-but-bounded pixels."""
+    import struct
+
+    import numpy as np
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    # (a) fill bytes before DQT, SOS and EOI leave the decode unchanged
+    good = _mk_dc_jpeg(16, 8, [[_dc_bits(20), _dc_bits(1)]])
+    ref = _parse_jpeg(good)
+    assert ref is not None
+    dqt_at = good.index(b"\xff\xdb")
+    sos_at = good.index(b"\xff\xda")
+    padded = (
+        good[:dqt_at] + b"\xff" + good[dqt_at:sos_at] + b"\xff\xff"
+        + good[sos_at:-2] + b"\xff" + good[-2:]
+    )
+    assert _parse_jpeg(padded) == ref
+    # fill byte before an RSTn inside the entropy-coded data
+    base = _mk_dc_jpeg(16, 8, [[_dc_bits(20), _dc_bits(20)]])
+    rst_sos = base.index(b"\xff\xda")
+    entropy = bytes([20 << 1])
+    with_fill_rst = (
+        base[:rst_sos]
+        + seg(0xDD, struct.pack(">H", 1))
+        + base[rst_sos : rst_sos + 10]
+        + entropy + b"\xff\xff\xd0" + entropy + b"\xff\xd9"
+    )
+    r = _parse_jpeg(with_fill_rst)
+    assert r is not None
+    assert (np.frombuffer(r[2], dtype=np.uint8) == 148).all()
+
+    # (b) progressive DC scan must have Se == 0 (T.81 G.1.1.1.1)
+    def prog(sos_tail, entropy_byte):
+        return (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0]) + bytes([8] * 64))
+            + seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8)
+                  + bytes([1, 1, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes([0, 2] + [0] * 14)
+                  + bytes([5, 1]))
+            + seg(0xDA, bytes([1, 1, 0x00]) + sos_tail)
+            + entropy_byte + b"\xff\xd9"
+        )
+
+    ok = _parse_jpeg(prog(bytes([0, 0, 0]), b"\x29"))  # Ss=0 Se=0: valid
+    assert ok is not None
+    assert (np.frombuffer(ok[2], dtype=np.uint8) == 148).all()
+    assert _parse_jpeg(prog(bytes([0, 5, 0]), b"\x29")) is None  # Se=5
+
+    # (c) baseline ZRL past position 63 rejects; a band-legal ZRL run
+    # with EOB still decodes (same custom AC table: "00"=EOB, "01"=ZRL)
+    def zrl_jpeg(n_zrl, tail="00"):
+        bits = "00" + format(20, "05b") + "01" * n_zrl + tail
+        bits += "1" * ((-len(bits)) % 8)
+        data = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+        return (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0]) + bytes([8] * 64))
+            + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                  + bytes([1, 1, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes([0, 2] + [0] * 14)
+                  + bytes([5, 1]))
+            + seg(0xC4, bytes([0x10]) + bytes([0, 2] + [0] * 14)
+                  + bytes([0x00, 0xF0]))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + data + b"\xff\xd9"
+        )
+
+    legal = _parse_jpeg(zrl_jpeg(3))  # k = 1 + 48 = 49, then EOB
+    assert legal is not None
+    assert (np.frombuffer(legal[2], dtype=np.uint8) == 148).all()
+    assert _parse_jpeg(zrl_jpeg(4, tail="")) is None  # k = 65 > 64
+
+
 def test_synthetic_jpeg_media_certifies_decoder(spark):
     """JVM-built JPEG fixture end-to-end: decoded sums equal the
     closed-form 64*(257+2*dc1) for every row, fmt/dims pinned."""

@@ -441,6 +441,14 @@ class _JpegBits:
         if self.bit:
             self.bit = 0
             self.pos += 2 if self.data[self.pos] == 0xFF else 1
+        # RSTn may be preceded by 0xFF fill bytes (T.81 B.1.1.2): the
+        # marker code is the byte after the LAST 0xFF of the run
+        while (
+            self.pos + 2 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1
         if (
             self.pos + 2 > len(self.data)
             or self.data[self.pos] != 0xFF
@@ -474,6 +482,9 @@ def _jpeg_entropy_end(b: bytes, i: int) -> int:
         if i < 0 or i + 1 >= len(b):
             return len(b)
         nxt = b[i + 1]
+        if nxt == 0xFF:
+            i += 1  # 0xFF fill byte; the marker starts at the LAST 0xFF
+            continue
         if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
             return i
         i += 2
@@ -515,6 +526,12 @@ def _jpeg_decode_scan(
                 if s == 0:
                     if r == 15:
                         k += 16
+                        if k > 64:
+                            # ZRL's 16 zeros must fit inside the block;
+                            # running past position 63 is corrupt data
+                            # (round-14 advice: fall-out here yielded
+                            # wrong-but-bounded pixels, not the reject)
+                            raise EOFError
                         continue
                     break  # EOB
                 k += r
@@ -548,6 +565,8 @@ def _jpeg_decode_scan(
                 if s == 0:
                     if r == 15:
                         k += 16  # ZRL
+                        if k > se + 1:
+                            raise EOFError  # ZRL ran past the band end
                         continue
                     eob[0] = (1 << r) - 1 + bits.receive(r)
                     break
@@ -698,6 +717,14 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             return None
+        # any marker may be preceded by a run of 0xFF fill bytes
+        # (T.81 B.1.1.2); the marker code is the first non-0xFF byte
+        # (round-14 advice: a single pad byte before DQT used to reject
+        # an otherwise-valid file to the NULL row)
+        while i + 4 <= len(b) and b[i + 1] == 0xFF:
+            i += 1
+        if b[i + 1] == 0xFF:
+            break  # trailing fill-byte run with no marker payload left
         marker = b[i + 1]
         if marker == 0xD8 or (0xD0 <= marker <= 0xD7):
             i += 2
@@ -798,6 +825,11 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
             if progressive:
                 if ss > se or se > 63 or al > 13:
+                    return None
+                if ss == 0 and se != 0:
+                    # DC scans are exactly Ss=Se=0 (T.81 G.1.1.1.1); a
+                    # malformed Ss=0,Se>0 scan used to decode DC-only
+                    # silently instead of rejecting (round-14 advice)
                     return None
                 if ss > 0 and ns != 1:
                     return None  # progressive AC scans are single-comp
@@ -957,10 +989,14 @@ def decode_image(media: DataFrame, codec=None) -> DataFrame:
                             # honest reject row, same as returning None.
                             # MemoryError re-raises: resource exhaustion
                             # on a VALID image must fail the task for
-                            # retry, not silently emit a NULL row
+                            # retry, not silently emit a NULL row.
+                            # ImportError re-raises too (round-14 advice):
+                            # a misbuilt worker missing numpy is a
+                            # systematic environment failure that must
+                            # stay loud, not NULL out every payload
                             try:
                                 parsed = parse(raw)
-                            except MemoryError:
+                            except (MemoryError, ImportError):
                                 raise
                             except Exception:
                                 parsed = None
@@ -1582,10 +1618,11 @@ def resize_image(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                         (_parse_jpeg, "jpeg"),
                     ):
                         # same per-parser crash downgrade as decode_image
-                        # (MemoryError re-raises for retry, see there)
+                        # (MemoryError/ImportError re-raise — retry and
+                        # loud environment failure, see there)
                         try:
                             parsed = parse(raw)
-                        except MemoryError:
+                        except (MemoryError, ImportError):
                             raise
                         except Exception:
                             parsed = None
