@@ -1659,6 +1659,12 @@ def q_events_rollup(spark, sf_dir):
     # 16x16 MCU of four luma + two chroma blocks, certifying interleaved
     # multi-component decode, chroma upsampling and YCbCr->RGB (every
     # pixel exactly (Y-1, Y, Y+2)) — the paths grayscale cannot reach.
+    # 'jpeg_422' section (round 14): the 4:2:2 twin — one 16x8 MCU of two
+    # 2x1-sampled luma blocks + chroma, certifying horizontal-only chroma
+    # upsampling (the geometry neither 4:4:4 nor 4:2:0 reaches).
+    # 'jpeg_crop' section (round 14): SOF width 12 over the same two full
+    # 8x8 blocks, certifying the non-MCU-multiple decode-then-crop path
+    # (only 4 columns of block 2 survive).
     """
     SELECT 'bytes' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(strlen(text) AS INT) AS n_bytes,
@@ -1764,6 +1770,36 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS BIGINT) AS sum_pcm
     FROM documents
     UNION ALL
+    SELECT 'jpeg_422' AS section, doc_id AS media_id, 'image' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'jpeg' AS fmt, 16 AS width, 8 AS height, 128 AS n_pixels,
+           -- 4:2:2 COLOR twin (round 14): Y = 144 + id%16 flat across two
+           -- 2x1-sampled luma blocks, Cb 129 / Cr 127 -> every pixel
+           -- exactly (Y-1, Y, Y+2) after horizontal-only chroma upsample
+           CAST(128 * (143 + doc_id % 16) AS BIGINT) AS sum_r,
+           CAST(128 * (144 + doc_id % 16) AS BIGINT) AS sum_g,
+           CAST(128 * (146 + doc_id % 16) AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm
+    FROM documents
+    UNION ALL
+    SELECT 'jpeg_crop' AS section, doc_id AS media_id, 'image' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'jpeg' AS fmt, 12 AS width, 8 AS height, 96 AS n_pixels,
+           -- odd-width decode-then-crop twin (round 14): SOF declares 12
+           -- over the same two 8x8 blocks, so only 4 columns of block 2
+           -- survive: sum = 64*(128+dc1) + 32*(129+dc1), dc1 = 16+id%16
+           CAST(64 * (144 + doc_id % 16) + 32 * (145 + doc_id % 16) AS BIGINT) AS sum_r,
+           CAST(64 * (144 + doc_id % 16) + 32 * (145 + doc_id % 16) AS BIGINT) AS sum_g,
+           CAST(64 * (144 + doc_id % 16) + 32 * (145 + doc_id % 16) AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm
+    FROM documents
+    UNION ALL
     SELECT 'jpeg_prog' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
@@ -1813,6 +1849,7 @@ def q_multimodal_stats(spark, sf_dir):
         media_from_documents,
         resize_image,
         synthetic_jpeg_420_media,
+        synthetic_jpeg_422_media,
         synthetic_jpeg_media,
         synthetic_jpeg_progressive_media,
         synthetic_png_interlaced_media,
@@ -1868,7 +1905,9 @@ def q_multimodal_stats(spark, sf_dir):
         .unionByName(_pix(synthetic_png_palette_media(docs), "palette"))
         .unionByName(_pix(synthetic_png_interlaced_media(docs), "png_i"))
         .unionByName(_pix(synthetic_jpeg_media(docs), "jpeg"))
+        .unionByName(_pix(synthetic_jpeg_media(docs, width=12), "jpeg_crop"))
         .unionByName(_pix(synthetic_jpeg_420_media(docs), "jpeg_420"))
+        .unionByName(_pix(synthetic_jpeg_422_media(docs), "jpeg_422"))
         .unionByName(_pix(synthetic_jpeg_progressive_media(docs), "jpeg_prog"))
         .unionByName(audio)
         .unionByName(resized)

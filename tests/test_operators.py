@@ -2616,6 +2616,43 @@ def test_synthetic_jpeg_media_certifies_decoder(spark):
         assert (r.sum_r, r.sum_g, r.sum_b) == (exp, exp, exp), mid
 
 
+def test_synthetic_jpeg_422_and_crop_fixtures(spark):
+    """Round-14 fixtures: the 4:2:2 color twin decodes every pixel to
+    exactly (Y-1, Y, Y+2), and the width-12 variant of the baseline
+    fixture decodes-then-crops (only 4 columns of block 2 survive)."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_image,
+        synthetic_jpeg_422_media,
+        synthetic_jpeg_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(19)], "doc_id long")
+    rows = {
+        r.media_id: r
+        for r in decode_image(synthetic_jpeg_422_media(docs)).collect()
+    }
+    assert len(rows) == 19
+    for mid, r in rows.items():
+        y = 144 + mid % 16
+        assert (r.fmt, r.width, r.height, r.n_pixels) == ("jpeg", 16, 8, 128)
+        assert (r.sum_r, r.sum_g, r.sum_b) == (
+            128 * (y - 1), 128 * y, 128 * (y + 2)
+        ), mid
+    rows = {
+        r.media_id: r
+        for r in decode_image(synthetic_jpeg_media(docs, width=12)).collect()
+    }
+    for mid, r in rows.items():
+        dc1 = 16 + mid % 16
+        exp = 64 * (128 + dc1) + 32 * (129 + dc1)
+        assert (r.fmt, r.width, r.height, r.n_pixels) == ("jpeg", 12, 8, 96)
+        assert (r.sum_r, r.sum_g, r.sum_b) == (exp, exp, exp), mid
+    import pytest
+
+    with pytest.raises(ValueError):
+        synthetic_jpeg_media(docs, width=17)
+
+
 def _mk_png(w, h, pixels, interlace=0):
     """Test-side PNG builder (independent of the engine fixtures): 8-bit
     RGB, filter 0 scanlines, real zlib stream; pixels = {(x, y): (r,g,b)}.

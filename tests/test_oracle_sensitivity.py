@@ -791,14 +791,58 @@ def test_jpeg_entropy_byte_corruption_is_caught(spark, con, monkeypatch):
 
     orig = mm.synthetic_jpeg_media
 
-    def mutated(docs, id_col="doc_id"):
-        out = orig(docs, id_col)
+    def mutated(docs, id_col="doc_id", width=16):
+        out = orig(docs, id_col, width)
         return out.withColumn(
             "content",
             F.overlay(
                 F.col("content"), F.unhex(F.lit("2a")), F.length("content") - 3
             ),
         )
+
+    monkeypatch.setattr(mm, "synthetic_jpeg_media", mutated)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
+
+
+def test_jpeg_422_entropy_byte_corruption_is_caught(spark, con, monkeypatch):
+    """The 'jpeg_422' section certifies the subsampled color decode:
+    overwrite the per-id DC byte (5th from last) with a constant so every
+    payload decodes to the same Y — the oracle's id-varying sums must
+    mismatch for 15 of every 16 ids."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.synthetic_jpeg_422_media
+
+    def mutated(docs, id_col="doc_id"):
+        out = orig(docs, id_col)
+        return out.withColumn(
+            "content",
+            F.overlay(
+                F.col("content"), F.unhex(F.lit("2a")), F.length("content") - 4
+            ),
+        )
+
+    monkeypatch.setattr(mm, "synthetic_jpeg_422_media", mutated)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
+
+
+def test_jpeg_crop_width_ignored_is_caught(spark, con, monkeypatch):
+    """The 'jpeg_crop' section certifies decode-then-crop: a fixture that
+    ignores the declared width (full 16-wide frame, the output of a
+    decoder that pads instead of cropping) must fail the oracle's
+    12-wide crop arithmetic on width, n_pixels AND sums."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.synthetic_jpeg_media
+
+    def mutated(docs, id_col="doc_id", width=16):
+        return orig(docs, id_col, 16)
 
     monkeypatch.setattr(mm, "synthetic_jpeg_media", mutated)
     assert_caught(

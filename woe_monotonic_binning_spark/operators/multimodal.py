@@ -1258,7 +1258,9 @@ def synthetic_png_palette_media(docs: DataFrame, id_col: str = "doc_id") -> Data
     )
 
 
-def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthetic_jpeg_media(
+    docs: DataFrame, id_col: str = "doc_id", width: int = 16
+) -> DataFrame:
     """Valid baseline-JPEG payloads built ENTIRELY JVM-side — the
     oracle-predictable fixture certifying ``_parse_jpeg`` end to end
     (q_multimodal_stats 'jpeg' section).
@@ -1282,11 +1284,20 @@ def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     making every channel sum exactly ``64 * (257 + 2*dc1)``.  This
     exercises the marker walk, both Huffman classes, DC prediction
     across MCUs, magnitude extension, dequantization, IDCT and the
-    level shift with an integer-exact oracle."""
+    level shift with an integer-exact oracle.
+
+    ``width`` (round 14) declares a SOF width of 9..16 over the same
+    two-block entropy data, turning the fixture into the
+    decode-then-crop twin: the frame still carries two full 8x8 blocks,
+    but only ``width - 8`` columns of block 2 survive the crop, so sums
+    become ``64*(128+dc1) + (width-8)*8*(129+dc1)`` — certifying the
+    non-MCU-multiple path (the 'jpeg_crop' section)."""
+    if not 9 <= width <= 16:
+        raise ValueError("synthetic_jpeg_media: width must be in 9..16")
     prefix_hex = (
         "ffd8"  # SOI
         + "ffdb0043" + "00" + "08" * 64  # DQT: table 0, all 8s
-        + "ffc0000b" + "08" + "0008" + "0010" + "01" + "011100"  # SOF0 16x8 gray
+        + "ffc0000b" + "08" + "0008" + f"{width:04x}" + "01" + "011100"  # SOF0 gray
         + "ffc40015" + "00" + "0002" + "00" * 14 + "0501"  # DHT DC: "00"=cat5,"01"=cat1
         + "ffc40014" + "10" + "01" + "00" * 15 + "00"  # DHT AC: "0"=EOB
         + "ffda0008" + "01" + "0100" + "003f00"  # SOS
@@ -1295,6 +1306,51 @@ def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     byte1 = F.lpad(F.hex(dc1 * 2), 2, "0")
     content = F.unhex(
         F.concat(F.lit(prefix_hex), byte1, F.lit("6f"), F.lit("ffd9"))
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def synthetic_jpeg_422_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Valid 4:2:2 COLOR baseline-JPEG payloads built ENTIRELY JVM-side —
+    certifies the 2x1 luma sampling path (horizontal-only chroma
+    upsampling), the one subsampled geometry the 4:4:4 and 4:2:0
+    fixtures cannot reach (q_multimodal_stats 'jpeg_422' section,
+    round-14 verdict item 2).
+
+    One 16x8 MCU: two horizontally adjacent DC-only luma blocks (Y =
+    ``128 + dc1`` with ``dc1 = 16 + id % 16``; block 2 codes a zero diff
+    via the category-0 code) plus one Cb (+1 -> flat 129) and one Cr
+    (-1 -> flat 127) block.  With the shared DC table "00"=cat 5 /
+    "01"=cat 1 / "10"=cat 0 the entropy segment is THREE bytes, two of
+    them constant: ``[dc1 << 1, 0x8C, 0x9F]`` ("00"+5 DC bits+EOB |
+    "10"+EOB | "01"+"1"+EOB | "01"+"0"+EOB | 5 pad "1"s).
+
+    Same mid-interval chroma offsets as the 4:2:0 fixture: every pixel
+    decodes to exactly ``(Y - 1, Y, Y + 2)``, so channel sums are
+    ``128*(Y-1) / 128*Y / 128*(Y+2)`` — integer-exact SQL arithmetic."""
+    prefix_hex = (
+        "ffd8"
+        + "ffdb0043" + "00" + "08" * 64
+        + "ffc00011" + "08" + "0008" + "0010" + "03"  # SOF0 16x8, 3 comps
+        + "012100" + "021100" + "031100"  # Y 2x1, Cb 1x1, Cr 1x1
+        + "ffc40016" + "00" + "0003" + "00" * 14 + "050100"  # DC cat5/cat1/cat0
+        + "ffc40014" + "10" + "01" + "00" * 15 + "00"  # AC: "0"=EOB
+        + "ffda000c" + "03" + "0100" + "0200" + "0300" + "003f00"
+    )
+    dc1 = (F.pmod(F.col(id_col), F.lit(16)) + 16).cast("int")
+    byte1 = F.lpad(F.hex(dc1 * 2), 2, "0")
+    content = F.unhex(
+        F.concat(F.lit(prefix_hex), byte1, F.lit("8c9f"), F.lit("ffd9"))
     )
     return docs.select(
         F.col(id_col).alias("media_id"),
