@@ -3466,6 +3466,106 @@ def q_repeated_chunks(spark, sf_dir):
     return out.select("doc_id", "n_chunks_removed", F.length("text").alias("new_len"))
 
 
+# Synthetic-HTML fixture for the q_dedup_lines 'html' section (round 14):
+# documents.text wrapped in markup exercising every extract_html_text
+# stage — script/style/comment removal, a title block line, entity
+# single-decode (&amp;amp; stays '&amp;'), a quoted '>' attribute, an
+# &nbsp;, and an all-links nav div the link-density gate must drop.  The
+# byte recipe is shared: the engine concatenates the same pieces, so the
+# md5 of the extracted text certifies the whole chain.  No single quotes
+# in the literal (keeps the SQL twin quoting trivial).
+_HTML_FIXTURE_PIECES = (
+    '<html><head><title>Doc ',  # + doc_id
+    '</title><script type="text/javascript">var x = 1 < 2;</script>'
+    "<style>.n{color:red}</style><!-- hidden --></head><body><h1>Doc ",  # + doc_id
+    "</h1><p>",  # + text
+    '</p><div><a href="/a">Home</a> <a href="/b">About</a> '
+    '<a href="/c">Contact</a></div><p title="k>v">Note &amp;amp; '
+    "&lt;tag&gt;&nbsp;",  # + doc_id
+    "</p></body></html>",
+)
+
+
+def _html_fixture_col():
+    p = _HTML_FIXTURE_PIECES
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit(p[0]), d, F.lit(p[1]), d, F.lit(p[2]), F.col("text"),
+        F.lit(p[3]), d, F.lit(p[4]),
+    )
+
+
+def _html_section_sql() -> str:
+    """The 'html' UNION ALL branch of the q_dedup_lines oracle: the DuckDB
+    twin of extract_html_text over the shared fixture, built from the SAME
+    pattern constants via text.py's html_*_sql helpers (so the two engines
+    cannot drift).  array_to_string([]) is NULL in DuckDB where Spark's
+    array_join gives '' — hence the coalesces."""
+    from woe_monotonic_binning_spark.operators.text import (
+        html_anchors_sql,
+        html_fragment_sql,
+        html_lines_sql,
+    )
+
+    p = _HTML_FIXTURE_PIECES
+    esc = [x.replace("'", "''") for x in p]
+    d = "CAST(doc_id AS VARCHAR)"
+    html = (
+        f"'{esc[0]}' || {d} || '{esc[1]}' || {d} || '{esc[2]}' || text || "
+        f"'{esc[3]}' || {d} || '{esc[4]}'"
+    )
+    anchors = html_anchors_sql("line")
+    keep = "tt <> '' AND al <= 0.5 * length(tt)"
+    return f"""
+    UNION ALL
+    -- HTML -> text extraction (round 14): extract_html_text over the
+    -- shared synthetic-HTML fixture; md5(text) pins the extracted bytes,
+    -- n_removed the link-density-dropped nav line, chunk_idx the anchor
+    -- count, n_units the kept-line count
+    SELECT 'html' AS section, doc_id,
+           CAST(CASE WHEN html IS NULL THEN NULL
+                     ELSE coalesce(n_dropped, 0) END AS INT) AS n_removed,
+           CAST(CASE WHEN html IS NULL THEN NULL
+                     ELSE length(coalesce(text, '')) END AS INT) AS new_len,
+           CAST(CASE WHEN html IS NULL THEN NULL
+                     ELSE coalesce(n_links, 0) END AS INT) AS chunk_idx,
+           CASE WHEN html IS NULL THEN NULL
+                ELSE md5(coalesce(text, '')) END AS chunk_md5,
+           CAST(CASE WHEN html IS NULL THEN NULL
+                     ELSE coalesce(n_lines, 0) END AS INT) AS n_units
+    FROM (
+      SELECT src.doc_id, src.html, a.text, a.n_dropped, a.n_links, a.n_lines
+      FROM (SELECT doc_id, {html} AS html FROM documents) src
+      LEFT JOIN (
+        SELECT doc_id,
+               array_to_string(list(tt ORDER BY pos)
+                 FILTER (WHERE {keep}), chr(10)) AS text,
+               count(*) FILTER (WHERE {keep}) AS n_lines,
+               count(*) FILTER (WHERE tt <> '' AND al > 0.5 * length(tt))
+                 AS n_dropped,
+               sum(na) AS n_links
+        FROM (
+          SELECT doc_id, pos,
+                 {html_fragment_sql("line")} AS tt,
+                 length({html_fragment_sql(
+                     f"coalesce(array_to_string({anchors}, ' '), '')")}) AS al,
+                 len({anchors}) AS na
+          FROM (
+            SELECT doc_id, i AS pos, ls[i] AS line
+            FROM (
+              SELECT doc_id, str_split(h, chr(10)) AS ls
+              FROM (
+                SELECT doc_id, {html_lines_sql("html")} AS h
+                FROM (SELECT doc_id, {html} AS html FROM documents)
+              )
+            ), unnest(range(1, len(ls) + 1)) AS s(i)
+          )
+        ) GROUP BY doc_id
+      ) a USING (doc_id)
+    )
+    """
+
+
 @_q(
     "q_dedup_lines",
     # DuckDB's list_distinct does not guarantee order, so the oracle keeps
@@ -3655,7 +3755,7 @@ def q_repeated_chunks(spark, sf_dir):
              END AS n_windows
       FROM documents
     ), unnest(range(0, n_windows)) AS t(i)
-    """,
+    """ + _html_section_sql(),
 )
 def q_dedup_lines(spark, sf_dir):
     """Intra/inter-document repetition-removal + window-chunking suite.
@@ -3675,9 +3775,14 @@ def q_dedup_lines(spark, sf_dir):
     'window_stream' section (round 13): the words-unit chunker at chunk
     24/overlap 6 run through Structured Streaming (4 staged micro-batches
     -> parquet sink) — stateless projection, so batch-split-invariant and
-    certifiable against the plain batch SQL."""
+    certifiable against the plain batch SQL.  'html' section (round 14):
+    extract_html_text over the shared synthetic-HTML fixture
+    (_HTML_FIXTURE_PIECES) — md5 of the extracted text pins tag
+    stripping, entity decode and the link-density nav gate byte-exactly
+    against the DuckDB twin built from the same pattern constants."""
     from woe_monotonic_binning_spark.operators.text import (
         chunk_documents,
+        extract_html_text,
         remove_repeated_chunks,
         remove_repeated_lines,
     )
@@ -3762,6 +3867,18 @@ def q_dedup_lines(spark, sf_dir):
         "n_units",
     )
 
+    html = extract_html_text(
+        _docs(spark, sf_dir).select("doc_id", _html_fixture_col().alias("html"))
+    ).select(
+        F.lit("html").alias("section"),
+        "doc_id",
+        F.col("n_lines_dropped").cast("int").alias("n_removed"),
+        F.length("text").cast("int").alias("new_len"),
+        F.col("n_links").cast("int").alias("chunk_idx"),
+        F.md5("text").alias("chunk_md5"),
+        F.col("n_lines").cast("int").alias("n_units"),
+    )
+
     return (
         lines.unionByName(chunks)
         .unionByName(_window("words", 20, 5, "window_words"))
@@ -3769,6 +3886,7 @@ def q_dedup_lines(spark, sf_dir):
         .unionByName(_window("sentences", 3, 1, "window_sentences"))
         .unionByName(_window("chars", 64, 16, "window_chars"))
         .unionByName(wstream)
+        .unionByName(html)
     )
 
 

@@ -244,6 +244,133 @@ def test_scrub_pii_patterns_parse_identically_in_duckdb(spark):
 
 
 # ---------------------------------------------------------------------------
+# HTML -> text extraction (round 14)
+
+
+def test_extract_html_text_behavior(spark):
+    """The documented semantics over adversarial markup: quoted '>' in
+    attributes, entity single-decode (&amp;lt; stays literal), CDATA /
+    script / style / comment removal, nav-line link-density gate,
+    NULL-in-NULL-out, markup-free passthrough."""
+    from woe_monotonic_binning_spark.operators.text import extract_html_text
+
+    rows = [
+        (0, '<html><head><script type="text/javascript">var x = 1 < 2;'
+            "</script><style>.a{color:red}</style><!-- note --></head>"
+            "<body><h1>Title</h1><p>Hello &amp; welcome, 5 &lt; 7.</p>"
+            '<div><a href="/a">Home</a> <a href="/b">About</a></div>'
+            '<p title="a>b">Attr text</p>'
+            '<p>Read <a href="/x">the docs</a> for much more detail.</p>'
+            "<![CDATA[raw junk]]><p>Tail&nbsp;end &amp;lt; stays</p>"
+            "</body></html>"),
+        (1, None),
+        (2, "no markup at all"),
+        (3, '<ul><li><a href="/1">One</a></li><li><a href="/2">Two</a>'
+            "</li></ul><p>normal prose line</p>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.doc_id: r for r in extract_html_text(df).collect()}
+    assert out[0].text == (
+        "Title\nHello & welcome, 5 < 7.\nAttr text\n"
+        "Read the docs for much more detail.\nTail end &lt; stays"
+    )
+    assert (out[0].n_lines, out[0].n_lines_dropped, out[0].n_links) == (5, 1, 3)
+    assert out[1].text is None and out[1].n_lines is None
+    assert out[2].text == "no markup at all" and out[2].n_links == 0
+    # the two pure-link list items drop, the prose line survives
+    assert out[3].text == "normal prose line"
+    assert (out[3].n_lines, out[3].n_lines_dropped, out[3].n_links) == (1, 2, 2)
+
+
+def test_extract_html_text_matches_duckdb_twin(spark):
+    """Cross-engine parity: the DuckDB twin built from the SAME pattern
+    constants (html_lines_sql / html_fragment_sql / html_anchors_sql)
+    reproduces text, line counts and link counts byte-for-byte over
+    adversarial rows — nested tags, attributes containing '>', entities,
+    CDATA, unclosed script, self-closing tags, bare '<' in prose."""
+    from woe_monotonic_binning_spark.operators.text import (
+        extract_html_text,
+        html_anchors_sql,
+        html_fragment_sql,
+        html_lines_sql,
+    )
+
+    rows = [
+        (0, "<p>outer <b>bold <i>nested</i></b> end</p>"),
+        (1, '<p title="a>b" data-x=\'c>d\'>quoted attrs</p>'),
+        (2, "<p>&amp;lt; &quot;q&quot; &apos;a&apos; &#39;n&#39; "
+            "&nbsp;sp&#160;end &unknown; &#x41;</p>"),
+        (3, "<![CDATA[gone]]><p>kept</p><!-- gone too -->"),
+        (4, "<script>unclosed script body <p>swallowed?</p>"),
+        (5, "<br/><hr/><p>self closing</p><img src='x'/>"),
+        (6, "prose where 1 < 2 and 3 > 2 stays prose"),
+        (7, "<SCRIPT>UPPER</SCRIPT><P>case insensitive</P>"),
+        (8, '<div><a href="/o">Only link</a></div>'
+            '<div>half <a href="/h">link text here</a></div>'),
+        (9, "<p>an <abbr>abbr</abbr> is not an <a href='/a'>anchor</a></p>"),
+        (10, "<ul><li>item one</li><li>item two</li></ul>"),
+        (11, "<pre>  spaced   text  </pre>"),
+        (12, "<h1>h</h1><h6>six</h6><hr><table><tr><td>cell</td></tr></table>"),
+        (13, ""),
+        (14, "<p>tab\there\nnewline\x0bvt\fff\rcr</p>"),
+        (15, "<a href='/x'>nested <a href='/y'>anchor</a> tail</a> after"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "html"])
+    got = (
+        extract_html_text(spark.createDataFrame(pdf))
+        .select("doc_id", "text", "n_lines", "n_lines_dropped", "n_links")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    anchors = html_anchors_sql("line")
+    exp = con.execute(f"""
+        WITH norm AS (
+          SELECT doc_id, {html_lines_sql("html")} AS h FROM t
+        ),
+        lines AS (
+          SELECT doc_id, i AS pos, ls[i] AS line
+          FROM (SELECT doc_id, str_split(h, chr(10)) AS ls FROM norm),
+               unnest(range(1, len(ls) + 1)) AS s(i)
+        ),
+        perline AS (
+          SELECT doc_id, pos,
+                 {html_fragment_sql("line")} AS t,
+                 -- DuckDB array_to_string([]) is NULL (Spark array_join
+                 -- gives ''), so coalesce before measuring
+                 length({html_fragment_sql(f"coalesce(array_to_string({anchors}, ' '), '')")}) AS al,
+                 len({anchors}) AS na
+          FROM lines
+        ),
+        agg AS (
+          SELECT doc_id,
+                 array_to_string(list(t ORDER BY pos)
+                   FILTER (WHERE t <> '' AND al <= 0.5 * length(t)), chr(10)) AS text,
+                 count(*) FILTER (WHERE t <> '' AND al <= 0.5 * length(t)) AS n_lines,
+                 count(*) FILTER (WHERE t <> '' AND al > 0.5 * length(t)) AS n_dropped,
+                 sum(na) AS n_links
+          FROM perline GROUP BY doc_id
+        )
+        SELECT r.doc_id,
+               CASE WHEN r.html IS NULL THEN NULL
+                    ELSE coalesce(a.text, '') END AS text,
+               CASE WHEN r.html IS NULL THEN NULL
+                    ELSE coalesce(a.n_lines, 0) END AS n_lines,
+               CASE WHEN r.html IS NULL THEN NULL
+                    ELSE coalesce(a.n_dropped, 0) END AS n_lines_dropped,
+               CASE WHEN r.html IS NULL THEN NULL
+                    ELSE coalesce(a.n_links, 0) END AS n_links
+        FROM t r LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id
+    """).fetchdf()
+    assert got["text"].tolist() == exp["text"].tolist()
+    for c in ("n_lines", "n_lines_dropped", "n_links"):
+        assert got[c].tolist() == exp[c].astype(int).tolist(), c
+
+
+# ---------------------------------------------------------------------------
 # decontamination
 
 
@@ -834,6 +961,43 @@ def test_curate_corpus_minhash_and_skip_paths(spark):
     import pytest
     with pytest.raises(ValueError):
         curate_corpus(docs, near_dup="bogus")
+
+
+def test_curate_corpus_html_front_stage(spark):
+    """html_col= runs extract_html_text before every other stage: the
+    survivors' text is the extracted prose (markup and the all-links nav
+    line gone), the raw HTML column and diagnostic counts are dropped,
+    and the quality gate scores the EXTRACTED text."""
+    from woe_monotonic_binning_spark import curate_corpus
+    from woe_monotonic_binning_spark.operators.text import extract_html_text
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn(
+            "html",
+            F.concat(
+                F.lit("<html><body><h1>T</h1><p>"), F.col("text"),
+                F.lit('</p><div><a href="/a">Home</a> <a href="/b">About</a>'
+                      "</div></body></html>"),
+            ),
+        )
+        .drop("text")
+    )
+    out = curate_corpus(docs, html_col="html", near_dup=None)
+    assert "html" not in out.columns
+    assert not {"n_lines", "n_lines_dropped", "n_links"} & set(out.columns)
+    rows = out.select("doc_id", "text").collect()
+    assert rows
+    for r in rows:
+        assert "<" not in r.text.split("\n", 1)[0]  # markup gone
+        assert "Home About" not in r.text  # nav line gated
+    # the extracted text equals the standalone operator's output
+    exp = {
+        r.doc_id: r.text
+        for r in extract_html_text(docs).select("doc_id", "text").collect()
+    }
+    for r in rows:
+        assert r.text == exp[r.doc_id]
 
 
 def test_corpus_profile_matches_duckdb(spark):

@@ -780,6 +780,39 @@ def test_chunk_overlap_ignored_is_caught(spark, con, monkeypatch):
     )
 
 
+def test_html_link_gate_dropped_is_caught(spark, con, monkeypatch):
+    """The 'html' section certifies the link-density boilerplate gate: an
+    extractor that keeps every non-empty line (max_link_density=1.0)
+    retains the all-links nav div, so md5/new_len/n_removed disagree for
+    every document."""
+    import woe_monotonic_binning_spark.operators.text as tx
+
+    orig = tx.extract_html_text
+
+    def mutated(df, html_col="html", text_col="text", max_link_density=0.5):
+        return orig(df, html_col, text_col, 1.0)
+
+    monkeypatch.setattr(tx, "extract_html_text", mutated)
+    assert_caught(
+        spark, con, "q_dedup_lines", qc.SPARK_QUERIES["q_dedup_lines"](spark, SF)
+    )
+
+
+def test_html_naive_tag_regex_is_caught(spark, con, monkeypatch):
+    """The 'html' section certifies quote-aware tag scanning: a naive
+    [^>]* attribute scan truncates the fixture's <p title="k>v"> block
+    tag at the quoted '>', leaving 'v">' debris in the extracted text —
+    md5 must disagree.  (The fixture's quoted '>' sits in a BLOCK tag,
+    so the block regex is the one to naive-ify.)"""
+    import woe_monotonic_binning_spark.operators.text as tx
+
+    naive = f"(?i)</?(?:{tx._HTML_BLOCK_TAGS})(?:[ /][^>]*)?>"
+    monkeypatch.setattr(tx, "_HTML_BLOCK_RE", naive)
+    assert_caught(
+        spark, con, "q_dedup_lines", qc.SPARK_QUERIES["q_dedup_lines"](spark, SF)
+    )
+
+
 def test_jpeg_entropy_byte_corruption_is_caught(spark, con, monkeypatch):
     """The 'jpeg' section must certify the DECODE, not just the fixture
     plumbing: overwrite the per-id entropy byte (the 4th-from-last byte —

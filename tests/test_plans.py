@@ -541,3 +541,22 @@ def test_chunk_documents_single_generate_no_shuffle_no_python(spark):
         assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, unit
         assert exchange_count(out) == 0, unit
         assert python_eval_count(out) == 0, unit
+
+
+def test_extract_html_text_plan_is_map_side_jvm(spark):
+    """extract_html_text is one fused map-side pass: zero exchanges, zero
+    Python, zero generates (the per-line work runs inside higher-order
+    functions over the split array, never exploded to rows) — at 100 TB
+    it fuses into the corpus scan exactly like scrub_pii."""
+    import re
+
+    from woe_monotonic_binning_spark.operators.text import extract_html_text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumnRenamed(
+        "text", "html"
+    )
+    out = extract_html_text(docs)
+    plan = formatted_plan(out)
+    assert exchange_count(out) == 0
+    assert python_eval_count(out) == 0
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 0

@@ -591,6 +591,172 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(text_col, scrubbed)
 
 
+# --- HTML -> text extraction (round 14, the canonical first stage of
+# C4/RefinedWeb-style pipelines) -------------------------------------------
+#
+# Quote-aware tag body: attribute values may contain '>' inside single or
+# double quotes (<p title="a>b">), so a naive <[^>]*> truncates mid-tag.
+# The core scans unquoted runs interleaved with complete quoted strings —
+# plain alternation + classes, no lookaround, identical under Java regex
+# and DuckDB's RE2 (the cross-engine rule set this repo pins everywhere).
+_HTML_TAG_CORE = "[^>\"']*(?:\"[^\"]*\"[^>\"']*|'[^']*'[^>\"']*)*"
+# A tag starts '<' + optional '/', '!' or '?' + a LETTER — so stray
+# comparisons in prose ("1 < 2") are text, not markup.
+_HTML_TAG_RE = f"<[/!?]?[A-Za-z]{_HTML_TAG_CORE}>"
+# Elements whose boundaries break lines (the jusText/trafilatura block
+# set).  Matched AFTER whitespace normalisation, so attribute runs only
+# ever contain spaces; h[1-6] is listed before hr on purpose (leftmost-
+# first alternation in both engines).
+_HTML_BLOCK_TAGS = (
+    "p|br|div|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section|article|"
+    "aside|header|footer|nav|blockquote|pre|hr|dl|dt|dd|form|fieldset|title"
+)
+_HTML_BLOCK_RE = f"(?i)</?(?:{_HTML_BLOCK_TAGS})(?:[ /]{_HTML_TAG_CORE})?>"
+# Non-rendered regions, dropped wholesale BEFORE tag stripping: comments,
+# CDATA sections, script and style elements (content and all).  An
+# unclosed <script> leaves its body to the tag stripper — documented
+# tolerance, identical on both engines.
+_HTML_DROP_RES = (
+    "<!--.*?-->",
+    "<!\\[CDATA\\[.*?\\]\\]>",
+    f"(?i)<script(?:[ /]{_HTML_TAG_CORE})?>.*?</script[ ]*>",
+    f"(?i)<style(?:[ /]{_HTML_TAG_CORE})?>.*?</style[ ]*>",
+)
+# Anchor elements for the link-density boilerplate gate; group 1 is the
+# anchor's inner HTML.  '</a[ ]*>' (not '</a[^>]*>') so '</abbr>' cannot
+# close an anchor.
+_HTML_ANCHOR_RE = f"(?i)<a(?:[ /]{_HTML_TAG_CORE})?>(.*?)</a[ ]*>"
+# The fixed entity set decoded after tag stripping (decoding first would
+# turn '&lt;b&gt;' into strippable markup — encoded tags are TEXT).
+# '&amp;'/'&#38;' decode LAST so '&amp;lt;' yields literal '&lt;', the
+# single-decode HTML semantics.  Case-sensitive, like HTML named entities.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    ("&#39;", "'"), ("&#34;", '"'), ("&nbsp;", " "), ("&#160;", " "),
+    ("&amp;", "&"), ("&#38;", "&"),
+)
+
+
+def _html_fragment_text(c: Column) -> Column:
+    """Visible text of an HTML fragment: strip tags, decode the fixed
+    entity set, collapse ASCII whitespace, trim."""
+    c = F.regexp_replace(c, _HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, f"[{WS_CHARS}]+", " "))
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text",
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """HTML -> visible text with a link-density boilerplate gate — the
+    canonical first stage of a C4/RefinedWeb-style web-corpus pipeline.
+
+    Per document: (1) collapse all ASCII whitespace (so no tag spans a
+    line), (2) drop comments / CDATA / script / style wholesale,
+    (3) break at block-element boundaries into candidate lines,
+    (4) per line, strip tags, decode the fixed entity set
+    (``HTML_ENTITIES``), and measure LINK DENSITY — the fraction of the
+    line's visible characters that sit inside ``<a>`` elements — and
+    (5) keep lines that are non-empty and at most ``max_link_density``
+    link characters (the RefinedWeb/jusText navigation-boilerplate
+    heuristic: a nav bar is all links, a paragraph that merely cites one
+    is mostly prose).
+
+    Output: the input columns plus ``text_col`` (kept lines joined with
+    newline), ``n_lines`` (kept), ``n_lines_dropped`` (non-empty lines
+    removed by the gate) and ``n_links`` (anchor elements seen).  A NULL
+    ``html_col`` yields NULL text and NULL counts (NULL-in-NULL-out, the
+    posture of every operator here).
+
+    Executes as ONE map-side chain of regexp / higher-order-function
+    column expressions — JVM whole-stage codegen, zero Python, zero
+    shuffle: at 100 TB this fuses into the corpus scan exactly like
+    ``scrub_pii``.  Every regex is lookaround-free with explicit ASCII
+    classes, so DuckDB's RE2 executes the identical patterns — the
+    driver-certified twin lives in the q_dedup_lines 'html' section.
+
+    Tolerances (documented, cross-engine-identical): nested ``<a>``
+    stops at the first ``</a>``; an unclosed ``<script>`` falls through
+    to the tag stripper; entities outside the fixed set pass through
+    verbatim; CDATA content is dropped (foreign-content semantics), not
+    rendered."""
+    h = F.regexp_replace(F.col(html_col), f"[{WS_CHARS}]+", " ")
+    for pat in _HTML_DROP_RES:
+        h = F.regexp_replace(h, pat, " ")
+    h = F.regexp_replace(h, _HTML_BLOCK_RE, "\n")
+
+    def line_info(line: Column) -> Column:
+        anchors = F.regexp_extract_all(line, F.lit(_HTML_ANCHOR_RE), F.lit(1))
+        return F.struct(
+            _html_fragment_text(line).alias("t"),
+            F.length(
+                _html_fragment_text(F.array_join(anchors, " "))
+            ).alias("al"),
+            F.size(anchors).alias("na"),
+        )
+
+    infos = F.transform(F.split(h, "\n"), line_info)
+    nonempty = F.filter(infos, lambda i: i["t"] != F.lit(""))
+    kept = F.filter(
+        nonempty,
+        lambda i: i["al"].cast("double")
+        <= F.lit(float(max_link_density)) * F.length(i["t"]),
+    )
+    return (
+        df.withColumn("_he_nonempty", nonempty)
+        .withColumn("_he_kept", kept)
+        .withColumn(
+            text_col,
+            F.array_join(F.transform(F.col("_he_kept"), lambda i: i["t"]), "\n"),
+        )
+        .withColumn("n_lines", F.size("_he_kept"))
+        .withColumn(
+            "n_lines_dropped", F.size("_he_nonempty") - F.size("_he_kept")
+        )
+        .withColumn(
+            "n_links",
+            F.aggregate(infos, F.lit(0), lambda acc, i: acc + i["na"]),
+        )
+        .drop("_he_nonempty", "_he_kept")
+    )
+
+
+def _sql_quote(s: str) -> str:
+    """Escape a pattern for embedding in a single-quoted SQL literal."""
+    return s.replace("'", "''")
+
+
+def html_lines_sql(expr: str) -> str:
+    """DuckDB twin of ``extract_html_text``'s pre-split stages over the
+    SQL expression ``expr``: whitespace normalisation, comment / CDATA /
+    script / style removal, block-tag -> newline.  Built from the SAME
+    pattern constants the engine compiles, so the driver oracle and the
+    local parity tests cannot drift from the Spark side."""
+    out = f"regexp_replace({expr}, '[{WS_CHARS}]+', ' ', 'g')"
+    for pat in _HTML_DROP_RES:
+        out = f"regexp_replace({out}, '{_sql_quote(pat)}', ' ', 'g')"
+    return f"regexp_replace({out}, '{_sql_quote(_HTML_BLOCK_RE)}', chr(10), 'g')"
+
+
+def html_fragment_sql(expr: str) -> str:
+    """DuckDB twin of ``_html_fragment_text`` over the SQL expression
+    ``expr``: tag strip, fixed-entity decode (same order — amp last),
+    whitespace collapse, trim."""
+    out = f"regexp_replace({expr}, '{_sql_quote(_HTML_TAG_RE)}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        out = f"replace({out}, '{_sql_quote(ent)}', '{_sql_quote(ch)}')"
+    return f"trim(regexp_replace({out}, '[{WS_CHARS}]+', ' ', 'g'))"
+
+
+def html_anchors_sql(expr: str) -> str:
+    """DuckDB twin of the anchor inner-HTML extraction (group 1 list)."""
+    return f"regexp_extract_all({expr}, '{_sql_quote(_HTML_ANCHOR_RE)}', 1)"
+
+
 # Rae et al. 2021 §A1.1 acceptance thresholds (the published Gopher rule
 # set).  Keys match gopher_signals' output columns plus the word-count gate.
 GOPHER_THRESHOLDS: dict[str, tuple[float, float]] = {

@@ -83,6 +83,8 @@ def curate_corpus(
     window_size: int | None = None,
     window_overlap: int = 64,
     window_unit: str = "words",
+    html_col: str | None = None,
+    html_max_link_density: float = 0.5,
     output_path: str | None = None,
     cache_survivors: bool = True,
 ) -> DataFrame:
@@ -96,6 +98,12 @@ def curate_corpus(
     deduplicating; repetition removal must precede the quality gate or
     boilerplate inflates the signals it is judged on:
 
+    - ``html_col`` (keyword-only, round 14) — ``extract_html_text``
+      renders the named raw-HTML column into ``text_col`` BEFORE any
+      other stage (tag strip + entity decode + link-density boilerplate
+      gate at ``html_max_link_density``): the canonical C4/RefinedWeb
+      front stage; the HTML column and the diagnostic counts are
+      dropped to keep the survivor schema stable;
     - ``scrub=True`` — ``scrub_pii`` masks emails/IPs/phones in place
       (the per-kind ``n_*`` count columns are dropped to keep the output
       schema stable);
@@ -189,6 +197,20 @@ def curate_corpus(
     whole-pipeline wall at sf0.1 — with the owner here being the
     caller who asked for a lazy result).
     """
+    if html_col is not None:
+        # HTML -> text extraction FIRST (round 14): the canonical
+        # C4/RefinedWeb front stage — every hygiene/dedup stage below
+        # must see extracted text, not markup.  Map-side column
+        # expressions like scrub_pii, so it fuses into the same scan.
+        # The raw-HTML column and the diagnostic counts are dropped to
+        # keep the survivor schema stable (same contract as scrub).
+        from .operators.text import extract_html_text
+
+        docs = extract_html_text(
+            docs, html_col, text_col, max_link_density=html_max_link_density
+        ).drop("n_lines", "n_lines_dropped", "n_links")
+        if html_col != text_col:
+            docs = docs.drop(html_col)
     scrub_cache = None
     if scrub:
         from .operators.text import PII_PATTERNS, scrub_pii
