@@ -1665,6 +1665,10 @@ def q_events_rollup(spark, sf_dir):
     # 'jpeg_crop' section (round 14): SOF width 12 over the same two full
     # 8x8 blocks, certifying the non-MCU-multiple decode-then-crop path
     # (only 4 columns of block 2 survive).
+    # 'jpeg_exif' section (round 14): the baseline fixture + an APP1 TIFF
+    # orientation tag (1 + id%8) — the new 'orientation' column is
+    # closed-form in the id while dims/sums stay baseline (decode REPORTS
+    # the tag; resize_image APPLIES it, placement pinned in unit tests).
     """
     SELECT 'bytes' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(strlen(text) AS INT) AS n_bytes,
@@ -1687,7 +1691,8 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS BIGINT) AS sum_b,
            CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
-           CAST(NULL AS BIGINT) AS sum_pcm
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
     SELECT 'pixels' AS section, doc_id AS media_id, 'image' AS kind,
@@ -1699,7 +1704,8 @@ def q_events_rollup(spark, sf_dir):
            CAST(8 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b,
            CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
-           CAST(NULL AS BIGINT) AS sum_pcm
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
     SELECT 'png' AS section, doc_id AS media_id, 'image' AS kind,
@@ -1711,7 +1717,8 @@ def q_events_rollup(spark, sf_dir):
            CAST(8 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b,
            CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
-           CAST(NULL AS BIGINT) AS sum_pcm
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
     SELECT 'palette' AS section, doc_id AS media_id, 'image' AS kind,
@@ -1726,7 +1733,8 @@ def q_events_rollup(spark, sf_dir):
            CAST(2 * (240 + CASE doc_id % 3 WHEN 0 THEN 20 WHEN 1 THEN 80 ELSE 140 END) AS BIGINT) AS sum_b,
            CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
-           CAST(NULL AS BIGINT) AS sum_pcm
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
     SELECT 'png_i' AS section, doc_id AS media_id, 'image' AS kind,
@@ -1738,7 +1746,8 @@ def q_events_rollup(spark, sf_dir):
            CAST(8 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b,
            CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
-           CAST(NULL AS BIGINT) AS sum_pcm
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
     SELECT 'jpeg' AS section, doc_id AS media_id, 'image' AS kind,
@@ -1753,7 +1762,8 @@ def q_events_rollup(spark, sf_dir):
            CAST(64 * (257 + 2 * (16 + doc_id % 16)) AS BIGINT) AS sum_b,
            CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
-           CAST(NULL AS BIGINT) AS sum_pcm
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
     SELECT 'jpeg_420' AS section, doc_id AS media_id, 'image' AS kind,
@@ -1767,7 +1777,24 @@ def q_events_rollup(spark, sf_dir):
            CAST(256 * (146 + doc_id % 16) AS BIGINT) AS sum_b,
            CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
-           CAST(NULL AS BIGINT) AS sum_pcm
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
+    FROM documents
+    UNION ALL
+    SELECT 'jpeg_exif' AS section, doc_id AS media_id, 'image' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'jpeg' AS fmt, 16 AS width, 8 AS height, 128 AS n_pixels,
+           -- EXIF twin (round 14): the baseline fixture + an APP1 TIFF
+           -- orientation tag of 1 + id%8; decode REPORTS the tag on the
+           -- unrotated raster, so dims/sums stay the baseline closed form
+           CAST(64 * (257 + 2 * (16 + doc_id % 16)) AS BIGINT) AS sum_r,
+           CAST(64 * (257 + 2 * (16 + doc_id % 16)) AS BIGINT) AS sum_g,
+           CAST(64 * (257 + 2 * (16 + doc_id % 16)) AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(1 + doc_id % 8 AS INT) AS orientation
     FROM documents
     UNION ALL
     SELECT 'jpeg_422' AS section, doc_id AS media_id, 'image' AS kind,
@@ -1782,7 +1809,8 @@ def q_events_rollup(spark, sf_dir):
            CAST(128 * (146 + doc_id % 16) AS BIGINT) AS sum_b,
            CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
-           CAST(NULL AS BIGINT) AS sum_pcm
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
     SELECT 'jpeg_crop' AS section, doc_id AS media_id, 'image' AS kind,
@@ -1797,7 +1825,8 @@ def q_events_rollup(spark, sf_dir):
            CAST(64 * (144 + doc_id % 16) + 32 * (145 + doc_id % 16) AS BIGINT) AS sum_b,
            CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
-           CAST(NULL AS BIGINT) AS sum_pcm
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
     SELECT 'jpeg_prog' AS section, doc_id AS media_id, 'image' AS kind,
@@ -1812,7 +1841,8 @@ def q_events_rollup(spark, sf_dir):
            CAST(64 * (258 + 2 * (16 + doc_id % 16)) AS BIGINT) AS sum_b,
            CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
-           CAST(NULL AS BIGINT) AS sum_pcm
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
     SELECT 'audio' AS section, doc_id AS media_id, 'audio' AS kind,
@@ -1825,7 +1855,8 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS BIGINT) AS sum_b,
            1 AS n_channels, 8000 AS sample_rate, 8 AS n_frames,
            CAST(1 AS BIGINT) AS duration_ms,
-           CAST(8 * (doc_id % 20000) AS BIGINT) AS sum_pcm
+           CAST(8 * (doc_id % 20000) AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
     SELECT 'resize' AS section, doc_id AS media_id, 'image' AS kind,
@@ -1837,7 +1868,8 @@ def q_events_rollup(spark, sf_dir):
            CAST(18 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b,
            CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
-           CAST(NULL AS BIGINT) AS sum_pcm
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
     FROM documents
     """,
 )
@@ -1850,6 +1882,7 @@ def q_multimodal_stats(spark, sf_dir):
         resize_image,
         synthetic_jpeg_420_media,
         synthetic_jpeg_422_media,
+        synthetic_jpeg_exif_media,
         synthetic_jpeg_media,
         synthetic_jpeg_progressive_media,
         synthetic_png_interlaced_media,
@@ -1875,8 +1908,11 @@ def q_multimodal_stats(spark, sf_dir):
         null_i.alias("width"), null_i.alias("height"), null_i.alias("n_pixels"),
         null_l.alias("sum_r"), null_l.alias("sum_g"), null_l.alias("sum_b"),
         *audio_nulls,
+        null_i.alias("orientation"),
     )
     def _pix(media, section):
+        # 'orientation' passes through from decode_image: NULL for every
+        # non-EXIF source, 1 + id%8 for the 'jpeg_exif' fixture
         return decode_image(media).select(
             F.lit(section).alias("section"),
             "media_id", F.lit("image").alias("kind"),
@@ -1884,6 +1920,7 @@ def q_multimodal_stats(spark, sf_dir):
             null_i.alias("first_byte"), null_i.alias("last_byte"),
             "fmt", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
             *audio_nulls,
+            "orientation",
         )
 
     audio = decode_audio(synthetic_wav_media(docs)).select(
@@ -1895,6 +1932,7 @@ def q_multimodal_stats(spark, sf_dir):
         null_i.alias("width"), null_i.alias("height"), null_i.alias("n_pixels"),
         null_l.alias("sum_r"), null_l.alias("sum_g"), null_l.alias("sum_b"),
         "n_channels", "sample_rate", "n_frames", "duration_ms", "sum_pcm",
+        null_i.alias("orientation"),
     )
     # the resized output is P6 bytes, so decode_image closes the
     # decode -> resample -> re-encode -> decode chain (fmt becomes 'ppm')
@@ -1905,6 +1943,7 @@ def q_multimodal_stats(spark, sf_dir):
         .unionByName(_pix(synthetic_png_palette_media(docs), "palette"))
         .unionByName(_pix(synthetic_png_interlaced_media(docs), "png_i"))
         .unionByName(_pix(synthetic_jpeg_media(docs), "jpeg"))
+        .unionByName(_pix(synthetic_jpeg_exif_media(docs), "jpeg_exif"))
         .unionByName(_pix(synthetic_jpeg_media(docs, width=12), "jpeg_crop"))
         .unionByName(_pix(synthetic_jpeg_420_media(docs), "jpeg_420"))
         .unionByName(_pix(synthetic_jpeg_422_media(docs), "jpeg_422"))

@@ -2414,15 +2414,15 @@ def test_parse_jpeg_dc_blocks_and_prediction():
 
     from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
 
-    w, h, px = _parse_jpeg(_mk_dc_jpeg(8, 8, [[_dc_bits(20)]]))
+    w, h, px, _o = _parse_jpeg(_mk_dc_jpeg(8, 8, [[_dc_bits(20)]]))
     a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
     assert (w, h) == (8, 8) and (a == 148).all()
     # two MCUs: dc 20 then diff +1 -> 148 | 149
-    w, h, px = _parse_jpeg(_mk_dc_jpeg(16, 8, [[_dc_bits(20), _dc_bits(1)]]))
+    w, h, px, _o = _parse_jpeg(_mk_dc_jpeg(16, 8, [[_dc_bits(20), _dc_bits(1)]]))
     a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
     assert (a[:, :8] == 148).all() and (a[:, 8:] == 149).all()
     # crop: 12x8 needs 2 MCUs but keeps 12 columns
-    w, h, px = _parse_jpeg(_mk_dc_jpeg(12, 8, [[_dc_bits(20), _dc_bits(1)]]))
+    w, h, px, _o = _parse_jpeg(_mk_dc_jpeg(12, 8, [[_dc_bits(20), _dc_bits(1)]]))
     assert (w, h) == (12, 8) and len(px) == 12 * 8 * 3
 
 
@@ -2434,7 +2434,7 @@ def test_parse_jpeg_ycbcr_color_conversion():
     from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
 
     j = _mk_dc_jpeg(8, 8, [[_dc_bits(20)], [_dc_bits(1)], [_dc_bits(-1)]])
-    w, h, px = _parse_jpeg(j)
+    w, h, px, _o = _parse_jpeg(j)
     a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(int)
     y, cb, cr = 148.0, 129.0, 127.0
     exp = [
@@ -2457,7 +2457,7 @@ def test_parse_jpeg_ac_coefficient_idct():
     # magnitude bit 1 (+1) + EOB "00"
     bits = "00" + format(20, "05b") + "01" + "1" + "00"
     j = _mk_dc_jpeg(8, 8, [[bits]], ac_extra=True)
-    w, h, px = _parse_jpeg(j)
+    w, h, px, _o = _parse_jpeg(j)
     a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
     x = np.arange(8)
     # S00 = 20*8, S(u=0,v=1) = 1*8; f(x) = S00/8 + (1/4)*cos((2x+1)pi/16)*8*sqrt(1/2)... 
@@ -2614,6 +2614,96 @@ def test_synthetic_jpeg_media_certifies_decoder(spark):
         exp = 64 * (257 + 2 * dc1)
         assert (r.fmt, r.width, r.height, r.n_pixels) == ("jpeg", 16, 8, 128)
         assert (r.sum_r, r.sum_g, r.sum_b) == (exp, exp, exp), mid
+
+
+def _exif_app1(orient, le=True, tag=0x0112):
+    """APP1 Exif segment with a single IFD0 entry (orientation by
+    default), in either byte order."""
+    import struct
+
+    if le:
+        tiff = (b"II*\x00\x08\x00\x00\x00" + b"\x01\x00"
+                + struct.pack("<HHI", tag, 3, 1)
+                + struct.pack("<H", orient) + b"\x00\x00"
+                + b"\x00\x00\x00\x00")
+    else:
+        tiff = (b"MM\x00*\x00\x00\x00\x08" + b"\x00\x01"
+                + struct.pack(">HHI", tag, 3, 1)
+                + struct.pack(">H", orient) + b"\x00\x00"
+                + b"\x00\x00\x00\x00")
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def test_parse_jpeg_exif_orientation_reported():
+    """APP1 TIFF orientation is reported (both byte orders) without
+    disturbing the decode; out-of-range values, non-orientation tags and
+    malformed Exif payloads yield None orientation, never a reject."""
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_jpeg
+
+    base = _mk_dc_jpeg(16, 8, [[_dc_bits(20), _dc_bits(1)]])
+    plain = _parse_jpeg(base)
+    assert plain is not None and plain[3] is None
+    for le in (True, False):
+        for o in range(1, 9):
+            got = _parse_jpeg(base[:2] + _exif_app1(o, le=le) + base[2:])
+            assert got[:3] == plain[:3] and got[3] == o, (le, o)
+    # value 0 / 9: out of range -> None; a different tag -> None;
+    # truncated Exif payload -> ignored, decode intact
+    for bad in (
+        _exif_app1(0), _exif_app1(9), _exif_app1(6, tag=0x0113),
+        b"\xff\xe1\x00\x08Exif\x00\x00",
+    ):
+        got = _parse_jpeg(base[:2] + bad + base[2:])
+        assert got[:3] == plain[:3] and got[3] is None
+
+
+def test_resize_image_applies_exif_orientation(spark):
+    """resize_image uprights the raster before resampling: a 16x16
+    four-quadrant source (148/149/150/151) lands its quadrants exactly
+    where each of the 8 orientations dictates (identity-size resize), and
+    an orientation-6 16x8 source resizes through the swapped 8x16 axes."""
+    import numpy as np
+
+    from woe_monotonic_binning_spark.operators.multimodal import resize_image
+
+    base = _mk_dc_jpeg(
+        16, 16, [[_dc_bits(20), _dc_bits(1), _dc_bits(1), _dc_bits(1)]]
+    )
+    expected = {
+        1: [[148, 149], [150, 151]], 2: [[149, 148], [151, 150]],
+        3: [[151, 150], [149, 148]], 4: [[150, 151], [148, 149]],
+        5: [[148, 150], [149, 151]], 6: [[150, 148], [151, 149]],
+        7: [[151, 149], [150, 148]], 8: [[149, 151], [148, 150]],
+    }
+    media = spark.createDataFrame(
+        [(o, "image", bytearray(base[:2] + _exif_app1(o) + base[2:]))
+         for o in range(1, 9)],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in resize_image(media, 16, 16).collect()}
+    for o, quads in expected.items():
+        raw = bytes(rows[o].content)
+        body = raw.split(b"\n", 3)[3]
+        arr = np.frombuffer(body, dtype=np.uint8).reshape(16, 16, 3)
+        got = [[int(arr[4, 4, 0]), int(arr[4, 12, 0])],
+               [int(arr[12, 4, 0]), int(arr[12, 12, 0])]]
+        assert got == quads, o
+    # orientation 6 on a 16x8 source: upright is 8x16, so a 4x8 resize
+    # samples the rotated geometry (left stored block -> bottom rows)
+    wide = _mk_dc_jpeg(16, 8, [[_dc_bits(20), _dc_bits(1)]])
+    media6 = spark.createDataFrame(
+        [(0, "image", bytearray(wide[:2] + _exif_app1(6) + wide[2:]))],
+        "media_id long, kind string, content binary",
+    )
+    r = resize_image(media6, 4, 8).collect()[0]
+    arr = np.frombuffer(
+        bytes(r.content).split(b"\n", 3)[3], dtype=np.uint8
+    ).reshape(8, 4, 3)
+    # stored: left block 148, right block 149; rot90 CW maps upright row
+    # i to stored column i, so the LEFT stored block becomes the TOP
+    # rows: rows 0-3 are 148, rows 4-7 are 149
+    assert (arr[:4, :, 0] == 148).all() and (arr[4:, :, 0] == 149).all()
 
 
 def test_synthetic_jpeg_422_and_crop_fixtures(spark):

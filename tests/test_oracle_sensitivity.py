@@ -840,6 +840,28 @@ def test_jpeg_entropy_byte_corruption_is_caught(spark, con, monkeypatch):
     )
 
 
+def test_jpeg_exif_orientation_corruption_is_caught(spark, con, monkeypatch):
+    """The 'jpeg_exif' section certifies the APP1 TIFF parse: overwriting
+    the orientation value byte (offset 31 in the fixture layout) with a
+    constant 5 makes every payload report orientation 5 — the oracle's
+    1 + id%8 must mismatch for 7 of every 8 ids."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.synthetic_jpeg_exif_media
+
+    def mutated(docs, id_col="doc_id"):
+        out = orig(docs, id_col)
+        return out.withColumn(
+            "content", F.overlay(F.col("content"), F.unhex(F.lit("05")), 31)
+        )
+
+    monkeypatch.setattr(mm, "synthetic_jpeg_exif_media", mutated)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
+
+
 def test_jpeg_422_entropy_byte_corruption_is_caught(spark, con, monkeypatch):
     """The 'jpeg_422' section certifies the subsampled color decode:
     overwrite the per-id DC byte (5th from last) with a constant so every

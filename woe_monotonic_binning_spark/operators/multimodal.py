@@ -108,7 +108,7 @@ def fake_decode_stats(media: DataFrame) -> DataFrame:
 
 DECODED_IMAGE_SCHEMA = (
     "media_id bigint, fmt string, width int, height int, n_pixels int, "
-    "sum_r bigint, sum_g bigint, sum_b bigint"
+    "sum_r bigint, sum_g bigint, sum_b bigint, orientation int"
 )
 
 
@@ -661,8 +661,9 @@ def _jpeg_decode_scan(
     return True
 
 
-def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
-    """Huffman JPEG -> (width, height, raw RGB triplets), or None — pure
+def _parse_jpeg(b: bytes) -> tuple[int, int, bytes, int | None] | None:
+    """Huffman JPEG -> (width, height, raw RGB triplets, EXIF orientation
+    1-8 or None), or None on reject — pure
     stdlib ``struct`` + ``numpy``, no libjpeg/Pillow.  Baseline (SOF0,
     including multi-scan non-interleaved files) since round 13 early, and
     PROGRESSIVE (SOF2: spectral selection + successive approximation
@@ -713,6 +714,38 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
     coeffs = geom = None
     hmax = vmax = mcux = mcuy = None
     any_scan = False
+    orientation = None
+
+    def _exif_orientation(seg: bytes) -> int | None:
+        """TIFF orientation (tag 0x0112) from an APP1 Exif payload, or
+        None — stdlib struct, both byte orders, IFD0 only (the tag lives
+        there per EXIF 2.3 §4.6.4); malformed metadata is ignored, never
+        a reject (orientation is advisory, the raster already decoded)."""
+        if len(seg) < 14 or seg[:6] != b"Exif\x00\x00":
+            return None
+        t = seg[6:]  # TIFF stream; all offsets are relative to this
+        if t[:2] == b"II":
+            end = "<"
+        elif t[:2] == b"MM":
+            end = ">"
+        else:
+            return None
+        if struct.unpack_from(end + "H", t, 2)[0] != 42:
+            return None
+        (ifd,) = struct.unpack_from(end + "I", t, 4)
+        if ifd + 2 > len(t):
+            return None
+        (n,) = struct.unpack_from(end + "H", t, ifd)
+        for k in range(n):
+            off = ifd + 2 + 12 * k
+            if off + 12 > len(t):
+                return None
+            tag, typ, cnt = struct.unpack_from(end + "HHI", t, off)
+            if tag == 0x0112 and typ == 3 and cnt == 1:
+                (v,) = struct.unpack_from(end + "H", t, off + 8)
+                return v if 1 <= v <= 8 else None
+        return None
+
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -805,6 +838,8 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
             if len(seg) < 2:
                 return None
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xE1 and orientation is None:  # APP1 (Exif)
+            orientation = _exif_orientation(seg)
         elif marker == 0xDA:  # SOS
             if comps is None or len(seg) < 1:
                 return None
@@ -890,7 +925,7 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
             ],
             axis=-1,
         )
-    return int(w), int(h), rgb.tobytes()
+    return int(w), int(h), rgb.tobytes(), orientation
 
 
 def decode_image(media: DataFrame, codec=None) -> DataFrame:
@@ -940,7 +975,7 @@ def decode_image(media: DataFrame, codec=None) -> DataFrame:
             out = {
                 "media_id": pdf["media_id"],
                 "fmt": [], "width": [], "height": [], "n_pixels": [],
-                "sum_r": [], "sum_g": [], "sum_b": [],
+                "sum_r": [], "sum_g": [], "sum_b": [], "orientation": [],
             }
             for b in pdf["content"]:
                 parsed, fmt = None, None
@@ -1004,11 +1039,17 @@ def decode_image(media: DataFrame, codec=None) -> DataFrame:
                                 fmt = name
                                 break
                 if parsed is None:
-                    for k in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b"):
+                    for k in ("width", "height", "n_pixels", "sum_r",
+                              "sum_g", "sum_b", "orientation"):
                         out[k].append(None)
                     out["fmt"].append(None)
                     continue
-                w, h, px = parsed
+                # _parse_jpeg returns a 4-tuple with the EXIF orientation
+                # (round 14); the other parsers and codec hooks stay
+                # 3-tuples — orientation None.  The raster is reported
+                # UNROTATED (decode reports, resize_image applies).
+                w, h, px = parsed[:3]
+                orient = parsed[3] if len(parsed) == 4 else None
                 arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
                 sums = arr.sum(axis=0, dtype=np.int64)
                 out["fmt"].append(fmt)
@@ -1018,6 +1059,7 @@ def decode_image(media: DataFrame, codec=None) -> DataFrame:
                 out["sum_r"].append(int(sums[0]))
                 out["sum_g"].append(int(sums[1]))
                 out["sum_b"].append(int(sums[2]))
+                out["orientation"].append(orient)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, schema=DECODED_IMAGE_SCHEMA)
@@ -1314,6 +1356,57 @@ def synthetic_jpeg_media(
         F.struct(
             F.lit("image/jpeg").alias("mime"),
             F.lit(width).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def synthetic_jpeg_exif_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The baseline two-block grayscale fixture with an APP1 Exif segment
+    carrying orientation ``1 + id % 8`` — certifies the round-14 TIFF
+    orientation parse end to end (q_multimodal_stats 'jpeg_exif'
+    section): the orientation column is closed-form in the row id while
+    the decoded sums stay the baseline ``64*(257+2*dc1)`` (decode
+    REPORTS the tag on the unrotated raster; ``resize_image`` applies
+    it — raster placement is pinned by the varying-pixel unit tests).
+
+    APP1 layout (little-endian TIFF, 32-byte payload): ``Exif\\0\\0`` +
+    ``II*\\0`` + IFD0 offset 8 + one entry (tag 0x0112, SHORT, count 1,
+    value in the first two bytes of the value field) + next-IFD 0."""
+    app1_pre = (
+        "ffe10022"  # APP1, length 34
+        + "457869660000"  # 'Exif\0\0'
+        + "49492a0008000000"  # 'II', 42, IFD0 at offset 8
+        + "0100"  # 1 entry
+        + "1201" + "0300" + "01000000"  # tag 0x0112, SHORT, count 1
+    )
+    app1_post = "00" + "0000" + "00000000"  # value pad + next-IFD 0
+    body_hex = (
+        "ffdb0043" + "00" + "08" * 64
+        + "ffc0000b" + "08" + "0008" + "0010" + "01" + "011100"
+        + "ffc40015" + "00" + "0002" + "00" * 14 + "0501"
+        + "ffc40014" + "10" + "01" + "00" * 15 + "00"
+        + "ffda0008" + "01" + "0100" + "003f00"
+    )
+    orient = (F.pmod(F.col(id_col), F.lit(8)) + 1).cast("int")
+    dc1 = (F.pmod(F.col(id_col), F.lit(16)) + 16).cast("int")
+    byte1 = F.lpad(F.hex(dc1 * 2), 2, "0")
+    content = F.unhex(
+        F.concat(
+            F.lit("ffd8" + app1_pre),
+            F.lpad(F.hex(orient), 2, "0"),
+            F.lit(app1_post + body_hex),
+            byte1, F.lit("6f"), F.lit("ffd9"),
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.lit(16).cast("int").alias("width"),
             F.lit(8).cast("int").alias("height"),
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
@@ -1635,6 +1728,30 @@ def synthetic_wav_media(
     )
 
 
+def _apply_exif_orientation(arr, orient: int):
+    """Upright a raster per the EXIF orientation tag (TIFF 6.0 / EXIF 2.3
+    value semantics: the tag names where the raster's row-0/col-0 lands
+    in the scene, so applying the INVERSE transform uprights it).
+    Returns a contiguous copy; 5-8 swap the output dimensions."""
+    import numpy as np
+
+    if orient == 2:
+        return np.ascontiguousarray(arr[:, ::-1])
+    if orient == 3:
+        return np.ascontiguousarray(arr[::-1, ::-1])
+    if orient == 4:
+        return np.ascontiguousarray(arr[::-1])
+    if orient == 5:  # transpose across the main diagonal
+        return np.ascontiguousarray(arr.transpose(1, 0, 2))
+    if orient == 6:  # rotate 90 clockwise to upright
+        return np.ascontiguousarray(arr.transpose(1, 0, 2)[:, ::-1])
+    if orient == 7:  # transverse: transpose + rot180
+        return np.ascontiguousarray(arr.transpose(1, 0, 2)[::-1, ::-1])
+    if orient == 8:  # rotate 90 counter-clockwise to upright
+        return np.ascontiguousarray(arr.transpose(1, 0, 2)[::-1])
+    return arr
+
+
 RESIZED_IMAGE_SCHEMA = (
     "media_id bigint, fmt string, width int, height int, content binary"
 )
@@ -1691,8 +1808,18 @@ def resize_image(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     out["height"].append(None)
                     out["content"].append(None)
                     continue
-                w, h, px = parsed
+                w, h, px = parsed[:3]
                 arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                # EXIF orientation (round 14): JPEG parse reports the tag;
+                # the resize path APPLIES it before resampling, so the
+                # output raster is upright (the standard thumbnailer
+                # contract).  1=identity 2=mirror 3=rot180 4=flip
+                # 5=transpose 6=rot90CW 7=transverse 8=rot90CCW; 5-8 swap
+                # the source axes before the nearest-neighbor map.
+                orient = parsed[3] if len(parsed) == 4 else None
+                if orient in (2, 3, 4, 5, 6, 7, 8):
+                    arr = _apply_exif_orientation(arr, orient)
+                    h, w = arr.shape[0], arr.shape[1]
                 ys = (np.arange(out_h) * h) // out_h
                 xs = (np.arange(out_w) * w) // out_w
                 res = arr[ys][:, xs]
