@@ -1669,6 +1669,12 @@ def q_events_rollup(spark, sf_dir):
     # orientation tag (1 + id%8) — the new 'orientation' column is
     # closed-form in the id while dims/sums stay baseline (decode REPORTS
     # the tag; resize_image APPLIES it, placement pinned in unit tests).
+    # 'flac' section (round 14): REAL native-FLAC decode (_parse_flac)
+    # over JVM-built synthetic_flac_media — one CONSTANT-subframe frame,
+    # value 1000 + 37*(id%16), frame CRC-8/CRC-16 verified, so sum_pcm =
+    # 192 * value certifies the bit reader, frame-header code tables and
+    # checksum walk end to end (verbatim/fixed/Rice/stereo paths are
+    # pinned by the scratch-encoder unit suite).
     """
     SELECT 'bytes' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(strlen(text) AS INT) AS n_bytes,
@@ -1845,6 +1851,23 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
+    SELECT 'flac' AS section, doc_id AS media_id, 'audio' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'flac' AS fmt,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(NULL AS INT) AS n_pixels,
+           CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+           CAST(NULL AS BIGINT) AS sum_b,
+           -- native FLAC (round 14): one 192-sample CONSTANT-subframe
+           -- frame, value 1000 + 37*(id%16), CRC-8 and CRC-16 verified
+           -- by the decoder -> sum_pcm = 192 * value
+           1 AS n_channels, 8000 AS sample_rate, 192 AS n_frames,
+           CAST(24 AS BIGINT) AS duration_ms,
+           CAST(192 * (1000 + 37 * (doc_id % 16)) AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
+    FROM documents
+    UNION ALL
     SELECT 'audio' AS section, doc_id AS media_id, 'audio' AS kind,
            CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
@@ -1884,6 +1907,7 @@ def q_multimodal_stats(spark, sf_dir):
         synthetic_jpeg_422_media,
         synthetic_jpeg_exif_media,
         synthetic_jpeg_media,
+        synthetic_flac_media,
         synthetic_jpeg_progressive_media,
         synthetic_png_interlaced_media,
         synthetic_png_media,
@@ -1934,6 +1958,17 @@ def q_multimodal_stats(spark, sf_dir):
         "n_channels", "sample_rate", "n_frames", "duration_ms", "sum_pcm",
         null_i.alias("orientation"),
     )
+    flac = decode_audio(synthetic_flac_media(docs)).select(
+        F.lit("flac").alias("section"),
+        "media_id", F.lit("audio").alias("kind"),
+        null_i.alias("n_bytes"), F.lit(None).cast("string").alias("checksum"),
+        null_i.alias("first_byte"), null_i.alias("last_byte"),
+        "fmt",
+        null_i.alias("width"), null_i.alias("height"), null_i.alias("n_pixels"),
+        null_l.alias("sum_r"), null_l.alias("sum_g"), null_l.alias("sum_b"),
+        "n_channels", "sample_rate", "n_frames", "duration_ms", "sum_pcm",
+        null_i.alias("orientation"),
+    )
     # the resized output is P6 bytes, so decode_image closes the
     # decode -> resample -> re-encode -> decode chain (fmt becomes 'ppm')
     resized = _pix(resize_image(synthetic_png_media(docs), 6, 3), "resize")
@@ -1949,6 +1984,7 @@ def q_multimodal_stats(spark, sf_dir):
         .unionByName(_pix(synthetic_jpeg_422_media(docs), "jpeg_422"))
         .unionByName(_pix(synthetic_jpeg_progressive_media(docs), "jpeg_prog"))
         .unionByName(audio)
+        .unionByName(flac)
         .unionByName(resized)
     )
 

@@ -790,6 +790,234 @@ def test_decode_image_png_jvm_fixture_matches_ppm(spark):
         assert r.sum_r == 8 * (mid % 256)
 
 
+# --- FLAC (round 14): scratch bit-writer encoder, independent of the
+# engine's JVM fixture builder, exercising every supported subframe and
+# stereo path of _parse_flac -------------------------------------------------
+
+
+class _FlacW:
+    def __init__(self):
+        self.bits = []
+
+    def w(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ws(self, v, n):
+        self.w(v & ((1 << n) - 1), n)
+
+    def unary(self, q):
+        self.bits.extend([0] * q + [1])
+
+    def out(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        return bytes(
+            int("".join(map(str, self.bits[i : i + 8])), 2)
+            for i in range(0, len(self.bits), 8)
+        )
+
+
+def _flac_streaminfo(bs=16, rate=8000, nch=1, bps=16, total=16):
+    return (
+        bytes([0x80, 0, 0, 34]) + bs.to_bytes(2, "big") * 2
+        + b"\x00\x00\x00" * 2
+        + bytes([(rate >> 12) & 0xFF, (rate >> 4) & 0xFF,
+                 ((rate & 0xF) << 4) | ((nch - 1) << 1) | ((bps - 1) >> 4),
+                 ((bps - 1) & 0xF) << 4])
+        + total.to_bytes(4, "big") + b"\x00" * 16
+    )
+
+
+def _flac_frame(subenc, ch_code=0, bs=16):
+    from woe_monotonic_binning_spark.operators.multimodal import _crc8, _crc16
+
+    w = _FlacW()
+    w.w(0x3FFE, 14); w.w(0, 2)
+    w.w(6, 4); w.w(4, 4); w.w(ch_code, 4); w.w(4, 3); w.w(0, 1)
+    w.w(0, 8)  # frame number 0
+    w.w(bs - 1, 8)  # 8-bit blocksize-1 (code 6)
+    hdr = w.out()
+    hdr += bytes([_crc8(hdr)])
+    wb = _FlacW()
+    subenc(wb)
+    frame = hdr + wb.out()
+    return frame + _crc16(frame).to_bytes(2, "big")
+
+
+def _flac_rice(w, res, p):
+    for r in res:
+        v = (r << 1) if r >= 0 else ((-r) << 1) - 1
+        w.unary(v >> p)
+        if p:
+            w.w(v & ((1 << p) - 1), p)
+
+
+def _flac_verbatim(w, samples, bps):
+    w.w(0, 1); w.w(1, 6); w.w(0, 1)
+    for s in samples:
+        w.ws(s, bps)
+
+
+def _flac_fixed(w, samples, order, bps, p=3):
+    w.w(0, 1); w.w(8 + order, 6); w.w(0, 1)
+    for s in samples[:order]:
+        w.ws(s, bps)
+    coef = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}[order]
+    w.w(0, 2); w.w(0, 4); w.w(p, 4)
+    _flac_rice(
+        w,
+        [s - sum(c * samples[i - j - 1] for j, c in enumerate(coef))
+         for i, s in enumerate(samples) if i >= order],
+        p,
+    )
+
+
+def test_parse_flac_subframe_and_stereo_paths():
+    """Every supported decode path against the scratch encoder: verbatim,
+    fixed orders 0-4 with Rice residuals (both parameter widths, escape
+    partitions, partition order 2), all three stereo decorrelations with
+    the side channel's extra bit, wasted bits, multiple frames."""
+    import random
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_flac
+
+    rng = random.Random(7)
+    samples = [rng.randint(-3000, 3000) for _ in range(16)]
+    b = b"fLaC" + _flac_streaminfo() + _flac_frame(
+        lambda w: _flac_verbatim(w, samples, 16)
+    )
+    assert _parse_flac(b) == (1, 8000, 16, [sum(samples)])
+    for order in range(5):
+        sm = [rng.randint(-500, 500) for _ in range(16)]
+        b = b"fLaC" + _flac_streaminfo() + _flac_frame(
+            lambda w: _flac_fixed(w, sm, order, 16)
+        )
+        assert _parse_flac(b) == (1, 8000, 16, [sum(sm)]), order
+    L = [rng.randint(-100, 100) for _ in range(16)]
+    R = [rng.randint(-100, 100) for _ in range(16)]
+    side = [x - y for x, y in zip(L, R)]
+    mid = [(x + y) >> 1 for x, y in zip(L, R)]
+    for ch_code, (c0, b0), (c1, b1) in (
+        (1, (L, 16), (R, 16)),          # independent stereo
+        (8, (L, 16), (side, 17)),       # left/side
+        (9, (side, 17), (R, 16)),       # side/right
+        (10, (mid, 16), (side, 17)),    # mid/side
+    ):
+        b = b"fLaC" + _flac_streaminfo(nch=2) + _flac_frame(
+            lambda w: (_flac_verbatim(w, c0, b0), _flac_verbatim(w, c1, b1)),
+            ch_code=ch_code,
+        )
+        assert _parse_flac(b) == (2, 8000, 16, [sum(L), sum(R)]), ch_code
+    # wasted bits: all-even samples stored at bps-1 with 1 wasted bit
+    ev = [rng.randint(-500, 500) * 2 for _ in range(16)]
+
+    def enc_wasted(w):
+        w.w(0, 1); w.w(1, 6); w.w(1, 1); w.unary(0)
+        for s in ev:
+            w.ws(s >> 1, 15)
+
+    b = b"fLaC" + _flac_streaminfo() + _flac_frame(enc_wasted)
+    assert _parse_flac(b) == (1, 8000, 16, [sum(ev)])
+    # escape partition (raw 9-bit), rice method 1, partition order 2
+    sm = [rng.randint(-200, 200) for _ in range(16)]
+
+    def enc_escape(w):
+        w.w(0, 1); w.w(8, 6); w.w(0, 1)
+        w.w(0, 2); w.w(0, 4); w.w(0xF, 4); w.w(9, 5)
+        for s in sm:
+            w.ws(s, 9)
+
+    def enc_rice5(w):
+        w.w(0, 1); w.w(8, 6); w.w(0, 1)
+        w.w(1, 2); w.w(0, 4); w.w(3, 5)
+        _flac_rice(w, sm, 3)
+
+    def enc_po2(w):
+        w.w(0, 1); w.w(9, 6); w.w(0, 1)
+        w.ws(sm[0], 16)
+        res = [sm[i] - sm[i - 1] for i in range(1, 16)]
+        idx = 0
+        w.w(0, 2); w.w(2, 4)
+        for part in range(4):
+            n = 4 - (1 if part == 0 else 0)
+            w.w(4, 4)
+            _flac_rice(w, res[idx : idx + n], 4)
+            idx += n
+
+    for enc in (enc_escape, enc_rice5, enc_po2):
+        b = b"fLaC" + _flac_streaminfo() + _flac_frame(enc)
+        assert _parse_flac(b) == (1, 8000, 16, [sum(sm)]), enc.__name__
+    # two frames accumulate
+    f = _flac_frame(lambda w: _flac_verbatim(w, sm, 16))
+    assert _parse_flac(b"fLaC" + _flac_streaminfo(total=32) + f + f) == (
+        1, 8000, 32, [2 * sum(sm)]
+    )
+
+
+def test_parse_flac_rejects():
+    """Honest rejects: LPC subframes, corrupt frame CRC-8/CRC-16, >2
+    channels, truncated streams, bad sync, garbage."""
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_flac
+
+    sm = list(range(16))
+    good = b"fLaC" + _flac_streaminfo() + _flac_frame(
+        lambda w: _flac_verbatim(w, sm, 16)
+    )
+    assert _parse_flac(good) == (1, 8000, 16, [sum(sm)])
+
+    def enc_lpc(w):
+        w.w(0, 1); w.w(0b100000, 6); w.w(0, 1)
+
+    assert _parse_flac(
+        b"fLaC" + _flac_streaminfo() + _flac_frame(enc_lpc)
+    ) is None
+    crc16_bad = bytearray(good)
+    crc16_bad[-1] ^= 1
+    assert _parse_flac(bytes(crc16_bad)) is None
+    crc8_bad = bytearray(good)
+    crc8_bad[4 + 38 + 5] ^= 1  # the frame-header CRC-8 byte
+    assert _parse_flac(bytes(crc8_bad)) is None
+    assert _parse_flac(good[:-4]) is None  # truncated
+    assert _parse_flac(b"fLaC" + _flac_streaminfo() + b"\x12\x34") is None
+    assert _parse_flac(b"not flac") is None
+    assert _parse_flac(b"fLaC") is None
+    # 3 independent channels: beyond the 1-2 channel sum contract
+    tri = b"fLaC" + _flac_streaminfo(nch=3) + _flac_frame(
+        lambda w: (_flac_verbatim(w, sm, 16),) * 3, ch_code=2
+    )
+    assert _parse_flac(tri) is None
+
+
+def test_synthetic_flac_media_certifies_decoder(spark):
+    """JVM-built FLAC fixture end to end through decode_audio: CRC-gated
+    constant-subframe frames decode to sum_pcm = 192 * (1000 + 37*(id%16))
+    with fmt 'flac', and a corrupted CRC-16 rejects to the NULL row."""
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_audio,
+        synthetic_flac_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(23)], "doc_id long")
+    rows = {
+        r.media_id: r for r in decode_audio(synthetic_flac_media(docs)).collect()
+    }
+    assert len(rows) == 23
+    for mid, r in rows.items():
+        v = 1000 + 37 * (mid % 16)
+        assert (r.fmt, r.n_channels, r.sample_rate, r.n_frames,
+                r.duration_ms, r.sum_pcm, r.sum_pcm_r) == (
+            "flac", 1, 8000, 192, 24, 192 * v, None), mid
+    corrupted = synthetic_flac_media(docs.limit(4)).withColumn(
+        "content",
+        F.overlay(F.col("content"), F.unhex(F.lit("aaaa")), F.length("content") - 1),
+    )
+    for r in decode_audio(corrupted).collect():
+        assert r.fmt is None and r.sum_pcm is None
+
+
 def test_decode_audio_wav_real_samples(spark):
     """decode_audio is a REAL RIFF/WAV PCM16 decoder (round 11): a
     stereo fixture written by stdlib ``wave`` (a third-party encoder

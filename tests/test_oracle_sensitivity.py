@@ -840,6 +840,39 @@ def test_jpeg_entropy_byte_corruption_is_caught(spark, con, monkeypatch):
     )
 
 
+def test_flac_sample_byte_corruption_is_caught(spark, con, monkeypatch):
+    """The 'flac' section certifies the DECODE: overwriting the 2-byte
+    constant-subframe value (4th/3rd from last, before the CRC-16) with
+    a fixed 1200 — and its matching CRC so the checksum gate passes —
+    makes every payload decode to the same sum, which the oracle's
+    id-varying 192*(1000+37*(id%16)) rejects for 15 of every 16 ids."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.synthetic_flac_media
+    # keep the frame CRC-valid: recompute it for the constant 1200 so the
+    # mismatch comes from the decoded samples, not a checksum reject
+    fh = bytes([0xFF, 0xF8, 0x14, 0x08, 0x00])
+    fh += bytes([mm._crc8(fh)])
+    frame = fh + b"\x00" + (1200).to_bytes(2, "big")
+    tail = (1200).to_bytes(2, "big") + mm._crc16(frame).to_bytes(2, "big")
+
+    def mutated(docs, id_col="doc_id"):
+        out = orig(docs, id_col)
+        return out.withColumn(
+            "content",
+            F.overlay(
+                F.col("content"), F.unhex(F.lit(tail.hex())),
+                F.length("content") - 3,
+            ),
+        )
+
+    monkeypatch.setattr(mm, "synthetic_flac_media", mutated)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
+
+
 def test_jpeg_exif_orientation_corruption_is_caught(spark, con, monkeypatch):
     """The 'jpeg_exif' section certifies the APP1 TIFF parse: overwriting
     the orientation value byte (offset 31 in the fixture layout) with a
