@@ -740,6 +740,16 @@ def test_decode_image_png_palette_golden(spark):
     assert (rows[1].sum_r, rows[1].sum_g, rows[1].sum_b) == exp
     for mid in (2, 3):
         assert rows[mid].fmt is None and rows[mid].sum_r is None
+    # tRNS-ignore DECISION pin (round 14): under the RGB stats contract
+    # alpha is dropped for every color type, so the same image with and
+    # without a tRNS chunk must emit IDENTICAL rows
+    no_trns = _png_bytes(3, 2, 3, raw, plte=plte)
+    twin = spark.createDataFrame(
+        [(1, "image", bytearray(good)), (2, "image", bytearray(no_trns))],
+        "media_id long, kind string, content binary",
+    )
+    got = {r.media_id: r for r in decode_image(twin).collect()}
+    assert got[1][1:] == got[2][1:]
 
 
 def test_decode_image_png_palette_jvm_fixture(spark):

@@ -202,7 +202,13 @@ def _parse_png(b: bytes) -> tuple[int, int, bytes] | None:
     depth, sub-byte palette depths, a type-3 image with a
     missing/malformed PLTE or an out-of-range index) return None and
     fall through to the unparsed row, honestly.  tRNS palette alpha is
-    ignored — the stats contract drops alpha for every color type."""
+    ignored — a DECISION, not a gap (round 14, closing the round-13
+    note): the stats contract drops alpha for EVERY color type (type
+    4/6 alpha bytes are decoded and discarded at the same point), so a
+    type-3 tRNS chunk cannot change any emitted column; honoring it
+    would be dead code until an alpha-aware contract exists, at which
+    point it joins the type-4/6 alpha in the same plumbing.  Pinned by
+    the palette golden test's with/without-tRNS twin."""
     import struct
     import zlib
 
