@@ -282,6 +282,22 @@ def test_extract_html_text_behavior(spark):
     assert (out[3].n_lines, out[3].n_lines_dropped, out[3].n_links) == (1, 2, 2)
 
 
+def test_extract_html_text_in_place_overwrite(spark):
+    """html_col == text_col (in-place extraction) must compute every
+    output — including n_links — from the ORIGINAL markup, not from the
+    already-extracted text (round-14 self-overwrite review)."""
+    from woe_monotonic_binning_spark.operators.text import extract_html_text
+
+    df = spark.createDataFrame(
+        [(0, '<p>Read <a href="/x">docs</a> now</p>'
+             '<div><a href="/a">A</a> <a href="/b">B</a></div>')],
+        "doc_id long, text string",
+    )
+    r = extract_html_text(df, html_col="text", text_col="text").collect()[0]
+    assert r.text == "Read docs now"
+    assert (r.n_lines, r.n_lines_dropped, r.n_links) == (1, 1, 3)
+
+
 def test_extract_html_text_matches_duckdb_twin(spark):
     """Cross-engine parity: the DuckDB twin built from the SAME pattern
     constants (html_lines_sql / html_fragment_sql / html_anchors_sql)

@@ -992,6 +992,18 @@ def test_parse_flac_rejects():
     assert _parse_flac(b"fLaC" + _flac_streaminfo() + b"\x12\x34") is None
     assert _parse_flac(b"not flac") is None
     assert _parse_flac(b"fLaC") is None
+    # a stream-coded sample rate of 0 (16-bit Hz field) must reject, not
+    # divide-by-zero in the caller's duration math
+    from woe_monotonic_binning_spark.operators.multimodal import _crc8, _crc16
+    w = _FlacW()
+    w.w(0x3FFE, 14); w.w(0, 2)
+    w.w(6, 4); w.w(13, 4); w.w(0, 4); w.w(4, 3); w.w(0, 1)
+    w.w(0, 8); w.w(15, 8); w.w(0, 16)  # blocksize-1=15, rate = 0 Hz
+    hdr = w.out(); hdr += bytes([_crc8(hdr)])
+    wb = _FlacW(); _flac_verbatim(wb, sm, 16)
+    frame = hdr + wb.out()
+    z = b"fLaC" + _flac_streaminfo() + frame + _crc16(frame).to_bytes(2, "big")
+    assert _parse_flac(z) is None
     # 3 independent channels: beyond the 1-2 channel sum contract
     tri = b"fLaC" + _flac_streaminfo(nch=3) + _flac_frame(
         lambda w: (_flac_verbatim(w, sm, 16),) * 3, ch_code=2

@@ -1828,6 +1828,10 @@ def _parse_flac(b: bytes) -> tuple[int, int, int, list[int]] | None:
                 rate = bits.read(16) * 10
             else:
                 return None
+            if rate <= 0:
+                # a stream-coded rate of 0 would divide-by-zero in the
+                # caller's duration math — malformed, reject
+                return None
             if ch_code <= 7:
                 nch, decor = ch_code + 1, None
             elif ch_code <= 10:

@@ -706,9 +706,17 @@ def extract_html_text(
         lambda i: i["al"].cast("double")
         <= F.lit(float(max_link_density)) * F.length(i["t"]),
     )
+    # n_links is derived BEFORE text_col is (over)written: with
+    # html_col == text_col the infos expression still references the
+    # source column by name, and a later reference would resolve to the
+    # already-extracted text (self-overwrite hazard, round-14 review)
     return (
         df.withColumn("_he_nonempty", nonempty)
         .withColumn("_he_kept", kept)
+        .withColumn(
+            "_he_links",
+            F.aggregate(infos, F.lit(0), lambda acc, i: acc + i["na"]),
+        )
         .withColumn(
             text_col,
             F.array_join(F.transform(F.col("_he_kept"), lambda i: i["t"]), "\n"),
@@ -717,11 +725,8 @@ def extract_html_text(
         .withColumn(
             "n_lines_dropped", F.size("_he_nonempty") - F.size("_he_kept")
         )
-        .withColumn(
-            "n_links",
-            F.aggregate(infos, F.lit(0), lambda acc, i: acc + i["na"]),
-        )
-        .drop("_he_nonempty", "_he_kept")
+        .withColumn("n_links", F.col("_he_links"))
+        .drop("_he_nonempty", "_he_kept", "_he_links")
     )
 
 
