@@ -965,9 +965,70 @@ def test_parse_flac_subframe_and_stereo_paths():
     )
 
 
+def _flac_lpc(w, samples, order, bps, coef, prec, shift, p=4):
+    w.w(0, 1); w.w(32 + order - 1, 6); w.w(0, 1)
+    for s in samples[:order]:
+        w.ws(s, bps)
+    w.w(prec - 1, 4); w.w(shift, 5)
+    for c in coef:
+        w.ws(c, prec)
+    res = []
+    for i in range(order, len(samples)):
+        pred = sum(c * samples[i - j - 1] for j, c in enumerate(coef)) >> shift
+        res.append(samples[i] - pred)
+    w.w(0, 2); w.w(0, 4); w.w(p, 4)
+    _flac_rice(w, res, p)
+
+
+def test_parse_flac_lpc_subframes():
+    """LPC subframes (round 14): quantized-coefficient prediction with
+    the ARITHMETIC shift (floor toward -inf on negative sums — Python's
+    >> semantics, pinned by a negative-prediction case), orders 1 to the
+    max 32, and the reject set: precision code 0b1111, negative
+    (two's-complement) shift."""
+    import random
+
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_flac
+
+    rng = random.Random(11)
+    # order 2, coef (3, -1), shift 1 over random samples
+    sm = [rng.randint(-400, 400) for _ in range(16)]
+    b = b"fLaC" + _flac_streaminfo() + _flac_frame(
+        lambda w: _flac_lpc(w, sm, 2, 16, [3, -1], 4, 1)
+    )
+    assert _parse_flac(b) == (1, 8000, 16, [sum(sm)])
+    # negative predictions exercise the arithmetic (not logical) shift
+    neg = [-5, -7, -6, -9, -4, -8, -3, -2, -5, -7, -1, -6, -2, -4, -3, -8]
+    b = b"fLaC" + _flac_streaminfo() + _flac_frame(
+        lambda w: _flac_lpc(w, neg, 1, 16, [2], 4, 1)
+    )
+    assert _parse_flac(b) == (1, 8000, 16, [sum(neg)])
+    # max order 32 with a 48-sample block
+    sm32 = [rng.randint(-50, 50) for _ in range(48)]
+    coef32 = [rng.randint(-8, 7) for _ in range(32)]
+    b = b"fLaC" + _flac_streaminfo(bs=48, total=48) + _flac_frame(
+        lambda w: _flac_lpc(w, sm32, 32, 16, coef32, 4, 5), bs=48
+    )
+    assert _parse_flac(b) == (1, 8000, 48, [sum(sm32)])
+
+    def enc_bad_prec(w):
+        w.w(0, 1); w.w(32, 6); w.w(0, 1)
+        w.ws(0, 16)
+        w.w(15, 4)  # precision code 0b1111: invalid
+
+    def enc_neg_shift(w):
+        w.w(0, 1); w.w(32, 6); w.w(0, 1)
+        w.ws(0, 16)
+        w.w(3, 4); w.w(0b11111, 5)  # shift -1: spec-forbidden
+
+    for enc in (enc_bad_prec, enc_neg_shift):
+        b = b"fLaC" + _flac_streaminfo() + _flac_frame(enc)
+        assert _parse_flac(b) is None, enc.__name__
+
+
 def test_parse_flac_rejects():
-    """Honest rejects: LPC subframes, corrupt frame CRC-8/CRC-16, >2
-    channels, truncated streams, bad sync, garbage."""
+    """Honest rejects: reserved subframe types, corrupt frame
+    CRC-8/CRC-16, >2 channels, truncated streams, bad sync, garbage."""
     from woe_monotonic_binning_spark.operators.multimodal import _parse_flac
 
     sm = list(range(16))
@@ -976,11 +1037,11 @@ def test_parse_flac_rejects():
     )
     assert _parse_flac(good) == (1, 8000, 16, [sum(sm)])
 
-    def enc_lpc(w):
-        w.w(0, 1); w.w(0b100000, 6); w.w(0, 1)
+    def enc_reserved(w):
+        w.w(0, 1); w.w(0b000010, 6); w.w(0, 1)  # reserved subframe type
 
     assert _parse_flac(
-        b"fLaC" + _flac_streaminfo() + _flac_frame(enc_lpc)
+        b"fLaC" + _flac_streaminfo() + _flac_frame(enc_reserved)
     ) is None
     crc16_bad = bytearray(good)
     crc16_bad[-1] ^= 1

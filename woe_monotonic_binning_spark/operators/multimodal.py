@@ -1693,38 +1693,64 @@ def _flac_subframe(bits: _FlacBits, blocksize: int, bps: int) -> list[int]:
         if order > blocksize:
             raise EOFError
         out = [bits.read_signed(bps) for _ in range(order)]
-        # residual: rice method 0 (4-bit param) or 1 (5-bit param)
-        method = bits.read(2)
-        if method > 1:
-            raise EOFError
-        pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
-        po = bits.read(4)
-        if blocksize >> po << po != blocksize:
-            raise EOFError  # partitions must divide the blocksize
-        res: list[int] = []
-        for part in range(1 << po):
-            n = (blocksize >> po) - (order if part == 0 else 0)
-            if n < 0:
-                raise EOFError
-            p = bits.read(pbits)
-            if p == escape:
-                raw = bits.read(5)
-                res.extend(bits.read_signed(raw) if raw else 0 for _ in range(n))
-            else:
-                for _ in range(n):
-                    q = bits.read_unary()
-                    r = bits.read(p) if p else 0
-                    v = (q << p) | r
-                    res.append((v >> 1) ^ -(v & 1))  # zigzag unfold
+        res = _flac_residual(bits, blocksize, order)
         coef = _FLAC_FIXED_COEF[order]
         for i, r in enumerate(res):
             x = r + sum(c * out[order + i - j - 1] for j, c in enumerate(coef))
             out.append(x)
+    elif stype >= 32:  # LPC, order 1-32 (round 14 — real encoders' default)
+        order = (stype & 0x1F) + 1
+        if order > blocksize:
+            raise EOFError
+        out = [bits.read_signed(bps) for _ in range(order)]
+        prec = bits.read(4)
+        if prec == 15:
+            raise EOFError  # coefficient precision code 0b1111 is invalid
+        prec += 1
+        shift = bits.read(5)
+        if shift >= 16:
+            # the 5-bit shift is two's-complement signed; negative shifts
+            # are spec-forbidden (RFC 9639 §9.2.4) — reject like libFLAC
+            raise EOFError
+        coef = [bits.read_signed(prec) for _ in range(order)]
+        res = _flac_residual(bits, blocksize, order)
+        for i, r in enumerate(res):
+            pred = sum(c * out[order + i - j - 1] for j, c in enumerate(coef))
+            out.append(r + (pred >> shift))  # arithmetic shift, per spec
     else:
-        raise EOFError  # LPC (1xxxxx) and reserved types: honest reject
+        raise EOFError  # reserved subframe types: honest reject
     if wasted:
         out = [x << wasted for x in out]
     return out
+
+
+def _flac_residual(bits: _FlacBits, blocksize: int, order: int) -> list[int]:
+    """Decode a coded residual section (shared by FIXED and LPC): Rice
+    method 0 (4-bit parameter) or 1 (5-bit), partitioned, with
+    escape-to-raw partitions; zigzag-unfolded values."""
+    method = bits.read(2)
+    if method > 1:
+        raise EOFError
+    pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+    po = bits.read(4)
+    if blocksize >> po << po != blocksize:
+        raise EOFError  # partitions must divide the blocksize
+    res: list[int] = []
+    for part in range(1 << po):
+        n = (blocksize >> po) - (order if part == 0 else 0)
+        if n < 0:
+            raise EOFError
+        p = bits.read(pbits)
+        if p == escape:
+            raw = bits.read(5)
+            res.extend(bits.read_signed(raw) if raw else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = bits.read_unary()
+                r = bits.read(p) if p else 0
+                v = (q << p) | r
+                res.append((v >> 1) ^ -(v & 1))  # zigzag unfold
+    return res
 
 
 def _parse_flac(b: bytes) -> tuple[int, int, int, list[int]] | None:
@@ -1734,13 +1760,14 @@ def _parse_flac(b: bytes) -> tuple[int, int, int, list[int]] | None:
 
     Supported: 8/12/16/20/24/32-bit, 1-2 channels (independent or any
     of the left/right/mid-side stereo decorrelations), CONSTANT /
-    VERBATIM / FIXED(0-4) subframes, Rice residuals (both 4- and 5-bit
-    parameter methods, escape-to-raw partitions), wasted bits, all
-    blocksize/rate header codes, multiple frames; frame-header CRC-8 and
-    whole-frame CRC-16 are VERIFIED (a corrupt frame rejects — FLAC
-    carries real checksums, unlike RIFF).  Honest rejects: LPC subframes
-    (the one predictor family beyond closed-form fixtures — bring a
-    ``codec=``), >2 channels, variable-blocksize streams whose declared
+    VERBATIM / FIXED(0-4) / LPC(1-32) subframes (LPC with quantized
+    coefficients and arithmetic predictor shift — what real encoders
+    emit for music), Rice residuals (both 4- and 5-bit parameter
+    methods, escape-to-raw partitions), wasted bits, all blocksize/rate
+    header codes, multiple frames; frame-header CRC-8 and whole-frame
+    CRC-16 are VERIFIED (a corrupt frame rejects — FLAC carries real
+    checksums, unlike RIFF).  Honest rejects: >2 channels, reserved
+    subframe/residual codes, negative LPC shifts, streams whose decoded
     total exceeds ``2**33`` samples (adversarial header bomb)."""
     if len(b) < 8 or b[:4] != b"fLaC":
         return None
@@ -1896,8 +1923,8 @@ def _parse_flac(b: bytes) -> tuple[int, int, int, list[int]] | None:
 def decode_audio(media: DataFrame, codec=None) -> DataFrame:
     """REAL audio decode for RIFF/WAV 16-bit PCM (round 11) and native
     FLAC (round 14 — see ``_parse_flac`` for the support matrix: constant
-    / verbatim / fixed-prediction subframes with Rice residuals, all
-    stereo decorrelations, CRC-verified frames; LPC honest-rejects): per
+    / verbatim / fixed-prediction / LPC subframes with Rice residuals,
+    all stereo decorrelations, CRC-verified frames): per
     payload the channel count, sample rate, frame count, integer
     duration_ms (floor), and exact per-channel integer sample sums
     (``sum_pcm`` = channel 0, ``sum_pcm_r`` = channel 1 or NULL for mono)
