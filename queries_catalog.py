@@ -1675,6 +1675,10 @@ def q_events_rollup(spark, sf_dir):
     # 192 * value certifies the bit reader, frame-header code tables and
     # checksum walk end to end (verbatim/fixed/Rice/stereo paths are
     # pinned by the scratch-encoder unit suite).
+    # 'flac_lpc' section (round 14 late): the LPC twin — order-2
+    # quantized coefficients (2,-1) with an all-zero Rice residual, so
+    # linear extrapolation keeps sums closed-form while the decode walks
+    # the LPC header/coefficients/unary-Rice path CONSTANT cannot reach.
     """
     SELECT 'bytes' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(strlen(text) AS INT) AS n_bytes,
@@ -1868,6 +1872,23 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
+    SELECT 'flac_lpc' AS section, doc_id AS media_id, 'audio' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'flac' AS fmt,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(NULL AS INT) AS n_pixels,
+           CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+           CAST(NULL AS BIGINT) AS sum_b,
+           -- LPC twin (round 14): order-2 coefficients (2,-1), shift 0,
+           -- all-zero Rice residual -> linear extrapolation of two equal
+           -- warmups v = 2000 + 41*(id%16) stays flat: sum_pcm = 16 * v
+           1 AS n_channels, 8000 AS sample_rate, 16 AS n_frames,
+           CAST(2 AS BIGINT) AS duration_ms,
+           CAST(16 * (2000 + 41 * (doc_id % 16)) AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
+    FROM documents
+    UNION ALL
     SELECT 'audio' AS section, doc_id AS media_id, 'audio' AS kind,
            CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
@@ -1907,6 +1928,7 @@ def q_multimodal_stats(spark, sf_dir):
         synthetic_jpeg_422_media,
         synthetic_jpeg_exif_media,
         synthetic_jpeg_media,
+        synthetic_flac_lpc_media,
         synthetic_flac_media,
         synthetic_jpeg_progressive_media,
         synthetic_png_interlaced_media,
@@ -1958,6 +1980,20 @@ def q_multimodal_stats(spark, sf_dir):
         "n_channels", "sample_rate", "n_frames", "duration_ms", "sum_pcm",
         null_i.alias("orientation"),
     )
+    def _aud(media, section):
+        return decode_audio(media).select(
+            F.lit(section).alias("section"),
+            "media_id", F.lit("audio").alias("kind"),
+            null_i.alias("n_bytes"), F.lit(None).cast("string").alias("checksum"),
+            null_i.alias("first_byte"), null_i.alias("last_byte"),
+            "fmt",
+            null_i.alias("width"), null_i.alias("height"),
+            null_i.alias("n_pixels"),
+            null_l.alias("sum_r"), null_l.alias("sum_g"), null_l.alias("sum_b"),
+            "n_channels", "sample_rate", "n_frames", "duration_ms", "sum_pcm",
+            null_i.alias("orientation"),
+        )
+
     flac = decode_audio(synthetic_flac_media(docs)).select(
         F.lit("flac").alias("section"),
         "media_id", F.lit("audio").alias("kind"),
@@ -1985,6 +2021,7 @@ def q_multimodal_stats(spark, sf_dir):
         .unionByName(_pix(synthetic_jpeg_progressive_media(docs), "jpeg_prog"))
         .unionByName(audio)
         .unionByName(flac)
+        .unionByName(_aud(synthetic_flac_lpc_media(docs), "flac_lpc"))
         .unionByName(resized)
     )
 

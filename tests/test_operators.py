@@ -1101,6 +1101,34 @@ def test_synthetic_flac_media_certifies_decoder(spark):
         assert r.fmt is None and r.sum_pcm is None
 
 
+def test_synthetic_flac_lpc_media_certifies_decoder(spark):
+    """JVM-built LPC fixture end to end: order-2 (2,-1) extrapolation of
+    two equal warmups stays flat, so sum_pcm = 16 * (2000 + 41*(id%16));
+    a flipped coefficient bit (without CRC repair) rejects at the
+    checksum gate."""
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_audio,
+        synthetic_flac_lpc_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    rows = {
+        r.media_id: r
+        for r in decode_audio(synthetic_flac_lpc_media(docs)).collect()
+    }
+    for mid, r in rows.items():
+        v = 2000 + 41 * (mid % 16)
+        assert (r.fmt, r.n_channels, r.sample_rate, r.n_frames,
+                r.duration_ms, r.sum_pcm) == ("flac", 1, 8000, 16, 2, 16 * v), mid
+    corrupt = synthetic_flac_lpc_media(docs.limit(3)).withColumn(
+        "content", F.overlay(F.col("content"), F.unhex(F.lit("1f")), 56)
+    )
+    for r in decode_audio(corrupt).collect():
+        assert r.fmt is None and r.sum_pcm is None
+
+
 def test_decode_audio_wav_real_samples(spark):
     """decode_audio is a REAL RIFF/WAV PCM16 decoder (round 11): a
     stereo fixture written by stdlib ``wave`` (a third-party encoder

@@ -873,6 +873,48 @@ def test_flac_sample_byte_corruption_is_caught(spark, con, monkeypatch):
     )
 
 
+def test_flac_lpc_coefficient_corruption_is_caught(spark, con, monkeypatch):
+    """The 'flac_lpc' section certifies the LPC recurrence: flipping the
+    first quantized coefficient from 2 to 3 (with a per-id recomputed
+    CRC-16 so the checksum gate passes) turns the flat extrapolation
+    into geometric growth — every decoded sum disagrees with the
+    oracle's 16*v."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.synthetic_flac_lpc_media
+    fh = bytes([0xFF, 0xF8, 0x64, 0x08, 0x00, 0x0F])
+    fh += bytes([mm._crc8(fh)])
+    tail_m = bytes([0x30, 0x1F, 0x80, 0x0F, 0xFF, 0xC0])  # coef0 2 -> 3
+    crcs = {
+        k: mm._crc16(
+            fh + b"\x42" + (2000 + 41 * k).to_bytes(2, "big") * 2 + tail_m
+        )
+        for k in range(16)
+    }
+
+    def mutated(docs, id_col="doc_id"):
+        out = orig(docs, id_col)
+        k = F.pmod(F.col("media_id"), F.lit(16)).cast("int")
+        crc_hex = F.lit(f"{crcs[15]:04x}")
+        for kk in range(14, -1, -1):
+            crc_hex = F.when(k == kk, F.lit(f"{crcs[kk]:04x}")).otherwise(crc_hex)
+        return out.withColumn(
+            "content",
+            F.concat(
+                F.substring("content", 1, 55),
+                F.unhex(F.lit("1f")),
+                F.substring("content", 57, 4),
+                F.unhex(crc_hex),
+            ),
+        )
+
+    monkeypatch.setattr(mm, "synthetic_flac_lpc_media", mutated)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
+
+
 def test_jpeg_exif_orientation_corruption_is_caught(spark, con, monkeypatch):
     """The 'jpeg_exif' section certifies the APP1 TIFF parse: overwriting
     the orientation value byte (offset 31 in the fixture layout) with a

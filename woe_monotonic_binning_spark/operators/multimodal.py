@@ -2134,6 +2134,70 @@ def synthetic_flac_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthetic_flac_lpc_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LPC twin of ``synthetic_flac_media`` — certifies the round-14 LPC
+    subframe path end to end (q_multimodal_stats 'flac_lpc' section).
+
+    One 16-sample frame holding an order-2 LPC subframe with quantized
+    coefficients (2, -1), shift 0, and an all-zero Rice residual at
+    parameter 0: the recurrence ``x[i] = 2*x[i-1] - x[i-2]`` is linear
+    extrapolation, so two equal warmup samples ``v = 2000 + 41*(id%16)``
+    reproduce a flat signal and ``sum_pcm = 16 * v`` stays closed-form
+    SQL arithmetic — while the decode exercises the LPC header,
+    coefficient/shift reads, the prediction recurrence and the unary
+    Rice path that the CONSTANT fixture cannot reach.  Only the 4 warmup
+    bytes and the CRC-16 (16-entry precomputed lookup) vary per id."""
+    blocksize = 16
+    streaminfo = (
+        bytes([0x80, 0, 0, 34])
+        + blocksize.to_bytes(2, "big") * 2
+        + b"\x00\x00\x00" * 2
+        + bytes([0x01, 0xF4, 0x00, 0xF0])
+        + blocksize.to_bytes(4, "big")
+        + b"\x00" * 16
+    )
+    # frame header: blocksize code 6 (8-bit n-1 follows the number),
+    # 8 kHz, mono, 16-bit, frame 0, blocksize-1 = 15
+    fh = bytes([0xFF, 0xF8, 0x64, 0x08, 0x00, 0x0F])
+    fh += bytes([_crc8(fh)])
+    # subframe tail after the 2 warmup samples: precision-1=3, shift 0,
+    # coefs 2 / -1 (4-bit signed), residual method 0, partition order 0,
+    # rice param 0, 14 zero residuals (a '1' bit each), zero-padded
+    tail_bits = ("0011" + "00000" + "0010" + "1111"
+                 + "00" + "0000" + "0000" + "1" * 14)
+    tail_bits += "0" * (-len(tail_bits) % 8)
+    tail = bytes(
+        int(tail_bits[i : i + 8], 2) for i in range(0, len(tail_bits), 8)
+    )
+    # subframe header 0x42: pad 0, type 100001 (LPC order 2), no wasted
+    crcs = {
+        k: _crc16(fh + b"\x42" + (2000 + 41 * k).to_bytes(2, "big") * 2 + tail)
+        for k in range(16)
+    }
+    k = F.pmod(F.col(id_col), F.lit(16)).cast("int")
+    v_hex = F.lpad(F.hex((k * 41 + 2000).cast("int")), 4, "0")
+    crc_hex = F.lit(f"{crcs[15]:04x}")
+    for kk in range(14, -1, -1):
+        crc_hex = F.when(k == kk, F.lit(f"{crcs[kk]:04x}")).otherwise(crc_hex)
+    content = F.unhex(
+        F.concat(
+            F.lit((b"fLaC" + streaminfo + fh + b"\x42").hex()),
+            v_hex, v_hex, F.lit(tail.hex()), crc_hex,
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("audio").alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.lit("audio/flac").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(blocksize * 1000 // 8000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 RESIZED_IMAGE_SCHEMA = (
     "media_id bigint, fmt string, width int, height int, content binary"
 )
