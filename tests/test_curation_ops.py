@@ -309,6 +309,7 @@ def test_extract_html_text_matches_duckdb_twin(spark):
         html_anchors_sql,
         html_fragment_sql,
         html_lines_sql,
+        html_title_sql,
     )
 
     rows = [
@@ -330,11 +331,14 @@ def test_extract_html_text_matches_duckdb_twin(spark):
         (13, ""),
         (14, "<p>tab\there\nnewline\x0bvt\fff\rcr</p>"),
         (15, "<a href='/x'>nested <a href='/y'>anchor</a> tail</a> after"),
+        (16, "<head><title>  A &amp; B\n  news </title></head><p>body</p>"),
+        (17, '<title data-x="y>z">Attr title</title><title>second</title>'),
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "html"])
     got = (
         extract_html_text(spark.createDataFrame(pdf))
-        .select("doc_id", "text", "n_lines", "n_lines_dropped", "n_links")
+        .select("doc_id", "text", "title", "n_lines", "n_lines_dropped",
+                "n_links")
         .toPandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -372,6 +376,7 @@ def test_extract_html_text_matches_duckdb_twin(spark):
         SELECT r.doc_id,
                CASE WHEN r.html IS NULL THEN NULL
                     ELSE coalesce(a.text, '') END AS text,
+               {html_title_sql("r.html")} AS title,
                CASE WHEN r.html IS NULL THEN NULL
                     ELSE coalesce(a.n_lines, 0) END AS n_lines,
                CASE WHEN r.html IS NULL THEN NULL
@@ -382,6 +387,7 @@ def test_extract_html_text_matches_duckdb_twin(spark):
         ORDER BY doc_id
     """).fetchdf()
     assert got["text"].tolist() == exp["text"].tolist()
+    assert got["title"].tolist() == exp["title"].tolist()
     for c in ("n_lines", "n_lines_dropped", "n_links"):
         assert got[c].tolist() == exp[c].astype(int).tolist(), c
 

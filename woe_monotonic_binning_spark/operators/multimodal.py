@@ -1767,8 +1767,10 @@ def _parse_flac(b: bytes) -> tuple[int, int, int, list[int]] | None:
     header codes, multiple frames; frame-header CRC-8 and whole-frame
     CRC-16 are VERIFIED (a corrupt frame rejects — FLAC carries real
     checksums, unlike RIFF).  Honest rejects: >2 channels, reserved
-    subframe/residual codes, negative LPC shifts, streams whose decoded
-    total exceeds ``2**33`` samples (adversarial header bomb)."""
+    subframe/residual codes, negative LPC shifts, and streams whose
+    decoded sample total exceeds the 16M ``_MAX_DECODE_PIXELS`` cap —
+    the image kernels' posture: a pure-Python bit loop is the wrong tool
+    past that, bring a ``codec=`` for real-length audio."""
     if len(b) < 8 or b[:4] != b"fLaC":
         return None
     # metadata blocks: STREAMINFO first (mandatory), skip the rest
@@ -1911,8 +1913,12 @@ def _parse_flac(b: bytes) -> tuple[int, int, int, list[int]] | None:
         elif nch != nch_out:
             return None
         n_frames += blocksize
-        if n_frames > 1 << 33:
-            return None  # adversarial stream bomb
+        if n_frames * nch > _MAX_DECODE_PIXELS:
+            # same posture as the image kernels: a pure-Python bit loop
+            # is the wrong tool past ~16M samples, and a small payload
+            # of max-blocksize CONSTANT frames could otherwise demand
+            # unbounded work — bring a codec= for real-length audio
+            return None
         for c in range(nch):
             sums[c] += sum(chans[c])
     if sums is None:

@@ -626,6 +626,9 @@ _HTML_DROP_RES = (
 # anchor's inner HTML.  '</a[ ]*>' (not '</a[^>]*>') so '</abbr>' cannot
 # close an anchor.
 _HTML_ANCHOR_RE = f"(?i)<a(?:[ /]{_HTML_TAG_CORE})?>(.*?)</a[ ]*>"
+# First <title> element's content (legal title content is plain text, so
+# the negated class — which matches newlines, no (?s) needed — is exact).
+_HTML_TITLE_RE = f"(?i)<title(?:[ /]{_HTML_TAG_CORE})?>([^<]*)</title"
 # The fixed entity set decoded after tag stripping (decoding first would
 # turn '&lt;b&gt;' into strippable markup — encoded tags are TEXT).
 # '&amp;'/'&#38;' decode LAST so '&amp;lt;' yields literal '&lt;', the
@@ -667,10 +670,12 @@ def extract_html_text(
     is mostly prose).
 
     Output: the input columns plus ``text_col`` (kept lines joined with
-    newline), ``n_lines`` (kept), ``n_lines_dropped`` (non-empty lines
-    removed by the gate) and ``n_links`` (anchor elements seen).  A NULL
-    ``html_col`` yields NULL text and NULL counts (NULL-in-NULL-out, the
-    posture of every operator here).
+    newline), ``title`` (the first ``<title>`` element's visible text,
+    '' when absent — title is also a block element, so its text stays in
+    the body like C4 does), ``n_lines`` (kept), ``n_lines_dropped``
+    (non-empty lines removed by the gate) and ``n_links`` (anchor
+    elements seen).  A NULL ``html_col`` yields NULL text and NULL
+    counts (NULL-in-NULL-out, the posture of every operator here).
 
     Executes as ONE map-side chain of regexp / higher-order-function
     column expressions — JVM whole-stage codegen, zero Python, zero
@@ -718,6 +723,12 @@ def extract_html_text(
             F.aggregate(infos, F.lit(0), lambda acc, i: acc + i["na"]),
         )
         .withColumn(
+            "title",
+            _html_fragment_text(
+                F.regexp_extract(F.col(html_col), _HTML_TITLE_RE, 1)
+            ),
+        )
+        .withColumn(
             text_col,
             F.array_join(F.transform(F.col("_he_kept"), lambda i: i["t"]), "\n"),
         )
@@ -760,6 +771,14 @@ def html_fragment_sql(expr: str) -> str:
 def html_anchors_sql(expr: str) -> str:
     """DuckDB twin of the anchor inner-HTML extraction (group 1 list)."""
     return f"regexp_extract_all({expr}, '{_sql_quote(_HTML_ANCHOR_RE)}', 1)"
+
+
+def html_title_sql(expr: str) -> str:
+    """DuckDB twin of the title extraction (fragment-cleaned group 1;
+    DuckDB regexp_extract also yields '' on no match)."""
+    return html_fragment_sql(
+        f"regexp_extract({expr}, '{_sql_quote(_HTML_TITLE_RE)}', 1)"
+    )
 
 
 # Rae et al. 2021 §A1.1 acceptance thresholds (the published Gopher rule

@@ -103,7 +103,8 @@ def curate_corpus(
       other stage (tag strip + entity decode + link-density boilerplate
       gate at ``html_max_link_density``): the canonical C4/RefinedWeb
       front stage; the HTML column and the diagnostic counts are
-      dropped to keep the survivor schema stable;
+      dropped to keep the survivor schema stable, while the extracted
+      ``title`` column rides along as document metadata;
     - ``scrub=True`` — ``scrub_pii`` masks emails/IPs/phones in place
       (the per-kind ``n_*`` count columns are dropped to keep the output
       schema stable);
