@@ -963,6 +963,28 @@ def test_parse_flac_subframe_and_stereo_paths():
     assert _parse_flac(b"fLaC" + _flac_streaminfo(total=32) + f + f) == (
         1, 8000, 32, [2 * sum(sm)]
     )
+    # 32-bit stereo left/side: the side channel is 33-bit (round-14
+    # review — a bps cap of 32 wrongly rejected it)
+    from woe_monotonic_binning_spark.operators.multimodal import _crc8, _crc16
+
+    L32 = [2**30, -(2**30), 123456789, -987654321] * 4
+    R32 = [-(2**30), 2**30, -1, 1] * 4
+    s32 = [x - y for x, y in zip(L32, R32)]
+
+    def frame32(subenc, ch_code):
+        w = _FlacW()
+        w.w(0x3FFE, 14); w.w(0, 2)
+        w.w(6, 4); w.w(4, 4); w.w(ch_code, 4); w.w(7, 3); w.w(0, 1)
+        w.w(0, 8); w.w(15, 8)
+        hdr = w.out(); hdr += bytes([_crc8(hdr)])
+        wb = _FlacW(); subenc(wb)
+        fr = hdr + wb.out()
+        return fr + _crc16(fr).to_bytes(2, "big")
+
+    b = b"fLaC" + _flac_streaminfo(nch=2, bps=32) + frame32(
+        lambda w: (_flac_verbatim(w, L32, 32), _flac_verbatim(w, s32, 33)), 8
+    )
+    assert _parse_flac(b) == (2, 8000, 16, [sum(L32), sum(R32)])
 
 
 def _flac_lpc(w, samples, order, bps, coef, prec, shift, p=4):

@@ -1682,7 +1682,9 @@ def _flac_subframe(bits: _FlacBits, blocksize: int, bps: int) -> list[int]:
     if bits.read(1):
         wasted = bits.read_unary() + 1
         bps -= wasted
-    if bps <= 0 or bps > 32:
+    if bps <= 0 or bps > 33:
+        # 33, not 32: the side channel of a 32-bit stereo stream carries
+        # one extra bit (RFC 9639 §9.2.2) — round-14 review
         raise EOFError
     if stype == 0:  # CONSTANT
         out = [bits.read_signed(bps)] * blocksize
