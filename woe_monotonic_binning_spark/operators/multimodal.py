@@ -770,6 +770,8 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes, int | None] | None:
             continue
         if marker == 0xD9:
             break
+        if i + 4 > len(b):
+            return None  # fill-byte skip can leave no room for a length
         (ln,) = struct.unpack_from(">H", b, i + 2)
         seg = b[i + 4 : i + 2 + ln]
         if len(seg) < ln - 2:
