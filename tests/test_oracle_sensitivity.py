@@ -559,7 +559,7 @@ def test_decode_channel_swap_is_caught(spark, con, monkeypatch):
         return out.select(
             "media_id", "fmt", "width", "height", "n_pixels",
             F.col("sum_b").alias("sum_r"), "sum_g",
-            F.col("sum_r").alias("sum_b"),
+            F.col("sum_r").alias("sum_b"), "orientation",
         )
 
     monkeypatch.setattr(mm, "decode_image", mutated)
@@ -643,6 +643,7 @@ def test_png_decode_absent_is_caught(spark, con, monkeypatch):
             .otherwise(F.col("fmt"))
             .alias("fmt"),
             *nulled,
+            "orientation",
         )
 
     monkeypatch.setattr(mm, "decode_image", mutated)
