@@ -392,6 +392,102 @@ def test_extract_html_text_matches_duckdb_twin(spark):
         assert got[c].tolist() == exp[c].astype(int).tolist(), c
 
 
+def test_extract_html_text_fuzz_parity(spark):
+    """Differential fuzz: 250 seeded random compositions of tags,
+    entities, quoted attributes, stray brackets, CDATA/comment/script
+    fragments and whitespace varieties — the Spark engine and the DuckDB
+    twin must agree byte-for-byte on text/title and exactly on every
+    count.  One batched comparison, so the fuzz costs one Spark job."""
+    import random
+
+    from woe_monotonic_binning_spark.operators.text import (
+        extract_html_text,
+        html_anchors_sql,
+        html_fragment_sql,
+        html_lines_sql,
+        html_title_sql,
+    )
+
+    rng = random.Random(1405)
+    words = ["alpha", "beta", "don't", "a&b", "x<y", "z>w", "5", "&amp;",
+             "&lt;", "&nbsp;", "café", "…"]
+    tags = ["p", "div", "span", "b", "li", "h2", "a", "pre", "em", "abbr"]
+    ws = [" ", "\t", "\n", "\x0b", "\f", "\r", "  "]
+
+    def fragment(depth=0):
+        kind = rng.randrange(10)
+        if kind < 4 or depth > 3:
+            return rng.choice(ws).join(
+                rng.choice(words) for _ in range(rng.randrange(1, 5))
+            )
+        if kind < 7:
+            t = rng.choice(tags)
+            attrs = ""
+            if rng.random() < 0.5:
+                q = rng.choice(['"', "'"])
+                attrs = f" href={q}/x{rng.randrange(9)}{'>' if rng.random() < 0.3 else ''}{q}"
+            inner = "".join(fragment(depth + 1) for _ in range(rng.randrange(0, 3)))
+            closer = f"</{t}>" if rng.random() < 0.9 else ""
+            return f"<{t}{attrs}>{inner}{closer}"
+        if kind == 7:
+            return f"<!-- {rng.choice(words)} -->"
+        if kind == 8:
+            return f"<script>var x = 1 < {rng.randrange(9)};</script>"
+        return f"<![CDATA[{rng.choice(words)}]]>"
+
+    docs = []
+    for i in range(250):
+        body = "".join(fragment() for _ in range(rng.randrange(1, 8)))
+        if rng.random() < 0.4:
+            body = f"<title>{rng.choice(words)} {rng.choice(words)}</title>" + body
+        docs.append((i, body))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "html"])
+    got = (
+        extract_html_text(spark.createDataFrame(pdf))
+        .select("doc_id", "text", "title", "n_lines", "n_lines_dropped", "n_links")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    anchors = html_anchors_sql("line")
+    keep = "tt <> '' AND al <= 0.5 * length(tt)"
+    exp = con.execute(f"""
+        WITH norm AS (SELECT doc_id, {html_lines_sql("html")} AS h FROM t),
+        lines AS (
+          SELECT doc_id, i AS pos, ls[i] AS line
+          FROM (SELECT doc_id, str_split(h, chr(10)) AS ls FROM norm),
+               unnest(range(1, len(ls) + 1)) AS s(i)
+        ),
+        perline AS (
+          SELECT doc_id, pos, {html_fragment_sql("line")} AS tt,
+                 length({html_fragment_sql(
+                     f"coalesce(array_to_string({anchors}, ' '), '')")}) AS al,
+                 len({anchors}) AS na
+          FROM lines
+        ),
+        agg AS (
+          SELECT doc_id,
+                 array_to_string(list(tt ORDER BY pos)
+                   FILTER (WHERE {keep}), chr(10)) AS text,
+                 count(*) FILTER (WHERE {keep}) AS n_lines,
+                 count(*) FILTER (WHERE tt <> '' AND al > 0.5 * length(tt))
+                   AS n_dropped,
+                 sum(na) AS n_links
+          FROM perline GROUP BY doc_id
+        )
+        SELECT r.doc_id, coalesce(a.text, '') AS text,
+               {html_title_sql("r.html")} AS title,
+               coalesce(a.n_lines, 0) AS n_lines,
+               coalesce(a.n_dropped, 0) AS n_lines_dropped,
+               coalesce(a.n_links, 0) AS n_links
+        FROM t r LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+    """).fetchdf()
+    assert got["text"].tolist() == exp["text"].tolist()
+    assert got["title"].tolist() == exp["title"].tolist()
+    for c in ("n_lines", "n_lines_dropped", "n_links"):
+        assert got[c].tolist() == exp[c].astype(int).tolist(), c
+
+
 # ---------------------------------------------------------------------------
 # decontamination
 
