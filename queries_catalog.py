@@ -1679,6 +1679,10 @@ def q_events_rollup(spark, sf_dir):
     # quantized coefficients (2,-1) with an all-zero Rice residual, so
     # linear extrapolation keeps sums closed-form while the decode walks
     # the LPC header/coefficients/unary-Rice path CONSTANT cannot reach.
+    # 'probe_mp4' / 'probe_avi' sections (round 14 late): the header-only
+    # probe_media stage over JVM-built ISO BMFF / RIFF-AVI fixtures —
+    # container id, tkhd/avih dims and closed-form durations certify the
+    # route-before-decode path a 100 TB multimodal pipeline runs first.
     """
     SELECT 'bytes' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(strlen(text) AS INT) AS n_bytes,
@@ -1903,6 +1907,38 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
+    SELECT 'probe_mp4' AS section, doc_id AS media_id, 'video' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'mp4' AS fmt, 320 AS width, 240 AS height,
+           CAST(NULL AS INT) AS n_pixels,
+           CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+           CAST(NULL AS BIGINT) AS sum_b,
+           -- header-only ISO BMFF probe (round 14): mvhd timescale 1000,
+           -- duration 5000 + id%97; tkhd 16.16 dims 320x240
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames,
+           CAST(5000 + doc_id % 97 AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
+    FROM documents
+    UNION ALL
+    SELECT 'probe_avi' AS section, doc_id AS media_id, 'video' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'avi' AS fmt, 320 AS width, 240 AS height,
+           CAST(NULL AS INT) AS n_pixels,
+           CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+           CAST(NULL AS BIGINT) AS sum_b,
+           -- header-only RIFF/AVI probe (round 14): avih 40000 us/frame x
+           -- (100 + id%50) frames -> 4000 + 40*(id%50) ms
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames,
+           CAST(4000 + 40 * (doc_id % 50) AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
+    FROM documents
+    UNION ALL
     SELECT 'resize' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
@@ -1928,8 +1964,11 @@ def q_multimodal_stats(spark, sf_dir):
         synthetic_jpeg_422_media,
         synthetic_jpeg_exif_media,
         synthetic_jpeg_media,
+        probe_media,
+        synthetic_avi_media,
         synthetic_flac_lpc_media,
         synthetic_flac_media,
+        synthetic_mp4_media,
         synthetic_jpeg_progressive_media,
         synthetic_png_interlaced_media,
         synthetic_png_media,
@@ -2005,6 +2044,21 @@ def q_multimodal_stats(spark, sf_dir):
         "n_channels", "sample_rate", "n_frames", "duration_ms", "sum_pcm",
         null_i.alias("orientation"),
     )
+    def _probe(media, section, kind):
+        out = probe_media(media)
+        return out.select(
+            F.lit(section).alias("section"),
+            "media_id", F.lit(kind).alias("kind"),
+            null_i.alias("n_bytes"), F.lit(None).cast("string").alias("checksum"),
+            null_i.alias("first_byte"), null_i.alias("last_byte"),
+            F.col("container").alias("fmt"),
+            "width", "height", null_i.alias("n_pixels"),
+            null_l.alias("sum_r"), null_l.alias("sum_g"), null_l.alias("sum_b"),
+            "n_channels", "sample_rate", null_i.alias("n_frames"),
+            "duration_ms", null_l.alias("sum_pcm"),
+            null_i.alias("orientation"),
+        )
+
     # the resized output is P6 bytes, so decode_image closes the
     # decode -> resample -> re-encode -> decode chain (fmt becomes 'ppm')
     resized = _pix(resize_image(synthetic_png_media(docs), 6, 3), "resize")
@@ -2022,6 +2076,8 @@ def q_multimodal_stats(spark, sf_dir):
         .unionByName(audio)
         .unionByName(flac)
         .unionByName(_aud(synthetic_flac_lpc_media(docs), "flac_lpc"))
+        .unionByName(_probe(synthetic_mp4_media(docs), "probe_mp4", "video"))
+        .unionByName(_probe(synthetic_avi_media(docs), "probe_avi", "video"))
         .unionByName(resized)
     )
 

@@ -1151,6 +1151,60 @@ def test_synthetic_flac_lpc_media_certifies_decoder(spark):
         assert r.fmt is None and r.sum_pcm is None
 
 
+def test_probe_media_all_containers(spark):
+    """probe_media (round 14): header-only container identification +
+    metadata across every fixture family, plus rejects (garbage, NULL,
+    truncated MP4, SOS-before-SOF JPEG) to the NULL-container row."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        probe_media,
+        synthetic_avi_media,
+        synthetic_flac_media,
+        synthetic_jpeg_media,
+        synthetic_mp4_media,
+        synthetic_png_media,
+        synthetic_ppm_media,
+        synthetic_wav_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    expect = {
+        "mp4": (synthetic_mp4_media,
+                lambda m: ("mp4", 320, 240, None, None, 5000 + m % 97)),
+        "avi": (synthetic_avi_media,
+                lambda m: ("avi", 320, 240, None, None, 4000 + 40 * (m % 50))),
+        "png": (synthetic_png_media, lambda m: ("png", 4, 2, None, None, None)),
+        "jpeg": (synthetic_jpeg_media,
+                 lambda m: ("jpeg", 16, 8, None, None, None)),
+        "ppm": (synthetic_ppm_media, lambda m: ("ppm", 4, 2, None, None, None)),
+        "wav": (synthetic_wav_media, lambda m: ("wav", None, None, 1, 8000, 1)),
+        "flac": (synthetic_flac_media,
+                 lambda m: ("flac", None, None, 1, 8000, 24)),
+    }
+    for name, (builder, exp) in expect.items():
+        rows = {r.media_id: r for r in probe_media(builder(docs)).collect()}
+        for m, r in rows.items():
+            got = (r.container, r.width, r.height, r.n_channels,
+                   r.sample_rate, r.duration_ms)
+            assert got == exp(m), (name, m, got)
+            assert r.n_bytes > 0
+    bad = spark.createDataFrame(
+        [
+            (0, "video", bytearray(b"garbage bytes")),
+            (1, "video", None),
+            (2, "video", bytearray(b"\x00\x00\x00\x10ftypisom")),  # no moov
+            (3, "image", bytearray(b"\xff\xd8\xff\xda\x00\x04ab")),  # SOS first
+        ],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in probe_media(bad).collect()}
+    assert rows[0].container is None and rows[0].n_bytes == 13
+    assert rows[1].container is None and rows[1].n_bytes is None
+    # a moov-less but well-formed ftyp stream identifies as mp4 with
+    # NULL metadata (honest partial probe)
+    assert rows[2].container == "mp4" and rows[2].duration_ms is None
+    assert rows[3].container is None
+
+
 def test_decode_audio_wav_real_samples(spark):
     """decode_audio is a REAL RIFF/WAV PCM16 decoder (round 11): a
     stereo fixture written by stdlib ``wave`` (a third-party encoder

@@ -841,6 +841,30 @@ def test_jpeg_entropy_byte_corruption_is_caught(spark, con, monkeypatch):
     )
 
 
+def test_mp4_timescale_ignored_is_caught(spark, con, monkeypatch):
+    """The 'probe_mp4' section certifies the mvhd parse does the
+    timescale division: halving the fixture's timescale (500 instead of
+    1000) without touching the duration field must double every probed
+    duration_ms — the oracle's 5000 + id%97 rejects all rows."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.synthetic_mp4_media
+    # mvhd timescale bytes sit at: ftyp(16) + moov hdr(8) + mvhd hdr(8)
+    # + version/flags(4) + creation/mod(8) -> offset 44, 1-based 45
+    def mutated(docs, id_col="doc_id"):
+        out = orig(docs, id_col)
+        return out.withColumn(
+            "content",
+            F.overlay(F.col("content"), F.unhex(F.lit("000001f4")), 45),
+        )
+
+    monkeypatch.setattr(mm, "synthetic_mp4_media", mutated)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
+
+
 def test_flac_sample_byte_corruption_is_caught(spark, con, monkeypatch):
     """The 'flac' section certifies the DECODE: overwriting the 2-byte
     constant-subframe value (4th/3rd from last, before the CRC-16) with
