@@ -3673,6 +3673,7 @@ def _html_section_sql() -> str:
         html_anchors_sql,
         html_fragment_sql,
         html_lines_sql,
+        html_link_chars_sql,
     )
 
     p = _HTML_FIXTURE_PIECES
@@ -3715,8 +3716,7 @@ def _html_section_sql() -> str:
         FROM (
           SELECT doc_id, pos,
                  {html_fragment_sql("line")} AS tt,
-                 length({html_fragment_sql(
-                     f"coalesce(array_to_string({anchors}, ' '), '')")}) AS al,
+                 {html_link_chars_sql("line")} AS al,
                  len({anchors}) AS na
           FROM (
             SELECT doc_id, i AS pos, ls[i] AS line

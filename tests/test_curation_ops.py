@@ -282,6 +282,50 @@ def test_extract_html_text_behavior(spark):
     assert (out[3].n_lines, out[3].n_lines_dropped, out[3].n_links) == (1, 2, 2)
 
 
+def test_extract_html_text_link_density_per_anchor(spark):
+    """Link density sums per-anchor visible-text lengths — NOT the
+    space-joined concatenation (ADVICE r15): '<a>ab</a> x <a>ab</a>'
+    renders 'ab x ab' (7 visible chars, 4 inside anchors => 4/7 > 0.5
+    would drop; the old joined measure also added the separator).  A
+    line at exactly the boundary must KEEP: 'aa bb <a>c</a> <a>d</a>'
+    -> 'aa bb c d' is 9 chars, 2 link chars, 2/9 <= 0.5 keep; with the
+    joined measure the anchors 'c d' counted 3."""
+    from woe_monotonic_binning_spark.operators.text import extract_html_text
+
+    rows = [
+        # 2 one-char anchors in a 5-visible-char line: per-anchor al=2,
+        # 2 <= 0.5*5 => KEEP.  Joined measure gave al=3 > 2.5 => drop.
+        (0, "<p><a href='/x'>a</a> z <a href='/y'>b</a></p>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    r = extract_html_text(df).collect()[0]
+    assert r.text == "a z b"
+    assert (r.n_lines, r.n_lines_dropped, r.n_links) == (1, 0, 2)
+
+
+def test_extract_html_text_refuses_metadata_clobber(spark):
+    """Pre-existing title/n_lines/... columns raise instead of being
+    silently overwritten; title_col= redirects the title output
+    (ADVICE r15)."""
+    import pytest as _pytest
+
+    from woe_monotonic_binning_spark.operators.text import extract_html_text
+
+    df = spark.createDataFrame(
+        [(0, "<title>T</title><p>body</p>", "keep me")],
+        "doc_id long, html string, title string",
+    )
+    with _pytest.raises(ValueError, match="title"):
+        extract_html_text(df)
+    r = extract_html_text(df, title_col="html_title").collect()[0]
+    assert r.title == "keep me" and r.html_title == "T"
+    df2 = spark.createDataFrame(
+        [(0, "<p>x</p>", 9)], "doc_id long, html string, n_links int"
+    )
+    with _pytest.raises(ValueError, match="n_links"):
+        extract_html_text(df2)
+
+
 def test_extract_html_text_in_place_overwrite(spark):
     """html_col == text_col (in-place extraction) must compute every
     output — including n_links — from the ORIGINAL markup, not from the
@@ -309,6 +353,7 @@ def test_extract_html_text_matches_duckdb_twin(spark):
         html_anchors_sql,
         html_fragment_sql,
         html_lines_sql,
+        html_link_chars_sql,
         html_title_sql,
     )
 
@@ -358,9 +403,7 @@ def test_extract_html_text_matches_duckdb_twin(spark):
         perline AS (
           SELECT doc_id, pos,
                  {html_fragment_sql("line")} AS t,
-                 -- DuckDB array_to_string([]) is NULL (Spark array_join
-                 -- gives ''), so coalesce before measuring
-                 length({html_fragment_sql(f"coalesce(array_to_string({anchors}, ' '), '')")}) AS al,
+                 {html_link_chars_sql("line")} AS al,
                  len({anchors}) AS na
           FROM lines
         ),
@@ -405,6 +448,7 @@ def test_extract_html_text_fuzz_parity(spark):
         html_anchors_sql,
         html_fragment_sql,
         html_lines_sql,
+        html_link_chars_sql,
         html_title_sql,
     )
 
@@ -460,8 +504,7 @@ def test_extract_html_text_fuzz_parity(spark):
         ),
         perline AS (
           SELECT doc_id, pos, {html_fragment_sql("line")} AS tt,
-                 length({html_fragment_sql(
-                     f"coalesce(array_to_string({anchors}, ' '), '')")}) AS al,
+                 {html_link_chars_sql("line")} AS al,
                  len({anchors}) AS na
           FROM lines
         ),

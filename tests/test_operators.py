@@ -839,12 +839,12 @@ def _flac_streaminfo(bs=16, rate=8000, nch=1, bps=16, total=16):
     )
 
 
-def _flac_frame(subenc, ch_code=0, bs=16):
+def _flac_frame(subenc, ch_code=0, bs=16, rate_code=4):
     from woe_monotonic_binning_spark.operators.multimodal import _crc8, _crc16
 
     w = _FlacW()
     w.w(0x3FFE, 14); w.w(0, 2)
-    w.w(6, 4); w.w(4, 4); w.w(ch_code, 4); w.w(4, 3); w.w(0, 1)
+    w.w(6, 4); w.w(rate_code, 4); w.w(ch_code, 4); w.w(4, 3); w.w(0, 1)
     w.w(0, 8)  # frame number 0
     w.w(bs - 1, 8)  # 8-bit blocksize-1 (code 6)
     hdr = w.out()
@@ -1203,6 +1203,57 @@ def test_probe_media_all_containers(spark):
     # NULL metadata (honest partial probe)
     assert rows[2].container == "mp4" and rows[2].duration_ms is None
     assert rows[3].container is None
+
+
+def test_parse_flac_rejects_inconsistent_frame_rates():
+    """ADVICE r15: per-frame sample-rate codes that resolve differently
+    must reject (None) — a 'last frame wins' rate silently corrupts
+    duration_ms downstream.  Codes that resolve to the SAME rate via
+    different encodings (0 = STREAMINFO 8000 vs table code 4 = 8000)
+    stay accepted."""
+    from woe_monotonic_binning_spark.operators.multimodal import _parse_flac
+
+    sm = list(range(-8, 8))
+    f8000 = _flac_frame(lambda w: _flac_verbatim(w, sm, 16), rate_code=4)
+    f16000 = _flac_frame(lambda w: _flac_verbatim(w, sm, 16), rate_code=5)
+    f_si = _flac_frame(lambda w: _flac_verbatim(w, sm, 16), rate_code=0)
+    si = _flac_streaminfo(total=32)
+    assert _parse_flac(b"fLaC" + si + f8000 + f16000) is None
+    assert _parse_flac(b"fLaC" + si + f8000 + f_si) == (
+        1, 8000, 32, [2 * sum(sm)]
+    )
+
+
+def test_probe_avi_inner_scan_bounded_by_hdrl_extent():
+    """ADVICE r15: _probe_avi's avih scan must stay inside the hdrl LIST
+    — a spurious 'avih' fourcc in later chunk payloads (movi sample
+    data) must not be misread as the header when the hdrl has no avih."""
+    import struct
+
+    from woe_monotonic_binning_spark.operators.multimodal import _probe_avi
+
+    # hdrl LIST containing only a junk chunk (no avih)
+    junk = b"strl" + struct.pack("<I", 4) + b"\x00" * 4
+    hdrl_body = b"hdrl" + junk
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    # movi payload that CONTAINS the bytes 'avih' + a plausible header —
+    # 56 bytes of fake avih body claiming 999x888 dims
+    fake = (b"avih" + struct.pack("<I", 56)
+            + struct.pack("<IIIII", 1000, 0, 0, 0, 10)
+            + struct.pack("<III", 0, 0, 0) + struct.pack("<II", 999, 888)
+            + b"\x00" * 16)
+    movi_body = b"movi" + b"00dc" + struct.pack("<I", len(fake)) + fake
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    riff_body = b"AVI " + hdrl + movi
+    b = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    # honest partial probe: identifies as avi, reports NO dims/duration
+    assert _probe_avi(b) == ("avi", None, None, None, None, None)
+    # control: a real avih inside hdrl still parses
+    real_body = b"hdrl" + fake
+    real_hdrl = b"LIST" + struct.pack("<I", len(real_body)) + real_body
+    rb = b"AVI " + real_hdrl + movi
+    b2 = b"RIFF" + struct.pack("<I", len(rb)) + rb
+    assert _probe_avi(b2) == ("avi", 999, 888, None, None, 10)
 
 
 def test_decode_audio_wav_real_samples(spark):

@@ -1913,8 +1913,11 @@ def _parse_flac(b: bytes) -> tuple[int, int, int, list[int]] | None:
                 right.append((m2 - s) >> 1)
             chans = [left, right]
         if sums is None:
-            nch_out, sums = nch, [0] * nch
-        elif nch != nch_out:
+            nch_out, rate_out, sums = nch, rate, [0] * nch
+        elif nch != nch_out or rate != rate_out:
+            # inconsistent per-frame channel OR rate codes: an arbitrary
+            # "last frame wins" rate would silently corrupt duration_ms
+            # downstream — honest reject instead (ADVICE r14)
             return None
         n_frames += blocksize
         if n_frames * nch > _MAX_DECODE_PIXELS:
@@ -1927,7 +1930,7 @@ def _parse_flac(b: bytes) -> tuple[int, int, int, list[int]] | None:
             sums[c] += sum(chans[c])
     if sums is None:
         return None  # no audio frames
-    return nch_out, rate, n_frames, sums
+    return nch_out, rate_out, n_frames, sums
 
 
 def decode_audio(media: DataFrame, codec=None) -> DataFrame:
@@ -2368,7 +2371,11 @@ def _probe_avi(b: bytes):
         (ln,) = struct.unpack_from("<I", b, i + 4)
         if ctype == b"LIST" and b[i + 8 : i + 12] == b"hdrl":
             j = i + 12
-            while j + 8 <= len(b):
+            # Stay inside the hdrl LIST extent: a spurious 'avih' fourcc
+            # in later chunk payloads (e.g. movi sample data) must not be
+            # misread as the header when avih is absent or not first.
+            hdrl_end = min(len(b), i + 8 + ln)
+            while j + 8 <= hdrl_end:
                 (sln,) = struct.unpack_from("<I", b, j + 4)
                 if b[j : j + 4] == b"avih" and sln >= 40:
                     usec, _mbps, _pad, _fl, frames = struct.unpack_from(

@@ -654,6 +654,7 @@ def extract_html_text(
     html_col: str = "html",
     text_col: str = "text",
     max_link_density: float = 0.5,
+    title_col: str = "title",
 ) -> DataFrame:
     """HTML -> visible text with a link-density boilerplate gate — the
     canonical first stage of a C4/RefinedWeb-style web-corpus pipeline.
@@ -688,7 +689,21 @@ def extract_html_text(
     stops at the first ``</a>``; an unclosed ``<script>`` falls through
     to the tag stripper; entities outside the fixed set pass through
     verbatim; CDATA content is dropped (foreign-content semantics), not
-    rendered."""
+    rendered.
+
+    The metadata outputs (``title_col``, ``n_lines``, ``n_lines_dropped``,
+    ``n_links``) REFUSE to clobber a pre-existing input column of the
+    same name (ValueError) — rename yours or pass ``title_col=`` (ADVICE
+    r14: a corpus that already carries a 'title' column must not lose it
+    silently).  ``text_col`` is the declared output and may overwrite."""
+    meta_cols = (title_col, "n_lines", "n_lines_dropped", "n_links")
+    clobbered = [c for c in meta_cols if c in df.columns]
+    if clobbered:
+        raise ValueError(
+            f"extract_html_text would overwrite existing column(s) "
+            f"{clobbered}; rename them or pass title_col= to redirect "
+            f"the title output"
+        )
     h = F.regexp_replace(F.col(html_col), f"[{WS_CHARS}]+", " ")
     for pat in _HTML_DROP_RES:
         h = F.regexp_replace(h, pat, " ")
@@ -696,10 +711,18 @@ def extract_html_text(
 
     def line_info(line: Column) -> Column:
         anchors = F.regexp_extract_all(line, F.lit(_HTML_ANCHOR_RE), F.lit(1))
+        # al = sum of per-anchor visible-text lengths (ADVICE r14: the
+        # previous space-joined concatenation counted the inserted
+        # separators as link characters, overstating density on
+        # multi-anchor lines vs the documented semantics)
         return F.struct(
             _html_fragment_text(line).alias("t"),
-            F.length(
-                _html_fragment_text(F.array_join(anchors, " "))
+            F.aggregate(
+                F.transform(
+                    anchors, lambda a: F.length(_html_fragment_text(a))
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
             ).alias("al"),
             F.size(anchors).alias("na"),
         )
@@ -723,7 +746,7 @@ def extract_html_text(
             F.aggregate(infos, F.lit(0), lambda acc, i: acc + i["na"]),
         )
         .withColumn(
-            "title",
+            title_col,
             _html_fragment_text(
                 F.regexp_extract(F.col(html_col), _HTML_TITLE_RE, 1)
             ),
@@ -771,6 +794,17 @@ def html_fragment_sql(expr: str) -> str:
 def html_anchors_sql(expr: str) -> str:
     """DuckDB twin of the anchor inner-HTML extraction (group 1 list)."""
     return f"regexp_extract_all({expr}, '{_sql_quote(_HTML_ANCHOR_RE)}', 1)"
+
+
+def html_link_chars_sql(expr: str) -> str:
+    """DuckDB twin of the link-character count over a line expression:
+    sum of per-anchor visible-text lengths (list_sum([]) is NULL in
+    DuckDB where Spark's aggregate seed gives 0 — hence the coalesce)."""
+    frag = html_fragment_sql("_a")
+    return (
+        f"coalesce(list_sum(list_transform({html_anchors_sql(expr)}, "
+        f"_a -> length({frag}))), 0)"
+    )
 
 
 def html_title_sql(expr: str) -> str:

@@ -85,6 +85,7 @@ def curate_corpus(
     window_unit: str = "words",
     html_col: str | None = None,
     html_max_link_density: float = 0.5,
+    html_title_col: str = "title",
     output_path: str | None = None,
     cache_survivors: bool = True,
 ) -> DataFrame:
@@ -208,7 +209,9 @@ def curate_corpus(
         from .operators.text import extract_html_text
 
         docs = extract_html_text(
-            docs, html_col, text_col, max_link_density=html_max_link_density
+            docs, html_col, text_col,
+            max_link_density=html_max_link_density,
+            title_col=html_title_col,
         ).drop("n_lines", "n_lines_dropped", "n_links")
         if html_col != text_col:
             docs = docs.drop(html_col)
