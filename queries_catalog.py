@@ -2909,6 +2909,123 @@ def q_sampling_suite(spark, sf_dir):
     return sample.unionByName(mix)
 
 
+# Closed-form BPE training corpus for the q_token_budget 'bpe' section
+# (round 15): fixed strings sharing the documents table's vocabulary plus
+# inflected variants, so the learned merges ("ta"+"ble", "scan"+"ner", …)
+# are linguistically meaningful AND fully determined at import time — the
+# pure-Python trainer (tokenizer.train_bpe_from_counts) derives the SAME
+# merge list the engine's distributed train_bpe learns at run time, and
+# the oracle twin embeds it as a literal rank map.  ASCII lowercase words
+# + single spaces only, so Python str.split == the BPE pre-tokenizer on
+# this corpus by construction (pinned in tests/test_tokenizer.py).
+_BPE_FIXTURE_CORPUS = [
+    "table table table tables scan scan scans window windows windowing",
+    "fast faster fastest slow slower slowest value values valued",
+    "batch batches merge merges merged merging sort sorted sorting",
+    "filter filtered filtering stream streams streaming group grouped",
+    "query queries customer customers column columns vector vectors",
+    "line lines spark agg hash hashes join joins key keys row rows",
+    "scan scanner scanning table tabled stream streamed group grouping",
+    "asks asks asks tap tap tap cask cask cask wick wick wick and and",
+    # competition line: repeated two-letter words inject pair counts so
+    # doc words like fast / query / window carry COMPETING adjacent
+    # merges — without competition every encode is order-insensitive and
+    # the md5 could not distinguish merge orders (the mutants in
+    # tests/test_oracle_sensitivity.py would be vacuous; the property is
+    # pinned in tests/test_tokenizer.py::test_fixture_is_order_sensitive)
+    " ".join(
+        w
+        for w, k in [
+            ("sc", 8), ("ca", 7), ("lo", 8), ("wi", 8),
+            ("nd", 7), ("as", 9), ("ue", 7), ("ba", 7),
+        ]
+        for _ in range(k)
+    ),
+]
+_BPE_FIXTURE_MERGES = 40
+
+
+def _bpe_fixture_merges() -> list[tuple[str, str]]:
+    from woe_monotonic_binning_spark.operators.tokenizer import (
+        train_bpe_from_counts,
+    )
+
+    counts: dict[str, int] = {}
+    for line in _BPE_FIXTURE_CORPUS:
+        for w in line.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    return train_bpe_from_counts(counts, _BPE_FIXTURE_MERGES)
+
+
+def _bpe_section_sql() -> str:
+    """The 'bpe' UNION ALL branch of the q_token_budget oracle: learned-BPE
+    token counts + the md5 of the space-joined token stream per document,
+    encoded by a recursive CTE (merge the lowest-rank adjacent pair,
+    leftmost on ties — tokenizer.encode_word's exact contract) over the
+    DISTINCT pre-tokens, with the merge ranks embedded as a literal map
+    from the import-time pure-Python training run.  chr(1) is a safe rank
+    key delimiter: multi-character pre-tokens are alphanumeric by the
+    pre-tokenizer's construction, so no token can contain it."""
+    merges = _bpe_fixture_merges()
+    mp = ", ".join(
+        f"'{a}' || chr(1) || '{b}': {i}" for i, (a, b) in enumerate(merges)
+    )
+    bpe_re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]"
+    return f"""
+    UNION ALL
+    -- learned-BPE tokenization (round 15): train_bpe on the closed-form
+    -- fixture corpus + tokenize_bpe over documents, vs a recursive-CTE
+    -- encoder with the import-time merges as a literal rank map.  toks =
+    -- learned token count, n_docs = pre-token count, text_md5 pins the
+    -- exact token boundaries of the whole stream.
+    SELECT 'bpe' AS section, d.doc_id, CAST(NULL AS VARCHAR) AS source,
+           coalesce(t.toks, 0) AS toks,
+           coalesce(t.n_pre, 0) AS n_docs,
+           md5(coalesce(t.joined, '')) AS text_md5,
+           CAST(NULL AS BOOLEAN) AS oversize,
+           CAST(NULL AS BIGINT) AS n_packs,
+           CAST(NULL AS BIGINT) AS n_oversize,
+           CAST(NULL AS DOUBLE) AS utilization,
+           CAST(NULL AS DOUBLE) AS min_utilization,
+           CAST(NULL AS DOUBLE) AS max_utilization
+    FROM documents d LEFT JOIN (
+      WITH RECURSIVE
+      pre AS (
+        SELECT doc_id, i AS pos, ws[i] AS word
+        FROM (SELECT doc_id, regexp_extract_all(text, '{bpe_re}') AS ws
+              FROM documents),
+             unnest(range(1, len(ws) + 1)) AS s(i)
+      ),
+      enc(word, syms, it) AS (
+        SELECT word, regexp_extract_all(word, '.'), 0
+        FROM (SELECT DISTINCT word FROM pre)
+        UNION ALL
+        SELECT word,
+               list_concat(syms[1:p-1],
+                           list_concat([syms[p] || syms[p+1]], syms[p+2:])),
+               it + 1
+        FROM (
+          SELECT word, syms, it,
+                 list_position(rks, list_min(rks)) AS p,
+                 list_min(rks) AS br
+          FROM (
+            SELECT word, syms, it,
+                   list_transform(range(1, len(syms)),
+                     i -> list_extract((MAP {{{mp}}})
+                            [syms[i] || chr(1) || syms[i+1]], 1)) AS rks
+            FROM enc
+          )
+        ) WHERE br IS NOT NULL
+      ),
+      final AS (SELECT word, max_by(syms, it) AS syms FROM enc GROUP BY word)
+      SELECT doc_id, sum(len(f.syms)) AS toks, count(*) AS n_pre,
+             string_agg(array_to_string(f.syms, ' '), ' ' ORDER BY pos)
+               AS joined
+      FROM pre JOIN final f USING (word) GROUP BY doc_id
+    ) t USING (doc_id)
+    """
+
+
 @_q(
     "q_token_budget",
     # data-recipe token-budget fill, replayed as one DuckDB window query:
@@ -3016,7 +3133,8 @@ def q_sampling_suite(spark, sf_dir):
         FROM documents
       ) GROUP BY pack_id
     ) GROUP BY shard
-    """,
+    """
+    + _bpe_section_sql(),
 )
 def q_token_budget(spark, sf_dir):
     """Data-recipe token-budget fill: admit docs per source in hash-draw
@@ -3136,7 +3254,43 @@ def q_token_budget(spark, sf_dir):
         "min_utilization",
         "max_utilization",
     )
-    return out.unionByName(mat).unionByName(stats).unionByName(shard)
+    # learned-BPE section (round 15): REAL distributed training on the
+    # closed-form fixture corpus (word-count shuffle -> driver merge
+    # loop) followed by the REAL distributed apply (JVM pre-tokenization
+    # -> Arrow-batched merge kernel).  The oracle embeds the import-time
+    # pure-Python merges, so any deviation in the distributed trainer's
+    # merge ORDER or the apply's merge priority breaks the md5.
+    from woe_monotonic_binning_spark.operators.tokenizer import (
+        pretokens,
+        tokenize_bpe,
+        train_bpe,
+    )
+
+    fixture = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_BPE_FIXTURE_CORPUS)],
+        "id long, text string",
+    )
+    bpe_tok = train_bpe(fixture, num_merges=_BPE_FIXTURE_MERGES)
+    bpe = tokenize_bpe(docs, bpe_tok).select(
+        F.lit("bpe").alias("section"),
+        "doc_id",
+        F.lit(None).cast("string").alias("source"),
+        F.size("bpe_tokens").cast("long").alias("toks"),
+        F.size(pretokens(F.col("text"))).cast("long").alias("n_docs"),
+        F.md5(F.array_join("bpe_tokens", " ")).alias("text_md5"),
+        F.lit(None).cast("boolean").alias("oversize"),
+        null_l.alias("n_packs"),
+        null_l.alias("n_oversize"),
+        null_d.alias("utilization"),
+        null_d.alias("min_utilization"),
+        null_d.alias("max_utilization"),
+    )
+    return (
+        out.unionByName(mat)
+        .unionByName(stats)
+        .unionByName(shard)
+        .unionByName(bpe)
+    )
 
 
 @_q("q_sample_hash")

@@ -1004,3 +1004,42 @@ def test_jpeg_crop_width_ignored_is_caught(spark, con, monkeypatch):
         spark, con, "q_multimodal_stats",
         qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
     )
+
+
+def test_bpe_merge_order_corruption_is_caught(spark, con, monkeypatch):
+    """The 'bpe' section certifies the LEARNED MERGE ORDER end to end: a
+    trainer that returns the right merge SET in the wrong ORDER (here
+    reversed — rank inversion, the classic priority bug) changes encode
+    priorities on the fixture's competing merges, so token boundaries
+    move on fast/query/window and the md5 of the token stream
+    disagrees."""
+    import woe_monotonic_binning_spark.operators.tokenizer as tk
+
+    orig = tk.train_bpe
+
+    def mutated(df, text_col="text", num_merges=200, **kw):
+        tok = orig(df, text_col, num_merges, **kw)
+        assert len(tok.merges) >= 2
+        return tk.BPETokenizer(list(reversed(tok.merges)))
+
+    monkeypatch.setattr(tk, "train_bpe", mutated)
+    assert_caught(
+        spark, con, "q_token_budget",
+        qc.SPARK_QUERIES["q_token_budget"](spark, SF),
+    )
+
+
+def test_bpe_training_corpus_corruption_is_caught(spark, con, monkeypatch):
+    """The section also pins WHAT was trained on, not just the order: a
+    trainer fed a corrupted corpus (competition line dropped — e.g. a
+    sampling bug that silently skips the last partition) learns a
+    different merge list, so counts and the token-stream md5 disagree.
+    (The apply-side kernel runs in executor worker processes, so its
+    bugs are unreachable by driver monkeypatch — apply correctness is
+    instead pinned against the pure encoder in tests/test_tokenizer.py,
+    and any apply/oracle divergence fails the clean parity run.)"""
+    monkeypatch.setattr(qc, "_BPE_FIXTURE_CORPUS", qc._BPE_FIXTURE_CORPUS[:-1])
+    assert_caught(
+        spark, con, "q_token_budget",
+        qc.SPARK_QUERIES["q_token_budget"](spark, SF),
+    )

@@ -1,4 +1,14 @@
-from . import dedup, joins, multimodal, packing, sampling, similarity, text, windows
+from . import (
+    dedup,
+    joins,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    text,
+    tokenizer,
+    windows,
+)
 
 __all__ = [
     "dedup",

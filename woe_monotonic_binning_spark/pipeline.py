@@ -76,6 +76,7 @@ def curate_corpus(
     split_seed: int = 1,
     token_budgets: dict[str, float] | None = None,
     budget_seed: int = 2,
+    bpe_tokenizer=None,
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
     benchmark_emb: DataFrame | None = None,
@@ -154,7 +155,11 @@ def curate_corpus(
     ``weights=None`` skips source mixing.  ``token_budgets``
     (optional) caps each named source's token mass AFTER mixing — the
     "fill the recipe to N tokens" step (``select_to_token_budget`` over a
-    transient BPE-ish token count); unnamed sources pass through.
+    transient token count); unnamed sources pass through.
+    ``bpe_tokenizer`` (round 15) — a trained
+    ``operators.tokenizer.BPETokenizer``: when given, the budget fill
+    meters REAL learned-BPE counts (``bpe_token_count``) instead of the
+    regex proxy ``token_count_bpe``.
     ``benchmark`` (optional) is an eval-set DataFrame sharing
     ``text_col``/``id_col``: every doc sharing a word ``decontam_n``-gram
     with it is dropped before dedup (broadcast gram scan + anti-join) —
@@ -336,10 +341,23 @@ def curate_corpus(
     mixed = mix_sources(best, weights, source_col, id_col, seed) if weights else best
     if token_budgets:
         from .operators.sampling import select_to_token_budget
-        from .operators.text import token_count_bpe
 
+        if bpe_tokenizer is not None:
+            # learned counts (round 15): the trained merges table rides
+            # the Arrow kernel; budgets meter REAL tokens, not the proxy
+            from .operators.tokenizer import bpe_token_count
+
+            counted = bpe_token_count(
+                mixed, bpe_tokenizer, text_col, out_col="__toks"
+            )
+        else:
+            from .operators.text import token_count_bpe
+
+            counted = mixed.withColumn(
+                "__toks", token_count_bpe(F.col(text_col))
+            )
         mixed = select_to_token_budget(
-            mixed.withColumn("__toks", token_count_bpe(F.col(text_col))),
+            counted,
             token_budgets,
             token_col="__toks",
             id_col=id_col,
