@@ -3856,6 +3856,132 @@ def _html_fixture_col():
     )
 
 
+# URL fixture for the q_dedup_lines 'url'/'url_cap' sections (round 15):
+# 12 adversarial URL shapes cycled by doc_id % 12, each built from one
+# token spec rendered by BOTH engines (("lit", s) emits the literal,
+# ("mod", m) emits str(doc_id % m)) — ports, userinfo, bracketed IPv6,
+# punycode, scheme-less, two-level ccTLD suffixes, dotted-quad IPv4,
+# single-label hosts, a NULL row, and a blocklisted domain family.
+_URL_FIXTURE_SPECS = [
+    [("lit", "https://www.example"), ("mod", 7), ("lit", ".com/a/"),
+     ("mod", 97), ("lit", "?q=1")],
+    [("lit", "http://sub.shop"), ("mod", 5), ("lit", ".co.uk:8080/x")],
+    [("lit", "ftp://files.data.org/pub/"), ("mod", 97)],
+    [("lit", "https://user:pw@auth"), ("mod", 3), ("lit", ".net/private")],
+    [("lit", "http://[2001:db8::"), ("mod", 9), ("lit", "]:8443/v6")],
+    [("lit", "https://xn--bcher-kva.de/books/"), ("mod", 97)],
+    [("lit", "example"), ("mod", 4), ("lit", ".com/no-scheme")],
+    [("lit", "https://evil"), ("mod", 2), ("lit", ".bad.com/x")],
+    [("lit", "http://localhost:3000/dev")],
+    [("lit", "https://deep.sub.site"), ("mod", 6), ("lit", ".com.au/page")],
+    None,  # NULL url: parse must stay NULL-in-NULL-out
+    [("lit", "https://203.0.113."), ("mod", 250), ("lit", "/ipv4")],
+]
+_URL_BLOCKLIST = ["bad.com", "spam.net"]
+_URL_CAP = 3
+
+
+def _url_fixture_col():
+    out = None
+    for k, spec in enumerate(_URL_FIXTURE_SPECS):
+        cond = F.pmod(F.col("doc_id"), F.lit(12)) == k
+        if spec is None:
+            val = F.lit(None).cast("string")
+        else:
+            parts = [
+                F.lit(tok[1]) if tok[0] == "lit"
+                else F.pmod(F.col("doc_id"), F.lit(tok[1])).cast("string")
+                for tok in spec
+            ]
+            val = F.concat(*parts) if len(parts) > 1 else parts[0]
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return out
+
+
+def _url_fixture_sql() -> str:
+    cases = []
+    for k, spec in enumerate(_URL_FIXTURE_SPECS):
+        if spec is None:
+            val = "CAST(NULL AS VARCHAR)"
+        else:
+            val = " || ".join(
+                "'" + tok[1].replace("'", "''") + "'" if tok[0] == "lit"
+                else f"CAST(doc_id % {tok[1]} AS VARCHAR)"
+                for tok in spec
+            )
+        cases.append(f"WHEN doc_id % 12 = {k} THEN {val}")
+    return "CASE " + " ".join(cases) + " END"
+
+
+def _url_section_sql() -> str:
+    """The 'url' + 'url_cap' UNION ALL branches of the q_dedup_lines
+    oracle: parse_url's column semantics (scheme/host/port/path/
+    registered domain/tld folded into one md5), the filter_domains block
+    flag, and cap_per_domain's exact kept SET per domain (ROW_NUMBER over
+    the shared md5 hash draw — bit-identical in DuckDB) — all generated
+    from the SAME regex/suffix constants the engine compiles
+    (operators/urls.py url_parts_sql / registered_domain_sql)."""
+    from woe_monotonic_binning_spark.operators.urls import (
+        registered_domain_sql,
+        url_parts_sql,
+    )
+
+    p = url_parts_sql("url")
+    dom = registered_domain_sql(f"({p['host']})")
+    bl = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
+    tld = (
+        f"CASE WHEN ({p['host']}) IS NOT NULL "
+        f"AND NOT regexp_matches(({p['host']}), "
+        "'^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') "
+        f"AND NOT contains(({p['host']}), ':') "
+        f"AND len(string_split(({p['host']}), '.')) >= 2 "
+        f"THEN string_split(({p['host']}), '.')[-1] END"
+    )
+    return f"""
+    UNION ALL
+    -- URL parsing + domain gate (round 15): one md5 folds every parsed
+    -- column; n_removed = the filter_domains block flag; chunk_idx = port
+    SELECT 'url' AS section, doc_id,
+           CAST(CASE WHEN coalesce(
+                  dom IN ({bl}) OR host IN ({bl}), false)
+                THEN 1 ELSE 0 END AS INT) AS n_removed,
+           CAST(length(host) AS INT) AS new_len,
+           CAST(port AS INT) AS chunk_idx,
+           md5(coalesce(scheme, '~') || '|' || coalesce(host, '~') || '|'
+               || coalesce(CAST(port AS VARCHAR), '~') || '|'
+               || coalesce(path, '~') || '|' || coalesce(dom, '~') || '|'
+               || coalesce(tld, '~')) AS chunk_md5,
+           CAST(NULL AS INT) AS n_units
+    FROM (
+      SELECT doc_id, {p['scheme']} AS scheme, {p['host']} AS host,
+             {p['port']} AS port, {p['path']} AS path, {dom} AS dom,
+             {tld} AS tld
+      FROM (SELECT doc_id, {_url_fixture_sql()} AS url FROM documents)
+    )
+    UNION ALL
+    -- per-domain contribution cap (round 15): cap_per_domain keeps the
+    -- {_URL_CAP} lowest hash-draws per registered domain; the md5 of the
+    -- ascending kept-id list pins the exact representative SET
+    SELECT 'url_cap' AS section, min(doc_id) AS doc_id,
+           CAST(count(*) FILTER (WHERE rk > {_URL_CAP}) AS INT) AS n_removed,
+           CAST(count(*) AS INT) AS new_len,
+           CAST(NULL AS INT) AS chunk_idx,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               FILTER (WHERE rk <= {_URL_CAP})) AS chunk_md5,
+           CAST(count(*) FILTER (WHERE rk <= {_URL_CAP}) AS INT) AS n_units
+    FROM (
+      SELECT doc_id, dom,
+             ROW_NUMBER() OVER (
+               PARTITION BY dom
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '_0'), doc_id) AS rk
+      FROM (
+        SELECT doc_id, {dom} AS dom
+        FROM (SELECT doc_id, {_url_fixture_sql()} AS url FROM documents)
+      ) WHERE dom IS NOT NULL
+    ) GROUP BY dom
+    """
+
+
 def _html_section_sql() -> str:
     """The 'html' UNION ALL branch of the q_dedup_lines oracle: the DuckDB
     twin of extract_html_text over the shared fixture, built from the SAME
@@ -4116,7 +4242,7 @@ def _html_section_sql() -> str:
              END AS n_windows
       FROM documents
     ), unnest(range(0, n_windows)) AS t(i)
-    """ + _html_section_sql(),
+    """ + _html_section_sql() + _url_section_sql(),
 )
 def q_dedup_lines(spark, sf_dir):
     """Intra/inter-document repetition-removal + window-chunking suite.
@@ -4240,6 +4366,68 @@ def q_dedup_lines(spark, sf_dir):
         F.col("n_lines").cast("int").alias("n_units"),
     )
 
+    # 'url' + 'url_cap' sections (round 15): parse_url over the 12-shape
+    # fixture, the filter_domains block flag derived from the ACTUAL
+    # operator output (left anti -> left join back), and cap_per_domain's
+    # exact kept set per registered domain
+    from woe_monotonic_binning_spark.operators.urls import (
+        cap_per_domain,
+        filter_domains,
+        parse_url,
+    )
+
+    parsed = parse_url(
+        _docs(spark, sf_dir).select("doc_id", _url_fixture_col().alias("url"))
+    )
+    kept_ids = filter_domains(parsed, _URL_BLOCKLIST).select(
+        "doc_id", F.lit(1).alias("__kept")
+    )
+    url = (
+        parsed.join(kept_ids, "doc_id", "left")
+        .select(
+            F.lit("url").alias("section"),
+            "doc_id",
+            F.when(F.col("__kept").isNull(), 1).otherwise(0)
+            .cast("int").alias("n_removed"),
+            F.length("url_host").cast("int").alias("new_len"),
+            F.col("url_port").cast("int").alias("chunk_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("~"))
+                        for c in ("url_scheme", "url_host", "url_port",
+                                  "url_path", "url_domain", "url_tld")
+                    ],
+                )
+            ).alias("chunk_md5"),
+            null_i.alias("n_units"),
+        )
+    )
+    domained = parsed.where(F.col("url_domain").isNotNull())
+    capped = cap_per_domain(domained, _URL_CAP).groupBy("url_domain").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("__kept_ids"),
+    )
+    url_cap = (
+        domained.groupBy("url_domain")
+        .agg(F.count("*").alias("__total"), F.min("doc_id").alias("doc_id"))
+        .join(capped, "url_domain")
+        .select(
+            F.lit("url_cap").alias("section"),
+            "doc_id",
+            (F.col("__total") - F.size("__kept_ids"))
+            .cast("int").alias("n_removed"),
+            F.col("__total").cast("int").alias("new_len"),
+            null_i.alias("chunk_idx"),
+            F.md5(
+                F.array_join(
+                    F.transform("__kept_ids", lambda x: x.cast("string")), ","
+                )
+            ).alias("chunk_md5"),
+            F.size("__kept_ids").cast("int").alias("n_units"),
+        )
+    )
+
     return (
         lines.unionByName(chunks)
         .unionByName(_window("words", 20, 5, "window_words"))
@@ -4248,6 +4436,8 @@ def q_dedup_lines(spark, sf_dir):
         .unionByName(_window("chars", 64, 16, "window_chars"))
         .unionByName(wstream)
         .unionByName(html)
+        .unionByName(url)
+        .unionByName(url_cap)
     )
 
 

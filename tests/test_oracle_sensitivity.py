@@ -1106,3 +1106,59 @@ def test_mjpeg_frame_order_corruption_is_caught(spark, con, monkeypatch):
         spark, con, "q_multimodal_stats",
         qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
     )
+
+
+def test_url_userinfo_leak_is_caught(spark, con, monkeypatch):
+    """The 'url' section certifies the userinfo skip: a host regex
+    without the ``(?:[^/@?#]*@)?`` group parses 'user' as the host of
+    every userinfo-bearing URL (pattern 3 of the fixture), so host md5,
+    length and registered domain all disagree there."""
+    import woe_monotonic_binning_spark.operators.urls as ur
+
+    leaky = (
+        "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?"
+        "(?:\\[([0-9A-Fa-f:.]+)\\]|([A-Za-z0-9._-]+))"
+    )
+    monkeypatch.setattr(ur, "URL_HOST_RE", leaky)
+    assert_caught(
+        spark, con, "q_dedup_lines",
+        qc.SPARK_QUERIES["q_dedup_lines"](spark, SF),
+    )
+
+
+def test_url_cap_off_by_one_is_caught(spark, con, monkeypatch):
+    """The 'url_cap' section certifies the cap boundary: an operator that
+    keeps max_per_domain + 1 rows (the classic <= vs < rank bug) changes
+    kept counts AND the kept-id md5 for every capped domain."""
+    import woe_monotonic_binning_spark.operators.urls as ur
+
+    orig = ur.cap_per_domain
+
+    def mutated(df, max_per_domain, **kw):
+        return orig(df, max_per_domain + 1, **kw)
+
+    monkeypatch.setattr(ur, "cap_per_domain", mutated)
+    assert_caught(
+        spark, con, "q_dedup_lines",
+        qc.SPARK_QUERIES["q_dedup_lines"](spark, SF),
+    )
+
+
+def test_url_null_domain_blocked_is_caught(spark, con, monkeypatch):
+    """The 'url' section pins the NULL posture: a filter_domains that
+    drops NULL-domain rows (coalesce-to-blocked instead of
+    coalesce-to-kept) flags every unparseable URL as removed where the
+    oracle says kept."""
+    import woe_monotonic_binning_spark.operators.urls as ur
+
+    orig = ur.filter_domains
+
+    def mutated(df, blocklist, domain_col="url_domain", host_col="url_host"):
+        out = orig(df, blocklist, domain_col, host_col)
+        return out.where(F.col(domain_col).isNotNull())
+
+    monkeypatch.setattr(ur, "filter_domains", mutated)
+    assert_caught(
+        spark, con, "q_dedup_lines",
+        qc.SPARK_QUERIES["q_dedup_lines"](spark, SF),
+    )

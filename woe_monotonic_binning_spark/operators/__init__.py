@@ -7,6 +7,7 @@ from . import (
     similarity,
     text,
     tokenizer,
+    urls,
     windows,
 )
 
