@@ -1939,6 +1939,39 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
+    SELECT 'text' AS section, doc_id AS media_id, 'text' AS kind,
+           -- charset decode (round 15): raw size, decoded-text md5, the
+           -- codec in fmt, had_bom in orientation; id%6==5 is the honest
+           -- reject (UTF-16 BOM + odd body)
+           CAST(CASE doc_id % 6
+                WHEN 0 THEN strlen('plain ' || doc_id || ' café')
+                WHEN 1 THEN 3 + strlen('bom ' || doc_id || ' café')
+                WHEN 2 THEN 2 + 2 * length('wide ' || doc_id)
+                WHEN 3 THEN 2 + 2 * length('wide ' || doc_id)
+                WHEN 4 THEN strlen('latin ' || doc_id) + 1
+                ELSE 3 END AS INT) AS n_bytes,
+           CASE doc_id % 6
+                WHEN 0 THEN md5('plain ' || doc_id || ' café')
+                WHEN 1 THEN md5('bom ' || doc_id || ' café')
+                WHEN 2 THEN md5('wide ' || doc_id)
+                WHEN 3 THEN md5('wide ' || doc_id)
+                WHEN 4 THEN md5('latin ' || doc_id || 'é')
+                ELSE NULL END AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           CASE doc_id % 6 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+                WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-16-be'
+                WHEN 4 THEN 'latin-1' ELSE NULL END AS fmt,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(NULL AS INT) AS n_pixels,
+           CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+           CAST(NULL AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(CASE WHEN doc_id % 6 IN (1, 2, 3, 5) THEN 1 ELSE 0 END
+                AS INT) AS orientation
+    FROM documents
+    UNION ALL
     SELECT 'frames' AS section, doc_id AS media_id, 'video' AS kind,
            CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
@@ -2076,6 +2109,29 @@ def q_multimodal_stats(spark, sf_dir):
             null_i.alias("orientation"),
         )
 
+    # charset decode stage (round 15, verdict item 4): decode_text over
+    # the mixed-encoding fixture — decoded-text md5 rides checksum, the
+    # codec rides fmt, had_bom rides orientation, raw size rides n_bytes
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_text,
+        synthetic_text_media,
+    )
+
+    text = decode_text(synthetic_text_media(docs)).select(
+        F.lit("text").alias("section"),
+        "media_id", F.lit("text").alias("kind"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.md5("text").alias("checksum"),
+        null_i.alias("first_byte"), null_i.alias("last_byte"),
+        F.col("encoding").alias("fmt"),
+        null_i.alias("width"), null_i.alias("height"),
+        null_i.alias("n_pixels"),
+        null_l.alias("sum_r"), null_l.alias("sum_g"), null_l.alias("sum_b"),
+        null_i.alias("n_channels"), null_i.alias("sample_rate"),
+        null_i.alias("n_frames"), null_l.alias("duration_ms"),
+        null_l.alias("sum_pcm"),
+        F.col("had_bom").cast("int").alias("orientation"),
+    )
     # REAL MJPEG-in-AVI frame decode (round 15, verdict item 2): one row
     # per stored frame; frame_idx rides the n_frames column and the
     # avih-derived timestamp rides duration_ms — sums are the baseline
@@ -2117,6 +2173,7 @@ def q_multimodal_stats(spark, sf_dir):
         .unionByName(_probe(synthetic_mp4_media(docs), "probe_mp4", "video"))
         .unionByName(_probe(synthetic_avi_media(docs), "probe_avi", "video"))
         .unionByName(frames)
+        .unionByName(text)
         .unionByName(resized)
     )
 

@@ -1162,3 +1162,18 @@ def test_url_null_domain_blocked_is_caught(spark, con, monkeypatch):
         spark, con, "q_dedup_lines",
         qc.SPARK_QUERIES["q_dedup_lines"](spark, SF),
     )
+
+
+def test_text_bom_ignored_is_caught(spark, con, monkeypatch):
+    """The 'text' section certifies BOM handling: a decoder with an empty
+    BOM table treats UTF-8-BOM payloads as plain UTF-8 (a leading
+    U+FEFF leaks into the text and had_bom flips) and mojibakes the
+    UTF-16 families through the latin-1 fallback — md5, fmt and
+    orientation all disagree."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    monkeypatch.setattr(mm, "_BOMS", ())
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )

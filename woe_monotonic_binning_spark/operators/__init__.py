@@ -19,5 +19,7 @@ __all__ = [
     "sampling",
     "similarity",
     "text",
+    "tokenizer",
+    "urls",
     "windows",
 ]

@@ -2875,6 +2875,124 @@ def sample_frames(
     return media.mapInPandas(decode_sampled, schema=DECODED_FRAME_SCHEMA)
 
 
+DECODED_TEXT_SCHEMA = (
+    "media_id bigint, text string, encoding string, had_bom boolean, "
+    "n_bytes int"
+)
+
+# BOM table, longest first (UTF-32 BOMs contain the UTF-16 ones)
+_BOMS = (
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xef\xbb\xbf", "utf-8"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+
+def decode_text(media: DataFrame, latin1_fallback: bool = True) -> DataFrame:
+    """Charset decode stage (round 15, verdict item 4): raw crawl
+    payloads are BYTES in unknown encodings; this turns the binary
+    ``content`` column into a string column the text operators
+    (``extract_html_text``, ``scrub_pii``, ...) can consume, completing
+    the ingest chain bytes -> text -> corpus.
+
+    Per payload: (1) a BOM decides the codec (UTF-8 / UTF-16 LE+BE /
+    UTF-32 LE+BE, longest match first — FF FE 00 00 is UTF-32 LE, not
+    UTF-16 + NUL) and is STRIPPED from the output; (2) without a BOM,
+    strict UTF-8 is tried; (3) on failure, latin-1 (which maps every
+    byte, the classic crawl fallback) unless ``latin1_fallback=False``;
+    (4) a BOM whose body does not decode (odd UTF-16 length, unpaired
+    surrogate) is an HONEST REJECT — NULL text, NULL encoding — never a
+    silently mojibake'd row.  Output: ``text``, ``encoding`` (the codec
+    actually used, NULL on reject), ``had_bom``, ``n_bytes`` (raw
+    payload size).  NULL content -> all-NULL row with NULL n_bytes.
+
+    Arrow-batched ``mapInPandas`` like every decode kernel here —
+    embarrassingly parallel, no shuffle; certified end to end through
+    the q_multimodal_stats 'text' section over JVM-built mixed-encoding
+    payloads (the md5 of the decoded text is exact cross-engine because
+    both engines hash the UTF-8 re-encoding)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "text": [], "encoding": [],
+                   "had_bom": [], "n_bytes": []}
+            for b in pdf["content"]:
+                if b is None:
+                    out["text"].append(None)
+                    out["encoding"].append(None)
+                    out["had_bom"].append(None)
+                    out["n_bytes"].append(None)
+                    continue
+                raw = bytes(b)
+                out["n_bytes"].append(len(raw))
+                bom_codec = None
+                for bom, codec in _BOMS:
+                    if raw.startswith(bom):
+                        bom_codec, body = codec, raw[len(bom):]
+                        break
+                if bom_codec is not None:
+                    out["had_bom"].append(True)
+                    try:
+                        out["text"].append(body.decode(bom_codec))
+                        out["encoding"].append(bom_codec)
+                    except UnicodeDecodeError:
+                        out["text"].append(None)
+                        out["encoding"].append(None)
+                    continue
+                out["had_bom"].append(False)
+                try:
+                    out["text"].append(raw.decode("utf-8"))
+                    out["encoding"].append("utf-8")
+                except UnicodeDecodeError:
+                    if latin1_fallback:
+                        out["text"].append(raw.decode("latin-1"))
+                        out["encoding"].append("latin-1")
+                    else:
+                        out["text"].append(None)
+                        out["encoding"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, schema=DECODED_TEXT_SCHEMA)
+
+
+def synthetic_text_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Mixed-encoding text payloads built ENTIRELY JVM-side — the
+    oracle-predictable fixture certifying ``decode_text`` end to end
+    (q_multimodal_stats 'text' section): encoding family cycles with
+    ``id % 6`` — plain UTF-8, UTF-8 + BOM, UTF-16 LE + BOM, UTF-16 BE +
+    BOM, bare latin-1 bytes (0xE9 is invalid UTF-8, so the fallback must
+    fire), and a REJECT payload (UTF-16 BOM + odd byte count).  Every
+    logical text is closed-form in the id, so the oracle recomputes the
+    decoded md5 as pure string SQL."""
+    k = F.pmod(F.col(id_col), F.lit(6))
+    i = F.col(id_col).cast("string")
+    utf8 = F.concat(F.lit("plain "), i, F.lit(" café"))
+    bom8 = F.concat(F.lit("bom "), i, F.lit(" café"))
+    u16 = F.concat(F.lit("wide "), i)
+    lat = F.concat(F.lit("latin "), i)
+    content = (
+        F.when(k == 0, F.encode(utf8, "UTF-8"))
+        .when(k == 1, F.concat(F.unhex(F.lit("EFBBBF")), F.encode(bom8, "UTF-8")))
+        .when(k == 2, F.concat(F.unhex(F.lit("FFFE")), F.encode(u16, "UTF-16LE")))
+        .when(k == 3, F.concat(F.unhex(F.lit("FEFF")), F.encode(u16, "UTF-16BE")))
+        .when(k == 4, F.concat(F.encode(lat, "UTF-8"), F.unhex(F.lit("E9"))))
+        .otherwise(F.unhex(F.lit("FFFE41")))  # BOM + odd body: reject
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("text").alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 FEATURES_SCHEMA = "media_id bigint, feature array<double>"
 
 
