@@ -2842,6 +2842,34 @@ def q_tfidf(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir))
 
 
+# Pinned quality-classifier weights (round 15): recorded from a
+# reproducible train_quality_classifier run on the sf0.01 documents table
+# (labels = the deterministic gopher_filter rule; LBFGS, L2 0.01) and
+# frozen here as constants so the SCORING projection — sigmoid(w.x + b)
+# compiled to one column expression — is exact cross-engine arithmetic.
+# Training itself is pinned by tests/test_quality.py (gate agreement,
+# save/load, stream==batch parity); the driver hash certifies serving.
+_QUALITY_COEFFS = {
+    "stat_words": 0.1344,
+    "sig_symbol_word_ratio": 0.0,
+    "sig_mean_word_len": -0.2272,
+    "sig_dup_line_frac": 0.0,
+    "sig_bullet_line_frac": 0.0,
+    "sig_dup_2gram_char_frac": 1.802,
+    "sig_dup_3gram_char_frac": 8.3023,
+    "sig_dup_4gram_char_frac": 35.3666,
+    "sig_ellipsis_line_frac": 0.0,
+    "sig_stopword_line_frac": 0.409,
+}
+_QUALITY_INTERCEPT = -6.1207
+
+
+def _quality_prob_sql_col() -> str:
+    from woe_monotonic_binning_spark.quality import quality_prob_sql
+
+    return quality_prob_sql(_QUALITY_COEFFS, _QUALITY_INTERCEPT)
+
+
 @_q(
     "q_gopher_signals",
     # DuckDB twin of operators/text.py gopher_signals: same regexes, same
@@ -2936,9 +2964,13 @@ def q_tfidf(spark, sf_dir):
            CAST(stat_words AS INTEGER) AS stat_words,
            len(__fails) = 0 AS keep,
            -- array_to_string([]) is NULL in DuckDB; Spark array_join is ''
-           COALESCE(array_to_string(__fails, ','), '') AS reasons
+           COALESCE(array_to_string(__fails, ','), '') AS reasons,
+           -- trained quality classifier (round 15): the pinned-weight
+           -- scoring projection, generated from the SAME constants the
+           -- engine model is built from
+           {QPROB} AS quality_prob
     FROM gate
-    """,
+    """.replace("{QPROB}", _quality_prob_sql_col()),
 )
 def q_gopher_signals(spark, sf_dir):
     """Gopher-style repetition/shape quality signals (operators/text.py
@@ -2947,10 +2979,19 @@ def q_gopher_signals(spark, sf_dir):
     form on both engines) and ellipsis/stopword line fractions; extended
     round 9 with the COMPOSED gopher_filter gate columns (stat_words, keep,
     fail_reasons joined to a string) so the published Rae et al. acceptance
-    bands are hash-certified too, not just the signals they read."""
+    bands are hash-certified too, not just the signals they read; extended
+    round 15 with the TRAINED quality classifier's scoring projection
+    (quality.QualityClassifierModel.score under the pinned
+    _QUALITY_COEFFS weights — sigmoid(w.x + b) as one column expression,
+    the column a DCLM-style soft gate thresholds instead of the hard
+    rule)."""
     from woe_monotonic_binning_spark.operators.text import gopher_filter
+    from woe_monotonic_binning_spark.quality import QualityClassifierModel
 
-    return gopher_filter(_docs(spark, sf_dir)).select(
+    model = QualityClassifierModel(_QUALITY_COEFFS, _QUALITY_INTERCEPT)
+    return model.score(
+        gopher_filter(_docs(spark, sf_dir)), assume_signals=True
+    ).select(
         "doc_id",
         "sig_symbol_word_ratio",
         "sig_mean_word_len",
@@ -2964,6 +3005,7 @@ def q_gopher_signals(spark, sf_dir):
         "stat_words",
         "keep",
         F.array_join("fail_reasons", ",").alias("reasons"),
+        "quality_prob",
     )
 
 

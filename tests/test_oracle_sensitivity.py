@@ -1177,3 +1177,18 @@ def test_text_bom_ignored_is_caught(spark, con, monkeypatch):
         spark, con, "q_multimodal_stats",
         qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
     )
+
+
+def test_quality_coefficient_corruption_is_caught(spark, con, monkeypatch):
+    """q_gopher_signals' quality_prob column certifies the pinned-weight
+    scoring projection: flipping the sign of the heaviest coefficient
+    (sig_dup_4gram_char_frac, the classic serialized-model corruption)
+    moves probabilities far past the 6-dp rounding on every repetitive
+    document."""
+    mutated = dict(qc._QUALITY_COEFFS)
+    mutated["sig_dup_4gram_char_frac"] = -mutated["sig_dup_4gram_char_frac"]
+    monkeypatch.setattr(qc, "_QUALITY_COEFFS", mutated)
+    assert_caught(
+        spark, con, "q_gopher_signals",
+        qc.SPARK_QUERIES["q_gopher_signals"](spark, SF),
+    )
