@@ -266,11 +266,14 @@ def tokenize_bpe(
     once per word TYPE per executor, not per occurrence).  NULL text ->
     NULL tokens."""
     ranks = dict(tokenizer.ranks)  # plain dict: small, pickles cheaply
+    # the cache closure is built ONCE on the driver and pickled with the
+    # UDF, so each executor worker process keeps it across Arrow batches
+    # (and across tasks under worker reuse) — per-batch caches would
+    # re-encode the hot vocabulary every few thousand rows
+    enc = _encode_arrays(ranks)
 
     @F.pandas_udf("array<string>")
     def apply_merges(words: pd.Series) -> pd.Series:
-        enc = _encode_arrays(ranks)
-
         def one(ws):
             if ws is None:
                 return None
@@ -298,11 +301,10 @@ def bpe_token_count(
     materializing token arrays — the counting pass moves no token
     strings.  NULL text -> NULL count."""
     ranks = dict(tokenizer.ranks)
+    enc = _encode_arrays(ranks)  # per-worker cache, see tokenize_bpe
 
     @F.pandas_udf("long")
     def count_tokens(words: pd.Series) -> pd.Series:
-        enc = _encode_arrays(ranks)
-
         def one(ws):
             if ws is None:
                 return None

@@ -200,7 +200,9 @@ def cap_per_domain(
     and repartitioned inputs keep the SAME representatives.  One shuffle
     on the domain key; the rank is a streaming window cut (no per-group
     buffering).  NULL-domain rows pass through uncapped — they are not
-    one domain."""
+    one domain, and they BYPASS the window shuffle entirely (a crawl
+    where 20% of URLs fail to parse must not funnel 20 TB into the one
+    NULL reducer)."""
     if max_per_domain <= 0:
         raise ValueError(
             f"max_per_domain must be positive, got {max_per_domain}"
@@ -211,10 +213,13 @@ def cap_per_domain(
         F.concat_ws("_", F.col(id_col).cast("string"), F.lit(str(seed)))
     )
     w = Window.partitionBy(domain_col).orderBy(draw, F.col(id_col))
-    ranked = df.withColumn("__rk", F.row_number().over(w))
-    return ranked.where(
-        F.col(domain_col).isNull() | (F.col("__rk") <= max_per_domain)
-    ).drop("__rk")
+    ranked = (
+        df.where(F.col(domain_col).isNotNull())
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= max_per_domain)
+        .drop("__rk")
+    )
+    return ranked.unionByName(df.where(F.col(domain_col).isNull()))
 
 
 # ---------------------------------------------------------------------------
