@@ -168,3 +168,38 @@ def test_cap_per_domain_plan_single_shuffle(spark):
     )
     plan = cap_per_domain(df, 5)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_curate_corpus_url_gate(spark):
+    """curate_corpus(url_col=, url_blocklist=, max_per_domain=) runs the
+    C4 URL gate before everything else: blocklisted domains drop, hot
+    domains cap, the diagnostic url_* columns never reach the output,
+    the caller's url column survives as metadata."""
+    from woe_monotonic_binning_spark.pipeline import curate_corpus
+
+    rows = []
+    for i in range(30):
+        dom = "farm.com" if i < 20 else f"site{i}.org"
+        rows.append((i, "src0", f"https://www.{dom}/p/{i}",
+                     f"unique words document {i} " * 10))
+    rows.append((90, "src0", "https://x.bad.com/e", "blocked text " * 10))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, url string, text string"
+    )
+    out = curate_corpus(
+        docs,
+        near_dup=None,
+        quality_threshold=0.0,
+        weights=None,
+        url_col="url",
+        url_blocklist=["bad.com"],
+        max_per_domain=5,
+        cache_survivors=False,
+    )
+    got = out.collect()
+    ids = {r.doc_id for r in got}
+    assert 90 not in ids  # blocklisted
+    farm = [r for r in got if "farm.com" in r.url]
+    assert len(farm) == 5  # capped from 20
+    assert len([r for r in got if "site" in r.url]) == 10
+    assert "url" in out.columns and "__u_domain" not in out.columns

@@ -87,6 +87,9 @@ def curate_corpus(
     html_col: str | None = None,
     html_max_link_density: float = 0.5,
     html_title_col: str = "title",
+    url_col: str | None = None,
+    url_blocklist=None,
+    max_per_domain: int | None = None,
     output_path: str | None = None,
     cache_survivors: bool = True,
 ) -> DataFrame:
@@ -100,6 +103,12 @@ def curate_corpus(
     deduplicating; repetition removal must precede the quality gate or
     boilerplate inflates the signals it is judged on:
 
+    - ``url_col`` + ``url_blocklist`` / ``max_per_domain`` (round 15) —
+      the C4 URL gate, FIRST of all (cheapest filter earliest, before
+      any payload is read): ``parse_url`` -> ``filter_domains`` over the
+      blocklist (list or broadcast DataFrame) -> ``cap_per_domain``;
+      the diagnostic ``url_*`` columns are dropped, the caller's url
+      column rides through as metadata;
     - ``html_col`` (keyword-only, round 14) — ``extract_html_text``
       renders the named raw-HTML column into ``text_col`` BEFORE any
       other stage (tag strip + entity decode + link-density boilerplate
@@ -204,6 +213,27 @@ def curate_corpus(
     whole-pipeline wall at sf0.1 — with the owner here being the
     caller who asked for a lazy result).
     """
+    if url_col is not None and (url_blocklist is not None or max_per_domain):
+        # URL gate FIRST of all (round 15): C4 drops blocklisted domains
+        # and caps per-domain contribution BEFORE reading any payload —
+        # the cheapest filter runs earliest.  Diagnostic url_* columns
+        # are dropped to keep the survivor schema stable (the scrub/html
+        # contract); the url column itself is caller metadata and stays.
+        from .operators.urls import cap_per_domain, filter_domains, parse_url
+
+        docs = parse_url(docs, url_col, prefix="__u_")
+        if url_blocklist is not None:
+            docs = filter_domains(
+                docs, url_blocklist, "__u_domain", "__u_host"
+            )
+        if max_per_domain:
+            docs = cap_per_domain(
+                docs, max_per_domain, "__u_domain", id_col
+            )
+        docs = docs.drop(
+            "__u_scheme", "__u_host", "__u_port", "__u_path",
+            "__u_domain", "__u_tld",
+        )
     if html_col is not None:
         # HTML -> text extraction FIRST (round 14): the canonical
         # C4/RefinedWeb front stage — every hygiene/dedup stage below
