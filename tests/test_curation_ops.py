@@ -378,6 +378,14 @@ def test_extract_html_text_matches_duckdb_twin(spark):
         (15, "<a href='/x'>nested <a href='/y'>anchor</a> tail</a> after"),
         (16, "<head><title>  A &amp; B\n  news </title></head><p>body</p>"),
         (17, '<title data-x="y>z">Attr title</title><title>second</title>'),
+        # round 15: the per-anchor link-density measure — multi-anchor
+        # lines exactly at the 0.5 boundary (separator spaces must NOT
+        # count as link chars), anchors whose inner whitespace collapses,
+        # an anchor that is pure entity text
+        (18, "<p><a href='/x'>a</a> z <a href='/y'>b</a></p>"),
+        (19, "<p><a>  two   words </a> and padding text here</p>"),
+        (20, "<p><a>&amp;&amp;</a> ab</p>"),
+        (21, "<div><a>one</a><a>two</a><a>three</a> x</div>"),
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "html"])
     got = (

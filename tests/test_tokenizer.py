@@ -362,3 +362,44 @@ def test_curate_corpus_accepts_trained_tokenizer(spark):
     )
     picked = out.count()
     assert 0 < picked < 20
+
+
+def test_tokenize_streams_unchanged(spark, tmp_path):
+    """The apply kernel is a stateless Arrow projection: the SAME
+    bpe_token_count call on a Structured Streaming source produces
+    byte-identical counts to the batch run (ingest-time tokenization)."""
+    fixture = spark.createDataFrame(
+        [(0, "stream stream streams streaming batch batches")],
+        "id long, text string",
+    )
+    tok = train_bpe(fixture, num_merges=10)
+    docs = spark.createDataFrame(
+        [(i, f"stream batch {i} streaming") for i in range(40)],
+        "doc_id long, text string",
+    )
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        bpe_token_count(stream, tok)
+        .select("doc_id", "n_tokens_bpe")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: r.n_tokens_bpe for r in spark.read.parquet(out).collect()
+    }
+    exp = {
+        r.doc_id: r.n_tokens_bpe
+        for r in bpe_token_count(docs, tok).collect()
+    }
+    assert got == exp
