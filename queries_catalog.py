@@ -3095,6 +3095,18 @@ def _bpe_fixture_merges() -> list[tuple[str, str]]:
     return train_bpe_from_counts(counts, _BPE_FIXTURE_MERGES)
 
 
+def _bpe_fixture_tokenizer():
+    """The import-time pure-Python twin of the Spark-trained tokenizer:
+    same merges, same alphabet (chars of the fixture word types), so its
+    deterministic token->id map is the oracle's literal."""
+    from woe_monotonic_binning_spark.operators.tokenizer import BPETokenizer
+
+    alphabet = sorted(
+        {c for line in _BPE_FIXTURE_CORPUS for w in line.split(" ") for c in w}
+    )
+    return BPETokenizer(_bpe_fixture_merges(), alphabet=alphabet)
+
+
 def _bpe_section_sql() -> str:
     """The 'bpe' UNION ALL branch of the q_token_budget oracle: learned-BPE
     token counts + the md5 of the space-joined token stream per document,
@@ -3104,9 +3116,15 @@ def _bpe_section_sql() -> str:
     from the import-time pure-Python training run.  chr(1) is a safe rank
     key delimiter: multi-character pre-tokens are alphanumeric by the
     pre-tokenizer's construction, so no token can contain it."""
-    merges = _bpe_fixture_merges()
+    tok = _bpe_fixture_tokenizer()
+    merges = tok.merges
     mp = ", ".join(
         f"'{a}' || chr(1) || '{b}': {i}" for i, (a, b) in enumerate(merges)
+    )
+    # the deterministic token->id map (unk=0 on lookup miss, matching
+    # tokenizer.UNK_ID for characters outside the training alphabet)
+    idmp = ", ".join(
+        f"'{t}': {i}" for t, i in tok.token_to_id.items() if t != "<unk>"
     )
     bpe_re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]"
     return f"""
@@ -3121,7 +3139,10 @@ def _bpe_section_sql() -> str:
            coalesce(t.n_pre, 0) AS n_docs,
            md5(coalesce(t.joined, '')) AS text_md5,
            CAST(NULL AS BOOLEAN) AS oversize,
-           CAST(NULL AS BIGINT) AS n_packs,
+           -- sum of token IDS per doc (round 15 late): certifies the
+           -- deterministic id space (unk=0 / sorted chars / merges in
+           -- rank order) end to end through tokenize_ids
+           CAST(coalesce(t.id_sum, 0) AS BIGINT) AS n_packs,
            CAST(NULL AS BIGINT) AS n_oversize,
            CAST(NULL AS DOUBLE) AS utilization,
            CAST(NULL AS DOUBLE) AS min_utilization,
@@ -3155,10 +3176,17 @@ def _bpe_section_sql() -> str:
           )
         ) WHERE br IS NOT NULL
       ),
-      final AS (SELECT word, max_by(syms, it) AS syms FROM enc GROUP BY word)
+      final AS (
+        SELECT word, max_by(syms, it) AS syms,
+               list_sum(list_transform(max_by(syms, it),
+                 t -> coalesce(list_extract((MAP {{{idmp}}})[t], 1), 0)))
+                 AS id_sum
+        FROM enc GROUP BY word
+      )
       SELECT doc_id, sum(len(f.syms)) AS toks, count(*) AS n_pre,
              string_agg(array_to_string(f.syms, ' '), ' ' ORDER BY pos)
-               AS joined
+               AS joined,
+             sum(f.id_sum) AS id_sum
       FROM pre JOIN final f USING (word) GROUP BY doc_id
     ) t USING (doc_id)
     """
@@ -3401,6 +3429,7 @@ def q_token_budget(spark, sf_dir):
     from woe_monotonic_binning_spark.operators.tokenizer import (
         pretokens,
         tokenize_bpe,
+        tokenize_ids,
         train_bpe,
     )
 
@@ -3409,7 +3438,7 @@ def q_token_budget(spark, sf_dir):
         "id long, text string",
     )
     bpe_tok = train_bpe(fixture, num_merges=_BPE_FIXTURE_MERGES)
-    bpe = tokenize_bpe(docs, bpe_tok).select(
+    bpe = tokenize_ids(tokenize_bpe(docs, bpe_tok), bpe_tok).select(
         F.lit("bpe").alias("section"),
         "doc_id",
         F.lit(None).cast("string").alias("source"),
@@ -3417,7 +3446,11 @@ def q_token_budget(spark, sf_dir):
         F.size(pretokens(F.col("text"))).cast("long").alias("n_docs"),
         F.md5(F.array_join("bpe_tokens", " ")).alias("text_md5"),
         F.lit(None).cast("boolean").alias("oversize"),
-        null_l.alias("n_packs"),
+        F.aggregate(
+            "token_ids",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("n_packs"),
         null_l.alias("n_oversize"),
         null_d.alias("utilization"),
         null_d.alias("min_utilization"),

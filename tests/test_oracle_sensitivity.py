@@ -1192,3 +1192,32 @@ def test_quality_coefficient_corruption_is_caught(spark, con, monkeypatch):
         spark, con, "q_gopher_signals",
         qc.SPARK_QUERIES["q_gopher_signals"](spark, SF),
     )
+
+
+def test_bpe_id_space_ordering_bug_is_caught(spark, con, monkeypatch):
+    """The 'bpe' section's id-sum column certifies the DETERMINISTIC id
+    space: an artifact whose alphabet ids follow first-seen order
+    instead of sorted order (the classic set-iteration bug) assigns
+    different ids to the same tokens, so per-doc id sums disagree."""
+    import woe_monotonic_binning_spark.operators.tokenizer as tk
+
+    orig = tk.train_bpe
+
+    def mutated(df, text_col="text", num_merges=200, **kw):
+        tok = orig(df, text_col, num_merges, **kw)
+        bad = tk.BPETokenizer(tok.merges, alphabet=tok.alphabet)
+        # rebuild the char ids in REVERSED order — same set, wrong order
+        bad.token_to_id = {"<unk>": 0}
+        for c in reversed(tok.alphabet):
+            bad.token_to_id[c] = len(bad.token_to_id)
+        for a, b in tok.merges:
+            t = a + b
+            if t not in bad.token_to_id:
+                bad.token_to_id[t] = len(bad.token_to_id)
+        return bad
+
+    monkeypatch.setattr(tk, "train_bpe", mutated)
+    assert_caught(
+        spark, con, "q_token_budget",
+        qc.SPARK_QUERIES["q_token_budget"](spark, SF),
+    )

@@ -403,3 +403,61 @@ def test_tokenize_streams_unchanged(spark, tmp_path):
         for r in bpe_token_count(docs, tok).collect()
     }
     assert got == exp
+
+
+def test_token_id_space_deterministic_and_unk():
+    """The id space is a pure function of the artifact: unk=0, sorted
+    single chars from 1, merge tokens in rank order; out-of-alphabet
+    characters encode to UNK_ID; save/load round-trips the alphabet."""
+    from woe_monotonic_binning_spark.operators.tokenizer import UNK_ID
+
+    tok = BPETokenizer(
+        train_bpe_from_counts({"abab": 5, "abc": 4}, 4),
+        alphabet=["a", "b", "c"],
+    )
+    assert tok.token_to_id["<unk>"] == UNK_ID == 0
+    assert (tok.token_to_id["a"], tok.token_to_id["b"],
+            tok.token_to_id["c"]) == (1, 2, 3)
+    # merge tokens follow in rank order
+    first_merge = tok.merges[0]
+    assert tok.token_to_id[first_merge[0] + first_merge[1]] == 4
+    assert tok.vocab_size() == 4 + len(
+        {a + b for a, b in tok.merges}
+    )
+    # 'z' was never in the alphabet -> UNK
+    assert tok.encode_ids("za") [0] == UNK_ID
+    assert all(i > 0 for i in tok.encode_ids("abab"))
+
+
+def test_token_id_roundtrip_save_load(tmp_path):
+    tok = BPETokenizer(
+        train_bpe_from_counts({"table": 4, "tables": 3}, 6),
+        alphabet=list("tables"),
+    )
+    p = str(tmp_path / "bpe2.json")
+    tok.save(p)
+    tok2 = BPETokenizer.load(p)
+    assert tok2.token_to_id == tok.token_to_id
+    assert tok2.alphabet == tok.alphabet
+
+
+def test_tokenize_ids_matches_pure_encode(spark):
+    fixture = spark.createDataFrame(
+        [(0, "low lower lowest low lowest")], "id long, text string"
+    )
+    tok = train_bpe(fixture, num_merges=8)
+    rows = [(0, "lowest zq low"), (1, None), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from woe_monotonic_binning_spark.operators.tokenizer import tokenize_ids
+
+    got = {r.doc_id: r.token_ids for r in tokenize_ids(df, tok).collect()}
+    for i, t in rows:
+        if t is None:
+            assert got[i] is None
+            continue
+        exp = []
+        for w in _BPE_PY.findall(t):
+            exp.extend(tok.encode_ids(w))
+        assert got[i] == exp, (i, t)
+    # 'z'/'q' are out-of-alphabet -> explicit UNK zeros, never dropped
+    assert 0 in got[0]

@@ -54,9 +54,11 @@ from .text import _BPE_RE
 
 __all__ = [
     "BPETokenizer",
+    "UNK_ID",
     "train_bpe",
     "train_bpe_from_counts",
     "tokenize_bpe",
+    "tokenize_ids",
     "bpe_token_count",
 ]
 
@@ -156,37 +158,86 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
-class BPETokenizer:
-    """The learned artifact: an ordered list of merges.  Small by
-    construction (``num_merges`` entries), so it broadcasts to executors
-    inside the UDF closure — no join, no shuffle."""
+UNK_ID = 0  # id of the out-of-alphabet token in every id space
 
-    def __init__(self, merges: list[tuple[str, str]]):
+
+class BPETokenizer:
+    """The learned artifact: an ordered list of merges plus the training
+    alphabet.  Small by construction (``num_merges`` + alphabet
+    entries), so it broadcasts to executors inside the UDF closure — no
+    join, no shuffle.
+
+    The INTEGER ID SPACE (what a training pipeline actually packs) is a
+    pure function of the artifact: id 0 is ``<unk>`` (characters never
+    seen in training), ids 1..|alphabet| the sorted single characters,
+    then the merge tokens in rank order — deterministic, so two
+    machines loading the same JSON assign identical ids."""
+
+    def __init__(
+        self,
+        merges: list[tuple[str, str]],
+        alphabet: list[str] | None = None,
+    ):
         self.merges = [tuple(m) for m in merges]
         self.ranks: dict[tuple[str, str], int] = {
             m: i for i, m in enumerate(self.merges)
         }
+        if alphabet is None:
+            # lossy fallback for artifacts that predate the alphabet
+            # field: every character that appears inside a merge
+            alphabet = sorted({c for m in self.merges for part in m
+                               for c in part})
+        self.alphabet = sorted(set(alphabet))
+        self.token_to_id: dict[str, int] = {"<unk>": UNK_ID}
+        for c in self.alphabet:
+            self.token_to_id[c] = len(self.token_to_id)
+        for a, b in self.merges:
+            tok = a + b
+            if tok not in self.token_to_id:
+                self.token_to_id[tok] = len(self.token_to_id)
 
     def encode(self, word: str) -> list[str]:
         return encode_word(word, self.ranks)
+
+    def encode_ids(self, word: str) -> list[int]:
+        """Token ids of one word; characters outside the training
+        alphabet map to ``UNK_ID`` (BPE never merges them, so an
+        unseen character is always its own single-char token)."""
+        return [
+            self.token_to_id.get(t, UNK_ID) for t in self.encode(word)
+        ]
 
     def vocab(self) -> set[str]:
         """Learned multi-character tokens (single characters are always
         implicitly in-vocabulary — BPE never fails to encode)."""
         return {a + b for a, b in self.merges}
 
+    def vocab_size(self) -> int:
+        return len(self.token_to_id)
+
     def save(self, path: str) -> None:
         with open(path, "w") as f:
-            json.dump({"version": 1, "merges": self.merges}, f)
+            json.dump(
+                {
+                    "version": 2,
+                    "merges": self.merges,
+                    "alphabet": self.alphabet,
+                },
+                f,
+            )
 
     @classmethod
     def load(cls, path: str) -> "BPETokenizer":
         with open(path) as f:
             d = json.load(f)
-        return cls([tuple(m) for m in d["merges"]])
+        return cls([tuple(m) for m in d["merges"]], d.get("alphabet"))
 
     def __eq__(self, other):  # pragma: no cover - convenience
-        return isinstance(other, BPETokenizer) and self.merges == other.merges
+        return (
+            isinstance(other, BPETokenizer)
+            and self.merges == other.merges
+            and self.alphabet == other.alphabet
+        )
 
     def __repr__(self):
         return f"BPETokenizer(n_merges={len(self.merges)})"
@@ -231,8 +282,10 @@ def train_bpe(
         .limit(int(max_word_types))
         .collect()
     )
+    wc = {r["word"]: r["count"] for r in rows}
     return BPETokenizer(
-        train_bpe_from_counts({r["word"]: r["count"] for r in rows}, num_merges)
+        train_bpe_from_counts(wc, num_merges),
+        alphabet=sorted({c for w in wc for c in w}),
     )
 
 
@@ -285,6 +338,37 @@ def tokenize_bpe(
         return words.map(one)
 
     return df.withColumn(out_col, apply_merges(pretokens(F.col(text_col))))
+
+
+def tokenize_ids(
+    df: DataFrame,
+    tokenizer: BPETokenizer,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Add ``out_col`` (array<int>): the document's token-ID stream under
+    the tokenizer's deterministic id space — what ``materialize_packs``'d
+    training sequences actually serialize.  Characters outside the
+    training alphabet become ``UNK_ID`` (honest, visible — never a
+    silent drop).  Same kernel shape and per-worker cache as
+    :func:`tokenize_bpe`; NULL text -> NULL ids."""
+    ranks = dict(tokenizer.ranks)
+    t2i = dict(tokenizer.token_to_id)
+    enc = _encode_arrays(ranks)
+
+    @F.pandas_udf("array<int>")
+    def apply_ids(words: pd.Series) -> pd.Series:
+        def one(ws):
+            if ws is None:
+                return None
+            out: list[int] = []
+            for w in ws:
+                out.extend(t2i.get(t, UNK_ID) for t in enc(w))
+            return out
+
+        return words.map(one)
+
+    return df.withColumn(out_col, apply_ids(pretokens(F.col(text_col))))
 
 
 def bpe_token_count(
