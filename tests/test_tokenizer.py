@@ -461,3 +461,46 @@ def test_tokenize_ids_matches_pure_encode(spark):
         assert got[i] == exp, (i, t)
     # 'z'/'q' are out-of-alphabet -> explicit UNK zeros, never dropped
     assert 0 in got[0]
+
+
+def test_materialize_pack_ids_end_to_end(spark):
+    """The full real-token chain: train -> tokenize_ids -> count ->
+    pack_sequences -> materialize_pack_ids: packed id sequences
+    concatenate member docs in ascending-id order, optional sep_id
+    delimits documents (never leading), n_tokens counts real ids."""
+    from woe_monotonic_binning_spark.operators.packing import (
+        materialize_pack_ids,
+        pack_sequences,
+    )
+    from woe_monotonic_binning_spark.operators.tokenizer import tokenize_ids
+
+    fixture = spark.createDataFrame(
+        [(0, "aa ab aa ab ba ba")], "id long, text string"
+    )
+    tok = train_bpe(fixture, num_merges=4)
+    docs = spark.createDataFrame(
+        [(i, f"aa ab ba x{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    with_ids = bpe_token_count(tokenize_ids(docs, tok), tok)
+    packed = pack_sequences(with_ids, token_col="n_tokens_bpe", budget=30)
+    mat = materialize_pack_ids(with_ids, packed, sep_id=99).collect()
+    pure = {
+        r.doc_id: r.token_ids for r in tokenize_ids(docs, tok).collect()
+    }
+    for row in mat:
+        exp: list[int] = []
+        for j, d in enumerate(sorted(row.doc_ids)):
+            if j:
+                exp.append(99)
+            exp.extend(pure[d])
+        assert row.token_ids == exp, row
+        assert row.n_tokens == sum(len(pure[d]) for d in row.doc_ids)
+        assert row.n_docs == len(row.doc_ids)
+    # every doc lands in exactly one pack
+    assert sorted(d for r in mat for d in r.doc_ids) == list(range(10))
+    # and without sep_id: plain concatenation
+    mat2 = materialize_pack_ids(with_ids, packed).collect()
+    for row in mat2:
+        exp = [i for d in sorted(row.doc_ids) for i in pure[d]]
+        assert row.token_ids == exp

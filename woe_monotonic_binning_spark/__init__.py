@@ -32,6 +32,7 @@ from ._algo import BINS_COLUMNS, FitParams
 from .ml import WOEBinner, WOEBinnerModel
 from .pipeline import curate_corpus
 from .profile import check_expectations, column_profile
+from .quality import QualityClassifierModel, train_quality_classifier
 
 __all__ = [
     "BINS_COLUMNS",
@@ -53,6 +54,8 @@ __all__ = [
     "psi_report",
     "psi_report_quantile",
     "psi_summary",
+    "QualityClassifierModel",
+    "train_quality_classifier",
     "stability_over_periods",
     "unpack_woe",
     "woe_binning",

@@ -193,6 +193,69 @@ def materialize_packs(
     )
 
 
+def materialize_pack_ids(
+    docs: DataFrame,
+    packed: DataFrame,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    sep_id: int | None = None,
+) -> DataFrame:
+    """The token-ID twin of :func:`materialize_packs` (round 15): one row
+    per pack with the member documents' ``tokenizer.tokenize_ids``
+    streams concatenated in ascending-id order — the array a training
+    shard writer serializes directly.  ``sep_id`` (e.g. an EOS/document
+    separator id) is inserted BETWEEN documents when given, matching how
+    pretraining corpora delimit documents inside a packed sequence.
+
+    Same single-shuffle shape as the text materializer: the (id,
+    pack_id) table equi-joins back to the corpus, one groupBy(pack_id)
+    moves the id arrays exactly once.  ``n_tokens`` counts the real ids
+    (separators excluded), so ``pack_stats`` arithmetic stays
+    comparable."""
+    slim = packed.select(id_col, "pack_id", "oversize")
+    joined = docs.select(id_col, ids_col).join(slim, id_col)
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col(ids_col).alias("t"))
+            )
+        ),
+        lambda s: s["t"],
+    )
+    if sep_id is not None:
+        # interleave [sep_id] between documents, then drop the leading one
+        seq = F.slice(
+            F.flatten(
+                F.transform(
+                    ordered,
+                    lambda t: F.concat(
+                        F.array(F.lit(int(sep_id)).cast("int")), t
+                    ),
+                )
+            ),
+            2,
+            2_147_483_647,
+        )
+    else:
+        seq = F.flatten(ordered)
+    return (
+        joined.groupBy("pack_id")
+        .agg(
+            seq.alias(ids_col),
+            F.aggregate(
+                F.collect_list(F.size(ids_col)),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("n_tokens"),
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+            F.max(F.col("oversize").cast("int")).cast("boolean").alias(
+                "oversize"
+            ),
+        )
+    )
+
+
 def pack_shard_stats(packed: DataFrame, budget: int) -> DataFrame:
     """Per-SHARD fill distribution: one row per shard with its pack count
     and the min/median/max token utilization of its non-oversize packs —
