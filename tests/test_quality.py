@@ -167,3 +167,47 @@ def test_score_plan_is_pure_projection(spark):
     assert "Exchange" not in plan, plan
     for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas"):
         assert marker not in plan, plan
+
+
+def test_curate_corpus_quality_model_gate(spark):
+    """curate_corpus(quality_model=) gates on the trained classifier:
+    the quality column carries the model probability, low-probability
+    docs drop at the caller's threshold, the intermediate signal columns
+    never reach the survivors."""
+    from woe_monotonic_binning_spark.pipeline import curate_corpus
+
+    vocab = ("the quick brown fox jumps over a lazy dog while many other "
+             "animals watch from nearby fields and wonder about dinner "
+             "plans during long summer evenings full of light").split()
+
+    def good(i):
+        # non-repetitive prose: a unique token every third word keeps
+        # every n-gram distinct (pure vocab rotation still repeats
+        # bigrams with the rotation period and fails the Gopher rule)
+        return " ".join(
+            f"u{i}x{k}" if k % 3 == 0 else vocab[(i + k) % len(vocab)]
+            for k in range(60)
+        )
+
+    junk = "spam spam spam\nspam spam spam\n" * 12
+    docs = spark.createDataFrame(
+        [
+            (i, "src0", good(i) if i % 2 else junk + f" t{i}")
+            for i in range(20)
+        ],
+        "doc_id long, source string, text string",
+    )
+    model = train_quality_classifier(docs)
+    out = curate_corpus(
+        docs,
+        near_dup=None,
+        quality_threshold=0.5,
+        quality_model=model,
+        weights=None,
+        cache_survivors=False,
+    )
+    rows = out.collect()
+    ids = {r.doc_id for r in rows}
+    assert ids and all(i % 2 == 1 for i in ids), ids
+    assert all(0.5 <= r.quality <= 1.0 for r in rows)
+    assert "sig_dup_line_frac" not in out.columns

@@ -90,6 +90,7 @@ def curate_corpus(
     url_col: str | None = None,
     url_blocklist=None,
     max_per_domain: int | None = None,
+    quality_model=None,
     output_path: str | None = None,
     cache_survivors: bool = True,
 ) -> DataFrame:
@@ -169,6 +170,12 @@ def curate_corpus(
     ``operators.tokenizer.BPETokenizer``: when given, the budget fill
     meters REAL learned-BPE counts (``bpe_token_count``) instead of the
     regex proxy ``token_count_bpe``.
+    ``quality_model`` (round 15) — a trained
+    ``quality.QualityClassifierModel``: when given, the quality gate
+    scores ``sigmoid(w . gopher_signals + b)`` (the DCLM-style learned
+    gate) instead of the heuristic ``quality_score``; the ``quality``
+    column and ``quality_threshold`` semantics are unchanged, so
+    keep-best ordering and the survivor schema stay stable.
     ``benchmark`` (optional) is an eval-set DataFrame sharing
     ``text_col``/``id_col``: every doc sharing a word ``decontam_n``-gram
     with it is dropped before dedup (broadcast gram scan + anti-join) —
@@ -305,9 +312,23 @@ def curate_corpus(
         docs = decontaminate_semantic(
             docs, benchmark_emb, vec_col, id_col, benchmark_emb_threshold
         )
-    scored = quality_score(docs, text_col).filter(
-        F.col("quality") >= quality_threshold
-    )
+    if quality_model is not None:
+        # trained-classifier gate (round 15): the fitted sigmoid
+        # projection replaces the heuristic — same `quality` column name
+        # so keep-best ordering is unchanged, and the intermediate
+        # signal columns are dropped to keep the survivor schema stable
+        # (the scrub/html/url contract)
+        from .quality import QUALITY_SIGNAL_COLS
+
+        scored = (
+            quality_model.score(docs, text_col, out_col="quality")
+            .drop(*QUALITY_SIGNAL_COLS)
+            .filter(F.col("quality") >= quality_threshold)
+        )
+    else:
+        scored = quality_score(docs, text_col).filter(
+            F.col("quality") >= quality_threshold
+        )
     reps = exact_dedup_by_digest(scored, text_col, id_col).select(id_col)
     uniq = scored.join(reps, id_col, "left_semi")
     if cache_survivors:
