@@ -560,3 +560,41 @@ def test_extract_html_text_plan_is_map_side_jvm(spark):
     assert exchange_count(out) == 0
     assert python_eval_count(out) == 0
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 0
+
+
+def test_parse_url_plan_is_map_side_jvm(spark):
+    """parse_url is one fused map-side pass (round 15): zero exchanges,
+    zero Python — the URL gate fuses into the corpus scan, which is why
+    it runs FIRST in curate_corpus."""
+    from woe_monotonic_binning_spark.operators.urls import parse_url
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "url", F.concat(F.lit("https://h"), F.col("doc_id"), F.lit(".com/p"))
+    )
+    out = parse_url(docs)
+    assert exchange_count(out) == 0
+    assert python_eval_count(out) == 0
+
+
+def test_filter_domains_dataframe_blocklist_broadcasts(spark):
+    """A DataFrame blocklist ships as a broadcast LEFT ANTI join — the
+    corpus never shuffles for the gate."""
+    from woe_monotonic_binning_spark.operators.urls import (
+        filter_domains,
+        parse_url,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "url", F.concat(F.lit("https://h"), F.col("doc_id"), F.lit(".com/p"))
+    )
+    bl = spark.createDataFrame([("h1.com",), ("h2.com",)], "d string")
+    out = filter_domains(parse_url(docs), bl)
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # every shuffle in the plan is the (tiny) blocklist's distinct — the
+    # corpus side never hash-partitions
+    import re
+
+    raw = out._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", raw):
+        assert "__bl" in m.group(1), raw
