@@ -2180,28 +2180,61 @@ def q_multimodal_stats(spark, sf_dir):
 
 @_q(
     "q_frame_sample",
-    # frame-sampling plumbing: one row per sampled frame from the metadata
+    # frame-sampling plumbing: 'meta' = one row per sampled frame from the
+    # metadata stub; 'decoded' (round 15 late) = sample_frames(decode=True)
+    # over the MJPEG-in-AVI fixture at every_ms=80 — the covering-frame
+    # clamp (ts 0 -> frame 0, ts 80 -> frame 2 of three 40ms frames) and
+    # the per-frame decoded sums are closed-form in the id
     """
-    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
-           CAST(f * 1000 AS BIGINT) AS ts_ms
+    SELECT 'meta' AS section, doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+           CAST(f * 1000 AS BIGINT) AS ts_ms,
+           CAST(NULL AS VARCHAR) AS fmt, CAST(NULL AS INT) AS width,
+           CAST(NULL AS BIGINT) AS sum_r
     FROM documents,
          unnest(generate_series(0, CAST(ceil(n_chars * 10 / 1000.0) AS INT) - 1))
            AS t(f)
     WHERE n_chars > 0
+    UNION ALL
+    SELECT 'decoded' AS section, doc_id AS media_id,
+           CAST(CASE WHEN ts = 0 THEN 0 ELSE 2 END AS INT) AS frame_idx,
+           CAST(ts AS BIGINT) AS ts_ms,
+           'mjpeg' AS fmt, 16 AS width,
+           CAST(64 * (257 + 2 * (16 + (doc_id + CASE WHEN ts = 0 THEN 0
+                                                      ELSE 2 END) % 16))
+                AS BIGINT) AS sum_r
+    FROM documents, (SELECT unnest([0, 80]) AS ts)
     """,
 )
 def q_frame_sample(spark, sf_dir):
     from woe_monotonic_binning_spark.operators.multimodal import (
         media_from_documents,
         sample_frames,
+        synthetic_avi_mjpeg_media,
     )
 
-    media = media_from_documents(_docs(spark, sf_dir))
-    return sample_frames(media).select(
+    docs = _docs(spark, sf_dir)
+    null_s = F.lit(None).cast("string")
+    meta = sample_frames(media_from_documents(docs)).select(
+        F.lit("meta").alias("section"),
         "media_id",
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.col("ts_ms").cast("bigint").alias("ts_ms"),
+        null_s.alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("bigint").alias("sum_r"),
     )
+    decoded = sample_frames(
+        synthetic_avi_mjpeg_media(docs), every_ms=80, decode=True
+    ).select(
+        F.lit("decoded").alias("section"),
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("ts_ms").cast("bigint").alias("ts_ms"),
+        "fmt",
+        "width",
+        "sum_r",
+    )
+    return meta.unionByName(decoded)
 
 
 # rows-only beyond-reference ops (hash-based internals differ from any

@@ -1221,3 +1221,26 @@ def test_bpe_id_space_ordering_bug_is_caught(spark, con, monkeypatch):
         spark, con, "q_token_budget",
         qc.SPARK_QUERIES["q_token_budget"](spark, SF),
     )
+
+
+def test_sampled_frame_selection_corruption_is_caught(spark, con, monkeypatch):
+    """q_frame_sample's 'decoded' section certifies WHICH stored frame a
+    sampled timestamp decodes: a movi walker that returns the chunk list
+    reversed (an index-table ordering bug) pairs ts=0 with frame 2's
+    pixels, so the closed-form per-timestamp sums disagree."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm._avi_video_frames
+
+    def mutated(b):
+        got = orig(b)
+        if got is None:
+            return None
+        usec, frames = got
+        return usec, list(reversed(frames))
+
+    monkeypatch.setattr(mm, "_avi_video_frames", mutated)
+    assert_caught(
+        spark, con, "q_frame_sample",
+        qc.SPARK_QUERIES["q_frame_sample"](spark, SF),
+    )
