@@ -4021,12 +4021,18 @@ def _html_fixture_col():
     )
 
 
-# URL fixture for the q_dedup_lines 'url'/'url_cap' sections (round 15):
-# 12 adversarial URL shapes cycled by doc_id % 12, each built from one
-# token spec rendered by BOTH engines (("lit", s) emits the literal,
-# ("mod", m) emits str(doc_id % m)) — ports, userinfo, bracketed IPv6,
-# punycode, scheme-less, two-level ccTLD suffixes, dotted-quad IPv4,
-# single-label hosts, a NULL row, and a blocklisted domain family.
+# URL fixture for the q_dedup_lines 'url'/'url_cap' sections (round 15;
+# widened round 16): adversarial URL shapes cycled by doc_id % 19, each
+# built from one token spec rendered by BOTH engines (("lit", s) emits
+# the literal, ("mod", m) emits str(doc_id % m)) — ports, userinfo,
+# bracketed IPv6, punycode, scheme-less, two-level ccTLD suffixes,
+# dotted-quad IPv4, single-label hosts, a NULL row, a blocklisted
+# domain family, and the round-16 data-driven-PSL shapes: exact rule
+# (*.github.io-style sibling subdomains that must NOT collapse into one
+# domain), a ccTLD second level ABSENT from the built-in fallback
+# (co.il), a wildcard rule (*.ck), an exception rule (!www.ck), a
+# trailing root dot, a port past int32, and an int32-valid port past
+# 65535 (both must parse to NULL port).
 _URL_FIXTURE_SPECS = [
     [("lit", "https://www.example"), ("mod", 7), ("lit", ".com/a/"),
      ("mod", 97), ("lit", "?q=1")],
@@ -4041,15 +4047,35 @@ _URL_FIXTURE_SPECS = [
     [("lit", "https://deep.sub.site"), ("mod", 6), ("lit", ".com.au/page")],
     None,  # NULL url: parse must stay NULL-in-NULL-out
     [("lit", "https://203.0.113."), ("mod", 250), ("lit", "/ipv4")],
+    [("lit", "https://proj"), ("mod", 5), ("lit", ".github.io/p/"),
+     ("mod", 97)],
+    [("lit", "https://shop"), ("mod", 4), ("lit", ".x.co.il/i")],
+    [("lit", "http://w"), ("mod", 3), ("lit", ".atoll.ck/wild")],
+    [("lit", "http://sub"), ("mod", 2), ("lit", ".www.ck/exc")],
+    [("lit", "https://dot.trail"), ("mod", 6), ("lit", ".org./t")],
+    [("lit", "http://bigport.example.com:99999999999/p")],
+    [("lit", "http://midport.example.com:70000/p")],  # int32-ok, >65535
 ]
 _URL_BLOCKLIST = ["bad.com", "spam.net"]
 _URL_CAP = 3
+# The certified suffix rules (PSL format): the built-in fallback set as
+# exact rules plus one of each data-driven rule kind — exact two-label,
+# wildcard, exception.  Built lazily so module import stays engine-free.
+_URL_PSL_EXTRA = ["github.io", "co.il", "*.ck", "!www.ck"]
+
+
+def _url_psl_rules() -> list[str]:
+    from woe_monotonic_binning_spark.operators.urls import (
+        SECOND_LEVEL_SUFFIXES,
+    )
+
+    return list(SECOND_LEVEL_SUFFIXES) + list(_URL_PSL_EXTRA)
 
 
 def _url_fixture_col():
     out = None
     for k, spec in enumerate(_URL_FIXTURE_SPECS):
-        cond = F.pmod(F.col("doc_id"), F.lit(12)) == k
+        cond = F.pmod(F.col("doc_id"), F.lit(len(_URL_FIXTURE_SPECS))) == k
         if spec is None:
             val = F.lit(None).cast("string")
         else:
@@ -4074,7 +4100,9 @@ def _url_fixture_sql() -> str:
                 else f"CAST(doc_id % {tok[1]} AS VARCHAR)"
                 for tok in spec
             )
-        cases.append(f"WHEN doc_id % 12 = {k} THEN {val}")
+        cases.append(
+            f"WHEN doc_id % {len(_URL_FIXTURE_SPECS)} = {k} THEN {val}"
+        )
     return "CASE " + " ".join(cases) + " END"
 
 
@@ -4092,7 +4120,7 @@ def _url_section_sql() -> str:
     )
 
     p = url_parts_sql("url")
-    dom = registered_domain_sql(f"({p['host']})")
+    dom = registered_domain_sql(f"({p['host']})", suffix_list=_url_psl_rules())
     bl = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
     tld = (
         f"CASE WHEN ({p['host']}) IS NOT NULL "
@@ -4531,10 +4559,11 @@ def q_dedup_lines(spark, sf_dir):
         F.col("n_lines").cast("int").alias("n_units"),
     )
 
-    # 'url' + 'url_cap' sections (round 15): parse_url over the 12-shape
-    # fixture, the filter_domains block flag derived from the ACTUAL
-    # operator output (left anti -> left join back), and cap_per_domain's
-    # exact kept set per registered domain
+    # 'url' + 'url_cap' sections (round 15; PSL-widened round 16):
+    # parse_url over the 18-shape fixture under the certified PSL rules
+    # (exact/wildcard/exception), the filter_domains block flag derived
+    # from the ACTUAL operator output (left anti -> left join back), and
+    # cap_per_domain's exact kept set per registered domain
     from woe_monotonic_binning_spark.operators.urls import (
         cap_per_domain,
         filter_domains,
@@ -4542,7 +4571,8 @@ def q_dedup_lines(spark, sf_dir):
     )
 
     parsed = parse_url(
-        _docs(spark, sf_dir).select("doc_id", _url_fixture_col().alias("url"))
+        _docs(spark, sf_dir).select("doc_id", _url_fixture_col().alias("url")),
+        suffix_list=_url_psl_rules(),
     )
     kept_ids = filter_domains(parsed, _URL_BLOCKLIST).select(
         "doc_id", F.lit(1).alias("__kept")

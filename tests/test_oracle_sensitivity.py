@@ -1244,3 +1244,62 @@ def test_sampled_frame_selection_corruption_is_caught(spark, con, monkeypatch):
         spark, con, "q_frame_sample",
         qc.SPARK_QUERIES["q_frame_sample"](spark, SF),
     )
+
+
+def test_psl_rule_dropped_is_caught(spark, con, monkeypatch):
+    """The round-16 'url' section certifies the data-driven PSL: an
+    engine whose rule table silently lost the github.io exact rule
+    collapses projN.github.io sibling subdomains into ONE registered
+    domain — the domain md5 in 'url' and the per-domain groups in
+    'url_cap' both disagree (the oracle SQL was generated at import time
+    from the FULL rule list)."""
+    mutated_rules = [r for r in qc._url_psl_rules() if r != "github.io"]
+    assert len(mutated_rules) == len(qc._url_psl_rules()) - 1
+    monkeypatch.setattr(qc, "_url_psl_rules", lambda: mutated_rules)
+    assert_caught(
+        spark, con, "q_dedup_lines",
+        qc.SPARK_QUERIES["q_dedup_lines"](spark, SF),
+    )
+
+
+def test_psl_exception_ignored_is_caught(spark, con, monkeypatch):
+    """The 'url' section pins exception-rule semantics: an engine that
+    drops !www.ck (keeping *.ck) treats www.ck itself as a public
+    suffix, so subN.www.ck rows get registered domain subN.www.ck
+    instead of www.ck — md5 and cap grouping both shift."""
+    mutated_rules = [r for r in qc._url_psl_rules() if r != "!www.ck"]
+    assert len(mutated_rules) == len(qc._url_psl_rules()) - 1
+    monkeypatch.setattr(qc, "_url_psl_rules", lambda: mutated_rules)
+    assert_caught(
+        spark, con, "q_dedup_lines",
+        qc.SPARK_QUERIES["q_dedup_lines"](spark, SF),
+    )
+
+
+def test_url_port_overflow_accepted_is_caught(spark, con, monkeypatch):
+    """The round-16 'url' section pins the port-validity bound: an
+    engine that skips the 1..65535 check (try_cast alone — the
+    pre-round-16 behavior for int32-valid-but-invalid ports) emits 70000
+    for the midport fixture shape where the twin says NULL.  Injected by
+    re-deriving the port column without the bound."""
+    import woe_monotonic_binning_spark.operators.urls as ur
+
+    orig = ur.parse_url
+
+    def mutated(df, url_col="url", extra_suffixes=(), prefix="url_",
+                suffix_list=None):
+        out = orig(df, url_col, extra_suffixes, prefix, suffix_list)
+        from pyspark.sql import functions as F
+
+        raw = F.regexp_extract(F.col(url_col), ur._PORT_RE, 3)
+        unbounded = F.when(
+            F.col(f"{prefix}host").isNotNull() & (raw != ""),
+            raw.try_cast("int"),
+        )
+        return out.withColumn(f"{prefix}port", unbounded)
+
+    monkeypatch.setattr(ur, "parse_url", mutated)
+    assert_caught(
+        spark, con, "q_dedup_lines",
+        qc.SPARK_QUERIES["q_dedup_lines"](spark, SF),
+    )

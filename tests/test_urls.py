@@ -203,3 +203,156 @@ def test_curate_corpus_url_gate(spark):
     assert len(farm) == 5  # capped from 20
     assert len([r for r in got if "site" in r.url]) == 10
     assert "url" in out.columns and "__u_domain" not in out.columns
+
+
+# -- round 16: data-driven PSL + host/port hardening -------------------------
+
+from woe_monotonic_binning_spark.operators.urls import PublicSuffixList
+
+_PSL_RULES = [
+    "// test PSL", "com", "io", "github.io", "co.il", "uk", "co.uk",
+    "*.ck", "!www.ck",
+]
+
+
+def test_parse_url_host_hardening(spark):
+    """Trailing root dot trims before label arithmetic; hosts with empty
+    labels and out-of-range ports honest-reject (round-16 advice)."""
+    rows = [
+        (0, "https://dot.example.org./t"),     # trailing root dot
+        (1, "https://.lead.com/x"),            # leading empty label
+        (2, "https://a..b.com/x"),             # inner empty label
+        (3, "http://h.example.com:70000/x"),   # int32-valid, >65535
+        (4, "http://h.example.com:99999999999/x"),  # past int32
+        (5, "http://h.example.com:0/x"),       # port 0 invalid
+        (6, "http://h.example.com:65535/x"),   # max valid
+    ]
+    got = {
+        r.doc_id: r
+        for r in parse_url(
+            spark.createDataFrame(rows, "doc_id long, url string")
+        ).collect()
+    }
+    assert (got[0].url_host, got[0].url_domain, got[0].url_tld) == (
+        "dot.example.org", "example.org", "org"
+    )
+    for i in (1, 2):
+        assert got[i].url_host is None and got[i].url_domain is None, i
+        assert got[i].url_path is None and got[i].url_scheme is None, i
+    for i in (3, 4, 5):
+        assert got[i].url_port is None, i
+        assert got[i].url_host == "h.example.com", i  # host still parses
+    assert got[6].url_port == 65535
+
+
+def test_psl_longest_match_semantics(spark):
+    """Exact / wildcard / exception rules, longest match, apex posture."""
+    psl = PublicSuffixList(_PSL_RULES)
+    rows = [
+        (0, "https://a.github.io/p"),     # exact 2-label rule
+        (1, "https://b.github.io/p"),     # sibling must NOT collapse
+        (2, "https://github.io/apex"),    # host IS a public suffix
+        (3, "https://shop.x.co.il/q"),    # rule absent from builtin set
+        (4, "http://foo.bar.ck/w"),       # wildcard *.ck
+        (5, "http://bar.ck/solo"),        # wildcard apex
+        (6, "http://www.ck/e"),           # exception rule
+        (7, "http://sub.www.ck/e2"),      # exception wins over wildcard
+        (8, "https://plain.example.com/x"),  # default rule
+    ]
+    got = {
+        r.doc_id: r.url_domain
+        for r in parse_url(
+            spark.createDataFrame(rows, "doc_id long, url string"),
+            suffix_list=psl,
+        ).collect()
+    }
+    assert got == {
+        0: "a.github.io", 1: "b.github.io", 2: "github.io",
+        3: "x.co.il", 4: "foo.bar.ck", 5: "bar.ck",
+        6: "www.ck", 7: "www.ck", 8: "example.com",
+    }
+
+
+def test_psl_duckdb_twin_parity(spark):
+    """The PSL SQL twin walks the SAME compile plan — registered domains
+    agree byte-for-byte across rule kinds."""
+    psl = PublicSuffixList(_PSL_RULES)
+    rows = [
+        (i, u) for i, u in enumerate([
+            "https://a.github.io/p", "https://github.io/apex",
+            "https://shop.x.co.il/q", "http://foo.bar.ck/w",
+            "http://bar.ck/solo", "http://sub.www.ck/e",
+            "https://dot.example.org./t", "https://203.0.113.9/ip",
+            "http://[::1]/v6", "http://single/x", None,
+        ])
+    ]
+    got = (
+        parse_url(
+            spark.createDataFrame(rows, "doc_id long, url string"),
+            suffix_list=psl,
+        )
+        .select("doc_id", "url_domain")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "url"]))
+    p = url_parts_sql("url")
+    dom = registered_domain_sql(f"({p['host']})", suffix_list=psl)
+    exp = con.execute(
+        f"SELECT doc_id, {dom} AS url_domain FROM t ORDER BY doc_id"
+    ).fetchdf()
+    assert got["url_domain"].where(got["url_domain"].notna(), None).tolist() \
+        == exp["url_domain"].where(exp["url_domain"].notna(), None).tolist()
+
+
+def test_psl_from_file_and_dataframe(spark, tmp_path):
+    """File / DataFrame / iterable constructions compile identically;
+    PSL-format whitespace and comment handling follows the spec."""
+    body = "\n".join(_PSL_RULES + ["", "  ", "co.uk  // inline junk"])
+    path = tmp_path / "psl.dat"
+    path.write_text(body, encoding="utf-8")
+    a = PublicSuffixList.from_file(str(path))
+    b = PublicSuffixList.from_dataframe(
+        spark.createDataFrame([(r,) for r in _PSL_RULES], "rule string")
+    )
+    c = PublicSuffixList(_PSL_RULES)
+    for psl in (a, b):
+        assert psl.exact == c.exact
+        assert psl.wildcard == c.wildcard
+        assert psl.exception == c.exception
+    # depth-1 exact rules compile away (they equal the default rule)
+    assert "com" not in c.exact and "github.io" in c.exact
+    assert len(c) == len(c.exact) + 2
+
+
+def test_psl_full_scale_stays_map_side(spark):
+    """A realistic-size rule table (9k rules incl. wildcards/exceptions)
+    still compiles to ONE map-side projection: zero exchanges, zero
+    joins — the corpus never shuffles against the PSL."""
+    rules = [f"sub{i}.tld{i % 97}" for i in range(9000)]
+    rules += [f"*.wild{i}" for i in range(50)] + [f"!exc{i}.wild{i}" for i in range(50)]
+    psl = PublicSuffixList(rules)
+    docs = spark.range(200).withColumn(
+        "url",
+        F.concat(F.lit("https://x.sub3.tld3/"), F.col("id").cast("string")),
+    )
+    out = parse_url(docs, suffix_list=psl)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan[:2000]
+    row = out.where(F.col("id") == 7).collect()[0]
+    assert row.url_domain == "x.sub3.tld3"
+
+
+def test_parse_url_extra_suffixes_compose_with_psl(spark):
+    psl = PublicSuffixList(["github.io"])
+    df = spark.createDataFrame(
+        [(0, "https://x.y.custom.suffix/p"), (1, "https://a.github.io/q")],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: r.url_domain
+        for r in parse_url(
+            df, extra_suffixes=("custom.suffix",), suffix_list=psl
+        ).collect()
+    }
+    assert got == {0: "y.custom.suffix", 1: "a.github.io"}

