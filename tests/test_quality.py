@@ -211,3 +211,23 @@ def test_curate_corpus_quality_model_gate(spark):
     assert ids and all(i % 2 == 1 for i in ids), ids
     assert all(0.5 <= r.quality <= 1.0 for r in rows)
     assert "sig_dup_line_frac" not in out.columns
+
+
+def test_train_tolerates_null_text_rows(spark):
+    """Train/serve NULL parity (round-16 advice): a corpus containing
+    NULL-text rows (NULL gopher signals) must not abort the training
+    job — signals fill to 0.0 exactly as serving coalesces them, and
+    NULL-label rows stay out of the fit."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    nulls = spark.createDataFrame(
+        [(10_000 + i, None) for i in range(3)], "doc_id long, text string"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(nulls)
+    model = train_quality_classifier(corpus)  # must not raise
+    scored = {
+        r.doc_id: r.quality_prob
+        for r in model.score(corpus).select("doc_id", "quality_prob")
+        .where(F.col("doc_id") >= 10_000).collect()
+    }
+    # serving scores the NULL-text rows (all-zero signal vector)
+    assert len(scored) == 3 and all(p is not None for p in scored.values())

@@ -504,3 +504,25 @@ def test_materialize_pack_ids_end_to_end(spark):
     for row in mat2:
         exp = [i for d in sorted(row.doc_ids) for i in pure[d]]
         assert row.token_ids == exp
+
+
+def test_materialize_pack_ids_null_stream_fails_loudly(spark):
+    """A member doc with a NULL token_ids array must name itself in the
+    error (round-16 advice) — never silently NULL the pack's stream and
+    feed size(NULL) = -1 into n_tokens."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from woe_monotonic_binning_spark.operators.packing import (
+        materialize_pack_ids,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, [1, 2, 3], 3), (1, None, 2), (2, [4, 5], 2)],
+        "doc_id long, token_ids array<int>, n long",
+    )
+    packed = pack_sequences(docs, token_col="n", budget=100)
+    with pytest.raises(Exception) as ei:
+        materialize_pack_ids(docs, packed).collect()
+    assert "token_ids is NULL for doc_id=1" in str(ei.value)

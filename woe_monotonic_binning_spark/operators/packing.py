@@ -211,9 +211,26 @@ def materialize_pack_ids(
     pack_id) table equi-joins back to the corpus, one groupBy(pack_id)
     moves the id arrays exactly once.  ``n_tokens`` counts the real ids
     (separators excluded), so ``pack_stats`` arithmetic stays
-    comparable."""
+    comparable.
+
+    A member document whose id array is NULL fails LOUDLY with the
+    offending id (round-16 advice, the ``pack_sequences`` posture): a
+    NULL element inside the collected list would otherwise NULL the
+    whole pack's flattened stream and feed ``size(NULL)`` = -1 into
+    ``n_tokens`` — silent poison, unlike ``materialize_packs`` whose
+    ``array_join`` skips NULL text."""
+    checked = F.when(F.col(ids_col).isNotNull(), F.col(ids_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{ids_col} is NULL for {id_col}="),
+                F.col(id_col).cast("string"),
+                F.lit("; tokenize or filter id streams before "
+                      "materializing packs"),
+            )
+        )
+    )
     slim = packed.select(id_col, "pack_id", "oversize")
-    joined = docs.select(id_col, ids_col).join(slim, id_col)
+    joined = docs.select(id_col, checked.alias(ids_col)).join(slim, id_col)
     ordered = F.transform(
         F.array_sort(
             F.collect_list(

@@ -157,6 +157,14 @@ def train_quality_classifier(
     feats = feats.withColumn(
         "stat_words", F.col("stat_words").cast("double")
     )
+    # Train/serve NULL parity (round-16 advice): serving coalesces NULL
+    # signals to 0.0 (margin()), so training must see the same rows the
+    # same way — fill NULLs instead of letting VectorAssembler's default
+    # handleInvalid='error' abort the job on a NULL-text corpus.  Rows
+    # whose LABEL is NULL stay out (nothing to learn from them).
+    feats = feats.fillna(0.0, subset=list(QUALITY_SIGNAL_COLS)).where(
+        F.col("__label").isNotNull()
+    )
     asm = VectorAssembler(
         inputCols=list(QUALITY_SIGNAL_COLS), outputCol="__features"
     )
