@@ -1940,27 +1940,39 @@ def q_events_rollup(spark, sf_dir):
     FROM documents
     UNION ALL
     SELECT 'text' AS section, doc_id AS media_id, 'text' AS kind,
-           -- charset decode (round 15): raw size, decoded-text md5, the
-           -- codec in fmt, had_bom in orientation; id%6==5 is the honest
-           -- reject (UTF-16 BOM + odd body)
-           CAST(CASE doc_id % 6
+           -- charset decode (round 15; hints + cp1252 round 16): raw
+           -- size, decoded-text md5, the codec in fmt, had_bom in
+           -- orientation; id%9==5 is the honest reject (UTF-16 BOM +
+           -- odd body); 6 = cp1252 curly quotes, 7 = latin-1 hint over
+           -- 0x93 (hint beats fallback, no WHATWG conflation: chr(147)
+           -- is the U+0093 control), 8 = aliased bare 'UTF8' hint
+           CAST(CASE doc_id % 9
                 WHEN 0 THEN strlen('plain ' || doc_id || ' café')
                 WHEN 1 THEN 3 + strlen('bom ' || doc_id || ' café')
                 WHEN 2 THEN 2 + 2 * length('wide ' || doc_id)
                 WHEN 3 THEN 2 + 2 * length('wide ' || doc_id)
                 WHEN 4 THEN strlen('latin ' || doc_id) + 1
-                ELSE 3 END AS INT) AS n_bytes,
-           CASE doc_id % 6
+                WHEN 5 THEN 3
+                WHEN 6 THEN strlen('curl ' || doc_id) + 2
+                WHEN 7 THEN strlen('hint ' || doc_id) + 1
+                ELSE strlen('alias ' || doc_id || ' café') END AS INT)
+             AS n_bytes,
+           CASE doc_id % 9
                 WHEN 0 THEN md5('plain ' || doc_id || ' café')
                 WHEN 1 THEN md5('bom ' || doc_id || ' café')
                 WHEN 2 THEN md5('wide ' || doc_id)
                 WHEN 3 THEN md5('wide ' || doc_id)
                 WHEN 4 THEN md5('latin ' || doc_id || 'é')
-                ELSE NULL END AS checksum,
+                WHEN 5 THEN NULL
+                WHEN 6 THEN md5('curl ' || doc_id || chr(8220) || chr(8221))
+                WHEN 7 THEN md5('hint ' || doc_id || chr(147))
+                ELSE md5('alias ' || doc_id || ' café') END AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
-           CASE doc_id % 6 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+           CASE doc_id % 9 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
                 WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-16-be'
-                WHEN 4 THEN 'latin-1' ELSE NULL END AS fmt,
+                WHEN 4 THEN 'windows-1252' WHEN 5 THEN NULL
+                WHEN 6 THEN 'windows-1252' WHEN 7 THEN 'latin-1'
+                ELSE 'utf-8' END AS fmt,
            CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
            CAST(NULL AS INT) AS n_pixels,
            CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
@@ -1968,7 +1980,7 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
            CAST(NULL AS BIGINT) AS sum_pcm,
-           CAST(CASE WHEN doc_id % 6 IN (1, 2, 3, 5) THEN 1 ELSE 0 END
+           CAST(CASE WHEN doc_id % 9 IN (1, 2, 3, 5) THEN 1 ELSE 0 END
                 AS INT) AS orientation
     FROM documents
     UNION ALL
@@ -2109,15 +2121,18 @@ def q_multimodal_stats(spark, sf_dir):
             null_i.alias("orientation"),
         )
 
-    # charset decode stage (round 15, verdict item 4): decode_text over
-    # the mixed-encoding fixture — decoded-text md5 rides checksum, the
+    # charset decode stage (round 15, verdict item 4; hints + cp1252
+    # round 16): decode_text over the mixed-encoding fixture WITH the
+    # per-row Content-Type hints — decoded-text md5 rides checksum, the
     # codec rides fmt, had_bom rides orientation, raw size rides n_bytes
     from woe_monotonic_binning_spark.operators.multimodal import (
         decode_text,
         synthetic_text_media,
     )
 
-    text = decode_text(synthetic_text_media(docs)).select(
+    text = decode_text(
+        synthetic_text_media(docs), hint_col="charset_hint"
+    ).select(
         F.lit("text").alias("section"),
         "media_id", F.lit("text").alias("kind"),
         F.col("n_bytes").cast("int").alias("n_bytes"),

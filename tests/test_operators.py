@@ -1392,10 +1392,11 @@ def test_sample_frames_decode_true_samples_covering_frame(spark):
 
 
 def test_decode_text_charsets(spark):
-    """decode_text (round 15): BOM-driven codec choice with the BOM
-    stripped, strict UTF-8 first without one, latin-1 fallback, honest
-    rejects for BOM-bearing bodies that do not decode, UTF-32 BOMs
-    matched before their UTF-16 prefixes, NULL-in-NULL-out."""
+    """decode_text (round 15; cp1252 round 16): BOM-driven codec choice
+    with the BOM stripped, strict UTF-8 first without one, the
+    windows-1252 then latin-1 fallback chain, honest rejects for
+    BOM-bearing bodies that do not decode, UTF-32 BOMs matched before
+    their UTF-16 prefixes, NULL-in-NULL-out."""
     from woe_monotonic_binning_spark.operators.multimodal import decode_text
 
     rows = [
@@ -1420,7 +1421,9 @@ def test_decode_text_charsets(spark):
         1: ("bom café", "utf-8", True, 12),
         2: ("wide", "utf-16-le", True, 10),
         3: ("wide", "utf-16-be", True, 10),
-        4: ("latin é end", "latin-1", False, 11),
+        # 0xE9 is é in BOTH cp1252 and latin-1; the cp1252 fallback
+        # fires first (round 16) so the codec name changes, text doesn't
+        4: ("latin é end", "windows-1252", False, 11),
         5: (None, None, True, 3),
         6: ("u32", "utf-32-le", True, 16),
         7: ("u32", "utf-32-be", True, 16),
@@ -1430,8 +1433,11 @@ def test_decode_text_charsets(spark):
     for i, e in exp.items():
         r = got[i]
         assert (r.text, r.encoding, r.had_bom, r.n_bytes) == e, (i, r)
-    # strict mode: invalid UTF-8 without a BOM rejects instead of latin-1
-    strict = decode_text(df, latin1_fallback=False).collect()
+    # strict mode: invalid UTF-8 without a BOM rejects instead of
+    # falling back (both fallbacks off)
+    strict = decode_text(
+        df, latin1_fallback=False, cp1252_fallback=False
+    ).collect()
     s4 = next(r for r in strict if r.media_id == 4)
     assert s4.text is None and s4.encoding is None
 
@@ -1449,7 +1455,62 @@ def test_decode_text_feeds_extract_html_text(spark):
         "media_id long, kind string, content binary",
     )
     out = extract_html_text(decode_text(df), html_col="text").collect()[0]
-    assert out.text == "café & more" and out.encoding == "latin-1"
+    # 0xE9 decodes identically under cp1252 (which now fronts the
+    # fallback chain) and latin-1 — the codec NAME reflects round 16
+    assert out.text == "café & more" and out.encoding == "windows-1252"
+
+
+def test_decode_text_hints_and_cp1252(spark):
+    """Round 16: charset hints (Content-Type or bare label, alias
+    normalization, charset= extraction) beat the fallback chain but
+    never a BOM; windows-1252 fronts the no-hint fallback and its five
+    undefined bytes fall through to latin-1; lying/unknown hints
+    degrade, never reject."""
+    from woe_monotonic_binning_spark.operators.multimodal import decode_text
+
+    rows = [
+        # curly quotes: cp1252 gives U+201C/U+201D, latin-1 would give C1
+        (0, b"say \x93hi\x94", None),
+        # 0x81 undefined in cp1252 -> latin-1 catches it
+        (1, b"odd \x81 byte", None),
+        # latin-1 hint over 0x93: hint honored, NOT conflated to cp1252
+        (2, b"ctl \x93", "text/html; charset=ISO-8859-1"),
+        # bare alias, charset= absent
+        (3, "caf\xe9".encode("utf-8"), "UTF8"),
+        # hint names cp1252 by alias
+        (4, b"q \x93", "CP1252"),
+        # lying hint (utf-16-le over odd bytes) falls through to utf-8
+        (5, b"abc", "utf-16le"),
+        # unknown label ignored entirely
+        (6, b"plain", "klingon-8"),
+        # BOM outranks a contradicting hint
+        (7, b"\xef\xbb\xbf" + "bom".encode("utf-8"), "ISO-8859-1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, "text", bytearray(b), h) for i, b, h in rows],
+        "media_id long, kind string, content binary, charset_hint string",
+    )
+    got = {
+        r.media_id: r
+        for r in decode_text(df, hint_col="charset_hint").collect()
+    }
+    exp = {
+        0: ("say “hi”", "windows-1252"),
+        1: ("odd \x81 byte", "latin-1"),
+        2: ("ctl \x93", "latin-1"),
+        3: ("café", "utf-8"),
+        4: ("q “", "windows-1252"),
+        5: ("abc", "utf-8"),
+        6: ("plain", "utf-8"),
+        7: ("bom", "utf-8"),
+    }
+    for i, e in exp.items():
+        assert (got[i].text, got[i].encoding) == e, (i, got[i])
+    assert got[7].had_bom is True and got[2].had_bom is False
+    # without the hint column, row 2 decodes via the cp1252 fallback
+    nohint = {r.media_id: r for r in decode_text(df).collect()}
+    assert nohint[2].text == "ctl “"
+    assert nohint[2].encoding == "windows-1252"
 
 
 def test_decode_audio_wav_real_samples(spark):

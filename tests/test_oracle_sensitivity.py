@@ -1303,3 +1303,41 @@ def test_url_port_overflow_accepted_is_caught(spark, con, monkeypatch):
         spark, con, "q_dedup_lines",
         qc.SPARK_QUERIES["q_dedup_lines"](spark, SF),
     )
+
+
+def test_charset_alias_conflation_is_caught(spark, con, monkeypatch):
+    """The round-16 'text' section pins strict alias normalization: a
+    decoder whose alias table maps iso-8859-1 to windows-1252 (the
+    WHATWG browser conflation) decodes the hinted 0x93 fixture row to
+    U+201C instead of the U+0093 control — codec name and decoded md5
+    both disagree."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    conflated = dict(mm._CHARSET_ALIASES)
+    for k, (codec, name) in list(conflated.items()):
+        if codec == "latin-1":
+            conflated[k] = ("cp1252", "windows-1252")
+    monkeypatch.setattr(mm, "_CHARSET_ALIASES", conflated)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
+
+
+def test_charset_cp1252_fallback_skipped_is_caught(spark, con, monkeypatch):
+    """The 'text' section pins the fallback ORDER: an engine that jumps
+    straight to latin-1 (the round-15 chain) mojibakes the curly-quote
+    fixture row to C1 controls and mislabels the 0xE9 row's codec."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.decode_text
+
+    def mutated(media, latin1_fallback=True, hint_col=None,
+                cp1252_fallback=True):
+        return orig(media, latin1_fallback, hint_col, cp1252_fallback=False)
+
+    monkeypatch.setattr(mm, "decode_text", mutated)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )

@@ -33,6 +33,7 @@ stage with a Python TypeError deep inside the worker (round-8 review).
 from __future__ import annotations
 
 import functools
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -2911,36 +2912,121 @@ _BOMS = (
     (b"\xfe\xff", "utf-16-be"),
 )
 
+# Charset-label alias table (round 16): the ~10 labels that cover real
+# Content-Type headers / <meta charset> values, each mapped to
+# (python codec, reported canonical name).  STRICT normalization —
+# iso-8859-1 means latin-1, NOT windows-1252 (the WHATWG conflation is
+# deliberate browser behavior, not a decode fact; pin the honest codec
+# and let callers who want browser semantics alias it via hint text) —
+# the wrong-alias mutant in test_oracle_sensitivity pins this.
+_CHARSET_ALIASES: dict[str, tuple[str, str]] = {
+    "utf-8": ("utf-8", "utf-8"), "utf8": ("utf-8", "utf-8"),
+    "utf_8": ("utf-8", "utf-8"), "u8": ("utf-8", "utf-8"),
+    "ascii": ("ascii", "ascii"), "us-ascii": ("ascii", "ascii"),
+    "latin-1": ("latin-1", "latin-1"), "latin1": ("latin-1", "latin-1"),
+    "iso-8859-1": ("latin-1", "latin-1"),
+    "iso8859-1": ("latin-1", "latin-1"),
+    "iso_8859-1": ("latin-1", "latin-1"), "l1": ("latin-1", "latin-1"),
+    "windows-1252": ("cp1252", "windows-1252"),
+    "cp1252": ("cp1252", "windows-1252"),
+    "win-1252": ("cp1252", "windows-1252"),
+    "x-cp1252": ("cp1252", "windows-1252"),
+    "utf-16": ("utf-16", "utf-16"), "utf16": ("utf-16", "utf-16"),
+    "utf-16le": ("utf-16-le", "utf-16-le"),
+    "utf-16-le": ("utf-16-le", "utf-16-le"),
+    "utf-16be": ("utf-16-be", "utf-16-be"),
+    "utf-16-be": ("utf-16-be", "utf-16-be"),
+    "utf-32": ("utf-32", "utf-32"), "utf32": ("utf-32", "utf-32"),
+    "utf-32le": ("utf-32-le", "utf-32-le"),
+    "utf-32-le": ("utf-32-le", "utf-32-le"),
+    "utf-32be": ("utf-32-be", "utf-32-be"),
+    "utf-32-be": ("utf-32-be", "utf-32-be"),
+}
 
-def decode_text(media: DataFrame, latin1_fallback: bool = True) -> DataFrame:
-    """Charset decode stage (round 15, verdict item 4): raw crawl
-    payloads are BYTES in unknown encodings; this turns the binary
-    ``content`` column into a string column the text operators
-    (``extract_html_text``, ``scrub_pii``, ...) can consume, completing
-    the ingest chain bytes -> text -> corpus.
+_CHARSET_PARAM_RE = re.compile(
+    "charset=[\"']?([A-Za-z0-9._-]+)", re.IGNORECASE
+)
 
-    Per payload: (1) a BOM decides the codec (UTF-8 / UTF-16 LE+BE /
-    UTF-32 LE+BE, longest match first — FF FE 00 00 is UTF-32 LE, not
-    UTF-16 + NUL) and is STRIPPED from the output; (2) without a BOM,
-    strict UTF-8 is tried; (3) on failure, latin-1 (which maps every
-    byte, the classic crawl fallback) unless ``latin1_fallback=False``;
-    (4) a BOM whose body does not decode (odd UTF-16 length, unpaired
-    surrogate) is an HONEST REJECT — NULL text, NULL encoding — never a
-    silently mojibake'd row.  Output: ``text``, ``encoding`` (the codec
-    actually used, NULL on reject), ``had_bom``, ``n_bytes`` (raw
-    payload size).  NULL content -> all-NULL row with NULL n_bytes.
+
+def _resolve_charset_hint(hint, aliases=None) -> tuple[str, str] | None:
+    """A hint is either a bare charset label ('UTF8') or a Content-Type
+    value ('text/html; charset=ISO-8859-1'); unknown labels resolve to
+    None (ignored — an unrecognized header must not reject the row).
+    ``aliases`` defaults to the module table; ``decode_text`` passes its
+    call-time snapshot so the table ships inside the UDF closure."""
+    if hint is None:
+        return None
+    s = str(hint).strip().lower()
+    if not s:
+        return None
+    m = _CHARSET_PARAM_RE.search(s)
+    if m:
+        s = m.group(1).lower()
+    return (_CHARSET_ALIASES if aliases is None else aliases).get(s)
+
+
+def decode_text(
+    media: DataFrame,
+    latin1_fallback: bool = True,
+    hint_col: str | None = None,
+    cp1252_fallback: bool = True,
+) -> DataFrame:
+    """Charset decode stage (round 15, verdict item 4; hints +
+    windows-1252 round 16): raw crawl payloads are BYTES in unknown
+    encodings; this turns the binary ``content`` column into a string
+    column the text operators (``extract_html_text``, ``scrub_pii``,
+    ...) can consume, completing the ingest chain bytes -> text ->
+    corpus.
+
+    Per payload, in priority order:
+
+    1. a BOM decides the codec (UTF-8 / UTF-16 LE+BE / UTF-32 LE+BE,
+       longest match first — FF FE 00 00 is UTF-32 LE, not UTF-16 +
+       NUL) and is STRIPPED from the output; a BOM whose body does not
+       decode (odd UTF-16 length, unpaired surrogate) is an HONEST
+       REJECT — NULL text, NULL encoding — never a silently mojibake'd
+       row.  The BOM outranks any hint: it is in-band evidence.
+    2. without a BOM, the row's ``hint_col`` value (round 16) — a
+       Content-Type header or <meta> charset label; ``charset=`` is
+       extracted when present, the label normalized through the
+       documented alias table (strict: iso-8859-1 IS latin-1, not the
+       WHATWG windows-1252 conflation).  A recognized hint whose strict
+       decode succeeds wins (the HTTP contract); an unknown label or a
+       failing hinted decode falls through — a lying header degrades,
+       never rejects.
+    3. strict UTF-8;
+    4. windows-1252 (``cp1252_fallback``, round 16) — the de-facto web
+       encoding for the 0x80-0x9F range (curly quotes, em-dashes);
+       undefined at exactly five bytes (81 8D 8F 90 9D), whose presence
+       falls through;
+    5. latin-1 (``latin1_fallback``) — total, the last-resort crawl
+       fallback; else NULL.
+
+    Output: ``text``, ``encoding`` (the codec actually used, NULL on
+    reject), ``had_bom``, ``n_bytes`` (raw payload size).  NULL content
+    -> all-NULL row with NULL n_bytes.
 
     Arrow-batched ``mapInPandas`` like every decode kernel here —
-    embarrassingly parallel, no shuffle; certified end to end through
-    the q_multimodal_stats 'text' section over JVM-built mixed-encoding
+    embarrassingly parallel, no shuffle, stateless (stream == batch
+    parity pinned in tests); certified end to end through the
+    q_multimodal_stats 'text' section over JVM-built mixed-encoding
     payloads (the md5 of the decoded text is exact cross-engine because
     both engines hash the UTF-8 re-encoding)."""
+    cols = ["media_id", "content"] + ([hint_col] if hint_col else [])
+    narrow = media.select(*cols)
+    # snapshot driver-side so the table rides the UDF closure (executors
+    # re-import the module, so a module-global lookup there would ignore
+    # any caller-side table override — the same reason tokenize_bpe
+    # closes over its rank dict)
+    aliases = dict(_CHARSET_ALIASES)
+    resolve = _resolve_charset_hint
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": pdf["media_id"], "text": [], "encoding": [],
                    "had_bom": [], "n_bytes": []}
-            for b in pdf["content"]:
+            hints = pdf[hint_col] if hint_col else None
+            for i, b in enumerate(pdf["content"]):
                 if b is None:
                     out["text"].append(None)
                     out["encoding"].append(None)
@@ -2964,43 +3050,82 @@ def decode_text(media: DataFrame, latin1_fallback: bool = True) -> DataFrame:
                         out["encoding"].append(None)
                     continue
                 out["had_bom"].append(False)
+                hinted = (
+                    resolve(hints.iloc[i], aliases)
+                    if hints is not None else None
+                )
+                if hinted is not None:
+                    py_codec, name = hinted
+                    try:
+                        out["text"].append(raw.decode(py_codec))
+                        out["encoding"].append(name)
+                        continue
+                    except UnicodeDecodeError:
+                        pass  # lying header: fall through, never reject
                 try:
                     out["text"].append(raw.decode("utf-8"))
                     out["encoding"].append("utf-8")
+                    continue
                 except UnicodeDecodeError:
-                    if latin1_fallback:
-                        out["text"].append(raw.decode("latin-1"))
-                        out["encoding"].append("latin-1")
-                    else:
-                        out["text"].append(None)
-                        out["encoding"].append(None)
+                    pass
+                if cp1252_fallback:
+                    try:
+                        out["text"].append(raw.decode("cp1252"))
+                        out["encoding"].append("windows-1252")
+                        continue
+                    except UnicodeDecodeError:
+                        pass  # one of the five undefined bytes
+                if latin1_fallback:
+                    out["text"].append(raw.decode("latin-1"))
+                    out["encoding"].append("latin-1")
+                else:
+                    out["text"].append(None)
+                    out["encoding"].append(None)
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(decode, schema=DECODED_TEXT_SCHEMA)
+    return narrow.mapInPandas(decode, schema=DECODED_TEXT_SCHEMA)
 
 
 def synthetic_text_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Mixed-encoding text payloads built ENTIRELY JVM-side — the
     oracle-predictable fixture certifying ``decode_text`` end to end
     (q_multimodal_stats 'text' section): encoding family cycles with
-    ``id % 6`` — plain UTF-8, UTF-8 + BOM, UTF-16 LE + BOM, UTF-16 BE +
-    BOM, bare latin-1 bytes (0xE9 is invalid UTF-8, so the fallback must
-    fire), and a REJECT payload (UTF-16 BOM + odd byte count).  Every
-    logical text is closed-form in the id, so the oracle recomputes the
-    decoded md5 as pure string SQL."""
-    k = F.pmod(F.col(id_col), F.lit(6))
+    ``id % 9`` — plain UTF-8, UTF-8 + BOM, UTF-16 LE + BOM, UTF-16 BE +
+    BOM, bare high bytes (0xE9 is invalid UTF-8, so the fallback must
+    fire), a REJECT payload (UTF-16 BOM + odd byte count), and the
+    round-16 shapes: windows-1252 curly quotes (0x93/0x94 — undefined
+    in a latin-1-only world view, U+201C/U+201D under the cp1252
+    fallback), a latin-1 Content-Type hint over a byte where latin-1
+    and cp1252 DISAGREE (0x93 -> U+0093 control, pinning that the hint
+    is honored over the fallback chain and that iso-8859-1 is NOT
+    conflated with windows-1252), and an aliased bare hint ('UTF8').
+    The ``charset_hint`` column carries the per-row header value (NULL
+    for unhinted rows).  Every logical text is closed-form in the id,
+    so the oracle recomputes the decoded md5 as pure string SQL."""
+    k = F.pmod(F.col(id_col), F.lit(9))
     i = F.col(id_col).cast("string")
     utf8 = F.concat(F.lit("plain "), i, F.lit(" café"))
     bom8 = F.concat(F.lit("bom "), i, F.lit(" café"))
     u16 = F.concat(F.lit("wide "), i)
     lat = F.concat(F.lit("latin "), i)
+    curl = F.concat(F.lit("curl "), i)
+    hint_t = F.concat(F.lit("hint "), i)
+    alias_t = F.concat(F.lit("alias "), i, F.lit(" café"))
     content = (
         F.when(k == 0, F.encode(utf8, "UTF-8"))
         .when(k == 1, F.concat(F.unhex(F.lit("EFBBBF")), F.encode(bom8, "UTF-8")))
         .when(k == 2, F.concat(F.unhex(F.lit("FFFE")), F.encode(u16, "UTF-16LE")))
         .when(k == 3, F.concat(F.unhex(F.lit("FEFF")), F.encode(u16, "UTF-16BE")))
         .when(k == 4, F.concat(F.encode(lat, "UTF-8"), F.unhex(F.lit("E9"))))
-        .otherwise(F.unhex(F.lit("FFFE41")))  # BOM + odd body: reject
+        .when(k == 5, F.unhex(F.lit("FFFE41")))  # BOM + odd body: reject
+        .when(k == 6, F.concat(F.encode(curl, "UTF-8"), F.unhex(F.lit("9394"))))
+        .when(k == 7, F.concat(F.encode(hint_t, "UTF-8"), F.unhex(F.lit("93"))))
+        .otherwise(F.encode(alias_t, "UTF-8"))
+    )
+    hint = (
+        F.when(k == 7, F.lit("text/html; charset=ISO-8859-1"))
+        .when(k == 8, F.lit("UTF8"))
+        .cast("string")
     )
     return docs.select(
         F.col(id_col).alias("media_id"),
@@ -3012,6 +3137,7 @@ def synthetic_text_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
+        hint.alias("charset_hint"),
     )
 
 
