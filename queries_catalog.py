@@ -1984,6 +1984,36 @@ def q_events_rollup(spark, sf_dir):
                 AS INT) AS orientation
     FROM documents
     UNION ALL
+    SELECT 'dhash' AS section, media_id, 'image' AS kind,
+           CAST(NULL AS INT) AS n_bytes, md5(sig) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'ppm' AS fmt, 9 AS width, 8 AS height,
+           -- planted duplicates: seeds collide in groups of 4, so the
+           -- same-hash count minus self is the near-dup oracle
+           CAST(count(*) OVER (PARTITION BY sig) - 1 AS INT) AS n_pixels,
+           CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+           CAST(NULL AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm, CAST(NULL AS INT) AS orientation
+    FROM (
+      -- dHash closed form (round 16): bit k (= r*8 + c) compares the
+      -- gradient fixture's pixel (c+1, r) against (c, r) for seed =
+      -- id - id%4; band b = k // 16 packs bits shifted by k % 16
+      SELECT media_id,
+             string_agg(CAST(band AS VARCHAR), ',' ORDER BY b) AS sig
+      FROM (
+        SELECT media_id, (k // 16) AS b,
+               sum(CASE WHEN ((seed*31 + ((k%8)+1)*17 + (k//8)*7) % 256) >
+                             ((seed*31 + (k%8)*17 + (k//8)*7) % 256)
+                        THEN (1::BIGINT << (k % 16)) ELSE 0 END) AS band
+        FROM (SELECT doc_id AS media_id, doc_id - (doc_id % 4) AS seed
+              FROM documents),
+             (SELECT unnest(generate_series(0, 63)) AS k)
+        GROUP BY media_id, (k // 16)
+      ) GROUP BY media_id
+    )
+    UNION ALL
     SELECT 'frames' AS section, doc_id AS media_id, 'video' AS kind,
            CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
@@ -2168,6 +2198,40 @@ def q_multimodal_stats(spark, sf_dir):
         null_l.alias("sum_pcm"),
         null_i.alias("orientation"),
     )
+    # perceptual dHash (round 16, verdict item 2): 64-bit difference
+    # hash over the 9x8 gradient fixture (pooling grid = identity, so
+    # every bit is the closed-form comparison); the band-array md5 rides
+    # checksum and the planted-duplicate count (same full hash, groups
+    # of 4 seeds) rides n_pixels
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        dhash_images,
+        synthetic_gradient_ppm_media,
+    )
+
+    dh = dhash_images(synthetic_gradient_ppm_media(docs, dup_every=4))
+    dh_counts = dh.groupBy("dhash_bands").agg(F.count("*").alias("__n"))
+    dhash = (
+        dh.join(dh_counts, "dhash_bands")
+        .select(
+            F.lit("dhash").alias("section"),
+            "media_id", F.lit("image").alias("kind"),
+            null_i.alias("n_bytes"),
+            F.md5(
+                F.array_join(
+                    F.transform("dhash_bands", lambda x: x.cast("string")),
+                    ",",
+                )
+            ).alias("checksum"),
+            null_i.alias("first_byte"), null_i.alias("last_byte"),
+            "fmt", "width", "height",
+            (F.col("__n") - 1).cast("int").alias("n_pixels"),
+            null_l.alias("sum_r"), null_l.alias("sum_g"),
+            null_l.alias("sum_b"),
+            null_i.alias("n_channels"), null_i.alias("sample_rate"),
+            null_i.alias("n_frames"), null_l.alias("duration_ms"),
+            null_l.alias("sum_pcm"), null_i.alias("orientation"),
+        )
+    )
     # the resized output is P6 bytes, so decode_image closes the
     # decode -> resample -> re-encode -> decode chain (fmt becomes 'ppm')
     resized = _pix(resize_image(synthetic_png_media(docs), 6, 3), "resize")
@@ -2189,6 +2253,7 @@ def q_multimodal_stats(spark, sf_dir):
         .unionByName(_probe(synthetic_avi_media(docs), "probe_avi", "video"))
         .unionByName(frames)
         .unionByName(text)
+        .unionByName(dhash)
         .unionByName(resized)
     )
 

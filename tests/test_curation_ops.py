@@ -1959,3 +1959,48 @@ def test_chunk_documents_sentences_unit_edges_and_mutant(spark):
     assert seq == _chunk_ref(text, 2, 1, "sentences")
     # off-by-one stride mutant (overlap 0 -> stride 2) must disagree
     assert seq != _chunk_ref(text, 2, 0, "sentences")
+
+
+def test_curate_corpus_image_dedup_gate(spark):
+    """curate_corpus(image_dedup=): docs sharing a perceptually-equal
+    image collapse to the min-id doc before the text stages; docs
+    without a media row (or with undecodable payloads) pass through."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        synthetic_gradient_ppm_media,
+    )
+    from woe_monotonic_binning_spark.pipeline import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "src0", f"unique words document {i} " * 10) for i in range(12)],
+        "doc_id long, source string, text string",
+    )
+    # ids 0..7 carry images in duplicate groups of 4; 8..9 junk payloads;
+    # 10..11 have no media row at all
+    media = synthetic_gradient_ppm_media(
+        spark.range(8).withColumnRenamed("id", "doc_id"), dup_every=4
+    ).unionByName(
+        spark.createDataFrame(
+            [(8, "image", bytearray(b"junk")), (9, "image", None)],
+            "media_id long, kind string, content binary",
+        ).withColumn(
+            "meta",
+            F.expr(
+                "named_struct('mime', CAST(NULL AS STRING), 'width', "
+                "CAST(NULL AS INT), 'height', CAST(NULL AS INT), "
+                "'duration_ms', CAST(NULL AS INT))"
+            ),
+        ).select("media_id", "kind", "content", "meta")
+    )
+    out = curate_corpus(
+        docs,
+        near_dup=None,
+        quality_threshold=0.0,
+        weights=None,
+        image_dedup=media,
+        cache_survivors=False,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    # groups {0..3} and {4..7} collapse to their min ids
+    assert {0, 4} <= ids and not ({1, 2, 3, 5, 6, 7} & ids)
+    # undecodable-media and media-less docs all survive
+    assert {8, 9, 10, 11} <= ids

@@ -4031,3 +4031,110 @@ def test_synthetic_jpeg_420_media_certifies_color_path(spark):
         assert (r.sum_r, r.sum_g, r.sum_b) == (
             256 * (y - 1), 256 * y, 256 * (y + 2)
         ), mid
+
+
+# -- round 16: perceptual dHash ----------------------------------------------
+
+
+def _ppm(w, h, val):
+    """P6 bytes with pixel (x, y) = constant triple val(x, y)."""
+    body = b"".join(
+        bytes([val(x, y)] * 3) for y in range(h) for x in range(w)
+    )
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def test_dhash_closed_form_and_rejects(spark):
+    """dhash_images: at 9x8 the pooling grid is the identity, so every
+    bit is a direct neighbor comparison; images below the grid and
+    undecodable payloads honest-reject to NULL bands."""
+    from woe_monotonic_binning_spark.operators.multimodal import dhash_images
+
+    val = lambda x, y: (x * 17 + y * 7) % 256  # noqa: E731
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(_ppm(9, 8, val))),
+            (1, "image", bytearray(_ppm(8, 8, val))),   # too narrow
+            (2, "image", bytearray(b"not an image")),
+            (3, "image", None),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    got = {r.media_id: r for r in dhash_images(media).collect()}
+    exp = [0, 0, 0, 0]
+    for r in range(8):
+        for c in range(8):
+            if val(c + 1, r) > val(c, r):
+                k = r * 8 + c
+                exp[k // 16] |= 1 << (k % 16)
+    assert got[0].dhash_bands == exp and got[0].fmt == "ppm"
+    assert got[1].dhash_bands is None and got[1].width == 8  # dims report
+    assert got[2].dhash_bands is None and got[2].fmt is None
+    assert got[3].dhash_bands is None
+
+
+def test_dhash_scale_and_format_invariance(spark):
+    """The perceptual contract: an integer-upscaled copy (every pixel
+    2x2-duplicated) and a re-encoded copy (same raster as BMP) hash
+    IDENTICALLY — the re-encodes byte-level dedup cannot see."""
+    import struct
+
+    from woe_monotonic_binning_spark.operators.multimodal import dhash_images
+
+    val = lambda x, y: (x * 29 + y * 13) % 256  # noqa: E731
+    up = lambda x, y: val(x // 2, y // 2)  # noqa: E731
+
+    def bmp(w, h, v):
+        stride = (w * 3 + 3) & ~3
+        raster = b"".join(
+            b"".join(bytes([v(x, y)] * 3) for x in range(w))
+            + b"\x00" * (stride - w * 3)
+            for y in range(h - 1, -1, -1)
+        )
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835,
+            0, 0,
+        )
+        return hdr + dib + raster
+
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(_ppm(9, 8, val))),
+            (1, "image", bytearray(_ppm(18, 16, up))),
+            (2, "image", bytearray(bmp(9, 8, val))),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    got = {r.media_id: r for r in dhash_images(media).collect()}
+    assert got[0].dhash_bands == got[1].dhash_bands
+    assert got[0].dhash_bands == got[2].dhash_bands
+    assert got[2].fmt == "bmp" and got[1].width == 18
+
+
+def test_image_neardup_pairs_finds_perturbed_copy(spark):
+    """image_neardup_pairs: a one-pixel perturbation moves at most two
+    difference bits, so the pair surfaces within the banding guarantee;
+    unrelated gradients stay unpaired; undecodable rows take no part."""
+    from woe_monotonic_binning_spark.operators.dedup import (
+        image_neardup_pairs,
+    )
+
+    val = lambda x, y: (x * 23 + y * 11) % 256  # noqa: E731
+    tweaked = lambda x, y: 255 if (x, y) == (4, 4) else val(x, y)  # noqa: E731
+    other = lambda x, y: (x * 5 + y * 41 + 77) % 256  # noqa: E731
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(_ppm(9, 8, val))),
+            (1, "image", bytearray(_ppm(9, 8, tweaked))),
+            (2, "image", bytearray(_ppm(9, 8, other))),
+            (3, "image", bytearray(b"junk")),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_neardup_pairs(media, max_hamming=3).collect()
+    }
+    assert (0, 1) in pairs and 0 < pairs[(0, 1)] <= 2
+    assert all(3 not in p for p in pairs)

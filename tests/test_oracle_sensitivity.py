@@ -1341,3 +1341,37 @@ def test_charset_cp1252_fallback_skipped_is_caught(spark, con, monkeypatch):
         spark, con, "q_multimodal_stats",
         qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
     )
+
+
+def test_dhash_band_boundary_is_caught(spark, con, monkeypatch):
+    """The round-16 'dhash' section pins the 4 x 16-bit band layout: an
+    engine packing 8 x 8-bit bands instead (the classic boundary bug —
+    same 64 bits, different pigeonholes) changes the band-array md5 of
+    every row."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    monkeypatch.setattr(mm, "_DHASH_BAND_BITS", 8)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
+
+
+def test_dhash_band_order_corruption_is_caught(spark, con, monkeypatch):
+    """The 'dhash' section pins band ORDER inside the fingerprint: an
+    engine emitting the bands reversed (an indexing bug that preserves
+    every bit) still disagrees on the md5."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.dhash_images
+
+    def mutated(media, codec=None):
+        return orig(media, codec).withColumn(
+            "dhash_bands", F.reverse("dhash_bands")
+        )
+
+    monkeypatch.setattr(mm, "dhash_images", mutated)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )

@@ -453,10 +453,33 @@ def simhash_near_pairs(
     if narrow.rdd.getNumPartitions() < sc.defaultParallelism:
         narrow = narrow.repartition(sc.defaultParallelism)
     fp = simhash_fingerprints(narrow, text_col, id_col).cache()
+    return _banded_near_pairs(
+        fp, "sim_bands", id_col, max_hamming, max_bucket, cleanup,
+        extra_caches=(fp,),
+    )
+
+
+def _banded_near_pairs(
+    fp: DataFrame,
+    bands_col: str,
+    id_col: str,
+    max_hamming: int,
+    max_bucket: int,
+    cleanup: bool,
+    extra_caches: tuple = (),
+) -> DataFrame:
+    """The shared pigeonhole band-join core behind ``simhash_near_pairs``
+    and ``image_neardup_pairs`` (round 16): ``fp`` is (id, bands) with
+    ``bands_col`` an array of equal-width band values whose concatenation
+    is the fingerprint; any pair within hamming distance < n_bands shares
+    at least one exact band.  Exact-bucket self-join under ``max_bucket``,
+    anchor-star degradation above it, exact hamming verification of every
+    candidate — identical plan shape and guards as documented on
+    ``simhash_near_pairs``."""
     banded_src = fp.select(
         F.col(id_col),
-        F.col("sim_bands"),
-        F.posexplode("sim_bands").alias("band", "bh"),
+        F.col(bands_col).alias("__bands"),
+        F.posexplode(bands_col).alias("band", "bh"),
     )
     # persisted: feeds the bucket-size counts and both sides of the self-join
     banded_all = banded_src.persist()
@@ -475,8 +498,8 @@ def simhash_near_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.sim_bands").alias("ba"),
-            F.col("r.sim_bands").alias("bb"),
+            F.col("l.__bands").alias("ba"),
+            F.col("r.__bands").alias("bb"),
         )
     )
     # over-cap buckets: star candidates around the min-id anchor (see
@@ -490,7 +513,7 @@ def simhash_near_pairs(
     anchor_rows = (
         banded_hot.join(anchor_ids, ["band", "bh"])
         .filter(F.col(id_col) == F.col("__anchor"))
-        .select("band", "bh", "__anchor", F.col("sim_bands").alias("__anchor_bands"))
+        .select("band", "bh", "__anchor", F.col("__bands").alias("__anchor_bands"))
     )
     star = (
         banded_hot.join(anchor_rows, ["band", "bh"])
@@ -499,7 +522,7 @@ def simhash_near_pairs(
             F.col("__anchor").alias("id_a"),
             F.col(id_col).alias("id_b"),
             F.col("__anchor_bands").alias("ba"),
-            F.col("sim_bands").alias("bb"),
+            F.col("__bands").alias("bb"),
         )
     )
     cand = cand.unionByName(star).distinct()
@@ -511,8 +534,46 @@ def simhash_near_pairs(
         F.col("hamming") <= max_hamming
     )
     if cleanup:
-        return materialize_and_release(out, fp, banded_all)
+        return materialize_and_release(out, *extra_caches, banded_all)
     return out
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1_000,
+    cleanup: bool = True,
+    codec=None,
+) -> DataFrame:
+    """Perceptual image near-duplicate pairs (round 16, verdict item 2):
+    64-bit difference hash (dHash) over the decoded raster, banded into
+    4 x 16-bit pigeonholes through the same exact-band join + anchor-star
+    machinery as ``simhash_near_pairs`` — any pair within hamming
+    distance <= 3 is guaranteed a shared band; larger ``max_hamming``
+    values verify whatever candidates banding still surfaces (recall
+    degrades honestly, the SimHash contract).
+
+    The hash rides ``multimodal.dhash_images`` (one embarrassingly
+    parallel Arrow decode pass, no shuffle); rows whose payload cannot
+    be decoded or is smaller than the 9x8 difference grid have NULL
+    bands and take no part in pairing (an undecodable image is a
+    separate quality signal, not a duplicate).  Two structurally equal
+    images — whatever their byte encodings (PPM vs PNG vs JPEG of the
+    same raster) — hash identically, which is the point: byte-level
+    dedup cannot see re-encoded copies."""
+    from .multimodal import dhash_images
+
+    fp = (
+        dhash_images(media, codec=codec)
+        .where(F.col("dhash_bands").isNotNull())
+        .select(id_col, "dhash_bands")
+        .cache()
+    )
+    return _banded_near_pairs(
+        fp, "dhash_bands", id_col, max_hamming, max_bucket, cleanup,
+        extra_caches=(fp,),
+    )
 
 
 def connected_components(

@@ -959,6 +959,57 @@ def _parse_jpeg(b: bytes) -> tuple[int, int, bytes, int | None] | None:
     return int(w), int(h), rgb.tobytes(), orientation
 
 
+def _decode_raster(raw: bytes, codec=None):
+    """The shared per-payload raster dispatch both ``decode_image`` and
+    ``dhash_images`` run: the caller's ``codec`` hook first (validated
+    INSIDE the try — a codec returning a wrong-arity tuple, non-positive
+    dims, or a raster that is not 3*w*h bytes must reject the row, not
+    kill the stage; bytes-like rasters only, since ``bytes(3)`` would
+    mint a zero-filled buffer and silently accept an integer return as
+    an all-black image — round-12 review), then the built-in parsers
+    with per-parser try (round-13 review: one corrupt payload among
+    billions downgrades to the honest reject, while MemoryError — a
+    VALID image exhausting the worker — and ImportError — a misbuilt
+    worker missing numpy — re-raise LOUDLY).  Returns ``(parsed, fmt)``
+    where ``parsed`` is ``(w, h, rgb)`` or ``(w, h, rgb, orientation)``,
+    or ``(None, None)``."""
+    parsed, fmt = None, None
+    if codec is not None:
+        try:
+            got = codec(raw)
+            if got is not None:
+                fmt_, w_, h_, px_ = got
+                if not isinstance(px_, (bytes, bytearray, memoryview)):
+                    raise TypeError("raster must be bytes-like")
+                px_ = bytes(px_)
+                if (
+                    int(w_) > 0
+                    and int(h_) > 0
+                    and len(px_) == 3 * int(w_) * int(h_)
+                ):
+                    fmt = str(fmt_)
+                    parsed = (int(w_), int(h_), px_)
+        except Exception:
+            parsed, fmt = None, None
+    if parsed is None:
+        for parse, name in (
+            (_parse_ppm, "ppm"),
+            (_parse_bmp, "bmp"),
+            (_parse_png, "png"),
+            (_parse_jpeg, "jpeg"),
+        ):
+            try:
+                parsed = parse(raw)
+            except (MemoryError, ImportError):
+                raise
+            except Exception:
+                parsed = None
+            if parsed is not None:
+                fmt = name
+                break
+    return parsed, fmt
+
+
 def decode_image(media: DataFrame, codec=None) -> DataFrame:
     """REAL image decode for the container-friendly formats: binary PPM
     (P6), uncompressed 24-bit BMP, non-interlaced 8-bit
@@ -1009,66 +1060,10 @@ def decode_image(media: DataFrame, codec=None) -> DataFrame:
                 "sum_r": [], "sum_g": [], "sum_b": [], "orientation": [],
             }
             for b in pdf["content"]:
-                parsed, fmt = None, None
-                if b is not None:
-                    raw = bytes(b)
-                    if codec is not None:
-                        # validate INSIDE the try: a codec returning a
-                        # wrong-arity tuple, non-positive dims, or a
-                        # raster that is not 3*w*h bytes must reject the
-                        # row, not kill the stage (round-12 review — the
-                        # docstring promises one corrupt payload among
-                        # billions cannot fail the job)
-                        try:
-                            got = codec(raw)
-                            if got is not None:
-                                fmt_, w_, h_, px_ = got
-                                # bytes-like only: bytes(3) would mint a
-                                # zero-filled buffer and silently accept an
-                                # integer return as an all-black image
-                                # (round-12 review)
-                                if not isinstance(
-                                    px_, (bytes, bytearray, memoryview)
-                                ):
-                                    raise TypeError("raster must be bytes-like")
-                                px_ = bytes(px_)
-                                if (
-                                    int(w_) > 0
-                                    and int(h_) > 0
-                                    and len(px_) == 3 * int(w_) * int(h_)
-                                ):
-                                    fmt = str(fmt_)
-                                    parsed = (int(w_), int(h_), px_)
-                        except Exception:
-                            parsed, fmt = None, None
-                    if parsed is None:
-                        for parse, name in (
-                            (_parse_ppm, "ppm"),
-                            (_parse_bmp, "bmp"),
-                            (_parse_png, "png"),
-                            (_parse_jpeg, "jpeg"),
-                        ):
-                            # per-parser try (round-13 review): the
-                            # docstring promises one corrupt payload among
-                            # billions cannot kill the job, so a parser
-                            # crash on adversarial bytes downgrades to the
-                            # honest reject row, same as returning None.
-                            # MemoryError re-raises: resource exhaustion
-                            # on a VALID image must fail the task for
-                            # retry, not silently emit a NULL row.
-                            # ImportError re-raises too (round-14 advice):
-                            # a misbuilt worker missing numpy is a
-                            # systematic environment failure that must
-                            # stay loud, not NULL out every payload
-                            try:
-                                parsed = parse(raw)
-                            except (MemoryError, ImportError):
-                                raise
-                            except Exception:
-                                parsed = None
-                            if parsed is not None:
-                                fmt = name
-                                break
+                parsed, fmt = (
+                    _decode_raster(bytes(b), codec)
+                    if b is not None else (None, None)
+                )
                 if parsed is None:
                     for k in ("width", "height", "n_pixels", "sum_r",
                               "sum_g", "sum_b", "orientation"):
@@ -3138,6 +3133,146 @@ def synthetic_text_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
         hint.alias("charset_hint"),
+    )
+
+
+DHASH_SCHEMA = (
+    "media_id bigint, fmt string, width int, height int, "
+    "dhash_bands array<bigint>"
+)
+
+# 64 dHash bits packed into 64/16 = 4 bands: the pigeonhole width the
+# banded near-pair join keys on (hamming <= 3 guarantees a shared band).
+# Read at dhash_images call time into the kernel closure, so the
+# band-boundary mutant in test_oracle_sensitivity reaches the executors.
+_DHASH_BAND_BITS = 16
+
+
+def dhash_images(media: DataFrame, codec=None) -> DataFrame:
+    """64-bit perceptual difference hash (dHash) per image (round 16):
+    decode the raster (same parser dispatch + ``codec`` escape hatch as
+    ``decode_image``), reduce to a 9x8 grayscale grid, emit bit (r, c) =
+    1 iff the grid brightens left-to-right at that cell — 8 rows x 8
+    horizontal differences = 64 bits, packed into 4 x 16-bit band values
+    ready for ``dedup.image_neardup_pairs``'s pigeonhole join.
+
+    EXACT integer math end to end, so the hash is oracle-checkable and
+    bit-stable across platforms: grayscale is the channel sum r+g+b
+    (a monotone stand-in for luma — only comparisons matter); the 9x8
+    reduction is block pooling with integer edges ``floor(i*W/9)`` /
+    ``floor(j*H/8)``; block-mean comparisons cross-multiply integer
+    (sum, count) pairs instead of dividing.  Integer-upscaled copies of
+    an image therefore hash IDENTICALLY (blocks scale uniformly), the
+    invariance test_operators pins.
+
+    Images smaller than the 9x8 grid (an empty pooling block) and
+    undecodable payloads yield NULL ``dhash_bands`` — honest reject;
+    size/format columns still report what the header said when it
+    parsed.  Arrow-batched ``mapInPandas``: embarrassingly parallel,
+    no shuffle, the decode fused with the hash (no raster ever leaves
+    the worker).  Reference: the classic dHash construction
+    (Krawetz, "Kind of Like That", 2013); the reference repo (a WOE
+    binning library) has no image surface."""
+    import numpy as np
+
+    band_bits = int(_DHASH_BAND_BITS)
+    n_bands = 64 // band_bits
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "fmt": [], "width": [], "height": [], "dhash_bands": [],
+            }
+            for b in pdf["content"]:
+                parsed, fmt = (
+                    _decode_raster(bytes(b), codec)
+                    if b is not None else (None, None)
+                )
+                if parsed is None:
+                    out["fmt"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["dhash_bands"].append(None)
+                    continue
+                w, h, px = parsed[:3]
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                if w < 9 or h < 8:
+                    out["dhash_bands"].append(None)  # grid underflows
+                    continue
+                gray = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .sum(axis=2, dtype=np.int64)
+                )
+                xe = [(c * w) // 9 for c in range(10)]
+                ye = [(r * h) // 8 for r in range(9)]
+                sums = np.empty((8, 9), dtype=np.int64)
+                cnts = np.empty((8, 9), dtype=np.int64)
+                for r in range(8):
+                    for c in range(9):
+                        blk = gray[ye[r]:ye[r + 1], xe[c]:xe[c + 1]]
+                        sums[r, c] = blk.sum()
+                        cnts[r, c] = blk.size
+                bands = [0] * n_bands
+                for r in range(8):
+                    for c in range(8):
+                        # mean(right) > mean(left), division-free
+                        if (
+                            sums[r, c + 1] * cnts[r, c]
+                            > sums[r, c] * cnts[r, c + 1]
+                        ):
+                            k = r * 8 + c
+                            bands[k // band_bits] |= 1 << (k % band_bits)
+                out["dhash_bands"].append(bands)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, schema=DHASH_SCHEMA
+    )
+
+
+def synthetic_gradient_ppm_media(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 9,
+    height: int = 8,
+    dup_every: int | None = None,
+) -> DataFrame:
+    """Gradient PPM payloads built ENTIRELY JVM-side — the dHash
+    certification fixture (q_multimodal_stats 'dhash' section): pixel
+    (x, y) of row ``id`` is the constant-channel value
+    ``(seed*31 + x*17 + y*7) % 256`` with ``seed = id`` (or
+    ``id - id % dup_every``, planting groups of byte-identical images
+    for duplicate-count oracles).  At the default 9x8 the dHash pooling
+    grid is the identity, so every hash bit is the closed-form
+    comparison the oracle recomputes as pure SQL."""
+    seed = (
+        F.col(id_col)
+        if dup_every is None
+        else F.col(id_col) - F.pmod(F.col(id_col), F.lit(dup_every))
+    )
+    pieces = [F.encode(F.lit(f"P6\n{width} {height}\n255\n"), "utf-8")]
+    hex_parts = []
+    for y in range(height):
+        for x in range(width):
+            v = F.pmod(seed * 31 + F.lit(x * 17 + y * 7), F.lit(256)).cast(
+                "int"
+            )
+            hex_parts.append(F.repeat(F.lpad(F.hex(v), 2, "0"), 3))
+    pieces.append(F.unhex(F.concat(*hex_parts)))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(*pieces).alias("content"),
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
     )
 
 

@@ -91,6 +91,8 @@ def curate_corpus(
     url_blocklist=None,
     max_per_domain: int | None = None,
     url_suffix_list=None,
+    image_dedup: DataFrame | None = None,
+    image_hamming: int = 3,
     quality_model=None,
     output_path: str | None = None,
     cache_survivors: bool = True,
@@ -113,6 +115,10 @@ def curate_corpus(
       column rides through as metadata; ``url_suffix_list`` (round 16)
       forwards a real Public Suffix List (``PublicSuffixList`` / path /
       rule DataFrame) into the registered-domain extraction;
+    - ``image_dedup`` (round 16) — a media table keyed by the doc id:
+      perceptual dHash near-dup over the decoded images
+      (``image_neardup_pairs`` at ``image_hamming``), keeping the
+      min-id doc per image cluster, before any text stage;
     - ``html_col`` (keyword-only, round 14) — ``extract_html_text``
       renders the named raw-HTML column into ``text_col`` BEFORE any
       other stage (tag strip + entity decode + link-density boilerplate
@@ -249,6 +255,27 @@ def curate_corpus(
             "__u_scheme", "__u_host", "__u_port", "__u_path",
             "__u_domain", "__u_tld",
         )
+    if image_dedup is not None:
+        # Perceptual image near-dup gate (round 16): ``image_dedup`` is
+        # a media table (media_id aligned with the doc id + binary
+        # content); docs whose image dHashes within ``image_hamming``
+        # of a kept doc's image drop out BEFORE the text stages — the
+        # min-id doc of every image cluster survives.  Docs without a
+        # media row (and docs whose image cannot be decoded) pass
+        # through untouched: a missing/undecodable image is a separate
+        # quality signal, not a duplicate.  One decode pass + the
+        # banded pair join + one LEFT ANTI against the drop set.
+        from .operators.dedup import dedup_keep_canonical, image_neardup_pairs
+
+        ipairs = image_neardup_pairs(
+            image_dedup, id_col="media_id", max_hamming=image_hamming
+        )
+        with_media = image_dedup.select(F.col("media_id").alias(id_col))
+        keep_ids = dedup_keep_canonical(with_media, ipairs, id_col).select(
+            id_col
+        )
+        drop_ids = with_media.join(keep_ids, id_col, "left_anti")
+        docs = docs.join(drop_ids, id_col, "left_anti")
     if html_col is not None:
         # HTML -> text extraction FIRST (round 14): the canonical
         # C4/RefinedWeb front stage — every hygiene/dedup stage below
