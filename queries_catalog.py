@@ -3220,6 +3220,81 @@ def _bpe_fixture_tokenizer():
     return BPETokenizer(_bpe_fixture_merges(), alphabet=alphabet)
 
 
+_BPE_BYTE_SPECIALS = ("<pad>", "<bos>", "<eos>")
+
+
+def _bpe_byte_fixture_tokenizer():
+    """The import-time pure-Python twin of the BYTE-level Spark-trained
+    tokenizer (round 16): same fixture corpus, same merge budget, GPT-2
+    id layout (specials first, 256 byte ids, merges) — the oracle embeds
+    its per-word encodings as literals."""
+    from woe_monotonic_binning_spark.operators.tokenizer import (
+        BPETokenizer,
+        _byte_proxy,
+        train_bpe_from_counts,
+    )
+
+    counts: dict[str, int] = {}
+    for line in _BPE_FIXTURE_CORPUS:
+        for w in line.split(" "):
+            p = _byte_proxy(w)
+            counts[p] = counts.get(p, 0) + 1
+    return BPETokenizer(
+        train_bpe_from_counts(counts, _BPE_FIXTURE_MERGES),
+        byte_level=True,
+        special_tokens=_BPE_BYTE_SPECIALS,
+    )
+
+
+def _bpe_byte_section_sql() -> str:
+    """The 'bpe_byte' UNION ALL branch of the q_token_budget oracle
+    (round 16): byte-level BPE with reserved special ids over a two-arm
+    closed-form column — even docs 'table scanner <id>', odd docs
+    'café <id>'.  The learned words' encodings (token strings, counts,
+    id sums) embed as import-time literals from the pure-Python twin;
+    the digit run exercises the raw byte-id space live per row (digit
+    bytes are unmerged — the fixture corpus has no digits — so each
+    digit's id is ascii + the special offset); 'café' pins the
+    multi-byte UTF-8 path (0xC3/0xA9 raw-byte tokens — the row a
+    char-level tokenizer would UNK).  NOTE the shared pre-tokenizer
+    splits 'café' into 'caf' + 'é' (é is outside [A-Za-z]), so the odd
+    arm carries THREE pre-tokens and its constants are derived from
+    that exact split."""
+    tok = _bpe_byte_fixture_tokenizer()
+    off = len(_BPE_BYTE_SPECIALS)
+
+    def enc(*words: str):
+        toks = [t for w in words for t in tok.encode(w)]
+        ids = [i for w in words for i in tok.encode_ids(w)]
+        return len(toks), sum(ids), " ".join(toks)
+
+    n_even, s_even, j_even = enc("table", "scanner")
+    n_odd, s_odd, j_odd = enc("caf", "é")
+    digits = "regexp_extract_all(CAST(doc_id AS VARCHAR), '.')"
+    return f"""
+    UNION ALL
+    -- byte-level BPE + special-token id reservations (round 16): toks =
+    -- learned token count, n_docs = pre-token count, n_packs = id sum
+    -- under the specials-first byte id space, text_md5 = exact token
+    -- boundaries (proxy strings for raw bytes)
+    SELECT 'bpe_byte' AS section, doc_id, CAST(NULL AS VARCHAR) AS source,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN {n_even} ELSE {n_odd} END
+                + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS toks,
+           CAST(3 AS BIGINT) AS n_docs,  -- both arms: 3 pre-tokens
+           md5(CASE WHEN doc_id % 2 = 0 THEN '{j_even}' ELSE '{j_odd}' END
+               || ' ' || array_to_string({digits}, ' ')) AS text_md5,
+           CAST(NULL AS BOOLEAN) AS oversize,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN {s_even} ELSE {s_odd} END
+                + list_sum(list_transform({digits},
+                    c -> ascii(c) + {off})) AS BIGINT) AS n_packs,
+           CAST(NULL AS BIGINT) AS n_oversize,
+           CAST(NULL AS DOUBLE) AS utilization,
+           CAST(NULL AS DOUBLE) AS min_utilization,
+           CAST(NULL AS DOUBLE) AS max_utilization
+    FROM documents
+    """
+
+
 def _bpe_section_sql() -> str:
     """The 'bpe' UNION ALL branch of the q_token_budget oracle: learned-BPE
     token counts + the md5 of the space-joined token stream per document,
@@ -3413,7 +3488,7 @@ def _bpe_section_sql() -> str:
       ) GROUP BY pack_id
     ) GROUP BY shard
     """
-    + _bpe_section_sql(),
+    + _bpe_section_sql() + _bpe_byte_section_sql(),
 )
 def q_token_budget(spark, sf_dir):
     """Data-recipe token-budget fill: admit docs per source in hash-draw
@@ -3569,11 +3644,51 @@ def q_token_budget(spark, sf_dir):
         null_d.alias("min_utilization"),
         null_d.alias("max_utilization"),
     )
+    # byte-level BPE + specials + vocab_size derivation (round 16): REAL
+    # distributed train with the GPT-2 id layout — vocab_size states the
+    # target, the 40-merge budget is DERIVED; apply runs over the two-arm
+    # closed-form column whose odd rows carry a multi-byte UTF-8 char
+    bt = train_bpe(
+        fixture,
+        byte_level=True,
+        special_tokens=_BPE_BYTE_SPECIALS,
+        vocab_size=256 + len(_BPE_BYTE_SPECIALS) + _BPE_FIXTURE_MERGES,
+    )
+    docs2 = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+            F.concat(F.lit("table scanner "), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("café "), F.col("doc_id").cast("string"))
+        )
+        .alias("text"),
+    )
+    bpe_byte = tokenize_ids(tokenize_bpe(docs2, bt), bt).select(
+        F.lit("bpe_byte").alias("section"),
+        "doc_id",
+        F.lit(None).cast("string").alias("source"),
+        F.size("bpe_tokens").cast("long").alias("toks"),
+        F.size(pretokens(F.col("text"))).cast("long").alias("n_docs"),
+        F.md5(F.array_join("bpe_tokens", " ")).alias("text_md5"),
+        F.lit(None).cast("boolean").alias("oversize"),
+        F.aggregate(
+            "token_ids",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("n_packs"),
+        null_l.alias("n_oversize"),
+        null_d.alias("utilization"),
+        null_d.alias("min_utilization"),
+        null_d.alias("max_utilization"),
+    )
     return (
         out.unionByName(mat)
         .unionByName(stats)
         .unionByName(shard)
         .unionByName(bpe)
+        .unionByName(bpe_byte)
     )
 
 

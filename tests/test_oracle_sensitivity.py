@@ -1375,3 +1375,65 @@ def test_dhash_band_order_corruption_is_caught(spark, con, monkeypatch):
         spark, con, "q_multimodal_stats",
         qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
     )
+
+
+def test_bpe_byte_special_offset_dropped_is_caught(spark, con, monkeypatch):
+    """The round-16 'bpe_byte' section pins the specials-first id
+    layout: an engine that forgets to reserve pad/bos/eos shifts every
+    byte and merge id down by 3 — id sums disagree on every row."""
+    import woe_monotonic_binning_spark.operators.tokenizer as tk
+
+    orig = tk.train_bpe
+
+    def mutated(df, *a, **kw):
+        kw["special_tokens"] = ()
+        return orig(df, *a, **kw)
+
+    monkeypatch.setattr(tk, "train_bpe", mutated)
+    assert_caught(
+        spark, con, "q_token_budget",
+        qc.SPARK_QUERIES["q_token_budget"](spark, SF),
+    )
+
+
+def test_bpe_byte_vocab_size_ignored_is_caught(spark, con, monkeypatch):
+    """The 'bpe_byte' section pins the vocab_size -> merge-budget
+    derivation: an engine whose budget arithmetic loses 25 merges
+    leaves 'table' unmerged — token counts and boundaries disagree."""
+    import woe_monotonic_binning_spark.operators.tokenizer as tk
+
+    orig = tk.train_bpe
+
+    def mutated(df, *a, **kw):
+        if kw.get("vocab_size") is not None:
+            kw["vocab_size"] = kw["vocab_size"] - 25
+        return orig(df, *a, **kw)
+
+    monkeypatch.setattr(tk, "train_bpe", mutated)
+    assert_caught(
+        spark, con, "q_token_budget",
+        qc.SPARK_QUERIES["q_token_budget"](spark, SF),
+    )
+
+
+def test_bpe_byte_char_conflation_is_caught(spark, con, monkeypatch):
+    """The 'bpe_byte' section pins byte-level encoding itself: an engine
+    silently training char-level (alphabet = observed chars + unk) maps
+    'é' to one char token under a different id space — id sums and the
+    token-stream md5 disagree on the multi-byte arm."""
+    import woe_monotonic_binning_spark.operators.tokenizer as tk
+
+    orig = tk.train_bpe
+
+    def mutated(df, *a, **kw):
+        if kw.get("byte_level"):
+            kw["byte_level"] = False
+            kw.pop("vocab_size", None)  # keep the same merge budget
+            kw["num_merges"] = qc._BPE_FIXTURE_MERGES
+        return orig(df, *a, **kw)
+
+    monkeypatch.setattr(tk, "train_bpe", mutated)
+    assert_caught(
+        spark, con, "q_token_budget",
+        qc.SPARK_QUERIES["q_token_budget"](spark, SF),
+    )

@@ -24,6 +24,7 @@ from woe_monotonic_binning_spark.operators.tokenizer import (
     encode_word,
     pretokens,
     tokenize_bpe,
+    tokenize_ids,
     train_bpe,
     train_bpe_from_counts,
 )
@@ -526,3 +527,133 @@ def test_materialize_pack_ids_null_stream_fails_loudly(spark):
     with pytest.raises(Exception) as ei:
         materialize_pack_ids(docs, packed).collect()
     assert "token_ids is NULL for doc_id=1" in str(ei.value)
+
+
+# -- round 16: byte-level BPE + special tokens + vocab_size -------------------
+
+
+def test_byte_level_id_space_and_specials(spark):
+    """GPT-2 layout: specials 0..k-1, then the 256 bytes in order, then
+    merges; no unk exists — any unicode input encodes totally through
+    its UTF-8 bytes; special ids are reservations the encoder never
+    emits."""
+    fixture = spark.createDataFrame(
+        [(0, "table table tables scan scans café café")],
+        "id long, text string",
+    )
+    tok = train_bpe(
+        fixture, byte_level=True, num_merges=8,
+        special_tokens=("<pad>", "<bos>", "<eos>"),
+    )
+    assert tok.special_token_id("<pad>") == 0
+    assert tok.special_token_id("<eos>") == 2
+    assert tok.token_to_id[chr(0)] == 3 and tok.token_to_id[chr(255)] == 258
+    assert tok.unk_id is None
+    # CJK: never seen in training, still encodes (3 raw UTF-8 bytes)
+    ids = tok.encode_ids("漢")
+    assert ids == [b + 3 for b in "漢".encode("utf-8")]
+    # the encoder can never emit a special id
+    assert all(i >= 3 for w in ("café", "table", "zzz9")
+               for i in tok.encode_ids(w))
+    import pytest
+    with pytest.raises(KeyError):
+        tok.special_token_id("<mask>")
+    with pytest.raises(ValueError):
+        BPETokenizer([], byte_level=True, special_tokens=("x",))
+    with pytest.raises(ValueError):
+        BPETokenizer([], special_tokens=("<unk>",))
+
+
+def test_vocab_size_derives_merge_budget(spark):
+    """vocab_size is the production knob: merges = vocab_size - specials
+    - base (256 byte-level; |alphabet|+1 char-level); below base raises."""
+    fixture = spark.createDataFrame(
+        [(0, "aa ab aa ab ba ba ca ca da da ea ea fa fa")],
+        "id long, text string",
+    )
+    tok = train_bpe(
+        fixture, byte_level=True, vocab_size=256 + 2 + 5,
+        special_tokens=("<pad>", "<eos>"),
+    )
+    assert len(tok.merges) <= 5 and tok.vocab_size() <= 263
+    ctok = train_bpe(fixture, vocab_size=30)  # char-level: alphabet+1+m
+    base = len(ctok.alphabet) + 1
+    assert len(ctok.merges) <= 30 - base
+    import pytest
+    with pytest.raises(ValueError):
+        train_bpe(fixture, byte_level=True, vocab_size=100)
+
+
+def test_byte_level_spark_apply_matches_driver_encode(spark):
+    """tokenize_bpe / tokenize_ids / bpe_token_count agree with the
+    driver artifact word-by-word under byte level, including multi-byte
+    UTF-8 pre-tokens (which the shared pre-tokenizer splits at the
+    non-ASCII boundary)."""
+    fixture = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(
+            ["table tables scanner scanning", "café caffé scan table"]
+        )],
+        "id long, text string",
+    )
+    tok = train_bpe(fixture, byte_level=True, num_merges=12,
+                    special_tokens=("<eos>",))
+    docs = spark.createDataFrame(
+        [(0, "table café 42"), (1, "scanner漢x")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in bpe_token_count(
+            tokenize_ids(tokenize_bpe(docs, tok), tok), tok
+        ).collect()
+    }
+    import re
+    from woe_monotonic_binning_spark.operators.text import _BPE_RE
+    for i, text in [(0, "table café 42"), (1, "scanner漢x")]:
+        words = re.findall(_BPE_RE, text)
+        toks = [t for w in words for t in tok.encode(w)]
+        ids = [x for w in words for x in tok.encode_ids(w)]
+        assert got[i].bpe_tokens == toks, (i, got[i].bpe_tokens, toks)
+        assert got[i].token_ids == ids
+        assert got[i].n_tokens_bpe == len(toks)
+
+
+def test_byte_level_save_load_and_pack_sep(spark, tmp_path):
+    """Artifact round-trip keeps byte level + specials; the reserved eos
+    id drives materialize_pack_ids(sep_id=) — the train->tokenize->pack
+    chain on reserved separators."""
+    from woe_monotonic_binning_spark.operators.packing import (
+        materialize_pack_ids,
+        pack_sequences,
+    )
+
+    fixture = spark.createDataFrame(
+        [(0, "pack packs packed packing run runs running")],
+        "id long, text string",
+    )
+    tok = train_bpe(fixture, byte_level=True, num_merges=6,
+                    special_tokens=("<pad>", "<bos>", "<eos>"))
+    p = tmp_path / "tok.json"
+    tok.save(str(p))
+    tok2 = BPETokenizer.load(str(p))
+    assert tok2 == tok and tok2.byte_level
+    assert tok2.special_token_id("<eos>") == tok.special_token_id("<eos>")
+
+    docs = spark.createDataFrame(
+        [(i, f"pack run {i}") for i in range(6)], "doc_id long, text string"
+    )
+    with_ids = bpe_token_count(tokenize_ids(docs, tok2), tok2)
+    packed = pack_sequences(with_ids, token_col="n_tokens_bpe", budget=64)
+    eos = tok2.special_token_id("<eos>")
+    mat = materialize_pack_ids(with_ids, packed, sep_id=eos).collect()
+    pure = {r.doc_id: r.token_ids for r in tokenize_ids(docs, tok2).collect()}
+    for row in mat:
+        exp = []
+        for j, d in enumerate(sorted(row.doc_ids)):
+            if j:
+                exp.append(eos)
+            exp.extend(pure[d])
+        assert row.token_ids == exp
+        # the separator id never collides with a real token id
+        assert all(x != eos for ids in (pure[d] for d in row.doc_ids)
+                   for x in ids)

@@ -158,7 +158,19 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
-UNK_ID = 0  # id of the out-of-alphabet token in every id space
+UNK_ID = 0  # id of the out-of-alphabet token when no specials reserved
+
+
+def _byte_proxy(word: str) -> str:
+    """Byte-level proxy string: each UTF-8 byte of ``word`` becomes the
+    one latin-1 character with that code point, so the char-based merge
+    machinery (trainer, encoder, caches, the DuckDB CTE twin on ASCII)
+    operates on BYTES without a parallel implementation.  Bijective:
+    ``proxy.encode('latin-1')`` recovers the exact bytes."""
+    return word.encode("utf-8").decode("latin-1")
+
+
+_BYTE_ALPHABET = [chr(i) for i in range(256)]
 
 
 class BPETokenizer:
@@ -168,43 +180,113 @@ class BPETokenizer:
     join, no shuffle.
 
     The INTEGER ID SPACE (what a training pipeline actually packs) is a
-    pure function of the artifact: id 0 is ``<unk>`` (characters never
-    seen in training), ids 1..|alphabet| the sorted single characters,
-    then the merge tokens in rank order — deterministic, so two
-    machines loading the same JSON assign identical ids."""
+    pure function of the artifact.  ``special_tokens`` (round 16) are
+    reserved FIRST: ids ``0..k-1`` in the given order (pad/bos/eos by
+    convention — :meth:`special_token_id` looks them up; they are id
+    RESERVATIONS for the packing/serving layer, e.g.
+    ``materialize_pack_ids(sep_id=tok.special_token_id('<eos>'))`` —
+    the encoder never emits them).  Then:
+
+    - char-level (default): ``<unk>`` (characters never seen in
+      training), the sorted single characters, the merge tokens in rank
+      order — with no specials this is exactly the round-15 layout
+      (``UNK_ID`` = 0).
+    - byte-level (``byte_level=True``, round 16): the 256 bytes in
+      order, then the merge tokens — NO unk, byte-level BPE cannot see
+      an out-of-alphabet symbol (the GPT-2 posture).  Tokens are
+      latin-1 proxy strings of their bytes (see :func:`_byte_proxy`).
+
+    Deterministic, so two machines loading the same JSON assign
+    identical ids.  ``save`` writes a small JSON artifact; the
+    (merges, vocab) pair maps 1:1 onto the HuggingFace ``tokenizers``
+    BPE model fields (``vocab`` = ``token_to_id``, ``merges`` = the
+    rank-ordered pair list, byte-level pre-tokenizer ~= this module's
+    regex + byte proxy) — a converter is a straight reshape, though the
+    file here is NOT the tokenizers JSON schema itself."""
 
     def __init__(
         self,
         merges: list[tuple[str, str]],
         alphabet: list[str] | None = None,
+        byte_level: bool = False,
+        special_tokens: tuple[str, ...] = (),
     ):
         self.merges = [tuple(m) for m in merges]
         self.ranks: dict[tuple[str, str], int] = {
             m: i for i, m in enumerate(self.merges)
         }
-        if alphabet is None:
+        self.byte_level = bool(byte_level)
+        self.special_tokens = tuple(special_tokens)
+        if len(set(self.special_tokens)) != len(self.special_tokens):
+            raise ValueError(
+                f"duplicate special tokens: {self.special_tokens}"
+            )
+        for s in self.special_tokens:
+            # a 1-char special would collide with an alphabet id and a
+            # '<unk>' special with the reserved unk slot — both would
+            # silently shift the id space
+            if len(s) < 2 or s == "<unk>":
+                raise ValueError(
+                    f"invalid special token {s!r}: must be multi-char "
+                    "and not the reserved '<unk>'"
+                )
+        if byte_level:
+            alphabet = list(_BYTE_ALPHABET)  # fixed, total
+        elif alphabet is None:
             # lossy fallback for artifacts that predate the alphabet
             # field: every character that appears inside a merge
             alphabet = sorted({c for m in self.merges for part in m
                                for c in part})
-        self.alphabet = sorted(set(alphabet))
-        self.token_to_id: dict[str, int] = {"<unk>": UNK_ID}
+        self.alphabet = (
+            list(alphabet) if byte_level else sorted(set(alphabet))
+        )
+        self.token_to_id: dict[str, int] = {}
+        for s in self.special_tokens:
+            self.token_to_id[s] = len(self.token_to_id)
+        if byte_level:
+            self.unk_id: int | None = None
+        else:
+            self.unk_id = len(self.token_to_id)
+            self.token_to_id["<unk>"] = self.unk_id
         for c in self.alphabet:
-            self.token_to_id[c] = len(self.token_to_id)
+            if c not in self.token_to_id:
+                self.token_to_id[c] = len(self.token_to_id)
         for a, b in self.merges:
             tok = a + b
+            if tok in self.special_tokens:
+                # a learned token spelled like a special would hijack the
+                # reserved id — real text must never emit a special id
+                raise ValueError(
+                    f"merge {a!r}+{b!r} collides with special token "
+                    f"{tok!r}"
+                )
             if tok not in self.token_to_id:
                 self.token_to_id[tok] = len(self.token_to_id)
 
+    def special_token_id(self, name: str) -> int:
+        """Reserved id of a special token (raises KeyError if the
+        artifact does not reserve it)."""
+        if name not in self.special_tokens:
+            raise KeyError(
+                f"{name!r} is not a reserved special token of this "
+                f"artifact (has {self.special_tokens})"
+            )
+        return self.token_to_id[name]
+
     def encode(self, word: str) -> list[str]:
+        if self.byte_level:
+            word = _byte_proxy(word)
         return encode_word(word, self.ranks)
 
     def encode_ids(self, word: str) -> list[int]:
-        """Token ids of one word; characters outside the training
-        alphabet map to ``UNK_ID`` (BPE never merges them, so an
-        unseen character is always its own single-char token)."""
+        """Token ids of one word.  Char-level: characters outside the
+        training alphabet map to the unk id (BPE never merges them, so
+        an unseen character is always its own single-char token).
+        Byte-level: total by construction, no unk exists."""
+        if self.byte_level:
+            return [self.token_to_id[t] for t in self.encode(word)]
         return [
-            self.token_to_id.get(t, UNK_ID) for t in self.encode(word)
+            self.token_to_id.get(t, self.unk_id) for t in self.encode(word)
         ]
 
     def vocab(self) -> set[str]:
@@ -219,9 +301,11 @@ class BPETokenizer:
         with open(path, "w") as f:
             json.dump(
                 {
-                    "version": 2,
+                    "version": 3,
                     "merges": self.merges,
-                    "alphabet": self.alphabet,
+                    "alphabet": None if self.byte_level else self.alphabet,
+                    "byte_level": self.byte_level,
+                    "special_tokens": list(self.special_tokens),
                 },
                 f,
             )
@@ -230,17 +314,28 @@ class BPETokenizer:
     def load(cls, path: str) -> "BPETokenizer":
         with open(path) as f:
             d = json.load(f)
-        return cls([tuple(m) for m in d["merges"]], d.get("alphabet"))
+        return cls(
+            [tuple(m) for m in d["merges"]],
+            d.get("alphabet"),
+            byte_level=d.get("byte_level", False),
+            special_tokens=tuple(d.get("special_tokens", ())),
+        )
 
     def __eq__(self, other):  # pragma: no cover - convenience
         return (
             isinstance(other, BPETokenizer)
             and self.merges == other.merges
             and self.alphabet == other.alphabet
+            and self.byte_level == other.byte_level
+            and self.special_tokens == other.special_tokens
         )
 
     def __repr__(self):
-        return f"BPETokenizer(n_merges={len(self.merges)})"
+        kind = "byte" if self.byte_level else "char"
+        return (
+            f"BPETokenizer(n_merges={len(self.merges)}, {kind}-level, "
+            f"specials={len(self.special_tokens)})"
+        )
 
 
 def pretokens(text: Column) -> Column:
@@ -258,6 +353,9 @@ def train_bpe(
     num_merges: int = 200,
     max_word_types: int = 100_000,
     min_count: int = 1,
+    byte_level: bool = False,
+    vocab_size: int | None = None,
+    special_tokens: tuple[str, ...] = (),
 ) -> BPETokenizer:
     """Train on a corpus DataFrame.  Distributed part: explode pre-tokens,
     count by word (map-side partial aggregation — the shuffle moves
@@ -269,7 +367,18 @@ def train_bpe(
     over the collected (word, count) table — bounded by
     ``max_word_types`` regardless of corpus size.  The frequency cut is
     the standard trainer posture (rare types contribute no pair worth
-    learning); it is a documented cap, not a silent one."""
+    learning); it is a documented cap, not a silent one.
+
+    ``byte_level=True`` (round 16) merges over the words' UTF-8 BYTES
+    (latin-1 proxy characters, see :func:`_byte_proxy`) — the GPT-2
+    posture: a fixed 256-symbol base alphabet, no unk ever.
+    ``vocab_size`` states the TARGET total id count the way production
+    trainers are configured; the merge budget is derived as
+    ``vocab_size - len(special_tokens) - base`` (base = 256 byte ids,
+    or |alphabet| + 1 unk char-level) and overrides ``num_merges``;
+    training may stop earlier when no pair repeats, so ``vocab_size``
+    is a ceiling, not a promise.  ``special_tokens`` reserve the lowest
+    ids (see :class:`BPETokenizer`)."""
     counts = (
         df.select(F.explode(pretokens(F.col(text_col))).alias("word"))
         .groupBy("word")
@@ -282,24 +391,45 @@ def train_bpe(
         .limit(int(max_word_types))
         .collect()
     )
-    wc = {r["word"]: r["count"] for r in rows}
+    if byte_level:
+        wc: dict[str, int] = {}
+        for r in rows:
+            p = _byte_proxy(r["word"])
+            wc[p] = wc.get(p, 0) + r["count"]
+        alphabet = None
+    else:
+        wc = {r["word"]: r["count"] for r in rows}
+        alphabet = sorted({c for w in wc for c in w})
+    if vocab_size is not None:
+        base = 256 if byte_level else len(alphabet) + 1
+        num_merges = vocab_size - len(special_tokens) - base
+        if num_merges < 0:
+            raise ValueError(
+                f"vocab_size={vocab_size} is below the base id count "
+                f"({base} + {len(special_tokens)} specials) — no merge "
+                "budget left"
+            )
     return BPETokenizer(
         train_bpe_from_counts(wc, num_merges),
-        alphabet=sorted({c for w in wc for c in w}),
+        alphabet=alphabet,
+        byte_level=byte_level,
+        special_tokens=special_tokens,
     )
 
 
 def _encode_arrays(
-    ranks: dict[tuple[str, str], int]
+    ranks: dict[tuple[str, str], int], byte_level: bool = False
 ) -> "callable":
     """Kernel factory: array<string> pre-tokens -> list of per-word token
-    LISTS, with a per-executor-process cache over distinct words."""
+    LISTS, with a per-executor-process cache over distinct words (keyed
+    on the ORIGINAL word, so the byte proxy also pays once per type)."""
     cache: dict[str, list[str]] = {}
 
     def enc(word: str) -> list[str]:
         got = cache.get(word)
         if got is None:
-            got = cache[word] = encode_word(word, ranks)
+            w = _byte_proxy(word) if byte_level else word
+            got = cache[word] = encode_word(w, ranks)
             if len(cache) > 2_000_000:  # bound executor memory, keep hot set
                 cache.clear()
         return got
@@ -323,7 +453,7 @@ def tokenize_bpe(
     # UDF, so each executor worker process keeps it across Arrow batches
     # (and across tasks under worker reuse) — per-batch caches would
     # re-encode the hot vocabulary every few thousand rows
-    enc = _encode_arrays(ranks)
+    enc = _encode_arrays(ranks, tokenizer.byte_level)
 
     @F.pandas_udf("array<string>")
     def apply_merges(words: pd.Series) -> pd.Series:
@@ -354,7 +484,8 @@ def tokenize_ids(
     :func:`tokenize_bpe`; NULL text -> NULL ids."""
     ranks = dict(tokenizer.ranks)
     t2i = dict(tokenizer.token_to_id)
-    enc = _encode_arrays(ranks)
+    unk = tokenizer.unk_id  # None byte-level: lookups are total there
+    enc = _encode_arrays(ranks, tokenizer.byte_level)
 
     @F.pandas_udf("array<int>")
     def apply_ids(words: pd.Series) -> pd.Series:
@@ -363,7 +494,7 @@ def tokenize_ids(
                 return None
             out: list[int] = []
             for w in ws:
-                out.extend(t2i.get(t, UNK_ID) for t in enc(w))
+                out.extend(t2i.get(t, unk) for t in enc(w))
             return out
 
         return words.map(one)
@@ -385,7 +516,8 @@ def bpe_token_count(
     materializing token arrays — the counting pass moves no token
     strings.  NULL text -> NULL count."""
     ranks = dict(tokenizer.ranks)
-    enc = _encode_arrays(ranks)  # per-worker cache, see tokenize_bpe
+    # per-worker cache, see tokenize_bpe
+    enc = _encode_arrays(ranks, tokenizer.byte_level)
 
     @F.pandas_udf("long")
     def count_tokens(words: pd.Series) -> pd.Series:
