@@ -4367,6 +4367,27 @@ def _url_section_sql() -> str:
         FROM (SELECT doc_id, {_url_fixture_sql()} AS url FROM documents)
       ) WHERE dom IS NOT NULL
     ) GROUP BY dom
+    UNION ALL
+    -- STREAMING URL gate (round 16): the same parse + blocklist filter
+    -- executed through Structured Streaming on the engine side.
+    -- parse_url is a stateless projection and the list blocklist a pure
+    -- filter, so the output is batch-split-invariant and this plain
+    -- batch SQL (the 'url' branch restricted to survivors) is its oracle.
+    SELECT 'url_stream' AS section, doc_id,
+           CAST(NULL AS INT) AS n_removed,
+           CAST(length(host) AS INT) AS new_len,
+           CAST(port AS INT) AS chunk_idx,
+           md5(coalesce(scheme, '~') || '|' || coalesce(host, '~') || '|'
+               || coalesce(CAST(port AS VARCHAR), '~') || '|'
+               || coalesce(path, '~') || '|' || coalesce(dom, '~') || '|'
+               || coalesce(tld, '~')) AS chunk_md5,
+           CAST(NULL AS INT) AS n_units
+    FROM (
+      SELECT doc_id, {p['scheme']} AS scheme, {p['host']} AS host,
+             {p['port']} AS port, {p['path']} AS path, {dom} AS dom,
+             {tld} AS tld
+      FROM (SELECT doc_id, {_url_fixture_sql()} AS url FROM documents)
+    ) WHERE NOT coalesce(dom IN ({bl}) OR host IN ({bl}), false)
     """
 
 
@@ -4754,8 +4775,9 @@ def q_dedup_lines(spark, sf_dir):
         F.col("n_lines").cast("int").alias("n_units"),
     )
 
-    # 'url' + 'url_cap' sections (round 15; PSL-widened round 16):
-    # parse_url over the 18-shape fixture under the certified PSL rules
+    # 'url' + 'url_cap' + 'url_stream' sections (round 15; PSL-widened +
+    # streaming arm round 16):
+    # parse_url over the 19-shape fixture under the certified PSL rules
     # (exact/wildcard/exception), the filter_domains block flag derived
     # from the ACTUAL operator output (left anti -> left join back), and
     # cap_per_domain's exact kept set per registered domain
@@ -4818,6 +4840,57 @@ def q_dedup_lines(spark, sf_dir):
         )
     )
 
+    # 'url_stream' (round 16): the SAME parse + list-blocklist gate
+    # executed through Structured Streaming — stateless projection =>
+    # batch-split-invariant output (same harness as 'window_stream')
+    uroot = _staging_dir(spark, "url_stream_stage")
+    usrc, uout, uckpt = (os.path.join(uroot, d) for d in ("src", "out", "ckpt"))
+    shutil.rmtree(uout, ignore_errors=True)
+    shutil.rmtree(uckpt, ignore_errors=True)
+    _docs(spark, sf_dir).select(
+        "doc_id", _url_fixture_col().alias("url")
+    ).repartition(4).write.mode("overwrite").parquet(usrc)
+    ustream = (
+        spark.readStream.schema("doc_id bigint, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(usrc)
+    )
+    ugate = filter_domains(
+        parse_url(ustream, suffix_list=_url_psl_rules()), _URL_BLOCKLIST
+    ).select(
+        "doc_id",
+        F.length("url_host").cast("int").alias("new_len"),
+        F.col("url_port").cast("int").alias("chunk_idx"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("~"))
+                    for c in ("url_scheme", "url_host", "url_port",
+                              "url_path", "url_domain", "url_tld")
+                ],
+            )
+        ).alias("chunk_md5"),
+    )
+    usq = (
+        ugate.writeStream.format("parquet")
+        .option("path", uout)
+        .option("checkpointLocation", uckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    usq.awaitTermination()
+    url_stream = spark.read.parquet(uout).select(
+        F.lit("url_stream").alias("section"),
+        "doc_id",
+        null_i.alias("n_removed"),
+        "new_len",
+        "chunk_idx",
+        "chunk_md5",
+        null_i.alias("n_units"),
+    )
+
     return (
         lines.unionByName(chunks)
         .unionByName(_window("words", 20, 5, "window_words"))
@@ -4828,6 +4901,7 @@ def q_dedup_lines(spark, sf_dir):
         .unionByName(html)
         .unionByName(url)
         .unionByName(url_cap)
+        .unionByName(url_stream)
     )
 
 

@@ -4138,3 +4138,52 @@ def test_image_neardup_pairs_finds_perturbed_copy(spark):
     }
     assert (0, 1) in pairs and 0 < pairs[(0, 1)] <= 2
     assert all(3 not in p for p in pairs)
+
+
+def test_decode_text_stream_equals_batch(spark, tmp_path):
+    """decode_text (incl. hints + cp1252, round 16) is a stateless Arrow
+    projection: the SAME call on a Structured Streaming source decodes
+    byte-identically to the batch run."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        decode_text,
+        synthetic_text_media,
+    )
+
+    docs = spark.range(54).withColumnRenamed("id", "doc_id")
+    media = synthetic_text_media(docs).select(
+        "media_id", "content", "charset_hint"
+    )
+    src, out, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    media.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "media_id bigint, content binary, charset_hint string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        decode_text(stream, hint_col="charset_hint")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    key = lambda r: r.media_id  # noqa: E731
+    got = sorted(spark.read.parquet(out).collect(), key=key)
+    exp = sorted(
+        decode_text(
+            spark.read.parquet(src), hint_col="charset_hint"
+        ).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    # every round-16 codec actually exercised through the stream
+    assert {"windows-1252", "latin-1", "utf-8", "utf-16-le"} <= {
+        r.encoding for r in got if r.encoding
+    }

@@ -356,3 +356,62 @@ def test_parse_url_extra_suffixes_compose_with_psl(spark):
         ).collect()
     }
     assert got == {0: "y.custom.suffix", 1: "a.github.io"}
+
+
+def test_parse_url_filter_domains_stream_equals_batch(spark, tmp_path):
+    """parse_url + filter_domains are stateless projections / broadcast
+    anti-joins: the SAME calls on a Structured Streaming source produce
+    byte-identical survivors and parsed columns (round-16 verdict item:
+    streaming parity for the round-15 URL surface)."""
+    psl = PublicSuffixList(_PSL_RULES)
+    rows = [
+        (i, u)
+        for i, u in enumerate(
+            [
+                "https://a.github.io/p", "https://b.github.io/p",
+                "http://evil.bad.com/x", "https://shop.x.co.il/q",
+                "http://sub.www.ck/e", "https://dot.example.org./t",
+                "http://h.example.com:70000/x", None, "   ",
+                "https://deep.sub.site.com.au/page",
+            ]
+        )
+    ]
+    src, out, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    spark.createDataFrame(rows, "doc_id long, url string").repartition(
+        3
+    ).write.parquet(src)
+
+    def gate(df):
+        return filter_domains(
+            parse_url(df, suffix_list=psl), ["bad.com"]
+        ).select(
+            "doc_id", "url_scheme", "url_host", "url_port", "url_path",
+            "url_domain", "url_tld",
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        gate(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    key = lambda r: r.doc_id  # noqa: E731
+    got = sorted(spark.read.parquet(out).collect(), key=key)
+    exp = sorted(
+        gate(spark.createDataFrame(rows, "doc_id long, url string"))
+        .collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    assert all(r.url_domain != "bad.com" for r in got)
