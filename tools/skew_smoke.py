@@ -60,8 +60,12 @@ def main() -> None:
     from woe_monotonic_binning_spark.operators.dedup import (
         dedup_keep_canonical,
         exact_dedup_by_digest,
+        image_neardup_pairs,
         minhash_dedup_pairs,
         semantic_dedup,
+    )
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        synthetic_gradient_ppm_media,
     )
     from woe_monotonic_binning_spark.operators.joins import salted_join
     from woe_monotonic_binning_spark.operators.packing import pack_sequences
@@ -208,6 +212,27 @@ def main() -> None:
                 "url_domain", F.substring(F.md5("text"), 1, 4)
             ),
             10,
+        ).count(),
+        # perceptual image near-dup under a hot duplicate image (round
+        # 16): the gradient-fixture seed is keyed on the text digest, so
+        # the skew corpus's exact-dup cluster (~5% of docs share one
+        # digest) becomes ONE hot identical image — its band buckets
+        # carry the whole cluster and the max_bucket guard / anchor-star
+        # fallback is what bounds the pair blow-up.  (The %256 seed
+        # arithmetic folds the uniform corpus into ~256 distinct images,
+        # so both arms carry real duplicate groups; the ratio isolates
+        # the one mega-group's cost.)
+        "image_dhash": lambda d, ctx: image_neardup_pairs(
+            synthetic_gradient_ppm_media(
+                read_docs(d).withColumn(
+                    "__img_seed",
+                    F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast(
+                        "long"
+                    ),
+                ),
+                seed_col="__img_seed",
+            ),
+            max_hamming=3,
         ).count(),
         "tfidf": lambda d, ctx: tfidf_top_terms(read_docs(d)).count(),
         "pack": lambda d, ctx: pack_sequences(

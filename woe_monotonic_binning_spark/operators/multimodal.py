@@ -3240,20 +3240,24 @@ def synthetic_gradient_ppm_media(
     width: int = 9,
     height: int = 8,
     dup_every: int | None = None,
+    seed_col: str | None = None,
 ) -> DataFrame:
     """Gradient PPM payloads built ENTIRELY JVM-side — the dHash
     certification fixture (q_multimodal_stats 'dhash' section): pixel
     (x, y) of row ``id`` is the constant-channel value
     ``(seed*31 + x*17 + y*7) % 256`` with ``seed = id`` (or
     ``id - id % dup_every``, planting groups of byte-identical images
-    for duplicate-count oracles).  At the default 9x8 the dHash pooling
-    grid is the identity, so every hash bit is the closed-form
+    for duplicate-count oracles; or the caller's ``seed_col`` — the
+    skew smoke keys it on a content digest so a hot duplicate cluster
+    becomes one hot identical image).  At the default 9x8 the dHash
+    pooling grid is the identity, so every hash bit is the closed-form
     comparison the oracle recomputes as pure SQL."""
-    seed = (
-        F.col(id_col)
-        if dup_every is None
-        else F.col(id_col) - F.pmod(F.col(id_col), F.lit(dup_every))
-    )
+    if seed_col is not None:
+        seed = F.col(seed_col)
+    elif dup_every is not None:
+        seed = F.col(id_col) - F.pmod(F.col(id_col), F.lit(dup_every))
+    else:
+        seed = F.col(id_col)
     pieces = [F.encode(F.lit(f"P6\n{width} {height}\n255\n"), "utf-8")]
     hex_parts = []
     for y in range(height):
