@@ -342,26 +342,46 @@ def parse_url(
         & ~trimmed.contains(".."),
         trimmed,
     )
-    port_s = F.regexp_extract(u, _PORT_RE, 3)
+    # STAGED projection (round 16): the host expression tree (two regex
+    # extracts + normalisation) would otherwise be re-inlined into every
+    # output column that references it (~10 copies), blowing the 64 KB
+    # whole-stage-codegen method limit on wide fixtures and re-running
+    # the regexes per column per row.  Aliasing the shared pieces in an
+    # intermediate Project keeps them single-evaluation: CollapseProject
+    # declines to merge projections when it would duplicate non-cheap
+    # expressions, so the plan stays two fused map-side Projects — still
+    # zero shuffles, zero joins (plan-pinned).
+    hc, psc, pac, scc = (
+        f"__{prefix}h", f"__{prefix}ps", f"__{prefix}pa", f"__{prefix}sc"
+    )
+    staged = df.select(
+        "*",
+        host.alias(hc),
+        F.regexp_extract(u, _PORT_RE, 3).alias(psc),
+        F.regexp_extract(u, _PATH_RE, 3).alias(pac),
+        F.regexp_extract(u, URL_SCHEME_RE, 1).alias(scc),
+    )
+    host_c = F.col(hc)
+    port_s = F.col(psc)
     port_i = port_s.try_cast("int")
-    path = F.regexp_extract(u, _PATH_RE, 3)
-    scheme_s = F.regexp_extract(u, URL_SCHEME_RE, 1)
-    domain = psl.registered_domain(host)
-    labels = F.split(host, "\\.")
+    path = F.col(pac)
+    scheme_s = F.col(scc)
+    domain = psl.registered_domain(host_c)
+    labels = F.split(host_c, "\\.")
     tld = F.when(
-        host.isNotNull()
-        & ~host.rlike(_IPV4_RE)
-        & ~host.contains(":")
+        host_c.isNotNull()
+        & ~host_c.rlike(_IPV4_RE)
+        & ~host_c.contains(":")
         & (F.size(labels) >= 2),
         F.element_at(labels, -1),
     )
-    ok = host.isNotNull()
-    return df.select(
-        "*",
+    ok = host_c.isNotNull()
+    return staged.select(
+        *df.columns,
         F.when(ok & (scheme_s != ""), F.lower(scheme_s)).alias(
             f"{prefix}scheme"
         ),
-        host.alias(f"{prefix}host"),
+        host_c.alias(f"{prefix}host"),
         F.when(
             ok & (port_s != "") & port_i.between(1, 65535), port_i
         ).alias(f"{prefix}port"),
