@@ -2014,6 +2014,39 @@ def q_events_rollup(spark, sf_dir):
       ) GROUP BY media_id
     )
     UNION ALL
+    SELECT 'ahash' AS section, media_id, 'audio' AS kind,
+           CAST(NULL AS INT) AS n_bytes, md5(sig) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'wav' AS fmt, CAST(NULL AS INT) AS width,
+           CAST(NULL AS INT) AS height,
+           CAST(count(*) OVER (PARTITION BY sig) - 1 AS INT) AS n_pixels,
+           CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+           CAST(NULL AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           130 AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm, CAST(NULL AS INT) AS orientation
+    FROM (
+      -- audio-hash closed form (round 16): the 130-sample tone fixture
+      -- pairs exactly two samples per energy window, so bit k compares
+      -- two two-term sums of squares; sample t = (seed*31+t*17)%4001
+      -- - 2000 with seed = id - id%4 (planted duplicate groups of 4)
+      SELECT media_id,
+             string_agg(CAST(band AS VARCHAR), ',' ORDER BY b) AS sig
+      FROM (
+        SELECT media_id, (k // 16) AS b,
+               sum(CASE WHEN
+                     power((seed*31 + (2*k+2)*17) % 4001 - 2000, 2)
+                   + power((seed*31 + (2*k+3)*17) % 4001 - 2000, 2)
+                   > power((seed*31 + (2*k)*17) % 4001 - 2000, 2)
+                   + power((seed*31 + (2*k+1)*17) % 4001 - 2000, 2)
+                   THEN (1::BIGINT << (k % 16)) ELSE 0 END) AS band
+        FROM (SELECT doc_id AS media_id, doc_id - (doc_id % 4) AS seed
+              FROM documents),
+             (SELECT unnest(generate_series(0, 63)) AS k)
+        GROUP BY media_id, (k // 16)
+      ) GROUP BY media_id
+    )
+    UNION ALL
     SELECT 'frames' AS section, doc_id AS media_id, 'video' AS kind,
            CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
@@ -2232,6 +2265,41 @@ def q_multimodal_stats(spark, sf_dir):
             null_l.alias("sum_pcm"), null_i.alias("orientation"),
         )
     )
+    # perceptual audio hash (round 16, the dHash sibling): 64-bit
+    # energy-envelope hash over the 130-sample tone fixture (65 windows
+    # x exactly 2 samples, so every energy is a two-term closed form);
+    # band md5 rides checksum, planted-duplicate count rides n_pixels,
+    # sample count rides n_frames
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        ahash_audio,
+        synthetic_tone_wav_media,
+    )
+
+    ah = ahash_audio(synthetic_tone_wav_media(docs, dup_every=4))
+    ah_counts = ah.groupBy("ahash_bands").agg(F.count("*").alias("__n"))
+    ahash = (
+        ah.join(ah_counts, "ahash_bands")
+        .select(
+            F.lit("ahash").alias("section"),
+            "media_id", F.lit("audio").alias("kind"),
+            null_i.alias("n_bytes"),
+            F.md5(
+                F.array_join(
+                    F.transform("ahash_bands", lambda x: x.cast("string")),
+                    ",",
+                )
+            ).alias("checksum"),
+            null_i.alias("first_byte"), null_i.alias("last_byte"),
+            "fmt", null_i.alias("width"), null_i.alias("height"),
+            (F.col("__n") - 1).cast("int").alias("n_pixels"),
+            null_l.alias("sum_r"), null_l.alias("sum_g"),
+            null_l.alias("sum_b"),
+            null_i.alias("n_channels"), null_i.alias("sample_rate"),
+            F.col("n_samples").cast("int").alias("n_frames"),
+            null_l.alias("duration_ms"),
+            null_l.alias("sum_pcm"), null_i.alias("orientation"),
+        )
+    )
     # the resized output is P6 bytes, so decode_image closes the
     # decode -> resample -> re-encode -> decode chain (fmt becomes 'ppm')
     resized = _pix(resize_image(synthetic_png_media(docs), 6, 3), "resize")
@@ -2254,6 +2322,7 @@ def q_multimodal_stats(spark, sf_dir):
         .unionByName(frames)
         .unionByName(text)
         .unionByName(dhash)
+        .unionByName(ahash)
         .unionByName(resized)
     )
 
@@ -4787,10 +4856,16 @@ def q_dedup_lines(spark, sf_dir):
         parse_url,
     )
 
+    # cache: three arms (md5 fold, blocklist join, domain cap) reuse the
+    # parsed table, and the cache is also a predicate-pushdown barrier —
+    # without it Catalyst inlines the whole fixture-CASE + parse alias
+    # chain into each arm's filter predicate (a ~1.4 MB expression that
+    # blows whole-stage codegen's 64 KB method limit and re-parses every
+    # row once per reference)
     parsed = parse_url(
         _docs(spark, sf_dir).select("doc_id", _url_fixture_col().alias("url")),
         suffix_list=_url_psl_rules(),
-    )
+    ).cache()
     kept_ids = filter_domains(parsed, _URL_BLOCKLIST).select(
         "doc_id", F.lit(1).alias("__kept")
     )
@@ -4855,10 +4930,20 @@ def q_dedup_lines(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(usrc)
     )
-    ugate = filter_domains(
-        parse_url(ustream, suffix_list=_url_psl_rules()), _URL_BLOCKLIST
-    ).select(
+    # the block decision is computed IN the stream as a projected flag
+    # (not a .where): a streaming filter on a derived column would be
+    # pushed below parse_url's projections, inlining the whole parse
+    # alias chain into one >64 KB predicate (the cache barrier used by
+    # the batch arms has no streaming equivalent); dropping rows on the
+    # materialized flag at sink read-back is the same gate
+    blocked = F.coalesce(
+        F.col("url_domain").isin(_URL_BLOCKLIST)
+        | F.col("url_host").isin(_URL_BLOCKLIST),
+        F.lit(False),
+    )
+    ugate = parse_url(ustream, suffix_list=_url_psl_rules()).select(
         "doc_id",
+        blocked.alias("__blocked"),
         F.length("url_host").cast("int").alias("new_len"),
         F.col("url_port").cast("int").alias("chunk_idx"),
         F.md5(
@@ -4881,14 +4966,18 @@ def q_dedup_lines(spark, sf_dir):
         .start()
     )
     usq.awaitTermination()
-    url_stream = spark.read.parquet(uout).select(
-        F.lit("url_stream").alias("section"),
-        "doc_id",
-        null_i.alias("n_removed"),
-        "new_len",
-        "chunk_idx",
-        "chunk_md5",
-        null_i.alias("n_units"),
+    url_stream = (
+        spark.read.parquet(uout)
+        .where(~F.col("__blocked"))
+        .select(
+            F.lit("url_stream").alias("section"),
+            "doc_id",
+            null_i.alias("n_removed"),
+            "new_len",
+            "chunk_idx",
+            "chunk_md5",
+            null_i.alias("n_units"),
+        )
     )
 
     return (

@@ -576,6 +576,34 @@ def image_neardup_pairs(
     )
 
 
+def audio_neardup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1_000,
+    cleanup: bool = True,
+) -> DataFrame:
+    """Perceptual AUDIO near-duplicate pairs (round 16): the 64-bit
+    energy-envelope hash of ``multimodal.ahash_audio`` banded through
+    the same 4 x 16-bit pigeonhole core as SimHash and the image dHash
+    (hamming <= 3 guaranteed a shared band; undecodable / too-short
+    payloads have NULL bands and take no part).  A WAV and a FLAC of
+    the same samples hash identically — byte-level dedup cannot see
+    re-encoded copies, this can."""
+    from .multimodal import ahash_audio
+
+    fp = (
+        ahash_audio(media)
+        .where(F.col("ahash_bands").isNotNull())
+        .select(id_col, "ahash_bands")
+        .cache()
+    )
+    return _banded_near_pairs(
+        fp, "ahash_bands", id_col, max_hamming, max_bucket, cleanup,
+        extra_caches=(fp,),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

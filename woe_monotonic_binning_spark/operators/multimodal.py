@@ -1604,6 +1604,21 @@ def _parse_wav(b: bytes) -> tuple[int, int, int, list[int]] | None:
     are byte-exact): reads ``fmt `` then the first ``data`` chunk;
     compressed codecs (MP3/AAC/ADPCM), other bit depths and >2 channels
     return None and fall through to the honest reject row."""
+    got = _parse_wav_arr(b)
+    if got is None:
+        return None
+    nch, rate, arr = got
+    import numpy as np
+
+    sums = arr.sum(axis=0, dtype=np.int64)
+    return nch, rate, arr.shape[0], [int(s) for s in sums]
+
+
+def _parse_wav_arr(b: bytes):
+    """The sample-level core of :func:`_parse_wav`: -> (n_channels,
+    sample_rate, int16 ndarray of shape (n_frames, n_channels)) or None.
+    Split out in round 16 so the perceptual audio hash can see SAMPLES
+    while ``decode_audio`` keeps its aggregate-sums contract."""
     import struct
 
     import numpy as np
@@ -1635,8 +1650,7 @@ def _parse_wav(b: bytes) -> tuple[int, int, int, list[int]] | None:
     if n_samples % nch != 0:
         return None
     arr = np.frombuffer(data[: n_samples * 2], dtype="<i2").reshape(-1, nch)
-    sums = arr.sum(axis=0, dtype=np.int64)
-    return nch, rate, arr.shape[0], [int(s) for s in sums]
+    return nch, rate, arr
 
 
 class _FlacBits:
@@ -1782,10 +1796,15 @@ def _flac_residual(bits: _FlacBits, blocksize: int, order: int) -> list[int]:
     return res
 
 
-def _parse_flac(b: bytes) -> tuple[int, int, int, list[int]] | None:
+def _parse_flac(
+    b: bytes, keep_samples: bool = False
+) -> tuple | None:
     """Native FLAC (RFC 9639 subset) -> (n_channels, sample_rate,
     n_frames, per-channel integer sample sums), or None — pure stdlib,
     the ``decode_audio`` contract of ``_parse_wav``.
+    ``keep_samples=True`` (round 16, the perceptual audio hash) appends
+    the decoded CHANNEL-0 sample list as a fifth element; memory stays
+    bounded by the same ``_MAX_DECODE_PIXELS`` cap as the sums path.
 
     Supported: 8/12/16/20/24/32-bit, 1-2 channels (independent or any
     of the left/right/mid-side stereo decorrelations), CONSTANT /
@@ -1830,6 +1849,7 @@ def _parse_flac(b: bytes) -> tuple[int, int, int, list[int]] | None:
     n_frames = 0
     sums = None
     nch_out = None
+    samples0: list[int] | None = [] if keep_samples else None
     while i < len(b):
         frame_start = i
         bits = _FlacBits(b, i)
@@ -1953,8 +1973,12 @@ def _parse_flac(b: bytes) -> tuple[int, int, int, list[int]] | None:
             return None
         for c in range(nch):
             sums[c] += sum(chans[c])
+        if samples0 is not None:
+            samples0.extend(chans[0])
     if sums is None:
         return None  # no audio frames
+    if keep_samples:
+        return nch_out, rate_out, n_frames, sums, samples0
     return nch_out, rate_out, n_frames, sums
 
 
@@ -3276,6 +3300,160 @@ def synthetic_gradient_ppm_media(
             F.lit(width).cast("int").alias("width"),
             F.lit(height).cast("int").alias("height"),
             F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+AHASH_SCHEMA = (
+    "media_id bigint, fmt string, n_samples int, ahash_bands array<bigint>"
+)
+
+# 64 audio-hash bits packed into 4 x 16-bit bands, like the image dHash.
+_AHASH_BAND_BITS = 16
+_AHASH_WINDOWS = 65  # 65 energy windows -> 64 difference bits
+
+
+def ahash_audio(media: DataFrame) -> DataFrame:
+    """64-bit perceptual audio hash per payload (round 16, the audio
+    sibling of :func:`dhash_images`): decode the PCM samples (WAV via
+    the shared ``_parse_wav_arr`` core, FLAC via ``_parse_flac``'s
+    sample-keeping mode — all the subframe/stereo machinery reused),
+    split CHANNEL 0 into 65 equal-coverage time windows with integer
+    edges ``floor(k*n/65)``, and emit bit k = 1 iff the signal's energy
+    (sum of squared samples) RISES from window k to window k+1 — an
+    energy-envelope fingerprint robust to re-encoding (the same raster
+    logic as dHash: exact integer math, division-free cross-multiplied
+    mean comparisons, so a WAV and a FLAC of the same samples hash
+    identically and the hash is oracle-checkable).  Packed into
+    4 x 16-bit bands for ``dedup.audio_neardup_pairs``'s pigeonhole
+    join.
+
+    Payloads that fail to decode, or carry fewer samples than the 65
+    windows, honest-reject to NULL bands (``fmt``/``n_samples`` still
+    report what parsed).  Arrow-batched ``mapInPandas``, embarrassingly
+    parallel, no shuffle.  Stereo hashes channel 0 (near-duplicate
+    stereo recordings match channel-wise); compressed codecs need the
+    ``decode_audio`` codec= route and are rejected here."""
+    band_bits = int(_AHASH_BAND_BITS)
+    n_bands = 64 // band_bits
+    n_win = int(_AHASH_WINDOWS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "fmt": [], "n_samples": [], "ahash_bands": [],
+            }
+            for b in pdf["content"]:
+                fmt = None
+                samples = None
+                if b is not None:
+                    raw = bytes(b)
+                    try:
+                        got = _parse_wav_arr(raw)
+                    except (MemoryError, ImportError):
+                        raise
+                    except Exception:
+                        got = None
+                    if got is not None:
+                        fmt = "wav"
+                        samples = [int(v) for v in got[2][:, 0]]
+                    else:
+                        try:
+                            gf = _parse_flac(raw, keep_samples=True)
+                        except (MemoryError, ImportError):
+                            raise
+                        except Exception:
+                            gf = None
+                        if gf is not None:
+                            fmt = "flac"
+                            samples = gf[4]
+                if samples is None:
+                    out["fmt"].append(fmt)
+                    out["n_samples"].append(None)
+                    out["ahash_bands"].append(None)
+                    continue
+                n = len(samples)
+                out["fmt"].append(fmt)
+                out["n_samples"].append(n)
+                if n < n_win:
+                    out["ahash_bands"].append(None)  # grid underflows
+                    continue
+                edges = [(k * n) // n_win for k in range(n_win + 1)]
+                # python ints: FLAC samples reach 32 bits, squares 2^64 —
+                # arbitrary precision keeps the comparison exact
+                energies = [
+                    sum(v * v for v in samples[edges[k]:edges[k + 1]])
+                    for k in range(n_win)
+                ]
+                cnts = [edges[k + 1] - edges[k] for k in range(n_win)]
+                bands = [0] * n_bands
+                for k in range(64):
+                    if (
+                        energies[k + 1] * cnts[k]
+                        > energies[k] * cnts[k + 1]
+                    ):
+                        bands[k // band_bits] |= 1 << (k % band_bits)
+                out["ahash_bands"].append(bands)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, schema=AHASH_SCHEMA
+    )
+
+
+def synthetic_tone_wav_media(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 130,
+    dup_every: int | None = None,
+    seed_col: str | None = None,
+) -> DataFrame:
+    """Varying-tone mono PCM16 WAV payloads built ENTIRELY JVM-side —
+    the audio-hash certification fixture (q_multimodal_stats 'ahash'
+    section): sample t of row ``id`` is
+    ``((seed*31 + t*17) % 4001) - 2000`` with ``seed = id`` / grouped /
+    ``seed_col`` exactly as in :func:`synthetic_gradient_ppm_media`.
+    At the default 130 samples every one of the 65 hash windows covers
+    EXACTLY two samples, so each energy is a two-term closed form the
+    oracle recomputes as pure SQL.  (The constant-sample
+    ``synthetic_wav_media`` stays the decode-sums fixture — a constant
+    signal has an all-zero difference hash, useless for pinning bits.)"""
+    data_len = n_frames * 2
+    hdr_hex = (
+        "52494646"
+        + (36 + data_len).to_bytes(4, "little").hex()
+        + "57415645"
+        + "666d7420" + "10000000"
+        + "0100" + "0100"
+        + (8000).to_bytes(4, "little").hex()
+        + (16000).to_bytes(4, "little").hex()
+        + "0200" + "1000"
+        + "64617461"
+        + data_len.to_bytes(4, "little").hex()
+    )
+    if seed_col is not None:
+        seed = F.col(seed_col)
+    elif dup_every is not None:
+        seed = F.col(id_col) - F.pmod(F.col(id_col), F.lit(dup_every))
+    else:
+        seed = F.col(id_col)
+    parts = [F.lit(hdr_hex)]
+    for t in range(n_frames):
+        val = F.pmod(seed * 31 + F.lit(17 * t), F.lit(4001)) - F.lit(2000)
+        u = F.pmod(val, F.lit(65536)).cast("int")  # two's-complement int16
+        lo = F.lpad(F.hex(F.pmod(u, F.lit(256))), 2, "0")
+        hi = F.lpad(F.hex((u / 256).cast("int")), 2, "0")
+        parts.append(F.concat(lo, hi))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.unhex(F.concat(*parts)).alias("content"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(n_frames * 1000 // 8000).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
 

@@ -192,11 +192,21 @@ class PublicSuffixList:
         )
 
     # -- Spark column builder ---------------------------------------------
-    def registered_domain(self, host: Column) -> Column:
+    def registered_domain(
+        self, host: Column, labels: Column | None = None
+    ) -> Column:
         """Registered domain of a normalised (lowercased, trailing-dot
         trimmed) host column under this rule set — one pure column
-        expression, see class docstring for the matching semantics."""
-        labels = F.split(host, "\\.")
+        expression, see class docstring for the matching semantics.
+        The longest-match CASE references the host's label array once
+        per depth per rule kind (~20 references); pass ``labels`` as an
+        ALIASED column (``F.split(host, ...)`` staged in its own
+        projection, as parse_url does) so each reference is a cheap
+        attribute read — inlining the split re-expands the host subtree
+        into every reference, which blows whole-stage codegen past the
+        64 KB method limit when the host itself is a wide expression."""
+        if labels is None:
+            labels = F.split(host, "\\.")
         n = F.size(labels)
 
         def suffix(k: int) -> Column:
@@ -351,8 +361,9 @@ def parse_url(
     # declines to merge projections when it would duplicate non-cheap
     # expressions, so the plan stays two fused map-side Projects — still
     # zero shuffles, zero joins (plan-pinned).
-    hc, psc, pac, scc = (
-        f"__{prefix}h", f"__{prefix}ps", f"__{prefix}pa", f"__{prefix}sc"
+    hc, lc, psc, pac, scc = (
+        f"__{prefix}h", f"__{prefix}l", f"__{prefix}ps", f"__{prefix}pa",
+        f"__{prefix}sc"
     )
     staged = df.select(
         "*",
@@ -360,14 +371,21 @@ def parse_url(
         F.regexp_extract(u, _PORT_RE, 3).alias(psc),
         F.regexp_extract(u, _PATH_RE, 3).alias(pac),
         F.regexp_extract(u, URL_SCHEME_RE, 1).alias(scc),
+    ).select(
+        # the label array is staged too: the PSL longest-match CASE
+        # references it once per depth per rule kind, and those must be
+        # attribute reads, not re-expansions of split(host) (see
+        # PublicSuffixList.registered_domain)
+        "*",
+        F.split(F.col(hc), "\\.").alias(lc),
     )
     host_c = F.col(hc)
     port_s = F.col(psc)
     port_i = port_s.try_cast("int")
     path = F.col(pac)
     scheme_s = F.col(scc)
-    domain = psl.registered_domain(host_c)
-    labels = F.split(host_c, "\\.")
+    labels = F.col(lc)
+    domain = psl.registered_domain(host_c, labels=labels)
     tld = F.when(
         host_c.isNotNull()
         & ~host_c.rlike(_IPV4_RE)
