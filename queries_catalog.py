@@ -4371,33 +4371,55 @@ def _url_fixture_sql() -> str:
 
 
 def _url_section_sql() -> str:
-    """The 'url' + 'url_cap' UNION ALL branches of the q_dedup_lines
-    oracle: parse_url's column semantics (scheme/host/port/path/
-    registered domain/tld folded into one md5), the filter_domains block
-    flag, and cap_per_domain's exact kept SET per domain (ROW_NUMBER over
-    the shared md5 hash draw — bit-identical in DuckDB) — all generated
-    from the SAME regex/suffix constants the engine compiles
-    (operators/urls.py url_parts_sql / registered_domain_sql)."""
+    """The 'url' + 'url_cap' + 'url_stream' UNION ALL branches of the
+    q_dedup_lines oracle: parse_url's column semantics (scheme/host/
+    port/path/registered domain/tld folded into one md5), the
+    filter_domains block flag, cap_per_domain's exact kept SET per
+    domain (ROW_NUMBER over the shared md5 hash draw — bit-identical in
+    DuckDB), and the streaming-survivor arm — all generated from the
+    SAME regex/suffix constants the engine compiles (operators/urls.py
+    url_parts_sql / registered_domain_sql).
+
+    Each branch computes through MATERIALIZED CTE stages (fixture url
+    -> host -> parsed columns), the SQL twin of the engine's staged
+    projection + cache: without them DuckDB inlines the fixture CASE
+    into every one of the parse tree's ~60 references and the sf1 sweep
+    OOMs on the exploded expression state."""
     from woe_monotonic_binning_spark.operators.urls import (
         registered_domain_sql,
         url_parts_sql,
     )
 
-    p = url_parts_sql("url")
-    dom = registered_domain_sql(f"({p['host']})", suffix_list=_url_psl_rules())
+    p = url_parts_sql("url", host_ref="host")
+    dom = registered_domain_sql("host", suffix_list=_url_psl_rules())
     bl = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
     tld = (
-        f"CASE WHEN ({p['host']}) IS NOT NULL "
-        f"AND NOT regexp_matches(({p['host']}), "
+        "CASE WHEN host IS NOT NULL "
+        "AND NOT regexp_matches(host, "
         "'^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') "
-        f"AND NOT contains(({p['host']}), ':') "
-        f"AND len(string_split(({p['host']}), '.')) >= 2 "
-        f"THEN string_split(({p['host']}), '.')[-1] END"
+        "AND NOT contains(host, ':') "
+        "AND len(string_split(host, '.')) >= 2 "
+        "THEN string_split(host, '.')[-1] END"
     )
+    # the shared staged inner table: one branch-scoped copy per arm
+    # (UNION ALL arms cannot share a WITH without restructuring the
+    # whole oracle; three bounded materializations are fine)
+    staged = f"""(
+      WITH __u AS MATERIALIZED (
+        SELECT doc_id, {_url_fixture_sql()} AS url FROM documents),
+      __h AS MATERIALIZED (
+        SELECT doc_id, url, {p['host']} AS host FROM __u),
+      __pd AS MATERIALIZED (
+        SELECT doc_id, {p['scheme']} AS scheme, host, {p['port']} AS port,
+               {p['path']} AS path, {dom} AS dom, {tld} AS tld
+        FROM __h)
+      SELECT * FROM __pd
+    )"""
     return f"""
     UNION ALL
-    -- URL parsing + domain gate (round 15): one md5 folds every parsed
-    -- column; n_removed = the filter_domains block flag; chunk_idx = port
+    -- URL parsing + domain gate (round 15; PSL round 16): one md5 folds
+    -- every parsed column; n_removed = the filter_domains block flag;
+    -- chunk_idx = port
     SELECT 'url' AS section, doc_id,
            CAST(CASE WHEN coalesce(
                   dom IN ({bl}) OR host IN ({bl}), false)
@@ -4409,12 +4431,7 @@ def _url_section_sql() -> str:
                || coalesce(path, '~') || '|' || coalesce(dom, '~') || '|'
                || coalesce(tld, '~')) AS chunk_md5,
            CAST(NULL AS INT) AS n_units
-    FROM (
-      SELECT doc_id, {p['scheme']} AS scheme, {p['host']} AS host,
-             {p['port']} AS port, {p['path']} AS path, {dom} AS dom,
-             {tld} AS tld
-      FROM (SELECT doc_id, {_url_fixture_sql()} AS url FROM documents)
-    )
+    FROM {staged}
     UNION ALL
     -- per-domain contribution cap (round 15): cap_per_domain keeps the
     -- {_URL_CAP} lowest hash-draws per registered domain; the md5 of the
@@ -4431,16 +4448,13 @@ def _url_section_sql() -> str:
              ROW_NUMBER() OVER (
                PARTITION BY dom
                ORDER BY md5(CAST(doc_id AS VARCHAR) || '_0'), doc_id) AS rk
-      FROM (
-        SELECT doc_id, {dom} AS dom
-        FROM (SELECT doc_id, {_url_fixture_sql()} AS url FROM documents)
-      ) WHERE dom IS NOT NULL
+      FROM {staged} WHERE dom IS NOT NULL
     ) GROUP BY dom
     UNION ALL
-    -- STREAMING URL gate (round 16): the same parse + blocklist filter
+    -- STREAMING URL gate (round 16): the same parse + blocklist gate
     -- executed through Structured Streaming on the engine side.
     -- parse_url is a stateless projection and the list blocklist a pure
-    -- filter, so the output is batch-split-invariant and this plain
+    -- row gate, so the output is batch-split-invariant and this plain
     -- batch SQL (the 'url' branch restricted to survivors) is its oracle.
     SELECT 'url_stream' AS section, doc_id,
            CAST(NULL AS INT) AS n_removed,
@@ -4451,12 +4465,8 @@ def _url_section_sql() -> str:
                || coalesce(path, '~') || '|' || coalesce(dom, '~') || '|'
                || coalesce(tld, '~')) AS chunk_md5,
            CAST(NULL AS INT) AS n_units
-    FROM (
-      SELECT doc_id, {p['scheme']} AS scheme, {p['host']} AS host,
-             {p['port']} AS port, {p['path']} AS path, {dom} AS dom,
-             {tld} AS tld
-      FROM (SELECT doc_id, {_url_fixture_sql()} AS url FROM documents)
-    ) WHERE NOT coalesce(dom IN ({bl}) OR host IN ({bl}), false)
+    FROM {staged}
+    WHERE NOT coalesce(dom IN ({bl}) OR host IN ({bl}), false)
     """
 
 

@@ -2004,3 +2004,32 @@ def test_curate_corpus_image_dedup_gate(spark):
     assert {0, 4} <= ids and not ({1, 2, 3, 5, 6, 7} & ids)
     # undecodable-media and media-less docs all survive
     assert {8, 9, 10, 11} <= ids
+
+
+def test_curate_corpus_audio_dedup_gate(spark):
+    """curate_corpus(audio_dedup=): docs whose audio is a perceptual
+    near-dup (incl. a WAV-vs-identical-tone pair) collapse to the min-id
+    doc; docs without audio pass through."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        synthetic_tone_wav_media,
+    )
+    from woe_monotonic_binning_spark.pipeline import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "src0", f"unique words document {i} " * 10) for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    media = synthetic_tone_wav_media(
+        spark.range(8).withColumnRenamed("id", "doc_id"), dup_every=4
+    )
+    out = curate_corpus(
+        docs,
+        near_dup=None,
+        quality_threshold=0.0,
+        weights=None,
+        audio_dedup=media,
+        cache_survivors=False,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert {0, 4} <= ids and not ({1, 2, 3, 5, 6, 7} & ids)
+    assert {8, 9} <= ids  # no media row -> untouched

@@ -4187,3 +4187,106 @@ def test_decode_text_stream_equals_batch(spark, tmp_path):
     assert {"windows-1252", "latin-1", "utf-8", "utf-16-le"} <= {
         r.encoding for r in got if r.encoding
     }
+
+
+# -- round 16: perceptual audio hash ------------------------------------------
+
+
+def _tone_wav(samples, rate=8000):
+    data = b"".join(int(v).to_bytes(2, "little", signed=True) for v in samples)
+    hdr = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def _tone_flac(samples):
+    """Verbatim-subframe FLAC of the same samples — built with the
+    module's CRC helpers (FLAC verifies real checksums)."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        _crc8,
+        _crc16,
+    )
+
+    n = len(samples)
+    streaminfo = (
+        bytes([0x80, 0, 0, 34])
+        + n.to_bytes(2, "big") * 2
+        + b"\x00\x00\x00" * 2
+        + bytes([0x01, 0xF4, 0x00, 0xF0])
+        + n.to_bytes(4, "big")
+        + b"\x00" * 16
+    )
+    fh = bytes([0xFF, 0xF8, 0x64, 0x08, 0x00, n - 1])  # bs code 6
+    fh += bytes([_crc8(fh)])
+    body = fh + b"\x02"  # VERBATIM subframe header
+    body += b"".join(int(v).to_bytes(2, "big", signed=True) for v in samples)
+    body += _crc16(body).to_bytes(2, "big")
+    return b"fLaC" + streaminfo + body
+
+
+def test_ahash_closed_form_and_format_invariance(spark):
+    """ahash_audio: 130 samples pool to exactly 2 per window, so every
+    bit is a two-term energy comparison; a WAV and a verbatim FLAC of
+    the SAME samples hash identically (the re-encode byte-level dedup
+    cannot see); too-short and undecodable payloads honest-reject."""
+    from woe_monotonic_binning_spark.operators.multimodal import ahash_audio
+
+    samples = [((7 * 31 + t * 17) % 4001) - 2000 for t in range(130)]
+    media = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(_tone_wav(samples))),
+            (1, "audio", bytearray(_tone_flac(samples))),
+            (2, "audio", bytearray(_tone_wav(samples[:64]))),  # too short
+            (3, "audio", bytearray(b"not audio")),
+            (4, "audio", None),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    got = {r.media_id: r for r in ahash_audio(media).collect()}
+    exp = [0, 0, 0, 0]
+    e = [samples[2 * j] ** 2 + samples[2 * j + 1] ** 2 for j in range(65)]
+    for k in range(64):
+        if e[k + 1] > e[k]:
+            exp[k // 16] |= 1 << (k % 16)
+    assert got[0].ahash_bands == exp and got[0].fmt == "wav"
+    assert got[1].ahash_bands == exp and got[1].fmt == "flac"
+    assert got[0].n_samples == got[1].n_samples == 130
+    assert got[2].ahash_bands is None and got[2].n_samples == 64
+    assert got[3].ahash_bands is None and got[3].fmt is None
+    assert got[4].ahash_bands is None
+
+
+def test_audio_neardup_pairs_finds_reencoded_copy(spark):
+    """audio_neardup_pairs: a FLAC re-encode pairs with its WAV source
+    at hamming 0; a slightly perturbed copy pairs within the banding
+    guarantee; an unrelated tone stays unpaired."""
+    from woe_monotonic_binning_spark.operators.dedup import (
+        audio_neardup_pairs,
+    )
+
+    base = [((3 * 31 + t * 17) % 4001) - 2000 for t in range(130)]
+    tweaked = list(base)
+    tweaked[64] = 2000  # one sample: moves at most two energy bits
+    other = [((t * 113) % 3001) - 1500 for t in range(130)]
+    media = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(_tone_wav(base))),
+            (1, "audio", bytearray(_tone_flac(base))),
+            (2, "audio", bytearray(_tone_wav(tweaked))),
+            (3, "audio", bytearray(_tone_wav(other))),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in audio_neardup_pairs(media, max_hamming=3).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) in pairs and 0 < pairs[(0, 2)] <= 2
+    assert not any(3 in p for p in pairs)

@@ -1437,3 +1437,29 @@ def test_bpe_byte_char_conflation_is_caught(spark, con, monkeypatch):
         spark, con, "q_token_budget",
         qc.SPARK_QUERIES["q_token_budget"](spark, SF),
     )
+
+
+def test_ahash_band_boundary_is_caught(spark, con, monkeypatch):
+    """The round-16 'ahash' section pins the audio hash's 4 x 16-bit
+    band layout, same bug class as the image mutant: 8 x 8-bit packing
+    changes the band-array md5 of every row."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    monkeypatch.setattr(mm, "_AHASH_BAND_BITS", 8)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
+
+
+def test_ahash_window_count_corruption_is_caught(spark, con, monkeypatch):
+    """The 'ahash' section pins the 65-window energy grid: an engine
+    slicing 66 windows (the classic fencepost) pairs different samples
+    into every energy and the md5 disagrees."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    monkeypatch.setattr(mm, "_AHASH_WINDOWS", 66)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )

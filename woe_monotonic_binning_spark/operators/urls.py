@@ -492,10 +492,18 @@ def _q(s: str) -> str:
     return s.replace("'", "''")
 
 
-def url_parts_sql(expr: str) -> dict[str, str]:
+def url_parts_sql(expr: str, host_ref: str | None = None) -> dict[str, str]:
     """DuckDB twins of parse_url's column expressions over the SQL
     expression ``expr``: a dict of SQL strings keyed scheme/host/port/
-    path (registered domain via :func:`registered_domain_sql`)."""
+    path (registered domain via :func:`registered_domain_sql`).
+
+    ``host_ref`` (round 16) names an ALREADY-COMPUTED host column to
+    reference in the scheme/port/path validity gates instead of
+    re-inlining the host CASE — the SQL twin of parse_url's staged
+    projection: when the big oracle UNION references these expressions
+    over a wide synthetic url column, inlining the host tree into every
+    gate multiplies the expression (observed: a DuckDB OOM at sf1);
+    stage the host in a MATERIALIZED CTE and pass its column name."""
     v6 = f"regexp_extract({expr}, '{_q(URL_HOST_RE)}', 1)"
     plain = f"lower(regexp_extract({expr}, '{_q(URL_HOST_RE)}', 2))"
     raw_host = (
@@ -511,7 +519,7 @@ def url_parts_sql(expr: str) -> dict[str, str]:
     port_s = f"regexp_extract({expr}, '{_q(_PORT_RE)}', 3)"
     port_i = f"TRY_CAST({port_s} AS INTEGER)"
     path = f"regexp_extract({expr}, '{_q(_PATH_RE)}', 3)"
-    ok = f"({host}) IS NOT NULL"
+    ok = f"({host_ref or host}) IS NOT NULL"
     return {
         "host": host,
         "scheme": (

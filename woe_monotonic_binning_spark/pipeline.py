@@ -44,6 +44,21 @@ from .operators.sampling import mix_sources, split_column
 from .operators.text import quality_score
 
 
+def _media_dedup_gate(docs, media, id_col, pairs_fn):
+    """Shared perceptual-media dedup gate (round 16): compute near-dup
+    pairs over the media table (keyed ``media_id`` = the doc id), keep
+    the min-id doc of every cluster, LEFT ANTI the dropped ids out of
+    the corpus.  Docs without a media row — and docs whose payload the
+    hash honest-rejects — pass through untouched."""
+    from .operators.dedup import dedup_keep_canonical
+
+    pairs = pairs_fn(media)
+    with_media = media.select(F.col("media_id").alias(id_col))
+    keep_ids = dedup_keep_canonical(with_media, pairs, id_col).select(id_col)
+    drop_ids = with_media.join(keep_ids, id_col, "left_anti")
+    return docs.join(drop_ids, id_col, "left_anti")
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -93,6 +108,8 @@ def curate_corpus(
     url_suffix_list=None,
     image_dedup: DataFrame | None = None,
     image_hamming: int = 3,
+    audio_dedup: DataFrame | None = None,
+    audio_hamming: int = 3,
     quality_model=None,
     output_path: str | None = None,
     cache_survivors: bool = True,
@@ -115,10 +132,12 @@ def curate_corpus(
       column rides through as metadata; ``url_suffix_list`` (round 16)
       forwards a real Public Suffix List (``PublicSuffixList`` / path /
       rule DataFrame) into the registered-domain extraction;
-    - ``image_dedup`` (round 16) — a media table keyed by the doc id:
-      perceptual dHash near-dup over the decoded images
-      (``image_neardup_pairs`` at ``image_hamming``), keeping the
-      min-id doc per image cluster, before any text stage;
+    - ``image_dedup`` / ``audio_dedup`` (round 16) — media tables keyed
+      by the doc id: perceptual near-dup over the decoded payloads
+      (``image_neardup_pairs`` dHash at ``image_hamming``;
+      ``audio_neardup_pairs`` energy-envelope hash at
+      ``audio_hamming``), keeping the min-id doc per media cluster,
+      before any text stage;
     - ``html_col`` (keyword-only, round 14) — ``extract_html_text``
       renders the named raw-HTML column into ``text_col`` BEFORE any
       other stage (tag strip + entity decode + link-density boilerplate
@@ -265,17 +284,22 @@ def curate_corpus(
         # through untouched: a missing/undecodable image is a separate
         # quality signal, not a duplicate.  One decode pass + the
         # banded pair join + one LEFT ANTI against the drop set.
-        from .operators.dedup import dedup_keep_canonical, image_neardup_pairs
+        from .operators.dedup import image_neardup_pairs
 
-        ipairs = image_neardup_pairs(
-            image_dedup, id_col="media_id", max_hamming=image_hamming
+        docs = _media_dedup_gate(
+            docs, image_dedup, id_col,
+            lambda m: image_neardup_pairs(m, max_hamming=image_hamming),
         )
-        with_media = image_dedup.select(F.col("media_id").alias(id_col))
-        keep_ids = dedup_keep_canonical(with_media, ipairs, id_col).select(
-            id_col
+    if audio_dedup is not None:
+        # Perceptual AUDIO near-dup gate (round 16): same contract as
+        # image_dedup over the 64-bit energy-envelope hash — a WAV and
+        # a FLAC of the same recording collapse to one doc.
+        from .operators.dedup import audio_neardup_pairs
+
+        docs = _media_dedup_gate(
+            docs, audio_dedup, id_col,
+            lambda m: audio_neardup_pairs(m, max_hamming=audio_hamming),
         )
-        drop_ids = with_media.join(keep_ids, id_col, "left_anti")
-        docs = docs.join(drop_ids, id_col, "left_anti")
     if html_col is not None:
         # HTML -> text extraction FIRST (round 14): the canonical
         # C4/RefinedWeb front stage — every hygiene/dedup stage below
