@@ -415,3 +415,20 @@ def test_parse_url_filter_domains_stream_equals_batch(spark, tmp_path):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
     assert all(r.url_domain != "bad.com" for r in got)
+
+
+def test_psl_unicode_rules_match_punycode_hosts(spark):
+    """The real PSL writes IDN rules in unicode while crawl URLs carry
+    punycode hosts: compiling both forms makes 'shop.中国' gate
+    'x.shop.xn--fiqs8s' correctly (round 16)."""
+    psl = PublicSuffixList(["com", "shop.中国"])
+    assert "shop.xn--fiqs8s" in psl.exact and "shop.中国" in psl.exact
+    df = spark.createDataFrame(
+        [(0, "https://a.b.shop.xn--fiqs8s/p"), (1, "https://plain.com/x")],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: r.url_domain
+        for r in parse_url(df, suffix_list=psl).collect()
+    }
+    assert got == {0: "b.shop.xn--fiqs8s", 1: "plain.com"}

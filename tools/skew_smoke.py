@@ -58,6 +58,7 @@ def main() -> None:
 
     from woe_monotonic_binning_spark import get_spark
     from woe_monotonic_binning_spark.operators.dedup import (
+        audio_neardup_pairs,
         dedup_keep_canonical,
         exact_dedup_by_digest,
         image_neardup_pairs,
@@ -66,6 +67,7 @@ def main() -> None:
     )
     from woe_monotonic_binning_spark.operators.multimodal import (
         synthetic_gradient_ppm_media,
+        synthetic_tone_wav_media,
     )
     from woe_monotonic_binning_spark.operators.joins import salted_join
     from woe_monotonic_binning_spark.operators.packing import pack_sequences
@@ -224,6 +226,21 @@ def main() -> None:
         # the one mega-group's cost.)
         "image_dhash": lambda d, ctx: image_neardup_pairs(
             synthetic_gradient_ppm_media(
+                read_docs(d).withColumn(
+                    "__img_seed",
+                    F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast(
+                        "long"
+                    ),
+                ),
+                seed_col="__img_seed",
+            ),
+            max_hamming=3,
+        ).count(),
+        # perceptual audio near-dup under a hot duplicate recording
+        # (round 16): same digest-keyed seed trick as image_dhash — the
+        # skew corpus's exact-dup cluster becomes ONE hot identical tone
+        "audio_ahash": lambda d, ctx: audio_neardup_pairs(
+            synthetic_tone_wav_media(
                 read_docs(d).withColumn(
                     "__img_seed",
                     F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast(

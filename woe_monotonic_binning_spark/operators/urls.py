@@ -93,6 +93,25 @@ def _label_count(rule: str) -> int:
     return rule.count(".") + 1
 
 
+def _rule_forms(rule: str) -> tuple[str, ...]:
+    """A PSL rule and, when it contains non-ASCII labels, its punycode
+    (IDNA) form too: the real list writes IDN rules in unicode
+    (``中国``) while crawl URLs carry the wire form (``xn--fiqs8s``) —
+    compiling BOTH keeps the host class ASCII-only and the regexes
+    cross-engine.  A label the idna codec rejects keeps only the
+    unicode form (it can never match an ASCII host, which is honest)."""
+    if rule.isascii():
+        return (rule,)
+    try:
+        puny = ".".join(
+            lab if lab.isascii() else lab.encode("idna").decode("ascii")
+            for lab in rule.split(".")
+        )
+        return (rule, puny)
+    except (UnicodeError, UnicodeDecodeError):
+        return (rule,)
+
+
 class PublicSuffixList:
     """Compiled Public Suffix List (publicsuffix.org/list format).
 
@@ -131,13 +150,16 @@ class PublicSuffixList:
                 continue
             line = line.split()[0]  # rule ends at first whitespace
             if line.startswith("!"):
-                exception.add(line[1:])
+                for r in _rule_forms(line[1:]):
+                    exception.add(r)
             elif line.startswith("*."):
-                wildcard.add(line[2:])
+                for r in _rule_forms(line[2:]):
+                    wildcard.add(r)
             elif line == "*":
                 continue  # the implicit default rule, always present
             else:
-                exact.add(line)
+                for r in _rule_forms(line):
+                    exact.add(r)
         # depth-1 exact rules behave identically to the default rule
         self.exact = frozenset(r for r in exact if "." in r)
         self.wildcard = frozenset(w for w in wildcard if w)
