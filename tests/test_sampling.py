@@ -342,3 +342,47 @@ def test_sample_exact_n_global_fallback_warns(spark):
     with pytest.warns(UserWarning, match="pre-filter undershot"):
         out = sample_exact_n(df, "doc_id", 50, oversample=0.5).collect()
     assert len(out) == 50
+
+
+def test_temperature_weights_proportions_and_fractions(spark):
+    """alpha-sampling arithmetic: alpha=1 reproduces natural
+    proportions, alpha=0 is uniform, intermediate alphas up-weight the
+    small source; target_tokens mode returns capped keep fractions that
+    compose with mix_sources."""
+    import math
+
+    from woe_monotonic_binning_spark.operators.sampling import (
+        mix_sources,
+        temperature_weights,
+    )
+
+    rows = [(i, "big" if i < 900 else "small", 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+
+    nat = temperature_weights(df, alpha=1.0)
+    assert math.isclose(nat["big"], 0.9) and math.isclose(nat["small"], 0.1)
+    uni = temperature_weights(df, alpha=0.0)
+    assert math.isclose(uni["big"], 0.5) and math.isclose(uni["small"], 0.5)
+    mid = temperature_weights(df, alpha=0.5)
+    assert nat["small"] < mid["small"] < uni["small"]
+    assert math.isclose(sum(mid.values()), 1.0)
+    # token-mass mode: same counts here (constant tokens) -> same p
+    tok = temperature_weights(df, alpha=0.5, token_col="n_tok")
+    assert all(math.isclose(tok[s], mid[s]) for s in mid)
+
+    # keep fractions: T rows' worth at alpha=0 wants 250 from each
+    # source -> big keeps 250/900, small caps at 1.0 (only 100 rows)
+    fr = temperature_weights(df, alpha=0.0, target_tokens=500)
+    assert math.isclose(fr["big"], 250 / 900) and fr["small"] == 1.0
+    mixed = mix_sources(df, fr)
+    got = {
+        r.source: r.n
+        for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got["small"] == 100  # fraction 1.0 keeps all
+    assert 180 <= got["big"] <= 320  # hash draw around 250
+
+    import pytest
+    with pytest.raises(ValueError):
+        temperature_weights(df, alpha=-0.1)
+    assert temperature_weights(df.limit(0)) == {}

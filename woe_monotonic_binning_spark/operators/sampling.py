@@ -177,6 +177,52 @@ def mix_sources(
     return df.filter(u < frac)
 
 
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.7,
+    source_col: str = "source",
+    token_col: str | None = None,
+    target_tokens: float | None = None,
+) -> dict[str, float]:
+    """Multinomial temperature ("alpha") mixing — the GPT-3 / XLM-R
+    recipe for balancing a multi-source corpus: source s gets mixture
+    proportion ``p_s = n_s^alpha / sum(n^alpha)`` where ``n_s`` is its
+    row count (or token mass when ``token_col`` is given).  ``alpha=1``
+    is natural proportions, ``alpha=0`` uniform; the usual 0.3-0.7 range
+    up-weights small high-quality sources without drowning the big ones.
+
+    Returns mixture PROPORTIONS (sum to 1) by default — feed
+    ``select_to_token_budget(budgets={s: T * p_s})``.  With
+    ``target_tokens=T`` it returns per-source KEEP FRACTIONS
+    ``min(1, T * p_s / n_s)`` — feed :func:`mix_sources` directly.
+    Fractions cap at 1 (hash sampling cannot up-sample; under-filled
+    sources are the documented alpha-sampling behavior — repeat epochs
+    handle up-weighting downstream), so the realized mixture matches
+    ``p`` exactly only while no source exhausts.
+
+    One aggregation (rows = distinct sources, trivially collected);
+    the returned dict compiles into mix_sources' literal CASE — the
+    whole recipe stays one map-side scan+filter at 100 TB."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be non-negative, got {alpha}")
+    agg = (
+        F.count("*") if token_col is None
+        else F.sum(F.col(token_col).cast("double"))
+    )
+    rows = df.groupBy(source_col).agg(agg.cast("double").alias("n")).collect()
+    n = {r[0]: float(r[1]) for r in rows if r[0] is not None and r[1]}
+    if not n:
+        return {}
+    powered = {s: v ** alpha for s, v in n.items()}
+    z = sum(powered.values())
+    p = {s: v / z for s, v in powered.items()}
+    if target_tokens is None:
+        return p
+    return {
+        s: min(1.0, float(target_tokens) * p[s] / n[s]) for s in n
+    }
+
+
 def select_to_token_budget(
     df: DataFrame,
     budgets: dict[str, float],
