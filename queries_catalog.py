@@ -1722,6 +1722,22 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS INT) AS orientation
     FROM documents
     UNION ALL
+    -- tar round-trip (round 16): write_tar_shards -> read_tar_shards ->
+    -- decode_image over the SAME PPM fixture; any byte or key-split
+    -- corruption in the tar layer breaks the closed-form pixel sums
+    SELECT 'tar' AS section, doc_id AS media_id, 'image' AS kind,
+           CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           'ppm' AS fmt, 4 AS width, 2 AS height, 8 AS n_pixels,
+           CAST(8 * (doc_id % 256) AS BIGINT) AS sum_r,
+           CAST(8 * ((doc_id * 7) % 256) AS BIGINT) AS sum_g,
+           CAST(8 * ((doc_id * 13) % 256) AS BIGINT) AS sum_b,
+           CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sum_pcm,
+           CAST(NULL AS INT) AS orientation
+    FROM documents
+    UNION ALL
     SELECT 'png' AS section, doc_id AS media_id, 'image' AS kind,
            CAST(NULL AS INT) AS n_bytes, CAST(NULL AS VARCHAR) AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
@@ -2300,6 +2316,36 @@ def q_multimodal_stats(spark, sf_dir):
             null_l.alias("sum_pcm"), null_i.alias("orientation"),
         )
     )
+    # WebDataset tar shards (round 16): the PPM fixture routed through
+    # write_tar_shards -> read_tar_shards -> decode_image — the oracle
+    # is the SAME closed-form pixel arithmetic as 'pixels', so the tar
+    # layer must round-trip every byte (and the key split must recover
+    # the id) for the section to certify.  Staging dirs are re-entrant
+    # like the streaming sections'.
+    import os as _os
+    import shutil as _shutil
+
+    from woe_monotonic_binning_spark.sources.webdataset import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    troot = _staging_dir(spark, "tar_stage")
+    tdir = _os.path.join(troot, "shards")
+    _shutil.rmtree(tdir, ignore_errors=True)
+    write_tar_shards(
+        synthetic_ppm_media(docs).select(
+            F.pmod(F.col("media_id"), F.lit(8)).cast("string").alias("shard"),
+            F.format_string("%09d", F.col("media_id")).alias("sample_key"),
+            F.lit("ppm").alias("ext"),
+            "content",
+        ),
+        tdir,
+    )
+    tar_members = read_tar_shards(spark, tdir).select(
+        F.col("sample_key").cast("long").alias("media_id"), "content"
+    )
+    tar_sec = _pix(tar_members, "tar")
     # the resized output is P6 bytes, so decode_image closes the
     # decode -> resample -> re-encode -> decode chain (fmt becomes 'ppm')
     resized = _pix(resize_image(synthetic_png_media(docs), 6, 3), "resize")
@@ -2323,6 +2369,7 @@ def q_multimodal_stats(spark, sf_dir):
         .unionByName(text)
         .unionByName(dhash)
         .unionByName(ahash)
+        .unionByName(tar_sec)
         .unionByName(resized)
     )
 

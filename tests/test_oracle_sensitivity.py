@@ -1463,3 +1463,25 @@ def test_ahash_window_count_corruption_is_caught(spark, con, monkeypatch):
         spark, con, "q_multimodal_stats",
         qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
     )
+
+
+def test_tar_member_byte_corruption_is_caught(spark, con, monkeypatch):
+    """The round-16 'tar' section certifies byte-exact member recovery:
+    a reader that loses the first byte of every member (a header-offset
+    bug) hands decode_image payloads whose magic is gone — fmt and the
+    closed-form pixel sums all disagree."""
+    import woe_monotonic_binning_spark.sources.webdataset as wd
+
+    orig = wd.read_tar_shards
+
+    def mutated(spark_, path, pattern="*.tar", stream=False):
+        out = orig(spark_, path, pattern, stream)
+        return out.withColumn(
+            "content", F.expr("substring(content, 2, 2147483647)")
+        )
+
+    monkeypatch.setattr(wd, "read_tar_shards", mutated)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )
