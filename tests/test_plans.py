@@ -598,3 +598,51 @@ def test_filter_domains_dataframe_blocklist_broadcasts(spark):
     raw = out._jdf.queryExecution().executedPlan().toString()
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", raw):
         assert "__bl" in m.group(1), raw
+
+
+def test_perceptual_hash_plans_are_map_side(spark):
+    """dhash_images / ahash_audio are embarrassingly parallel: one
+    column-pruned Arrow pass, zero exchanges (round 16)."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        ahash_audio,
+        dhash_images,
+        synthetic_gradient_ppm_media,
+        synthetic_tone_wav_media,
+    )
+
+    docs = spark.range(16).withColumnRenamed("id", "doc_id")
+    for out in (
+        dhash_images(synthetic_gradient_ppm_media(docs)),
+        ahash_audio(synthetic_tone_wav_media(docs)),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+
+
+def test_tar_read_plan_is_one_pass(spark, tmp_path):
+    """read_tar_shards is a binaryFile scan + one Arrow stage: zero
+    exchanges — shard count IS the parallelism (round 16)."""
+    from woe_monotonic_binning_spark.operators.multimodal import (
+        synthetic_ppm_media,
+    )
+    from woe_monotonic_binning_spark.sources.webdataset import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+    from pyspark.sql import functions as F
+
+    media = synthetic_ppm_media(
+        spark.range(6).withColumnRenamed("id", "doc_id")
+    ).select(
+        F.lit("s0").alias("shard"),
+        F.col("media_id").cast("string").alias("sample_key"),
+        F.lit("ppm").alias("ext"),
+        "content",
+    )
+    out = str(tmp_path / "shards")
+    write_tar_shards(media, out)
+    plan = (
+        read_tar_shards(spark, out)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]
