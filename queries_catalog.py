@@ -4514,6 +4514,21 @@ def _url_section_sql() -> str:
            CAST(NULL AS INT) AS n_units
     FROM {staged}
     WHERE NOT coalesce(dom IN ({bl}) OR host IN ({bl}), false)
+    UNION ALL
+    -- WARC record walk (round 16): the engine explodes a JVM-built
+    -- one-record-per-doc WARC blob (HTTP envelope split, exact body
+    -- bytes); every piece is closed-form in doc_id, so the oracle is
+    -- pure string arithmetic — a framing or envelope bug breaks the md5
+    SELECT 'warc' AS section, doc_id,
+           200 AS n_removed,
+           CAST(strlen('warc body ' || doc_id || ' café') AS INT)
+             AS new_len,
+           0 AS chunk_idx,
+           md5('http://w' || (doc_id % 7) || '.example.org/p/' || doc_id
+               || '|' || 'text/plain; charset=UTF-8' || '|'
+               || md5('warc body ' || doc_id || ' café')) AS chunk_md5,
+           CAST(NULL AS INT) AS n_units
+    FROM documents
     """
 
 
@@ -5037,6 +5052,62 @@ def q_dedup_lines(spark, sf_dir):
         )
     )
 
+    # 'warc' section (round 16): one closed-form WARC response record
+    # per doc built ENTIRELY JVM-side (version line, Target-URI,
+    # Content-Length from octet_length, HTTP envelope), exploded by the
+    # shared record walk — uri recovery, HTTP header split (status +
+    # Content-Type surfaced, body bytes exact) all fold into one md5
+    from woe_monotonic_binning_spark.sources.warc import explode_warc_column
+
+    w_uri = F.concat(
+        F.lit("http://w"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+    )
+    w_ctype = F.lit("text/plain; charset=UTF-8")
+    w_body = F.encode(
+        F.concat(F.lit("warc body "), F.col("doc_id").cast("string"),
+                 F.lit(" café")),
+        "UTF-8",
+    )
+    w_block = F.concat(
+        F.encode(
+            F.concat(F.lit("HTTP/1.1 200 OK\r\nContent-Type: "), w_ctype,
+                     F.lit("\r\n\r\n")),
+            "UTF-8",
+        ),
+        w_body,
+    )
+    w_blob = F.concat(
+        F.encode(
+            F.concat(
+                F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+                      "WARC-Target-URI: "), w_uri,
+                F.lit("\r\nContent-Length: "),
+                F.octet_length(w_block).cast("string"),
+                F.lit("\r\n\r\n"),
+            ),
+            "UTF-8",
+        ),
+        w_block,
+        F.encode(F.lit("\r\n\r\n"), "UTF-8"),
+    )
+    warc_sec = explode_warc_column(
+        _docs(spark, sf_dir).select("doc_id", w_blob.alias("content"))
+    ).select(
+        F.lit("warc").alias("section"),
+        F.col("shard").cast("long").alias("doc_id"),
+        F.col("http_status").cast("int").alias("n_removed"),
+        F.col("n_bytes").cast("int").alias("new_len"),
+        F.col("record_idx").cast("int").alias("chunk_idx"),
+        F.md5(
+            F.concat_ws(
+                "|", F.col("target_uri"), F.col("http_content_type"),
+                F.md5(F.col("content")),
+            )
+        ).alias("chunk_md5"),
+        null_i.alias("n_units"),
+    )
+
     return (
         lines.unionByName(chunks)
         .unionByName(_window("words", 20, 5, "window_words"))
@@ -5048,6 +5119,7 @@ def q_dedup_lines(spark, sf_dir):
         .unionByName(url)
         .unionByName(url_cap)
         .unionByName(url_stream)
+        .unionByName(warc_sec)
     )
 
 

@@ -1485,3 +1485,43 @@ def test_tar_member_byte_corruption_is_caught(spark, con, monkeypatch):
         spark, con, "q_multimodal_stats",
         qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
     )
+
+
+def test_warc_body_byte_corruption_is_caught(spark, con, monkeypatch):
+    """The round-16 'warc' section certifies exact body recovery: a
+    record walk that leaks one extra byte into every body (the classic
+    Content-Length+1 framing bug) changes body md5 and byte count."""
+    import woe_monotonic_binning_spark.sources.warc as wc
+
+    orig = wc.explode_warc_column
+
+    def mutated(df, blob_col="content", id_col="doc_id", http_payload=True):
+        out = orig(df, blob_col, id_col, http_payload)
+        return out.withColumn(
+            "content", F.concat(F.col("content"), F.expr("X'0D'"))
+        ).withColumn("n_bytes", F.col("n_bytes") + 1)
+
+    monkeypatch.setattr(wc, "explode_warc_column", mutated)
+    assert_caught(
+        spark, con, "q_dedup_lines",
+        qc.SPARK_QUERIES["q_dedup_lines"](spark, SF),
+    )
+
+
+def test_warc_http_envelope_not_stripped_is_caught(spark, con, monkeypatch):
+    """The 'warc' section pins the HTTP envelope split: an engine that
+    hands the raw block through (http_payload ignored) leaks the status
+    line + headers into content and loses the status/Content-Type
+    columns."""
+    import woe_monotonic_binning_spark.sources.warc as wc
+
+    orig = wc.explode_warc_column
+
+    def mutated(df, blob_col="content", id_col="doc_id", http_payload=True):
+        return orig(df, blob_col, id_col, http_payload=False)
+
+    monkeypatch.setattr(wc, "explode_warc_column", mutated)
+    assert_caught(
+        spark, con, "q_dedup_lines",
+        qc.SPARK_QUERIES["q_dedup_lines"](spark, SF),
+    )

@@ -464,3 +464,127 @@ def test_tar_shards_feed_multimodal_and_stream(spark, tmp_path):
         for r in read_tar_shards(spark, out).collect()
     }
     assert streamed == batch and len(batch) == 12
+
+
+# -- round 16: WARC (CommonCrawl wire format) ---------------------------------
+
+
+def _warc_record(uri, ctype, body, wtype="response"):
+    if wtype == "response":
+        block = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n"
+        ).encode() + body
+    else:
+        block = body
+    hdr = (
+        f"WARC/1.0\r\nWARC-Type: {wtype}\r\nWARC-Target-URI: {uri}\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode()
+    return hdr + block + b"\r\n\r\n"
+
+
+def test_read_warc_plain_gzip_and_stream(spark, tmp_path):
+    """read_warc: plain and member-per-record gzip files (the
+    CommonCrawl framing) yield identical records; the streaming twin
+    matches batch; non-response records pass their block through."""
+    import gzip
+
+    from woe_monotonic_binning_spark.sources.warc import read_warc
+
+    records = [
+        _warc_record("http://a/1", "text/html; charset=ISO-8859-1",
+                     b"hello \x93"),
+        _warc_record("http://b/2", "text/plain", "café".encode()),
+        _warc_record("http://c/3", None, b"warcinfo blob", wtype="warcinfo"),
+    ]
+    (tmp_path / "x.warc").write_bytes(b"".join(records))
+    (tmp_path / "y.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in records)
+    )
+    got = read_warc(spark, str(tmp_path)).collect()
+    assert len(got) == 6  # both files parse identically
+    by = {
+        (r.shard.rsplit("/", 1)[-1], r.record_idx): r for r in got
+    }
+    for f in ("x.warc", "y.warc.gz"):
+        r0 = by[(f, 0)]
+        assert (r0.warc_type, r0.target_uri, r0.http_status) == (
+            "response", "http://a/1", 200
+        )
+        assert r0.http_content_type == "text/html; charset=ISO-8859-1"
+        assert bytes(r0.content) == b"hello \x93" and r0.n_bytes == 7
+        r2 = by[(f, 2)]
+        assert r2.warc_type == "warcinfo" and r2.http_status is None
+        assert bytes(r2.content) == b"warcinfo blob"
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        read_warc(spark, str(tmp_path), stream=True)
+        .select("record_idx", "target_uri", "n_bytes")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(sink).count() == 6
+
+
+def test_warc_framing_errors_raise(spark):
+    """A broken ARCHIVE is loud (the tar posture): overrun
+    Content-Length and a missing version line both name the offset."""
+    import pytest
+
+    from woe_monotonic_binning_spark.sources.warc import explode_warc_column
+
+    overrun = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 999\r\n\r\nxx"
+    )
+    noversion = b"NOTWARC/1.0\r\nContent-Length: 0\r\n\r\n"
+    for blob in (overrun, noversion):
+        df = spark.createDataFrame(
+            [(0, bytearray(blob))], "doc_id long, content binary"
+        )
+        with pytest.raises(Exception) as ei:
+            explode_warc_column(df).collect()
+        assert "WARC framing error" in str(ei.value)
+
+
+def test_warc_feeds_full_crawl_chain(spark, tmp_path):
+    """The whole CommonCrawl front pipeline in-engine: WARC -> HTTP
+    Content-Type as the charset hint -> decode_text -> extract_html_text
+    -> parse_url over the record URIs.  The latin-1 hint byte 0x93 must
+    come out as U+0093 (hint honored), and the registered domain gates
+    on the PSL."""
+    from woe_monotonic_binning_spark.operators.multimodal import decode_text
+    from woe_monotonic_binning_spark.operators.text import extract_html_text
+    from woe_monotonic_binning_spark.operators.urls import (
+        PublicSuffixList,
+        parse_url,
+    )
+    from woe_monotonic_binning_spark.sources.warc import read_warc
+
+    html = "<html><p>caf\xe9 \x93quoted\x94 &amp; done</p></html>"
+    rec = _warc_record(
+        "https://proj.github.io/page",
+        "text/html; charset=ISO-8859-1",
+        html.encode("latin-1"),
+    )
+    (tmp_path / "c.warc").write_bytes(rec)
+    records = read_warc(spark, str(tmp_path)).select(
+        F.monotonically_increasing_id().alias("media_id"),
+        "target_uri", "http_content_type", "content",
+    )
+    decoded = decode_text(
+        records.withColumnRenamed("http_content_type", "charset_hint"),
+        hint_col="charset_hint",
+    ).join(records.select("media_id", "target_uri"), "media_id")
+    page = extract_html_text(decoded, html_col="text")
+    out = parse_url(
+        page.withColumnRenamed("target_uri", "url"),
+        suffix_list=PublicSuffixList(["github.io"]),
+    ).collect()[0]
+    assert out.encoding == "latin-1"  # hint honored, not cp1252
+    assert out.text == "café \x93quoted\x94 & done"
+    assert out.url_domain == "proj.github.io"

@@ -1,0 +1,199 @@
+"""WARC (Web ARChive, ISO 28500) source — the CommonCrawl wire format
+(round 16).
+
+A web-scale corpus starts as WARC files: per crawl fetch one record
+whose headers carry the target URI and whose block is the raw HTTP
+response (status line + headers + body).  This module reads them
+Spark-first, completing the crawl front-chain entirely in-engine::
+
+    read_warc(...)                       # records: uri + HTTP headers + bytes
+      -> decode_text(hint_col="http_content_type")   # charset from the header
+      -> extract_html_text(...)          # markup -> text
+      -> parse_url(...)                  # registered-domain gates
+
+- :func:`read_warc` — ``binaryFile`` scan (one task per WARC file; like
+  tar shards, the format ships as many ~1 GB files, so file count IS
+  the parallelism) + a pure-stdlib record walk in Arrow-batched
+  ``mapInPandas``.  Handles plain and gzip WARCs — including the
+  member-per-record gzip framing CommonCrawl uses (stdlib ``gzip``
+  reads concatenated members).  Works unchanged as a Structured
+  Streaming source.
+- :func:`explode_warc_column` — the same record walk over an in-plan
+  BINARY COLUMN (one blob per row): the certification surface (the
+  oracle can predict records of a JVM-built blob) and the escape hatch
+  for WARCs arriving through another transport (Kafka values, tar
+  members).
+- ``http_payload=True`` (default) splits response records' HTTP
+  envelope: the body bytes surface in ``content``, the declared
+  ``Content-Type`` in ``http_content_type`` (feed it straight to
+  ``decode_text(hint_col=)``), the status code in ``http_status``.
+  Non-response records (request/metadata/warcinfo) pass their block
+  through untouched with NULL http columns.
+
+Malformed framing (a record whose Content-Length overruns the blob, a
+missing version line) raises — like the tar reader, a broken ARCHIVE is
+a data-integrity incident, while tolerance for one crawl's PAYLOAD
+lives downstream in the decode kernels.  Reference: ISO 28500 / the
+WARC 1.1 spec at iipc.github.io/warc-specifications; the reference repo
+(a WOE binning library) has no file I/O at all.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["WARC_RECORD_SCHEMA", "read_warc", "explode_warc_column"]
+
+WARC_RECORD_SCHEMA = (
+    "shard string, record_idx int, warc_type string, target_uri string, "
+    "http_status int, http_content_type string, content binary, "
+    "n_bytes long"
+)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1"
+            )
+    return headers
+
+
+def _iter_warc_records(blob: bytes):
+    """Yield (warc_headers: dict, block: bytes) per record.  Gzip blobs
+    (single- or member-per-record) are decompressed first; framing
+    errors raise ValueError naming the offset."""
+    if blob[:2] == b"\x1f\x8b":
+        with gzip.GzipFile(fileobj=io.BytesIO(blob)) as gz:
+            blob = gz.read()  # stdlib gzip consumes concatenated members
+    i = 0
+    n = len(blob)
+    while i < n:
+        # tolerate inter-record CRLF padding
+        while i < n and blob[i : i + 2] == b"\r\n":
+            i += 2
+        if i >= n:
+            break
+        if not blob[i : i + 5] == b"WARC/":
+            raise ValueError(f"WARC framing error: no version line at {i}")
+        hdr_end = blob.index(b"\r\n\r\n", i)
+        headers = _parse_headers(blob[i:hdr_end])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"WARC framing error: bad Content-Length at {i}"
+            ) from None
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            raise ValueError(
+                f"WARC framing error: record at {i} overruns the file"
+            )
+        yield headers, blob[body_start : body_start + length]
+        i = body_start + length
+
+
+def _split_http(block: bytes):
+    """(status:int|None, content_type:str|None, body:bytes) of an HTTP
+    response block; a block without an HTTP status line passes through
+    whole (an honest non-HTTP record, not an error)."""
+    if not block.startswith(b"HTTP/"):
+        return None, None, block
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, None, block
+    head = block[:sep]
+    status_line = head.split(b"\r\n", 1)[0].split()
+    status = None
+    if len(status_line) >= 2 and status_line[1].isdigit():
+        status = int(status_line[1])
+    headers = _parse_headers(head)
+    return status, headers.get("content-type"), block[sep + 4 :]
+
+
+def _explode_kernel(http_payload: bool):
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "shard": [], "record_idx": [], "warc_type": [],
+                "target_uri": [], "http_status": [],
+                "http_content_type": [], "content": [], "n_bytes": [],
+            }
+            for shard, blob in zip(pdf["shard"], pdf["content"]):
+                if blob is None:
+                    continue
+                for idx, (hdrs, block) in enumerate(
+                    _iter_warc_records(bytes(blob))
+                ):
+                    wtype = hdrs.get("warc-type")
+                    status = ctype = None
+                    body = block
+                    if http_payload and wtype == "response":
+                        status, ctype, body = _split_http(block)
+                    out["shard"].append(shard)
+                    out["record_idx"].append(idx)
+                    out["warc_type"].append(wtype)
+                    out["target_uri"].append(hdrs.get("warc-target-uri"))
+                    out["http_status"].append(status)
+                    out["http_content_type"].append(ctype)
+                    out["content"].append(body)
+                    out["n_bytes"].append(len(body))
+            yield pd.DataFrame(out)
+
+    return explode
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    pattern: str = "*.warc*",
+    http_payload: bool = True,
+    stream: bool = False,
+) -> DataFrame:
+    """One row per WARC record under ``path`` (module docstring has the
+    schema, envelope handling, and the loud-on-broken-archive posture).
+    ``stream=True`` returns the Structured Streaming equivalent."""
+    if stream:
+        reader = spark.readStream.format("binaryFile").schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+    else:
+        reader = spark.read.format("binaryFile")
+    files = (
+        reader.option("pathGlobFilter", pattern)
+        .load(path)
+        .select(F.col("path").alias("shard"), "content")
+    )
+    return files.mapInPandas(
+        _explode_kernel(http_payload), schema=WARC_RECORD_SCHEMA
+    )
+
+
+def explode_warc_column(
+    df: DataFrame,
+    blob_col: str = "content",
+    id_col: str = "doc_id",
+    http_payload: bool = True,
+) -> DataFrame:
+    """The record walk over an in-plan binary column: one input row =
+    one WARC blob -> one output row per record, with the caller's id in
+    ``shard``.  Same kernel as :func:`read_warc` — certified through
+    the q_dedup_lines 'warc' section, which :func:`read_warc` shares
+    everything with except the binaryFile scan."""
+    narrow = df.select(
+        F.col(id_col).cast("string").alias("shard"),
+        F.col(blob_col).alias("content"),
+    )
+    return narrow.mapInPandas(
+        _explode_kernel(http_payload), schema=WARC_RECORD_SCHEMA
+    )
