@@ -657,3 +657,59 @@ def test_byte_level_save_load_and_pack_sep(spark, tmp_path):
         # the separator id never collides with a real token id
         assert all(x != eos for ids in (pure[d] for d in row.doc_ids)
                    for x in ids)
+
+
+def test_hf_tokenizer_json_export(spark, tmp_path):
+    """to_hf_tokenizer_json: valid tokenizers-schema JSON — same id
+    space, GPT-2 byte rendering for byte-level vocabs (the ByteLevel
+    decoder's inverse), merges in rank order, specials as added_tokens,
+    the engine's exact pre-tokenizer regex."""
+    import json
+
+    from woe_monotonic_binning_spark.operators.tokenizer import (
+        _gpt2_byte_to_unicode,
+    )
+
+    table = _gpt2_byte_to_unicode()
+    assert table[ord("A")] == "A" and table[0x20] == "Ġ"
+    assert table[0x00] == chr(256) and len(set(table.values())) == 256
+
+    fixture = spark.createDataFrame(
+        [(0, "table tables café café scan scans")], "id long, text string"
+    )
+    tok = train_bpe(fixture, byte_level=True, num_merges=8,
+                    special_tokens=("<pad>", "<eos>"))
+    p = tmp_path / "hf.json"
+    tok.to_hf_tokenizer_json(str(p))
+    doc = json.loads(p.read_text())
+    assert doc["model"]["type"] == "BPE"
+    assert doc["model"]["unk_token"] is None
+    assert doc["decoder"]["type"] == "ByteLevel"
+    assert doc["pre_tokenizer"]["invert"] is True
+    vocab = doc["model"]["vocab"]
+    # id space identical; proxy bytes re-rendered through the table
+    assert vocab["<pad>"] == 0 and vocab["<eos>"] == 1
+    assert len(vocab) == tok.vocab_size()
+    assert set(vocab.values()) == set(range(tok.vocab_size()))
+    for t, i in tok.token_to_id.items():
+        if t in ("<pad>", "<eos>"):
+            continue
+        assert vocab["".join(table[ord(c)] for c in t)] == i
+    assert len(doc["model"]["merges"]) == len(tok.merges)
+    a, b = tok.merges[0]
+    assert doc["model"]["merges"][0] == (
+        "".join(table[ord(c)] for c in a) + " "
+        + "".join(table[ord(c)] for c in b)
+    )
+    assert {t["content"] for t in doc["added_tokens"]} == {"<pad>", "<eos>"}
+
+    # char-level: tokens verbatim, unk declared, no byte decoder
+    ctok = train_bpe(fixture, num_merges=4)
+    p2 = tmp_path / "hf_char.json"
+    ctok.to_hf_tokenizer_json(str(p2))
+    doc2 = json.loads(p2.read_text())
+    assert doc2["model"]["unk_token"] == "<unk>"
+    assert doc2["decoder"] is None
+    assert doc2["model"]["vocab"]["<unk>"] == 0
+    for t, i in ctok.token_to_id.items():
+        assert doc2["model"]["vocab"][t] == i

@@ -173,6 +173,26 @@ def _byte_proxy(word: str) -> str:
 _BYTE_ALPHABET = [chr(i) for i in range(256)]
 
 
+def _gpt2_byte_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte->printable-unicode table (Radford et al.
+    2019, encoder.py): the three printable latin-1 runs map to
+    themselves, every other byte shifts to 256+n — the rendering the
+    HuggingFace ByteLevel decoder inverts (e.g. byte 0x20 -> 'Ġ')."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
 class BPETokenizer:
     """The learned artifact: an ordered list of merges plus the training
     alphabet.  Small by construction (``num_merges`` + alphabet
@@ -320,6 +340,94 @@ class BPETokenizer:
             byte_level=d.get("byte_level", False),
             special_tokens=tuple(d.get("special_tokens", ())),
         )
+
+    def to_hf_tokenizer_json(self, path: str) -> None:
+        """Export the artifact in the HuggingFace ``tokenizers`` JSON
+        schema (round 16) — ``Tokenizer.from_file(path)`` loads it on
+        any machine with the ``tokenizers`` library, assigning the SAME
+        ids this class assigns.
+
+        Mapping (all public formats): the model is ``type: BPE`` with
+        ``vocab`` = :attr:`token_to_id` and ``merges`` in rank order;
+        pre-tokenization is a ``Split`` on this module's ``_BPE_RE``
+        with ``invert: true`` (= regexp_extract_all, the exact split
+        the engine runs — NOT HF's ByteLevel pre-tokenizer, whose
+        space-prefix handling is different semantics); byte-level
+        vocabs are re-rendered from the latin-1 proxy through the
+        GPT-2 byte-to-unicode table so the standard ``ByteLevel``
+        DECODER maps ids back to bytes; specials export as
+        ``added_tokens``.  The export is write-only by design — the
+        ``tokenizers`` library is not a dependency here; round-trip
+        identity is pinned structurally in tests and by the shared id
+        space."""
+        if self.byte_level:
+            table = _gpt2_byte_to_unicode()
+
+            def render(tok: str) -> str:
+                return "".join(table[ord(c)] for c in tok)
+        else:
+            def render(tok: str) -> str:
+                return tok
+
+        specials = set(self.special_tokens)
+        vocab = {}
+        for tok, i in self.token_to_id.items():
+            if tok in specials or tok == "<unk>":
+                vocab[tok] = i
+            else:
+                vocab[render(tok)] = i
+        added = [
+            {
+                "id": self.token_to_id[s],
+                "content": s,
+                "single_word": False, "lstrip": False, "rstrip": False,
+                "normalized": False, "special": True,
+            }
+            for s in self.special_tokens
+        ] + (
+            []
+            if self.byte_level
+            else [{
+                "id": self.unk_id, "content": "<unk>",
+                "single_word": False, "lstrip": False, "rstrip": False,
+                "normalized": False, "special": True,
+            }]
+        )
+        doc = {
+            "version": "1.0",
+            "truncation": None,
+            "padding": None,
+            "added_tokens": added,
+            "normalizer": None,
+            "pre_tokenizer": {
+                "type": "Split",
+                "pattern": {"Regex": _BPE_RE},
+                "behavior": "Removed",
+                "invert": True,
+            },
+            "post_processor": None,
+            "decoder": {
+                "type": "ByteLevel",
+                "add_prefix_space": False,
+                "trim_offsets": False,
+                "use_regex": False,
+            } if self.byte_level else None,
+            "model": {
+                "type": "BPE",
+                "dropout": None,
+                "unk_token": None if self.byte_level else "<unk>",
+                "continuing_subword_prefix": None,
+                "end_of_word_suffix": None,
+                "fuse_unk": False,
+                "byte_fallback": False,
+                "vocab": vocab,
+                "merges": [
+                    f"{render(a)} {render(b)}" for a, b in self.merges
+                ],
+            },
+        }
+        with open(path, "w") as f:
+            json.dump(doc, f)
 
     def __eq__(self, other):  # pragma: no cover - convenience
         return (
