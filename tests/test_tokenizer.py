@@ -685,7 +685,13 @@ def test_hf_tokenizer_json_export(spark, tmp_path):
     assert doc["model"]["type"] == "BPE"
     assert doc["model"]["unk_token"] is None
     assert doc["decoder"]["type"] == "ByteLevel"
-    assert doc["pre_tokenizer"]["invert"] is True
+    # byte-level pre-tokenization must byte-map pre-tokens AFTER the
+    # split (round-17 advice): Sequence[Split(ours), ByteLevel]
+    assert doc["pre_tokenizer"]["type"] == "Sequence"
+    split, bl = doc["pre_tokenizer"]["pretokenizers"]
+    assert split["type"] == "Split" and split["invert"] is True
+    assert bl["type"] == "ByteLevel"
+    assert bl["add_prefix_space"] is False and bl["use_regex"] is False
     vocab = doc["model"]["vocab"]
     # id space identical; proxy bytes re-rendered through the table
     assert vocab["<pad>"] == 0 and vocab["<eos>"] == 1
@@ -710,6 +716,118 @@ def test_hf_tokenizer_json_export(spark, tmp_path):
     doc2 = json.loads(p2.read_text())
     assert doc2["model"]["unk_token"] == "<unk>"
     assert doc2["decoder"] is None
+    assert doc2["pre_tokenizer"]["type"] == "Split"
     assert doc2["model"]["vocab"]["<unk>"] == 0
     for t, i in ctok.token_to_id.items():
         assert doc2["model"]["vocab"][t] == i
+
+
+def _simulate_hf_encode(doc: dict, text: str) -> list[int]:
+    """Execute the exported byte-level tokenizers JSON the way the HF
+    pipeline would, in pure Python: Split on the exported regex
+    (invert=true == extract-all), ByteLevel-map each pre-token (UTF-8
+    bytes through the GPT-2 byte-to-unicode table — what
+    ByteLevel(use_regex=false) does), then greedy lowest-rank BPE over
+    the exported merges, ids from the exported vocab.  The simulation
+    reads ONLY the JSON doc — any export drift from engine semantics
+    shows up as an id mismatch."""
+    import re
+
+    from woe_monotonic_binning_spark.operators.tokenizer import (
+        _gpt2_byte_to_unicode, encode_word,
+    )
+
+    split, bl = doc["pre_tokenizer"]["pretokenizers"]
+    assert bl["type"] == "ByteLevel"
+    table = _gpt2_byte_to_unicode()
+    vocab = doc["model"]["vocab"]
+    # rendered tokens never contain ' ' (0x20 renders to 'Ġ'), so the
+    # HF "a b" merge-line split on the single space is unambiguous
+    ranks = {}
+    for i, line in enumerate(doc["model"]["merges"]):
+        a, b = line.split(" ")
+        ranks[(a, b)] = i
+    ids: list[int] = []
+    for pre in re.findall(split["pattern"]["Regex"], text):
+        mapped = "".join(table[b] for b in pre.encode("utf-8"))
+        for t in encode_word(mapped, ranks):
+            ids.append(vocab[t])  # total: byte-level has no unk
+    return ids
+
+
+def test_hf_export_byte_level_roundtrip_ids(spark, tmp_path):
+    """The 'SAME ids' contract over non-ASCII input (round-17 advice):
+    executing the exported JSON under HF ByteLevel semantics reproduces
+    the engine's tokenize_ids stream exactly — including multi-byte
+    UTF-8 ('é' must hit the 0xC3 0xA9 pair, never a raw 0xE9 token) and
+    characters never seen in training (total byte alphabet, no drops)."""
+    import json
+
+    fixture = spark.createDataFrame(
+        [(0, "café café crème crème naïve touché touché 12 šž")],
+        "id long, text string",
+    )
+    tok = train_bpe(fixture, byte_level=True, num_merges=12,
+                    special_tokens=("<pad>", "<eos>"))
+    p = tmp_path / "hf_rt.json"
+    tok.to_hf_tokenizer_json(str(p))
+    doc = json.loads(p.read_text())
+
+    probes = [
+        "café touché",          # trained non-ASCII
+        "crème brûlée où?",     # partly unseen accents
+        "héllo wörld 42",       # unseen chars — must not drop
+        "日本語 test",           # 3-byte UTF-8, fully unseen
+        "plain ascii words",
+    ]
+    pdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(probes)], "id long, text string"
+    )
+    engine = {
+        r.id: list(r.token_ids)
+        for r in tokenize_ids(pdf, tok).select("id", "token_ids").collect()
+    }
+    from woe_monotonic_binning_spark.operators.text import _BPE_RE
+    from woe_monotonic_binning_spark.operators.tokenizer import (
+        _gpt2_byte_to_unicode,
+    )
+
+    inv = {v: k for k, v in doc["model"]["vocab"].items()}
+    rev = {v: k for k, v in _gpt2_byte_to_unicode().items()}
+    for i, text in enumerate(probes):
+        sim = _simulate_hf_encode(doc, text)
+        assert sim == engine[i], (text, sim, engine[i])
+        # every byte is accounted for: decoding ids back through the
+        # rendered vocab recovers the exact UTF-8 bytes of the pre-tokens
+        got_bytes = bytes(rev[c] for tid in sim for c in inv[tid])
+        want = "".join(re.findall(_BPE_RE, text)).encode("utf-8")
+        assert got_bytes == want, text
+
+
+def test_hf_export_loads_in_tokenizers_library(spark, tmp_path):
+    """Real-library round-trip (runs only where the optional
+    ``tokenizers`` package is installed; the simulation test above pins
+    the same contract everywhere)."""
+    pytest.importorskip("tokenizers")
+    import json
+
+    from tokenizers import Tokenizer
+
+    fixture = spark.createDataFrame(
+        [(0, "café café crème crème touché touché")], "id long, text string"
+    )
+    tok = train_bpe(fixture, byte_level=True, num_merges=10,
+                    special_tokens=("<pad>", "<eos>"))
+    p = tmp_path / "hf_lib.json"
+    tok.to_hf_tokenizer_json(str(p))
+    hf = Tokenizer.from_file(str(p))
+    probes = ["café touché", "héllo wörld", "日本語 test"]
+    pdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(probes)], "id long, text string"
+    )
+    engine = {
+        r.id: list(r.token_ids)
+        for r in tokenize_ids(pdf, tok).select("id", "token_ids").collect()
+    }
+    for i, text in enumerate(probes):
+        assert hf.encode(text).ids == engine[i], text

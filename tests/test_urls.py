@@ -222,6 +222,7 @@ def test_parse_url_host_hardening(spark):
         (0, "https://dot.example.org./t"),     # trailing root dot
         (1, "https://.lead.com/x"),            # leading empty label
         (2, "https://a..b.com/x"),             # inner empty label
+        (7, "https://a.com../x"),              # multi-dot tail (r17 advice)
         (3, "http://h.example.com:70000/x"),   # int32-valid, >65535
         (4, "http://h.example.com:99999999999/x"),  # past int32
         (5, "http://h.example.com:0/x"),       # port 0 invalid
@@ -236,9 +237,10 @@ def test_parse_url_host_hardening(spark):
     assert (got[0].url_host, got[0].url_domain, got[0].url_tld) == (
         "dot.example.org", "example.org", "org"
     )
-    for i in (1, 2):
+    for i in (1, 2, 7):
         assert got[i].url_host is None and got[i].url_domain is None, i
         assert got[i].url_path is None and got[i].url_scheme is None, i
+        assert got[i].url_tld is None, i
     for i in (3, 4, 5):
         assert got[i].url_port is None, i
         assert got[i].url_host == "h.example.com", i  # host still parses

@@ -351,9 +351,11 @@ class BPETokenizer:
         ``vocab`` = :attr:`token_to_id` and ``merges`` in rank order;
         pre-tokenization is a ``Split`` on this module's ``_BPE_RE``
         with ``invert: true`` (= regexp_extract_all, the exact split
-        the engine runs — NOT HF's ByteLevel pre-tokenizer, whose
-        space-prefix handling is different semantics); byte-level
-        vocabs are re-rendered from the latin-1 proxy through the
+        the engine runs); byte-level artifacts chain a ``ByteLevel``
+        pre-tokenizer AFTER the split (``use_regex: false`` — the split
+        stays ours, ByteLevel only byte-maps each pre-token the way
+        :func:`_byte_proxy` + the GPT-2 rendering do; round-17 advice)
+        and re-render vocab/merges from the latin-1 proxy through the
         GPT-2 byte-to-unicode table so the standard ``ByteLevel``
         DECODER maps ids back to bytes; specials export as
         ``added_tokens``.  The export is write-only by design — the
@@ -399,7 +401,30 @@ class BPETokenizer:
             "padding": None,
             "added_tokens": added,
             "normalizer": None,
+            # byte-level: Split alone would feed raw unicode chars into a
+            # byte-rendered vocab ('é' hits the 0xE9 token, not the UTF-8
+            # 0xC3 0xA9 pair) and, with unk_token null, silently drop
+            # unknowns — chain ByteLevel AFTER the split so HF byte-maps
+            # each pre-token exactly like _byte_proxy does (round-17
+            # advice; use_regex=False keeps this module's _BPE_RE the one
+            # split, add_prefix_space=False leaves the bytes untouched)
             "pre_tokenizer": {
+                "type": "Sequence",
+                "pretokenizers": [
+                    {
+                        "type": "Split",
+                        "pattern": {"Regex": _BPE_RE},
+                        "behavior": "Removed",
+                        "invert": True,
+                    },
+                    {
+                        "type": "ByteLevel",
+                        "add_prefix_space": False,
+                        "trim_offsets": False,
+                        "use_regex": False,
+                    },
+                ],
+            } if self.byte_level else {
                 "type": "Split",
                 "pattern": {"Regex": _BPE_RE},
                 "behavior": "Removed",

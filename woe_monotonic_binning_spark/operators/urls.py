@@ -352,8 +352,9 @@ def parse_url(
     leaked into the host; hosts are lowercased and a single trailing
     root dot (``example.com.`` — DNS absolute form) is trimmed before
     label arithmetic, while hosts still containing empty labels
-    (``.foo``, ``a..b``) are the all-NULL honest-reject row (round-16
-    advice); bracketed IPv6 literals yield the UNbracketed address as
+    (``.foo``, ``a..b``, and multi-dot tails like ``a.com..`` whose trim
+    leaves a trailing empty label — round-17 advice) are the all-NULL
+    honest-reject row (round-16 advice); bracketed IPv6 literals yield the UNbracketed address as
     host, themselves as registered domain, NULL tld and a working port
     parse; dotted-quad IPv4 likewise; port NULL when absent AND when
     outside 1..65535 or unparseable as int32 (TRY_CAST posture both
@@ -371,6 +372,7 @@ def parse_url(
     host = F.when(
         (trimmed != "")
         & (F.substring(trimmed, 1, 1) != ".")
+        & ~trimmed.endswith(".")  # 'a.com..' trims to 'a.com.' (r17 advice)
         & ~trimmed.contains(".."),
         trimmed,
     )
@@ -535,6 +537,7 @@ def url_parts_sql(expr: str, host_ref: str | None = None) -> dict[str, str]:
     trimmed = f"regexp_replace({raw_host}, '{_q(_TRAILING_DOT_RE)}', '')"
     host = (
         f"CASE WHEN {trimmed} <> '' AND substring({trimmed}, 1, 1) <> '.' "
+        f"AND NOT ends_with({trimmed}, '.') "
         f"AND NOT contains({trimmed}, '..') THEN {trimmed} END"
     )
     scheme_s = f"regexp_extract({expr}, '{_q(URL_SCHEME_RE)}', 1)"
