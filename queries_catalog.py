@@ -4515,10 +4515,13 @@ def _url_section_sql() -> str:
     FROM {staged}
     WHERE NOT coalesce(dom IN ({bl}) OR host IN ({bl}), false)
     UNION ALL
-    -- WARC record walk (round 16): the engine explodes a JVM-built
-    -- one-record-per-doc WARC blob (HTTP envelope split, exact body
-    -- bytes); every piece is closed-form in doc_id, so the oracle is
-    -- pure string arithmetic — a framing or envelope bug breaks the md5
+    -- WARC record walk (round 16, widened round 17): the engine
+    -- explodes a JVM-built one-record-per-doc WARC blob whose HTTP body
+    -- rotates plain / chunked / gzip / deflate framing on doc_id % 4;
+    -- ALL variants must decode back to the same closed-form bytes and
+    -- surface the declared encoding columns, so the oracle stays pure
+    -- string arithmetic — undecoded chunk framing, a skipped gzip
+    -- layer, or a mislabeled encoding column breaks the md5
     SELECT 'warc' AS section, doc_id,
            200 AS n_removed,
            CAST(strlen('warc body ' || doc_id || ' café') AS INT)
@@ -4526,8 +4529,13 @@ def _url_section_sql() -> str:
            0 AS chunk_idx,
            md5('http://w' || (doc_id % 7) || '.example.org/p/' || doc_id
                || '|' || 'text/plain; charset=UTF-8' || '|'
+               || CASE doc_id % 4 WHEN 1 THEN 'chunked' ELSE '~' END
+               || '|'
+               || CASE doc_id % 4 WHEN 2 THEN 'gzip'
+                                  WHEN 3 THEN 'deflate' ELSE '~' END
+               || '|'
                || md5('warc body ' || doc_id || ' café')) AS chunk_md5,
-           CAST(NULL AS INT) AS n_units
+           CAST(doc_id % 4 AS INT) AS n_units
     FROM documents
     """
 
@@ -5052,30 +5060,90 @@ def q_dedup_lines(spark, sf_dir):
         )
     )
 
-    # 'warc' section (round 16): one closed-form WARC response record
-    # per doc built ENTIRELY JVM-side (version line, Target-URI,
-    # Content-Length from octet_length, HTTP envelope), exploded by the
-    # shared record walk — uri recovery, HTTP header split (status +
-    # Content-Type surfaced, body bytes exact) all fold into one md5
+    # 'warc' section (round 16, widened round 17): one closed-form WARC
+    # response record per doc built ENTIRELY JVM-side (version line,
+    # Target-URI, Content-Length from octet_length, HTTP envelope),
+    # exploded by the shared record walk — uri recovery, HTTP header
+    # split (status + Content-Type + the round-17 encoding columns),
+    # and HTTP BODY DECODING all fold into one md5.  Body framing
+    # rotates on doc_id % 4: 0 plain, 1 Transfer-Encoding: chunked
+    # (two real hex-size chunks), 2 Content-Encoding: gzip (a VALID
+    # gzip member built in SQL: stored-mode deflate block + F.crc32 +
+    # ISIZE — gzip.decompress verifies both trailers, so a single wrong
+    # byte fails loudly), 3 Content-Encoding: deflate as a RAW stream
+    # (exercising the zlib-fallback path).  Every variant must decode
+    # back to the SAME closed-form bytes the oracle md5s — leaving
+    # chunk framing in, skipping a gzip layer, or mislabeling the
+    # encoding columns breaks the hash.
     from woe_monotonic_binning_spark.sources.warc import explode_warc_column
+
+    def _wbyte(c):  # one byte (binary) from an int column in 0..255
+        return F.encode(F.char(c), "ISO-8859-1")
+
+    def _wle16(c):  # little-endian uint16
+        return F.concat(_wbyte(c % 256), _wbyte(F.floor(c / 256).cast("long")))
 
     w_uri = F.concat(
         F.lit("http://w"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
         F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
     )
     w_ctype = F.lit("text/plain; charset=UTF-8")
+    w_variant = F.pmod(F.col("doc_id"), F.lit(4))
     w_body = F.encode(
         F.concat(F.lit("warc body "), F.col("doc_id").cast("string"),
                  F.lit(" café")),
         "UTF-8",
     )
+    w_len = F.octet_length(w_body)
+    # raw DEFLATE of w_body as one stored (uncompressed) block:
+    # BFINAL|BTYPE byte 0x01, LEN le16, NLEN = LEN ^ 0xFFFF le16, bytes
+    w_deflate = F.concat(
+        F.lit(b"\x01"), _wle16(w_len), _wle16(65535 - w_len), w_body
+    )
+    w_crc = F.crc32(w_body)
+    w_gzip = F.concat(
+        F.lit(b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03"),
+        w_deflate,
+        _wbyte(w_crc % 256),
+        _wbyte(F.floor(w_crc / 256).cast("long") % 256),
+        _wbyte(F.floor(w_crc / 65536).cast("long") % 256),
+        _wbyte(F.floor(w_crc / 16777216).cast("long") % 256),
+        _wle16(w_len), F.lit(b"\x00\x00"),  # ISIZE (w_len < 65536)
+    )
+    # chunked framing: 'warc body ' (10 bytes, size line 'a') + the rest
+    w_part2 = F.encode(
+        F.concat(F.col("doc_id").cast("string"), F.lit(" café")), "UTF-8"
+    )
+    w_chunked = F.concat(
+        F.encode(F.lit("a\r\n"), "UTF-8"),
+        F.encode(F.lit("warc body "), "UTF-8"),
+        F.encode(F.lit("\r\n"), "UTF-8"),
+        F.encode(
+            F.concat(F.lower(F.hex(F.octet_length(w_part2))), F.lit("\r\n")),
+            "UTF-8",
+        ),
+        w_part2,
+        F.encode(F.lit("\r\n0\r\n\r\n"), "UTF-8"),
+    )
+    w_extra_hdr = (
+        F.when(w_variant == 1, F.lit("Transfer-Encoding: chunked\r\n"))
+        .when(w_variant == 2, F.lit("Content-Encoding: gzip\r\n"))
+        .when(w_variant == 3, F.lit("Content-Encoding: deflate\r\n"))
+        .otherwise(F.lit(""))
+    )
+    w_wire_body = (
+        F.when(w_variant == 1, w_chunked)
+        .when(w_variant == 2, w_gzip)
+        .when(w_variant == 3, w_deflate)
+        .otherwise(w_body)
+    )
     w_block = F.concat(
         F.encode(
             F.concat(F.lit("HTTP/1.1 200 OK\r\nContent-Type: "), w_ctype,
-                     F.lit("\r\n\r\n")),
+                     F.lit("\r\n"), w_extra_hdr, F.lit("\r\n")),
             "UTF-8",
         ),
-        w_body,
+        w_wire_body,
     )
     w_blob = F.concat(
         F.encode(
@@ -5102,10 +5170,13 @@ def q_dedup_lines(spark, sf_dir):
         F.md5(
             F.concat_ws(
                 "|", F.col("target_uri"), F.col("http_content_type"),
+                F.coalesce(F.col("http_transfer_encoding"), F.lit("~")),
+                F.coalesce(F.col("http_content_encoding"), F.lit("~")),
                 F.md5(F.col("content")),
             )
         ).alias("chunk_md5"),
-        null_i.alias("n_units"),
+        F.pmod(F.col("shard").cast("long"), F.lit(4)).cast("int")
+        .alias("n_units"),
     )
 
     return (

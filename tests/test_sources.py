@@ -469,10 +469,10 @@ def test_tar_shards_feed_multimodal_and_stream(spark, tmp_path):
 # -- round 16: WARC (CommonCrawl wire format) ---------------------------------
 
 
-def _warc_record(uri, ctype, body, wtype="response"):
+def _warc_record(uri, ctype, body, wtype="response", http_extra=""):
     if wtype == "response":
         block = (
-            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n"
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n{http_extra}\r\n"
         ).encode() + body
     else:
         block = body
@@ -481,6 +481,15 @@ def _warc_record(uri, ctype, body, wtype="response"):
         f"Content-Length: {len(block)}\r\n\r\n"
     ).encode()
     return hdr + block + b"\r\n\r\n"
+
+
+def _chunked(payload: bytes, sizes) -> bytes:
+    out, i = [], 0
+    for s in sizes:
+        out.append(f"{s:x}\r\n".encode() + payload[i : i + s] + b"\r\n")
+        i += s
+    assert i == len(payload)
+    return b"".join(out) + b"0\r\n\r\n"
 
 
 def test_read_warc_plain_gzip_and_stream(spark, tmp_path):
@@ -551,6 +560,106 @@ def test_warc_framing_errors_raise(spark):
         assert "WARC framing error" in str(ei.value)
 
 
+def test_warc_http_body_decoding(spark):
+    """Round 17: chunked framing removed, Content-Encoding undone
+    (gzip, raw + zlib deflate, stacked layers in reverse order), the
+    declared values surfaced in the encoding columns; the
+    framing-LEFT-IN mutant — the same chunked bytes without the
+    Transfer-Encoding header — must pass through raw (headers drive
+    decoding, never content sniffing)."""
+    import gzip as _gz
+    import zlib
+
+    from woe_monotonic_binning_spark.sources.warc import explode_warc_column
+
+    payload = "café body & more".encode()
+    raw_deflate = zlib.compress(payload)[2:-4]
+    records = [
+        # 0: chunked
+        _warc_record("http://a/0", "text/plain", _chunked(payload, (5, len(payload) - 5)),
+                     http_extra="Transfer-Encoding: chunked\r\n"),
+        # 1: MUTANT — same chunked bytes, no TE header: stays raw
+        _warc_record("http://a/1", "text/plain", _chunked(payload, (5, len(payload) - 5))),
+        # 2: gzip
+        _warc_record("http://a/2", "text/plain", _gz.compress(payload),
+                     http_extra="Content-Encoding: gzip\r\n"),
+        # 3: zlib-wrapped deflate
+        _warc_record("http://a/3", "text/plain", zlib.compress(payload),
+                     http_extra="Content-Encoding: deflate\r\n"),
+        # 4: raw deflate (the wild-web variant)
+        _warc_record("http://a/4", "text/plain", raw_deflate,
+                     http_extra="Content-Encoding: deflate\r\n"),
+        # 5: chunked THEN gzipped entity (TE removes framing first,
+        #    then CE layers unwind)
+        _warc_record("http://a/5", "text/plain",
+                     _chunked(_gz.compress(payload),
+                              (len(_gz.compress(payload)),)),
+                     http_extra="Transfer-Encoding: chunked\r\n"
+                                "Content-Encoding: gzip\r\n"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(r)) for i, r in enumerate(records)],
+        "doc_id long, content binary",
+    )
+    got = {int(r.shard): r for r in explode_warc_column(df).collect()}
+    assert bytes(got[0].content) == payload
+    assert got[0].http_transfer_encoding == "chunked"
+    assert got[0].http_content_encoding is None
+    assert got[0].n_bytes == len(payload)
+    # mutant: no TE header => the chunk framing is CONTENT
+    assert bytes(got[1].content) == _chunked(payload, (5, len(payload) - 5))
+    assert got[1].http_transfer_encoding is None
+    for i in (2, 3, 4):
+        assert bytes(got[i].content) == payload, i
+        assert got[i].http_content_encoding in ("gzip", "deflate"), i
+    assert bytes(got[5].content) == payload
+    assert (got[5].http_transfer_encoding,
+            got[5].http_content_encoding) == ("chunked", "gzip")
+
+
+def test_warc_undecodable_bodies_honest_reject(spark):
+    """A body whose DECLARED framing cannot be decoded is the NULL-
+    content row (never mojibake downstream): malformed chunk sizes,
+    truncated chunks, corrupt gzip, stdlib-unsupported encodings —
+    while the WARC record itself still surfaces uri/status/encoding."""
+    from woe_monotonic_binning_spark.sources.warc import explode_warc_column
+
+    payload = b"some payload bytes"
+    records = [
+        _warc_record("http://b/0", "text/plain", b"zz\r\nnot hex\r\n0\r\n\r\n",
+                     http_extra="Transfer-Encoding: chunked\r\n"),
+        _warc_record("http://b/1", "text/plain",
+                     b"ff\r\ntruncated",  # chunk overruns body
+                     http_extra="Transfer-Encoding: chunked\r\n"),
+        _warc_record("http://b/2", "text/plain", b"\x1f\x8bcorrupt",
+                     http_extra="Content-Encoding: gzip\r\n"),
+        _warc_record("http://b/3", "text/plain", payload,
+                     http_extra="Content-Encoding: br\r\n"),
+        _warc_record("http://b/4", "text/plain", payload,
+                     http_extra="Transfer-Encoding: gzip, chunked\r\n"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(r)) for i, r in enumerate(records)],
+        "doc_id long, content binary",
+    )
+    got = {int(r.shard): r for r in explode_warc_column(df).collect()}
+    assert len(got) == 5
+    for i, r in got.items():
+        assert r.content is None and r.n_bytes is None, i
+        assert r.http_status == 200 and r.target_uri == f"http://b/{i}", i
+    assert got[3].http_content_encoding == "br"
+    assert got[4].http_transfer_encoding == "gzip, chunked"
+    # identity is a no-op, not a reject
+    ok = _warc_record("http://b/9", "text/plain", payload,
+                      http_extra="Content-Encoding: identity\r\n")
+    row = explode_warc_column(
+        spark.createDataFrame([(9, bytearray(ok))],
+                              "doc_id long, content binary")
+    ).collect()[0]
+    assert bytes(row.content) == payload
+    assert row.http_content_encoding == "identity"
+
+
 def test_warc_feeds_full_crawl_chain(spark, tmp_path):
     """The whole CommonCrawl front pipeline in-engine: WARC -> HTTP
     Content-Type as the charset hint -> decode_text -> extract_html_text
@@ -566,10 +675,14 @@ def test_warc_feeds_full_crawl_chain(spark, tmp_path):
     from woe_monotonic_binning_spark.sources.warc import read_warc
 
     html = "<html><p>caf\xe9 \x93quoted\x94 &amp; done</p></html>"
+    # round 17: the record arrives CHUNKED on the wire — the chain must
+    # see dechunked bytes before the charset hint applies
+    raw = html.encode("latin-1")
     rec = _warc_record(
         "https://proj.github.io/page",
         "text/html; charset=ISO-8859-1",
-        html.encode("latin-1"),
+        _chunked(raw, (9, len(raw) - 9)),
+        http_extra="Transfer-Encoding: chunked\r\n",
     )
     (tmp_path / "c.warc").write_bytes(rec)
     records = read_warc(spark, str(tmp_path)).select(

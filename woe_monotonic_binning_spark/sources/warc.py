@@ -29,19 +29,37 @@ Spark-first, completing the crawl front-chain entirely in-engine::
   ``decode_text(hint_col=)``), the status code in ``http_status``.
   Non-response records (request/metadata/warcinfo) pass their block
   through untouched with NULL http columns.
+- **HTTP body decoding** (round 17): real CommonCrawl responses arrive
+  chunked and/or compressed; ``content`` carries the DECODED bytes —
+  ``Transfer-Encoding: chunked`` framing is removed first (RFC 9112
+  §7.1: hex size lines, chunk extensions ignored, trailers tolerated),
+  then ``Content-Encoding`` layers are undone in reverse declaration
+  order (``gzip``/``x-gzip`` via stdlib gzip, ``deflate`` as zlib with
+  the raw-stream fallback the dual RFC 9110 wild usage requires,
+  ``identity`` a no-op).  The ORIGINAL declared values stay visible in
+  ``http_transfer_encoding`` / ``http_content_encoding`` (lowercased).
+  A body whose declared framing cannot be decoded — malformed chunk
+  sizes, truncated chunks, corrupt gzip, or an encoding stdlib cannot
+  undo (``br``, ``zstd``) — is the honest-reject row: ``content`` and
+  ``n_bytes`` NULL with the encoding columns saying why.  Feeding
+  compressed bytes to ``decode_text`` would produce silent mojibake;
+  NULL never lies.
 
-Malformed framing (a record whose Content-Length overruns the blob, a
-missing version line) raises — like the tar reader, a broken ARCHIVE is
-a data-integrity incident, while tolerance for one crawl's PAYLOAD
-lives downstream in the decode kernels.  Reference: ISO 28500 / the
-WARC 1.1 spec at iipc.github.io/warc-specifications; the reference repo
-(a WOE binning library) has no file I/O at all.
+Malformed WARC framing (a record whose Content-Length overruns the
+blob, a missing version line) raises — like the tar reader, a broken
+ARCHIVE is a data-integrity incident, while tolerance for one crawl's
+PAYLOAD (including its HTTP body framing, above) is per-record.
+Reference: ISO 28500 / the WARC 1.1 spec at
+iipc.github.io/warc-specifications and RFC 9110/9112 for the HTTP
+envelope; the reference repo (a WOE binning library) has no file I/O
+at all.
 """
 
 from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -52,8 +70,9 @@ __all__ = ["WARC_RECORD_SCHEMA", "read_warc", "explode_warc_column"]
 
 WARC_RECORD_SCHEMA = (
     "shard string, record_idx int, warc_type string, target_uri string, "
-    "http_status int, http_content_type string, content binary, "
-    "n_bytes long"
+    "http_status int, http_content_type string, "
+    "http_transfer_encoding string, http_content_encoding string, "
+    "content binary, n_bytes long"
 )
 
 
@@ -103,7 +122,7 @@ def _iter_warc_records(blob: bytes):
 
 
 def _split_http(block: bytes):
-    """(status:int|None, content_type:str|None, body:bytes) of an HTTP
+    """(status:int|None, headers:dict|None, body:bytes) of an HTTP
     response block; a block without an HTTP status line passes through
     whole (an honest non-HTTP record, not an error)."""
     if not block.startswith(b"HTTP/"):
@@ -116,8 +135,76 @@ def _split_http(block: bytes):
     status = None
     if len(status_line) >= 2 and status_line[1].isdigit():
         status = int(status_line[1])
-    headers = _parse_headers(head)
-    return status, headers.get("content-type"), block[sep + 4 :]
+    return status, _parse_headers(head), block[sep + 4 :]
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Remove RFC 9112 §7.1 chunked framing: hex size line (chunk
+    extensions after ';' ignored), that many bytes, CRLF; the 0-size
+    chunk ends the stream (trailer fields tolerated).  Raises ValueError
+    on malformed framing — the caller turns that into the NULL-content
+    honest reject."""
+    out: list[bytes] = []
+    i, n = 0, len(body)
+    while True:
+        j = body.find(b"\r\n", i)
+        if j < 0:
+            raise ValueError("chunked: no size line")
+        tok = body[i : j].split(b";", 1)[0].strip()
+        if not tok:
+            raise ValueError("chunked: empty size line")
+        size = int(tok, 16)  # ValueError on junk propagates
+        if size < 0:
+            raise ValueError("chunked: negative size")
+        i = j + 2
+        if size == 0:
+            return b"".join(out)  # trailers after this are tolerated
+        if i + size + 2 > n:
+            raise ValueError("chunked: chunk overruns body")
+        if body[i + size : i + size + 2] != b"\r\n":
+            raise ValueError("chunked: missing chunk CRLF")
+        out.append(body[i : i + size])
+        i += size + 2
+
+
+def _inflate(body: bytes) -> bytes:
+    """Content-Encoding: deflate — RFC 9110 says zlib-wrapped, the wild
+    web ships raw streams too; try zlib first, fall back to raw."""
+    try:
+        return zlib.decompress(body)
+    except zlib.error:
+        return zlib.decompress(body, -zlib.MAX_WBITS)
+
+
+def _decode_http_body(
+    body: bytes, te: str | None, ce: str | None
+) -> bytes | None:
+    """Undo declared HTTP framing: dechunk, then Content-Encoding layers
+    in reverse declaration order.  None = cannot produce honest bytes
+    (malformed framing, corrupt stream, or an encoding stdlib cannot
+    undo) — never pass compressed bytes downstream as if they were
+    content."""
+    try:
+        if te is not None:
+            # Transfer-Encoding other than (x-)chunked (e.g. 'gzip,
+            # chunked' TE compression) is rare-to-nonexistent in crawls;
+            # reject rather than guess half an encoding stack
+            if te.replace("x-chunked", "chunked") != "chunked":
+                return None
+            body = _dechunk(body)
+        if ce is not None:
+            for layer in reversed([c.strip() for c in ce.split(",")]):
+                if layer in ("gzip", "x-gzip"):
+                    body = gzip.decompress(body)
+                elif layer == "deflate":
+                    body = _inflate(body)
+                elif layer in ("identity", ""):
+                    pass
+                else:  # br, zstd, compress: not decodable with stdlib
+                    return None
+        return body
+    except (ValueError, zlib.error, EOFError, OSError):
+        return None  # malformed declared framing: honest reject
 
 
 def _explode_kernel(http_payload: bool):
@@ -126,7 +213,8 @@ def _explode_kernel(http_payload: bool):
             out = {
                 "shard": [], "record_idx": [], "warc_type": [],
                 "target_uri": [], "http_status": [],
-                "http_content_type": [], "content": [], "n_bytes": [],
+                "http_content_type": [], "http_transfer_encoding": [],
+                "http_content_encoding": [], "content": [], "n_bytes": [],
             }
             for shard, blob in zip(pdf["shard"], pdf["content"]):
                 if blob is None:
@@ -135,18 +223,30 @@ def _explode_kernel(http_payload: bool):
                     _iter_warc_records(bytes(blob))
                 ):
                     wtype = hdrs.get("warc-type")
-                    status = ctype = None
-                    body = block
+                    status = ctype = te = ce = None
+                    body: bytes | None = block
                     if http_payload and wtype == "response":
-                        status, ctype, body = _split_http(block)
+                        status, http_hdrs, body = _split_http(block)
+                        if http_hdrs is not None:
+                            ctype = http_hdrs.get("content-type")
+                            te = http_hdrs.get("transfer-encoding")
+                            ce = http_hdrs.get("content-encoding")
+                            te = te.lower() if te is not None else None
+                            ce = ce.lower() if ce is not None else None
+                            if te is not None or ce is not None:
+                                body = _decode_http_body(body, te, ce)
                     out["shard"].append(shard)
                     out["record_idx"].append(idx)
                     out["warc_type"].append(wtype)
                     out["target_uri"].append(hdrs.get("warc-target-uri"))
                     out["http_status"].append(status)
                     out["http_content_type"].append(ctype)
+                    out["http_transfer_encoding"].append(te)
+                    out["http_content_encoding"].append(ce)
                     out["content"].append(body)
-                    out["n_bytes"].append(len(body))
+                    out["n_bytes"].append(
+                        len(body) if body is not None else None
+                    )
             yield pd.DataFrame(out)
 
     return explode
