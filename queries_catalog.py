@@ -1180,14 +1180,111 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+# Pinned language-ID model (round 17): recorded from a reproducible
+# train_language_id run on the sf0.01 documents table (label = the
+# table's lang column; char-3-grams, 32 md5-prefix hash buckets,
+# add-1 smoothing) and frozen as integer micro-nat log-probabilities
+# so the scoring fold — prior + sum(weight[bucket]) over bigints —
+# is EXACT cross-engine arithmetic (no float summation order to
+# certify around).  Training itself is pinned by tests/test_langid.py
+# (real-multilingual holdout accuracy, save/load, stream parity);
+# the driver hash certifies serving.
+_LANGID_N, _LANGID_BUCKETS = 3, 32
+_LANGID_PRIORS = {"de": -1966113, "en": -830113, "es": -1924149, "fr": -2055725, "zh": -1897120}
+_LANGID_WEIGHTS = {
+    "de": [
+        -3939010, -3655304, -3725436, -3683589, -3725436, -4585637,
+        -3048444, -3490398, -3403105, -3679499, -3083807, -3528268,
+        -3936368, -3104262, -3814781, -3706388, -3418706, -3012193,
+        -4044959, -3551339, -3860189, -4183545, -3304423, -3305826,
+        -2936590, -3241902, -3174404, -2938534, -3540625, -3560356,
+        -4096252, -2999706,
+    ],
+    "en": [
+        -3940263, -3661050, -3701341, -3776861, -3754600, -4573400,
+        -3063457, -3497226, -3341382, -3651377, -3040984, -3583909,
+        -3923536, -3090215, -3914102, -3642989, -3421756, -3034794,
+        -4055039, -3551265, -3796145, -4214911, -3261679, -3297353,
+        -2904353, -3323017, -3186728, -2907779, -3471767, -3568284,
+        -4133731, -3059454,
+    ],
+    "es": [
+        -3966234, -3698257, -3656242, -3734348, -3715191, -4501752,
+        -3078644, -3417126, -3387978, -3683442, -3088735, -3525621,
+        -3814875, -3072638, -3916283, -3755854, -3349073, -2965781,
+        -4147580, -3573862, -3897892, -4153446, -3287829, -3273087,
+        -2951534, -3244239, -3196804, -2947123, -3551060, -3573862,
+        -4101858, -3054833,
+    ],
+    "fr": [
+        -3963350, -3578611, -3606931, -3815814, -3728987, -4554218,
+        -3005868, -3437257, -3372718, -3683390, -3086813, -3554472,
+        -3882124, -3086813, -3898811, -3691172, -3440291, -3022742,
+        -4298285, -3582107, -3811399, -4256173, -3249897, -3284405,
+        -3000959, -3318800, -3193716, -2854533, -3519321, -3549374,
+        -4060199, -3040924,
+    ],
+    "zh": [
+        -3946281, -3664310, -3688659, -3713616, -3676411, -4554317,
+        -3104204, -3394834, -3376628, -3655756, -3075188, -3517551,
+        -3897383, -3072332, -3878048, -3746647, -3402739, -2989369,
+        -4222638, -3559981, -3773113, -4158663, -3289080, -3320258,
+        -2958359, -3276177, -3157617, -2924995, -3516068, -3555348,
+        -4095887, -3098333,
+    ],
+}
+
+
+def _langid_sql_parts() -> dict[str, str]:
+    """DuckDB twins of the pinned LanguageIDModel, generated from the
+    SAME frozen constants the engine model is built from (the
+    quality_prob_sql pattern)."""
+    from woe_monotonic_binning_spark.langid import (
+        lang_buckets_sql,
+        lang_norm_sql,
+        lang_pred_sql,
+        lang_score_sql,
+    )
+
+    langs = sorted(_LANGID_WEIGHTS)
+    return {
+        "{LNORM}": lang_norm_sql("text"),
+        "{LBUCK}": lang_buckets_sql("nc", _LANGID_N, _LANGID_BUCKETS),
+        "{LSCORES}": ", ".join(
+            lang_score_sql(_LANGID_WEIGHTS[l], _LANGID_PRIORS[l], "bks")
+            + f" AS s_{l}"
+            for l in langs
+        ),
+        "{LPRED}": lang_pred_sql(
+            langs, "bks", {l: f"s_{l}" for l in langs}
+        ),
+        "{LOUT}": ", ".join(f"tsc.s_{l} AS tlang_s_{l}" for l in langs),
+    }
+
+
+def _apply_langid_sql(sql: str) -> str:
+    for k, v in _langid_sql_parts().items():
+        sql = sql.replace(k, v)
+    return sql
+
+
 @_q(
     "q_doc_signals_suite",
     # MERGED certification slot (round 6) for the per-doc signal family —
     # rule-based language ID (marker-word scores -> argmax, ties by code)
     # and the md5 document fingerprint certified side by side in ONE
     # map-side projection (same table, same per-doc shape), freeing one
-    # driver slot for q_dedup_lines.
-    """
+    # driver slot for q_dedup_lines.  Round 17 widens the slot with the
+    # TRAINED language classifier (langid.LanguageIDModel under the
+    # pinned _LANGID_WEIGHTS): tlang_s_* are the integer micro-nat NB
+    # scores — prior + sum(weight[md5-bucket(char-3-gram)]) as a bigint
+    # fold, exact on both engines by construction — and tlang_pred the
+    # argmax (ties to the smallest code, gram-less text 'und').  The
+    # norm/bucket stages are MATERIALIZED so the per-language score
+    # expressions reference staged columns, not 5 re-expansions of the
+    # n-gram lambda chain (the round-16 inlining lesson).
+    _apply_langid_sql(
+        """
     WITH scored AS (
       SELECT doc_id, text,
              len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS score_en,
@@ -1195,8 +1292,14 @@ def q_text_stats(spark, sf_dir):
              len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS score_de,
              len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) AS score_fr
       FROM documents
+    ), nrm AS MATERIALIZED (
+      SELECT doc_id, {LNORM} AS nc FROM documents
+    ), bk AS MATERIALIZED (
+      SELECT doc_id, {LBUCK} AS bks FROM nrm
+    ), tsc AS MATERIALIZED (
+      SELECT doc_id, bks, {LSCORES} FROM bk
     )
-    SELECT doc_id,
+    SELECT scored.doc_id,
            CASE
              WHEN greatest(score_en, score_es, score_de, score_fr) <= 0 THEN 'und'
              WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
@@ -1204,18 +1307,35 @@ def q_text_stats(spark, sf_dir):
              WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
              ELSE 'fr' END AS lang_pred,
            substring(md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), 1, 16)
-             AS stat_fingerprint
-    FROM scored
-    """,
+             AS stat_fingerprint,
+           {LPRED} AS tlang_pred,
+           {LOUT}
+    FROM scored JOIN tsc ON scored.doc_id = tsc.doc_id
+    """
+    ),
 )
 def q_doc_signals_suite(spark, sf_dir):
+    from woe_monotonic_binning_spark.langid import LanguageIDModel
     from woe_monotonic_binning_spark.operators.text import (
         detect_language,
         fingerprint,
     )
 
-    return detect_language(_docs(spark, sf_dir)).select(
-        "doc_id", "lang_pred", fingerprint(F.col("text")).alias("stat_fingerprint")
+    model = LanguageIDModel(
+        _LANGID_WEIGHTS, _LANGID_PRIORS,
+        n=_LANGID_N, buckets=_LANGID_BUCKETS,
+    )
+    base = detect_language(_docs(spark, sf_dir))  # rule-based lang_pred
+    both = model.predict(base, out_col="tlang_pred")
+    return both.select(
+        "doc_id",
+        "lang_pred",
+        fingerprint(F.col("text")).alias("stat_fingerprint"),
+        "tlang_pred",
+        *[
+            F.col(f"lang_score_{l}").alias(f"tlang_s_{l}")
+            for l in model.languages
+        ],
     )
 
 

@@ -1,0 +1,332 @@
+"""Trained language identification — hashed char-n-gram multinomial
+Naive Bayes compiled to column expressions (round 17, verdict item 2).
+
+The rule-based ``operators.text.detect_language`` (marker-word argmax)
+is the zero-setup fallback; this module is the trained upgrade path the
+fastText/CLD line of classifiers takes, re-expressed Spark-first:
+
+- **Training** (:func:`train_language_id`): character n-grams of the
+  whitespace-normalised text, hashed into ``buckets`` fixed feature
+  slots (md5-prefix bucketing — the one hash both engines compute
+  bit-identically), then ONE distributed aggregate: explode grams ->
+  map-side-combined ``groupBy(label, bucket).count()`` whose output is
+  bounded by ``n_languages x buckets`` regardless of corpus size —
+  the only shuffle, and it moves counts, not text.  Multinomial NB
+  with add-``alpha`` smoothing over the bucket counts; class priors
+  from document counts.
+- **Serving** (:meth:`LanguageIDModel.predict`): zero Python, zero
+  shuffle, zero joins.  The model compiles into pure column
+  expressions — normalise, n-gram HOF, bucket HOF, then per language
+  ``prior + sum(weight[bucket])`` as an ``aggregate`` fold over a
+  constant-folded weight array.  Stateless projection: the same call
+  scores a Structured Streaming micro-batch, and at 100 TB it fuses
+  into the corpus scan like every text operator.
+
+**Integer scores by construction.**  Log-probabilities are stored as
+integer micro-nats (``round(log_prob * 1e6)``).  Integer addition is
+exact and associativity-free, so the engine's fold and the DuckDB
+twin's ``list_sum`` produce THE SAME bigint no matter how either
+engine orders the summation — float scoring would certify only up to
+summation order.  Classification is argmax over per-language integer
+scores, ties to the lexicographically smallest language code; a
+document with no n-grams (shorter than ``n`` after normalisation, or
+NULL) is ``'und'``.
+
+Reference: Cavnar & Trenkle 1994 (n-gram text categorization), the
+fastText supervised classifier (Joulin et al. 2016) for the
+hashed-feature posture; the reference repo (a WOE binning library) has
+no text surface — beyond-reference pipeline scope.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .operators.text import WS_CHARS
+
+__all__ = [
+    "LanguageIDModel",
+    "train_language_id",
+    "lang_norm_sql",
+    "lang_buckets_sql",
+    "lang_score_sql",
+    "lang_pred_sql",
+]
+
+_SCALE = 1_000_000  # micro-nats: round(log_prob * _SCALE) per weight
+
+
+def _norm(text: Column) -> Column:
+    """Shared normalisation (the ``fingerprint`` recipe): lowercase,
+    trim, collapse whitespace runs to one space."""
+    return F.regexp_replace(F.trim(F.lower(text)), f"[{WS_CHARS}]+", " ")
+
+
+def _grams(norm: Column, n: int) -> Column:
+    """array<string> of overlapping character n-grams; empty (never
+    NULL-element) when the text is shorter than ``n``.  The guard
+    matters: Spark's ``sequence(1, stop)`` runs DESCENDING for
+    ``stop < 1`` instead of returning empty."""
+    idx = F.sequence(F.lit(1), F.length(norm) - n + 1)
+    return F.when(
+        F.length(norm) >= n,
+        F.transform(idx, lambda i: norm.substr(i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _bucket(gram: Column, buckets: int) -> Column:
+    """Hash a gram into ``0..buckets-1`` via the md5-prefix idiom
+    (``sampling.hash_uniform``'s draw) — the hash DuckDB reproduces
+    bit-for-bit, unlike murmur3 ``F.hash``."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 4), 16, 10).cast("int") % buckets
+    )
+
+
+def _bucket_column(text: Column, n: int, buckets: int) -> Column:
+    """array<int> hash buckets of the text's char n-grams — the shared
+    feature expression (training explodes it, serving folds it)."""
+    return F.transform(_grams(_norm(text), n), lambda g: _bucket(g, buckets))
+
+
+class LanguageIDModel:
+    """Fitted artifact: per-language integer weight arrays (one
+    micro-nat log-probability per hash bucket) plus integer log-priors.
+    Small by construction (``n_languages x buckets`` ints), broadcast
+    inside the plan as constant-folded array literals — no join, no
+    Python at serve time.  Construction from pinned constants is
+    first-class (the certification posture of
+    :class:`~woe_monotonic_binning_spark.quality.QualityClassifierModel`)."""
+
+    def __init__(
+        self,
+        weights: dict[str, list[int]],
+        log_priors: dict[str, int],
+        n: int = 3,
+        buckets: int = 256,
+    ):
+        if set(weights) != set(log_priors):
+            raise ValueError(
+                f"weights languages {sorted(weights)} != prior languages "
+                f"{sorted(log_priors)}"
+            )
+        for lang, w in weights.items():
+            if len(w) != buckets:
+                raise ValueError(
+                    f"{lang}: {len(w)} weights for {buckets} buckets"
+                )
+        self.weights = {k: [int(x) for x in v] for k, v in weights.items()}
+        self.log_priors = {k: int(v) for k, v in log_priors.items()}
+        self.n = int(n)
+        self.buckets = int(buckets)
+        self.languages = sorted(self.weights)  # the tiebreak order
+
+    # -- serving ---------------------------------------------------------
+    def bucket_column(self, text: Column) -> Column:
+        """array<int> hash buckets of the text's char n-grams — staged
+        ONCE by :meth:`predict` so the per-language folds reference an
+        attribute, not |languages| re-expansions of the n-gram HOF (the
+        round-16 expression-inlining lesson)."""
+        return _bucket_column(text, self.n, self.buckets)
+
+    def score_column(self, lang: str, bucket_ref: Column) -> Column:
+        """bigint score: prior + sum of the language's bucket weights —
+        an integer fold over a constant array, exact on every engine."""
+        arr = F.array(
+            *[F.lit(w).cast("long") for w in self.weights[lang]]
+        )
+        return F.lit(self.log_priors[lang]).cast("long") + F.aggregate(
+            bucket_ref,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(arr, b + 1),
+        )
+
+    def predict(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        out_col: str = "lang_pred",
+        keep_scores: bool = True,
+    ) -> DataFrame:
+        """Add ``out_col`` (the argmax language code, ``'und'`` for
+        gram-less/NULL text) and, with ``keep_scores``, one
+        ``lang_score_<code>`` bigint per language.  One staged map-side
+        projection -> one output projection; stateless, so batch and
+        Structured Streaming score identically."""
+        bcol = f"__{out_col}_buckets"
+        staged = df.withColumn(
+            bcol, _bucket_column(F.col(text_col), self.n, self.buckets)
+        )
+        scores = {
+            lang: self.score_column(lang, F.col(bcol))
+            for lang in self.languages
+        }
+        staged = staged.select(
+            "*",
+            *[
+                scores[lang].alias(f"lang_score_{lang}")
+                for lang in self.languages
+            ],
+        )
+        best = F.greatest(
+            *[F.col(f"lang_score_{lang}") for lang in self.languages]
+        )
+        pred = F.when(F.size(F.col(bcol)) <= 0, F.lit("und"))
+        for lang in self.languages:  # sorted: first match = smallest code
+            pred = pred.when(
+                F.col(f"lang_score_{lang}") == best, F.lit(lang)
+            )
+        out = staged.withColumn(out_col, pred).drop(bcol)
+        if not keep_scores:
+            out = out.drop(
+                *[f"lang_score_{lang}" for lang in self.languages]
+            )
+        return out
+
+    # -- persistence -----------------------------------------------------
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "version": 1,
+                    "n": self.n,
+                    "buckets": self.buckets,
+                    "log_priors": self.log_priors,
+                    "weights": self.weights,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "LanguageIDModel":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(d["weights"], d["log_priors"], n=d["n"], buckets=d["buckets"])
+
+    def __repr__(self):
+        return (
+            f"LanguageIDModel(languages={self.languages}, n={self.n}, "
+            f"buckets={self.buckets})"
+        )
+
+
+def train_language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    n: int = 3,
+    buckets: int = 256,
+    alpha: float = 1.0,
+) -> LanguageIDModel:
+    """Fit multinomial NB over hashed char-n-gram counts.
+
+    One distributed aggregate: explode buckets -> ``groupBy(label,
+    bucket).count()`` (map-side partial combine; the shuffle carries at
+    most ``n_languages x buckets`` rows per map task) plus a per-label
+    document count for the priors.  Rows with NULL label are excluded
+    (nothing to learn); ``alpha`` is standard add-alpha smoothing so
+    every bucket has a finite log-probability.  At 100 TB: train on a
+    label-stratified sample — the aggregate output is bounded either
+    way, the corpus pass is the only cost."""
+    if buckets < 2 or buckets > 65536:
+        raise ValueError(f"buckets must be in 2..65536, got {buckets}")
+    labeled = df.where(F.col(label_col).isNotNull())
+    bucket_col = _bucket_column(F.col(text_col), n, buckets)
+    gram_counts = (
+        labeled.select(
+            F.col(label_col).alias("__lang"),
+            F.explode(bucket_col).alias("__b"),
+        )
+        .groupBy("__lang", "__b")
+        .count()
+        .collect()
+    )
+    doc_counts = {
+        r["__lang"]: r["count"]
+        for r in labeled.groupBy(F.col(label_col).alias("__lang"))
+        .count()
+        .collect()
+    }
+    if not doc_counts:
+        raise ValueError(
+            f"no labeled rows: {label_col} is NULL everywhere"
+        )
+    by_lang: dict[str, dict[int, int]] = {k: {} for k in doc_counts}
+    for r in gram_counts:
+        by_lang[r["__lang"]][r["__b"]] = r["count"]
+    total_docs = sum(doc_counts.values())
+    weights: dict[str, list[int]] = {}
+    log_priors: dict[str, int] = {}
+    for lang, counts in by_lang.items():
+        total = sum(counts.values())
+        denom = total + alpha * buckets
+        weights[lang] = [
+            round(math.log((counts.get(b, 0) + alpha) / denom) * _SCALE)
+            for b in range(buckets)
+        ]
+        log_priors[lang] = round(
+            math.log(doc_counts[lang] / total_docs) * _SCALE
+        )
+    return LanguageIDModel(weights, log_priors, n=n, buckets=buckets)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins — generated from the same constants (quality_prob_sql pattern)
+
+
+def lang_norm_sql(text_expr: str) -> str:
+    """DuckDB twin of the normalisation stage (stage it in a CTE — the
+    gram builder references it twice)."""
+    return (
+        f"regexp_replace(trim(lower({text_expr})), '[{WS_CHARS}]+', ' ', 'g')"
+    )
+
+
+def lang_buckets_sql(norm_ref: str, n: int, buckets: int) -> str:
+    """DuckDB twin of :meth:`LanguageIDModel.bucket_column` over an
+    ALREADY-STAGED normalised column (`norm_ref`)."""
+    return (
+        f"list_transform("
+        f"list_transform("
+        f"range(1, greatest(length({norm_ref}) - {n} + 1, 0) + 1), "
+        f"i -> substring({norm_ref}, i, {n})), "
+        f"g -> CAST(CONCAT('0x', substr(md5(g), 1, 4)) AS INTEGER) "
+        f"% {buckets})"
+    )
+
+
+def lang_score_sql(
+    weights: list[int], log_prior: int, bucket_ref: str
+) -> str:
+    """DuckDB twin of :meth:`LanguageIDModel.score_column`: integer
+    fold over the staged bucket list — ``list_sum`` of bigints equals
+    the engine's sequential fold exactly because integer addition is
+    order-free (the reason the model stores micro-nats, not floats)."""
+    arr = "[" + ", ".join(str(int(w)) for w in weights) + "]"
+    return (
+        f"CAST({int(log_prior)} + coalesce(list_sum(list_transform("
+        f"{bucket_ref}, b -> CAST(({arr})[b + 1] AS BIGINT))), 0) AS BIGINT)"
+    )
+
+
+def lang_pred_sql(
+    languages: list[str], bucket_ref: str, score_refs: dict[str, str]
+) -> str:
+    """DuckDB twin of the argmax: smallest language code wins ties,
+    gram-less text is 'und'.  ``score_refs`` maps language -> an
+    ALREADY-STAGED score column name."""
+    langs = sorted(languages)
+    best = (
+        f"greatest({', '.join(score_refs[l] for l in langs)})"
+        if len(langs) > 1
+        else score_refs[langs[0]]
+    )
+    cases = " ".join(
+        f"WHEN {score_refs[l]} = {best} THEN '{l}'" for l in langs
+    )
+    return (
+        f"CASE WHEN len({bucket_ref}) = 0 THEN 'und' {cases} END"
+    )

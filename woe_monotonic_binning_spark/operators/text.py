@@ -92,12 +92,23 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+def detect_language(
+    df: DataFrame, text_col: str = "text", model=None
+) -> DataFrame:
     """Rule-based language ID: per-language marker-word counts -> argmax.
 
     Ties break by language code order; zero matches -> 'und'.  Pure column
     expressions; the score computation is one regexp pass per language.
+
+    ``model`` (round 17) swaps in a trained
+    :class:`~woe_monotonic_binning_spark.langid.LanguageIDModel` — the
+    hashed char-n-gram NB classifier, also pure column expressions
+    (``lang_score_<code>`` bigints instead of ``score_<code>`` marker
+    counts, same ``lang_pred`` / 'und' contract); no model keeps this
+    zero-setup rule-based path.
     """
+    if model is not None:
+        return model.predict(df, text_col, out_col="lang_pred")
     t = F.lower(F.col(text_col))
     scores = [stopword_count(t, ws).alias(f"score_{lang}") for lang, ws in LANG_MARKERS.items()]
     scored = df.select("*", *scores)

@@ -111,6 +111,8 @@ def curate_corpus(
     audio_dedup: DataFrame | None = None,
     audio_hamming: int = 3,
     quality_model=None,
+    lang_model=None,
+    lang_keep: list[str] | None = None,
     output_path: str | None = None,
     cache_survivors: bool = True,
 ) -> DataFrame:
@@ -204,6 +206,12 @@ def curate_corpus(
     gate) instead of the heuristic ``quality_score``; the ``quality``
     column and ``quality_threshold`` semantics are unchanged, so
     keep-best ordering and the survivor schema stay stable.
+    ``lang_model`` (round 17) — a trained ``langid.LanguageIDModel``:
+    with ``lang_keep`` only documents whose predicted language is in
+    those codes survive (a map-side gate before the repetition
+    signals; 'und' drops unless listed); without ``lang_keep`` the
+    prediction is annotation-only and ``lang_pred`` joins the survivor
+    schema.
     ``benchmark`` (optional) is an eval-set DataFrame sharing
     ``text_col``/``id_col``: every doc sharing a word ``decontam_n``-gram
     with it is dropped before dedup (broadcast gram scan + anti-join) —
@@ -351,6 +359,25 @@ def curate_corpus(
         docs = remove_repeated_chunks(
             docs, text_col, id_col, chunk_words=chunk_words, min_df=chunk_min_df
         ).drop("n_chunks_removed")
+    if lang_model is not None:
+        # Trained language gate (round 17): the hashed char-n-gram NB
+        # classifier (langid.LanguageIDModel) as a map-side filter —
+        # like the URL gate, a pure projection that fuses into the
+        # scan, placed before the expensive repetition signals.  With
+        # ``lang_keep`` only documents predicted in those codes
+        # survive ('und' documents drop unless listed); without it the
+        # prediction is annotation-only and ``lang_pred`` stays on the
+        # survivor schema for the caller's mixture accounting.
+        gated = lang_model.predict(
+            docs, text_col, out_col="__lang_pred", keep_scores=False
+        )
+        if lang_keep is not None:
+            keep = sorted({str(c) for c in lang_keep})
+            docs = gated.where(
+                F.col("__lang_pred").isin(keep)
+            ).drop("__lang_pred")
+        else:
+            docs = gated.withColumnRenamed("__lang_pred", "lang_pred")
     if gopher:
         from .operators.text import gopher_filter
 
