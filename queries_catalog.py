@@ -3213,6 +3213,108 @@ _QUALITY_COEFFS = {
 _QUALITY_INTERCEPT = -6.1207
 
 
+# Pinned perplexity LM (round 17): recorded from a reproducible
+# train_ngram_lm run on the sf0.01 documents table (min_count=5,
+# max_vocab=32, max_ngrams=150 — deliberately tiny so the DuckDB
+# twin's closed-form CASE chains stay readable) and frozen as
+# integer micro-nat log-probabilities.  The acceptance gate is the
+# INTEGER comparison logmass >= -n * round(ln(thr)*1e6) — exact on
+# both engines; the float ppl column is telemetry, not certified.
+# Training itself is pinned by tests/test_perplexity.py.
+_PPL_THRESHOLD = 40.0  # keep: perplexity under the pinned LM < 40
+_PPL_UNK_PEN = 9210340  # round(ln(1e4) * 1e6): the OOV-target penalty
+_PPL_BIGRAMS = {
+    "a slow": -1276861, "a table": -1301553, "a vector": -1379515,
+    "agg batch": -1787245, "agg line": -1787245, "agg stream": -1787245,
+    "agg table": -1636963, "agg value": -1709283, "batch agg": -1658228,
+    "batch data": -1831500, "batch row": -1753538, "batch scan": -1681218,
+    "batch stream": -1753538, "big join": -1107581, "big order": -911836,
+    "column big": -1659335, "column data": -1782949, "column key": -1782949,
+    "column line": -1706963, "column merge": -1756973, "customer join": -1613776,
+    "customer part": -1804832, "customer slow": -1778856, "customer small": -1804832,
+    "customer vector": -1681218, "data customer": -1819158, "data data": -1919242,
+    "data fast": -1945910, "data join": -1893266, "data row": -1919242,
+    "data slow": -1893266, "fast customer": -1313172, "fast hash": -1287854,
+    "fast spark": -1365816, "filter data": -2261200, "filter hash": -2065455,
+    "filter merge": -2158546, "filter query": -2134448, "filter row": -2158546,
+    "filter scan": -2134448, "filter small": -2065455, "filter value": -2234532,
+    "group group": -1016374, "group stream": -1043042, "hash agg": -2135531,
+    "hash batch": -2188175, "hash customer": -2161506, "hash hash": -2188175,
+    "hash stream": -2110213, "hash the": -2188175, "hash vector": -2085521,
+    "hash window": -2188175, "join batch": -2085999, "join data": -2034706,
+    "join group": -2034706, "join key": -1985915, "join row": -1985915,
+    "join vector": -2010013, "join window": -2085999, "key big": -1593522,
+    "key filter": -1517537, "key line": -1542229, "key order": -1542229,
+    "line customer": -1810954, "line data": -1908592, "line filter": -1908592,
+    "line key": -1934568, "line line": -1883275, "line slow": -1934568,
+    "merge column": -1759499, "merge customer": -1759499, "merge group": -1668527,
+    "merge hash": -1759499, "merge order": -1690506, "order big": -1742311,
+    "order column": -1742311, "order data": -1768979, "order small": -1742311,
+    "order value": -1716336, "part column": -1717651, "part filter": -1605174,
+    "part merge": -1791759, "part stream": -1717651, "part table": -1844403,
+    "query column": -1778514, "query join": -1654900, "query key": -1805182,
+    "query merge": -1678431, "query row": -1778514, "row a": -1780586,
+    "row column": -1949662, "row customer": -1803059, "row merge": -1949662,
+    "row value": -1976331, "row window": -1923687, "scan customer": -1691676,
+    "scan order": -1765784, "scan part": -1740466, "scan table": -1691676,
+    "scan vector": -1791759, "slow agg": -2297444, "slow batch": -2350087,
+    "slow data": -2297444, "slow hash": -2297444, "slow key": -2132364,
+    "slow query": -2176816, "slow small": -2176816, "slow sort": -2323419,
+    "slow table": -2297444, "small customer": -1968812, "small filter": -1916168,
+    "small join": -1866158, "small small": -1890850, "small stream": -1866158,
+    "small vector": -1866158, "sort a": -1456028, "sort data": -1573811,
+    "sort slow": -1549118, "sort sort": -1599129, "spark batch": -1748084,
+    "spark big": -1673976, "spark hash": -1800728, "spark join": -1774060,
+    "spark line": -1698074, "stream order": -1318241, "stream part": -1318241,
+    "stream value": -1344909, "table column": -2171907, "table hash": -1968966,
+    "table join": -2197225, "table key": -2171907, "table line": -2147214,
+    "table merge": -2076597, "table part": -2249868, "table value": -2249868,
+    "the batch": -999877, "the the": -1052521, "value agg": -1614829,
+    "value query": -1512175, "value slow": -1614829, "value table": -1464547,
+    "vector a": -1740466, "vector join": -1818428, "vector small": -1600704,
+    "vector spark": -1791759, "vector vector": -1740466, "window customer": -1506784,
+    "window filter": -1582770, "window hash": -1609438, "window table": -1506784,
+}
+_PPL_MISS = {
+    "<s>": -3465736, "<unk>": -3465736, "a": -4990433,
+    "agg": -5398163, "batch": -5442418, "big": -4718499,
+    "column": -5420535, "customer": -5442418, "data": -5556828,
+    "dup": -3465736, "fast": -4976734, "filter": -5872118,
+    "group": -4653960, "hash": -5799093, "join": -5723585,
+    "key": -5231109, "line": -5572154, "merge": -5497168,
+    "order": -5379897, "part": -5455321, "query": -5416100,
+    "row": -5587249, "scan": -5429346, "slow": -5961005,
+    "small": -5579730, "sort": -5262690, "spark": -5411646,
+    "stream": -4955827, "table": -5860786, "the": -4663439,
+    "value": -5225747, "vector": -5429346, "window": -5220356,
+}
+
+
+def _ppl_model():
+    from woe_monotonic_binning_spark.perplexity import NGramLMModel
+
+    return NGramLMModel(_PPL_BIGRAMS, _PPL_MISS, _PPL_UNK_PEN)
+
+
+def _apply_ppl_sql(sql: str) -> str:
+    """Splice the pinned-LM DuckDB twins (generated from the SAME frozen
+    constants the engine model is built from) into a slot's SQL."""
+    import math
+
+    from woe_monotonic_binning_spark.perplexity import (
+        ppl_logmass_sql,
+        ppl_tokens_sql,
+    )
+
+    m = _ppl_model()
+    thr_micro = round(math.log(_PPL_THRESHOLD) * 1_000_000)
+    return (
+        sql.replace("{PTOKS}", ppl_tokens_sql("text", m.vocabulary))
+        .replace("{PLOGM}", ppl_logmass_sql(m, "tks"))
+        .replace("{PTHR}", str(thr_micro))
+    )
+
+
 def _quality_prob_sql_col() -> str:
     from woe_monotonic_binning_spark.quality import quality_prob_sql
 
@@ -3227,8 +3329,11 @@ def _quality_prob_sql_col() -> str:
     # merges freed three slots).  Round 9: the composed gopher_filter gate
     # is certified too — stat_words plus keep/reasons rebuilt here from
     # the published Rae et al. bands (GOPHER_THRESHOLDS, text.py:409) in
-    # the same dict order the engine emits fail_reasons.
-    """
+    # the same dict order the engine emits fail_reasons.  Round 17 adds
+    # the PERPLEXITY filter columns (perplexity.NGramLMModel under the
+    # pinned _PPL_BIGRAMS/_PPL_MISS tiny LM): integer micro-nat
+    # log-mass, transition count, and the integer-domain CCNet gate.
+    _apply_ppl_sql("""
     WITH g AS (
       SELECT doc_id,
              len(regexp_extract_all(text, '[A-Za-z0-9]+'))           AS words,
@@ -3305,8 +3410,22 @@ def _quality_prob_sql_col() -> str:
                   THEN 'sig_dup_4gram_char_frac' END
            ], r -> r IS NOT NULL) AS __fails
     FROM sig
+    ), ptk AS MATERIALIZED (
+      -- perplexity filter (round 17): the <unk>-mapped token stream of
+      -- the pinned tiny LM, staged once
+      SELECT doc_id, {PTOKS} AS tks FROM documents
+    ), plm AS MATERIALIZED (
+      -- integer micro-nat log-mass under the pinned LM: bigram CASE
+      -- chain with per-history miss fallback — closed-form constants,
+      -- one wrong micro-nat breaks the hash; token-less docs are the
+      -- NULL honest-reject row
+      SELECT doc_id,
+             CASE WHEN len(tks) > 0 THEN {PLOGM} END AS ppl_logmass,
+             CASE WHEN len(tks) > 0 THEN CAST(len(tks) AS INTEGER) END
+               AS ppl_n
+      FROM ptk
     )
-    SELECT doc_id, sig_symbol_word_ratio, sig_mean_word_len,
+    SELECT gate.doc_id, sig_symbol_word_ratio, sig_mean_word_len,
            sig_dup_line_frac, sig_bullet_line_frac, sig_dup_2gram_char_frac,
            sig_dup_3gram_char_frac, sig_dup_4gram_char_frac,
            sig_ellipsis_line_frac, sig_stopword_line_frac,
@@ -3317,9 +3436,15 @@ def _quality_prob_sql_col() -> str:
            -- trained quality classifier (round 15): the pinned-weight
            -- scoring projection, generated from the SAME constants the
            -- engine model is built from
-           {QPROB} AS quality_prob
-    FROM gate
-    """.replace("{QPROB}", _quality_prob_sql_col()),
+           {QPROB} AS quality_prob,
+           plm.ppl_logmass,
+           plm.ppl_n,
+           -- the CCNet acceptance gate in the INTEGER domain:
+           -- ppl < thr  <=>  logmass >= -n * round(ln(thr)*1e6)
+           CASE WHEN plm.ppl_n IS NOT NULL
+                THEN plm.ppl_logmass >= -plm.ppl_n * {PTHR} END AS ppl_keep
+    FROM gate JOIN plm ON gate.doc_id = plm.doc_id
+    """.replace("{QPROB}", _quality_prob_sql_col())),
 )
 def q_gopher_signals(spark, sf_dir):
     """Gopher-style repetition/shape quality signals (operators/text.py
@@ -3338,9 +3463,17 @@ def q_gopher_signals(spark, sf_dir):
     from woe_monotonic_binning_spark.quality import QualityClassifierModel
 
     model = QualityClassifierModel(_QUALITY_COEFFS, _QUALITY_INTERCEPT)
-    return model.score(
+    scored = model.score(
         gopher_filter(_docs(spark, sf_dir)), assume_signals=True
-    ).select(
+    )
+    # round 17: perplexity under the pinned tiny LM — integer log-mass,
+    # transition count and the integer-domain gate (the float ppl
+    # telemetry column stays out of the certified selection: exp() last
+    # ulps are engine-specific, the integer columns are not)
+    scored = _ppl_model().score(
+        scored, keep_threshold=_PPL_THRESHOLD
+    )
+    return scored.select(
         "doc_id",
         "sig_symbol_word_ratio",
         "sig_mean_word_len",
@@ -3355,6 +3488,9 @@ def q_gopher_signals(spark, sf_dir):
         "keep",
         F.array_join("fail_reasons", ",").alias("reasons"),
         "quality_prob",
+        "ppl_logmass",
+        "ppl_n",
+        "ppl_keep",
     )
 
 

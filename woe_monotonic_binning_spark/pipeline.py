@@ -113,6 +113,8 @@ def curate_corpus(
     quality_model=None,
     lang_model=None,
     lang_keep: list[str] | None = None,
+    perplexity_model=None,
+    perplexity_threshold: float | None = None,
     output_path: str | None = None,
     cache_survivors: bool = True,
 ) -> DataFrame:
@@ -212,6 +214,12 @@ def curate_corpus(
     signals; 'und' drops unless listed); without ``lang_keep`` the
     prediction is annotation-only and ``lang_pred`` joins the survivor
     schema.
+    ``perplexity_model`` (round 17) — a trained
+    ``perplexity.NGramLMModel``: with ``perplexity_threshold`` only
+    documents scoring ``ppl < threshold`` under the LM survive (the
+    CCNet gate; token-less docs drop — nothing vouched for them);
+    without a threshold the ``ppl`` column joins the survivor schema
+    as telemetry.
     ``benchmark`` (optional) is an eval-set DataFrame sharing
     ``text_col``/``id_col``: every doc sharing a word ``decontam_n``-gram
     with it is dropped before dedup (broadcast gram scan + anti-join) —
@@ -378,6 +386,25 @@ def curate_corpus(
             ).drop("__lang_pred")
         else:
             docs = gated.withColumnRenamed("__lang_pred", "lang_pred")
+    if perplexity_model is not None:
+        # CCNet perplexity gate (round 17): score under the trained
+        # n-gram LM and keep fluent documents — one broadcast of the
+        # pruned log-prob table + a map-side integer fold, placed with
+        # the other cheap gates before the repetition signals.  With a
+        # threshold the gate drops high-perplexity (and token-less)
+        # docs and the diagnostic columns; without one the ppl column
+        # stays as telemetry (the gopher_filter dual posture).
+        if perplexity_threshold is not None:
+            scored_ppl = perplexity_model.score(
+                docs, text_col, keep_threshold=perplexity_threshold
+            )
+            docs = scored_ppl.where(
+                F.coalesce(F.col("ppl_keep"), F.lit(False))
+            ).drop("ppl_logmass", "ppl_n", "ppl", "ppl_keep")
+        else:
+            docs = perplexity_model.score(docs, text_col).drop(
+                "ppl_logmass", "ppl_n"
+            )
     if gopher:
         from .operators.text import gopher_filter
 
