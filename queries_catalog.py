@@ -3215,7 +3215,8 @@ _QUALITY_INTERCEPT = -6.1207
 
 # Pinned perplexity LM (round 17): recorded from a reproducible
 # train_ngram_lm run on the sf0.01 documents table (min_count=5,
-# max_vocab=32, max_ngrams=150 — deliberately tiny so the DuckDB
+# max_vocab=24 — BELOW the corpus' 31 distinct words, so the <unk>
+# mapping and its OOV penalty are exercised in-band — max_ngrams=150 — deliberately tiny so the DuckDB
 # twin's closed-form CASE chains stay readable) and frozen as
 # integer micro-nat log-probabilities.  The acceptance gate is the
 # INTEGER comparison logmass >= -n * round(ln(thr)*1e6) — exact on
@@ -3224,69 +3225,67 @@ _QUALITY_INTERCEPT = -6.1207
 _PPL_THRESHOLD = 40.0  # keep: perplexity under the pinned LM < 40
 _PPL_UNK_PEN = 9210340  # round(ln(1e4) * 1e6): the OOV-target penalty
 _PPL_BIGRAMS = {
-    "a slow": -1276861, "a table": -1301553, "a vector": -1379515,
-    "agg batch": -1787245, "agg line": -1787245, "agg stream": -1787245,
-    "agg table": -1636963, "agg value": -1709283, "batch agg": -1658228,
-    "batch data": -1831500, "batch row": -1753538, "batch scan": -1681218,
-    "batch stream": -1753538, "big join": -1107581, "big order": -911836,
-    "column big": -1659335, "column data": -1782949, "column key": -1782949,
-    "column line": -1706963, "column merge": -1756973, "customer join": -1613776,
-    "customer part": -1804832, "customer slow": -1778856, "customer small": -1804832,
-    "customer vector": -1681218, "data customer": -1819158, "data data": -1919242,
-    "data fast": -1945910, "data join": -1893266, "data row": -1919242,
-    "data slow": -1893266, "fast customer": -1313172, "fast hash": -1287854,
-    "fast spark": -1365816, "filter data": -2261200, "filter hash": -2065455,
-    "filter merge": -2158546, "filter query": -2134448, "filter row": -2158546,
-    "filter scan": -2134448, "filter small": -2065455, "filter value": -2234532,
-    "group group": -1016374, "group stream": -1043042, "hash agg": -2135531,
-    "hash batch": -2188175, "hash customer": -2161506, "hash hash": -2188175,
-    "hash stream": -2110213, "hash the": -2188175, "hash vector": -2085521,
-    "hash window": -2188175, "join batch": -2085999, "join data": -2034706,
-    "join group": -2034706, "join key": -1985915, "join row": -1985915,
-    "join vector": -2010013, "join window": -2085999, "key big": -1593522,
-    "key filter": -1517537, "key line": -1542229, "key order": -1542229,
-    "line customer": -1810954, "line data": -1908592, "line filter": -1908592,
-    "line key": -1934568, "line line": -1883275, "line slow": -1934568,
-    "merge column": -1759499, "merge customer": -1759499, "merge group": -1668527,
-    "merge hash": -1759499, "merge order": -1690506, "order big": -1742311,
-    "order column": -1742311, "order data": -1768979, "order small": -1742311,
-    "order value": -1716336, "part column": -1717651, "part filter": -1605174,
-    "part merge": -1791759, "part stream": -1717651, "part table": -1844403,
-    "query column": -1778514, "query join": -1654900, "query key": -1805182,
-    "query merge": -1678431, "query row": -1778514, "row a": -1780586,
-    "row column": -1949662, "row customer": -1803059, "row merge": -1949662,
-    "row value": -1976331, "row window": -1923687, "scan customer": -1691676,
-    "scan order": -1765784, "scan part": -1740466, "scan table": -1691676,
-    "scan vector": -1791759, "slow agg": -2297444, "slow batch": -2350087,
-    "slow data": -2297444, "slow hash": -2297444, "slow key": -2132364,
-    "slow query": -2176816, "slow small": -2176816, "slow sort": -2323419,
-    "slow table": -2297444, "small customer": -1968812, "small filter": -1916168,
-    "small join": -1866158, "small small": -1890850, "small stream": -1866158,
-    "small vector": -1866158, "sort a": -1456028, "sort data": -1573811,
-    "sort slow": -1549118, "sort sort": -1599129, "spark batch": -1748084,
-    "spark big": -1673976, "spark hash": -1800728, "spark join": -1774060,
-    "spark line": -1698074, "stream order": -1318241, "stream part": -1318241,
-    "stream value": -1344909, "table column": -2171907, "table hash": -1968966,
-    "table join": -2197225, "table key": -2171907, "table line": -2147214,
-    "table merge": -2076597, "table part": -2249868, "table value": -2249868,
-    "the batch": -999877, "the the": -1052521, "value agg": -1614829,
-    "value query": -1512175, "value slow": -1614829, "value table": -1464547,
-    "vector a": -1740466, "vector join": -1818428, "vector small": -1600704,
-    "vector spark": -1791759, "vector vector": -1740466, "window customer": -1506784,
-    "window filter": -1582770, "window hash": -1609438, "window table": -1506784,
+    "<s> <unk>": -236389, "<unk> <unk>": -1640539, "<unk> a": -3338269,
+    "<unk> agg": -3360492, "<unk> batch": -3394781, "<unk> column": -3290003,
+    "<unk> customer": -3486030, "<unk> data": -3394781, "<unk> filter": -3269276,
+    "<unk> group": -3360492, "<unk> hash": -3388984, "<unk> join": -3269276,
+    "<unk> key": -3538330, "<unk> line": -3498851, "<unk> merge": -3248971,
+    "<unk> order": -3394781, "<unk> row": -3284781, "<unk> scan": -3400612,
+    "<unk> slow": -3366126, "<unk> small": -3486030, "<unk> spark": -3406478,
+    "<unk> stream": -3412377, "<unk> table": -3436330, "<unk> value": -3479681,
+    "<unk> vector": -3498851, "<unk> window": -3524996, "a <unk>": -572234,
+    "a slow": -2051619, "a table": -2076312, "a vector": -2154273,
+    "agg <unk>": -815522, "agg batch": -2334503, "agg line": -2334503,
+    "agg stream": -2334503, "agg table": -2184220, "agg value": -2256541,
+    "batch <unk>": -818477, "batch agg": -2204772, "batch data": -2378044,
+    "batch row": -2300082, "batch scan": -2227761, "batch stream": -2300082,
+    "column <unk>": -653088, "column data": -2267776, "column key": -2267776,
+    "column line": -2191790, "column merge": -2241800, "customer <unk>": -701310,
+    "customer join": -2082155, "customer slow": -2247235, "customer small": -2273210,
+    "customer vector": -2149597, "data <unk>": -810930, "data customer": -2220755,
+    "data data": -2320839, "data join": -2294863, "data row": -2320839,
+    "data slow": -2294863, "filter <unk>": -962811, "filter data": -2593640,
+    "filter hash": -2397895, "filter merge": -2490986, "filter row": -2490986,
+    "filter scan": -2466888, "filter small": -2397895, "filter value": -2566972,
+    "group <unk>": -311352, "group group": -1791759, "hash <unk>": -679392,
+    "hash agg": -2225316, "hash customer": -2251292, "hash stream": -2199999,
+    "hash vector": -2175306, "join <unk>": -1012670, "join batch": -2510882,
+    "join data": -2459589, "join group": -2459589, "join key": -2410799,
+    "join row": -2410799, "join vector": -2434896, "join window": -2510882,
+    "key <unk>": -632328, "key filter": -2000161, "key line": -2024853,
+    "key order": -2024853, "line <unk>": -997469, "line customer": -2240215,
+    "line data": -2337853, "line filter": -2337853, "line key": -2363829,
+    "line line": -2312535, "line slow": -2363829, "merge <unk>": -870555,
+    "merge column": -2268684, "merge customer": -2268684, "merge group": -2177712,
+    "merge hash": -2268684, "merge order": -2199691, "order <unk>": -544302,
+    "order column": -2143157, "order small": -2143157, "order value": -2117182,
+    "row <unk>": -891469, "row a": -2128232, "row column": -2297308,
+    "row customer": -2150705, "row merge": -2297308, "row window": -2271333,
+    "scan <unk>": -682278, "scan customer": -2164964, "scan order": -2239072,
+    "scan table": -2164964, "scan vector": -2265047, "slow <unk>": -864997,
+    "slow agg": -2458931, "slow data": -2458931, "slow hash": -2458931,
+    "slow key": -2293851, "slow small": -2338303, "slow table": -2458931,
+    "small <unk>": -829598, "small filter": -2307700, "small join": -2257690,
+    "small small": -2282382, "small stream": -2257690, "small vector": -2257690,
+    "spark <unk>": -589712, "spark batch": -2079442, "spark join": -2105417,
+    "spark line": -2029431, "stream <unk>": -293253, "stream order": -1843053,
+    "table <unk>": -1045049, "table column": -2346602, "table hash": -2143661,
+    "table join": -2371920, "table key": -2346602, "table line": -2321909,
+    "table merge": -2251292, "value <unk>": -324776, "value table": -1711071,
+    "vector <unk>": -752336, "vector a": -2163323, "vector small": -2023561,
+    "vector spark": -2214616, "vector vector": -2163323, "window <unk>": -596101,
+    "window customer": -2035821, "window filter": -2111807, "window table": -2035821,
 }
 _PPL_MISS = {
-    "<s>": -3465736, "<unk>": -3465736, "a": -4990433,
-    "agg": -5398163, "batch": -5442418, "big": -4718499,
-    "column": -5420535, "customer": -5442418, "data": -5556828,
-    "dup": -3465736, "fast": -4976734, "filter": -5872118,
-    "group": -4653960, "hash": -5799093, "join": -5723585,
-    "key": -5231109, "line": -5572154, "merge": -5497168,
-    "order": -5379897, "part": -5455321, "query": -5416100,
-    "row": -5587249, "scan": -5429346, "slow": -5961005,
-    "small": -5579730, "sort": -5262690, "spark": -5411646,
-    "stream": -4955827, "table": -5860786, "the": -4663439,
-    "value": -5225747, "vector": -5429346, "window": -5220356,
+    "<s>": -4736198, "<unk>": -8542276, "a": -5765191,
+    "agg": -5945421, "batch": -5988961, "column": -5905362,
+    "customer": -5910797, "data": -5958425, "filter": -6204558,
+    "group": -5429346, "hash": -5888878, "join": -6148468,
+    "key": -5713733, "line": -6001415, "merge": -6006353,
+    "order": -5780744, "row": -5934894, "scan": -5902633,
+    "slow": -6122493, "small": -5971262, "spark": -5743003,
+    "stream": -5480639, "table": -6035481, "value": -5472271,
+    "vector": -5852202, "window": -5749393,
 }
 
 
@@ -3500,7 +3499,29 @@ def q_gopher_signals(spark, sf_dir):
     # deterministic ~25% hash sampling and the pretraining source-mixture
     # filter folded into one labelled union (same table, same md5 draw,
     # same output shape), freeing one driver slot for q_token_budget.
+    # Round 17 adds the 'temp' section: temperature_weights' alpha
+    # mixture DERIVED IN SQL — per-lang counts (lang is the skewed
+    # grouping; source is uniform by construction), p = n^0.5 / z with z
+    # summed in sorted-lang order via list_reduce (the engine's sorted
+    # Python fold, associativity-exact), keep fraction
+    # round(least(1, T * p / n), 6), then the seed-3 md5 gate.  T=400
+    # deliberately drives the smallest language OVER 1 so the least()
+    # cap is exercised in-band; the oracle recomputing the whole mixture
+    # means a wrong alpha, a dropped cap, or an unsorted z all break the
+    # realized keep set (mutants in tests/test_oracle_sensitivity.py).
     """
+    WITH tn AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents
+      WHERE lang IS NOT NULL GROUP BY lang
+    ), tz AS (
+      SELECT list_reduce(list(pow(n, 0.5) ORDER BY lang),
+                         (a, b) -> a + b) AS z
+      FROM tn
+    ), tf AS (
+      SELECT lang,
+             round(least(1.0, (400.0 * (pow(n, 0.5) / z)) / n), 6) AS frac
+      FROM tn, tz
+    )
     SELECT 'sample' AS kind, doc_id, source FROM documents
     WHERE CAST(CONCAT('0x',
             substr(md5(CAST(doc_id AS VARCHAR) || '_7'), 1, 8)) AS BIGINT)
@@ -3514,12 +3535,19 @@ def q_gopher_signals(spark, sf_dir):
                  WHEN source = 'src1' THEN 0.5
                  WHEN source = 'src2' THEN 0.2
                  ELSE 0.0 END
+    UNION ALL
+    SELECT 'temp' AS kind, d.doc_id, d.lang AS source
+    FROM documents d JOIN tf ON d.lang = tf.lang
+    WHERE CAST(CONCAT('0x',
+            substr(md5(CAST(d.doc_id AS VARCHAR) || '_3'), 1, 8)) AS BIGINT)
+          / 4294967296.0 < tf.frac
     """,
 )
 def q_sampling_suite(spark, sf_dir):
     from woe_monotonic_binning_spark.operators.sampling import (
         mix_sources,
         sample_by_hash,
+        temperature_weights,
     )
 
     docs = _docs(spark, sf_dir)
@@ -3529,7 +3557,20 @@ def q_sampling_suite(spark, sf_dir):
     mix = mix_sources(docs, {"src0": 1.0, "src1": 0.5, "src2": 0.2}).select(
         F.lit("mix").alias("kind"), "doc_id", "source"
     )
-    return sample.unionByName(mix)
+    # temperature mixing (round 17): alpha=0.5 over the skewed lang
+    # grouping, row-mass target 400; fractions rounded to 6dp before
+    # the gate — the cross-engine float boundary, same posture as every
+    # round(x, 6) certified column
+    tw = temperature_weights(
+        docs, alpha=0.5, source_col="lang", target_tokens=400.0
+    )
+    temp = mix_sources(
+        docs, {s: round(f, 6) for s, f in tw.items()},
+        source_col="lang", seed=3,
+    ).select(
+        F.lit("temp").alias("kind"), "doc_id", F.col("lang").alias("source")
+    )
+    return sample.unionByName(mix).unionByName(temp)
 
 
 # Closed-form BPE training corpus for the q_token_budget 'bpe' section

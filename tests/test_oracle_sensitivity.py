@@ -1525,3 +1525,92 @@ def test_warc_http_envelope_not_stripped_is_caught(spark, con, monkeypatch):
         spark, con, "q_dedup_lines",
         qc.SPARK_QUERIES["q_dedup_lines"](spark, SF),
     )
+
+
+# -- round 17: temperature mixing, WARC body decoding, langid, perplexity --
+
+
+def test_temperature_alpha_off_is_caught(spark, con, monkeypatch):
+    """The 'temp' section derives p = n^0.5/z in SQL: an engine running
+    natural proportions (alpha=1 — the classic forgot-the-knob default)
+    realizes a different keep set for every non-uniform language."""
+    import woe_monotonic_binning_spark.operators.sampling as sp
+
+    orig = sp.temperature_weights
+
+    def mutated(df, alpha=0.7, **kw):
+        return orig(df, alpha=1.0, **kw)
+
+    monkeypatch.setattr(sp, "temperature_weights", mutated)
+    assert_caught(
+        spark, con, "q_sampling_suite",
+        qc.SPARK_QUERIES["q_sampling_suite"](spark, SF),
+    )
+
+
+def test_temperature_cap_misvalue_is_caught(spark, con, monkeypatch):
+    """T=400 drives the smallest language's fraction over 1, so the
+    least(1, .) cap is in-band: an engine capping at the wrong value
+    shrinks that language's keep set and breaks the hash."""
+    import woe_monotonic_binning_spark.operators.sampling as sp
+
+    orig = sp.temperature_weights
+
+    def mutated(df, alpha=0.7, **kw):
+        return {s: min(0.9, f) for s, f in orig(df, alpha=alpha, **kw).items()}
+
+    monkeypatch.setattr(sp, "temperature_weights", mutated)
+    assert_caught(
+        spark, con, "q_sampling_suite",
+        qc.SPARK_QUERIES["q_sampling_suite"](spark, SF),
+    )
+
+
+def test_warc_chunk_framing_left_in_is_caught(spark, con, monkeypatch):
+    """The round-17 'warc' variants ship chunked/gzip/deflate wire
+    bodies: an engine that skips HTTP body decoding (the pre-round-17
+    behavior) surfaces wire bytes as content and breaks the md5 on
+    three of four variant classes."""
+    import woe_monotonic_binning_spark.sources.warc as wc
+
+    monkeypatch.setattr(wc, "_decode_http_body", lambda body, te, ce: body)
+    assert_caught(
+        spark, con, "q_dedup_lines",
+        qc.SPARK_QUERIES["q_dedup_lines"](spark, SF),
+    )
+
+
+def test_langid_weight_corruption_is_caught(spark, con, monkeypatch):
+    """One micro-nat on one pinned bucket weight shifts that language's
+    bigint score for every document whose grams hit the bucket."""
+    bumped = {k: list(v) for k, v in qc._LANGID_WEIGHTS.items()}
+    bumped["en"][11] += 1
+    monkeypatch.setattr(qc, "_LANGID_WEIGHTS", bumped)
+    assert_caught(
+        spark, con, "q_doc_signals_suite",
+        qc.SPARK_QUERIES["q_doc_signals_suite"](spark, SF),
+    )
+
+
+def test_ppl_bigram_corruption_is_caught(spark, con, monkeypatch):
+    """One micro-nat on one pinned bigram breaks ppl_logmass for every
+    document containing that transition."""
+    key = next(iter(sorted(qc._PPL_BIGRAMS)))
+    bumped = dict(qc._PPL_BIGRAMS)
+    bumped[key] += 1
+    monkeypatch.setattr(qc, "_PPL_BIGRAMS", bumped)
+    assert_caught(
+        spark, con, "q_gopher_signals",
+        qc.SPARK_QUERIES["q_gopher_signals"](spark, SF),
+    )
+
+
+def test_ppl_unk_penalty_dropped_is_caught(spark, con, monkeypatch):
+    """Dropping the OOV-target penalty (the bug the fluency-ordering
+    test caught in development) inflates every <unk>-bearing doc's
+    log-mass."""
+    monkeypatch.setattr(qc, "_PPL_UNK_PEN", 0)
+    assert_caught(
+        spark, con, "q_gopher_signals",
+        qc.SPARK_QUERIES["q_gopher_signals"](spark, SF),
+    )

@@ -210,7 +210,13 @@ def temperature_weights(
         else F.sum(F.col(token_col).cast("double"))
     )
     rows = df.groupBy(source_col).agg(agg.cast("double").alias("n")).collect()
-    n = {r[0]: float(r[1]) for r in rows if r[0] is not None and r[1]}
+    # sorted source order everywhere: float summation order is part of
+    # the result, and collect() order is not deterministic — without
+    # the sort two runs could differ in z's last ulp (round 17, the
+    # certification prerequisite)
+    n = dict(sorted(
+        (r[0], float(r[1])) for r in rows if r[0] is not None and r[1]
+    ))
     if not n:
         return {}
     powered = {s: v ** alpha for s, v in n.items()}
