@@ -2076,13 +2076,17 @@ def q_events_rollup(spark, sf_dir):
     FROM documents
     UNION ALL
     SELECT 'text' AS section, doc_id AS media_id, 'text' AS kind,
-           -- charset decode (round 15; hints + cp1252 round 16): raw
-           -- size, decoded-text md5, the codec in fmt, had_bom in
-           -- orientation; id%9==5 is the honest reject (UTF-16 BOM +
-           -- odd body); 6 = cp1252 curly quotes, 7 = latin-1 hint over
-           -- 0x93 (hint beats fallback, no WHATWG conflation: chr(147)
-           -- is the U+0093 control), 8 = aliased bare 'UTF8' hint
-           CAST(CASE doc_id % 9
+           -- charset decode (round 15; hints + cp1252 round 16; meta
+           -- prescan round 17): raw size, decoded-text md5, the codec
+           -- in fmt, had_bom in orientation; id%11==5 is the honest
+           -- reject (UTF-16 BOM + odd body); 6 = cp1252 curly quotes,
+           -- 7 = latin-1 hint over 0x93 (hint beats fallback, no WHATWG
+           -- conflation: chr(147) is the U+0093 control), 8 = aliased
+           -- bare 'UTF8' hint, 9 = http-equiv META declaring ISO-8859-1
+           -- over 0x93 with no transport hint (the prescan must find
+           -- and honor it), 10 = LYING meta utf-8 over 0x93 (declared
+           -- decode fails -> degrades to windows-1252)
+           CAST(CASE doc_id % 11
                 WHEN 0 THEN strlen('plain ' || doc_id || ' café')
                 WHEN 1 THEN 3 + strlen('bom ' || doc_id || ' café')
                 WHEN 2 THEN 2 + 2 * length('wide ' || doc_id)
@@ -2091,9 +2095,14 @@ def q_events_rollup(spark, sf_dir):
                 WHEN 5 THEN 3
                 WHEN 6 THEN strlen('curl ' || doc_id) + 2
                 WHEN 7 THEN strlen('hint ' || doc_id) + 1
-                ELSE strlen('alias ' || doc_id || ' café') END AS INT)
+                WHEN 8 THEN strlen('alias ' || doc_id || ' café')
+                WHEN 9 THEN strlen('<meta http-equiv="Content-Type" '
+                       || 'content="text/html; charset=ISO-8859-1">meta '
+                       || doc_id) + 1
+                ELSE strlen('<meta charset="utf-8">lie ' || doc_id) + 1
+                END AS INT)
              AS n_bytes,
-           CASE doc_id % 9
+           CASE doc_id % 11
                 WHEN 0 THEN md5('plain ' || doc_id || ' café')
                 WHEN 1 THEN md5('bom ' || doc_id || ' café')
                 WHEN 2 THEN md5('wide ' || doc_id)
@@ -2102,13 +2111,20 @@ def q_events_rollup(spark, sf_dir):
                 WHEN 5 THEN NULL
                 WHEN 6 THEN md5('curl ' || doc_id || chr(8220) || chr(8221))
                 WHEN 7 THEN md5('hint ' || doc_id || chr(147))
-                ELSE md5('alias ' || doc_id || ' café') END AS checksum,
+                WHEN 8 THEN md5('alias ' || doc_id || ' café')
+                WHEN 9 THEN md5('<meta http-equiv="Content-Type" '
+                       || 'content="text/html; charset=ISO-8859-1">meta '
+                       || doc_id || chr(147))
+                ELSE md5('<meta charset="utf-8">lie ' || doc_id
+                       || chr(8220))
+                END AS checksum,
            CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
-           CASE doc_id % 9 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+           CASE doc_id % 11 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
                 WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-16-be'
                 WHEN 4 THEN 'windows-1252' WHEN 5 THEN NULL
                 WHEN 6 THEN 'windows-1252' WHEN 7 THEN 'latin-1'
-                ELSE 'utf-8' END AS fmt,
+                WHEN 8 THEN 'utf-8' WHEN 9 THEN 'latin-1'
+                ELSE 'windows-1252' END AS fmt,
            CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
            CAST(NULL AS INT) AS n_pixels,
            CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
@@ -2116,7 +2132,7 @@ def q_events_rollup(spark, sf_dir):
            CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS INT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
            CAST(NULL AS BIGINT) AS sum_pcm,
-           CAST(CASE WHEN doc_id % 9 IN (1, 2, 3, 5) THEN 1 ELSE 0 END
+           CAST(CASE WHEN doc_id % 11 IN (1, 2, 3, 5) THEN 1 ELSE 0 END
                 AS INT) AS orientation
     FROM documents
     UNION ALL

@@ -1513,6 +1513,61 @@ def test_decode_text_hints_and_cp1252(spark):
     assert nohint[2].encoding == "windows-1252"
 
 
+def test_decode_text_meta_prescan(spark):
+    """Round 17: the WHATWG meta prescan — <meta charset=> /
+    http-equiv inside the first 1024 bytes decides the codec when no
+    BOM and no (recognized) transport hint; transport BEATS meta (the
+    WHATWG order); a lying meta degrades; a meta past the 1024-byte
+    prescan window is ignored; meta_sniff=False restores the round-16
+    chain."""
+    from woe_monotonic_binning_spark.operators.multimodal import decode_text
+
+    meta_l1 = b'<meta charset="iso-8859-1">m \x93'
+    http_equiv = (
+        b'<META HTTP-EQUIV="Content-Type" '
+        b'CONTENT="text/html; charset=ISO-8859-1">h \x93'
+    )
+    far_meta = b"x" * 1100 + b'<meta charset="iso-8859-1"> far \x93'
+    rows = [
+        (0, meta_l1, None),                    # meta honored: U+0093
+        (1, http_equiv, None),                 # case-insensitive form
+        (2, meta_l1, "windows-1252"),          # transport beats meta
+        (3, b'<meta charset="utf-8">lie \x93', None),  # lying meta
+        (4, far_meta, None),                   # outside prescan window
+        (5, b'<meta charset="x-unknown">u \x93', None),  # unknown label
+        # BOM beats meta: utf-8 BOM + ascii body with a latin-1 meta
+        (6, b"\xef\xbb\xbf" + b'<meta charset="iso-8859-1">bom', None),
+    ]
+    df = spark.createDataFrame(
+        [(i, "text", bytearray(b), h) for i, b, h in rows],
+        "media_id long, kind string, content binary, charset_hint string",
+    )
+    got = {
+        r.media_id: r
+        for r in decode_text(df, hint_col="charset_hint").collect()
+    }
+    assert got[0].text.endswith("m \x93") and got[0].encoding == "latin-1"
+    assert got[1].text.endswith("h \x93") and got[1].encoding == "latin-1"
+    assert got[2].text.endswith("m “")
+    assert got[2].encoding == "windows-1252"
+    assert got[3].text.endswith("lie “")
+    assert got[3].encoding == "windows-1252"
+    assert got[4].text.endswith("far “")
+    assert got[4].encoding == "windows-1252"
+    assert got[5].text.endswith("u “")
+    assert got[5].encoding == "windows-1252"
+    assert got[6].encoding == "utf-8" and got[6].had_bom is True
+    # meta_sniff=False: row 0 falls back to cp1252 like round 16
+    off = {
+        r.media_id: r
+        for r in decode_text(
+            df, hint_col="charset_hint", meta_sniff=False
+        ).collect()
+    }
+    assert off[0].text.endswith("m “")
+    assert off[0].encoding == "windows-1252"
+
+
 def test_decode_audio_wav_real_samples(spark):
     """decode_audio is a REAL RIFF/WAV PCM16 decoder (round 11): a
     stereo fixture written by stdlib ``wave`` (a third-party encoder

@@ -1614,3 +1614,24 @@ def test_ppl_unk_penalty_dropped_is_caught(spark, con, monkeypatch):
         spark, con, "q_gopher_signals",
         qc.SPARK_QUERIES["q_gopher_signals"](spark, SF),
     )
+
+
+def test_meta_prescan_skipped_is_caught(spark, con, monkeypatch):
+    """The round-17 'text' rows 9/10 carry <meta> declarations and NO
+    transport hint: an engine that never runs the prescan decodes row
+    9 through the cp1252 fallback (U+201C instead of the declared
+    latin-1 U+0093) and breaks the md5."""
+    import woe_monotonic_binning_spark.operators.multimodal as mm
+
+    orig = mm.decode_text
+
+    def mutated(media, latin1_fallback=True, hint_col=None,
+                cp1252_fallback=True, meta_sniff=True):
+        return orig(media, latin1_fallback, hint_col, cp1252_fallback,
+                    meta_sniff=False)
+
+    monkeypatch.setattr(mm, "decode_text", mutated)
+    assert_caught(
+        spark, con, "q_multimodal_stats",
+        qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
+    )

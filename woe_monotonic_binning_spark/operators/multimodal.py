@@ -2966,6 +2966,24 @@ _CHARSET_PARAM_RE = re.compile(
     "charset=[\"']?([A-Za-z0-9._-]+)", re.IGNORECASE
 )
 
+# <meta charset="..."> / <meta http-equiv=Content-Type content="...;
+# charset=..."> within ONE tag ([^>]*? cannot cross the closing bracket)
+_META_CHARSET_RE = re.compile(
+    "<meta[^>]*?charset\\s*=\\s*[\"']?([A-Za-z0-9._-]+)", re.IGNORECASE
+)
+
+
+def _sniff_meta_charset(raw: bytes, aliases) -> tuple[str, str] | None:
+    """WHATWG-style meta prescan (round 17): look for a ``<meta``
+    charset declaration in the first 1024 BYTES, decoded as latin-1 —
+    an ASCII-compatible total prefix decode, which is exactly the
+    assumption the HTML spec's prescan makes.  Unknown labels return
+    None (ignored, like an unknown transport header)."""
+    m = _META_CHARSET_RE.search(raw[:1024].decode("latin-1"))
+    if m:
+        return aliases.get(m.group(1).lower())
+    return None
+
 
 def _resolve_charset_hint(hint, aliases=None) -> tuple[str, str] | None:
     """A hint is either a bare charset label ('UTF8') or a Content-Type
@@ -2989,6 +3007,7 @@ def decode_text(
     latin1_fallback: bool = True,
     hint_col: str | None = None,
     cp1252_fallback: bool = True,
+    meta_sniff: bool = True,
 ) -> DataFrame:
     """Charset decode stage (round 15, verdict item 4; hints +
     windows-1252 round 16): raw crawl payloads are BYTES in unknown
@@ -3013,12 +3032,21 @@ def decode_text(
        decode succeeds wins (the HTTP contract); an unknown label or a
        failing hinted decode falls through — a lying header degrades,
        never rejects.
-    3. strict UTF-8;
-    4. windows-1252 (``cp1252_fallback``, round 16) — the de-facto web
+    3. ``meta_sniff`` (round 17): the WHATWG meta prescan — a ``<meta
+       charset=`` / ``http-equiv`` declaration inside the first 1024
+       bytes (latin-1 prefix decode, the spec's ASCII-compatible
+       assumption), same alias table, same degrade-on-lie posture.
+       Precedence is the WHATWG encoding-sniffing order — BOM >
+       transport > meta — with ONE documented deviation: a failing
+       higher-priority source FALLS THROUGH to the next instead of
+       ending the algorithm (a crawl must degrade per record, a
+       browser may re-navigate);
+    4. strict UTF-8;
+    5. windows-1252 (``cp1252_fallback``, round 16) — the de-facto web
        encoding for the 0x80-0x9F range (curly quotes, em-dashes);
        undefined at exactly five bytes (81 8D 8F 90 9D), whose presence
        falls through;
-    5. latin-1 (``latin1_fallback``) — total, the last-resort crawl
+    6. latin-1 (``latin1_fallback``) — total, the last-resort crawl
        fallback; else NULL.
 
     Output: ``text``, ``encoding`` (the codec actually used, NULL on
@@ -3039,6 +3067,7 @@ def decode_text(
     # closes over its rank dict)
     aliases = dict(_CHARSET_ALIASES)
     resolve = _resolve_charset_hint
+    sniff = _sniff_meta_charset
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3081,6 +3110,16 @@ def decode_text(
                         continue
                     except UnicodeDecodeError:
                         pass  # lying header: fall through, never reject
+                if meta_sniff:
+                    sniffed = sniff(raw, aliases)
+                    if sniffed is not None:
+                        py_codec, name = sniffed
+                        try:
+                            out["text"].append(raw.decode(py_codec))
+                            out["encoding"].append(name)
+                            continue
+                        except UnicodeDecodeError:
+                            pass  # lying meta: degrade like a lying header
                 try:
                     out["text"].append(raw.decode("utf-8"))
                     out["encoding"].append("utf-8")
@@ -3118,10 +3157,17 @@ def synthetic_text_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     and cp1252 DISAGREE (0x93 -> U+0093 control, pinning that the hint
     is honored over the fallback chain and that iso-8859-1 is NOT
     conflated with windows-1252), and an aliased bare hint ('UTF8').
+    Round 17 extends the cycle to ``id % 11`` with the META PRESCAN
+    shapes: 9 = an http-equiv <meta> declaring ISO-8859-1 over the
+    0x93 disagreement byte with NO transport hint (the sniffer must
+    find and honor it — the cp1252 fallback would give U+201C, the
+    meta gives U+0093), 10 = a LYING <meta charset="utf-8"> over the
+    same invalid-UTF-8 byte (the declared decode fails, the chain
+    degrades to windows-1252 — lie tolerance certified in-band).
     The ``charset_hint`` column carries the per-row header value (NULL
     for unhinted rows).  Every logical text is closed-form in the id,
     so the oracle recomputes the decoded md5 as pure string SQL."""
-    k = F.pmod(F.col(id_col), F.lit(9))
+    k = F.pmod(F.col(id_col), F.lit(11))
     i = F.col(id_col).cast("string")
     utf8 = F.concat(F.lit("plain "), i, F.lit(" café"))
     bom8 = F.concat(F.lit("bom "), i, F.lit(" café"))
@@ -3130,6 +3176,11 @@ def synthetic_text_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     curl = F.concat(F.lit("curl "), i)
     hint_t = F.concat(F.lit("hint "), i)
     alias_t = F.concat(F.lit("alias "), i, F.lit(" café"))
+    meta_t = F.concat(
+        F.lit('<meta http-equiv="Content-Type" '
+              'content="text/html; charset=ISO-8859-1">meta '), i,
+    )
+    lie_t = F.concat(F.lit('<meta charset="utf-8">lie '), i)
     content = (
         F.when(k == 0, F.encode(utf8, "UTF-8"))
         .when(k == 1, F.concat(F.unhex(F.lit("EFBBBF")), F.encode(bom8, "UTF-8")))
@@ -3139,7 +3190,9 @@ def synthetic_text_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .when(k == 5, F.unhex(F.lit("FFFE41")))  # BOM + odd body: reject
         .when(k == 6, F.concat(F.encode(curl, "UTF-8"), F.unhex(F.lit("9394"))))
         .when(k == 7, F.concat(F.encode(hint_t, "UTF-8"), F.unhex(F.lit("93"))))
-        .otherwise(F.encode(alias_t, "UTF-8"))
+        .when(k == 8, F.encode(alias_t, "UTF-8"))
+        .when(k == 9, F.concat(F.encode(meta_t, "UTF-8"), F.unhex(F.lit("93"))))
+        .otherwise(F.concat(F.encode(lie_t, "UTF-8"), F.unhex(F.lit("93"))))
     )
     hint = (
         F.when(k == 7, F.lit("text/html; charset=ISO-8859-1"))
