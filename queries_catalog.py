@@ -3724,6 +3724,120 @@ def _bpe_byte_section_sql() -> str:
     """
 
 
+_UNIGRAM_VOCAB = 80
+_UNIGRAM_MAX_PIECE = 6
+_UNIGRAM_SEED = 500
+
+
+def _unigram_fixture_tokenizer():
+    """Import-time pure-Python twin of the Spark-trained UNIGRAM
+    tokenizer (round 17): same fixture corpus (ASCII words + single
+    spaces, so str.split == the shared pre-tokenizer by construction),
+    same hard-EM hyperparameters — the oracle embeds its integer
+    micro-nat piece table as a literal MAP."""
+    from woe_monotonic_binning_spark.operators.tokenizer import (
+        UnigramTokenizer,
+        train_unigram_from_counts,
+    )
+
+    counts: dict[str, int] = {}
+    for line in _BPE_FIXTURE_CORPUS:
+        for w in line.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    return UnigramTokenizer(
+        train_unigram_from_counts(
+            counts,
+            vocab_size=_UNIGRAM_VOCAB,
+            max_piece_len=_UNIGRAM_MAX_PIECE,
+            seed_size=_UNIGRAM_SEED,
+        ),
+        max_piece_len=_UNIGRAM_MAX_PIECE,
+    )
+
+
+def _unigram_section_sql() -> str:
+    """The 'unigram' UNION ALL branch of the q_token_budget oracle
+    (round 17): SentencePiece-style unigram-LM tokenization — the
+    DuckDB twin ENUMERATES every segmentation of each distinct
+    pre-token (a recursive CTE extending partial segmentations piece
+    by piece; fixture words are short, so the path count is bounded)
+    and picks the best under the EXACT serving order — total integer
+    micro-nat log-prob DESC, piece count ASC, chr(1)-joined pieces
+    ASC — with the import-time piece table as a literal MAP.  toks =
+    piece count, n_docs = pre-token count, text_md5 = exact piece
+    boundaries, n_packs = the document's total Viterbi log-mass (the
+    LIKELIHOOD certification: an engine picking any sub-optimal
+    segmentation — e.g. greedy longest-match — scores strictly lower
+    and breaks both md5 and log-mass; the likelihood-ordering mutant
+    in tests/test_oracle_sensitivity.py)."""
+    from woe_monotonic_binning_spark.operators.tokenizer import (
+        _UNIGRAM_UNK_LOGP,
+    )
+
+    tok = _unigram_fixture_tokenizer()
+    mp = ", ".join(
+        f"'{p}': CAST({v} AS BIGINT)"
+        for p, v in sorted(tok.piece_logp.items())
+    )
+    ml = tok.max_piece_len
+    bpe_re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]"
+    return f"""
+    UNION ALL
+    SELECT 'unigram' AS section, d.doc_id, CAST(NULL AS VARCHAR) AS source,
+           coalesce(t.toks, 0) AS toks,
+           coalesce(t.n_pre, 0) AS n_docs,
+           md5(coalesce(t.joined, '')) AS text_md5,
+           CAST(NULL AS BOOLEAN) AS oversize,
+           CAST(coalesce(t.lp, 0) AS BIGINT) AS n_packs,
+           CAST(NULL AS BIGINT) AS n_oversize,
+           CAST(NULL AS DOUBLE) AS utilization,
+           CAST(NULL AS DOUBLE) AS min_utilization,
+           CAST(NULL AS DOUBLE) AS max_utilization
+    FROM documents d LEFT JOIN (
+      WITH RECURSIVE
+      pre AS (
+        SELECT doc_id, i AS pos, ws[i] AS word
+        FROM (SELECT doc_id, regexp_extract_all(text, '{bpe_re}') AS ws
+              FROM documents),
+             unnest(range(1, len(ws) + 1)) AS s(i)
+      ),
+      seg(word, pos, lp, np, joined) AS (
+        SELECT word, 0, CAST(0 AS BIGINT), 0, ''
+        FROM (SELECT DISTINCT word FROM pre)
+        UNION ALL
+        SELECT word, pos + ln, lp + plp, np + 1,
+               CASE WHEN joined = '' THEN piece
+                    ELSE joined || chr(1) || piece END
+        FROM (
+          SELECT s.word, s.pos, s.lp, s.np, s.joined, l.ln,
+                 substring(s.word, s.pos + 1, l.ln) AS piece,
+                 coalesce(
+                   list_extract(
+                     (MAP {{{mp}}})[substring(s.word, s.pos + 1, l.ln)], 1),
+                   CASE WHEN l.ln = 1
+                        THEN CAST({_UNIGRAM_UNK_LOGP} AS BIGINT) END
+                 ) AS plp
+          FROM seg s
+          CROSS JOIN (SELECT unnest(range(1, {ml} + 1)) AS ln) l
+          WHERE s.pos + l.ln <= length(s.word)
+        ) WHERE plp IS NOT NULL
+      ),
+      best AS (
+        SELECT word, np, lp, joined,
+               row_number() OVER (PARTITION BY word
+                 ORDER BY lp DESC, np ASC, joined ASC) AS rn
+        FROM seg WHERE pos = length(word)
+      )
+      SELECT doc_id, sum(b.np) AS toks, count(*) AS n_pre,
+             string_agg(replace(b.joined, chr(1), ' '), ' ' ORDER BY pos)
+               AS joined,
+             sum(b.lp) AS lp
+      FROM pre JOIN (SELECT * FROM best WHERE rn = 1) b USING (word)
+      GROUP BY doc_id
+    ) t USING (doc_id)
+    """
+
+
 def _bpe_section_sql() -> str:
     """The 'bpe' UNION ALL branch of the q_token_budget oracle: learned-BPE
     token counts + the md5 of the space-joined token stream per document,
@@ -3917,7 +4031,8 @@ def _bpe_section_sql() -> str:
       ) GROUP BY pack_id
     ) GROUP BY shard
     """
-    + _bpe_section_sql() + _bpe_byte_section_sql(),
+    + _bpe_section_sql() + _bpe_byte_section_sql()
+    + _unigram_section_sql(),
 )
 def q_token_budget(spark, sf_dir):
     """Data-recipe token-budget fill: admit docs per source in hash-draw
@@ -4112,12 +4227,44 @@ def q_token_budget(spark, sf_dir):
         null_d.alias("min_utilization"),
         null_d.alias("max_utilization"),
     )
+    # unigram section (round 17): REAL distributed train (same bounded
+    # word-type shuffle) + the REAL Viterbi apply; the oracle enumerates
+    # segmentations under the import-time piece table, so a wrong piece
+    # probability, a wrong tie-break, or a non-optimal (e.g. greedy)
+    # segmentation all break md5 AND the log-mass column
+    from woe_monotonic_binning_spark.operators.tokenizer import (
+        tokenize_unigram,
+        train_unigram,
+    )
+
+    uni_tok = train_unigram(
+        fixture,
+        vocab_size=_UNIGRAM_VOCAB,
+        max_piece_len=_UNIGRAM_MAX_PIECE,
+        seed_size=_UNIGRAM_SEED,
+    )
+    uni = tokenize_unigram(docs, uni_tok, with_logp=True).select(
+        F.lit("unigram").alias("section"),
+        "doc_id",
+        F.lit(None).cast("string").alias("source"),
+        F.size("unigram_tokens").cast("long").alias("toks"),
+        F.size(pretokens(F.col("text"))).cast("long").alias("n_docs"),
+        F.md5(F.array_join("unigram_tokens", " ")).alias("text_md5"),
+        F.lit(None).cast("boolean").alias("oversize"),
+        F.coalesce(F.col("unigram_tokens_logp"), F.lit(0))
+        .cast("long").alias("n_packs"),
+        null_l.alias("n_oversize"),
+        null_d.alias("utilization"),
+        null_d.alias("min_utilization"),
+        null_d.alias("max_utilization"),
+    )
     return (
         out.unionByName(mat)
         .unionByName(stats)
         .unionByName(shard)
         .unionByName(bpe)
         .unionByName(bpe_byte)
+        .unionByName(uni)
     )
 
 
@@ -5388,92 +5535,13 @@ def q_dedup_lines(spark, sf_dir):
     # back to the SAME closed-form bytes the oracle md5s — leaving
     # chunk framing in, skipping a gzip layer, or mislabeling the
     # encoding columns breaks the hash.
-    from woe_monotonic_binning_spark.sources.warc import explode_warc_column
+    from woe_monotonic_binning_spark.sources.warc import (
+        explode_warc_column,
+        synthetic_warc_blobs,
+    )
 
-    def _wbyte(c):  # one byte (binary) from an int column in 0..255
-        return F.encode(F.char(c), "ISO-8859-1")
-
-    def _wle16(c):  # little-endian uint16
-        return F.concat(_wbyte(c % 256), _wbyte(F.floor(c / 256).cast("long")))
-
-    w_uri = F.concat(
-        F.lit("http://w"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
-        F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
-    )
-    w_ctype = F.lit("text/plain; charset=UTF-8")
-    w_variant = F.pmod(F.col("doc_id"), F.lit(4))
-    w_body = F.encode(
-        F.concat(F.lit("warc body "), F.col("doc_id").cast("string"),
-                 F.lit(" café")),
-        "UTF-8",
-    )
-    w_len = F.octet_length(w_body)
-    # raw DEFLATE of w_body as one stored (uncompressed) block:
-    # BFINAL|BTYPE byte 0x01, LEN le16, NLEN = LEN ^ 0xFFFF le16, bytes
-    w_deflate = F.concat(
-        F.lit(b"\x01"), _wle16(w_len), _wle16(65535 - w_len), w_body
-    )
-    w_crc = F.crc32(w_body)
-    w_gzip = F.concat(
-        F.lit(b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03"),
-        w_deflate,
-        _wbyte(w_crc % 256),
-        _wbyte(F.floor(w_crc / 256).cast("long") % 256),
-        _wbyte(F.floor(w_crc / 65536).cast("long") % 256),
-        _wbyte(F.floor(w_crc / 16777216).cast("long") % 256),
-        _wle16(w_len), F.lit(b"\x00\x00"),  # ISIZE (w_len < 65536)
-    )
-    # chunked framing: 'warc body ' (10 bytes, size line 'a') + the rest
-    w_part2 = F.encode(
-        F.concat(F.col("doc_id").cast("string"), F.lit(" café")), "UTF-8"
-    )
-    w_chunked = F.concat(
-        F.encode(F.lit("a\r\n"), "UTF-8"),
-        F.encode(F.lit("warc body "), "UTF-8"),
-        F.encode(F.lit("\r\n"), "UTF-8"),
-        F.encode(
-            F.concat(F.lower(F.hex(F.octet_length(w_part2))), F.lit("\r\n")),
-            "UTF-8",
-        ),
-        w_part2,
-        F.encode(F.lit("\r\n0\r\n\r\n"), "UTF-8"),
-    )
-    w_extra_hdr = (
-        F.when(w_variant == 1, F.lit("Transfer-Encoding: chunked\r\n"))
-        .when(w_variant == 2, F.lit("Content-Encoding: gzip\r\n"))
-        .when(w_variant == 3, F.lit("Content-Encoding: deflate\r\n"))
-        .otherwise(F.lit(""))
-    )
-    w_wire_body = (
-        F.when(w_variant == 1, w_chunked)
-        .when(w_variant == 2, w_gzip)
-        .when(w_variant == 3, w_deflate)
-        .otherwise(w_body)
-    )
-    w_block = F.concat(
-        F.encode(
-            F.concat(F.lit("HTTP/1.1 200 OK\r\nContent-Type: "), w_ctype,
-                     F.lit("\r\n"), w_extra_hdr, F.lit("\r\n")),
-            "UTF-8",
-        ),
-        w_wire_body,
-    )
-    w_blob = F.concat(
-        F.encode(
-            F.concat(
-                F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
-                      "WARC-Target-URI: "), w_uri,
-                F.lit("\r\nContent-Length: "),
-                F.octet_length(w_block).cast("string"),
-                F.lit("\r\n\r\n"),
-            ),
-            "UTF-8",
-        ),
-        w_block,
-        F.encode(F.lit("\r\n\r\n"), "UTF-8"),
-    )
     warc_sec = explode_warc_column(
-        _docs(spark, sf_dir).select("doc_id", w_blob.alias("content"))
+        synthetic_warc_blobs(_docs(spark, sf_dir))
     ).select(
         F.lit("warc").alias("section"),
         F.col("shard").cast("long").alias("doc_id"),

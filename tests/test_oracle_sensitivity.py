@@ -1635,3 +1635,32 @@ def test_meta_prescan_skipped_is_caught(spark, con, monkeypatch):
         spark, con, "q_multimodal_stats",
         qc.SPARK_QUERIES["q_multimodal_stats"](spark, SF),
     )
+
+
+def test_unigram_greedy_segmentation_is_caught(spark, con, monkeypatch):
+    """The 'unigram' section's likelihood-ordering mutant: an engine
+    segmenting by greedy longest-match instead of Viterbi picks a
+    lower-likelihood segmentation for some fixture words — both the
+    token-boundary md5 and the log-mass column break."""
+    import woe_monotonic_binning_spark.operators.tokenizer as tk
+
+    def greedy(word, piece_logp, max_piece_len, unk_logp=tk._UNIGRAM_UNK_LOGP):
+        out, lp, i = [], 0, 0
+        while i < len(word):
+            for ln in range(min(max_piece_len, len(word) - i), 0, -1):
+                piece = word[i : i + ln]
+                plp = piece_logp.get(piece)
+                if plp is None and ln == 1:
+                    plp = unk_logp
+                if plp is not None:
+                    out.append(piece)
+                    lp += plp
+                    i += ln
+                    break
+        return out, lp
+
+    monkeypatch.setattr(tk, "viterbi_segment", greedy)
+    assert_caught(
+        spark, con, "q_token_budget",
+        qc.SPARK_QUERIES["q_token_budget"](spark, SF),
+    )

@@ -831,3 +831,119 @@ def test_hf_export_loads_in_tokenizers_library(spark, tmp_path):
     }
     for i, text in enumerate(probes):
         assert hf.encode(text).ids == engine[i], text
+
+
+# -- round 17: SentencePiece-style unigram tokenizer -------------------------
+
+from woe_monotonic_binning_spark.operators.tokenizer import (  # noqa: E402
+    UnigramTokenizer,
+    tokenize_unigram,
+    train_unigram,
+    train_unigram_from_counts,
+    viterbi_segment,
+)
+
+
+def test_viterbi_beats_greedy_and_tiebreaks():
+    """Viterbi returns the maximum-likelihood segmentation, not the
+    longest-match one; exact ties resolve by fewer pieces, then the
+    chr(1)-joined string ascending."""
+    # 'abc' as a piece is CHEAP to have but expensive to use: greedy
+    # longest-match would take it; Viterbi must prefer 'ab' + 'c'
+    table = {
+        "a": -3_000_000, "b": -3_000_000, "c": -1_000_000,
+        "ab": -2_000_000, "abc": -10_000_000,
+    }
+    pieces, lp = viterbi_segment("abc", table, 3)
+    assert pieces == ["ab", "c"] and lp == -3_000_000
+    # tie on logp: 'ab'+'c' (2 pieces) beats 'a'+'b'+'c' if equal mass
+    t2 = {"a": -1_000_000, "b": -1_000_000, "c": -1_000_000,
+          "ab": -2_000_000}
+    p2, lp2 = viterbi_segment("abc", t2, 2)
+    assert p2 == ["ab", "c"] and lp2 == -3_000_000
+    # tie on logp AND piece count: smallest joined string wins
+    t3 = {"a": -1_000_000, "b": -2_000_000, "ab": -1_500_000,
+          "bc": -1_500_000, "c": -2_000_000}
+    p3, _ = viterbi_segment("abc", t3, 2)
+    # 'ab'+'c' vs 'a'+'bc': both -3_500_000, both 2 pieces;
+    # 'a\x01bc' < 'ab\x01c' (chr(1) sorts below 'b')
+    assert p3 == ["a", "bc"]
+    # OOV char: segments as itself at the documented floor
+    p4, lp4 = viterbi_segment("axb", {"a": -1, "b": -1}, 2)
+    assert p4 == ["a", "x", "b"] and lp4 == -2 - 20_723_266
+
+
+def test_train_unigram_deterministic_and_bounded():
+    counts = {"table": 10, "tables": 6, "scan": 8, "scans": 4,
+              "window": 6, "windows": 3, "fast": 5, "faster": 3}
+    a = train_unigram_from_counts(counts, vocab_size=25, max_piece_len=6)
+    b = train_unigram_from_counts(counts, vocab_size=25, max_piece_len=6)
+    assert a == b and len(a) <= 25
+    # every training character survives (totality)
+    chars = {ch for w in counts for ch in w}
+    assert chars <= set(a)
+    # useful multi-char pieces were learned
+    assert any(len(p) > 1 for p in a)
+    with pytest.raises(ValueError, match="alphabet"):
+        train_unigram_from_counts(counts, vocab_size=3)
+
+
+def test_unigram_distributed_train_matches_pure_python(spark):
+    """The distributed word-count front end + hard-EM loop equals the
+    import-time pure-Python twin on the shared fixture corpus (the
+    certification prerequisite, mirroring the BPE pinning)."""
+    import queries_catalog as qc
+
+    fixture = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(qc._BPE_FIXTURE_CORPUS)],
+        "id long, text string",
+    )
+    dist = train_unigram(
+        fixture, vocab_size=qc._UNIGRAM_VOCAB,
+        max_piece_len=qc._UNIGRAM_MAX_PIECE, seed_size=qc._UNIGRAM_SEED,
+    )
+    pure = qc._unigram_fixture_tokenizer()
+    assert dist.piece_logp == pure.piece_logp
+
+
+def test_tokenize_unigram_apply_and_logp(spark):
+    counts = {"table": 10, "tables": 6, "scan": 8, "window": 6}
+    tok = UnigramTokenizer(
+        train_unigram_from_counts(counts, vocab_size=20, max_piece_len=6),
+        max_piece_len=6,
+    )
+    df = spark.createDataFrame(
+        [(0, "table scan 42"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in tokenize_unigram(
+        df, tok, with_logp=True
+    ).collect()}
+    want0 = []
+    lp0 = 0
+    for w in ("table", "scan", "42"):
+        p, l = tok.encode_with_logp(w)
+        want0.extend(p)
+        lp0 += l
+    assert got[0].unigram_tokens == want0
+    assert got[0].unigram_tokens_logp == lp0
+    assert got[1].unigram_tokens is None and got[1].unigram_tokens_logp is None
+    assert got[2].unigram_tokens == [] and got[2].unigram_tokens_logp == 0
+
+
+def test_unigram_save_load_and_ids(tmp_path):
+    counts = {"scan": 5, "scans": 3}
+    tok = UnigramTokenizer(
+        train_unigram_from_counts(counts, vocab_size=12, max_piece_len=5),
+        max_piece_len=5,
+    )
+    p = str(tmp_path / "uni.json")
+    tok.save(p)
+    tok2 = UnigramTokenizer.load(p)
+    assert tok2.piece_logp == tok.piece_logp
+    assert tok2.token_to_id == tok.token_to_id
+    ids = tok.encode_ids("scans")
+    assert all(i > 0 for i in ids)  # in-vocab pieces, no unk
+    assert tok.encode_ids("zz") == [tok.unk_id] * 2
+    with pytest.raises(ValueError, match="empty"):
+        UnigramTokenizer({})

@@ -60,6 +60,11 @@ __all__ = [
     "tokenize_bpe",
     "tokenize_ids",
     "bpe_token_count",
+    "UnigramTokenizer",
+    "train_unigram",
+    "train_unigram_from_counts",
+    "tokenize_unigram",
+    "viterbi_segment",
 ]
 
 
@@ -662,3 +667,307 @@ def bpe_token_count(
         return words.map(one)
 
     return df.withColumn(out_col, count_tokens(pretokens(F.col(text_col))))
+
+
+# ---------------------------------------------------------------------------
+# SentencePiece-style UNIGRAM tokenizer (round 17, verdict stretch item 8)
+
+_UNIGRAM_SCALE = 1_000_000  # micro-nats, the langid/perplexity convention
+_UNIGRAM_UNK_LOGP = -20_723_266  # round(log(1e-9) * 1e6): OOV char floor
+
+
+def viterbi_segment(
+    word: str,
+    piece_logp: dict[str, int],
+    max_piece_len: int,
+    unk_logp: int = _UNIGRAM_UNK_LOGP,
+) -> tuple[list[str], int]:
+    """Best segmentation of ``word`` under a unigram LM with integer
+    micro-nat piece log-probs: maximize total log-probability;
+    deterministic tie-break — fewer pieces, then the chr(1)-joined
+    piece string ascending (chr(1) sorts below every real symbol, so
+    the comparison is well-defined cross-engine; the DuckDB twin runs
+    the same dp with the same ordering).  Characters absent from the
+    piece table segment as themselves at ``unk_logp`` — total, the
+    honest-OOV posture.  Returns (pieces, total_logp_micro)."""
+    n = len(word)
+    # dp[i]: (logp, -n_pieces, joined) best for word[:i]; joined is the
+    # chr(1)-join of the pieces — the tie-break key AND the traceback
+    dp: list[tuple[int, int, str] | None] = [None] * (n + 1)
+    dp[0] = (0, 0, "")
+    sep = "\x01"
+    for i in range(1, n + 1):
+        best = None
+        for j in range(max(0, i - max_piece_len), i):
+            prev = dp[j]
+            if prev is None:
+                continue
+            piece = word[j:i]
+            lp = piece_logp.get(piece)
+            if lp is None:
+                if len(piece) != 1:
+                    continue
+                lp = unk_logp
+            joined = piece if not prev[2] else prev[2] + sep + piece
+            cand = (prev[0] + lp, prev[1] - 1, joined)
+            # maximize logp, then fewer pieces (larger -n), then the
+            # lexicographically SMALLEST joined string
+            if (
+                best is None
+                or cand[0] > best[0]
+                or (cand[0] == best[0] and cand[1] > best[1])
+                or (
+                    cand[0] == best[0]
+                    and cand[1] == best[1]
+                    and cand[2] < best[2]
+                )
+            ):
+                best = cand
+        dp[i] = best
+    final = dp[n]
+    if final is None:  # unreachable: single chars are always admissible
+        return list(word), unk_logp * n
+    return (final[2].split(sep) if final[2] else []), final[0]
+
+
+def train_unigram_from_counts(
+    word_counts: dict[str, int],
+    vocab_size: int = 400,
+    max_piece_len: int = 8,
+    seed_size: int = 4_000,
+    n_iters: int = 4,
+    prune_frac: float = 0.25,
+) -> dict[str, int]:
+    """Unigram-LM vocabulary over a bounded word-frequency table — the
+    Kudo 2018 (arXiv:1804.10959) recipe in its deterministic HARD-EM
+    form (documented deviations: Viterbi counts instead of
+    forward-backward expectations in the E-step, and frequency-based
+    pruning of the lowest-expected-count pieces instead of the
+    likelihood-loss ranking; both simplifications keep every quantity
+    an integer, so training is bit-reproducible and the serving table
+    certifiable cross-engine).
+
+    Seed: every substring up to ``max_piece_len`` of every word type,
+    weighted by word count, top ``seed_size`` by (count desc, piece) —
+    plus every single character unconditionally (segmentation must stay
+    total).  Iterate: segment each word type by Viterbi under current
+    probs, re-estimate probs from the weighted piece counts, prune the
+    lowest-count multi-char pieces ``prune_frac`` of the excess at a
+    time until ``vocab_size`` remains.  Returns piece -> integer
+    micro-nat log-prob."""
+    import math
+
+    words = {w: c for w, c in word_counts.items() if w}
+    chars = sorted({ch for w in words for ch in w})
+    if vocab_size < len(chars) + 1:
+        raise ValueError(
+            f"vocab_size={vocab_size} below the {len(chars)}-char "
+            "alphabet — no room for any multi-char piece"
+        )
+    seed: dict[str, int] = {}
+    for w, c in words.items():
+        for i in range(len(w)):
+            for ln in range(2, min(max_piece_len, len(w) - i) + 1):
+                p = w[i : i + ln]
+                seed[p] = seed.get(p, 0) + c
+    multi = sorted(seed.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = set(chars) | {p for p, _ in multi[: int(seed_size)]}
+
+    def estimate(counts: dict[str, int]) -> dict[str, int]:
+        total = sum(counts.values())
+        return {
+            p: round(math.log(c / total) * _UNIGRAM_SCALE)
+            for p, c in counts.items()
+            if c > 0
+        }
+
+    # init: probs from raw seed counts (chars get their own counts)
+    char_counts: dict[str, int] = {ch: 0 for ch in chars}
+    for w, c in words.items():
+        for ch in w:
+            char_counts[ch] += c
+    counts0 = {p: seed.get(p, 0) for p in vocab}
+    counts0.update({ch: char_counts[ch] for ch in chars})
+    logp = estimate({p: c for p, c in counts0.items() if c > 0})
+    for ch in chars:
+        logp.setdefault(ch, _UNIGRAM_UNK_LOGP)
+
+    while True:
+        for _ in range(n_iters):
+            counts = {p: 0 for p in logp}
+            for w, c in words.items():
+                pieces, _lp = viterbi_segment(w, logp, max_piece_len)
+                for p in pieces:
+                    counts[p] = counts.get(p, 0) + c
+            # keep unused single chars at epsilon mass: totality beats
+            # a marginally tighter fit
+            for ch in chars:
+                if counts.get(ch, 0) == 0:
+                    counts[ch] = 1
+            kept = {p: c for p, c in counts.items() if c > 0}
+            logp = estimate(kept)
+        if len(logp) <= vocab_size:
+            break
+        # prune the lowest-count multi-char pieces, a fraction of the
+        # excess at a time (ties to the lexicographically larger piece
+        # so the SMALLER piece survives — deterministic)
+        excess = len(logp) - vocab_size
+        n_drop = max(1, int(excess * prune_frac))
+        multi_now = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1 and p in logp),
+            key=lambda kv: (kv[1], kv[0]),
+        )
+        for p, _ in multi_now[:n_drop]:
+            del logp[p]
+    return logp
+
+
+class UnigramTokenizer:
+    """The learned unigram artifact: piece -> integer micro-nat
+    log-prob.  Encoding is Viterbi best segmentation per pre-token
+    (:func:`viterbi_segment`'s deterministic contract); the id space
+    is ``<unk>`` = 0 then pieces sorted (the BPE layout convention).
+    Small by construction — broadcasts in the UDF closure."""
+
+    def __init__(self, piece_logp: dict[str, int], max_piece_len: int = 8):
+        self.piece_logp = {p: int(v) for p, v in piece_logp.items()}
+        if not self.piece_logp:
+            raise ValueError("empty piece table")
+        self.max_piece_len = max(
+            int(max_piece_len), max(len(p) for p in self.piece_logp)
+        )
+        self.unk_id = 0
+        self.token_to_id = {"<unk>": 0}
+        for p in sorted(self.piece_logp):
+            self.token_to_id[p] = len(self.token_to_id)
+
+    def encode(self, word: str) -> list[str]:
+        return viterbi_segment(
+            word, self.piece_logp, self.max_piece_len
+        )[0]
+
+    def encode_with_logp(self, word: str) -> tuple[list[str], int]:
+        return viterbi_segment(word, self.piece_logp, self.max_piece_len)
+
+    def encode_ids(self, word: str) -> list[int]:
+        return [
+            self.token_to_id.get(t, self.unk_id) for t in self.encode(word)
+        ]
+
+    def vocab_size(self) -> int:
+        return len(self.token_to_id)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "version": 1,
+                    "kind": "unigram",
+                    "max_piece_len": self.max_piece_len,
+                    "piece_logp": self.piece_logp,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "UnigramTokenizer":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(d["piece_logp"], d["max_piece_len"])
+
+    def __repr__(self):
+        return (
+            f"UnigramTokenizer(n_pieces={len(self.piece_logp)}, "
+            f"max_len={self.max_piece_len})"
+        )
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 400,
+    max_word_types: int = 100_000,
+    min_count: int = 1,
+    max_piece_len: int = 8,
+    seed_size: int = 4_000,
+) -> UnigramTokenizer:
+    """Distributed front end of :func:`train_unigram_from_counts` —
+    the SAME bounded word-type shuffle as :func:`train_bpe` (explode
+    pre-tokens, map-side-combined count, deterministic top cut), then
+    the hard-EM loop over the collected table on the driver.  The two
+    trainers deliberately share the distributed pass: at 100 TB the
+    corpus scan dominates and is identical; only the bounded driver
+    loop differs."""
+    counts = (
+        df.select(F.explode(pretokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .count()
+    )
+    if min_count > 1:
+        counts = counts.where(F.col("count") >= min_count)
+    rows = (
+        counts.orderBy(F.col("count").desc(), F.col("word"))
+        .limit(int(max_word_types))
+        .collect()
+    )
+    return UnigramTokenizer(
+        train_unigram_from_counts(
+            {r["word"]: r["count"] for r in rows},
+            vocab_size=vocab_size,
+            max_piece_len=max_piece_len,
+            seed_size=seed_size,
+        ),
+        max_piece_len=max_piece_len,
+    )
+
+
+def tokenize_unigram(
+    df: DataFrame,
+    tokenizer: UnigramTokenizer,
+    text_col: str = "text",
+    out_col: str = "unigram_tokens",
+    with_logp: bool = False,
+) -> DataFrame:
+    """Distributed apply — the :func:`tokenize_bpe` shape: JVM
+    pre-tokenization (one source of truth), Arrow-batched pandas UDF
+    running Viterbi with a per-executor distinct-word cache (Zipf: the
+    dp runs per word TYPE, not per occurrence).  ``with_logp`` adds
+    ``{out_col}_logp`` — the document's total integer log-mass, the
+    likelihood the certification section pins.  NULL text -> NULL."""
+    logp_table = dict(tokenizer.piece_logp)
+    max_len = tokenizer.max_piece_len
+    cache: dict[str, tuple[list[str], int]] = {}
+
+    def seg(word: str) -> tuple[list[str], int]:
+        got = cache.get(word)
+        if got is None:
+            got = cache[word] = viterbi_segment(word, logp_table, max_len)
+            if len(cache) > 2_000_000:
+                cache.clear()
+        return got
+
+    @F.pandas_udf("struct<toks: array<string>, logp: long>")
+    def apply_viterbi(words: pd.Series) -> pd.DataFrame:
+        toks_out, logp_out = [], []
+        for ws in words:
+            if ws is None:
+                toks_out.append(None)
+                logp_out.append(None)
+                continue
+            toks: list[str] = []
+            lp = 0
+            for w in ws:
+                t, l = seg(w)
+                toks.extend(t)
+                lp += l
+            toks_out.append(toks)
+            logp_out.append(lp)
+        return pd.DataFrame({"toks": toks_out, "logp": logp_out})
+
+    res = apply_viterbi(pretokens(F.col(text_col)))
+    out = df.withColumn("__uni", res).withColumn(
+        out_col, F.col("__uni.toks")
+    )
+    if with_logp:
+        out = out.withColumn(f"{out_col}_logp", F.col("__uni.logp"))
+    return out.drop("__uni")
