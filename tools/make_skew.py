@@ -36,9 +36,15 @@ def build_skew(spark, src: str, out: str) -> None:
     ev = spark.read.parquet(f"{src}/events.parquet")
     # deterministic content-hash pick, independent of partition layout
     hot = F.pmod(F.xxhash64("event_id", F.lit(7)), F.lit(10)) == 0
+    # match the SOURCE's file count (round 17): the variant must differ
+    # from the source only in key distribution — writing fewer files
+    # than the source halves the scan parallelism of map-only arms and
+    # fakes a ~2x "skew" ratio that is really a layout artifact
     ev.withColumn(
         "user_id", F.when(hot, F.lit(HOT_USER)).otherwise(F.col("user_id"))
-    ).repartition(8).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    ).repartition(max(8, len(ev.inputFiles()))).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/events.parquet")
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
     base = (
@@ -70,7 +76,9 @@ def build_skew(spark, src: str, out: str) -> None:
         "n_chars", F.length("text").cast("long")
     ).withColumn(
         "source", F.when(hot_src, F.lit("src0")).otherwise(F.col("source"))
-    ).repartition(8).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    ).repartition(max(8, len(docs.inputFiles()))).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/documents.parquet")
 
     # embeddings: one hot EMBEDDING cluster (round 9 — exercises the SRP /
     # semantic star-fallback paths the text arms cannot reach): ~5% of
@@ -98,9 +106,9 @@ def build_skew(spark, src: str, out: str) -> None:
             F.when(e_exact, F.col("__base"))
             .when(e_near, near_lit)
             .otherwise(F.col("embedding")),
-        ).drop("__base").repartition(8).write.mode("overwrite").parquet(
-            f"{out}/embeddings.parquet"
-        )
+        ).drop("__base").repartition(
+            max(8, len(emb.inputFiles()))
+        ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
     for t in (
         "region",
