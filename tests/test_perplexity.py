@@ -247,9 +247,10 @@ def test_curate_corpus_perplexity_gate(spark):
 
 
 def test_score_plan_shape(spark):
-    """Serving is broadcast + map-side fold: zero shuffle Exchange,
-    zero Python eval — the LM rides the one-row broadcast, so at
-    100 TB this fuses into the corpus scan."""
+    """Serving is a map-side pass on both folds: zero shuffle Exchange
+    (the arrow kernel ships the tables in the closure; the expr fold's
+    one-row model frame is a broadcast, not a shuffle), so at 100 TB
+    both fuse into the corpus scan."""
     from woe_monotonic_binning_spark.plans import (
         exchange_count,
         python_eval_count,
@@ -257,6 +258,54 @@ def test_score_plan_shape(spark):
 
     m = train_ngram_lm(_trusted_df(spark), min_count=1)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan_df = m.score(docs, keep_threshold=40.0)
-    assert exchange_count(plan_df) == 0
-    assert python_eval_count(plan_df) == 0
+    for method in ("arrow", "expr"):
+        plan_df = m.score(docs, keep_threshold=40.0, method=method)
+        assert exchange_count(plan_df) == 0, method
+    assert python_eval_count(
+        m.score(docs, keep_threshold=40.0, method="expr")
+    ) == 0
+
+
+def test_arrow_and_expr_folds_are_identical(spark):
+    """The two physical folds are one semantics: identical bigint
+    log-mass, counts, gate and NULL posture on every probe row —
+    including <unk>-mapped and token-less text."""
+    m = train_ngram_lm(_trusted_df(spark), min_count=1)
+    probe = spark.createDataFrame(
+        [(0, "the quick fox jumps"), (1, "unseen zz qq"), (2, None),
+         (3, ""), (4, "the the over under the")],
+        "doc_id long, text string",
+    )
+    cols = ["doc_id", "ppl_logmass", "ppl_n", "ppl", "ppl_keep"]
+    a = sorted(tuple(r) for r in m.score(
+        probe, keep_threshold=40.0, method="expr"
+    ).select(*cols).collect())
+    b = sorted(tuple(r) for r in m.score(
+        probe, keep_threshold=40.0, method="arrow"
+    ).select(*cols).collect())
+    assert a == b
+    with pytest.raises(ValueError, match="method"):
+        m.score(probe, method="vectorized")
+
+
+def test_method_dispatch_and_big_table_parity(spark):
+    """'auto' is the Arrow kernel (the measured-fastest path at every
+    table size); 'expr' is the explicit zero-Python variant — visible
+    in the plan.  A 20k-padded table scores in-vocab rows identically
+    (the padding keys never fire)."""
+    from woe_monotonic_binning_spark.plans import python_eval_count
+
+    m = train_ngram_lm(_trusted_df(spark), min_count=1)
+    probe = spark.createDataFrame([(0, "the fox")], "doc_id long, text string")
+    assert python_eval_count(m.score(probe)) > 0  # auto == arrow
+    assert python_eval_count(m.score(probe, method="expr")) == 0
+    big_bi = dict(m.bigram_logp)
+    for i in range(20_001):
+        big_bi[f"zz{i} qq{i}"] = -5_000_000
+    big_miss = dict(m.miss_logp)
+    for i in range(20_001):
+        big_miss[f"zz{i}"] = -15_000_000
+    big = NGramLMModel(big_bi, big_miss, m.unk_penalty)
+    got_small = m.score(probe).collect()[0]
+    got_big = big.score(probe).collect()[0]
+    assert got_small.ppl_logmass == got_big.ppl_logmass

@@ -18,13 +18,15 @@ Architecture (the ``langid.py`` asymmetric split):
   mapping happens INSIDE the token array via a one-row broadcast map
   (no per-token join); ``<s>`` starts every document.
 - **Serving** (:meth:`NGramLMModel.score`): one map-side pass, no
-  shuffle, no Python.  The model rides as TWO map columns on a
-  broadcast one-row cross join (the right 100 TB shape: a pruned LM is
-  MBs of DATA — shipping it as data broadcast once per executor beats
-  both an expression-tree literal, which would blow codegen at real
-  vocabulary sizes, and a per-token join, which would shuffle the
-  corpus).  Per-document log-mass is an integer ``aggregate`` fold:
-  ``coalesce(bigram[h ' ' w], miss[h])`` per transition.
+  shuffle, no join.  The default fold is an Arrow-batched pandas
+  kernel over the JVM-pre-tokenized stream with the tables in the UDF
+  closure — O(1) dict lookups, measured FLAT in table size (a per-
+  token join would shuffle the corpus; an expression-tree literal
+  would blow codegen at real vocabulary sizes).  A pure-JVM ``'expr'``
+  fold exists for Python-less environments, but Spark's map-column
+  lookups are linear scans, so it is the compatibility path, not the
+  fast one (see :meth:`NGramLMModel.score`).  Per transition:
+  ``coalesce(bigram[h ' ' w], miss[h])`` minus the ``<unk>`` penalty.
 
 **Integer scores by construction** (the ``langid`` lesson): log-
 probabilities are stored as integer micro-nats, so the fold is exact
@@ -43,6 +45,8 @@ from __future__ import annotations
 
 import json
 import math
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -123,12 +127,14 @@ class NGramLMModel:
             [(self.bigram_logp, self.miss_logp)], schema
         )
 
+
     def score(
         self,
         df: DataFrame,
         text_col: str = "text",
         keep_threshold: float | None = None,
         prefix: str = "ppl_",
+        method: str = "auto",
     ) -> DataFrame:
         """Add ``ppl_logmass`` (bigint micro-nats, exact), ``ppl_n``
         (transition count = token count), ``ppl`` (double perplexity,
@@ -136,9 +142,57 @@ class NGramLMModel:
         integer-domain ``ppl_keep`` gate (NULL for token-less/NULL
         text: nothing to judge, the honest-reject posture).
 
-        One broadcast cross join of the one-row model frame + one fused
-        projection; stateless, so batch and Structured Streaming score
-        identically."""
+        ``method`` picks the physical fold — both produce IDENTICAL
+        integer outputs (parity test-pinned), both stateless (stream ==
+        batch):
+
+        - ``'arrow'`` (the ``'auto'`` default) — JVM pre-tokenization
+          + an Arrow-batched pandas kernel folding with O(1) dict
+          lookups (the ``tokenize_bpe`` serving shape).  Measured
+          FLAT in table size (0.7 s for 50k sf1 docs at 1.4k AND 100k
+          entries) and faster than the expression fold even at the
+          pinned 176-entry certification model (2.0 s vs 5.0 s): the
+          production path at every scale.
+        - ``'expr'`` — one broadcast cross join of the one-row model
+          frame + a pure-JVM ``aggregate`` fold.  Zero Python workers
+          — kept for environments that cannot run them — but NOT the
+          fast path: Spark evaluates each map-column lookup as a
+          linear scan (GetMapValue over ArrayBasedMapData) inside an
+          interpreted HOF, so cost grows with the table (measured
+          unusable at 100k entries) and trails the kernel even on tiny
+          ones.
+        """
+        if method == "auto":
+            method = "arrow"
+        if method == "expr":
+            out = self._score_expr(df, text_col, prefix)
+        elif method == "arrow":
+            out = self._score_arrow(df, text_col, prefix)
+        else:
+            raise ValueError(
+                f"method must be 'auto', 'expr' or 'arrow': {method!r}"
+            )
+        lm = F.col(f"{prefix}logmass")
+        nn = F.col(f"{prefix}n")
+        out = out.withColumn(
+            prefix.rstrip("_"),
+            F.round(F.exp(-lm / F.lit(float(_SCALE)) / nn), 6),
+        )
+        if keep_threshold is not None:
+            thr_micro = round(math.log(float(keep_threshold)) * _SCALE)
+            # ppl < thr  <=>  -logmass/(1e6 n) < ln(thr)
+            #            <=>  logmass >= -n * thr_micro   (integer domain;
+            # >= vs > differs only when exactly equal, pinned this way)
+            out = out.withColumn(
+                f"{prefix}keep",
+                F.when(nn > 0, lm >= -nn * F.lit(thr_micro)),
+            )
+        return out
+
+    def _score_expr(
+        self, df: DataFrame, text_col: str, prefix: str
+    ) -> DataFrame:
+        """The pure-JVM fold (see :meth:`score`)."""
         spark = df.sparkSession
         staged = df.crossJoin(F.broadcast(self._model_row(spark)))
         toks = _tokens(F.col(text_col))
@@ -184,28 +238,53 @@ class NGramLMModel:
             step,
         )
         n = F.size(F.col(tcol))
-        out = staged.withColumn(
-            f"{prefix}logmass",
-            F.when(n > 0, logmass),
-        ).withColumn(
-            f"{prefix}n", F.when(n > 0, n)
+        return (
+            staged.withColumn(f"{prefix}logmass", F.when(n > 0, logmass))
+            .withColumn(f"{prefix}n", F.when(n > 0, n))
+            .drop("__lm_bi", "__lm_miss", tcol, hcol)
         )
-        lm = F.col(f"{prefix}logmass")
-        nn = F.col(f"{prefix}n")
-        out = out.withColumn(
-            prefix.rstrip("_"),
-            F.round(F.exp(-lm / F.lit(float(_SCALE)) / nn), 6),
+
+    def _score_arrow(
+        self, df: DataFrame, text_col: str, prefix: str
+    ) -> DataFrame:
+        """The Arrow kernel fold (see :meth:`score`): JVM tokenization
+        stays the one split source of truth; the kernel walks the
+        transition stream with dict lookups.  The tables ride the UDF
+        closure (pickled once per executor — the ``tokenize_bpe``
+        broadcast posture)."""
+        bigram = dict(self.bigram_logp)
+        miss = dict(self.miss_logp)
+        pen = self.unk_penalty
+
+        @F.pandas_udf("struct<lm: long, n: int>")
+        def fold(tokens: pd.Series) -> pd.DataFrame:
+            lms, ns = [], []
+            for ws in tokens:
+                if ws is None or len(ws) == 0:
+                    lms.append(None)
+                    ns.append(None)
+                    continue
+                s = 0
+                h = _BOS
+                for w in ws:
+                    if w not in miss:
+                        w = _UNK
+                        s -= pen
+                    got = bigram.get(f"{h} {w}")
+                    s += got if got is not None else miss[h]
+                    h = w
+                lms.append(s)
+                ns.append(len(ws))
+            return pd.DataFrame({"lm": lms, "n": ns})
+
+        res = fold(_tokens(F.col(text_col)))
+        scol = f"__{prefix}s"
+        return (
+            df.withColumn(scol, res)
+            .withColumn(f"{prefix}logmass", F.col(f"{scol}.lm"))
+            .withColumn(f"{prefix}n", F.col(f"{scol}.n"))
+            .drop(scol)
         )
-        if keep_threshold is not None:
-            thr_micro = round(math.log(float(keep_threshold)) * _SCALE)
-            # ppl < thr  <=>  -logmass/(1e6 n) < ln(thr)
-            #            <=>  logmass >= -n * thr_micro   (integer domain;
-            # >= vs > differs only when exactly equal, pinned this way)
-            out = out.withColumn(
-                f"{prefix}keep",
-                F.when(nn > 0, lm >= -nn * F.lit(thr_micro)),
-            )
-        return out.drop("__lm_bi", "__lm_miss", tcol, hcol)
 
     # -- persistence -----------------------------------------------------
     def save(self, path: str) -> None:
