@@ -274,9 +274,10 @@ def test_curate_corpus_lang_gate(spark):
 
 
 def test_predict_plan_is_map_side(spark):
-    """Serving is one fused map-side projection: zero Exchange, zero
-    Python eval, zero joins — the model lives in constant-folded array
-    literals, so at 100 TB this is a pure scan-fused pass."""
+    """Serving is one fused map-side pass on both folds: zero Exchange,
+    zero joins; the expr fold is additionally zero-Python (the model
+    lives in single array-Literal nodes), so at 100 TB both fuse into
+    the corpus scan."""
     from woe_monotonic_binning_spark.plans import (
         exchange_count,
         python_eval_count,
@@ -284,6 +285,32 @@ def test_predict_plan_is_map_side(spark):
 
     m = train_language_id(_fixture_df(spark), buckets=64)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan_df = m.predict(docs)
-    assert exchange_count(plan_df) == 0
-    assert python_eval_count(plan_df) == 0
+    for method in ("arrow", "expr"):
+        plan_df = m.predict(docs, method=method)
+        assert exchange_count(plan_df) == 0, method
+    assert python_eval_count(m.predict(docs, method="expr")) == 0
+
+
+def test_arrow_and_expr_predict_identical(spark):
+    """The two physical folds are one semantics: identical bigint
+    scores and argmax on every probe, including NULL/gram-less text
+    and multi-byte chars."""
+    m = train_language_id(_fixture_df(spark), buckets=64)
+    probe = spark.createDataFrame(
+        [(0, "der schnelle fuchs am ufer"), (1, "the quick fox ashore"),
+         (2, None), (3, "xy"), (4, "naïve café über")],
+        "doc_id long, text string",
+    )
+    cols = ["doc_id", "lang_pred"] + [
+        f"lang_score_{l}" for l in m.languages
+    ]
+    a = sorted(tuple(r) for r in m.predict(
+        probe, method="expr"
+    ).select(*cols).collect())
+    b = sorted(tuple(r) for r in m.predict(
+        probe, method="arrow"
+    ).select(*cols).collect())
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="method"):
+        m.predict(probe, method="gpu")
