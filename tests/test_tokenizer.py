@@ -947,3 +947,69 @@ def test_unigram_save_load_and_ids(tmp_path):
     assert tok.encode_ids("zz") == [tok.unk_id] * 2
     with pytest.raises(ValueError, match="empty"):
         UnigramTokenizer({})
+
+
+def test_unigram_token_count_and_budget_wiring(spark):
+    """unigram_token_count matches the per-word Viterbi piece counts
+    and slots into curate_corpus's budget metering via the
+    bpe_tokenizer= parameter (type-dispatched)."""
+    from woe_monotonic_binning_spark.operators.tokenizer import (
+        unigram_token_count,
+    )
+    from woe_monotonic_binning_spark.pipeline import curate_corpus
+
+    counts = {"table": 10, "tables": 6, "scan": 8, "window": 6}
+    tok = UnigramTokenizer(
+        train_unigram_from_counts(counts, vocab_size=20, max_piece_len=6),
+        max_piece_len=6,
+    )
+    df = spark.createDataFrame(
+        [(0, "table scan 42"), (1, None), (2, "window windowing")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_tokens_unigram
+           for r in unigram_token_count(df, tok).collect()}
+    exp0 = sum(len(tok.encode(w)) for w in ("table", "scan", "42"))
+    exp2 = sum(len(tok.encode(w)) for w in ("window", "windowing"))
+    assert got == {0: exp0, 1: None, 2: exp2}
+    docs = spark.createDataFrame(
+        [(i, f"table scan window {i}", "src0") for i in range(12)],
+        "doc_id long, text string, source string",
+    )
+    out = curate_corpus(
+        docs, quality_threshold=0.0, near_dup=None, cache_survivors=False,
+        token_budgets={"src0": 20.0}, bpe_tokenizer=tok,
+    )
+    n = out.count()
+    assert 0 < n < 12  # the budget genuinely cut on unigram counts
+
+
+def test_unigram_hf_export_schema(spark, tmp_path):
+    """to_hf_tokenizer_json (Unigram model): vocab in this tokenizer's
+    id order with <unk> at unk_id 0, micro-nats scaled to float
+    log-probs, the engine's exact pre-tokenizer regex."""
+    import json
+
+    counts = {"scan": 8, "scans": 5, "scanner": 3}
+    tok = UnigramTokenizer(
+        train_unigram_from_counts(counts, vocab_size=15, max_piece_len=6),
+        max_piece_len=6,
+    )
+    p = str(tmp_path / "uni_hf.json")
+    tok.to_hf_tokenizer_json(p)
+    doc = json.loads(open(p).read())
+    assert doc["model"]["type"] == "Unigram"
+    assert doc["model"]["unk_id"] == 0
+    vocab = doc["model"]["vocab"]
+    assert vocab[0][0] == "<unk>"
+    # id order identical to token_to_id
+    for i, (piece, lp) in enumerate(vocab):
+        assert tok.token_to_id[piece] == i
+        if piece != "<unk>":
+            assert abs(lp * 1_000_000 - tok.piece_logp[piece]) < 1
+    assert doc["pre_tokenizer"]["invert"] is True
+
+    lib = pytest.importorskip("tokenizers")
+    hf = lib.Tokenizer.from_file(p)
+    for w in ("scans", "scanner", "scan"):
+        assert hf.encode(w).ids == tok.encode_ids(w), w

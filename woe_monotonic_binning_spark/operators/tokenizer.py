@@ -64,6 +64,7 @@ __all__ = [
     "train_unigram",
     "train_unigram_from_counts",
     "tokenize_unigram",
+    "unigram_token_count",
     "viterbi_segment",
 ]
 
@@ -875,6 +876,51 @@ class UnigramTokenizer:
             d = json.load(f)
         return cls(d["piece_logp"], d["max_piece_len"])
 
+    def to_hf_tokenizer_json(self, path: str) -> None:
+        """Export in the HuggingFace ``tokenizers`` JSON schema as a
+        ``Unigram`` model: ``vocab`` is the [piece, logprob] list in
+        THIS tokenizer's id order (``<unk>`` at index 0 = ``unk_id``,
+        then pieces sorted), log-probs are the micro-nat integers
+        scaled back to floats; pre-tokenization is the engine's exact
+        ``Split``/invert regex (the BPE export posture).  Same ids for
+        in-alphabet text; OOV characters map to ``unk_id`` on both
+        sides.  Two documented caveats: HF's Viterbi breaks exact
+        log-prob ties by its own internal order (our integer grid makes
+        ties rare but possible — the engine's fewer-pieces/smallest-
+        join rule is the certified one), and HF may fuse consecutive
+        unk pieces where the engine emits one unk id per OOV char."""
+        vocab = [
+            ["<unk>", _UNIGRAM_UNK_LOGP / _UNIGRAM_SCALE]
+        ] + [
+            [p, self.piece_logp[p] / _UNIGRAM_SCALE]
+            for p in sorted(self.piece_logp)
+        ]
+        from .text import _BPE_RE
+
+        doc = {
+            "version": "1.0",
+            "truncation": None,
+            "padding": None,
+            "added_tokens": [],
+            "normalizer": None,
+            "pre_tokenizer": {
+                "type": "Split",
+                "pattern": {"Regex": _BPE_RE},
+                "behavior": "Removed",
+                "invert": True,
+            },
+            "post_processor": None,
+            "decoder": None,
+            "model": {
+                "type": "Unigram",
+                "unk_id": 0,
+                "vocab": vocab,
+                "byte_fallback": False,
+            },
+        }
+        with open(path, "w") as f:
+            json.dump(doc, f)
+
     def __repr__(self):
         return (
             f"UnigramTokenizer(n_pieces={len(self.piece_logp)}, "
@@ -971,3 +1017,41 @@ def tokenize_unigram(
     if with_logp:
         out = out.withColumn(f"{out_col}_logp", F.col("__uni.logp"))
     return out.drop("__uni")
+
+
+def unigram_token_count(
+    df: DataFrame,
+    tokenizer: "UnigramTokenizer",
+    text_col: str = "text",
+    out_col: str = "n_tokens_unigram",
+) -> DataFrame:
+    """Add ``out_col`` (long): unigram-LM token count — the
+    :func:`bpe_token_count` twin for Viterbi segmentation, so budget
+    and packing decisions can meter unigram counts
+    (``pack_sequences(token_col=...)`` / ``select_to_token_budget`` /
+    ``curate_corpus(bpe_tokenizer=<a UnigramTokenizer>)``).  Counts
+    only — no token strings move.  NULL text -> NULL count."""
+    logp_table = dict(tokenizer.piece_logp)
+    max_len = tokenizer.max_piece_len
+    cache: dict[str, int] = {}
+
+    def n_pieces(word: str) -> int:
+        got = cache.get(word)
+        if got is None:
+            got = cache[word] = len(
+                viterbi_segment(word, logp_table, max_len)[0]
+            )
+            if len(cache) > 2_000_000:
+                cache.clear()
+        return got
+
+    @F.pandas_udf("long")
+    def count_tokens(words: pd.Series) -> pd.Series:
+        def one(ws):
+            if ws is None:
+                return None
+            return sum(n_pieces(w) for w in ws)
+
+        return words.map(one)
+
+    return df.withColumn(out_col, count_tokens(pretokens(F.col(text_col))))

@@ -507,11 +507,22 @@ def curate_corpus(
         from .operators.sampling import select_to_token_budget
 
         if bpe_tokenizer is not None:
-            # learned counts (round 15): the trained merges table rides
-            # the Arrow kernel; budgets meter REAL tokens, not the proxy
-            from .operators.tokenizer import bpe_token_count
+            # learned counts (round 15): the trained table rides the
+            # Arrow kernel; budgets meter REAL tokens, not the proxy.
+            # Round 17: a trained UnigramTokenizer is accepted too —
+            # same kernel shape, Viterbi piece counts.
+            from .operators.tokenizer import (
+                UnigramTokenizer,
+                bpe_token_count,
+                unigram_token_count,
+            )
 
-            counted = bpe_token_count(
+            counter = (
+                unigram_token_count
+                if isinstance(bpe_tokenizer, UnigramTokenizer)
+                else bpe_token_count
+            )
+            counted = counter(
                 mixed, bpe_tokenizer, text_col, out_col="__toks"
             )
         else:
