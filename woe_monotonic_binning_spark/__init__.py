@@ -33,6 +33,8 @@ from .ml import WOEBinner, WOEBinnerModel
 from .pipeline import curate_corpus
 from .profile import check_expectations, column_profile
 from .quality import QualityClassifierModel, train_quality_classifier
+from .langid import LanguageIDModel, train_language_id
+from .perplexity import NGramLMModel, train_ngram_lm
 
 __all__ = [
     "BINS_COLUMNS",
@@ -56,6 +58,10 @@ __all__ = [
     "psi_summary",
     "QualityClassifierModel",
     "train_quality_classifier",
+    "LanguageIDModel",
+    "train_language_id",
+    "NGramLMModel",
+    "train_ngram_lm",
     "stability_over_periods",
     "unpack_woe",
     "woe_binning",
