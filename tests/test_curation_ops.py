@@ -2033,3 +2033,75 @@ def test_curate_corpus_audio_dedup_gate(spark):
     ids = {r.doc_id for r in out.collect()}
     assert {0, 4} <= ids and not ({1, 2, 3, 5, 6, 7} & ids)
     assert {8, 9} <= ids  # no media row -> untouched
+
+
+def test_curate_corpus_full_round17_recipe(spark):
+    """Integration: every round-17 gate composed with the standing
+    stages — URL gate -> trained language gate -> perplexity gate ->
+    trained quality gate -> exact + near dedup -> budget -> split.
+    Each planted row violates exactly one gate, so the survivor set
+    pins the whole chain's order and NULL posture."""
+    from woe_monotonic_binning_spark.langid import train_language_id
+    from woe_monotonic_binning_spark.perplexity import train_ngram_lm
+    from woe_monotonic_binning_spark.pipeline import curate_corpus
+
+    base_en = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank and the old tree"
+    )
+    trusted = spark.createDataFrame(
+        [(0, base_en),
+         (1, "the lazy dog sleeps under the old oak tree by the river"),
+         (2, "a quick fox and a brown dog play near the green hill")],
+        "doc_id long, text string",
+    )
+    lm = train_ngram_lm(trusted, min_count=1)
+    lang_fixture = spark.createDataFrame(
+        [(0, "en", base_en),
+         (1, "en", "the old tree stands over the green hill by the bank"),
+         (2, "de", "der schnelle braune fuchs springt über den faulen hund"),
+         (3, "de", "der alte baum steht über dem grünen hügel am fluss")],
+        "doc_id long, lang string, text string",
+    )
+    lid = train_language_id(lang_fixture, buckets=1024)
+
+    rows = [
+        # survivors: fluent english on allowed domains
+        (0, base_en + " zero", "https://good.com/a", "src0"),
+        (1, "the quick fox runs over the green hill near the old tree "
+            "and the river bank", "https://good.com/b", "src0"),
+        # blocklisted domain
+        (2, base_en + " two", "https://spam.com/x", "src0"),
+        # german -> language gate
+        (3, "der schnelle braune fuchs springt über den faulen hund am "
+            "fluss und der alte baum", "https://good.com/c", "src0"),
+        # gibberish -> perplexity gate
+        (4, "zxq wvut qqq lkjh zzz mmmnb vvv rrr ttt yyy hhh www",
+         "https://good.com/d", "src0"),
+        # exact duplicate of 0 -> exact dedup keeps one
+        (0x10, base_en + " zero", "https://good.com/e", "src0"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, url string, source string"
+    )
+    out = curate_corpus(
+        docs,
+        url_col="url",
+        url_blocklist=["spam.com"],
+        lang_model=lid,
+        lang_keep=["en"],
+        perplexity_model=lm,
+        perplexity_threshold=2000.0,
+        quality_threshold=0.0,
+        near_dup=None,
+        cache_survivors=False,
+    )
+    got = sorted(r.doc_id for r in out.collect())
+    # 0 vs 0x10 are exact duplicates: exactly one survives; 1 survives;
+    # 2 (domain), 3 (language), 4 (perplexity) drop
+    assert 1 in got and len(got) == 2
+    assert (set(got) - {1}).issubset({0, 0x10})
+    assert 2 not in got and 3 not in got and 4 not in got
+    # survivor schema stays stable: no diagnostic columns leak
+    for c in out.columns:
+        assert not c.startswith(("__", "ppl", "lang_score")), c

@@ -314,3 +314,46 @@ def test_arrow_and_expr_predict_identical(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="method"):
         m.predict(probe, method="gpu")
+
+
+def test_mixed_ngram_lengths(spark):
+    """n=(2,3) unions the per-length gram features (the fastText
+    posture): training/serving/SQL twin all agree, validation rejects
+    bad specs, save/load round-trips the tuple."""
+    m = train_language_id(_fixture_df(spark), n=(2, 3), buckets=256)
+    assert m.n == (2, 3)
+    got = m.predict(_fixture_df(spark, holdout=True)).collect()
+    acc = sum(1 for r in got if r.lang_pred == r.lang) / len(got)
+    assert acc >= 0.9, acc
+    # twin parity on mixed lengths
+    rows = [(0, "der schnelle fuchs am ufer"), (1, "the quick fox ashore")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mine = {r.doc_id: r for r in m.predict(df).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT 0 AS doc_id,"
+        " 'der schnelle fuchs am ufer' AS text"
+        " UNION ALL SELECT 1, 'the quick fox ashore'"
+    )
+    sql = f"""
+    WITH nrm AS (SELECT doc_id, {lang_norm_sql('text')} AS nc FROM t),
+    bk AS (SELECT doc_id, {lang_buckets_sql('nc', m.n, m.buckets)} AS bks
+           FROM nrm)
+    SELECT doc_id,
+           {', '.join(lang_score_sql(m.weights[l], m.log_priors[l], 'bks') + f' AS s_{l}' for l in m.languages)}
+    FROM bk ORDER BY doc_id
+    """
+    for row in con.execute(sql).fetchall():
+        r = mine[row[0]]
+        for i, l in enumerate(m.languages):
+            assert r[f"lang_score_{l}"] == row[1 + i], (row[0], l)
+    # save/load round-trips the tuple spec
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "mixed.json")
+    m.save(p)
+    m2 = LanguageIDModel.load(p)
+    assert m2.n == (2, 3)
+    with pytest.raises(ValueError, match="gram lengths"):
+        LanguageIDModel({"aa": [0, 0]}, {"aa": 0}, n=(2, 2), buckets=2)
+    with pytest.raises(ValueError, match="gram lengths"):
+        train_language_id(_fixture_df(spark), n=0)

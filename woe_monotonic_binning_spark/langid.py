@@ -88,10 +88,29 @@ def _bucket(gram: Column, buckets: int) -> Column:
     )
 
 
-def _bucket_column(text: Column, n: int, buckets: int) -> Column:
+def _ns(n) -> tuple[int, ...]:
+    """Normalize the gram-length spec: an int or an iterable of ints
+    (the fastText posture mixes several lengths)."""
+    ns = (n,) if isinstance(n, int) else tuple(int(x) for x in n)
+    if not ns or any(x < 1 for x in ns) or len(set(ns)) != len(ns):
+        raise ValueError(
+            f"gram lengths must be distinct positive ints: {n!r}"
+        )
+    return ns
+
+
+def _bucket_column(text: Column, n, buckets: int) -> Column:
     """array<int> hash buckets of the text's char n-grams — the shared
-    feature expression (training explodes it, serving folds it)."""
-    return F.transform(_grams(_norm(text), n), lambda g: _bucket(g, buckets))
+    feature expression (training explodes it, serving folds it).  With
+    several gram lengths (round 17) the per-length arrays concatenate
+    in ``n`` order — the fastText mixed-n-gram feature union; every
+    length hashes into the SAME bucket space."""
+    norm = _norm(text)
+    parts = [
+        F.transform(_grams(norm, one_n), lambda g: _bucket(g, buckets))
+        for one_n in _ns(n)
+    ]
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 
 class LanguageIDModel:
@@ -122,7 +141,9 @@ class LanguageIDModel:
                 )
         self.weights = {k: [int(x) for x in v] for k, v in weights.items()}
         self.log_priors = {k: int(v) for k, v in log_priors.items()}
-        self.n = int(n)
+        # int (one gram length) or tuple (mixed lengths, round 17)
+        self.n = n if isinstance(n, int) else tuple(int(x) for x in n)
+        _ns(self.n)  # validate
         self.buckets = int(buckets)
         self.languages = sorted(self.weights)  # the tiebreak order
 
@@ -371,17 +392,24 @@ def lang_norm_sql(text_expr: str) -> str:
     )
 
 
-def lang_buckets_sql(norm_ref: str, n: int, buckets: int) -> str:
+def lang_buckets_sql(norm_ref: str, n, buckets: int) -> str:
     """DuckDB twin of :meth:`LanguageIDModel.bucket_column` over an
-    ALREADY-STAGED normalised column (`norm_ref`)."""
-    return (
-        f"list_transform("
-        f"list_transform("
-        f"range(1, greatest(length({norm_ref}) - {n} + 1, 0) + 1), "
-        f"i -> substring({norm_ref}, i, {n})), "
-        f"g -> CAST(CONCAT('0x', substr(md5(g), 1, 4)) AS INTEGER) "
-        f"% {buckets})"
-    )
+    ALREADY-STAGED normalised column (`norm_ref`); mixed gram lengths
+    concatenate in ``n`` order like the engine column."""
+    parts = [
+        (
+            f"list_transform("
+            f"list_transform("
+            f"range(1, greatest(length({norm_ref}) - {one_n} + 1, 0) + 1), "
+            f"i -> substring({norm_ref}, i, {one_n})), "
+            f"g -> CAST(CONCAT('0x', substr(md5(g), 1, 4)) AS INTEGER) "
+            f"% {buckets})"
+        )
+        for one_n in _ns(n)
+    ]
+    if len(parts) == 1:
+        return parts[0]
+    return "list_concat(" + ", ".join(parts) + ")"
 
 
 def lang_score_sql(
