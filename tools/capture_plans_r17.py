@@ -98,6 +98,28 @@ def main() -> None:
         )
     dump("dedup_cc_round1_minstep", round1)
 
+    # banded near-dup cores (round-17 anchor fold): the lazy pair plans of
+    # the SimHash pigeonhole core and the SRP-LSH core — the star path's
+    # anchor now rides the bucket-size aggregation instead of its own
+    # groupBy + join(s)
+    from woe_monotonic_binning_spark.operators.dedup import simhash_near_pairs
+
+    dump("simhash_pairs_lazy", simhash_near_pairs(
+        read_docs(), "text", "doc_id", max_hamming=3, cleanup=False))
+
+    from woe_monotonic_binning_spark.operators.similarity import (
+        srp_threshold_pairs,
+    )
+
+    def read_emb():
+        return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+
+    dump("srp_pairs_lazy", srp_threshold_pairs(
+        read_emb(), "embedding", "vec_id", threshold=0.9, dim=16,
+        cleanup=False))
+
     # drift: one histogram pass (psi expected side)
     import pandas as pd
 

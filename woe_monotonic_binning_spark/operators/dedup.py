@@ -202,7 +202,14 @@ def _lsh_candidate_pairs_lazy(
     # would otherwise recompute the full MinHash signature lineage.  The
     # persisted footprint is ~24 bytes x docs x bands — tiny next to the text.
     banded = banded_src.persist()
-    counts = banded.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    # One aggregation serves both the bucket-size cap and the hot-bucket
+    # anchor (round 17, guide §2.4): min(id) rides the same partial/final
+    # count pass, so the star path below no longer needs its own
+    # groupBy + join over the hot rows — two operators and one pass of
+    # the hot slice removed, byte-identical pair output.
+    counts = banded.groupBy("band", "bh").agg(
+        F.count("*").alias("n"), F.min(id_col).alias("__anchor")
+    )
     banded_ok = banded.join(
         counts.filter(F.col("n") <= max_bucket).select("band", "bh"), ["band", "bh"]
     )
@@ -226,12 +233,11 @@ def _lsh_candidate_pairs_lazy(
     # connected-components dedup still collapses it; only non-transitive
     # stragglers (similar to a member but not to the anchor) are missed —
     # strictly better than the empty set the drop produced.
-    banded_hot = banded.join(
-        counts.filter(F.col("n") > max_bucket).select("band", "bh"), ["band", "bh"]
-    )
-    anchors = banded_hot.groupBy("band", "bh").agg(F.min(id_col).alias("__anchor"))
     star = (
-        banded_hot.join(anchors, ["band", "bh"])
+        banded.join(
+            counts.filter(F.col("n") > max_bucket).select("band", "bh", "__anchor"),
+            ["band", "bh"],
+        )
         .filter(F.col(id_col) != F.col("__anchor"))
         .select(F.col("__anchor").alias("id_a"), F.col(id_col).alias("id_b"))
     )
@@ -496,7 +502,18 @@ def _banded_near_pairs(
     )
     # persisted: feeds the bucket-size counts and both sides of the self-join
     banded_all = banded_src.persist()
-    counts = banded_all.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    # One aggregation serves the cap, the hot-bucket anchor AND the
+    # anchor's band array (round 17, guide §2.4): min(id)/min_by ride the
+    # same partial/final count pass, so the star path below needs neither
+    # its own groupBy nor the anchor-row re-join — three operators and
+    # two passes of the hot slice removed, byte-identical pair output.
+    # Each id appears at most once per (band, bh) (posexplode emits one
+    # row per band position), so min_by is deterministic.
+    counts = banded_all.groupBy("band", "bh").agg(
+        F.count("*").alias("n"),
+        F.min(id_col).alias("__anchor"),
+        F.min_by("__bands", F.col(id_col)).alias("__anchor_bands"),
+    )
     banded = banded_all.join(
         counts.filter(F.col("n") <= max_bucket).select("band", "bh"), ["band", "bh"]
     )
@@ -517,19 +534,13 @@ def _banded_near_pairs(
     )
     # over-cap buckets: star candidates around the min-id anchor (see
     # docstring) — id_a < id_b holds because the anchor IS the minimum
-    banded_hot = banded_all.join(
-        counts.filter(F.col("n") > max_bucket).select("band", "bh"), ["band", "bh"]
-    )
-    anchor_ids = banded_hot.groupBy("band", "bh").agg(
-        F.min(id_col).alias("__anchor")
-    )
-    anchor_rows = (
-        banded_hot.join(anchor_ids, ["band", "bh"])
-        .filter(F.col(id_col) == F.col("__anchor"))
-        .select("band", "bh", "__anchor", F.col("__bands").alias("__anchor_bands"))
-    )
     star = (
-        banded_hot.join(anchor_rows, ["band", "bh"])
+        banded_all.join(
+            counts.filter(F.col("n") > max_bucket).select(
+                "band", "bh", "__anchor", "__anchor_bands"
+            ),
+            ["band", "bh"],
+        )
         .filter(F.col(id_col) != F.col("__anchor"))
         .select(
             F.col("__anchor").alias("id_a"),
@@ -883,7 +894,14 @@ def embedding_neardup_pairs(
     if max_block is None:
         cand = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).select(*cols)
     else:
-        sizes = a.groupBy("blk").agg(F.count("*").alias("__bn"))
+        # min(id) rides the same partial/final count pass (round 17, guide
+        # §2.4): the star path below reads the anchor id straight off this
+        # table instead of re-aggregating the hot rows.  Only the 8-byte id
+        # is fused — the anchor's VECTOR still comes from the filter below,
+        # keeping this (checkpointed, broadcast-sized) table tiny.
+        sizes = a.groupBy("blk").agg(
+            F.count("*").alias("__bn"), F.min("id_a").alias("__anchor")
+        )
         if isinstance(max_block, _DefaultCap):
             # Default path only: materialize the tiny (blk, count) table
             # ONCE, eagerly, so the isEmpty warning probe below and the
@@ -903,7 +921,7 @@ def embedding_neardup_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
             .select(*cols)
         )
-        hot = sizes.filter(F.col("__bn") > max_block).select("blk")
+        hot = sizes.filter(F.col("__bn") > max_block).select("blk", "__anchor")
         if isinstance(max_block, _DefaultCap) and not hot.isEmpty():
             # The DEFAULT cap is actually truncating a block: callers who
             # never chose a cap get anchor-star recall on their hot blocks
@@ -922,10 +940,8 @@ def embedding_neardup_pairs(
                 stacklevel=_warn_stacklevel,
             )
         a_hot = a.join(hot, "blk")
-        anchor_ids = a_hot.groupBy("blk").agg(F.min("id_a").alias("__anchor"))
         anchor_rows = (
-            a_hot.join(anchor_ids, "blk")
-            .filter(F.col("id_a") == F.col("__anchor"))
+            a_hot.filter(F.col("id_a") == F.col("__anchor"))
             .select(
                 "blk",
                 F.col("id_a").alias("__aid"),

@@ -664,7 +664,13 @@ def srp_threshold_pairs(
     )
     a = bands
     b = bands.select(F.col("id_a").alias("id_b"), "band_idx", "band_val")
-    sizes = a.groupBy("band_idx", "band_val").agg(F.count("*").alias("__bn"))
+    # One aggregation serves both the bucket-size cap and the hot-bucket
+    # anchor (round 17, guide §2.4): min(id) rides the same partial/final
+    # count pass, so the star path below no longer needs its own
+    # groupBy + join over the hot rows — identical pair output.
+    sizes = a.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("__bn"), F.min("id_a").alias("__anchor")
+    )
     ok = sizes.filter(F.col("__bn") <= max_bucket).select("band_idx", "band_val")
     cand = (
         a.join(ok, ["band_idx", "band_val"])
@@ -674,13 +680,11 @@ def srp_threshold_pairs(
     )
     # Over-cap buckets: STAR candidates around the min-id anchor (see
     # docstring) — id_a < id_b holds because the anchor IS the minimum.
-    hot = sizes.filter(F.col("__bn") > max_bucket).select("band_idx", "band_val")
-    a_hot = a.join(hot, ["band_idx", "band_val"])
-    anchor_ids = a_hot.groupBy("band_idx", "band_val").agg(
-        F.min("id_a").alias("__anchor")
+    hot = sizes.filter(F.col("__bn") > max_bucket).select(
+        "band_idx", "band_val", "__anchor"
     )
     star = (
-        a_hot.join(anchor_ids, ["band_idx", "band_val"])
+        a.join(hot, ["band_idx", "band_val"])
         .filter(F.col("id_a") != F.col("__anchor"))
         .select(F.col("__anchor").alias("id_a"), F.col("id_a").alias("id_b"))
     )
