@@ -667,10 +667,13 @@ def srp_threshold_pairs(
     # One aggregation serves both the bucket-size cap and the hot-bucket
     # anchor (round 17, guide §2.4): min(id) rides the same partial/final
     # count pass, so the star path below no longer needs its own
-    # groupBy + join over the hot rows — identical pair output.
+    # groupBy + join over the hot rows — identical pair output.  Persisted
+    # (round 17): the ok filter is referenced on BOTH sides of the bucket
+    # self-join plus the hot filter, and Spark shares no subtrees across
+    # join branches, so the aggregation would otherwise run three times.
     sizes = a.groupBy("band_idx", "band_val").agg(
         F.count("*").alias("__bn"), F.min("id_a").alias("__anchor")
-    )
+    ).persist()
     ok = sizes.filter(F.col("__bn") <= max_bucket).select("band_idx", "band_val")
     cand = (
         a.join(ok, ["band_idx", "band_val"])
@@ -715,5 +718,5 @@ def srp_threshold_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     if cleanup:
-        return materialize_and_release(out, bands)
+        return materialize_and_release(out, bands, sizes)
     return out

@@ -44,6 +44,28 @@ from .operators.sampling import mix_sources, split_column
 from .operators.text import quality_score
 
 
+def _expr_barrier(df: DataFrame, col: str) -> DataFrame:
+    """Materialize ``col`` once per row via a 1-element ``explode`` —
+    a value-level no-op (``explode(array(x))`` emits exactly one row
+    holding ``x``, NULL included) whose Generate node downstream
+    operators can only reference as an OUTPUT ATTRIBUTE.
+
+    Why (round 17, guide §1.2/§2.4): Spark substitutes projected
+    expressions into filter predicates when pushing filters down, and
+    performs no subexpression elimination inside predicates — so a
+    filter on a column derived from an expensive chain (the 5-regex PII
+    scrub, the multi-signal quality score) re-evaluates the WHOLE chain
+    once per textual reference (the round-8 gopher blow-up).  The
+    previous fix was a corpus-sized MEMORY_AND_DISK persist of the
+    scrubbed text; the Generate barrier buys the same single evaluation
+    with zero storage: the chain computes once inside the Generate's
+    input and every consumer — including a pushed-down filter — reads
+    the generated attribute.  Verified plan shape: one regex chain below
+    ``Generate explode(...)``, attribute references above, all inside one
+    WholeStageCodegen span."""
+    return df.withColumn(col, F.explode(F.array(F.col(col))))
+
+
 def _media_dedup_gate(docs, media, id_col, pairs_fn):
     """Shared perceptual-media dedup gate (round 16): compute near-dup
     pairs over the media table (keyed ``media_id`` = the doc id), keep
@@ -241,35 +263,38 @@ def curate_corpus(
     over-sample whatever the mixing draw correlates with (every doc with u
     just below a low source weight is both kept AND labeled test).
 
-    ``cache_survivors=True`` (default) persists the quality-gated
-    exact-deduped survivor set (MEMORY_AND_DISK): its lineage — a
-    full-text regex scoring pass plus the digest semi-join — is otherwise
-    re-evaluated by the pair generator, both keep-best branches and the
-    final projection (~4 corpus passes; measured ~25% of flagship wall
-    time at sf0.1).  The default ``near_dup='minhash'`` stage (and
-    ``'simhash'``, same cleanup contract) runs eagerly at call time and
-    fills the cache before this function returns; ``'semantic'`` trains
-    its centroids at call time but pairs lazily; the
+    ``cache_survivors=True`` (default) persists two MEMORY_AND_DISK
+    frames: the quality-gated rows (read by the digest aggregation and
+    the semi-join's left side — two subtrees that would otherwise each
+    re-run the whole scrub+score pass) and the exact-deduped survivor
+    set (its lineage is otherwise re-evaluated by the pair generator,
+    both keep-best branches and the final projection — ~4 corpus passes;
+    measured ~25% of flagship wall time at sf0.1).  Round 17 moved the
+    first cache one stage later (it used to hold the full scrubbed
+    corpus; it now holds post-filter rows only) — the once-per-row
+    evaluation of the scrub and quality-score expression chains is now
+    guaranteed by in-plan Generate barriers (see ``_expr_barrier``)
+    instead of storage, so ``cache_survivors=False`` no longer pays the
+    regex re-inlining blow-up either.  The default ``near_dup='minhash'``
+    stage (and ``'simhash'``, same cleanup contract) runs eagerly at call
+    time and fills the caches before this function returns; ``'semantic'``
+    trains its centroids at call time but pairs lazily; the
     ``'jaccard'``/``None`` paths are fully lazy, so there
-    the cache fills at the first action on the result.  Lifecycle: with
-    ``output_path`` the write is the pipeline's action and the cache is
+    the caches fill at the first action on the result.  Lifecycle: with
+    ``output_path`` the write is the pipeline's action and the caches are
     RELEASED before returning (exception-safe) — no leak; without it,
-    the returned lazy DataFrame reads the cache and the CALLER owns
+    the returned lazy DataFrame reads the caches and the CALLER owns
     release — ``spark.catalog.clearCache()`` works but drops EVERY cache
     in the session, so a session juggling several cached pipelines
     should pass ``cache_survivors=False`` here instead (the round-5 rule
-    that every cache needs an owner; note ``scrub=True`` then also skips
-    the scrubbed-text cache and pays the CollapseProject re-inlining of
-    the regex chain into every downstream text reference — measured ~2x
-    whole-pipeline wall at sf0.1 — with the owner here being the
-    caller who asked for a lazy result).
+    that every cache needs an owner).
     """
     # Scan-parallelism guard (round 17, guide §2.5 "input skew — one huge
     # unsplittable file"): document corpora often arrive as a few parquet
     # files with single row groups, so the scan — and with it every
-    # map-side stage up to the first exchange, including the scrub cache
-    # fill and the 4-regex quality pass, plus the PARTITIONING of both
-    # corpus caches that every later stage reads — runs on as few cores
+    # map-side stage up to the first exchange, including the scrub chain,
+    # the 4-regex quality pass and the fill/PARTITIONING of the gate and
+    # survivor caches that every later stage reads — runs on as few cores
     # as there are row groups.  Same guard as minhash_dedup_pairs: a
     # no-op whenever the scan already parallelises (any real multi-file
     # corpus at scale), one narrow round-robin shuffle of the raw rows
@@ -345,31 +370,24 @@ def curate_corpus(
         ).drop("n_lines", "n_lines_dropped", "n_links")
         if html_col != text_col:
             docs = docs.drop(html_col)
-    scrub_cache = None
     if scrub:
         from .operators.text import PII_PATTERNS, scrub_pii
 
         docs = scrub_pii(docs, text_col).drop(
             *[f"n_{kind}" for kind in PII_PATTERNS]
         )
-        if cache_survivors:
-            # Materialize the scrubbed text ONCE.  Without a barrier,
-            # CollapseProject re-inlines the 5-regex replace chain into
-            # EVERY downstream reference of text_col — each quality
-            # signal, the digest, the shingles — and the quality gate's
-            # Filter predicate gets no subexpression elimination at all
-            # (the round-8 gopher blow-up, same mechanism), so the chain
-            # runs ~20x per row: measured 2x the WHOLE pipeline wall at
-            # sf0.1 (15.2s vs 7.7s scrub-off; 0.17s for one honest
-            # chain pass).  The cache is corpus-sized but TRANSIENT —
-            # same storage class and lifetime as the survivor cache and
-            # the decontam posting cache (contamination_overlap), the
-            # round-5 every-cache-needs-an-owner rule: released with the
-            # survivor cache after a write, caller-owned for lazy use.
-            from pyspark import StorageLevel
-
-            docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-            scrub_cache = docs
+        # Generate barrier instead of the former corpus-sized
+        # MEMORY_AND_DISK persist of the scrubbed text (round 17): without
+        # a barrier the quality gate's Filter predicate gets the 5-regex
+        # replace chain substituted into EVERY textual reference of
+        # text_col with no subexpression elimination (the round-8 gopher
+        # blow-up, ~20x per row — measured 2x the WHOLE pipeline wall at
+        # sf0.1).  The barrier buys the same once-per-row evaluation with
+        # zero storage and keeps the gate a single fused map-side pass;
+        # the A/B (gate leg to survivor materialization, sf0.1, min of 3
+        # in-process) read scrub-cache 1.70s vs barrier+scored-cache
+        # 1.28s — see OPTIMIZATION_r17.md.
+        docs = _expr_barrier(docs, text_col)
     if dedup_lines:
         from .operators.text import remove_repeated_lines
 
@@ -446,15 +464,32 @@ def curate_corpus(
         # (the scrub/html/url contract)
         from .quality import QUALITY_SIGNAL_COLS
 
-        scored = (
-            quality_model.score(docs, text_col, out_col="quality")
-            .drop(*QUALITY_SIGNAL_COLS)
-            .filter(F.col("quality") >= quality_threshold)
+        scored = quality_model.score(docs, text_col, out_col="quality").drop(
+            *QUALITY_SIGNAL_COLS
         )
     else:
-        scored = quality_score(docs, text_col).filter(
-            F.col("quality") >= quality_threshold
-        )
+        scored = quality_score(docs, text_col)
+    # Barrier on the quality column before the threshold filter (round
+    # 17): the filter predicate would otherwise re-evaluate the full
+    # multi-signal score expression (pushed-down copy) on every row in
+    # addition to the projection's copy — same mechanism as the scrub
+    # barrier above, same zero-storage fix.
+    scored = _expr_barrier(scored, "quality").filter(
+        F.col("quality") >= quality_threshold
+    )
+    gate_cache = None
+    if cache_survivors:
+        # Cache the quality-gated rows (round 17): they feed TWO subtrees
+        # — the digest aggregation and the semi-join's left side — and
+        # Spark shares no subtrees across join branches, so without a
+        # cache the whole scrub+score pass runs twice.  This replaces the
+        # former scrub-text cache one stage later and strictly smaller
+        # (post-filter rows only); same storage class and lifetime as the
+        # survivor cache (round-5 every-cache-needs-an-owner rule).
+        from pyspark import StorageLevel
+
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        gate_cache = scored
     reps = exact_dedup_by_digest(scored, text_col, id_col).select(id_col)
     uniq = scored.join(reps, id_col, "left_semi")
     if cache_survivors:
@@ -572,6 +607,6 @@ def curate_corpus(
                 # the write was the action; cache owed nothing more — and a
                 # FAILED write must not leak it into a long-lived session
                 uniq.unpersist()
-                if scrub_cache is not None:
-                    scrub_cache.unpersist()
+                if gate_cache is not None:
+                    gate_cache.unpersist()
     return labeled
