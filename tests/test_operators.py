@@ -220,6 +220,32 @@ def test_connected_components_transitive_closure(spark):
     assert cc[200] == cc[201] == 200
 
 
+def test_connected_components_duplicate_edges_match_distinct(spark):
+    """Duplicate, repeated and reversed pairs must yield exactly the
+    components of the distinct pair set: every label step is a MIN over
+    the neighborhood and min(multiset) == min(set), which is what lets
+    connected_components skip the former eager edge distinct (round 17 —
+    one full shuffle of the doubled edge table per call)."""
+    from woe_monotonic_binning_spark.operators.dedup import connected_components
+
+    clean = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)]
+    noisy = clean * 3 + [(b, a) for a, b in clean] + [(3, 2), (11, 10)]
+    cc_clean = {
+        r.id: r.component
+        for r in connected_components(
+            spark.createDataFrame(clean, "id_a long, id_b long"), max_iter=10
+        ).collect()
+    }
+    cc_noisy = {
+        r.id: r.component
+        for r in connected_components(
+            spark.createDataFrame(noisy, "id_a long, id_b long"), max_iter=10
+        ).collect()
+    }
+    assert cc_noisy == cc_clean
+    assert cc_clean[3] == 1 and cc_clean[22] == 20
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """An undersized max_iter must fail LOUDLY: returning partially-merged
     labels would make the canonical-keep filter silently drop the wrong docs.

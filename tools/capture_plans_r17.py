@@ -77,8 +77,10 @@ def main() -> None:
                      F.col("id_b").cast("long").alias("dst"))
         .union(pairs.select(F.col("id_b").cast("long").alias("src"),
                             F.col("id_a").cast("long").alias("dst")))
-        .distinct()
     )
+    if tag == "before":
+        # the pre-session-2 edges additionally paid an eager distinct
+        edges = edges.distinct()
     if tag == "before":
         labels0 = (edges.select(F.col("src").alias("id")).distinct()
                    .withColumn("label", F.col("id")))

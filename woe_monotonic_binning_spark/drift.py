@@ -332,12 +332,65 @@ def psi_report_quantile(
 def _psi_detail_from_specs(
     expected: DataFrame, actual: DataFrame, specs, min_frac: float
 ) -> DataFrame:
+    # Fused two-population histogram (round 17, guide §2.3/§2.4): the two
+    # frames are side-tagged and unioned so ONE partial/final aggregation
+    # produces both count columns keyed on (variable, bin) — one Exchange
+    # where the former per-side bin_histogram pair had two, and the
+    # expected-vs-actual equi-join disappears outright (plus one of the
+    # two scaffold joins).  Each input is still scanned exactly once (the
+    # union's children), scan tasks are side-pure so map-side partial
+    # aggregation collapses exactly as before, and the per-(variable, bin)
+    # counts — and everything derived from them — are value-identical to
+    # the two-pass form.
+    from pyspark.sql.window import Window
+
     scaffold = _scaffold(expected.sparkSession, specs)
-    e = _fractions(bin_histogram(expected, specs), scaffold, "expected")
-    a = _fractions(bin_histogram(actual, specs), scaffold, "actual").select(
-        "variable", "bin", "actual_count", "actual_frac"
+    names = [v for v, _, _ in specs]
+    tagged = (
+        expected.select(*[F.col(v).cast("double").alias(v) for v in names])
+        .withColumn("__side", F.lit(0))
+        .unionByName(
+            actual.select(*[F.col(v).cast("double").alias(v) for v in names])
+            .withColumn("__side", F.lit(1))
+        )
     )
-    return e.join(a, ["variable", "bin"]).select(
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(v).alias("variable"),
+                    _bin_index_expr(F.col(v), cuts).alias("bin"),
+                )
+                for v, cuts, _ in specs
+            ]
+        )
+    ).alias("p")
+    hist = (
+        tagged.select("__side", pairs)
+        .select("p.variable", "p.bin", "__side")
+        .groupBy("variable", "bin")
+        .agg(
+            F.count(F.when(F.col("__side") == 0, F.lit(1))).alias("__ec"),
+            F.count(F.when(F.col("__side") == 1, F.lit(1))).alias("__ac"),
+        )
+    )
+    w = Window.partitionBy("variable")
+    joined = (
+        scaffold.join(hist, ["variable", "bin"], "left")
+        .withColumn("expected_count", F.coalesce(F.col("__ec"), F.lit(0)))
+        .withColumn("actual_count", F.coalesce(F.col("__ac"), F.lit(0)))
+        .withColumn(
+            "expected_frac",
+            F.col("expected_count")
+            / F.greatest(F.sum("expected_count").over(w), F.lit(1)),
+        )
+        .withColumn(
+            "actual_frac",
+            F.col("actual_count")
+            / F.greatest(F.sum("actual_count").over(w), F.lit(1)),
+        )
+    )
+    return joined.select(
         "variable",
         "bin",
         _bucket_label().alias("bucket"),

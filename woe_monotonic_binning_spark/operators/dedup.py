@@ -673,6 +673,18 @@ def connected_components(
     round's state is always consumed through an action before the next
     round builds on it, and the lineage is deterministic.
     """
+    # No edge-level distinct (round 17, guide §2.4): every label step is a
+    # MIN aggregation over the neighborhood, and min over a multiset equals
+    # min over its set — duplicate edges cannot change any round's label
+    # table, the convergence checksum, or the round count, so the former
+    # eager `.distinct()` bought nothing but a full shuffle of the doubled
+    # edge table on every call (the single largest fixed cost of a CC call
+    # at scale; pair generators in this package all emit distinct pairs
+    # anyway).  Pathologically duplicated caller input inflates the
+    # per-round edge joins instead of one up-front dedup — callers with
+    # such input should distinct() before calling.  Value-parity with the
+    # distinct form is pinned by
+    # tests/test_operators.py::test_connected_components_duplicate_edges_match_distinct.
     edges = (
         pairs.select(
             F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
@@ -680,7 +692,6 @@ def connected_components(
         .union(
             pairs.select(F.col(id_b).cast("long").alias("src"), F.col(id_a).cast("long").alias("dst"))
         )
-        .distinct()
         .localCheckpoint(eager=False)
     )
 

@@ -494,10 +494,27 @@ def curate_corpus(
     uniq = scored.join(reps, id_col, "left_semi")
     if cache_survivors:
         uniq = uniq.persist()
+    def _release_gate_cache():
+        # Early gate-cache release (round 17, guide §5): the gate cache's
+        # two consumer branches (digest aggregation + semi-join left) both
+        # execute inside the job that materializes the survivor cache, so
+        # once any eager action has populated ``uniq`` the gate cache owes
+        # nothing more — holding survivor-sized rows through the rest of
+        # the pipeline is pure memory pressure at scale.  Only called on
+        # paths whose pair table is eagerly materialized (minhash/simhash
+        # cleanup=True), which is what guarantees ``uniq`` is populated;
+        # a later eviction of ``uniq`` recomputes through the unpersisted
+        # lineage — slower, still correct.
+        nonlocal gate_cache
+        if gate_cache is not None:
+            gate_cache.unpersist()
+            gate_cache = None
+
     if near_dup == "minhash":
         pairs = minhash_dedup_pairs(
             uniq, text_col, id_col, threshold=near_dup_threshold
         )
+        _release_gate_cache()
         best = dedup_keep_best(uniq, pairs, id_col, "quality", descending=True)
     elif near_dup == "simhash":
         from .operators.dedup import simhash_near_pairs
@@ -505,6 +522,7 @@ def curate_corpus(
         pairs = simhash_near_pairs(
             uniq, text_col, id_col, max_hamming=simhash_max_hamming
         )
+        _release_gate_cache()
         best = dedup_keep_best(uniq, pairs, id_col, "quality", descending=True)
     elif near_dup == "semantic":
         from .operators.dedup import semantic_dedup
