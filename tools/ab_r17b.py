@@ -168,5 +168,72 @@ def main() -> None:
     spark.stop()
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and sys.argv[1:2] != ["decontam"]:
     main()
+
+
+def _decontam_ab() -> None:
+    """old persist-shape vs new barrier-shape contamination_overlap."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark import get_spark
+    from woe_monotonic_binning_spark.operators.dedup import (
+        contamination_overlap,
+        shingled,
+    )
+    from woe_monotonic_binning_spark._cache import materialize_and_release
+
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=int(CPUS),
+                      app_name="ab-r17b-decontam")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def read_docs():
+        return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def old_overlap(corpus, benchmark, n=8, min_shared=1):
+        bench_sh = shingled(benchmark, "text", "doc_id", n=n).persist()
+        bench_grams = bench_sh.select(F.explode("shingles").alias("gram")).distinct()
+        corpus_sh = shingled(corpus, "text", "doc_id", n=n).persist()
+        corpus_grams = corpus_sh.select(F.col("doc_id"), F.explode("shingles").alias("gram"))
+        out = (
+            corpus_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id").agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+        return materialize_and_release(out, bench_sh, corpus_sh)
+
+    def run_old():
+        docs = read_docs()
+        bench = docs.filter(F.col("doc_id") % 25 == 0)
+        flagged = old_overlap(docs, bench).select("doc_id")
+        return docs.join(flagged, "doc_id", "left_anti").count()
+
+    def run_new():
+        from woe_monotonic_binning_spark.operators.dedup import decontaminate
+        docs = read_docs()
+        bench = docs.filter(F.col("doc_id") % 25 == 0)
+        return decontaminate(docs, bench, n=8).count()
+
+    n_old, n_new = run_old(), run_new()
+    assert n_old == n_new, (n_old, n_new)
+    print(f"value parity OK: {n_new} survivors both ways", flush=True)
+
+    def bench_fn(label, fn):
+        times = []
+        for _ in range(REPS):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            fn()
+            times.append(time.monotonic() - t0)
+        print(f"{label}: min {min(times):.3f}  all {[round(t,3) for t in times]}", flush=True)
+
+    for i in range(2):
+        bench_fn(f"old persist (pass {i})", run_old)
+        bench_fn(f"new barrier (pass {i})", run_new)
+    spark.stop()
+
+
+if __name__ == "__main__" and sys.argv[1:2] == ["decontam"]:
+    _decontam_ab()

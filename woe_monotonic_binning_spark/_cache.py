@@ -30,6 +30,29 @@ taking ownership of ``unpersist``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def generate_barrier(df: DataFrame, col: str) -> DataFrame:
+    """Materialize ``col`` once per row IN-PLAN via a 1-element ``explode``
+    — a value-level no-op (``explode(array(x))`` emits exactly one row
+    holding ``x``, NULL included) whose Generate node downstream operators
+    can only reference as an OUTPUT ATTRIBUTE.
+
+    The zero-storage alternative to a single-consumer persist (round 17,
+    guide §1.2/§5): Spark substitutes projected expressions into whatever
+    references them — pushed-down filter predicates, or a downstream
+    ``explode`` generator — with no subexpression elimination, so an
+    expensive chain (regex scrub, shingle/fingerprint HOFs) re-evaluates
+    per reference or per emitted element.  Because ``array(x)`` has
+    exactly one element, the barrier's own Generate evaluates the chain
+    once per input row no matter how the generator is executed, and every
+    consumer above reads the generated attribute.  A persist buys the
+    same guarantee at the cost of writing the column to storage — still
+    the right tool when the barrier'd frame feeds MULTIPLE plan branches
+    (each branch re-executes an in-plan barrier, but a cache is shared).
+    """
+    return df.withColumn(col, F.explode(F.array(F.col(col))))
 
 
 def materialize_and_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from .._cache import materialize_and_release
+from .._cache import generate_barrier, materialize_and_release
 from .text import WS_CHARS as _WS_CHARS
 
 MERSENNE_31 = 2_147_483_647  # 2^31 - 1, prime; keeps a*h+b inside int64
@@ -1092,21 +1092,31 @@ def contamination_overlap(
     aggregate into per-doc counts.  Grams are compared as strings, not
     hashes: the broadcast join is equality on the gram text, so there are
     no collision false-positives and the operator is oracle-exact.
+
+    ``cleanup=True`` (default) eagerly materializes the (tiny) overlap
+    table; since round 17 session 2 the shingle intermediates are in-plan
+    Generate barriers rather than persists, so there are no caches to
+    release and ``cleanup=False`` simply returns the lazy plan.
     """
-    # Both shingle tables MUST be materialized before their explode: the
+    # Both shingle arrays MUST be materialized before their explode: the
     # gram-building HOF chain otherwise collapses into the generator, which
     # re-evaluates it per emitted row — per-doc cost goes O(grams²) (the
-    # round-5 winnowing blow-up, winnow_match_pairs; measured again live
-    # here: the sf0.1 corpus gram pass runs 3.6s exploded-inline vs 0.6s
-    # array-build-only, and the full decontaminate drops 3.9s -> 0.9s with
-    # the persist).  The corpus-side cache is corpus-sized but TRANSIENT —
-    # MEMORY_AND_DISK for the duration of one pass, released before return
-    # (same storage class and lifetime as a shuffle spill of the exploded
-    # grams, which is what the inline plan would pay anyway), exactly the
-    # winnow_match_pairs posting-list pattern.
-    bench_sh = shingled(benchmark, text_col, id_col, n=n).persist()
+    # round-5 winnowing blow-up, winnow_match_pairs; measured live here in
+    # round 5: the sf0.1 corpus gram pass runs 3.6s exploded-inline vs
+    # 0.6s array-build-only, and the full decontaminate drops 3.9s -> 0.9s
+    # with the array pinned).  Round 17 session 2: each shingle table here
+    # has exactly ONE consumer, so the corpus-sized MEMORY_AND_DISK persist
+    # is replaced by the zero-storage in-plan Generate barrier
+    # (``generate_barrier`` — the scrub-text mechanism): the HOF chain
+    # computes once per row inside the barrier's own Generate, and the
+    # gram explode reads the generated attribute.
+    bench_sh = generate_barrier(
+        shingled(benchmark, text_col, id_col, n=n), "shingles"
+    )
     bench_grams = bench_sh.select(F.explode("shingles").alias("gram")).distinct()
-    corpus_sh = shingled(corpus, text_col, id_col, n=n).persist()
+    corpus_sh = generate_barrier(
+        shingled(corpus, text_col, id_col, n=n), "shingles"
+    )
     corpus_grams = corpus_sh.select(
         F.col(id_col), F.explode("shingles").alias("gram")
     )
@@ -1117,7 +1127,7 @@ def contamination_overlap(
         .filter(F.col("n_shared") >= min_shared)
     )
     if cleanup:
-        return materialize_and_release(out, bench_sh, corpus_sh)
+        return materialize_and_release(out)
     return out
 
 
@@ -1145,6 +1155,11 @@ def contamination_report(
     matched (gram, ids) rows aggregate) plus a tiny per-bench-doc gram
     count; benchmark docs with zero leaks still report (left join), so
     the row count is exactly ``|benchmark|``."""
+    # bench_sh feeds TWO plan branches (grams + totals), so the persist is
+    # the right tool for it (eval sets are tiny anyway); the corpus side
+    # has ONE consumer and gets the zero-storage Generate barrier instead
+    # of a corpus-sized cache (round 17 session 2 — see
+    # contamination_overlap).
     bench_sh = shingled(benchmark, text_col, id_col, n=n).persist()
     bench_grams = bench_sh.select(
         F.col(id_col).alias("__bench_id"), F.explode("shingles").alias("gram")
@@ -1152,7 +1167,9 @@ def contamination_report(
     gram_totals = bench_sh.select(
         F.col(id_col).alias("__bench_id"), F.size("shingles").alias("n_grams")
     )
-    corpus_sh = shingled(corpus, text_col, id_col, n=n).persist()
+    corpus_sh = generate_barrier(
+        shingled(corpus, text_col, id_col, n=n), "shingles"
+    )
     corpus_grams = corpus_sh.select(
         F.col(id_col).alias("__corpus_id"), F.explode("shingles").alias("gram")
     )
@@ -1179,7 +1196,7 @@ def contamination_report(
         )
     )
     if cleanup:
-        return materialize_and_release(out, bench_sh, corpus_sh)
+        return materialize_and_release(out, bench_sh)
     return out
 
 

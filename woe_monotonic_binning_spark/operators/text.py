@@ -983,10 +983,12 @@ def winnow_match_pairs(
     denominator.
 
     ``cleanup=True`` (default) eagerly materializes the match table and
-    unpersists the fingerprint + posting-list caches before returning
-    (round-5 ADVICE: each call previously leaked both for the session
-    lifetime; see _cache.py).  ``cleanup=False`` returns the lazy plan and
-    the caller owns the caches.
+    unpersists the posting-list cache before returning (round-5 ADVICE:
+    each call previously leaked its caches for the session lifetime; see
+    _cache.py — the fingerprint frame is an in-plan Generate barrier
+    since round 17 session 2, so the posting list is the only cache
+    left).  ``cleanup=False`` returns the lazy plan and the caller owns
+    the cache.
     """
     # The fingerprint array MUST be materialized before the explode:
     # CollapseProject folds winnow_fingerprints' staged selects into one
@@ -995,9 +997,18 @@ def winnow_match_pairs(
     # emitted element — per-doc cost goes len^2-ish x fingerprint-count and a
     # 500-doc corpus of ~300-char texts runs for minutes (found live in
     # round 5; tests/test_operators.py::test_winnow_match_pairs_driver_corpus
-    # pins the fix).  Persisting the (id, fingerprints) rows computes the
-    # HOF chain exactly once per doc; the explode then reads cached arrays.
-    fp = winnow_fingerprints(df, text_col, id_col, k, window).persist()
+    # pins the fix).  Round 17 session 2: the fingerprint frame has exactly
+    # ONE consumer (the posting-list explode), so the corpus-sized persist
+    # became the zero-storage in-plan Generate barrier — ``array(x)`` has
+    # one element, so the barrier's Generate computes the HOF chain once
+    # per doc regardless of how the generator is executed, and the explode
+    # reads the generated attribute.  The POSTING LIST keeps its persist:
+    # it feeds the frequency count and both self-join sides.
+    from .._cache import generate_barrier
+
+    fp = generate_barrier(
+        winnow_fingerprints(df, text_col, id_col, k, window), "fingerprints"
+    )
     ex = fp.select(F.col(id_col), F.explode("fingerprints").alias("h")).persist()
     if n_docs is None:
         n_docs = ex.select(id_col).distinct().count()
@@ -1016,7 +1027,7 @@ def winnow_match_pairs(
         .filter(F.col("n_shared") >= min_shared)
     )
     if cleanup:
-        return materialize_and_release(out, fp, ex)
+        return materialize_and_release(out, ex)
     return out
 
 

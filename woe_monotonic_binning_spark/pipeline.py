@@ -62,8 +62,11 @@ def _expr_barrier(df: DataFrame, col: str) -> DataFrame:
     input and every consumer — including a pushed-down filter — reads
     the generated attribute.  Verified plan shape: one regex chain below
     ``Generate explode(...)``, attribute references above, all inside one
-    WholeStageCodegen span."""
-    return df.withColumn(col, F.explode(F.array(F.col(col))))
+    WholeStageCodegen span.  Shared with the decontamination/winnowing
+    operators since round 17 session 2 — see ``_cache.generate_barrier``."""
+    from ._cache import generate_barrier
+
+    return generate_barrier(df, col)
 
 
 def _media_dedup_gate(docs, media, id_col, pairs_fn):
