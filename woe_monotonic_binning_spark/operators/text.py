@@ -193,9 +193,21 @@ def _dup_ngram_char_frac(n: int) -> Column:
     O(g log g) per document: the gram array is sorted once and duplicates
     detected by neighbor equality — NOT the naive per-gram count scan
     (O(g²) re-folds the array per element).  Pure JVM HOFs, map-side."""
+    # concat_ws over direct element references instead of
+    # array_join(slice(...)) per gram (round 17, guide §1.2): no n-element
+    # array allocation per position; byte-identical values — same rewrite
+    # as dedup.shingled, pinned by
+    # tests/test_operators.py::test_dup_ngram_concat_ws_matches_slice_join
+    # (the ELSE branch reproduces the old greatest()-clamped single-gram
+    # output for size<=n and the [NULL] output for NULL word arrays;
+    # element_at indices in the THEN branch stay in [1, size], ANSI-safe).
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(__gw, i + {j})" for j in range(n)
+    ) + ")"
     grams = (
-        f"transform(sequence(1, greatest(size(__gw), {n}) - {n} + 1), "
-        f"i -> array_join(slice(__gw, i, {n}), ' '))"
+        f"IF(size(__gw) > {n}, "
+        f"transform(sequence(1, size(__gw) - {n} + 1), i -> {gram}), "
+        f"array(array_join(__gw, ' ')))"
     )
     sg = f"array_sort({grams})"
     # ONE fold over the sorted array carrying (prev gram, in-run flag, dup
