@@ -4503,3 +4503,54 @@ def test_dup_ngram_concat_ws_matches_slice_join(spark, docs_with_dups, gram_edge
             assert (
                 both.filter(F.expr("NOT (old_frac <=> new_frac)")).count() == 0
             ), f"n={n}"
+
+
+def test_match_counters_regexp_count_parity(spark, docs_with_dups, gram_edge_docs):
+    """Round 17: word_count / token_count_bpe / stopword_count / the
+    scrub_pii per-kind counters use regexp_count instead of
+    size(regexp_extract_all(...)).  Same counts by definition (same
+    engine, same non-overlapping match walk, NULL-in NULL-out) — pinned
+    here against the old expression on a real corpus and the edge corpus."""
+    from woe_monotonic_binning_spark.operators.text import (
+        LANG_MARKERS,
+        PII_PATTERNS,
+        _BPE_RE,
+        _WORD_RE,
+        stopword_count,
+        token_count_bpe,
+        word_count,
+    )
+
+    t = F.col("text")
+    stop_pat = "\\b(" + "|".join(LANG_MARKERS["en"]) + ")\\b"
+    pii_text = spark.createDataFrame(
+        [
+            (100, "mail a@b.com and 10.0.0.1 call (555) 867-5309 or 555-867-5309"),
+            (101, None),
+        ],
+        "doc_id long, text string",
+    )
+    for corpus in (docs_with_dups, gram_edge_docs, pii_text):
+        checks = [
+            word_count(t).eqNullSafe(
+                F.size(F.regexp_extract_all(t, F.lit(_WORD_RE), F.lit(0)))
+            ),
+            token_count_bpe(t).eqNullSafe(
+                F.size(F.regexp_extract_all(t, F.lit(_BPE_RE), F.lit(0)))
+            ),
+            stopword_count(t, LANG_MARKERS["en"]).eqNullSafe(
+                F.size(F.regexp_extract_all(F.lower(t), F.lit(stop_pat), F.lit(0)))
+            ),
+        ] + [
+            F.regexp_count(t, F.lit(pat)).eqNullSafe(
+                F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+            )
+            for pat in PII_PATTERNS.values()
+        ]
+        agree = corpus.select(
+            *[c.alias(f"c{i}") for i, c in enumerate(checks)]
+        )
+        bad = agree.filter(
+            ~F.expr(" AND ".join(f"c{i}" for i in range(len(checks))))
+        ).count()
+        assert bad == 0

@@ -46,12 +46,23 @@ _BPE_RE = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"
 _SENT_RE = "[^.!?]+[.!?]*"
 
 
+# The three match-counters use regexp_count, not
+# size(regexp_extract_all(...)) (round 17, guide §1.2): the latter
+# materializes an array of every matched substring just to take its
+# length — for _BPE_RE that is one string allocation per token per row.
+# Counts are identical by definition (same engine, same non-overlapping
+# match walk; NULL in -> NULL out both ways), pinned by
+# tests/test_operators.py::test_match_counters_regexp_count_parity; the
+# measured win is ~12% on the sf0.1 text_stats pass (token arrays are
+# the bulk), a wash on quality_score (regex scan cost dominates there).
+
+
 def word_count(text: Column) -> Column:
-    return F.size(F.regexp_extract_all(text, F.lit(_WORD_RE), F.lit(0)))
+    return F.regexp_count(text, F.lit(_WORD_RE))
 
 
 def token_count_bpe(text: Column) -> Column:
-    return F.size(F.regexp_extract_all(text, F.lit(_BPE_RE), F.lit(0)))
+    return F.regexp_count(text, F.lit(_BPE_RE))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -68,7 +79,7 @@ def space_ratio(text: Column) -> Column:
 
 def stopword_count(text: Column, words: list[str]) -> Column:
     pattern = "\\b(" + "|".join(words) + ")\\b"
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
+    return F.regexp_count(F.lower(text), F.lit(pattern))
 
 
 def fingerprint(text: Column, length: int = 16) -> Column:
@@ -605,9 +616,9 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df
     t = F.col(text_col)
     for kind, pat in PII_PATTERNS.items():
-        out = out.withColumn(
-            f"n_{kind}", F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
-        )
+        # regexp_count, not size(regexp_extract_all(...)): same count, no
+        # per-match substring array (see the counter note at word_count)
+        out = out.withColumn(f"n_{kind}", F.regexp_count(t, F.lit(pat)))
     scrubbed = t
     for kind, pat in PII_PATTERNS.items():
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
