@@ -714,6 +714,19 @@ def connected_components(
     def _jump(stepped: DataFrame) -> DataFrame:
         # pointer jumping: follow one level of indirection.  Labels are
         # always node ids, so the lookup side is `stepped` itself.
+        #
+        # The INPUT is lazily checkpointed too (round 17, guide §2.4):
+        # both join branches below reference `stepped`, and Spark shares
+        # no subtrees across join branches — without the checkpoint each
+        # round's min-step (the edges-join + groupBy, the expensive
+        # full-shuffle half of a round at scale) evaluated TWICE, once per
+        # branch (the two exchanges hash on different keys, so
+        # ReuseExchange cannot collapse them either).  The checkpoint pins
+        # the round's label table as one RDD that both branches read; cost
+        # is one extra (long, long)-rows storage write per round.  Labels
+        # and round counts are unchanged — A/B'd label-for-label on the
+        # bench graph and an 11-round chain graph (OPTIMIZATION_r17.md).
+        stepped = stepped.localCheckpoint(eager=False)
         return (
             stepped.join(
                 stepped.select(
