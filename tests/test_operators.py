@@ -4554,3 +4554,65 @@ def test_match_counters_regexp_count_parity(spark, docs_with_dups, gram_edge_doc
             ~F.expr(" AND ".join(f"c{i}" for i in range(len(checks))))
         ).count()
         assert bad == 0
+
+
+def test_tfidf_dfreq_when_guard_parity(spark, docs_with_dups):
+    """Round 17: tfidf_top_terms counts document frequency with
+    count(when(tf > 0, 1)) so the tf subtree stays canonically identical
+    across both join branches and AQE reuses the tokenize shuffle stage
+    (one corpus pass, not two).  tf = count(*) >= 1, so values are
+    unchanged — pinned against the plain count(*) form here, and the
+    executed plan is asserted to actually share the stage (one fewer
+    Generate subtree than the unshared form)."""
+    from pyspark.sql.window import Window
+
+    from woe_monotonic_binning_spark.operators.text import tfidf_top_terms
+
+    def old_form(df, top_k=3, min_len=3):
+        toks = df.select(
+            F.col("doc_id"),
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        ).filter(F.length("term") >= min_len)
+        tf = toks.groupBy("doc_id", "term").agg(
+            F.count("*").cast("double").alias("tf")
+        )
+        dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+        n = df.select(F.count("*").cast("double").alias("__n"))
+        scored = (
+            tf.join(dfreq, "term")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "doc_id",
+                "term",
+                F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6).alias(
+                    "tfidf"
+                ),
+            )
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("doc_id", "term", "tfidf", "rank")
+        )
+
+    new = tfidf_top_terms(docs_with_dups)
+    old = old_form(docs_with_dups)
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    # the executed plan must actually share the tokenize stage: the old
+    # form prints its Generate subtree once per branch, the new form one
+    # fewer (the reused stage prints as a reference).  Asserted on a
+    # parquet-backed corpus — the bench/production shape — because a
+    # CACHED source (InMemoryTableScan leaves, e.g. the docs_with_dups
+    # fixture) defeats the canonical match and both forms then read the
+    # cache once per branch anyway.
+    pq = docs_with_dups.sparkSession.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    )
+    new_pq, old_pq = tfidf_top_terms(pq), old_form(pq)
+    new_pq.collect()
+    old_pq.collect()
+    new_plan = new_pq._jdf.queryExecution().executedPlan().toString()
+    old_plan = old_pq._jdf.queryExecution().executedPlan().toString()
+    assert new_plan.count("Generate explode") < old_plan.count("Generate explode")

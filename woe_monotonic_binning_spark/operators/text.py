@@ -175,7 +175,22 @@ def tfidf_top_terms(
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
     ).filter(F.length("term") >= min_len)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    # df counts tf-table rows per term THROUGH the tf column (round 17,
+    # guide §2.4): with a plain count(*), column pruning drops `tf` from
+    # this branch and the aggregate rewrites to a distinct — making the
+    # two tf subtrees canonically DIFFERENT, so AQE's runtime stage reuse
+    # cannot share the tokenize/explode/partial-agg shuffle and the
+    # corpus is scanned twice (verified in the executed plan: 4 Generate
+    # nodes, zero reuse).  count(when(tf > 0, 1)) forces `tf` to stay
+    # needed (the predicate is not foldable), the subtrees canonicalize
+    # identically, and the shuffle stage is computed once and REUSED
+    # (executed plan: 3 Generate nodes, one ReusedExchange/stage) — one
+    # corpus tokenize pass instead of two.  tf is count(*) >= 1, so the
+    # predicate is always true and df values are unchanged (pinned by
+    # tests/test_operators.py::test_tfidf_dfreq_when_guard_parity).
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, F.lit(1))).cast("double").alias("df")
+    )
     n = df.select(F.count("*").cast("double").alias("__n"))
     scored = (
         tf.join(dfreq, "term")
