@@ -211,6 +211,29 @@ HEADLINES = [
 ]
 
 
+def _git_head() -> str | None:
+    """Current commit hash (+ '-dirty' when the tree has local edits), or
+    None when git/repo is unavailable — the bench must not require git."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=here,
+            capture_output=True, text=True, timeout=10,
+        )
+        if rev.returncode != 0:
+            return None
+        head = rev.stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"], cwd=here,
+            capture_output=True, text=True, timeout=10,
+        )
+        if dirty.returncode == 0 and dirty.stdout.strip():
+            head += "-dirty"
+        return head
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+
+
 def _parse_sf(sf_dir: str) -> float | str:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -530,6 +553,12 @@ def main() -> None:
         "reps": reps,
         "sf": sf_val,
     }
+    commit = _git_head()
+    if commit:
+        # provenance (round-17 advice): artifacts copied from this line can
+        # be checked against the exact code they measured, instead of a
+        # free-text "at HEAD" note
+        payload["commit"] = commit
     if rerun:
         payload["rerun"] = rerun
     print(json.dumps(payload))
