@@ -158,6 +158,154 @@ def test_quantize_cap_counts_only_non_null_distincts(spark):
     assert len(out) == 9
 
 
+def test_fit_indexed_melt_matches_names(spark, binning_df):
+    """Round 18 (guide §2.3): fit_bins melts with a short index-keyed
+    variable column and maps names back inside the UDF.  The bins table
+    must be byte-identical to the old name-keyed path, reconstructed here
+    verbatim — including the quantize-capped and sep_value branches."""
+    import pandas as pd
+
+    from woe_monotonic_binning_spark.fit import (
+        BINS_SCHEMA_DDL,
+        _fit_udf,
+        melt_features,
+        quantize_summary,
+        summarize,
+    )
+    from woe_monotonic_binning_spark._algo import FitParams
+
+    cols = ["x_mono_up", "x_mono_down", "x_noisy", "x_flat"]
+    cols = [c for c in cols if c in binning_df.columns]
+    assert len(cols) >= 2
+
+    def old_fit(max_distinct=None, sep_value=None):
+        params = FitParams(
+            n_threshold=50, n_occurences=1.0, p_threshold=0.1,
+            sort_overload=None, merge_threshold=None, sep_value=sep_value,
+        )
+        summary = summarize(melt_features(binning_df, "target", cols))
+        if max_distinct is not None:
+            summary = quantize_summary(summary, max_distinct)
+        return summary.groupBy("variable").applyInPandas(
+            _fit_udf(params), schema=BINS_SCHEMA_DDL
+        )
+
+    from woe_monotonic_binning_spark import fit_bins
+
+    for kwargs in ({}, {"max_distinct": 16}, {"sep_value": 0.0}):
+        got = (
+            fit_bins(binning_df, "target", cols, n_threshold=50, **kwargs)
+            .toPandas()
+            .sort_values(["variable", "interval_start_include"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            old_fit(
+                max_distinct=kwargs.get("max_distinct"),
+                sep_value=kwargs.get("sep_value"),
+            )
+            .toPandas()
+            .sort_values(["variable", "interval_start_include"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
+def test_quantize_arrow_cumsum_matches_window(spark):
+    """Round 18: the per-partition running sums moved from a window keyed
+    by (variable, __pid) to one MapInArrow pass riding the existing range
+    partitioning (guide §2.4/§4.2).  This reconstructs the OLD window
+    implementation verbatim and asserts bit-exact output parity — on a
+    summary with NON-INTEGRAL sizes (the float addition-order argument),
+    multiple variables, a NULL missing group, and a cap that leaves one
+    variable under and one over."""
+    import pandas as pd
+    from pyspark.sql.window import Window
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.fit import quantize_summary
+
+    def quantize_window(summary, max_distinct, parallelism=None):
+        sp = summary.sparkSession
+        if parallelism is None:
+            parallelism = sp.sparkContext.defaultParallelism
+        nn_size = F.when(
+            F.col("value").isNotNull(), F.col("size")
+        ).otherwise(F.lit(0.0))
+        rp = (
+            summary.repartitionByRange(parallelism, "variable", "value")
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+        sub = rp.groupBy("variable", "__pid").agg(
+            F.sum(nn_size).alias("__ptot"), F.count("value").alias("__pk")
+        )
+        w_off = Window.partitionBy("variable").orderBy("__pid")
+        wp = Window.partitionBy("variable")
+        offsets = sub.select(
+            "variable",
+            "__pid",
+            (F.sum("__ptot").over(w_off) - F.col("__ptot")).alias("__offset"),
+            F.sum("__ptot").over(wp).alias("__total"),
+            F.sum("__pk").over(wp).alias("__k"),
+        )
+        w_local = Window.partitionBy("variable", "__pid").orderBy("value")
+        annotated = rp.join(F.broadcast(offsets), ["variable", "__pid"]).withColumn(
+            "__cum_before", F.col("__offset") + F.sum(nn_size).over(w_local) - nn_size
+        )
+        bucket = F.when(
+            (F.col("__k") > max_distinct) & F.col("value").isNotNull(),
+            F.least(
+                F.floor(
+                    F.round(F.col("__cum_before") / F.col("__total") * max_distinct, 9)
+                ),
+                F.lit(max_distinct - 1),
+            ),
+        )
+        key = F.struct(
+            bucket.alias("b"), F.when(bucket.isNull(), F.col("value")).alias("v")
+        )
+        return (
+            annotated.groupBy("variable", key.alias("__g"))
+            .agg(
+                F.min("value").alias("value"),
+                F.sum("size").alias("size"),
+                F.sum("bads").alias("bads"),
+                F.sum("sumsq").alias("sumsq"),
+            )
+            .select("variable", "value", "size", "bads", "sumsq")
+        )
+
+    # Dyadic fractional weights (multiples of 2^-3): exercises the float
+    # path while keeping every downstream SUM exact regardless of
+    # accumulation order — the per-bucket re-aggregation order was never
+    # pinned (it already varied with parallelism in the window version);
+    # what IS pinned bit-exactly is the running sum each row carries into
+    # its bucket assignment, which this parity check covers through the
+    # bucket structure and the exact per-bucket totals.
+    rows = [
+        ("hi", float(v), 1.0 + (v % 7) * 0.375, 0.25 * (v % 4), 0.125 * (v % 5))
+        for v in range(500)
+    ]
+    rows += [("lo", float(v), 2.5, 0.5, 0.75) for v in range(6)]
+    rows.append(("hi", None, 3.5, 1.5, 2.25))  # the missing group
+    schema = "variable string, value double, size double, bads double, sumsq double"
+    for cap in (16, 1000):
+        got = (
+            quantize_summary(spark.createDataFrame(rows, schema), cap)
+            .toPandas()
+            .sort_values(["variable", "value"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            quantize_window(spark.createDataFrame(rows, schema), cap)
+            .toPandas()
+            .sort_values(["variable", "value"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
 def test_merge_bins_survives_row_reorder_and_rejects_multi_variable(spark):
     """Round-8 review: positional bins_index over an arbitrarily-ordered
     Spark frame addressed the wrong rows; a reordered frame is now

@@ -210,9 +210,15 @@ def test_quantize_guard_single_lineage(li):
     # broadcast join, and everything stays JVM-side.
     assert plan.count("Scan parquet") == 0, plan
     assert broadcast_join_count(capped) == 1
-    assert python_eval_count(capped) == 0
-    # offsets agg + its window + local window + re-agg over summary rows only
-    assert exchange_count(capped) <= 4
+    # Round 18: the per-partition running sums ride ONE MapInArrow pass
+    # (guide §2.4/§4.2) — the posture pin is "Arrow-only crossings", not
+    # "zero Python": no row-at-a-time eval, exactly one columnar crossing.
+    assert python_eval_count(capped, "row") == 0
+    assert python_eval_count(capped, "arrow") == 1
+    assert "MapInArrow" in plan
+    # offsets agg + its window + re-agg over summary rows only — the former
+    # (variable, __pid) window exchange is gone (round 18)
+    assert exchange_count(capped) <= 3
 
 
 def test_star_join_broadcasts_dimensions(spark):

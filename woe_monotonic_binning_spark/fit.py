@@ -66,6 +66,34 @@ def melt_features(df: DataFrame, target: str, columns: Sequence[str]) -> DataFra
     )
 
 
+def _melt_features_indexed(df: DataFrame, target: str, columns: Sequence[str]) -> DataFrame:
+    """``melt_features`` with the variable key carried as the column INDEX
+    rendered as a short decimal string ("0", "1", ...) instead of the
+    column name (round 18, guide §2.3 "shuffle fewer bytes").
+
+    The variable key rides EVERY row of the melted long table through the
+    one raw-data shuffle, both hash-aggregate key probes, and the quantize
+    range repartition; a 1-2 byte key against 10-20 byte column names cuts
+    the key bytes and the per-row string hashing/comparison work on all of
+    them.  Internal to ``fit_bins`` — the fit UDF maps indices back to
+    names (``_fit_udf(params, names=...)``), so the bins output is
+    byte-identical; the public ``melt_features`` keeps the name-keyed
+    shape.  Value-parity pinned by
+    tests/test_fit_parity.py::test_fit_indexed_melt_matches_names.
+    """
+    casted = df.select(
+        F.col(target).cast("double").alias("__target"),
+        *[
+            F.expr(f"try_cast(`{c}` as double)").alias(str(i))
+            for i, c in enumerate(columns)
+        ],
+    )
+    long = casted.unpivot("__target", [str(i) for i in range(len(columns))], "variable", "value")
+    return long.withColumn(
+        "value", F.when(F.isnan("value"), F.lit(None).cast("double")).otherwise(F.col("value"))
+    )
+
+
 def summarize(long: DataFrame) -> DataFrame:
     """The one raw-data pass: per (variable, value) target moments.
 
@@ -80,6 +108,54 @@ def summarize(long: DataFrame) -> DataFrame:
         F.sum("__target").alias("bads"),
         F.sum(F.col("__target") * F.col("__target")).alias("sumsq"),
     )
+
+
+def _quantize_running_sums(batches):
+    """Arrow kernel for ``quantize_summary`` step 2: sort THIS partition's
+    summary rows by (variable, value) and emit each row's per-variable
+    running sum of non-null sizes excluding itself (``__cum_local`` — the
+    former window's ``sum(nn_size) - nn_size``).
+
+    Rows of one (variable, partition) group are co-located by the range
+    repartition, so the sort and the prefix sum are purely local.  The
+    accumulation runs PER GROUP from zero in value order — the exact
+    addition order of the window aggregate it replaces, so results are
+    bit-identical for any float sizes, not just integral counts.  NULL
+    values (the missing group) contribute 0 and their own ``__cum_local``
+    is never consumed downstream (the bucket expression requires a
+    non-null value), so their sort placement is irrelevant.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    batch_list = list(batches)
+    if not batch_list:
+        return
+    tbl = pa.Table.from_batches(batch_list)
+    value = tbl.column("value").to_pandas().to_numpy(dtype="float64")
+    size = tbl.column("size").to_pandas().to_numpy(dtype="float64")
+    # factorize variable -> int codes: grouping only, order irrelevant
+    # (the prefix sum restarts at every variable boundary either way)
+    codes = pa.compute.dictionary_encode(
+        tbl.column("variable").combine_chunks()
+    ).indices.to_numpy(zero_copy_only=False)
+    # NaN here means NULL (melt normalises true NaN to NULL before the
+    # summary); np.lexsort places NaN last within each variable group,
+    # where its zero contribution cannot perturb any non-null prefix.
+    order = np.lexsort((value, codes))
+    nn = np.where(np.isnan(value[order]), 0.0, size[order])
+    g = codes[order]
+    cum_local = np.empty(len(g), dtype="float64")
+    bounds = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+    for i, start in enumerate(bounds):
+        stop = bounds[i + 1] if i + 1 < len(bounds) else len(g)
+        seg = nn[start:stop]
+        # exclusive running sum, accumulated left-to-right from zero —
+        # the window aggregate's exact addition order
+        cum_local[start:stop] = np.cumsum(seg) - seg
+    out = tbl.take(pa.array(order, type=pa.int64()))
+    out = out.append_column("__cum_local", pa.array(cum_local, type=pa.float64()))
+    yield from out.to_batches()
 
 
 def quantize_summary(
@@ -104,8 +180,15 @@ def quantize_summary(
 
     1. range-repartition on ``(variable, value)`` — contiguous, ordered
        value ranges per partition — and pin ``spark_partition_id``;
-    2. per-(variable, partition) running sums via a window keyed by BOTH,
-       so each sort handles ~1/parallelism of a variable;
+    2. per-(variable, partition) running sums computed PARTITION-LOCALLY
+       in one ``mapInArrow`` pass (round 18, guide §2.4/§4.2): the rows
+       of a (variable, partition) group are co-located by construction,
+       but Catalyst cannot know that, so the former window keyed by
+       ``(variable, __pid)`` re-shuffled and JVM-sorted the entire summary
+       just to regain a clustering it already had.  The Arrow task sorts
+       its own partition with numpy and emits the running sum directly —
+       no Exchange, no external sort, one columnar boundary crossing of
+       the narrow summary rows;
     3. per-(variable, partition) subtotals (a tiny aggregation: at most
        ``parallelism x #variables`` rows) cumulate across partitions into
        offsets — range partitioning guarantees partition order == value
@@ -131,7 +214,8 @@ def quantize_summary(
     nn_size = F.when(F.col("value").isNotNull(), F.col("size")).otherwise(F.lit(0.0))
 
     rp = (
-        summary.repartitionByRange(parallelism, "variable", "value")
+        summary.select("variable", "value", "size", "bads", "sumsq")
+        .repartitionByRange(parallelism, "variable", "value")
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -153,9 +237,23 @@ def quantize_summary(
         F.sum("__ptot").over(wp).alias("__total"),
         F.sum("__pk").over(wp).alias("__k"),
     )
-    w_local = Window.partitionBy("variable", "__pid").orderBy("value")
-    annotated = rp.join(F.broadcast(offsets), ["variable", "__pid"]).withColumn(
-        "__cum_before", F.col("__offset") + F.sum(nn_size).over(w_local) - nn_size
+    # Partition-local running sums via one Arrow pass instead of a window
+    # keyed by (variable, __pid): the window's ClusteredDistribution
+    # re-shuffled and JVM-sorted the ENTIRE summary to regain the
+    # co-location the range repartition had already established (round 18,
+    # guide §2.4 "remove shuffles outright" / §4.2).  Bit-identical values:
+    # the kernel accumulates per (variable, partition) group from zero in
+    # value order — the window aggregate's exact addition order (pinned by
+    # tests/test_fit_parity.py::test_quantize_arrow_cumsum_matches_window).
+    local = rp.mapInArrow(
+        _quantize_running_sums,
+        schema=(
+            "variable string, value double, size double, bads double, "
+            "sumsq double, __pid int, __cum_local double"
+        ),
+    )
+    annotated = local.join(F.broadcast(offsets), ["variable", "__pid"]).withColumn(
+        "__cum_before", F.col("__offset") + F.col("__cum_local")
     )
     # round the fraction to 9 dp before flooring: 1-ulp summation noise in
     # __cum_before must not flip a value across an exact bucket edge (the
@@ -185,15 +283,20 @@ def quantize_summary(
     )
 
 
-def _fit_udf(params: FitParams):
+def _fit_udf(params: FitParams, names: Sequence[str] | None = None):
     # sep_value gating (deviations D5/D6, _algo.py module docstring):
     # `is not None` — not truthiness — so sep_value=0.0 is active (the
     # reference's `if sep_value:` at binning.py:88 silently disables it),
     # and the sep path is taken only when the variable actually contains
     # the value (the reference IndexErrors on the empty sep partition,
     # binning.py:35-42).
+    #
+    # ``names`` (round 18): when fit_bins melts with the index-keyed
+    # variable column (_melt_features_indexed), this maps the short key
+    # back to the real column name so the bins table is unchanged.
     def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        summary = _algo.summary_from_pandas(pdf)
+        name = names[int(pdf["variable"].iloc[0])] if names is not None else None
+        summary = _algo.summary_from_pandas(pdf, variable=name)
         if params.sep_value is not None and (summary.values == float(params.sep_value)).any():
             return _algo.fit_variable_sep(summary, params)
         return _algo.fit_variable(summary, params)
@@ -254,13 +357,15 @@ def fit_bins(
         merge_threshold=merge_threshold,
         sep_value=sep_value,
     )
-    long = melt_features(df, target, columns)
+    long = _melt_features_indexed(df, target, columns)
     summary = summarize(long)
     if max_distinct == "auto":
         max_distinct = AUTO_MAX_DISTINCT
     if max_distinct is not None:
         summary = quantize_summary(summary, int(max_distinct))
-    bins = summary.groupBy("variable").applyInPandas(_fit_udf(params), schema=BINS_SCHEMA_DDL)
+    bins = summary.groupBy("variable").applyInPandas(
+        _fit_udf(params, names=columns), schema=BINS_SCHEMA_DDL
+    )
     if degenerate:
         spark = df.sparkSession
         deg = spark.createDataFrame(

@@ -64,7 +64,7 @@ def python_eval_count(df: DataFrame, kind: str | None = None) -> int:
     """
     plan = formatted_plan(df)
     row = _node_count(plan, "BatchEvalPython")
-    arrow = _node_count(plan, "ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas")
+    arrow = _node_count(plan, "ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|MapInArrow")
     if kind == "row":
         return row
     if kind == "arrow":
