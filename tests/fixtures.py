@@ -45,3 +45,25 @@ def make_binning_input(n: int = 10_000, seed: int = 42) -> pd.DataFrame:
             "x_tiny_bins": x_tiny,
         }
     )
+
+
+def reset_store_tables(spark, *tables: str) -> None:
+    """DROP IF EXISTS plus remove the table's managed warehouse directory.
+
+    An interrupted previous run (driver window timeout, killed JVM) leaves a
+    managed table's LOCATION on disk while a fresh session's catalog has
+    never heard of the table — so ``DROP TABLE IF EXISTS`` alone is a no-op
+    and the next ``saveAsTable`` fails with LOCATION_ALREADY_EXISTS (the
+    round-18 inherited breakage).  Tests that use fixed table names reset
+    through this helper instead.
+    """
+    import shutil
+    from pathlib import Path
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = Path(wh.removeprefix("file:"))
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = wh_path / t.split(".")[-1].lower()
+        if loc.exists():
+            shutil.rmtree(loc, ignore_errors=True)

@@ -4,6 +4,8 @@ bins-model persistence."""
 from __future__ import annotations
 
 import pytest
+
+from tests.fixtures import reset_store_tables
 from pyspark.sql import functions as F
 
 from woe_monotonic_binning_spark import apply_bins, fit_bins
@@ -57,7 +59,7 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         # aggregation on the bucket key: zero Exchange in the plan
         assert exchange_count(agg) == 0
     finally:
-        spark.sql("DROP TABLE IF EXISTS orders_b")
+        reset_store_tables(spark, "orders_b")
 
 
 def test_write_training_shards_bounds_records_per_file(spark, tmp_path):
@@ -247,8 +249,8 @@ def test_compact_bucketed_table_preserves_provider(spark, tmp_path):
     table's actual provider, silently converting an ORC table's storage
     format under a maintenance pass."""
     name = "wmb_test_orc_bucketed"
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    spark.sql(f"DROP TABLE IF EXISTS {name}__compact")
+    reset_store_tables(spark, f"{name}")
+    reset_store_tables(spark, f"{name}__compact")
     try:
         df = spark.range(100).withColumnRenamed("id", "k")
         (
@@ -269,8 +271,8 @@ def test_compact_bucketed_table_preserves_provider(spark, tmp_path):
         assert info.get("Provider", "").lower() == "orc", info.get("Provider")
         assert spark.table(name).count() == 100
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        spark.sql(f"DROP TABLE IF EXISTS {name}__compact")
+        reset_store_tables(spark, f"{name}")
+        reset_store_tables(spark, f"{name}__compact")
 
 
 def test_compact_refuses_provider_less_table(spark, monkeypatch):

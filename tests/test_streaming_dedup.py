@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import pytest
+
+from tests.fixtures import reset_store_tables
 from pyspark.sql import functions as F
 
 from woe_monotonic_binning_spark.streaming.dedup import (
@@ -206,7 +208,7 @@ def test_streaming_dedup_against_bucketed_store_cross_batch_and_restart(
     )
 
     table = "wmb_test_digest_store"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    reset_store_tables(spark, f"{table}")
     try:
         src = tmp_path / "src"
         out = str(tmp_path / "out")
@@ -250,7 +252,7 @@ def test_streaming_dedup_against_bucketed_store_cross_batch_and_restart(
         spark.catalog.refreshTable(table)
         assert spark.table(table).distinct().count() == 4
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        reset_store_tables(spark, f"{table}")
 
 
 def test_bucketed_store_anti_join_does_not_shuffle_store(spark, tmp_path):
@@ -266,7 +268,7 @@ def test_bucketed_store_anti_join_does_not_shuffle_store(spark, tmp_path):
     from woe_monotonic_binning_spark.sources.io import write_bucketed_table
 
     table = "wmb_test_digest_store_plan"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    reset_store_tables(spark, f"{table}")
     thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -302,7 +304,7 @@ def test_bucketed_store_anti_join_does_not_shuffle_store(spark, tmp_path):
         assert kept == {1001}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        reset_store_tables(spark, f"{table}")
 
 
 def _near_dup_corpus():
@@ -356,7 +358,7 @@ def test_streaming_simhash_dedup_drops_near_dups_across_batches(spark, tmp_path)
     assert got_pairs == {(0, 2), (0, 10), (2, 10), (1, 11), (12, 13)}
 
     table = "wmb_test_simhash_store"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    reset_store_tables(spark, f"{table}")
     try:
         src = tmp_path / "src"
         out = str(tmp_path / "out")
@@ -408,9 +410,9 @@ def test_streaming_simhash_dedup_drops_near_dups_across_batches(spark, tmp_path)
             map(tuple, caps.select("band", "bh", "n", "rep_id").collect())
         ) == sorted(map(tuple, recomputed.collect()))
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.sql(f"DROP TABLE IF EXISTS {table}_caps")
-        spark.sql(f"DROP TABLE IF EXISTS {table}__compact")
+        reset_store_tables(spark, f"{table}")
+        reset_store_tables(spark, f"{table}_caps")
+        reset_store_tables(spark, f"{table}__compact")
 
 
 def test_simhash_store_probe_join_does_not_shuffle_store(spark, tmp_path):
@@ -425,7 +427,7 @@ def test_simhash_store_probe_join_does_not_shuffle_store(spark, tmp_path):
     from woe_monotonic_binning_spark.plans import exchange_count
 
     table = "wmb_test_simhash_store_plan"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    reset_store_tables(spark, f"{table}")
     thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -454,7 +456,7 @@ def test_simhash_store_probe_join_does_not_shuffle_store(spark, tmp_path):
         assert exchange_count(joined) == 1  # probe side only
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        reset_store_tables(spark, f"{table}")
 
 
 def _srp_stream_corpus():
@@ -492,7 +494,7 @@ def test_streaming_srp_dedup_drops_embedding_near_dups_across_batches(
 
     table = "wmb_test_srp_store"
     for suffix in ("_postings", "_vecs", "_caps"):
-        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        reset_store_tables(spark, f"{table}{suffix}")
     try:
         b1, b2 = _srp_stream_corpus()
         src = tmp_path / "src"
@@ -547,7 +549,7 @@ def test_streaming_srp_dedup_drops_embedding_near_dups_across_batches(
         assert spark.table(f"{table}_postings").count() == 8 * len(kept)
     finally:
         for suffix in ("_postings", "_vecs", "_caps"):
-            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+            reset_store_tables(spark, f"{table}{suffix}")
 
 
 def test_srp_store_probe_join_does_not_shuffle_store(spark, tmp_path):
@@ -562,8 +564,8 @@ def test_srp_store_probe_join_does_not_shuffle_store(spark, tmp_path):
     from woe_monotonic_binning_spark.plans import exchange_count
 
     table = "wmb_test_srp_store_plan"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"DROP TABLE IF EXISTS {table}_vecs")
+    reset_store_tables(spark, f"{table}")
+    reset_store_tables(spark, f"{table}_vecs")
     thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -614,8 +616,8 @@ def test_srp_store_probe_join_does_not_shuffle_store(spark, tmp_path):
         assert exchange_count(rejoin) == base + 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.sql(f"DROP TABLE IF EXISTS {table}_vecs")
+        reset_store_tables(spark, f"{table}")
+        reset_store_tables(spark, f"{table}_vecs")
 
 
 def test_compact_digest_store_roundtrip(spark, tmp_path):
@@ -636,8 +638,8 @@ def test_compact_digest_store_roundtrip(spark, tmp_path):
     )
 
     table = "wmb_test_digest_store_compact"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"DROP TABLE IF EXISTS {table}__compact")
+    reset_store_tables(spark, f"{table}")
+    reset_store_tables(spark, f"{table}__compact")
     thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -686,8 +688,8 @@ def test_compact_digest_store_roundtrip(spark, tmp_path):
         assert anti.count() == 0  # the known doc is recognised post-compaction
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.sql(f"DROP TABLE IF EXISTS {table}__compact")
+        reset_store_tables(spark, f"{table}")
+        reset_store_tables(spark, f"{table}__compact")
 
 
 def test_survivor_sink_idempotent_under_forced_batch_replay(spark, tmp_path):
@@ -883,8 +885,8 @@ def test_simhash_caps_seed_does_not_double_count_seeding_batch(spark, tmp_path):
     )
 
     table = "wmb_test_simhash_caps_seed"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"DROP TABLE IF EXISTS {table}_caps")
+    reset_store_tables(spark, f"{table}")
+    reset_store_tables(spark, f"{table}_caps")
     try:
         batch1, batch2 = _near_dup_corpus()
         # build the posting store as an OLDER pipeline would have: postings
@@ -938,8 +940,8 @@ def test_simhash_caps_seed_does_not_double_count_seeding_batch(spark, tmp_path):
         )
         assert caps == recomputed
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.sql(f"DROP TABLE IF EXISTS {table}_caps")
+        reset_store_tables(spark, f"{table}")
+        reset_store_tables(spark, f"{table}_caps")
 
 
 def test_simhash_store_overcap_buckets_probe_representative(spark, tmp_path):
@@ -962,8 +964,8 @@ def test_simhash_store_overcap_buckets_probe_representative(spark, tmp_path):
     )
 
     table = "wmb_test_simhash_store_rep"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"DROP TABLE IF EXISTS {table}_caps")
+    reset_store_tables(spark, f"{table}")
+    reset_store_tables(spark, f"{table}_caps")
     try:
         batch1, batch2 = _near_dup_corpus()
         src = tmp_path / "src"
@@ -991,8 +993,8 @@ def test_simhash_store_overcap_buckets_probe_representative(spark, tmp_path):
         kept = {r.doc_id for r in spark.read.parquet(out).collect()}
         assert kept == {0, 1, 3, 12}
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.sql(f"DROP TABLE IF EXISTS {table}_caps")
+        reset_store_tables(spark, f"{table}")
+        reset_store_tables(spark, f"{table}_caps")
 
 
 def test_query_token_no_authority_uris_are_cwd_invariant(monkeypatch, tmp_path):
@@ -1036,7 +1038,7 @@ def test_srp_stream_null_leading_embedding_does_not_skip_batch(spark, tmp_path):
 
     table = "wmb_test_srp_nulldim"
     for suffix in ("_postings", "_vecs", "_caps"):
-        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        reset_store_tables(spark, f"{table}{suffix}")
     try:
         e1 = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0]
         e1x3 = [0.0, 3.0, 0.0, 0.0, 0.0, 0.0]  # scaled copy: cosine 1.0
@@ -1077,7 +1079,7 @@ def test_srp_stream_null_leading_embedding_does_not_skip_batch(spark, tmp_path):
         assert 1 in posted and not posted & {10, 11, 20}
     finally:
         for suffix in ("_postings", "_vecs", "_caps"):
-            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+            reset_store_tables(spark, f"{table}{suffix}")
 
 
 def test_compact_srp_store_roundtrip(spark, tmp_path):
@@ -1095,8 +1097,8 @@ def test_compact_srp_store_roundtrip(spark, tmp_path):
 
     table = "wmb_test_srp_compact"
     for suffix in ("_postings", "_vecs", "_caps"):
-        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
-        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compact")
+        reset_store_tables(spark, f"{table}{suffix}")
+        reset_store_tables(spark, f"{table}{suffix}__compact")
     try:
         b1, b2 = _srp_stream_corpus()
         src = tmp_path / "src"
@@ -1170,8 +1172,8 @@ def test_compact_srp_store_roundtrip(spark, tmp_path):
         assert {r.vec_id for r in spark.read.parquet(out).collect()} == kept
     finally:
         for suffix in ("_postings", "_vecs", "_caps"):
-            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
-            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compact")
+            reset_store_tables(spark, f"{table}{suffix}")
+            reset_store_tables(spark, f"{table}{suffix}__compact")
 
 
 def test_compact_srp_store_after_forced_checkpoint_replay(spark, tmp_path):
@@ -1202,8 +1204,8 @@ def test_compact_srp_store_after_forced_checkpoint_replay(spark, tmp_path):
 
     table = "wmb_test_srp_compact_replay"
     for suffix in ("_postings", "_vecs", "_caps"):
-        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
-        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compact")
+        reset_store_tables(spark, f"{table}{suffix}")
+        reset_store_tables(spark, f"{table}{suffix}__compact")
     try:
         b1, b2 = _srp_stream_corpus()
         src = tmp_path / "src"
@@ -1316,5 +1318,5 @@ def test_compact_srp_store_after_forced_checkpoint_replay(spark, tmp_path):
         assert {r.vec_id for r in spark.read.parquet(out).collect()} == kept3
     finally:
         for suffix in ("_postings", "_vecs", "_caps"):
-            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
-            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compact")
+            reset_store_tables(spark, f"{table}{suffix}")
+            reset_store_tables(spark, f"{table}{suffix}__compact")
