@@ -104,6 +104,7 @@ def test_minhash_bucket_cap_degrades_to_star_not_drop(spark):
     assert kept_ids == {0, 500}
 
 
+@pytest.mark.certification  # slow battery; see pytest.ini (round 18)
 def test_simhash_single_fold_matches_naive_per_bit(spark, docs_with_dups):
     """The round-4 rewrite folds the token-hash array ONCE into a 64-long
     bit-count accumulator (zip_with); the original form re-folded the array
@@ -179,6 +180,46 @@ def test_minhash_single_fold_matches_per_perm(spark, docs_with_dups):
     assert joined.filter(F.expr("signature != naive_signature")).count() == 0
 
 
+def test_minhash_hashed_shingle_pair_parity(spark, docs_with_dups):
+    """Round 18 caches 31-bit HASHED shingle sets instead of the strings
+    (guide §2.3) and verifies candidates with hashed-space Jaccard.  This
+    reconstructs the OLD string-cached pipeline verbatim — string shingle
+    cache, minhash_signatures over strings, jaccard_verify on string sets —
+    and pins the full (id_a, id_b, jaccard) output byte-identical on a real
+    corpus (the planted-dup fixture AND the sf0.01 documents table), so the
+    collision argument is backed by measurement, not just probability."""
+    from woe_monotonic_binning_spark.operators.dedup import (
+        _lsh_candidate_pairs_lazy,
+        jaccard_verify,
+        minhash_dedup_pairs,
+        minhash_signatures,
+        shingled,
+    )
+
+    def old_pipeline(df, threshold):
+        sh = shingled(df.select("doc_id", "text"), "text", "doc_id", 3, "word")
+        sigs = minhash_signatures(sh, "doc_id", 64)
+        cands, banded, counts = _lsh_candidate_pairs_lazy(
+            sigs, "doc_id", 64, 16, max_bucket=1_000
+        )
+        return jaccard_verify(cands, sh, "doc_id", threshold)
+
+    sf001_docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for df, threshold in ((docs_with_dups, 0.5), (sf001_docs, 0.5)):
+        new = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_dedup_pairs(
+                df, "text", "doc_id", threshold=threshold
+            ).collect()
+        }
+        old = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in old_pipeline(df, threshold).collect()
+        }
+        assert new == old and len(new) > 0
+    spark.catalog.clearCache()
+
+
 def test_exact_dedup_shapes_agree(spark):
     """The merged q_dedup_exact certification slot (round 5) rests on
     exact_dedup and exact_dedup_by_digest sharing semantics: grouped on the
@@ -244,6 +285,84 @@ def test_connected_components_duplicate_edges_match_distinct(spark):
     }
     assert cc_noisy == cc_clean
     assert cc_clean[3] == 1 and cc_clean[22] == 20
+
+
+def test_connected_components_fused_min_step_matches_join(spark):
+    """Round 18: the per-round min-label step fused the labels-join into
+    the neighborhood aggregation (min over neighbor labels UNION own label
+    == least(own, min-neighbor)).  Pin the algebra directly — one old-style
+    join step vs one fused step over the same label table must emit the
+    identical stepped table — and pin end-to-end labels against a
+    driver-side union-find ground truth on random graphs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from woe_monotonic_binning_spark.operators.dedup import connected_components
+
+    # algebraic pin on one round
+    rnd = random.Random(181)
+    raw = [(rnd.randrange(40), rnd.randrange(40)) for _ in range(60)]
+    raw = [(a, b) for a, b in raw if a != b]
+    pairs = spark.createDataFrame(raw, "id_a long, id_b long")
+    edges = pairs.selectExpr("id_a as src", "id_b as dst").union(
+        pairs.selectExpr("id_b as src", "id_a as dst")
+    )
+    labels = edges.groupBy("dst").agg(F.min("src").alias("__nm")).select(
+        F.col("dst").alias("id"), F.least("dst", "__nm").alias("label")
+    )
+    nbr_min = (
+        edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy("dst")
+        .agg(F.min("label").alias("nbr_min"))
+        .withColumnRenamed("dst", "id")
+    )
+    old_step = {
+        (r.id, r.label)
+        for r in labels.join(nbr_min, "id", "left")
+        .select(
+            "id",
+            F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("label"),
+        )
+        .collect()
+    }
+    fused_step = {
+        (r.id, r.label)
+        for r in edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(F.col("dst").alias("id"), "label")
+        .unionByName(labels)
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+        .collect()
+    }
+    assert fused_step == old_step
+
+    # end-to-end ground truth on random graphs
+    for seed in (7, 18, 99):
+        rnd = random.Random(seed)
+        es = {(rnd.randrange(120), rnd.randrange(120)) for _ in range(150)}
+        es = [(a, b) for a, b in es if a != b]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in es:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        truth = {x: find(x) for x in parent}
+        got = {
+            r.id: r.component
+            for r in connected_components(
+                spark.createDataFrame(es, "id_a long, id_b long"), max_iter=25
+            ).collect()
+        }
+        assert got == truth
 
 
 def test_connected_components_nonconvergence_raises(spark):

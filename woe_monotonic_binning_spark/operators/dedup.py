@@ -160,6 +160,48 @@ def minhash_signatures(
     old ``array_min(empty)`` did (the IF guard; shingled() itself never
     emits an empty array, but this is a public API).
     """
+    return _signatures_from_hashes(
+        shingle_df.select(
+            F.col(id_col),
+            F.expr(
+                f"transform(shingles, s -> pmod(xxhash64(s), {MERSENNE_31}))"
+            ).alias("hashes"),
+        ),
+        id_col,
+        num_hashes,
+        seed,
+    )
+
+
+def _hashed_shingles(shingle_df: DataFrame, id_col: str) -> DataFrame:
+    """(id, distinct 31-bit shingle hashes) — the narrow twin of a shingle
+    table (round 18, guide §2.3 "shuffle fewer bytes").
+
+    ``pmod(xxhash64(s), M31)`` is EXACTLY the base hash the MinHash
+    permutations consume, so signatures computed from this table are
+    bit-identical to signatures computed from the strings (min over the
+    DISTINCT hash set equals min over the multiset).  Verification Jaccard
+    over these sets equals string-set Jaccard unless two distinct shingles
+    of a doc pair collide in the 31-bit space — a collision the signature
+    and banding math had ALREADY conflated, so hashed-space verification is
+    self-consistent with the candidates it verifies (see
+    OPTIMIZATION_r18.md for the full argument; value parity pinned by
+    tests/test_operators.py::test_minhash_hashed_shingle_pair_parity).
+    An ~8-byte long replaces each 15-25 byte shingle string in the cache
+    fill AND in the two shuffles of the verify join's shingle sides.
+    """
+    return shingle_df.select(
+        F.col(id_col),
+        F.expr(
+            f"array_distinct(transform(shingles, s -> pmod(xxhash64(s), {MERSENNE_31})))"
+        ).alias("shingles"),
+    )
+
+
+def _signatures_from_hashes(
+    hash_df: DataFrame, id_col: str, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """Signature fold over pre-hashed shingles (column ``hashes``)."""
     import random
 
     rnd = random.Random(seed)
@@ -173,10 +215,7 @@ def minhash_signatures(
         "aggregate(hashes, array_repeat({p}L, {k}), (acc, h) -> "
         "zip_with(acc, {ab}, (m, s) -> least(m, pmod(s['0'] * h + s['1'], {p})))))"
     ).format(k=num_hashes, ab=ab, p=MERSENNE_31)
-    return shingle_df.select(
-        F.col(id_col),
-        F.expr(f"transform(shingles, s -> pmod(xxhash64(s), {MERSENNE_31}))").alias("hashes"),
-    ).select(F.col(id_col), F.expr(sig).alias("signature"))
+    return hash_df.select(F.col(id_col), F.expr(sig).alias("signature"))
 
 
 def _lsh_candidate_pairs_lazy(
@@ -374,8 +413,18 @@ def minhash_dedup_pairs(
     narrow = df.select(id_col, text_col)
     if narrow.rdd.getNumPartitions() < sc.defaultParallelism:
         narrow = narrow.repartition(sc.defaultParallelism)
-    sh = shingled(narrow, text_col, id_col, shingle_n, shingle_unit).cache()
-    sigs = minhash_signatures(sh, id_col, num_hashes)
+    # Cache the 31-bit HASHED shingle sets, not the strings (round 18,
+    # guide §2.3): ~8 bytes/shingle instead of a 15-25 byte string in the
+    # cache fill and in both shuffled sides of the verify join; signatures
+    # are bit-identical by construction and verification Jaccard is
+    # identical up to 31-bit collisions the signature math had already
+    # conflated — see _hashed_shingles.
+    sh = _hashed_shingles(
+        shingled(narrow, text_col, id_col, shingle_n, shingle_unit), id_col
+    ).cache()
+    sigs = _signatures_from_hashes(
+        sh.withColumnRenamed("shingles", "hashes"), id_col, num_hashes
+    )
     cands, banded, counts = _lsh_candidate_pairs_lazy(
         sigs, id_col, num_hashes, bands, max_bucket=max_bucket
     )
@@ -701,6 +750,12 @@ def connected_components(
     # such input should distinct() before calling.  Value-parity with the
     # distinct form is pinned by
     # tests/test_operators.py::test_connected_components_duplicate_edges_match_distinct.
+    # NOTE (round 18): pre-partitioning the checkpointed edges by ``src``
+    # to spare each round's join exchange was tried and REVERTED — under
+    # AQE a checkpoint's LogicalRDD reports UnknownPartitioning (verified:
+    # plans/r18/dedup_cc_round_after.txt shows the ExistingRDD scan with
+    # UnknownPartitioning(0)), so every round re-shuffled anyway and the
+    # up-front repartition+sort was pure waste.
     edges = (
         pairs.select(
             F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
@@ -772,14 +827,23 @@ def connected_components(
     # round of the budget (with >= 1 real edge it always decreases the
     # checksum, so it can never be the stationary observation).
     for _ in range(max_iter if not converged else 0):
-        nbr_min = (
+        # Min-label step FUSED into one aggregation (round 18, guide §2.4):
+        # min over (neighbor labels UNION the node's own label) equals
+        # least(own label, min neighbor label), so unioning the label table
+        # into the groupBy replaces the former labels-join-nbr_min
+        # SortMergeJoin — its Exchange of the label table by id, both its
+        # sorts, and the join operator itself — with rows that ride the
+        # aggregation's existing partial/final exchange.  Symmetrized edges
+        # mean every node appears as dst, so the old left-join coalesce arm
+        # was already dead; the label trajectory (and hence every checksum
+        # and the round count) is unchanged.  Pinned by
+        # tests/test_operators.py::test_connected_components_fused_min_step_matches_join.
+        stepped = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_min"))
-            .withColumnRenamed("dst", "id")
-        )
-        stepped = labels.join(nbr_min, "id", "left").select(
-            "id", F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("label")
+            .select(F.col("dst").alias("id"), "label")
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
         )
         jumped = _jump(stepped)
         # convergence check without a join: labels only ever DECREASE (the
