@@ -604,3 +604,70 @@ def test_period_col_name_validation_is_loud(spark):
         df.withColumn("month", F.lit("2024-01")), bins, "month"
     )
     assert out.count() == 1
+
+
+def test_psi_report_actual_filter_matches_two_frame(spark):
+    """Round 18 (guide §6): the one-scan ``actual_filter`` path must emit
+    the BYTE-identical detail of the two-frame form on the real sf0.01
+    lineitem — every count is an integer and ``count(when(p, 1))`` counts
+    exactly the rows ``filter(p)`` keeps (NULL and FALSE fall out of both
+    identically) — including a predicate over a column that is NOT among
+    the monitored variables, and a predicate with NULLs."""
+    from woe_monotonic_binning_spark.drift import psi_report
+
+    bins = pd.DataFrame(
+        {
+            "variable": ["l_extendedprice"] * 3 + ["l_quantity"] * 3,
+            "interval_start_include": [0.0, 20000.0, 40000.0, 0.0, 17.0, 34.0],
+            "interval_end_exclude": [20000.0, 40000.0, 60000.0, 17.0, 34.0, 51.0],
+            "woe": [-0.3, 0.1, 0.4, -0.2, 0.0, 0.3],
+            "iv_components": [0.4, 0.3, 0.3, 0.2, 0.15, 0.15],
+        }
+    )
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    # a NULL-bearing predicate column: NULLs must drop from the actual
+    # side in both forms
+    li = li.withColumn(
+        "tax_or_null", F.when(F.col("l_tax") > 0.0, F.col("l_tax"))
+    )
+    for pred in (F.col("l_tax") > 0.04, F.col("tax_or_null") > 0.04):
+        two = (
+            psi_report(li, li.filter(pred), bins)
+            .toPandas()
+            .sort_values(["variable", "bin"])
+            .reset_index(drop=True)
+        )
+        one = (
+            psi_report(li, None, bins, actual_filter=pred)
+            .toPandas()
+            .sort_values(["variable", "bin"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(one, two, check_exact=True)
+
+    # misuse guards
+    with pytest.raises(ValueError, match="not both"):
+        psi_report(li, li, bins, actual_filter=F.col("l_tax") > 0.04)
+    with pytest.raises(ValueError, match="actual population"):
+        psi_report(li, None, bins)
+
+
+def test_psi_report_actual_filter_single_scan_plan(spark):
+    """The fused path's plan must contain exactly ONE lineitem scan (the
+    whole point — guide §6 shared scan), vs two in the two-frame form."""
+    from woe_monotonic_binning_spark.drift import psi_report
+    from woe_monotonic_binning_spark.plans import formatted_plan
+
+    import re
+
+    def scan_ops(df):
+        # unique operator ids: formatted plans list each op in the tree AND
+        # in the details section
+        return len(set(re.findall(r"\((\d+)\) Scan parquet", formatted_plan(df))))
+
+    bins = bins_table("l_quantity", cuts=(0.0, 17.0, 34.0, 51.0))
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    fused = psi_report(li, None, bins, actual_filter=F.col("l_tax") > 0.04)
+    assert scan_ops(fused) == 1
+    two = psi_report(li, li.filter(F.col("l_tax") > 0.04), bins)
+    assert scan_ops(two) == 2

@@ -259,13 +259,15 @@ def _psi_component(e: Column, a: Column, min_frac: float) -> Column:
 
 def psi_report(
     expected: DataFrame,
-    actual: DataFrame,
+    actual: DataFrame | None,
     bins,
     iv_threshold: float = 0.02,
     bin_threshold: int = 2,
     remove_100_corr: bool = True,
     min_frac: float = 1e-4,
     variables: Sequence[str] | None = None,
+    *,
+    actual_filter: Column | str | None = None,
 ) -> DataFrame:
     """Per-bin PSI detail between two populations under fitted ``bins``.
 
@@ -276,7 +278,20 @@ def psi_report(
     further.  Returns one row per (variable, bucket): ``variable, bin,
     bucket, interval_lo, interval_hi, expected_count, actual_count,
     expected_frac, actual_frac, psi_component`` — feed to
-    :func:`psi_summary` for the per-variable index."""
+    :func:`psi_summary` for the per-variable index.
+
+    ``actual_filter`` (keyword-only, round 18, guide §6): when the actual
+    population is a FILTER of the expected one — the standard
+    recent-window-vs-development monitoring shape — pass the predicate
+    here (with ``actual=None``) instead of a second DataFrame.  Both
+    histograms then ride ONE scan of ``expected``: the actual-side count
+    becomes ``count(rows where predicate)`` inside the same aggregation,
+    which is integer-exactly the count the two-frame form produces
+    (``filter(p)`` keeps exactly the rows where ``p`` is TRUE, and
+    ``count(when(p, 1))`` counts exactly those rows — NULL/FALSE fall out
+    of both identically).  Value parity is pinned by
+    tests/test_drift.py::test_psi_report_actual_filter_matches_two_frame.
+    """
     specs = compile_bin_exprs(
         _bins_to_pandas(bins), iv_threshold, bin_threshold, remove_100_corr
     )
@@ -285,6 +300,16 @@ def psi_report(
         specs = [s for s in specs if s[0] in keep]
     if not specs:
         raise ValueError("no variables survive the bin gates; nothing to monitor")
+    if actual_filter is not None:
+        if actual is not None:
+            raise ValueError(
+                "pass either a second DataFrame (actual) or actual_filter, "
+                "not both"
+            )
+        return _psi_detail_one_scan(expected, specs, min_frac, actual_filter)
+    if actual is None:
+        raise ValueError("psi_report needs an actual population: a second "
+                         "DataFrame or actual_filter=<predicate>")
     return _psi_detail_from_specs(expected, actual, specs, min_frac)
 
 
@@ -374,6 +399,54 @@ def _psi_detail_from_specs(
             F.count(F.when(F.col("__side") == 1, F.lit(1))).alias("__ac"),
         )
     )
+    return _psi_finish(scaffold, hist, min_frac)
+
+
+def _psi_detail_one_scan(
+    source: DataFrame, specs, min_frac: float, actual_filter
+) -> DataFrame:
+    # Shared-scan twin of _psi_detail_from_specs (round 18, guide §6): when
+    # the actual population is a filter of the expected one, one scan of
+    # the source feeds BOTH count columns — the expected count is every
+    # row, the actual count is `count(when(predicate, 1))` in the same
+    # partial/final aggregation.  Counts are integers, so the detail is
+    # value-identical to the two-frame form, with half the scan+explode
+    # work and no union.
+    pred = F.expr(actual_filter) if isinstance(actual_filter, str) else actual_filter
+    scaffold = _scaffold(source.sparkSession, specs)
+    names = [v for v, _, _ in specs]
+    proj = source.select(
+        *[F.col(v).cast("double").alias(v) for v in names],
+        pred.alias("__in_actual"),
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(v).alias("variable"),
+                    _bin_index_expr(F.col(v), cuts).alias("bin"),
+                )
+                for v, cuts, _ in specs
+            ]
+        )
+    ).alias("p")
+    hist = (
+        proj.select("__in_actual", pairs)
+        .select("p.variable", "p.bin", "__in_actual")
+        .groupBy("variable", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("__ec"),
+            F.count(F.when(F.col("__in_actual"), F.lit(1))).alias("__ac"),
+        )
+    )
+    return _psi_finish(scaffold, hist, min_frac)
+
+
+def _psi_finish(scaffold: DataFrame, hist: DataFrame, min_frac: float) -> DataFrame:
+    """Scaffold join + per-variable fractions + PSI component — the shared
+    tail of the two-frame and one-scan detail paths."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("variable")
     joined = (
         scaffold.join(hist, ["variable", "bin"], "left")
