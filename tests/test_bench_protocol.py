@@ -15,6 +15,8 @@ import shutil
 import subprocess
 import sys
 
+import pytest
+
 
 # headline -> the public package functions its body MUST call.  This is
 # the anti-drift pin the round-9 verdict asked for: the round-8 bench had
@@ -25,6 +27,7 @@ import sys
 REQUIRED_PUBLIC_CALLS = {
     "fit_batch": {"fit_bins"},
     "transform": {"apply_bins"},
+    "transform_count": {"apply_bins"},
     "dedup_digest": {"exact_dedup_by_digest"},
     "dedup_minhash": {"minhash_dedup_pairs"},
     "sim_search": {"brute_force_topk"},
@@ -137,6 +140,7 @@ def test_curation_headline_keeps_the_scrub_stage():
     raise AssertionError("curation body no longer calls curate_corpus")
 
 
+@pytest.mark.certification  # slow battery; see pytest.ini (round 18)
 def test_bench_rerun_adjudication_fires(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     shutil.copy(os.path.join(repo, "bench.py"), tmp_path / "bench.py")
@@ -264,6 +268,43 @@ def test_adjudicate_settle_and_retry():
     assert len(slept) == 2
     # reported figure is min over all samples
     assert timings == {"a": 1.1, "b": 1.2, "c": 3.9, "d": 1.2, "e": 7.0}
+
+
+def test_adjudicate_skips_queries_whose_action_revision_changed(monkeypatch):
+    """Round 18: a query whose timed ACTION definition changed between
+    artifacts (bench.ACTION_REV vs the prior artifact's action_rev) must
+    not be band-checked — the prior band measured a different computation
+    — while same-revision queries keep the full protocol."""
+    import bench
+
+    monkeypatch.setattr(bench, "ACTION_REV", {"a": 2}, raising=True)
+    prior = {
+        "queries": {"a": 1.0, "b": 1.0},
+        "rep_spread": {"a": 1.0, "b": 1.0},
+        "sf": 0.1,
+        # prior artifact predates the revision (no action_rev field)
+    }
+    timings = {"a": 5.0, "b": 5.0}
+
+    def fake_rerun(name, reps):
+        assert name != "a", "revision-changed query must not be re-run"
+        return 1.1
+
+    rerun = bench._adjudicate(
+        timings, prior, reps=1, rerun_fn=fake_rerun, sleep_fn=lambda s: None
+    )
+    assert set(rerun) == {"b"}
+    assert timings["a"] == 5.0  # untouched, no fresh samples burned
+
+    # and when the prior artifact records the SAME revision, adjudication
+    # applies normally again
+    prior2 = dict(prior, action_rev={"a": 2})
+    timings2 = {"a": 5.0}
+    rerun2 = bench._adjudicate(
+        timings2, prior2, reps=1,
+        rerun_fn=lambda n, r: 1.1, sleep_fn=lambda s: None,
+    )
+    assert set(rerun2) == {"a"} and timings2["a"] == 1.1
 
 
 def test_adjudicate_rerun_failure_is_unresolved_when_flagged():
