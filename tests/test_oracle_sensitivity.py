@@ -25,6 +25,10 @@ fail here" is the injected bug.
 from __future__ import annotations
 
 import pytest
+
+# Certification battery (round 18): deselected from the default run by
+# pytest.ini addopts; run with `-m certification` (see pytest.ini).
+pytestmark = pytest.mark.certification
 from pyspark.sql import Window, functions as F
 
 import queries_catalog as qc

@@ -1024,6 +1024,7 @@ def test_query_token_no_authority_uris_are_cwd_invariant(monkeypatch, tmp_path):
         os.chdir(cwd)
 
 
+@pytest.mark.certification  # slow battery; see pytest.ini (round 18)
 def test_srp_stream_null_leading_embedding_does_not_skip_batch(spark, tmp_path):
     """Round-10 advice (high): with dim=None, a micro-batch whose FIRST
     row has a NULL embedding must not be silently dropped — dim is
@@ -1082,6 +1083,7 @@ def test_srp_stream_null_leading_embedding_does_not_skip_batch(spark, tmp_path):
             reset_store_tables(spark, f"{table}{suffix}")
 
 
+@pytest.mark.certification  # slow battery; see pytest.ini (round 18)
 def test_compact_srp_store_roundtrip(spark, tmp_path):
     """compact_srp_store: collapses replay-duplicated posting/vector rows
     to one file per bucket, REBUILDS caps from count_distinct (round-10
@@ -1176,6 +1178,7 @@ def test_compact_srp_store_roundtrip(spark, tmp_path):
             reset_store_tables(spark, f"{table}{suffix}__compact")
 
 
+@pytest.mark.certification  # slow battery; see pytest.ini (round 18)
 def test_compact_srp_store_after_forced_checkpoint_replay(spark, tmp_path):
     """Round-11 verdict #6, the full crash story end to end:
 
