@@ -165,3 +165,4 @@ def test_median_prepass_histogram_equals_row_level_percentile(spark):
         else:
             assert g == e, (v, g, e)  # bit-identical, not approx
     assert got["c"] is None  # all-NULL column reports NULL median
+

@@ -136,16 +136,23 @@ def median_prepass(
 
     one_row = []
     if exact_vars:
+        # variable key = the column's INDEX, not its name (round 18, guide
+        # §2.3 "narrower types", same trick as fit's indexed melt): a 4-byte
+        # int replaces a 10-20 byte string on every melted row through the
+        # histogram exchange and both hash-aggregate key probes.  Grouping
+        # label only — the medians are untouched; the fold below maps the
+        # index straight back to its per-variable output column.  Measured
+        # interleaved at sf0.1/32c: min 1.92s vs 2.12s, median 2.07 vs 2.43.
         pairs = F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(v).alias("variable"),
+                        F.lit(i).alias("variable"),
                         F.expr(
                             f"nanvl(cast(`{v}` as double), cast(NULL as double))"
                         ).alias("value"),
                     )
-                    for v in exact_vars
+                    for i, v in enumerate(exact_vars)
                 ]
             )
         ).alias("p")
@@ -166,10 +173,10 @@ def median_prepass(
             med.agg(
                 *[
                     F.first(
-                        F.when(F.col("variable") == v, F.col("__m")),
+                        F.when(F.col("variable") == i, F.col("__m")),
                         ignorenulls=True,
                     ).alias(v)
-                    for v in exact_vars
+                    for i, v in enumerate(exact_vars)
                 ]
             )
         )
